@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine session defaults, shared by Verify/Bench/tests.
+  *
+  * - shuffle partitions = cores (local mode; a real cluster would size this
+  *   to ~2-3x total cores — never the 200 default);
+  * - AQE on: runtime coalescing + skew-join splitting is our answer to
+  *   skewed keys at 100 TB;
+  * - nanosAsLong: the events fixture carries TIMESTAMP(NANOS), which the
+  *   vanilla parquet reader rejects; we read it as long and rebuild a
+  *   microsecond timestamp in [[graft.sources.Tables.events]].
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,145 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pluggable value (de)serialization, resolved from a scheme URI.
+  *
+  * Mirrors the reference's scheme registry
+  * (reference: core/src/main/java/cz/o2/proxima/core/scheme/ValueSerializer.java:26,
+  * ConfigRepository.readSchemeSerializers:493): every attribute value is a
+  * `byte[]` plus a serializer chosen by the attribute's `scheme` URI.
+  *
+  * Spark-first twist: besides the row-at-a-time Scala codec (used by typed
+  * helpers and tests), each serializer exposes a **columnar decode** — a
+  * `Column => Column` built from `org.apache.spark.sql.functions` so that bulk
+  * deserialization stays inside whole-stage codegen instead of a UDF.
+  */
+trait ValueSerializer[T] extends Serializable {
+  def scheme: String
+  def sparkType: DataType
+  def serialize(t: T): Array[Byte]
+  def deserialize(bytes: Array[Byte]): Option[T]
+  def defaultValue: T
+
+  /** Columnar decode of a BINARY column into `sparkType`. */
+  def decodeColumn(c: Column): Column
+  /** Columnar encode into BINARY. */
+  def encodeColumn(c: Column): Column
+}
+
+object ValueSerializer {
+
+  object BytesSerializer extends ValueSerializer[Array[Byte]] {
+    val scheme = "bytes"
+    val sparkType: DataType = BinaryType
+    def serialize(t: Array[Byte]): Array[Byte] = t
+    def deserialize(b: Array[Byte]): Option[Array[Byte]] = Option(b)
+    def defaultValue: Array[Byte] = Array.emptyByteArray
+    def decodeColumn(c: Column): Column = c
+    def encodeColumn(c: Column): Column = c
+  }
+
+  object StringSerializer extends ValueSerializer[String] {
+    val scheme = "string"
+    val sparkType: DataType = StringType
+    def serialize(t: String): Array[Byte] = t.getBytes(StandardCharsets.UTF_8)
+    def deserialize(b: Array[Byte]): Option[String] =
+      Option(b).map(new String(_, StandardCharsets.UTF_8))
+    def defaultValue: String = ""
+    def decodeColumn(c: Column): Column = c.cast(StringType)
+    def encodeColumn(c: Column): Column = encode(c, "UTF-8")
+  }
+
+  /** Fixed-width big-endian numerics; columnar decode via hex round-trip
+    * (conv) keeps it codegen'd without a UDF.
+    */
+  private def longFromBytes(b: Array[Byte]): Long = {
+    require(b.length == 8); ByteBuffer.wrap(b).getLong
+  }
+  private def intFromBytes(b: Array[Byte]): Int = {
+    require(b.length == 4); ByteBuffer.wrap(b).getInt
+  }
+  private def decodeBigEndian(c: Column, bits: Int): Column =
+    conv(hex(c), 16, 10).cast(LongType)
+
+  object LongSerializer extends ValueSerializer[Long] {
+    val scheme = "long"
+    val sparkType: DataType = LongType
+    def serialize(t: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(t).array()
+    def deserialize(b: Array[Byte]): Option[Long] = Option(b).map(longFromBytes)
+    def defaultValue: Long = 0L
+    def decodeColumn(c: Column): Column = decodeBigEndian(c, 64)
+    def encodeColumn(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
+  }
+
+  object IntSerializer extends ValueSerializer[Int] {
+    val scheme = "integer"
+    val sparkType: DataType = IntegerType
+    def serialize(t: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(t).array()
+    def deserialize(b: Array[Byte]): Option[Int] = Option(b).map(intFromBytes)
+    def defaultValue: Int = 0
+    def decodeColumn(c: Column): Column = decodeBigEndian(c, 32).cast(IntegerType)
+    def encodeColumn(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
+  }
+
+  object DoubleSerializer extends ValueSerializer[Double] {
+    val scheme = "double"
+    val sparkType: DataType = DoubleType
+    def serialize(t: Double): Array[Byte] =
+      ByteBuffer.allocate(8).putDouble(t).array()
+    def deserialize(b: Array[Byte]): Option[Double] =
+      Option(b).map(x => java.lang.Double.longBitsToDouble(longFromBytes(x)))
+    def defaultValue: Double = 0.0
+    def decodeColumn(c: Column): Column =
+      // bits -> double has no builtin; decode via long bits then reinterpret
+      // using java-side UDF-free path is not possible; keep string repr cheap:
+      conv(hex(c), 16, 10).cast(LongType).cast(DoubleType) // lossy; typed path preferred
+    def encodeColumn(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 16, "0"))
+  }
+
+  object FloatSerializer extends ValueSerializer[Float] {
+    val scheme = "float"
+    val sparkType: DataType = FloatType
+    def serialize(t: Float): Array[Byte] =
+      ByteBuffer.allocate(4).putInt(java.lang.Float.floatToIntBits(t)).array()
+    def deserialize(b: Array[Byte]): Option[Float] =
+      Option(b).map(x => java.lang.Float.intBitsToFloat(intFromBytes(x)))
+    def defaultValue: Float = 0.0f
+    def decodeColumn(c: Column): Column =
+      conv(hex(c), 16, 10).cast(LongType).cast(FloatType) // lossy; typed path preferred
+    def encodeColumn(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
+  }
+
+  /** JSON payloads stay strings; columnar access via from_json/get_json_object
+    * (reference: core/.../scheme/JsonSerializer.java:30).
+    */
+  object JsonSerializer extends ValueSerializer[String] {
+    val scheme = "json"
+    val sparkType: DataType = StringType
+    def serialize(t: String): Array[Byte] = t.getBytes(StandardCharsets.UTF_8)
+    def deserialize(b: Array[Byte]): Option[String] =
+      Option(b).map(new String(_, StandardCharsets.UTF_8))
+    def defaultValue: String = "{}"
+    def decodeColumn(c: Column): Column = c.cast(StringType)
+    def encodeColumn(c: Column): Column = encode(c, "UTF-8")
+  }
+
+  private val registry: Map[String, ValueSerializer[_]] = Seq(
+    BytesSerializer, StringSerializer, IntSerializer, LongSerializer,
+    FloatSerializer, DoubleSerializer, JsonSerializer
+  ).map(s => s.scheme -> s).toMap
+
+  /** Resolve a serializer from a scheme URI ("string", "json:...", ...). */
+  def of(schemeUri: String): ValueSerializer[_] = {
+    val base = schemeUri.split(":", 2).head
+    registry.getOrElse(base,
+      throw new IllegalArgumentException(s"Unknown scheme: $schemeUri"))
+  }
+
+  def sparkTypeOf(schemeUri: String): DataType = of(schemeUri).sparkType
+}

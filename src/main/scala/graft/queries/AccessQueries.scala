@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Random-access (point-lookup) surface over batch snapshots — the
+  * reference's RandomAccessReader capability
+  * (reference: direct/core/.../randomaccess/RandomAccessReader.java:121 get,
+  * :181 multiFetch, :260 scanWildcard, :325 listEntities). On Spark these are
+  * predicate-pushdown scans / broadcast joins over the snapshot view; at
+  * 100 TB the same queries hit parquet row-group statistics so a point
+  * lookup touches only matching row groups.
+  */
+object AccessQueries extends QuerySet {
+
+  val queries: Map[String, QFn] = Map(
+    // get(key, attribute): single point lookup (pushed to row-group pruning)
+    "q_get" -> ((s, d) => {
+      Tables.events(s, d).filter(col("event_id") === 424)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // multiFetch: batched point lookups — broadcast hash join against the
+    // (small) key list, never a shuffle of the big side
+    "q_multi_fetch" -> ((s, d) => {
+      import s.implicits._
+      val keys = broadcast(Seq(1L, 5L, 9L, 42L, 77L).toDF("user_id"))
+      Tables.events(s, d).join(keys, "user_id")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    // scanWildcard(key, prefix): prefix scan over attribute-name-encoded
+    // relations ("src1" prefix plays the wildcard attribute prefix)
+    "q_scan_wildcard" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("source").startsWith("src1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // listEntities(offset, limit): paged key listing
+    "q_list_entities" -> ((s, d) => {
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .orderBy(col("user_id")).offset(10).limit(50)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_get" ->
+      """SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 424""",
+
+    "q_multi_fetch" ->
+      """SELECT user_id, event_id, event_type FROM events
+        |WHERE user_id IN (1, 5, 9, 42, 77)""".stripMargin,
+
+    "q_scan_wildcard" ->
+      """SELECT doc_id, source, n_chars FROM documents WHERE source LIKE 'src1%'""",
+
+    "q_list_entities" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 50 OFFSET 10"""
+  )
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.sources.Tables.cents
+
+/** Element-wise ops, aggregations and joins over bounded data — the batch
+  * lowering of the reference's Stream/WindowedStream surface
+  * (reference: tools/.../Stream.java:34 map/flatMap/filter/union,
+  * WindowedStream.java:27 count/sum/average/distinct/sorted/join/leftJoin).
+  * Everything is declarative DataFrame code: Catalyst pushes the filters and
+  * projections into the parquet scan and picks join strategies (broadcast for
+  * dims), which is the scale story at 100 TB — no driver-side iteration.
+  */
+object RelationalQueries extends QuerySet {
+
+  val queries: Map[String, QFn] = Map(
+    // map (Stream.map, Stream.java:68): 1:1 remap with computed projection
+    "q_map_project" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_cents"))
+    }),
+
+    // filter (Stream.filter, Stream.java:92): pushed down to parquet scan
+    "q_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    }),
+
+    // flatMap (Stream.flatMap, Stream.java:43): 1:N via explode
+    "q_flatmap_tokens" -> ((s, d) => {
+      Tables.part(s, d).select(col("p_partkey"),
+        explode(split(col("p_name"), " ")).as("token"))
+    }),
+
+    // union (Stream.union, Stream.java:337)
+    "q_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("okey"), lit("finished").as("src"))
+      val b = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey").as("okey"), lit("big").as("src"))
+      a.unionByName(b)
+    }),
+
+    // distinct (WindowedStream.distinct, WindowedStream.java:490)
+    "q_distinct" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+    }),
+
+    // countByKey (WindowedStream.countByKey, WindowedStream.java:236)
+    "q_count_by_key" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }),
+
+    // sum/average per key (WindowedStream.sumByKey:464, averageByKey:285)
+    "q_sum_avg_by_key" -> ((s, d) => {
+      Tables.events(s, d).groupBy(col("event_type")).agg(
+        sum(cents(col("value"))).as("sum_cents"),
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+    }),
+
+    // global combine (WindowedStream.count:421 / sum:439 on windowAll)
+    "q_window_all" -> ((s, d) => {
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // TPC-H Q1 shape: the reference's reduce/combine on a windowed stream
+    // (WindowedStream.combine:168) lowered to partial+final hash aggregation
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2025-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // sorted (WindowedStream.sorted:382) — distributed range sort + limit
+    "q_sorted_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)
+    }),
+
+    // inner equi-join (WindowedStream.join:316)
+    "q_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    // left outer join (WindowedStream.leftJoin:351)
+    "q_left_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+    }),
+
+    // multi-way dim join — dims are broadcast (reference has no planner;
+    // Spark's broadcast threshold + explicit hint do this for free)
+    "q_join_dims" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+    }),
+
+    // semi/anti joins (free in Spark; reference reaches these via stateful
+    // dataflow — documented as a capability superset)
+    "q_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS net_cents
+        |FROM lineitem""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+
+    "q_flatmap_tokens" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part""",
+
+    "q_union" ->
+      """SELECT o_orderkey AS okey, 'finished' AS src FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey AS okey, 'big' AS src FROM orders WHERE o_totalprice > 200000""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+
+    "q_count_by_key" ->
+      """SELECT user_id, count(*) AS n FROM events GROUP BY user_id""",
+
+    "q_sum_avg_by_key" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |round(avg(value), 4) AS avg_value,
+        |count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_window_all" ->
+      """SELECT count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2025-06-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sorted_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_join" ->
+      """SELECT o_orderstatus,
+        |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT coalesce(c_mktsegment, 'NONE') AS segment, count(*) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_join_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin
+  )
+}

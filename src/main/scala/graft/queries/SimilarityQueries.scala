@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (LLM-pipeline extension):
+  * brute-force cosine top-k as the exact baseline, threshold near-dup pairs,
+  * and n-gram Jaccard near-dup over `documents`.
+  *
+  * Scale design: the query set is broadcast (no shuffle of the corpus); the
+  * dot product is `zip_with`+`aggregate` over array columns — codegen'd
+  * column expressions, no UDF. Norms are precomputed per side before the
+  * join so each pair costs one fused multiply-add pass. The LSH-bucketed
+  * variant for 100 TB corpora lives in [[graft.functions.MinHashLsh]] (same
+  * pair scoring after a bucket join instead of a cross join).
+  *
+  * Float determinism: scores are compared via ORDERING only (ids + rank in
+  * the output, never raw doubles) — Spark and DuckDB sum in different
+  * orders, so last-bit score equality cannot be promised, but a rank flip
+  * would need two cosines within ~1e-9 of each other.
+  */
+object SimilarityQueries extends QuerySet {
+
+  /** dot(a, b) in double precision, sequential over the array. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String,
+      queryPred: Column): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_ann_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cosinePairs(s, d, col("vec_id") < 10)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+    }),
+
+    // embedding-cosine near-duplicate pairs above a threshold
+    "q_near_dup_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val r = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"))
+      e.crossJoin(r)
+        .filter(col("vec_id") < col("b_id"))
+        .filter(dot(col("embedding"), col("b_emb")) / (col("nrm") * col("b_nrm")) >= 0.5)
+        .select(col("vec_id").as("a_id"), col("b_id"))
+    }),
+
+    // n-gram (3-token shingle) Jaccard near-dup over documents: distinct
+    // shingles -> inverted-index self-join -> |A∩B| / (|A|+|B|-|A∩B|).
+    // 3-token shingles are rare enough that the inverted index join stays
+    // skew-free (single-token joins explode on stopwords at scale).
+    "q_jaccard_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), explode(
+          // guard: Spark's sequence() counts DOWN when stop < start, so a
+          // <3-token doc must yield an empty shingle set, not a backwards one
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))
+            .otherwise(array().cast("array<string>"))).as("shingle"))
+        .distinct()
+      val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val b = docs.select(col("doc_id").as("b_id"), col("shingle"))
+      val inter = docs.join(b, "shingle")
+        .filter(col("doc_id") < col("b_id"))
+        .groupBy(col("doc_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes, "doc_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+        .filter(col("inter") * 10 >= (col("sz") + col("b_sz") - col("inter")) * 5)
+        .select(col("doc_id").as("a_id"), col("b_id"), col("inter"),
+          (col("sz") + col("b_sz") - col("inter")).as("uni"))
+    })
+  )
+
+  // DuckDB lacks a deterministic double-sequential list_sum, so oracles
+  // recompute cosine via list_zip/list_transform in double; outputs compare
+  // ids/ranks only (see scaladoc).
+  private val cosExpr =
+    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_topk" ->
+      s"""WITH scored AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT q_id, rk, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored) WHERE rk <= 5""".stripMargin,
+
+    "q_near_dup_cosine" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM embeddings a CROSS JOIN embeddings b
+         |WHERE a.vec_id < b.vec_id AND $cosExpr >= 0.5""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS shingle
+        |  FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |           unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS i
+        |    FROM documents) t
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id, i.b_id, i.inter, (sa.sz + sb.sz - i.inter) AS uni
+        |FROM inter i
+        |JOIN sz sa ON i.a_id = sa.doc_id
+        |JOIN sz sb ON i.b_id = sb.doc_id
+        |WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, document fingerprinting, exact dedup, quality scoring and
+  * a deterministic stopword-marker language-ID heuristic. All are pure
+  * `functions._` column expressions — whole-stage-codegen'd, no UDFs — so at
+  * 100 TB they run as a single scan with map-side aggregation.
+  */
+object TextQueries extends QuerySet {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Occurrences of `marker` in text, counted via length arithmetic (same
+    * formula as the DuckDB oracle — no regex semantics to disagree on).
+    */
+  private def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
+      marker.length).cast("long")
+
+  private def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+
+  val queries: Map[String, QFn] = Map(
+    // token counting (whitespace tokenizer)
+    "q_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    }),
+
+    // document fingerprinting: content hash as dedup identity
+    "q_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+    }),
+
+    // exact dedup: group by fingerprint, keep canonical (min doc_id)
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // quality scoring: length / token stats + stopword ratio
+    "q_quality_score" -> ((s, d) => {
+      val t = col("text")
+      val nTok = size(tokens(t)).cast("long")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(t).cast("long").as("chars"),
+        nTok.as("n_tokens"),
+        round(length(t).cast("double") / nTok, 4).as("chars_per_token"),
+        occurrences(padded(t), " the ").as("the_count"),
+        round(occurrences(padded(t), " the ").cast("double") / nTok, 4)
+          .as("stopword_ratio"))
+    }),
+
+    // language-ID: deterministic marker-count heuristic (the reference has
+    // no NLP surface; this is the LLM-pipeline extension — n-gram/stopword
+    // scoring per language, highest marker count wins, ties by fixed order)
+    "q_lang_id" -> ((s, d) => {
+      val t = padded(col("text"))
+      val cEn = occurrences(t, " the ")
+      val cDe = occurrences(t, " der ")
+      val cFr = occurrences(t, " le ")
+      val cEs = occurrences(t, " los ")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        when(cEn >= cDe && cEn >= cFr && cEn >= cEs, "en")
+          .when(cDe >= cFr && cDe >= cEs, "de")
+          .when(cFr >= cEs, "fr")
+          .otherwise("es").as("predicted"))
+    })
+  )
+
+  private val tokCount = "len(regexp_split_to_array(trim(text), '\\s+'))"
+  private def occ(expr: String, marker: String) =
+    s"CAST((length($expr) - length(replace($expr, '$marker', ''))) / ${marker.length} AS BIGINT)"
+  private val pad = "' ' || text || ' '"
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST($tokCount AS BIGINT) AS n_tokens FROM documents""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         |CAST(length(text) AS BIGINT) AS chars,
+         |CAST($tokCount AS BIGINT) AS n_tokens,
+         |round(length(text) / CAST($tokCount AS DOUBLE), 4) AS chars_per_token,
+         |${occ(pad, " the ")} AS the_count,
+         |round(${occ(pad, " the ")} / CAST($tokCount AS DOUBLE), 4) AS stopword_ratio
+         |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |CASE WHEN ${occ(pad, " the ")} >= ${occ(pad, " der ")}
+         |      AND ${occ(pad, " the ")} >= ${occ(pad, " le ")}
+         |      AND ${occ(pad, " the ")} >= ${occ(pad, " los ")} THEN 'en'
+         |     WHEN ${occ(pad, " der ")} >= ${occ(pad, " le ")}
+         |      AND ${occ(pad, " der ")} >= ${occ(pad, " los ")} THEN 'de'
+         |     WHEN ${occ(pad, " le ")} >= ${occ(pad, " los ")} THEN 'fr'
+         |     ELSE 'es' END AS predicted
+         |FROM documents""".stripMargin
+  )
+}

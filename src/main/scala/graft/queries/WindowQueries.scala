@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.sources.Tables.cents
+
+/** Event-time windowing over the `events` stream table — batch lowering of
+  * the reference's windowing surface (reference: tools/.../Stream.java:291
+  * timeWindow, :300 timeSlidingWindow, :310 sessionWindow, :322
+  * calendarWindow, :329 windowAll; Beam impls BeamStream.java:831-883).
+  * The same `window`/`session_window` expressions run unchanged under
+  * Structured Streaming with `withWatermark` — batch here so the DuckDB
+  * oracle can check them.
+  *
+  * All window boundaries are compared as epoch micros: the events fixture has
+  * microsecond timestamps, and millisecond truncation would mis-bucket
+  * elements that straddle a boundary by <1ms.
+  */
+object WindowQueries extends QuerySet {
+
+  val queries: Map[String, QFn] = Map(
+    // timeWindow (tumbling, FixedWindows): hourly per-type counts + sums
+    "q_window_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }),
+
+    // timeSlidingWindow (SlidingWindows): 1h window, 30m slide
+    "q_window_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("n"),
+          col("sum_cents"))
+    }),
+
+    // sessionWindow(keyEx, gap) (Sessions.withGapDuration): per-user sessions
+    // with a 30-minute inactivity gap
+    "q_window_session" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+          col("n"), col("sum_cents"))
+    }),
+
+    // calendarWindow("months", 1, UTC) (CalendarWindows.java): monthly buckets
+    // are plain column expressions — no custom WindowFn needed on Spark
+    "q_window_calendar_month" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+    }),
+
+    // batchUpdates(start, end) (BeamStream.batchUpdates:215, start incl /
+    // end excl): stamp-range scan, pushed down to the parquet reader
+    "q_batch_updates_range" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+    }),
+
+    // reduceToLatest (WindowedStream.java:108 → PCollectionTools
+    // .reduceAsSnapshot:42): latest element per key — max_by over a
+    // (stamp, seqId) struct keeps it a single partial-aggregable pass
+    "q_reduce_to_latest" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            col("event_type")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(max(col("e")).as("last"))
+        .select(col("user_id"), col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // every event belongs to exactly two 1h/30m sliding windows:
+    // starts floor(e/30m)*30m and that minus 30m
+    "q_window_sliding" ->
+      """WITH x AS (
+        |  SELECT (CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - k.k) * 1800000000 AS w_start_us,
+        |         value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        |)
+        |SELECT w_start_us, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // gaps-and-islands: new session when gap >= 30 minutes (session_window
+    // extends [ts, ts+gap), so an event at exactly prev+gap starts fresh)
+    "q_window_session" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS e, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, e, value,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY e
+        |           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM t
+        |)
+        |SELECT user_id, min(e) AS sess_start_us, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    "q_window_calendar_month" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+        |CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_batch_updates_range" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+
+    "q_reduce_to_latest" ->
+      """SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |event_type AS last_type
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
+  )
+}

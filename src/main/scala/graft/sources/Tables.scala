@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.StreamElement
+
+/** Batch table access over the driver-provided parquet fixtures.
+  *
+  * Maps the reference's batch-log read path
+  * (reference: direct/core/.../batch/BatchLogReader.java, family routing
+  * BeamDataOperator.getBatchUpdates:247-318) onto plain `spark.read.parquet` —
+  * Catalyst handles partition pruning, predicate pushdown and column pruning,
+  * which the reference does by hand via `filterAttrs` / `StreamElementFilter`.
+  */
+object Tables {
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a nanos long and is
+    * rebuilt here as a microsecond TIMESTAMP (floor division — matching what
+    * DuckDB's nanos→micros read does on the oracle side).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: nanos exceed 2^53, double division would
+        // lose microseconds
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact money arithmetic at scale: doubles summed in nondeterministic
+    * partition order drift in the last bits; integer cents are associative.
+    */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** The `events` table viewed as an entity changelog: key = user_id,
+    * a scalar `activity` attribute, event-time = ts. `error` events model
+    * delete tombstones so snapshot/compaction semantics are exercised on
+    * driver data (TESTDATA.md) without synthesizing fixtures.
+    */
+  def eventsAsChangelog(spark: SparkSession, sfDir: String): Dataset[StreamElement] = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .select(
+        lit("user").as("entity"),
+        concat(lit("user-"), $"user_id").as("key"),
+        lit("activity").as("attribute"),
+        concat(lit("uuid-"), $"event_id").as("uuid"),
+        $"event_id".as("seqId"),
+        unix_micros($"ts").as("stamp"),
+        encode(to_json(struct($"event_type", $"value")), "UTF-8").as("value"),
+        ($"event_type" === "error").as("delete"),
+        lit(false).as("deleteWildcard"))
+      .as[StreamElement]
+  }
+}
