@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.StreamElement
+
+/** Snapshot-compaction semantics, mirroring the reference's wildcard-delete
+  * test (reference: tools/.../GroovyEnvTest.testWildcardDelete:286) and the
+  * stream-table-duality rules (docs datamodel.md:120-149).
+  */
+class SnapshotCompactSpec extends SparkSpec {
+
+  private def up(key: String, attr: String, stamp: Long, v: String = "v",
+      seq: Long = 0) =
+    StreamElement("e", key, attr, s"u-$key-$attr-$stamp-$seq", seq, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  private def del(key: String, attr: String, stamp: Long, seq: Long = 0) =
+    StreamElement("e", key, attr, s"d-$key-$attr-$stamp-$seq", seq, stamp,
+      null, delete = true, deleteWildcard = false)
+
+  private def delWc(key: String, prefix: String, stamp: Long, seq: Long = 0) =
+    StreamElement("e", key, prefix + "*", s"w-$key-$stamp-$seq", seq, stamp,
+      null, delete = true, deleteWildcard = true)
+
+  private def snap(xs: StreamElement*): Set[(String, String, Long)] = {
+    val ds = spark.createDataset(xs)(StreamElement.encoder)
+    SnapshotCompact.snapshot(ds).collect()
+      .map(e => (e.key, e.attribute, e.stamp)).toSet
+  }
+
+  test("latest upsert wins per (key, attribute)") {
+    assert(snap(up("k", "a", 1), up("k", "a", 5), up("k", "a", 3)) ==
+      Set(("k", "a", 5)))
+  }
+
+  test("delete tombstone removes when newest") {
+    assert(snap(up("k", "a", 1), del("k", "a", 2)) == Set.empty)
+    assert(snap(del("k", "a", 1), up("k", "a", 2)) == Set(("k", "a", 2)))
+  }
+
+  test("wildcard delete wipes all older suffixes (testWildcardDelete:286)") {
+    val r = snap(
+      up("k", "device.1", 1), up("k", "device.2", 2),
+      delWc("k", "device.", 5),
+      up("k", "device.3", 7))
+    assert(r == Set(("k", "device.3", 7)))
+  }
+
+  test("wildcard delete does not touch other keys, prefixes, or scalars") {
+    val r = snap(
+      up("k", "device.1", 1), up("k", "rule.1", 1), up("k", "status", 1),
+      up("k2", "device.9", 1),
+      delWc("k", "device.", 5))
+    assert(r == Set(("k", "rule.1", 1), ("k", "status", 1), ("k2", "device.9", 1)))
+  }
+
+  test("replay order does not matter (out-of-order commit log)") {
+    val elems = Seq(
+      up("k", "device.1", 1), delWc("k", "device.", 5), up("k", "device.2", 8),
+      del("k", "device.2", 9), up("k", "device.4", 6))
+    val expected = Set(("k", "device.4", 6))
+    elems.permutations.take(24).foreach { p =>
+      assert(snap(p: _*) == expected, s"order: $p")
+    }
+  }
+
+  test("same stamp resolved by seqId then uuid (deterministic ties)") {
+    assert(snap(up("k", "a", 5, "x", seq = 1), up("k", "a", 5, "y", seq = 2)) ==
+      Set(("k", "a", 5)))
+    val ds = spark.createDataset(Seq(
+      up("k", "a", 5, "x", seq = 1), up("k", "a", 5, "y", seq = 2)))(
+      StreamElement.encoder)
+    val v = SnapshotCompact.snapshot(ds).collect().head.value
+    assert(new String(v, "UTF-8") == "y")
+  }
+
+  test("snapshot asOf ignores later elements") {
+    val ds = spark.createDataset(Seq(
+      up("k", "a", 1), up("k", "a", 10)))(StreamElement.encoder)
+    val r = SnapshotCompact.snapshot(ds, asOf = 5).collect()
+    assert(r.map(_.stamp).toSeq == Seq(1))
+  }
+}
