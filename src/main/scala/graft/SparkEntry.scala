@@ -19,6 +19,7 @@ object SparkEntry {
     StatefulQueries,
     TextQueries,
     SimilarityQueries,
+    DedupQueries,
     ChangelogQueries
   )
 

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashLsh
+import graft.sources.Tables
+
+/** MinHash / LSH / SimHash dedup sketches over `documents` — every integer
+  * recomputed bit-exactly by the DuckDB oracle (md5-based 60-bit hashes,
+  * affine permutations mod 2^31-1), so these sketch operators get full
+  * hash-match verification, not a rows-only check.
+  */
+object DedupQueries extends QuerySet {
+
+  private val K = 8
+  private val BAND_ROWS = 2
+
+  val queries: Map[String, QFn] = Map(
+    // k=8 minhash signature over 3-token shingles
+    "q_minhash_sig" -> ((s, d) => {
+      MinHashLsh.signature(Tables.documents(s, d), "text", n = 3, k = K)
+    }),
+
+    // LSH candidate pairs: share >=1 of 4 bands (2 rows each)
+    "q_lsh_candidates" -> ((s, d) => {
+      val sig = MinHashLsh.signature(Tables.documents(s, d), "text", 3, K)
+      MinHashLsh.lshCandidates(sig, K, BAND_ROWS)
+    }),
+
+    // 60-bit simhash per document
+    "q_simhash" -> ((s, d) => {
+      MinHashLsh.simhash64(Tables.documents(s, d), "text")
+    }),
+
+    // simhash near-dups at Hamming distance <= 8
+    "q_simhash_near_dup" -> ((s, d) => {
+      val sh = MinHashLsh.simhash64(Tables.documents(s, d), "text")
+      MinHashLsh.simhashNearDups(sh, 8)
+    })
+  )
+
+  // ---- oracle building blocks (identical integer math in DuckDB) ----
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id,
+      |  t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS shingle
+      |FROM (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |         unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS i
+      |  FROM documents) t""".stripMargin
+
+  private def affineSql(j: Int) = {
+    val a = 2L * j + 1
+    val b = j * 7919L + 13L
+    s"CAST(min(($a * hm + $b) % 2147483647) AS BIGINT) AS mh_$j"
+  }
+
+  private val sigSql =
+    s"""WITH sh AS ($shinglesSql),
+       |hv AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647 AS hm
+       |  FROM sh
+       |)
+       |SELECT doc_id, ${(0 until K).map(affineSql).mkString(", ")}
+       |FROM hv GROUP BY doc_id""".stripMargin
+
+  private val simhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  FROM documents
+      |), hv AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT AS h FROM tok
+      |), bits AS (
+      |  SELECT doc_id, b.b AS b,
+      |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM hv CROSS JOIN (SELECT unnest(range(60)) AS b) b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << b) ELSE 0 END) AS BIGINT)
+      |    AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_minhash_sig" -> sigSql,
+
+    "q_lsh_candidates" -> {
+      val bands = (0 until K / BAND_ROWS).map { bnd =>
+        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sig AS ($sigSql),
+         |banded AS (
+         |$bands
+         |)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "q_simhash" -> simhashSql,
+
+    "q_simhash_near_dup" ->
+      s"""WITH sh AS ($simhashSql)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.simhash, b.simhash)) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+  )
+}

@@ -1,21 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Similarity
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (LLM-pipeline extension):
   * brute-force cosine top-k as the exact baseline, threshold near-dup pairs,
   * and n-gram Jaccard near-dup over `documents`.
   *
-  * Scale design: the query set is broadcast (no shuffle of the corpus); the
-  * dot product is `zip_with`+`aggregate` over array columns — codegen'd
-  * column expressions, no UDF. Norms are precomputed per side before the
-  * join so each pair costs one fused multiply-add pass. The LSH-bucketed
-  * variant for 100 TB corpora lives in [[graft.functions.MinHashLsh]] (same
-  * pair scoring after a bucket join instead of a cross join).
+  * Scale design: pairwise scoring runs in [[graft.functions.Similarity]] —
+  * broadcast one side as primitive float arrays, `mapPartitions` the other,
+  * double-precision loop with zero per-pair allocation; the LSH-bucketed
+  * variant replaces the broadcast scan with a bucket join for 100 TB
+  * corpora.
   *
   * Float determinism: scores are compared via ORDERING only (ids + rank in
   * the output, never raw doubles) — Spark and DuckDB sum in different
@@ -24,48 +22,26 @@ import graft.sources.Tables
   */
 object SimilarityQueries extends QuerySet {
 
-  /** dot(a, b) in double precision, sequential over the array. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String,
-      queryPred: Column): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val q = e.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-          .as("cos"))
-  }
-
   val queries: Map[String, QFn] = Map(
-    // brute-force cosine top-k (exact ANN baseline)
+    // brute-force cosine top-k (exact ANN baseline; broadcast-query kernel
+    // in graft.functions.Similarity)
     "q_ann_topk" -> ((s, d) => {
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      cosinePairs(s, d, col("vec_id") < 10)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"))
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+        .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
     // embedding-cosine near-duplicate pairs above a threshold
+    // (broadcast-blocked self-scan, no cross-join shuffle)
     "q_near_dup_cosine" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val r = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("nrm").as("b_nrm"))
-      e.crossJoin(r)
-        .filter(col("vec_id") < col("b_id"))
-        .filter(dot(col("embedding"), col("b_emb")) / (col("nrm") * col("b_nrm")) >= 0.5)
-        .select(col("vec_id").as("a_id"), col("b_id"))
+      Similarity.nearDupPairs(Tables.embeddings(s, d), 0.5)
+        .select(col("a_id"), col("b_id"))
+    }),
+
+    // LSH-bucketed variant (scale path; no SQL oracle -> rows-only check)
+    "q_ann_lsh_pairs" -> ((s, d) => {
+      Similarity.lshBucketPairs(Tables.embeddings(s, d), nPlanes = 4,
+        threshold = 0.3)
+        .select(col("a_id"), col("b_id"))
     }),
 
     // n-gram (3-token shingle) Jaccard near-dup over documents: distinct
