@@ -1,0 +1,121 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.randomaccess.RandomAccessReader
+import graft.streaming.{CachedView, CommitLogFamily}
+
+/** Config-driven data operator: resolves entities/attributes to storage
+  * families by required access pattern and hands out readers/writers — the
+  * engine's analog of the reference's DataOperator layer
+  * (reference: BeamDataOperator.java:160-401 getStream/getBatchUpdates/
+  * getBatchSnapshot with findSuitableAccessors:217;
+  * DirectDataOperator.java:300 getWriter, :391 getCommitLogReader,
+  * :464 getRandomAccess, :435 getCachedView).
+  *
+  * This access-path routing IS the reference's whole "optimizer" (SURVEY
+  * §4): pick the cheapest family whose access flags serve the read, prefer
+  * a compacted batch-snapshot family over reducing full updates, and filter
+  * to requested attributes after the scan (Catalyst pushes that filter into
+  * parquet).
+  *
+  * Storage URIs resolve to paths: `file:///x` directly, `inmem://x` to a
+  * session-scoped temp dir (the test fixture storage, reference
+  * InMemStorage).
+  */
+final class GraftOperator(val spark: SparkSession, val repo: Repository,
+    tmpRoot: String = java.nio.file.Files.createTempDirectory("graft-op-").toString) {
+
+  private val familyCache = collection.concurrent.TrieMap.empty[String, CommitLogFamily]
+
+  def resolvePath(storageUri: String): String = {
+    val i = storageUri.indexOf("://")
+    require(i > 0, s"Bad storage URI: $storageUri")
+    val (scheme, rest) = (storageUri.substring(0, i), storageUri.substring(i + 3))
+    scheme match {
+      case "file"  => rest
+      case "inmem" => s"$tmpRoot/${rest.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      case other   => throw new IllegalArgumentException(
+        s"Unsupported storage scheme: $other (seam for kafka/jdbc bindings)")
+    }
+  }
+
+  def family(name: String): CommitLogFamily = {
+    val desc = repo.families.getOrElse(name,
+      throw new IllegalArgumentException(s"No family $name"))
+    familyCache.getOrElseUpdate(name,
+      new CommitLogFamily(spark, resolvePath(desc.storageUri)))
+  }
+
+  private def route(entity: String, attr: String, need: String): CommitLogFamily = {
+    val desc = repo.familyFor(entity, attr, need).getOrElse(
+      throw new IllegalStateException(
+        s"No family with access '$need' for $entity.$attr"))
+    family(desc.name)
+  }
+
+  private def filterAttrs(ds: Dataset[StreamElement], entity: String,
+      attrs: Seq[String]): Dataset[StreamElement] = {
+    val e = repo.entity(entity)
+    val descs = attrs.map(a => e.attribute(a).getOrElse(
+      throw new IllegalArgumentException(s"No attribute $a on $entity")))
+    val scalars = descs.filterNot(_.isWildcard).map(_.name).toSet
+    val prefixes = descs.filter(_.isWildcard).map(_.prefix)
+    ds.filter { el =>
+      scalars.contains(el.attribute) || prefixes.exists(p =>
+        el.attribute.startsWith(p) && el.attribute.length > p.length)
+    }
+  }
+
+  /** Commit-log subscription for attributes (BeamDataOperator.getStream:160). */
+  def getStream(entity: String, attrs: String*): Dataset[StreamElement] =
+    attrs.map(a => route(entity, a, Access.CommitLog)).distinct
+      .map(_.streamFromOldest())
+      .reduce(_ union _)
+      .transform(filterAttrs(_, entity, attrs))
+
+  /** Full update history (getBatchUpdates:247), stamp range [from, until). */
+  def getBatchUpdates(entity: String, from: Long = Long.MinValue,
+      until: Long = Long.MaxValue, attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
+    val as = if (attrs.isEmpty) repo.entity(entity).attributes.map(_.name) else attrs
+    as.map(a => route(entity, a, Access.BatchUpdates)).distinct
+      .map(_.batchUpdates(from, until))
+      .reduce(_ union _)
+      .transform(filterAttrs(_, entity, as))
+  }
+
+  /** Compacted snapshot (getBatchSnapshot:328): prefer a dedicated
+    * batch-snapshot family, else reduce the updates.
+    */
+  def getBatchSnapshot(entity: String, asOf: Long = Long.MaxValue,
+      attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
+    val as = if (attrs.isEmpty) repo.entity(entity).attributes.map(_.name) else attrs
+    as.map(a => route(entity, a, Access.BatchSnapshot)).distinct
+      .map(_.batchSnapshot(asOf))
+      .reduce(_ union _)
+      .transform(filterAttrs(_, entity, as))
+  }
+
+  /** Random access over a family able to serve it (getRandomAccess:464). */
+  def getRandomAccess(entity: String, attr: String): RandomAccessReader =
+    new RandomAccessReader(route(entity, attr, Access.RandomAccess))
+
+  /** Continuously-maintained local view (getCachedView:435). */
+  def getCachedView(entity: String, attr: String): CachedView =
+    new CachedView(route(entity, attr, Access.CachedView))
+
+  /** Write an element through its attribute's primary family
+    * (DirectDataOperator.getWriter:300).
+    */
+  def write(element: StreamElement): Unit = {
+    val e = repo.entity(element.entity)
+    val desc = e.resolve(element.attribute).getOrElse(
+      throw new IllegalArgumentException(
+        s"No attribute ${element.attribute} on ${element.entity}"))
+    val fams = repo.families.values
+      .filter(f => f.entity == element.entity && f.familyType == "primary")
+      .filter(_.coversAttribute(e, desc.name))
+    require(fams.nonEmpty, s"No primary family for ${element.entity}.${element.attribute}")
+    fams.foreach(f => family(f.name).append(Seq(element)))
+  }
+}

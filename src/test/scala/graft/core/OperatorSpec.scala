@@ -1,0 +1,130 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.EventTimeWindows
+
+/** Config-driven operator routing + transactions + event-time windows —
+  * the e-shop end-to-end shape of the reference
+  * (reference: example/model/src/main/resources/reference.conf; operator
+  * routing BeamDataOperator.findSuitableAccessors:217; transactions
+  * TransactionLogObserver tests).
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def up(entity: String, key: String, attr: String, stamp: Long,
+      v: String) =
+    StreamElement(entity, key, attr, s"u-$key-$attr-$stamp", 0, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  private def newOperator(): GraftOperator = {
+    val repo = Repository.parse(
+      """
+        |entities {
+        |  user {
+        |    attributes {
+        |      details: { scheme: json }
+        |      "event.*": { scheme: json }
+        |    }
+        |  }
+        |  product { attributes { price: { scheme: double } } }
+        |}
+        |attributeFamilies {
+        |  user-primary { entity: user, attributes: ["*"],
+        |    storage: "inmem:///user_primary", type: primary,
+        |    access: [commit-log, batch-updates, batch-snapshot, random-access, cached-view] }
+        |  product-primary { entity: product, attributes: ["price"],
+        |    storage: "inmem:///product_primary", type: primary,
+        |    access: [commit-log, batch-updates, batch-snapshot, random-access] }
+        |}
+        |""".stripMargin)
+    new GraftOperator(spark, repo,
+      Files.createTempDirectory("graft-opspec-").toString)
+  }
+
+  test("write routes to primary family; reads route by access") {
+    val op = newOperator()
+    op.write(up("user", "u1", "details", 1, "{\"name\":\"a\"}"))
+    op.write(up("user", "u1", "details", 5, "{\"name\":\"b\"}"))
+    op.write(up("user", "u1", "event.100", 2, "{}"))
+    op.write(up("product", "p1", "price", 1, "9.99"))
+
+    assert(op.getBatchUpdates("user").count() == 3)
+    val snap = op.getBatchSnapshot("user", attrs = Seq("details")).collect()
+    assert(snap.length == 1 && new String(snap.head.value, "UTF-8").contains("b"))
+    // wildcard attribute filtering
+    assert(op.getBatchUpdates("user", attrs = Seq("event.*")).count() == 1)
+    // random access through routing
+    assert(op.getRandomAccess("user", "details").get("u1", "details").nonEmpty)
+    // unknown access produces routing error
+    intercept[IllegalStateException](op.getStream("product", "nope"))
+  }
+
+  test("transactions: serialized commits, conflict aborts (TransactionMode KEY)") {
+    val op = newOperator()
+    op.write(up("user", "u1", "details", 1, "v0"))
+    val fam = op.family("user-primary")
+    val coord = new TransactionCoordinator(fam)
+
+    // tx1 and tx2 both read the same cell; first commit wins
+    val tx1 = coord.begin()
+    val tx2 = coord.begin()
+    assert(tx1.get("u1", "details").nonEmpty)
+    assert(tx2.get("u1", "details").nonEmpty)
+    tx1.update(up("user", "u1", "details", 10, "v1"))
+    val seq1 = tx1.commit()
+    assert(seq1 > 0)
+    tx2.update(up("user", "u1", "details", 11, "v2"))
+    intercept[coord.TransactionRejectedException](tx2.commit())
+
+    // committed write visible with its sequence id
+    val cur = new graft.randomaccess.RandomAccessReader(fam).get("u1", "details")
+    assert(cur.map(e => new String(e.value, "UTF-8")).contains("v1"))
+    assert(cur.exists(_.seqId == seq1))
+
+    // non-conflicting tx on another key commits fine
+    val tx3 = coord.begin()
+    assert(tx3.get("u2", "details").isEmpty)
+    tx3.update(up("user", "u2", "details", 12, "w"))
+    assert(tx3.commit() > seq1)
+  }
+
+  test("windowed aggregation with allowed lateness drops too-late data") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamElement]
+    // 10s windows, 5s allowed lateness; stamps in micros
+    val q = EventTimeWindows.tumblingCounts(input.toDS(), 10000, 5000)
+      .writeStream.format("memory").queryName("wm").outputMode("append")
+      .start()
+    try {
+      input.addData(up("e", "k", "a", 1000000, "x").copy(stamp = 1000000))
+      input.addData(up("e", "k", "a", 2000000, "x"))
+      q.processAllAvailable()
+      // advance watermark far past window [0,10s) + lateness
+      input.addData(up("e", "k", "a", 60000000, "x"))
+      q.processAllAvailable()
+      // late element for the finalized window must be dropped
+      input.addData(up("e", "k", "a", 3000000, "late"))
+      q.processAllAvailable()
+      input.addData(up("e", "k", "a", 99000000, "x"))
+      q.processAllAvailable()
+      val w0 = spark.sql("SELECT n FROM wm WHERE w_start_us = 0").collect()
+      assert(w0.map(_.getLong(0)).toSeq == Seq(2)) // finalized without the late one
+    } finally q.stop()
+  }
+
+  test("splitLate and shiftEventTime") {
+    val ds = spark.createDataset(Seq(
+      up("e", "k", "a", 1000, "old"), up("e", "k", "a", 9000, "new")))(
+      StreamElement.encoder)
+    val (onTime, late) = EventTimeWindows.splitLate(ds, watermarkUs = 8000,
+      allowedLatenessMs = 2)
+    assert(onTime.collect().map(_.stamp).toSet == Set(9000))
+    assert(late.collect().map(_.stamp).toSet == Set(1000))
+    assert(EventTimeWindows.shiftEventTime(ds, 1).collect()
+      .map(_.stamp).toSet == Set(2000, 10000))
+  }
+}
