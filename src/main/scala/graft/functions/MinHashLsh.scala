@@ -29,10 +29,13 @@ object MinHashLsh {
   private def affine(h: Column, j: Int): Column =
     (lit(2L * j + 1) * (h % P) + lit(j * 7919L + 13L)) % P
 
-  /** (doc_id, shingle) pairs: distinct n-token shingles per document. */
-  def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+  /** (doc_id, shingle) pairs: n-token shingles per document; `dedupe=false`
+    * skips the distinct when the consumer dedupes later on a cheaper key.
+    */
+  def shingles(docs: DataFrame, textCol: String, n: Int,
+      dedupe: Boolean = true): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    docs
+    val raw = docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(
         when(size(col("toks")) >= n,
@@ -40,13 +43,20 @@ object MinHashLsh {
             i => concat_ws(" ",
               (1 to n).map(o => element_at(col("toks"), i + o)): _*)))
           .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
+    if (dedupe) raw.distinct() else raw
   }
 
-  /** k-minhash signature per document: doc_id, mh_0 .. mh_{k-1}. */
+  /** k-minhash signature per document: doc_id, mh_0 .. mh_{k-1}.
+    *
+    * Shingles are hashed BEFORE the distinct: `min` over a multiset equals
+    * `min` over its set, so deduping on the 8-byte hash instead of the
+    * shingle string is semantics-preserving while shrinking the shuffle
+    * ~10x (the only risk, a 60-bit collision, cannot change any min).
+    */
   def signature(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
-    val sh = shingles(docs, textCol, n)
+    val sh = shingles(docs, textCol, n, dedupe = false)
       .select(col("doc_id"), hash60(col("shingle")).as("h"))
+      .distinct()
     sh.groupBy(col("doc_id"))
       .agg(min(affine(col("h"), 0)).as("mh_0"),
         (1 until k).map(j => min(affine(col("h"), j)).as(s"mh_$j")): _*)
@@ -56,6 +66,7 @@ object MinHashLsh {
     * signature (bands of `rows` consecutive minhashes). Output a_id < b_id.
     */
   def lshCandidates(sig: DataFrame, k: Int, rows: Int): DataFrame = {
+    import sig.sparkSession.implicits._
     val nBands = k / rows
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until nBands).map { b =>
@@ -64,10 +75,23 @@ object MinHashLsh {
             .as("bval"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.bval"))
-    val other = banded.select(col("doc_id").as("b_id"), col("band"), col("bval"))
-    banded.join(other, Seq("band", "bval"))
-      .filter(col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id"))
+    // bucket-collect + in-bucket pair emission: ONE pass over the signature
+    // (a self-join would recompute the whole minhash pipeline for each side)
+    // and one shuffle on the band value; LSH buckets are near-dup clusters,
+    // so they stay small by construction
+    banded
+      .groupBy(col("band"), col("bval"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.size
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("a_id", "b_id")
       .distinct()
   }
 
@@ -88,13 +112,31 @@ object MinHashLsh {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist. */
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist — broadcast
+    * self-scan (8-byte sketches: a million-doc corpus broadcasts in 8 MB;
+    * beyond that, band the sketch bits LSH-style before pairing).
+    */
   def simhashNearDups(sh: DataFrame, maxDist: Int): DataFrame = {
-    val other = sh.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    sh.crossJoin(other)
-      .filter(col("doc_id") < col("b_id"))
-      .withColumn("dist", bit_count(col("simhash").bitwiseXOR(col("b_sh"))))
-      .filter(col("dist") <= maxDist)
-      .select(col("doc_id").as("a_id"), col("b_id"), col("dist"))
+    val spark = sh.sparkSession
+    import spark.implicits._
+    // compute the sketch ONCE (collect), broadcast, and pair off an index
+    // range — re-deriving pairs through the Dataset lineage would recompute
+    // the whole simhash pipeline a second time
+    val all = sh.select(col("doc_id"), col("simhash")).as[(Long, Long)].collect()
+    val bc = spark.sparkContext.broadcast(all)
+    spark.range(all.length.toLong).as[Long]
+      .mapPartitions { idxs =>
+        val b = bc.value
+        idxs.flatMap { i =>
+          val (id, s) = b(i.toInt)
+          Iterator.range(i.toInt + 1, b.length).flatMap { j =>
+            val (oid, os) = b(j)
+            val d = java.lang.Long.bitCount(s ^ os)
+            if (d <= maxDist)
+              Some((math.min(id, oid), math.max(id, oid), d))
+            else None
+          }
+        }
+      }.toDF("a_id", "b_id", "dist")
   }
 }

@@ -49,18 +49,12 @@ object SimilarityQueries extends QuerySet {
     // 3-token shingles are rare enough that the inverted index join stays
     // skew-free (single-token joins explode on stopwords at scale).
     "q_jaccard_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), explode(
-          // guard: Spark's sequence() counts DOWN when stop < start, so a
-          // <3-token doc must yield an empty shingle set, not a backwards one
-          when(size(col("toks")) >= 3,
-            transform(sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ",
-                element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2),
-                element_at(col("toks"), i + 3))))
-            .otherwise(array().cast("array<string>"))).as("shingle"))
+      // shingle strings are hashed to 8-byte join keys before the distinct
+      // and the inverted-index self-join — ~10x smaller shuffles; a 64-bit
+      // collision (p ~ 1e-8 at this cardinality) is the only divergence risk
+      val docs = graft.functions.MinHashLsh
+        .shingles(Tables.documents(s, d), "text", 3, dedupe = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
         .distinct()
       val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val b = docs.select(col("doc_id").as("b_id"), col("shingle"))
