@@ -57,6 +57,30 @@ object TextQueries extends QuerySet {
           .as("stopword_ratio"))
     }),
 
+    // BPE-ish subword counting: letter runs, digit runs, single punctuation
+    // (the GPT-2-style pre-tokenizer shape, simplified to a regex both
+    // engines interpret identically)
+    "q_bpe_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_pieces"))
+    }),
+
+    // winnowing-style document fingerprint: min 60-bit hash over all 8-char
+    // windows — robust to local edits, unlike the whole-text md5
+    "q_winnow_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(when(length(col("text")) >= 8,
+            sequence(lit(1), length(col("text")) - 7))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("doc_id"),
+          conv(substring(md5(expr("substring(text, i, 8)")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h")).as("fp"))
+    }),
+
     // language-ID: deterministic marker-count heuristic (the reference has
     // no NLP surface; this is the LLM-pipeline extension — n-gram/stopword
     // scoring per language, highest marker count wins, ties by fixed order)
@@ -86,6 +110,20 @@ object TextQueries extends QuerySet {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents""",
+
+    "q_bpe_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |  AS n_pieces
+        |FROM documents""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      """SELECT doc_id,
+        |CAST(min(('0x' || substr(md5(substr(text, CAST(i.i AS INT), 8)), 1, 15))::UBIGINT)
+        |  AS BIGINT) AS fp
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i) i
+        |GROUP BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
