@@ -154,6 +154,25 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
     reduceValueStateByKey(keyFn, valueFn, initialState, output, update,
       sorted = false)
 
+  /** Convert to StreamElements (Stream.asStreamElements, Stream.java:210). */
+  def asStreamElements(entity: String, keyFn: T => String, attrFn: T => String,
+      valueFn: T => Array[Byte], stampFn: T => Long): GStream[StreamElement] = {
+    implicit val enc: Encoder[StreamElement] = StreamElement.encoder
+    GStream.ofElements(ds.map { t =>
+      StreamElement.upsert(entity, keyFn(t), attrFn(t),
+        java.util.UUID.randomUUID().toString, stampFn(t), valueFn(t))
+    })
+  }
+
+  /** Write as an entity attribute into a family (Stream.persist,
+    * Stream.java:268; BeamStream.persist:752).
+    */
+  def persist(family: graft.streaming.CommitLogFamily, entity: String,
+      keyFn: T => String, attrFn: T => String, valueFn: T => Array[Byte],
+      stampFn: T => Long): Unit =
+    family.append(
+      asStreamElements(entity, keyFn, attrFn, valueFn, stampFn).ds)
+
   // ---- terminal ops (Stream.java:560-581) ----
 
   def collect(): Seq[T] = ds.collect().toSeq

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.StreamElement
-import graft.operators.SnapshotCompact
+import graft.operators.LatestWithTombstones
 import graft.sources.Tables
 
 /** Core changelog semantics — StreamElement upserts/deletes compacted to a
@@ -20,7 +20,7 @@ object ChangelogQueries extends QuerySet {
     // (reference: PCollectionTools.reduceAsSnapshot:42, datamodel.md:120-149)
     "q_snapshot_compaction" -> ((s, d) => {
       val log = Tables.eventsAsChangelog(s, d)
-      SnapshotCompact.snapshot(log)
+      LatestWithTombstones.snapshot(log)
         .select(col("key"), col("stamp").as("last_stamp_us"),
           get_json_object(col("value").cast("string"), "$.event_type")
             .as("last_type"))
@@ -43,7 +43,7 @@ object ChangelogQueries extends QuerySet {
         col("event_type").isin("signup", "error").as("delete"),
         (col("event_type") === "signup").as("deleteWildcard")
       ).as[StreamElement]
-      SnapshotCompact.snapshot(log)
+      LatestWithTombstones.snapshot(log)
         .select(col("key"), col("attribute"),
           col("seqId").as("last_event_id"),
           col("value").cast("string").as("last_type"))

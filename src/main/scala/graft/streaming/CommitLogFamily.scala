@@ -55,10 +55,11 @@ final class CommitLogFamily(val spark: SparkSession, val path: String) {
 
   /** Compacted snapshot (batch-snapshot access): reduce of updates when no
     * dedicated snapshot family exists (BeamDataOperator.getBatchSnapshot:328
-    * fallback).
+    * fallback). Single-pass aggregator: one scan + one shuffle of combined
+    * per-key state (the two-pass variant scans the log twice).
     */
   def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
-    SnapshotCompact.snapshot(batchUpdates(), asOf)
+    graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
 
   /** Streaming subscription replaying from the oldest retained element
     * (commit-log access, position=OLDEST).

@@ -116,6 +116,52 @@ class OperatorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("early emitting surfaces partial window results before finalization") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamElement]
+    // update mode = the early-emitting path: each micro-batch emits the
+    // window's current partial aggregate (WindowedStream.withEarlyEmitting)
+    val writer = EventTimeWindows.tumblingCounts(input.toDS(), 10000, 5000)
+      .writeStream.format("memory").queryName("early")
+    val q = EventTimeWindows.withEarlyEmitting(writer, intervalMs = 50).start()
+    try {
+      input.addData(up("e", "k", "a", 1000000, "x"))
+      q.processAllAvailable()
+      val partial = spark.sql("SELECT n FROM early WHERE w_start_us = 0")
+        .collect().map(_.getLong(0)).toSeq
+      assert(partial == Seq(1)) // emitted while the window is still open
+      input.addData(up("e", "k", "a", 2000000, "x"))
+      q.processAllAvailable()
+      val updated = spark.sql("SELECT n FROM early WHERE w_start_us = 0")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(updated == Seq(1L, 2L)) // second partial supersedes the first
+    } finally q.stop()
+  }
+
+  test("impulse sources") {
+    assert(graft.streaming.Impulse.impulse(spark).count() == 1)
+    assert(graft.streaming.Impulse.periodicImpulse(spark, 10).isStreaming)
+  }
+
+  test("persist writes a typed stream as entity attributes") {
+    implicit val tupEnc: org.apache.spark.sql.Encoder[(String, Double, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val fam = new graft.streaming.CommitLogFamily(spark,
+      Files.createTempDirectory("graft-persist-").toString + "/log")
+    graft.api.GStream.fromSeq(spark, Seq(("u1", 1.5, 10L), ("u2", 2.5, 20L)))
+      .persist(fam, "user", _._1, _ => "score", t => t._2.toString.getBytes,
+        _._3)
+    val read = fam.batchUpdates().collect()
+    assert(read.length == 2 && read.forall(_.attribute == "score"))
+    assert(read.map(e => e.key -> new String(e.value)).toMap ==
+      Map("u1" -> "1.5", "u2" -> "2.5"))
+  }
+
   test("splitLate and shiftEventTime") {
     val ds = spark.createDataset(Seq(
       up("e", "k", "a", 1000, "old"), up("e", "k", "a", 9000, "new")))(

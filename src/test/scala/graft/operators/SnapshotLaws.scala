@@ -71,4 +71,12 @@ object SnapshotLaws extends Properties("SnapshotCompact") {
       spark.createDataset(xs)(StreamElement.encoder)).collect().toSeq
     engine(once) == model(xs)
   }
+
+  property("single-pass aggregator agrees with two-pass and model") =
+    forAll(genLog) { xs =>
+      val single = LatestWithTombstones.snapshot(
+        spark.createDataset(xs)(StreamElement.encoder))
+        .collect().map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
+      single == model(xs)
+    }
 }
