@@ -134,11 +134,16 @@ object ValueSerializer {
     FloatSerializer, DoubleSerializer, JsonSerializer
   ).map(s => s.scheme -> s).toMap
 
-  /** Resolve a serializer from a scheme URI ("string", "json:...", ...). */
+  /** Resolve a serializer from a scheme URI ("string", "json", or
+    * "avro:<writer-schema-json>").
+    */
   def of(schemeUri: String): ValueSerializer[_] = {
-    val base = schemeUri.split(":", 2).head
-    registry.getOrElse(base,
-      throw new IllegalArgumentException(s"Unknown scheme: $schemeUri"))
+    val parts = schemeUri.split(":", 2)
+    parts(0) match {
+      case "avro" if parts.length == 2 => new AvroValueSerializer(parts(1))
+      case base => registry.getOrElse(base,
+        throw new IllegalArgumentException(s"Unknown scheme: $schemeUri"))
+    }
   }
 
   def sparkTypeOf(schemeUri: String): DataType = of(schemeUri).sparkType
