@@ -49,17 +49,28 @@ object SimilarityQueries extends QuerySet {
     // 3-token shingles are rare enough that the inverted index join stays
     // skew-free (single-token joins explode on stopwords at scale).
     "q_jaccard_pairs" -> ((s, d) => {
-      // shingle strings are hashed to 8-byte join keys before the distinct
-      // and the inverted-index self-join — ~10x smaller shuffles; a 64-bit
-      // collision (p ~ 1e-8 at this cardinality) is the only divergence risk
+      import s.implicits._
+      // shingle strings are hashed to 8-byte keys before the distinct
+      // (collision p ~ 1e-8 at this cardinality is the only divergence
+      // risk); the inverted index is a bucket-collect + in-bucket pair
+      // emission — one shuffle instead of a self-join that would rescan
+      // the shingle pipeline for each side
       val docs = graft.functions.MinHashLsh
         .shingles(Tables.documents(s, d), "text", 3, dedupe = false)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
         .distinct()
       val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val b = docs.select(col("doc_id").as("b_id"), col("shingle"))
-      val inter = docs.join(b, "shingle")
-        .filter(col("doc_id") < col("b_id"))
+      val inter = docs
+        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+        .select(col("ids")).as[Seq[Long]]
+        .flatMap { ids =>
+          val sorted = ids.sorted
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.size
+          } yield (sorted(i), sorted(j))
+        }
+        .toDF("doc_id", "b_id")
         .groupBy(col("doc_id"), col("b_id"))
         .agg(count(lit(1)).as("inter"))
       inter
