@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Console-style bounded `collect()` over an unbounded stream — the
+  * reference's lazy console collection with a terminate predicate
+  * (reference: BeamStream.collect:581 / forEach:452 with
+  * StreamProvider.TerminatePredicate; SURVEY §7 flags this as a hard part).
+  *
+  * A memory-sink query drains micro-batches until `limit` rows arrived or
+  * `timeoutMs` elapsed, then stops the query and returns what was seen —
+  * exactly the console contract (Ctrl-C ≈ timeout).
+  */
+object StreamCollector {
+
+  private val n = new AtomicLong()
+
+  private def drain(stream: DataFrame, limit: Long, timeoutMs: Long): String = {
+    val name = s"collector_${n.incrementAndGet()}"
+    val spark = stream.sparkSession
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (spark.table(name).count() >= limit) done = true
+        else Thread.sleep(50)
+      }
+    } finally q.stop()
+    name
+  }
+
+  def collectRows(stream: DataFrame, limit: Long,
+      timeoutMs: Long = 30000): Seq[Row] = {
+    val name = drain(stream, limit, timeoutMs)
+    stream.sparkSession.table(name).limit(limit.toInt).collect().toSeq
+  }
+
+  def collect[T](stream: Dataset[T], limit: Long,
+      timeoutMs: Long = 30000): Seq[T] = {
+    val name = drain(stream.toDF(), limit, timeoutMs)
+    stream.sparkSession.table(name).as[T](stream.encoder)
+      .limit(limit.toInt).collect().toSeq
+  }
+}

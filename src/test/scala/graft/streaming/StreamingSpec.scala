@@ -175,6 +175,19 @@ class StreamingSpec extends SparkSpec {
     assert(ra.listEntities(1, 5) == Seq("u2"))
   }
 
+  test("console-style bounded collect on an unbounded stream") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    fam.append(Seq(up("k1", "a", 1, "x"), up("k2", "a", 2, "y"),
+      up("k3", "a", 3, "z")))
+    // limit reached -> returns without consuming the whole (endless) stream
+    val two = StreamCollector.collect(fam.streamFromOldest(), limit = 2)
+    assert(two.size == 2)
+    // timeout path: ask for more rows than exist
+    val all = StreamCollector.collect(fam.streamFromOldest(), limit = 10,
+      timeoutMs = 3000)
+    assert(all.size == 3)
+  }
+
   test("proxy attribute read/write views") {
     val p = ProxyAttribute("proxied.", "raw.")
     val w = p.toBacking(up("k", "proxied.x", 1, "v"))
