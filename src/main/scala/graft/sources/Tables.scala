@@ -33,6 +33,10 @@ object Tables {
     * DuckDB's nanos→micros read does on the oracle side).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // defensive: a caller-provided session (e.g. the driver's smoke check)
+    // may lack the nanos-as-long setting GraftSession applies — without it
+    // the TIMESTAMP(NANOS) column fails the whole read
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
