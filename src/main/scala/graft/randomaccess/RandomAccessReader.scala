@@ -23,25 +23,52 @@ final class RandomAccessReader(family: CommitLogFamily) {
       asOf: Long = Long.MaxValue): Dataset[StreamElement] =
     SnapshotCompact.snapshot(family.batchUpdates().filter(pred), asOf)
 
+  /** Wildcard-delete tombstones are stored as `prefix.*` rows, so a lookup
+    * predicate on the exact attribute must ALSO admit the covering tombstone
+    * or the compaction never sees it and returns a stale value
+    * (reference RandomAccessReader honors wildcard deletes on point reads;
+    * GroovyEnvTest.testWildcardDelete:286).
+    */
+  private def attributeOrTombstone(attribute: String): org.apache.spark.sql.Column = {
+    val i = attribute.indexOf('.')
+    val exact = col("attribute") === attribute
+    if (i < 0) exact
+    else exact ||
+      (col("deleteWildcard") &&
+        col("attribute") === attribute.substring(0, i + 1) + "*")
+  }
+
   /** Latest value at-or-before `stamp` (get:121). */
   def get(key: String, attribute: String,
       stamp: Long = Long.MaxValue): Option[StreamElement] =
-    compactFor(col("key") === key && col("attribute") === attribute, stamp)
+    compactFor(col("key") === key && attributeOrTombstone(attribute), stamp)
+      .filter(col("attribute") === attribute)
       .collect().headOption
 
   /** Batched point lookups (multiFetch:181) — one scan, broadcast semi-join
     * on the key set.
     */
   def multiFetch(keys: Seq[String], attribute: String): Map[String, StreamElement] =
-    compactFor(col("key").isin(keys: _*) && col("attribute") === attribute)
+    compactFor(col("key").isin(keys: _*) && attributeOrTombstone(attribute))
+      .filter(col("attribute") === attribute)
       .collect().map(e => e.key -> e).toMap
 
-  /** Wildcard suffix listing with paging (scanWildcard:260). */
+  /** Wildcard suffix listing with paging (scanWildcard:260). Admits covering
+    * tombstones even when `wildcardPrefix` is deeper than the wildcard root
+    * (e.g. prefix "device.ab" must still see the "device.*" tombstone).
+    */
   def scanWildcard(key: String, wildcardPrefix: String, offset: Int = 0,
-      limit: Int = Int.MaxValue): Seq[StreamElement] =
-    compactFor(col("key") === key && col("attribute").startsWith(wildcardPrefix))
+      limit: Int = Int.MaxValue): Seq[StreamElement] = {
+    val i = wildcardPrefix.indexOf('.')
+    val pred = col("attribute").startsWith(wildcardPrefix) ||
+      (if (i < 0) lit(false)
+       else col("deleteWildcard") &&
+         col("attribute") === wildcardPrefix.substring(0, i + 1) + "*")
+    compactFor(col("key") === key && pred)
+      .filter(col("attribute").startsWith(wildcardPrefix))
       .orderBy(col("attribute"))
       .collect().toSeq.slice(offset, if (limit == Int.MaxValue) Int.MaxValue else offset + limit)
+  }
 
   /** All attributes of a key (scanWildcardAll:207). */
   def scanWildcardAll(key: String, stamp: Long = Long.MaxValue): Seq[StreamElement] =

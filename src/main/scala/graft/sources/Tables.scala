@@ -35,16 +35,26 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver's smoke check)
     // may lack the nanos-as-long setting GraftSession applies — without it
-    // the TIMESTAMP(NANOS) column fails the whole read
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer `div`, not `/`: nanos exceed 2^53, double division would
-        // lose microseconds
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+    // the TIMESTAMP(NANOS) column fails the whole read. Scoped set-and-
+    // restore so the read does not silently change parquet timestamp
+    // semantics for unrelated reads in the caller's session.
+    val Key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(Key)
+    s.conf.set(Key, "true")
+    val raw = try {
+      val df = table(s, d, "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer `div`, not `/`: nanos exceed 2^53, double division would
+          // lose microseconds
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set(Key, v)
+      case None    => s.conf.unset(Key)
     }
+    raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -175,6 +175,33 @@ class StreamingSpec extends SparkSpec {
     assert(ra.listEntities(1, 5) == Seq("u2"))
   }
 
+  test("point reads honor wildcard-delete tombstones") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    fam.append(Seq(up("u1", "device.1", 1, "d1"), up("u1", "device.2", 2, "d2"),
+      up("u2", "device.1", 3, "other"), up("u1", "status", 4, "on")))
+    fam.append(Seq(delWc("u1", "device.", 5)))
+    val ra = new RandomAccessReader(fam)
+    // get() of a wildcard suffix must see the covering tombstone
+    assert(ra.get("u1", "device.1").isEmpty)
+    assert(ra.get("u1", "device.2").isEmpty)
+    // as-of read BEFORE the tombstone still sees the value
+    assert(ra.get("u1", "device.1", stamp = 4).nonEmpty)
+    // a write AFTER the tombstone survives it
+    fam.append(Seq(up("u1", "device.1", 7, "revived")))
+    assert(ra.get("u1", "device.1").map(e => new String(e.value, "UTF-8"))
+      .contains("revived"))
+    // other keys / scalar attributes untouched
+    assert(ra.get("u2", "device.1").nonEmpty)
+    assert(ra.get("u1", "status").nonEmpty)
+    // multiFetch honors the tombstone per key
+    assert(ra.multiFetch(Seq("u1", "u2"), "device.2").keySet == Set.empty)
+    assert(ra.multiFetch(Seq("u1", "u2"), "device.1").keySet == Set("u1", "u2"))
+    // deeper-than-root scanWildcard prefix still sees the device.* tombstone
+    fam.append(Seq(up("u3", "device.ab1", 1, "x"), up("u3", "device.ab2", 2, "y")))
+    fam.append(Seq(delWc("u3", "device.", 9)))
+    assert(ra.scanWildcard("u3", "device.ab").isEmpty)
+  }
+
   test("console-style bounded collect on an unbounded stream") {
     val fam = new CommitLogFamily(spark, tmp() + "/log")
     fam.append(Seq(up("k1", "a", 1, "x"), up("k2", "a", 2, "y"),
