@@ -24,8 +24,14 @@ final class TransactionCoordinator(family: CommitLogFamily) {
   final class TransactionRejectedException(msg: String)
       extends RuntimeException(msg)
 
-  private val lastSeq = new AtomicLong(
-    family.batchUpdates().collect().map(_.seqId).foldLeft(0L)(math.max))
+  private val lastSeq = new AtomicLong({
+    // one distributed max over the log — constant driver memory at any
+    // family size (a full collect here would OOM the driver at 100 TB)
+    import org.apache.spark.sql.functions.{coalesce, lit, max}
+    family.batchUpdates().toDF()
+      .agg(coalesce(max(org.apache.spark.sql.functions.col("seqId")), lit(0L)))
+      .head().getLong(0)
+  })
 
   /** Open transaction holding read positions and buffered writes. */
   final class Transaction private[TransactionCoordinator] () {

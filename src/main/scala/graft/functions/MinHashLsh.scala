@@ -64,8 +64,14 @@ object MinHashLsh {
 
   /** LSH candidate pairs: documents sharing at least one band of the
     * signature (bands of `rows` consecutive minhashes). Output a_id < b_id.
+    *
+    * `maxBucket` caps per-bucket membership (see [[BucketedPairs.prune]]) —
+    * on degenerate corpora (N identical docs → one bucket → N² pairs in one
+    * task) oversized buckets are dropped with a warning instead of
+    * stalling the stage.
     */
-  def lshCandidates(sig: DataFrame, k: Int, rows: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, k: Int, rows: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     import sig.sparkSession.implicits._
     val nBands = k / rows
     val banded = sig.select(col("doc_id"), explode(array(
@@ -79,7 +85,7 @@ object MinHashLsh {
     // (a self-join would recompute the whole minhash pipeline for each side)
     // and one shuffle on the band value; LSH buckets are near-dup clusters,
     // so they stay small by construction
-    banded
+    BucketedPairs.prune(banded, Seq("band", "bval"), maxBucket)
       .groupBy(col("band"), col("bval"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .select(col("ids"))
@@ -112,31 +118,58 @@ object MinHashLsh {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist — broadcast
-    * self-scan (8-byte sketches: a million-doc corpus broadcasts in 8 MB;
-    * beyond that, band the sketch bits LSH-style before pairing).
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist — pigeonhole
+    * band join, fully distributed.
+    *
+    * Split the 60-bit sketch into `maxDist + 1` bit-bands: two sketches at
+    * Hamming distance <= maxDist differ in at most maxDist bands, so by
+    * pigeonhole at least one band is bit-identical — shuffling on
+    * (band, bits) finds EVERY qualifying pair (this is exact, not
+    * approximate), then the full Hamming distance is verified within the
+    * bucket and multi-band hits are deduplicated. At 100 TB: one explode
+    * (×(maxDist+1)), one shuffle on band bits, no driver hop — versus the
+    * previous implementation which collected every sketch to the driver
+    * and paired O(n²) off a broadcast.
+    *
+    * `maxBucket` caps per-bucket membership ([[BucketedPairs.prune]]): N
+    * identical documents share all bands and would otherwise put N²
+    * verification pairs in one task.
     */
-  def simhashNearDups(sh: DataFrame, maxDist: Int): DataFrame = {
+  def simhashNearDups(sh: DataFrame, maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && maxDist < 60, s"maxDist must be in [0, 60), got $maxDist")
     val spark = sh.sparkSession
     import spark.implicits._
-    // compute the sketch ONCE (collect), broadcast, and pair off an index
-    // range — re-deriving pairs through the Dataset lineage would recompute
-    // the whole simhash pipeline a second time
-    val all = sh.select(col("doc_id"), col("simhash")).as[(Long, Long)].collect()
-    val bc = spark.sparkContext.broadcast(all)
-    spark.range(all.length.toLong).as[Long]
-      .mapPartitions { idxs =>
-        val b = bc.value
-        idxs.flatMap { i =>
-          val (id, s) = b(i.toInt)
-          Iterator.range(i.toInt + 1, b.length).flatMap { j =>
-            val (oid, os) = b(j)
-            val d = java.lang.Long.bitCount(s ^ os)
-            if (d <= maxDist)
-              Some((math.min(id, oid), math.max(id, oid), d))
-            else None
-          }
-        }
-      }.toDF("a_id", "b_id", "dist")
+    val nBands = maxDist + 1
+    // even bit partition: band b covers [60b/n, 60(b+1)/n) — every band
+    // non-empty for n <= 60, so the pigeonhole argument holds exactly
+    val banded = sh.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until nBands).map { b =>
+        val lo = 60 * b / nBands
+        val w = 60 * (b + 1) / nBands - lo
+        struct(lit(b).as("band"),
+          expr(s"shiftrightunsigned(simhash, $lo) & ${(1L << w) - 1}")
+            .as("bits"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bits").as("bits"))
+    BucketedPairs.prune(banded, Seq("band", "bits"), maxBucket)
+      .groupBy(col("band"), col("bits"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("items"))
+      .select(col("items"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { items =>
+        val arr = items.toArray
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1) until arr.length
+          (id, s) = arr(i)
+          (oid, os) = arr(j)
+          d = java.lang.Long.bitCount(s ^ os)
+          if d <= maxDist
+        } yield (math.min(id, oid), math.max(id, oid), d)
+      }
+      .toDF("a_id", "b_id", "dist")
+      .distinct()
   }
 }

@@ -39,6 +39,19 @@ object Similarity {
     s
   }
 
+  /** Hyperplane coordinate (p, d) ∈ [-1, 1): first 15 hex chars of
+    * md5("plane:p:d") → 60-bit int, >> 8 → 52-bit (exactly representable
+    * in double), / 2^51 - 1. DuckDB replays it verbatim:
+    * `(('0x'||substr(md5(s),1,15))::UBIGINT >> 8)::DOUBLE / 2^51 - 1`.
+    */
+  private[graft] def planeCoord(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h >>> 8).toDouble / 2251799813685248.0 - 1.0
+  }
+
   /** Exact brute-force cosine top-k of `corpus` for each query row
     * (`queryPred` selects queries). Output: (q_id, rk, neighbor_id, cos).
     */
@@ -64,20 +77,55 @@ object Similarity {
   }
 
   /** All pairs (a_id < b_id) with cosine >= threshold — the exact
-    * embedding-near-duplicate baseline. Broadcast-blocked self-scan.
+    * embedding-near-duplicate baseline, as a distributed blocked pair scan.
+    *
+    * The corpus is hashed into `nBlocks` blocks; each of the
+    * nBlocks·(nBlocks+1)/2 block pairs is scored in its own task, with
+    * each block replicated nBlocks times through one shuffle (the
+    * unavoidable cost of EXACT all-pairs — total shuffle volume is
+    * nBlocks × corpus size, tune nBlocks ≈ cluster parallelism). No
+    * driver collect, no broadcast of the full corpus: memory per task is
+    * two blocks, so the same plan runs at any corpus size. Scores are
+    * sequential-index double dots — bit-identical regardless of which
+    * block a vector lands in.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(emb: DataFrame, threshold: Double, nBlocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val corpus = toVecs(emb)
-    val cb = spark.sparkContext.broadcast(corpus.collect())
-    corpus.mapPartitions { it =>
-      val all = cb.value
-      it.flatMap { a =>
-        all.iterator
-          .filter(b => b.id > a.id)
-          .map(b => (a.id, b.id, dot(a.v, b.v) / (a.norm * b.norm)))
-          .filter(_._3 >= threshold)
+    val nB = nBlocks
+    val blocks = corpus
+      .groupByKey(v => math.floorMod(v.id, nB.toLong).toInt)
+      .mapGroups((b, it) => (b, it.toArray))
+    // replicate each block to every block-pair task it participates in
+    val replicated = blocks.flatMap { case (b, arr) =>
+      (0 until nB).iterator.map { o =>
+        val (i, j) = if (b <= o) (b, o) else (o, b)
+        (i * nB + j, b, arr)
+      }
+    }
+    replicated.groupByKey(_._1).flatMapGroups { (pk, it) =>
+      val i = pk / nB
+      val j = pk % nB
+      val sides = it.toArray
+      if (i == j) {
+        val arr = sides.head._3
+        for {
+          x <- arr.iterator
+          y <- arr
+          if x.id < y.id
+          c = dot(x.v, y.v) / (x.norm * y.norm)
+          if c >= threshold
+        } yield (x.id, y.id, c)
+      } else {
+        val a = sides.find(_._2 == i).map(_._3).getOrElse(Array.empty[Vec])
+        val b = sides.find(_._2 == j).map(_._3).getOrElse(Array.empty[Vec])
+        for {
+          x <- a.iterator
+          y <- b
+          c = dot(x.v, y.v) / (x.norm * y.norm)
+          if c >= threshold
+        } yield (math.min(x.id, y.id), math.max(x.id, y.id), c)
       }
     }.toDF("a_id", "b_id", "cos")
   }
@@ -93,13 +141,11 @@ object Similarity {
     import spark.implicits._
     val corpus = toVecs(emb)
     val dim = 64
-    // deterministic pseudo-random hyperplanes (splitmix64 per coordinate)
-    val planes = Array.tabulate(nPlanes, dim) { (p, d) =>
-      var z = (p.toLong * 1000003L + d) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      ((z ^ (z >>> 31)).toDouble / Long.MaxValue)
-    }
+    // deterministic pseudo-random hyperplanes from md5 — the same scheme
+    // every other sketch uses, so a SQL oracle can regenerate them
+    // bit-exactly: 60-bit md5 prefix >> 8 is a 52-bit integer (exact in
+    // double), scaled to [-1, 1)
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeCoord(p, d))
     val pb = spark.sparkContext.broadcast(planes)
     val bucketed = corpus.map { v =>
       val ps = pb.value

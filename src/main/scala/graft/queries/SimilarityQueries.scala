@@ -37,49 +37,20 @@ object SimilarityQueries extends QuerySet {
         .select(col("a_id"), col("b_id"))
     }),
 
-    // LSH-bucketed variant (scale path; no SQL oracle -> rows-only check)
+    // LSH-bucketed variant — the 100 TB scale path: random-hyperplane
+    // signatures (md5-derived, so the oracle regenerates them bit-exactly)
+    // bucket the corpus, pairs score within buckets only
     "q_ann_lsh_pairs" -> ((s, d) => {
       Similarity.lshBucketPairs(Tables.embeddings(s, d), nPlanes = 4,
         threshold = 0.3)
         .select(col("a_id"), col("b_id"))
     }),
 
-    // n-gram (3-token shingle) Jaccard near-dup over documents: distinct
-    // shingles -> inverted-index self-join -> |A∩B| / (|A|+|B|-|A∩B|).
-    // 3-token shingles are rare enough that the inverted index join stays
-    // skew-free (single-token joins explode on stopwords at scale).
-    "q_jaccard_pairs" -> ((s, d) => {
-      import s.implicits._
-      // shingle strings are hashed to 8-byte keys before the distinct
-      // (collision p ~ 1e-8 at this cardinality is the only divergence
-      // risk); the inverted index is a bucket-collect + in-bucket pair
-      // emission — one shuffle instead of a self-join that would rescan
-      // the shingle pipeline for each side
-      val docs = graft.functions.MinHashLsh
-        .shingles(Tables.documents(s, d), "text", 3, dedupe = false)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-        .distinct()
-      val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = docs
-        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
-        .select(col("ids")).as[Seq[Long]]
-        .flatMap { ids =>
-          val sorted = ids.sorted
-          for {
-            i <- sorted.indices.iterator
-            j <- (i + 1) until sorted.size
-          } yield (sorted(i), sorted(j))
-        }
-        .toDF("doc_id", "b_id")
-        .groupBy(col("doc_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes, "doc_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-        .filter(col("inter") * 10 >= (col("sz") + col("b_sz") - col("inter")) * 5)
-        .select(col("doc_id").as("a_id"), col("b_id"), col("inter"),
-          (col("sz") + col("b_sz") - col("inter")).as("uni"))
-    })
+    // n-gram (3-token shingle) Jaccard near-dup over documents:
+    // inverted-index bucket join in graft.functions.Jaccard
+    "q_jaccard_pairs" -> ((s, d) =>
+      graft.functions.Jaccard.pairs(Tables.documents(s, d), "text", 3,
+        thresholdNum = 5, thresholdDen = 10))
   )
 
   // DuckDB lacks a deterministic double-sequential list_sum, so oracles
@@ -109,6 +80,34 @@ object SimilarityQueries extends QuerySet {
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
          |FROM embeddings a CROSS JOIN embeddings b
          |WHERE a.vec_id < b.vec_id AND $cosExpr >= 0.5""".stripMargin,
+
+    // replays the md5-derived hyperplane signatures bit-exactly (the sign
+    // threshold and the 0.3 cosine threshold both sit >= 7e-6 away from
+    // any data point at every SF — far beyond cross-engine double noise)
+    "q_ann_lsh_pairs" ->
+      s"""WITH planes AS (
+         |  SELECT p, d,
+         |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
+         |      / 2251799813685248.0 - 1.0) AS w
+         |  FROM range(4) tp(p), range(64) td(d)
+         |), dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
+         |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+         |  GROUP BY 1, 2
+         |), sigs AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+         |  FROM dots GROUP BY 1
+         |), cand AS (
+         |  SELECT s1.vec_id AS a_id, s2.vec_id AS b_id
+         |  FROM sigs s1 JOIN sigs s2 ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id
+         |)
+         |SELECT c.a_id, c.b_id
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.a_id
+         |JOIN embeddings b ON b.vec_id = c.b_id
+         |WHERE $cosExpr >= 0.3""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH sh AS (
