@@ -55,8 +55,13 @@ object ValueSerializer {
     def encodeColumn(c: Column): Column = encode(c, "UTF-8")
   }
 
-  /** Fixed-width big-endian numerics; columnar decode via hex round-trip
-    * (conv) keeps it codegen'd without a UDF.
+  /** Fixed-width big-endian numerics. Integer columnar codecs stay pure
+    * `functions._` expressions (codegen'd): decode goes hex → unsigned
+    * decimal → sign-corrected two's complement; encode masks to the field
+    * width before hexing so negative values keep their LOW bytes.
+    * Float/double columnar codecs need an IEEE-754 bit reinterpretation,
+    * which has no builtin — those two are registered Scala UDFs (correct
+    * but outside codegen; the typed row codec remains the hot path).
     */
   private def longFromBytes(b: Array[Byte]): Long = {
     require(b.length == 8); ByteBuffer.wrap(b).getLong
@@ -64,8 +69,24 @@ object ValueSerializer {
   private def intFromBytes(b: Array[Byte]): Int = {
     require(b.length == 4); ByteBuffer.wrap(b).getInt
   }
-  private def decodeBigEndian(c: Column, bits: Int): Column =
-    conv(hex(c), 16, 10).cast(LongType)
+
+  /** Signed big-endian decode of an n-byte BINARY column. 8-byte values
+    * can exceed Long range unsigned, so they ride through DECIMAL(20,0)
+    * for the two's-complement correction; 4-byte values fit in a long.
+    */
+  private def decodeBigEndianSigned(c: Column, nBytes: Int): Column =
+    if (nBytes == 8) {
+      val u = conv(hex(c), 16, 10).cast(DecimalType(20, 0))
+      val half = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63))
+      val full = new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64))
+      when(u >= lit(half), (u - lit(full)).cast(LongType))
+        .otherwise(u.cast(LongType))
+    } else {
+      val u = conv(hex(c), 16, 10).cast(LongType)
+      val half = 1L << (nBytes * 8 - 1)
+      val full = 1L << (nBytes * 8)
+      when(u >= half, u - full).otherwise(u)
+    }
 
   object LongSerializer extends ValueSerializer[Long] {
     val scheme = "long"
@@ -73,7 +94,7 @@ object ValueSerializer {
     def serialize(t: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(t).array()
     def deserialize(b: Array[Byte]): Option[Long] = Option(b).map(longFromBytes)
     def defaultValue: Long = 0L
-    def decodeColumn(c: Column): Column = decodeBigEndian(c, 64)
+    def decodeColumn(c: Column): Column = decodeBigEndianSigned(c, 8)
     def encodeColumn(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
   }
 
@@ -83,8 +104,12 @@ object ValueSerializer {
     def serialize(t: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(t).array()
     def deserialize(b: Array[Byte]): Option[Int] = Option(b).map(intFromBytes)
     def defaultValue: Int = 0
-    def decodeColumn(c: Column): Column = decodeBigEndian(c, 32).cast(IntegerType)
-    def encodeColumn(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
+    def decodeColumn(c: Column): Column =
+      decodeBigEndianSigned(c, 4).cast(IntegerType)
+    // mask to the low 32 bits BEFORE hexing: a sign-extended negative int
+    // hexes to 16 chars and lpad would keep the HIGH half (all FF)
+    def encodeColumn(c: Column): Column =
+      unhex(lpad(hex(c.cast(LongType).bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
   }
 
   object DoubleSerializer extends ValueSerializer[Double] {
@@ -95,11 +120,12 @@ object ValueSerializer {
     def deserialize(b: Array[Byte]): Option[Double] =
       Option(b).map(x => java.lang.Double.longBitsToDouble(longFromBytes(x)))
     def defaultValue: Double = 0.0
-    def decodeColumn(c: Column): Column =
-      // bits -> double has no builtin; decode via long bits then reinterpret
-      // using java-side UDF-free path is not possible; keep string repr cheap:
-      conv(hex(c), 16, 10).cast(LongType).cast(DoubleType) // lossy; typed path preferred
-    def encodeColumn(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 16, "0"))
+    private val decodeUdf = udf((b: Array[Byte]) =>
+      Option(b).map(x => java.lang.Double.longBitsToDouble(longFromBytes(x))))
+    private val encodeUdf = udf((d: java.lang.Double) =>
+      Option(d).map(x => serialize(x.doubleValue())))
+    def decodeColumn(c: Column): Column = decodeUdf(c)
+    def encodeColumn(c: Column): Column = encodeUdf(c)
   }
 
   object FloatSerializer extends ValueSerializer[Float] {
@@ -110,9 +136,12 @@ object ValueSerializer {
     def deserialize(b: Array[Byte]): Option[Float] =
       Option(b).map(x => java.lang.Float.intBitsToFloat(intFromBytes(x)))
     def defaultValue: Float = 0.0f
-    def decodeColumn(c: Column): Column =
-      conv(hex(c), 16, 10).cast(LongType).cast(FloatType) // lossy; typed path preferred
-    def encodeColumn(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
+    private val decodeUdf = udf((b: Array[Byte]) =>
+      Option(b).map(x => java.lang.Float.intBitsToFloat(intFromBytes(x))))
+    private val encodeUdf = udf((f: java.lang.Float) =>
+      Option(f).map(x => serialize(x.floatValue())))
+    def decodeColumn(c: Column): Column = decodeUdf(c)
+    def encodeColumn(c: Column): Column = encodeUdf(c)
   }
 
   /** JSON payloads stay strings; columnar access via from_json/get_json_object

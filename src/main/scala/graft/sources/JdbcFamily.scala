@@ -30,11 +30,27 @@ final class JdbcFamily(val spark: SparkSession, url: String, table: String,
   def append(elems: Seq[StreamElement]): Unit =
     append(spark.createDataset(elems)(StreamElement.encoder))
 
+  /** One cheap min/max probe sizes the `stamp` range split; the scan then
+    * issues `numPartitions` parallel range queries (Spark's JDBC
+    * partitioned read). Falls back to a single partition when the table is
+    * empty or all stamps are equal.
+    */
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement] = {
-    var df = spark.read.format("jdbc")
+    val probe = spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable",
+        s"""(SELECT MIN("stamp") AS lo, MAX("stamp") AS hi FROM $table) probe""")
+      .load().head()
+    var reader = spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).option("driver", driver)
-      .load()
+    if (!probe.isNullAt(0) && probe.getLong(0) < probe.getLong(1))
+      reader = reader
+        .option("partitionColumn", "stamp")
+        .option("lowerBound", probe.getLong(0))
+        .option("upperBound", probe.getLong(1) + 1)
+        .option("numPartitions", numPartitions)
+    var df = reader.load()
     if (from != Long.MinValue) df = df.filter(col("stamp") >= from)
     if (until != Long.MaxValue) df = df.filter(col("stamp") < until)
     df.as[StreamElement](StreamElement.encoder)

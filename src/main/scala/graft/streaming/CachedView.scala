@@ -19,11 +19,61 @@ import graft.core.StreamElement
   * this is a LOCAL cache: at cluster scale each consumer materializes the
   * key range it is assigned, or reads the state store directly — the
   * maintenance query itself is fully distributed.
+  *
+  * Memory bound (reference TimeBoundedVersionedCache.java): each cell
+  * keeps at most `maxVersions` versions and only versions within
+  * `keepDurationMs` of the newest stamp seen — older versions (and cells
+  * whose every version aged out or is a tombstone) are evicted, so the
+  * cache cannot grow without bound under churn. Defaults keep one
+  * version forever (the plain latest-value cache).
   */
-final class CachedView(family: CommitLogFamily) {
+final class CachedView(family: CommitLogFamily,
+    maxVersions: Int = 1,
+    keepDurationMs: Long = Long.MaxValue) {
 
-  private val cache = TrieMap.empty[(String, String), StreamElement]
+  require(maxVersions >= 1, "maxVersions must be >= 1")
+
+  // versions newest-first by (stamp, seqId, uuid); tombstones are versions
+  // too so as-of reads below a delete stay correct until they age out
+  private val cache = TrieMap.empty[(String, String), List[StreamElement]]
+  @volatile private var maxStampSeen: Long = Long.MinValue
   private var query: Option[StreamingQuery] = None
+
+  private def pos(e: StreamElement) = (e.stamp, e.seqId, e.uuid)
+
+  private def evictionFloor: Long =
+    if (keepDurationMs == Long.MaxValue || maxStampSeen == Long.MinValue)
+      Long.MinValue
+    else maxStampSeen - keepDurationMs
+
+  private def fold(e: StreamElement): Unit = {
+    if (e.stamp > maxStampSeen) maxStampSeen = e.stamp
+    val k = (e.key, e.attribute)
+    val floor = evictionFloor
+    val merged = (e :: cache.getOrElse(k, Nil))
+      .sortBy(pos)(Ordering.Tuple3[Long, Long, String].reverse)
+      .take(maxVersions)
+      .filter(v => v.stamp >= floor || v == e)
+    // a cell whose newest surviving version is a tombstone serves no read
+    // once nothing older than it can be asked for — drop it entirely
+    if (merged.isEmpty || (merged.head.isDelete && merged.tail.isEmpty))
+      cache.remove(k)
+    else cache.put(k, merged)
+  }
+
+  /** Drop versions that aged past the keep duration; cells left with only
+    * tombstones (or nothing) are removed. Called after each batch; also
+    * callable directly for tests/maintenance.
+    */
+  def evictAged(): Unit = {
+    val floor = evictionFloor
+    if (floor != Long.MinValue)
+      cache.foreach { case (k, versions) =>
+        val kept = versions.filter(_.stamp >= floor)
+        if (kept.isEmpty || kept.forall(_.isDelete)) cache.remove(k)
+        else if (kept.size != versions.size) cache.put(k, kept)
+      }
+  }
 
   /** Start continuous maintenance (CachedView.assign). */
   def assign(checkpoint: String): CachedView = synchronized {
@@ -32,10 +82,8 @@ final class CachedView(family: CommitLogFamily) {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
-        batch.collect().foreach { e =>
-          if (e.isDelete) cache.remove((e.key, e.attribute))
-          else cache.put((e.key, e.attribute), e)
-        }
+        batch.collect().foreach(fold)
+        evictAged()
       }
       .start()
     query = Some(q)
@@ -47,22 +95,37 @@ final class CachedView(family: CommitLogFamily) {
 
   /** Point lookup of the latest value (RandomAccessReader.get:121). */
   def get(key: String, attribute: String): Option[StreamElement] =
+    cache.get((key, attribute)).flatMap(_.headOption).filterNot(_.isDelete)
+
+  /** As-of lookup over retained versions (TimeBoundedVersionedCache.get). */
+  def get(key: String, attribute: String, stamp: Long): Option[StreamElement] =
     cache.get((key, attribute))
+      .flatMap(_.find(_.stamp <= stamp))
+      .filterNot(_.isDelete)
+
+  /** Retained versions of a cell, newest first (for inspection/tests). */
+  def versions(key: String, attribute: String): Seq[StreamElement] =
+    cache.getOrElse((key, attribute), Nil)
 
   /** List wildcard suffix values for a key (scanWildcard:260). */
   def scanWildcard(key: String, wildcardPrefix: String,
       limit: Int = Int.MaxValue): Seq[StreamElement] =
     cache.iterator
       .filter { case ((k, a), _) => k == key && a.startsWith(wildcardPrefix) }
-      .map(_._2).toSeq.sortBy(_.attribute).take(limit)
+      .flatMap(_._2.headOption).filterNot(_.isDelete)
+      .toSeq.sortBy(_.attribute).take(limit)
 
   /** All attributes of a key (scanWildcardAll:207). */
   def scanWildcardAll(key: String): Seq[StreamElement] =
-    cache.iterator.filter(_._1._1 == key).map(_._2).toSeq.sortBy(_.attribute)
+    cache.iterator.filter(_._1._1 == key)
+      .flatMap(_._2.headOption).filterNot(_.isDelete)
+      .toSeq.sortBy(_.attribute)
 
   /** Paged key listing (listEntities:325). */
   def listEntities(offset: Int, limit: Int): Seq[String] =
-    cache.keysIterator.map(_._1).toSeq.distinct.sorted.slice(offset, offset + limit)
+    cache.iterator
+      .filter(_._2.headOption.exists(!_.isDelete))
+      .map(_._1._1).toSeq.distinct.sorted.slice(offset, offset + limit)
 
   /** Write-through (CachedView is read-write, write:402): append to the
     * log; the maintenance query folds it back into the cache.

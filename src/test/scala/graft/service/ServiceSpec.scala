@@ -73,6 +73,8 @@ class ServiceSpec extends SparkSpec {
     fam.append(Seq(up("k2", 3, "z")))
     assert(fam.batchUpdates().count() == 3)
     assert(fam.batchUpdates(from = 2, until = 5).count() == 1)
+    // stamp-range splits: the scan must fan out over >1 input partition
+    assert(fam.batchUpdates().rdd.getNumPartitions > 1)
     val snap = fam.batchSnapshot().collect()
       .map(e => e.key -> new String(e.value)).toMap
     assert(snap == Map("k1" -> "y", "k2" -> "z"))

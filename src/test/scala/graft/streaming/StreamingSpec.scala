@@ -175,6 +175,51 @@ class StreamingSpec extends SparkSpec {
     assert(ra.listEntities(1, 5) == Seq("u2"))
   }
 
+  test("appendIdempotent drops replayed uuids, keeps fresh ones") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    val batch1 = Seq(up("k1", "a", 1, "x"), up("k2", "a", 2, "y"))
+    fam.appendIdempotent(spark.createDataset(batch1)(StreamElement.encoder))
+    assert(fam.batchUpdates().count() == 2)
+    // replay of the exact same micro-batch: no duplicates appended
+    fam.appendIdempotent(spark.createDataset(batch1)(StreamElement.encoder))
+    assert(fam.batchUpdates().count() == 2)
+    // a mixed batch: replayed element skipped, new element lands
+    val batch2 = Seq(batch1.head, up("k3", "a", 3, "z"))
+    fam.appendIdempotent(spark.createDataset(batch2)(StreamElement.encoder))
+    val all = fam.batchUpdates().collect()
+    assert(all.length == 3)
+    assert(all.map(_.uuid).distinct.length == 3)
+  }
+
+  test("versioned cached view bounds memory via maxVersions and TTL") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    fam.append(Seq(up("u1", "status", 100, "v1")))
+    val view = new CachedView(fam, maxVersions = 2, keepDurationMs = 50)
+      .assign(tmp() + "/ckpt")
+    try {
+      view.processAllAvailable()
+      // five successive versions -> only the newest two retained
+      fam.append(Seq(up("u1", "status", 110, "v2")))
+      view.processAllAvailable()
+      fam.append(Seq(up("u1", "status", 120, "v3")))
+      view.processAllAvailable()
+      fam.append(Seq(up("u1", "status", 130, "v4")))
+      view.processAllAvailable()
+      assert(view.versions("u1", "status").size <= 2)
+      assert(view.get("u1", "status").map(e => new String(e.value, "UTF-8"))
+        .contains("v4"))
+      // as-of read over retained versions
+      assert(view.get("u1", "status", stamp = 125)
+        .map(e => new String(e.value, "UTF-8")).contains("v3"))
+      // TTL: advancing the clock past keepDurationMs evicts old versions
+      fam.append(Seq(up("u2", "status", 300, "fresh")))
+      view.processAllAvailable()
+      assert(view.versions("u1", "status").isEmpty,
+        "versions 170ms older than the newest stamp must age out")
+      assert(view.get("u2", "status").nonEmpty)
+    } finally view.stop()
+  }
+
   test("point reads honor wildcard-delete tombstones") {
     val fam = new CommitLogFamily(spark, tmp() + "/log")
     fam.append(Seq(up("u1", "device.1", 1, "d1"), up("u1", "device.2", 2, "d2"),
