@@ -1,71 +1,106 @@
 package graft.core
 
-import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.functions.{coalesce, col, lit, max}
 
 import graft.streaming.CommitLogFamily
 
-/** Serialized optimistic transactions over a commit-log family — the
-  * reference's transaction support reduced to its observable contract
-  * (reference: core/.../repository/TransactionMode.java:19-53 modes
-  * NONE/ATTRIBUTE/KEY/ALL; coordinator
-  * direct/transaction-manager/.../TransactionLogObserver.java:81 — assigns
-  * sequential ids, validates reads against concurrent commits, aborts on
-  * conflict; writer TransactionalOnlineAttributeWriter.java).
-  *
-  * Model: a transaction snapshots the positions of the (key, attribute)
-  * cells it reads; commit validates those cells are unchanged, assigns one
-  * sequential id to every write, and appends them in a single atomic
-  * parquet commit. Commits are serialized per coordinator (the reference
-  * serializes through a single transaction-manager observer per scope);
-  * conflicting transactions get [[TransactionRejectedException]].
+/** Transaction isolation scope — which concurrent commits conflict with a
+  * transaction (reference: core/.../repository/TransactionMode.java:19-53,
+  * modes ATTRIBUTE/KEY/ALL; NONE is simply "don't use a coordinator").
   */
-final class TransactionCoordinator(family: CommitLogFamily) {
+sealed trait TransactionMode
+object TransactionMode {
+  /** Conflicts on the exact (key, attribute) cells touched. */
+  case object Attribute extends TransactionMode
+  /** Conflicts on any attribute of a touched entity key. */
+  case object Key extends TransactionMode
+  /** Conflicts with ANY concurrent commit on the family. */
+  case object All extends TransactionMode
+}
+
+/** Optimistic transactions over a commit-log family — the reference's
+  * transaction support reduced to its observable contract
+  * (reference: coordinator direct/transaction-manager/.../
+  * TransactionLogObserver.java:81 — assigns sequential ids, validates a
+  * transaction's inputs against commits that landed after its snapshot,
+  * aborts on conflict; writer TransactionalOnlineAttributeWriter.java).
+  *
+  * Unlike round 1, validation is STORAGE-derived, so two coordinator
+  * instances over the same family detect each other's commits (the
+  * reference equivalently serializes all coordinators through the
+  * transaction commit log):
+  *
+  *  - `begin()` snapshots the family's max sequential id (one distributed
+  *    agg — constant driver memory at any family size);
+  *  - `commit()` scans only elements with `seqId > beginSeq` — the
+  *    commits that landed since the snapshot, a set bounded by concurrent
+  *    churn, not family size (at scale the seqId predicate prunes on
+  *    parquet footer stats) — and intersects them with the transaction's
+  *    touched scope under the configured [[TransactionMode]];
+  *  - on success one fresh sequential id stamps every buffered write and
+  *    the batch lands as one atomic parquet commit.
+  *
+  * Commits of a single coordinator are serialized (the reference
+  * serializes through a single transaction-manager observer per scope);
+  * cross-coordinator races are closed by deriving the next seq from
+  * storage inside the commit critical section.
+  */
+final class TransactionCoordinator(family: CommitLogFamily,
+    mode: TransactionMode = TransactionMode.Attribute) {
 
   final class TransactionRejectedException(msg: String)
       extends RuntimeException(msg)
 
-  private val lastSeq = new AtomicLong({
-    // one distributed max over the log — constant driver memory at any
-    // family size (a full collect here would OOM the driver at 100 TB)
-    import org.apache.spark.sql.functions.{coalesce, lit, max}
+  private def currentMaxSeq(): Long =
     family.batchUpdates().toDF()
-      .agg(coalesce(max(org.apache.spark.sql.functions.col("seqId")), lit(0L)))
-      .head().getLong(0)
-  })
+      .agg(coalesce(max(col("seqId")), lit(0L))).head().getLong(0)
 
-  /** Open transaction holding read positions and buffered writes. */
-  final class Transaction private[TransactionCoordinator] () {
-    private[TransactionCoordinator] val reads =
-      collection.mutable.Map.empty[(String, String), Long] // cell -> seqId seen
+  /** Open transaction holding its snapshot position, touched cells and
+    * buffered writes.
+    */
+  final class Transaction private[TransactionCoordinator] (val beginSeq: Long) {
+    private val touched = collection.mutable.Set.empty[(String, String)]
     private val writes = collection.mutable.ArrayBuffer.empty[StreamElement]
 
-    /** Transactional read: latest value of a cell, recording its position
-      * for commit-time validation.
+    /** Transactional read: latest value of a cell, adding it to the
+      * conflict scope validated at commit.
       */
     def get(key: String, attribute: String): Option[StreamElement] = {
-      val cur = new graft.randomaccess.RandomAccessReader(family)
-        .get(key, attribute)
-      reads((key, attribute)) = cur.map(_.seqId).getOrElse(0L)
-      cur
+      touched += ((key, attribute))
+      new graft.randomaccess.RandomAccessReader(family).get(key, attribute)
     }
 
     def update(e: StreamElement): Unit = writes += e
 
-    /** Validate + atomically append (TransactionLogObserver commit path). */
+    /** Validate + atomically append (TransactionLogObserver commit path).
+      * Scope = reads ∪ writes, so write-write races (lost updates) abort
+      * even without a prior read.
+      */
     def commit(): Long = TransactionCoordinator.this.synchronized {
-      val ra = new graft.randomaccess.RandomAccessReader(family)
-      reads.foreach { case ((k, a), seenSeq) =>
-        val nowSeq = ra.get(k, a).map(_.seqId).getOrElse(0L)
-        if (nowSeq != seenSeq)
-          throw new TransactionRejectedException(
-            s"Conflict on ($k, $a): read seq $seenSeq, now $nowSeq")
+      val scope = touched.toSet ++ writes.map(e => (e.key, e.attribute))
+      val since = family.batchUpdates().toDF()
+        .filter(col("seqId") > beginSeq)
+        .select(col("seqId"), col("key"), col("attribute"))
+        .collect()
+      val conflicting = since.filter { r =>
+        mode match {
+          case TransactionMode.All => true
+          case TransactionMode.Key => scope.exists(_._1 == r.getString(1))
+          case TransactionMode.Attribute =>
+            scope.contains((r.getString(1), r.getString(2)))
+        }
       }
-      val seq = lastSeq.incrementAndGet()
+      if (conflicting.nonEmpty)
+        throw new TransactionRejectedException(
+          s"${conflicting.length} commit(s) after seq $beginSeq touch the " +
+            s"transaction scope under mode $mode (first: " +
+            s"${conflicting.head.getString(1)}/${conflicting.head.getString(2)})")
+      val seq = (since.map(_.getLong(0)) :+ beginSeq).max + 1
       if (writes.nonEmpty)
         family.append(writes.map(_.copy(seqId = seq)).toSeq)
       seq
     }
   }
 
-  def begin(): Transaction = new Transaction()
+  def begin(): Transaction = new Transaction(currentMaxSeq())
 }

@@ -1,0 +1,124 @@
+package graft.core
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.SparkSpec
+import graft.streaming.CommitLogFamily
+
+/** Transaction mode + concurrency semantics, mirroring the reference's
+  * TransactionLogObserver suites (two coordinators, conflicting and
+  * non-conflicting interleavings, parallel commit storms).
+  */
+class TransactionModesSpec extends SparkSpec {
+
+  private def fam() =
+    new CommitLogFamily(spark, Files.createTempDirectory("graft-tx-").toString + "/log")
+
+  private def up(key: String, attr: String, stamp: Long, v: String) =
+    StreamElement("user", key, attr, s"u-$key-$attr-$stamp", 0, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  test("ATTRIBUTE mode: conflicts only on the same cell") {
+    val f = fam()
+    val coord = new TransactionCoordinator(f, TransactionMode.Attribute)
+    val t1 = coord.begin(); val t2 = coord.begin(); val t3 = coord.begin()
+    t1.get("u1", "a"); t2.get("u1", "a"); t3.get("u1", "b")
+    t1.update(up("u1", "a", 1, "x"))
+    t1.commit()
+    // same cell -> abort
+    t2.update(up("u1", "a", 2, "y"))
+    intercept[coord.TransactionRejectedException](t2.commit())
+    // same key, different attribute -> fine under ATTRIBUTE
+    t3.update(up("u1", "b", 3, "z"))
+    t3.commit()
+  }
+
+  test("KEY mode: any attribute of a touched key conflicts") {
+    val f = fam()
+    val coord = new TransactionCoordinator(f, TransactionMode.Key)
+    val t1 = coord.begin(); val t2 = coord.begin(); val t3 = coord.begin()
+    t1.update(up("u1", "a", 1, "x"))
+    t1.commit()
+    // different attribute, same key -> abort under KEY
+    t2.update(up("u1", "b", 2, "y"))
+    intercept[coord.TransactionRejectedException](t2.commit())
+    // different key -> fine
+    t3.update(up("u2", "a", 3, "z"))
+    t3.commit()
+  }
+
+  test("ALL mode: any concurrent commit conflicts") {
+    val f = fam()
+    val coord = new TransactionCoordinator(f, TransactionMode.All)
+    val t1 = coord.begin(); val t2 = coord.begin()
+    t1.update(up("u1", "a", 1, "x"))
+    t1.commit()
+    t2.update(up("u9", "zzz", 2, "unrelated"))
+    intercept[coord.TransactionRejectedException](t2.commit())
+    // a fresh transaction (snapshot after t1's commit) is fine
+    val t3 = coord.begin()
+    t3.update(up("u9", "zzz", 3, "ok"))
+    t3.commit()
+  }
+
+  test("write-write race aborts even without a prior read") {
+    val f = fam()
+    val coord = new TransactionCoordinator(f, TransactionMode.Attribute)
+    val t1 = coord.begin(); val t2 = coord.begin()
+    t1.update(up("u1", "a", 1, "first"))
+    t2.update(up("u1", "a", 2, "lost-update"))
+    t1.commit()
+    intercept[coord.TransactionRejectedException](t2.commit())
+  }
+
+  test("two coordinators over one family see each other's commits") {
+    val f = fam()
+    val c1 = new TransactionCoordinator(f, TransactionMode.Attribute)
+    val c2 = new TransactionCoordinator(f, TransactionMode.Attribute)
+    val t1 = c1.begin()
+    val t2 = c2.begin()
+    t1.get("u1", "a"); t2.get("u1", "a")
+    t1.update(up("u1", "a", 1, "c1-wins"))
+    val s1 = t1.commit()
+    t2.update(up("u1", "a", 2, "c2-stale"))
+    intercept[c2.TransactionRejectedException](t2.commit())
+    // sequence ids advance across coordinators, not per coordinator
+    val t3 = c2.begin()
+    t3.update(up("u2", "a", 3, "fresh"))
+    assert(t3.commit() > s1)
+    val vals = new graft.randomaccess.RandomAccessReader(f).get("u1", "a")
+    assert(vals.map(e => new String(e.value, "UTF-8")).contains("c1-wins"))
+  }
+
+  test("parallel commit storm on one cell: exactly one winner per round") {
+    val f = fam()
+    val coord = new TransactionCoordinator(f, TransactionMode.Attribute)
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val results = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Boolean]())
+    // 4 transactions snapshot BEFORE any commit, then race
+    val txs = (1 to 4).map { i =>
+      val t = coord.begin()
+      t.update(up("hot", "cell", 100 + i, s"w$i"))
+      t
+    }
+    txs.foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try { t.commit(); results.add(true) }
+          catch { case _: Exception => results.add(false) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(identity) == 1,
+      s"exactly one racing transaction must win, got $results")
+    assert(f.batchUpdates().count() == 1)
+  }
+}
