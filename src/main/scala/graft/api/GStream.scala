@@ -167,7 +167,7 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
   /** Write as an entity attribute into a family (Stream.persist,
     * Stream.java:268; BeamStream.persist:752).
     */
-  def persist(family: graft.streaming.CommitLogFamily, entity: String,
+  def persist(family: graft.streaming.AttributeLogFamily, entity: String,
       keyFn: T => String, attrFn: T => String, valueFn: T => Array[Byte],
       stampFn: T => Long): Unit =
     family.append(

@@ -3,7 +3,8 @@ package graft.core
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.randomaccess.RandomAccessReader
-import graft.streaming.{CachedView, CommitLogFamily}
+import graft.streaming.{AttributeLogFamily, CachedView, CommitLogFamily,
+  EmbeddedKafka, KafkaLogFamily}
 
 /** Config-driven data operator: resolves entities/attributes to storage
   * families by required access pattern and hands out readers/writers — the
@@ -26,7 +27,7 @@ import graft.streaming.{CachedView, CommitLogFamily}
 final class GraftOperator(val spark: SparkSession, val repo: Repository,
     tmpRoot: String = java.nio.file.Files.createTempDirectory("graft-op-").toString) {
 
-  private val familyCache = collection.concurrent.TrieMap.empty[String, CommitLogFamily]
+  private val familyCache = collection.concurrent.TrieMap.empty[String, AttributeLogFamily]
 
   def resolvePath(storageUri: String): String = {
     val i = storageUri.indexOf("://")
@@ -36,18 +37,37 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
       case "file"  => rest
       case "inmem" => s"$tmpRoot/${rest.replaceAll("[^A-Za-z0-9._-]", "_")}"
       case other   => throw new IllegalArgumentException(
-        s"Unsupported storage scheme: $other (seam for kafka/jdbc bindings)")
+        s"Unsupported storage scheme: $other (seam for further bindings)")
     }
   }
 
-  def family(name: String): CommitLogFamily = {
-    val desc = repo.families.getOrElse(name,
-      throw new IllegalArgumentException(s"No family $name"))
-    familyCache.getOrElseUpdate(name,
-      new CommitLogFamily(spark, resolvePath(desc.storageUri)))
+  /** Bind a storage URI to a family implementation: parquet directories
+    * (`file://`, `inmem://`) and Kafka-shaped commit logs (`kafka://
+    * broker/topic`, served by the embedded log double in this build — the
+    * production binding seats spark-sql-kafka behind the same
+    * [[graft.streaming.AttributeLogFamily]] seam).
+    */
+  private def bind(storageUri: String): AttributeLogFamily = {
+    val i = storageUri.indexOf("://")
+    require(i > 0, s"Bad storage URI: $storageUri")
+    val (scheme, rest) = (storageUri.substring(0, i), storageUri.substring(i + 3))
+    scheme match {
+      case "kafka" =>
+        val slash = rest.indexOf('/')
+        require(slash > 0, s"kafka URI needs broker/topic, got $storageUri")
+        new KafkaLogFamily(spark,
+          EmbeddedKafka.topic(rest.substring(0, slash), rest.substring(slash + 1)))
+      case _ => new CommitLogFamily(spark, resolvePath(storageUri))
+    }
   }
 
-  private def route(entity: String, attr: String, need: String): CommitLogFamily = {
+  def family(name: String): AttributeLogFamily = {
+    val desc = repo.families.getOrElse(name,
+      throw new IllegalArgumentException(s"No family $name"))
+    familyCache.getOrElseUpdate(name, bind(desc.storageUri))
+  }
+
+  private def route(entity: String, attr: String, need: String): AttributeLogFamily = {
     val desc = repo.familyFor(entity, attr, need).getOrElse(
       throw new IllegalStateException(
         s"No family with access '$need' for $entity.$attr"))

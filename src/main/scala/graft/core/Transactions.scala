@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.functions.{coalesce, col, lit, max}
 
-import graft.streaming.CommitLogFamily
+import graft.streaming.AttributeLogFamily
 
 /** Transaction isolation scope — which concurrent commits conflict with a
   * transaction (reference: core/.../repository/TransactionMode.java:19-53,
@@ -45,7 +45,7 @@ object TransactionMode {
   * cross-coordinator races are closed by deriving the next seq from
   * storage inside the commit critical section.
   */
-final class TransactionCoordinator(family: CommitLogFamily,
+final class TransactionCoordinator(family: AttributeLogFamily,
     mode: TransactionMode = TransactionMode.Attribute) {
 
   final class TransactionRejectedException(msg: String)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.StreamElement
 import graft.operators.SnapshotCompact
-import graft.streaming.CommitLogFamily
+import graft.streaming.AttributeLogFamily
 
 /** Batch random-access surface over a commit-log family — the reference's
   * point-lookup API (reference: direct/core/.../randomaccess/
@@ -17,7 +17,7 @@ import graft.streaming.CommitLogFamily
   * point lookup touches O(matching row groups), not the whole family — the
   * Spark analog of the reference's storage-side key lookup.
   */
-final class RandomAccessReader(family: CommitLogFamily) {
+final class RandomAccessReader(family: AttributeLogFamily) {
 
   private def compactFor(pred: org.apache.spark.sql.Column,
       asOf: Long = Long.MaxValue): Dataset[StreamElement] =
@@ -75,9 +75,8 @@ final class RandomAccessReader(family: CommitLogFamily) {
     compactFor(col("key") === key, stamp).orderBy(col("attribute")).collect().toSeq
 
   /** Paged key listing (listEntities:325). */
-  def listEntities(offset: Int, limit: Int): Seq[String] = {
-    import family.spark.implicits._
+  def listEntities(offset: Int, limit: Int): Seq[String] =
     family.batchUpdates().select(col("key")).distinct()
-      .orderBy(col("key")).offset(offset).limit(limit).as[String].collect().toSeq
-  }
+      .orderBy(col("key")).offset(offset).limit(limit)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.StreamElement
+
+/** Storage-agnostic attribute family surface — the seam every storage
+  * binding implements so the routing layer (GraftOperator), random access,
+  * cached views, transactions and transformations are storage-neutral
+  * (reference: storage descriptors under direct/io-*, all plugging into
+  * the same DataAccessor contract, direct/core/.../DataAccessor.java).
+  *
+  *  - commit-log    → [[streamFromOldest]]
+  *  - batch-updates → [[batchUpdates]] with stamp-range pushdown
+  *  - batch-snapshot→ [[batchSnapshot]] compacted read
+  *  - writes        → [[append]]
+  */
+trait AttributeLogFamily {
+  def spark: SparkSession
+
+  def append(elems: Dataset[StreamElement]): Unit
+
+  def append(elems: Seq[StreamElement]): Unit =
+    append(spark.createDataset(elems)(StreamElement.encoder))
+
+  /** Full update history, optional stamp range [from, until). */
+  def batchUpdates(from: Long = Long.MinValue,
+      until: Long = Long.MaxValue): Dataset[StreamElement]
+
+  /** Compacted snapshot: single-pass latest-with-tombstones reduce of the
+    * updates when the storage has no dedicated snapshot form.
+    */
+  def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+    graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
+
+  /** Streaming subscription replaying from the oldest retained element. */
+  def streamFromOldest(): Dataset[StreamElement]
+}

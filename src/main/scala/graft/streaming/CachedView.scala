@@ -27,7 +27,7 @@ import graft.core.StreamElement
   * cache cannot grow without bound under churn. Defaults keep one
   * version forever (the plain latest-value cache).
   */
-final class CachedView(family: CommitLogFamily,
+final class CachedView(family: AttributeLogFamily,
     maxVersions: Int = 1,
     keepDurationMs: Long = Long.MaxValue) {
 

@@ -24,14 +24,12 @@ import graft.operators.SnapshotCompact
   * The same interface seats a Kafka binding (spark.readStream.format
   * ("kafka")) — the routing layer only needs read/stream/append.
   */
-final class CommitLogFamily(val spark: SparkSession, val path: String) {
+final class CommitLogFamily(val spark: SparkSession, val path: String)
+    extends AttributeLogFamily {
   import StreamElement.encoder
 
   def append(elems: Dataset[StreamElement]): Unit =
     elems.write.mode("append").parquet(path)
-
-  def append(elems: Seq[StreamElement]): Unit =
-    append(spark.createDataset(elems))
 
   private def nonEmpty: Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -42,7 +40,7 @@ final class CommitLogFamily(val spark: SparkSession, val path: String) {
   /** Full update history (batch-updates access), optional stamp range
     * [from, until).
     */
-  def batchUpdates(from: Long = Long.MinValue,
+  override def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement] = {
     if (!nonEmpty) StreamElement.emptyDs(spark)
     else {
@@ -58,13 +56,13 @@ final class CommitLogFamily(val spark: SparkSession, val path: String) {
     * fallback). Single-pass aggregator: one scan + one shuffle of combined
     * per-key state (the two-pass variant scans the log twice).
     */
-  def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+  override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
     graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
 
   /** Streaming subscription replaying from the oldest retained element
     * (commit-log access, position=OLDEST).
     */
-  def streamFromOldest(): Dataset[StreamElement] =
+  override def streamFromOldest(): Dataset[StreamElement] =
     spark.readStream.schema(encoder.schema).parquet(path).as[StreamElement]
 
   /** Streaming subscription; file sources always replay retained history, so

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.core.StreamElement
+
+/** Embedded Kafka-shaped commit log — the test double behind the
+  * `kafka://` storage seam (no network and no Kafka client jars exist in
+  * this build; the production binding seats spark-sql-kafka behind the
+  * same [[AttributeLogFamily]] surface).
+  *
+  * Implements the observable semantics of the reference's Kafka storage
+  * (reference: direct/io-kafka/.../KafkaStorage.java:53,
+  * KafkaLogReader observe/ack, DirectUnboundedSource.java:47 offsets and
+  * splits):
+  *
+  *  - a topic has a fixed number of PARTITIONS; elements route by hash of
+  *    (key, attribute) — the reference's KeyAttributePartitioner.java:22 —
+  *    so one key's history is totally ordered within one partition;
+  *  - every append gets a monotonically increasing OFFSET within its
+  *    partition;
+  *  - consumer groups COMMIT offsets; a new consumer of the group resumes
+  *    from the committed position (at-least-once replay of uncommitted
+  *    tail, exactly the reference's observe/ack contract).
+  */
+object EmbeddedKafka {
+
+  final case class Record(partition: Int, offset: Long, element: StreamElement)
+
+  private val topics = TrieMap.empty[String, Topic]
+
+  /** Resolve-or-create a broker-scoped topic: `kafka://broker/topic`. */
+  def topic(broker: String, name: String, numPartitions: Int = 4): Topic =
+    topics.getOrElseUpdate(s"$broker/$name", new Topic(name, numPartitions))
+
+  /** Drop all topics (test isolation). */
+  def reset(): Unit = topics.clear()
+
+  final class Topic(val name: String, val numPartitions: Int) {
+    private val partitions: Array[ArrayBuffer[StreamElement]] =
+      Array.fill(numPartitions)(ArrayBuffer.empty[StreamElement])
+    private val groupOffsets = TrieMap.empty[String, Map[Int, Long]]
+    private val listeners = ArrayBuffer.empty[StreamElement => Unit]
+
+    /** KeyAttributePartitioner: stable hash of (key, attribute). */
+    def partitionFor(e: StreamElement): Int =
+      math.floorMod((e.key + "#" + e.attribute).hashCode, numPartitions)
+
+    def append(e: StreamElement): Record = {
+      val (rec, toNotify) = synchronized {
+        val p = partitionFor(e)
+        val buf = partitions(p)
+        buf += e
+        (Record(p, buf.size - 1L, e), listeners.toSeq)
+      }
+      toNotify.foreach(_(e))
+      rec
+    }
+
+    def earliestOffsets: Map[Int, Long] =
+      (0 until numPartitions).map(_ -> 0L).toMap
+
+    def latestOffsets: Map[Int, Long] = synchronized {
+      (0 until numPartitions).map(p => p -> partitions(p).size.toLong).toMap
+    }
+
+    /** Poll records at-or-after `from` per partition (absent partitions
+      * start at the beginning), ordered by (partition, offset).
+      */
+    def poll(from: Map[Int, Long] = Map.empty): Seq[Record] = synchronized {
+      (0 until numPartitions).flatMap { p =>
+        val start = math.max(0L, from.getOrElse(p, 0L)).toInt
+        partitions(p).iterator.zipWithIndex.drop(start).map {
+          case (e, off) => Record(p, off.toLong, e)
+        }
+      }
+    }
+
+    def commit(group: String, offsets: Map[Int, Long]): Unit =
+      groupOffsets.updateWith(group) {
+        case Some(cur) => Some(cur ++ offsets)
+        case None      => Some(offsets)
+      }
+
+    def committed(group: String): Map[Int, Long] =
+      groupOffsets.getOrElse(group, Map.empty)
+
+    /** Atomically snapshot existing records AND subscribe to future
+      * appends — an element landing between the two cannot be duplicated
+      * or lost (used by the streaming adapter).
+      */
+    private[streaming] def subscribe(f: StreamElement => Unit): Seq[StreamElement] =
+      synchronized { listeners += f; partitions.flatMap(_.toSeq).toSeq }
+
+    private[streaming] def allElements: Seq[StreamElement] =
+      synchronized { partitions.flatMap(_.toSeq).toSeq }
+  }
+
+  /** A consumer in a group: poll from the committed position, process,
+    * ack → commit (CommitLogReader.observe + OnNextContext.confirm).
+    */
+  final class Consumer(topic: Topic, group: String) {
+    /** Fetch everything past the committed position WITHOUT committing —
+      * a crash before ack replays these records to the next consumer.
+      */
+    def pollUncommitted(): Seq[Record] = topic.poll(topic.committed(group))
+
+    /** Acknowledge processed records: advance the group offsets past them. */
+    def ack(records: Seq[Record]): Unit = {
+      if (records.nonEmpty) {
+        val next = records.groupBy(_.partition)
+          .map { case (p, rs) => p -> (rs.map(_.offset).max + 1) }
+        topic.commit(group, topic.committed(group) ++ next)
+      }
+    }
+  }
+}
+
+/** `kafka://` attribute family over the embedded log.
+  *
+  * Batch reads materialize the topic through the driver BY CONSTRUCTION —
+  * the embedded broker lives in driver memory, exactly like the reference's
+  * test InMemStorage; the production path binds spark-sql-kafka behind the
+  * same [[AttributeLogFamily]] methods and keeps everything distributed.
+  * Streaming is a real Structured Streaming source (memory-stream pump):
+  * existing records replay first, later appends flow incrementally.
+  */
+final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
+    val topic: EmbeddedKafka.Topic) extends AttributeLogFamily {
+  import graft.core.StreamElement.encoder
+
+  def append(elems: Dataset[StreamElement]): Unit =
+    elems.collect().foreach(topic.append)
+
+  override def append(elems: Seq[StreamElement]): Unit =
+    elems.foreach(topic.append)
+
+  def batchUpdates(from: Long = Long.MinValue,
+      until: Long = Long.MaxValue): Dataset[StreamElement] = {
+    val all = topic.allElements.filter(e => e.stamp >= from && e.stamp < until)
+    spark.createDataset(all)
+  }
+
+  def streamFromOldest(): Dataset[StreamElement] = {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StreamElement]
+    val existing = topic.subscribe(e => ms.addData(e))
+    if (existing.nonEmpty) ms.addData(existing)
+    ms.toDS()
+  }
+
+  def consumer(group: String): EmbeddedKafka.Consumer =
+    new EmbeddedKafka.Consumer(topic, group)
+}

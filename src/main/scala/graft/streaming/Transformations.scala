@@ -26,7 +26,7 @@ object Transformations {
   }
 
   /** Run continuously: source commit log → transform → target family. */
-  def run(source: CommitLogFamily, target: CommitLogFamily,
+  def run(source: AttributeLogFamily, target: AttributeLogFamily,
       transform: ElementWise, checkpoint: String): StreamingQuery = {
     implicit val enc = StreamElement.encoder
     source.streamFromOldest()
@@ -40,7 +40,7 @@ object Transformations {
   }
 
   /** Batch backfill of the same transformation. */
-  def backfill(source: CommitLogFamily, target: CommitLogFamily,
+  def backfill(source: AttributeLogFamily, target: AttributeLogFamily,
       transform: ElementWise): Unit = {
     implicit val enc = StreamElement.encoder
     target.append(source.batchUpdates().flatMap(transform(_)))
@@ -49,7 +49,7 @@ object Transformations {
   /** Replication: primary family → replica family, identity transform
     * (config `type: replica` families, ConfigRepository.java:1145).
     */
-  def replicate(source: CommitLogFamily, target: CommitLogFamily,
+  def replicate(source: AttributeLogFamily, target: AttributeLogFamily,
       checkpoint: String): StreamingQuery =
     run(source, target, (e: StreamElement) => Seq(e), checkpoint)
 }

@@ -13,9 +13,8 @@ class EntrySmokeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("every query has either an oracle or is explicitly rows-only") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_ann_lsh_pairs")) // the only rows-only query
+  test("every declared query has a full DuckDB oracle") {
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{GraftOperator, Repository, StreamElement}
+
+/** kafka:// storage seam semantics against the embedded log double:
+  * partition routing, per-partition offsets, consumer-group
+  * commit/replay, config routing through GraftOperator, and streaming
+  * consumption (reference: io-kafka KafkaStorage/KafkaLogReader observe,
+  * ack and offset-restore semantics).
+  */
+class KafkaSeamSpec extends SparkSpec {
+
+  private def up(key: String, attr: String, stamp: Long, v: String) =
+    StreamElement("gw", key, attr, s"u-$key-$attr-$stamp", 0, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  test("partitioning: same (key, attribute) is totally ordered in one partition") {
+    val t = EmbeddedKafka.topic("b1", "t-part", 4)
+    val recs = (1 to 20).map(i => t.append(up("k1", "a", i, s"v$i")))
+    assert(recs.map(_.partition).distinct.size == 1,
+      "one key+attribute must stay in one partition")
+    assert(recs.map(_.offset) == (0 until 20).map(_.toLong),
+      "offsets must be dense and monotonic within the partition")
+    // different keys spread over partitions
+    val spread = (1 to 40).map(i => t.append(up(s"k$i", "a", i, "x")).partition)
+    assert(spread.distinct.size > 1)
+  }
+
+  test("consumer groups: ack commits offsets, uncommitted tail replays") {
+    val t = EmbeddedKafka.topic("b1", "t-groups", 2)
+    (1 to 6).foreach(i => t.append(up(s"k$i", "a", i, s"v$i")))
+    val c1 = new EmbeddedKafka.Consumer(t, "g1")
+    val first = c1.pollUncommitted()
+    assert(first.size == 6)
+    // ack only what was processed "before the crash": first 4 records
+    c1.ack(first.take(4))
+    // a new consumer of the same group resumes with the unacked tail
+    val c2 = new EmbeddedKafka.Consumer(t, "g1")
+    val replay = c2.pollUncommitted()
+    assert(replay.map(_.element.uuid).toSet == first.drop(4).map(_.element.uuid).toSet)
+    // a different group starts from the beginning
+    assert(new EmbeddedKafka.Consumer(t, "g2").pollUncommitted().size == 6)
+    // acking everything leaves nothing to replay
+    c2.ack(replay)
+    assert(c2.pollUncommitted().isEmpty)
+    // new appends become visible past the committed position
+    t.append(up("k9", "a", 99, "new"))
+    assert(c2.pollUncommitted().map(_.element.key) == Seq("k9"))
+  }
+
+  test("kafka:// families route through repository config") {
+    val repo = Repository.parse(
+      """entities { gw { attributes { "status" { scheme: string } } } }
+        |attributeFamilies {
+        |  gw-kafka {
+        |    entity: gw
+        |    attributes: [ "status" ]
+        |    storage: "kafka://broker-1/gw-commit"
+        |    type: primary
+        |    access: [ commit-log, batch-updates, batch-snapshot, random-access ]
+        |  }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, repo)
+    assert(op.family("gw-kafka").isInstanceOf[KafkaLogFamily])
+    op.write(up("g1", "status", 1, "on"))
+    op.write(up("g1", "status", 5, "off"))
+    op.write(up("g2", "status", 3, "on"))
+    assert(op.getBatchUpdates("gw").count() == 3)
+    val snap = op.getBatchSnapshot("gw").collect()
+      .map(e => e.key -> new String(e.value, "UTF-8")).toMap
+    assert(snap == Map("g1" -> "off", "g2" -> "on"))
+    assert(op.getRandomAccess("gw", "status").get("g1", "status")
+      .map(e => new String(e.value, "UTF-8")).contains("off"))
+  }
+
+  test("streaming over the kafka family replays history then follows appends") {
+    val t = EmbeddedKafka.topic("b1", "t-stream", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    fam.append(Seq(up("k1", "a", 1, "old1"), up("k2", "a", 2, "old2")))
+    val q = fam.streamFromOldest()
+      .writeStream.format("memory").queryName("kafka_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM kafka_replay").count() == 2)
+      fam.append(Seq(up("k3", "a", 3, "live")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM kafka_replay").count() == 3)
+    } finally q.stop()
+  }
+
+  test("transactions and transformations run unchanged over a kafka family") {
+    val t = EmbeddedKafka.topic("b1", "t-tx", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    val coord = new graft.core.TransactionCoordinator(fam)
+    val tx = coord.begin()
+    tx.update(up("k1", "a", 1, "v").copy(entity = "gw"))
+    assert(tx.commit() > 0)
+    assert(fam.batchUpdates().count() == 1)
+    // replicate kafka -> parquet (cross-storage continuous pipeline)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-rep-")
+    val target = new CommitLogFamily(spark, dir.toString + "/log")
+    val q = Transformations.replicate(fam, target, dir.toString + "/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(target.batchUpdates().count() == 1)
+    } finally q.stop()
+  }
+}
