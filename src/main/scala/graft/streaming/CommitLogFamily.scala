@@ -65,6 +65,17 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
   override def streamFromOldest(): Dataset[StreamElement] =
     spark.readStream.schema(encoder.schema).parquet(path).as[StreamElement]
 
+  /** Throughput-limited streaming subscription: at most `maxFilesPerTrigger`
+    * log segments per micro-batch — the reference's ThroughputLimiter knob
+    * mapped to the file source's native backpressure option
+    * (ThroughputLimiter.java:27; see [[Throughput]] for the direct-path
+    * token bucket).
+    */
+  def streamFromOldestThrottled(maxFilesPerTrigger: Int): Dataset[StreamElement] =
+    spark.readStream.schema(encoder.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path).as[StreamElement]
+
   /** Streaming subscription; file sources always replay retained history, so
     * "from now" is approximated by a stamp filter at query start (the Kafka
     * binding would use startingOffsets=latest).

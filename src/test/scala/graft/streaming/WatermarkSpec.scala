@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.StreamElement
+
+/** Watermark estimator / idle policy / global tracker semantics and
+  * throughput limiting (reference: the estimator tests under
+  * direct/core/.../time, GlobalWatermarkTracker, ThroughputLimiter).
+  */
+class WatermarkSpec extends SparkSpec {
+  import Watermarks._
+
+  test("bounded out-of-orderness: max-seen minus skew, monotonic") {
+    val est = new BoundedOutOfOrdernessEstimator(100)
+    assert(est.watermark == MinWatermark)
+    est.update(1000)
+    assert(est.watermark == 900)
+    est.update(500) // out-of-order element must not regress the watermark
+    assert(est.watermark == 900)
+    est.update(2000)
+    assert(est.watermark == 1900)
+  }
+
+  test("not-progressing idle policy holds the watermark") {
+    val est = new BoundedOutOfOrdernessEstimator(100,
+      new NotProgressingIdlePolicy)
+    est.update(1000)
+    est.idle(); est.idle()
+    assert(est.watermark == 900)
+  }
+
+  test("skewed processing-time idle policy follows the clock minus skew") {
+    var now = 10000L
+    val est = new BoundedOutOfOrdernessEstimator(100,
+      new SkewedProcessingTimeIdlePolicy(500, () => now))
+    est.update(1000)
+    assert(est.watermark == 900)
+    est.idle()
+    assert(est.watermark == 9500) // clock 10000 - skew 500
+    now = 20000L
+    est.idle()
+    assert(est.watermark == 19500)
+    // new data re-anchors on event time again (monotonic, no regression)
+    est.update(30000)
+    assert(est.watermark == 29900)
+  }
+
+  test("processing-time shifting idle policy advances by elapsed idle time") {
+    var now = 10000L
+    val est = new BoundedOutOfOrdernessEstimator(100,
+      new ProcessingTimeShiftingIdlePolicy(() => now))
+    est.update(1000)
+    assert(est.watermark == 900)
+    est.idle() // anchors at (clock=10000, wm=900)
+    assert(est.watermark == 900)
+    now = 10250L
+    est.idle()
+    assert(est.watermark == 1150) // 900 + 250 elapsed
+    now = 10400L
+    est.idle()
+    assert(est.watermark == 1300)
+    // activity resets the anchor
+    est.update(5000)
+    assert(est.watermark == 4900)
+  }
+
+  test("minimal partition estimator takes the min; idle partitions release it") {
+    var now = 50000L
+    val parts = Map(
+      0 -> new BoundedOutOfOrdernessEstimator(0,
+        new SkewedProcessingTimeIdlePolicy(1000, () => now)),
+      1 -> new BoundedOutOfOrdernessEstimator(0,
+        new SkewedProcessingTimeIdlePolicy(1000, () => now)))
+    val est = new MinimalPartitionEstimator(
+      parts.view.mapValues(_.asInstanceOf[WatermarkEstimator]).toMap)
+    est.updatePartition(0, 10000)
+    est.updatePartition(1, 4000)
+    assert(est.watermark == 4000) // held back by the slow partition
+    // the slow partition goes idle -> skewed policy un-stalls the min
+    est.idlePartition(1)
+    assert(est.watermark == 10000) // min(10000, 49000)
+  }
+
+  test("global tracker: min over live processes, finished releases, monotonic per process") {
+    val t = new GlobalWatermarkTracker
+    assert(t.globalWatermark == MaxWatermark)
+    t.update("p1", 100); t.update("p2", 50)
+    assert(t.globalWatermark == 50)
+    t.update("p2", 40) // regression ignored (monotonic per process)
+    assert(t.globalWatermark == 50)
+    t.update("p2", 200)
+    assert(t.globalWatermark == 100)
+    t.finished("p1")
+    assert(t.globalWatermark == 200)
+  }
+
+  test("rate limiter: token bucket with deterministic clock") {
+    var nanos = 0L
+    val rl = new Throughput.RateLimiter(10, () => nanos) // 10/s, burst 10
+    assert((1 to 10).forall(_ => rl.tryAcquire()))
+    assert(!rl.tryAcquire(), "burst exhausted")
+    assert(rl.nanosUntilAvailable == 100000000L) // 0.1s per permit
+    nanos += 100000000L
+    assert(rl.tryAcquire())
+    assert(!rl.tryAcquire())
+    nanos += 1000000000L // a full second refills the whole burst
+    assert((1 to 10).forall(_ => rl.tryAcquire()))
+    assert(!rl.tryAcquire())
+  }
+
+  test("throttled stream read: maxFilesPerTrigger bounds each micro-batch") {
+    val fam = new CommitLogFamily(spark,
+      Files.createTempDirectory("graft-throttle-").toString + "/log")
+    def up(i: Int) = StreamElement("e", s"k$i", "a", s"u$i", 0, i.toLong,
+      Array[Byte](1), delete = false, deleteWildcard = false)
+    // three appends -> three log segments
+    fam.append(Seq(up(1))); fam.append(Seq(up(2))); fam.append(Seq(up(3)))
+    val q = fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM throttled").count() == 3)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"1 file per trigger over 3 segments needs >= 3 data batches, got $dataBatches")
+    } finally q.stop()
+  }
+}
