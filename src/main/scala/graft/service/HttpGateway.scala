@@ -1,0 +1,229 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.core.GraftOperator
+
+/** HTTP/JSON wire transport for the ingest/retrieve services — a real
+  * network front door for the engine (reference: the gRPC ingest server,
+  * rpc/src/main/proto/rpc.proto IngestService:122 / RetrieveService:387,
+  * direct/ingest-server/.../IngestService.java, RetrieveService.java).
+  *
+  * The reference speaks gRPC; no gRPC or JSON library jars exist in this
+  * build, so the transport is the JDK's built-in HTTP server with a
+  * hand-rolled minimal JSON codec — same request/response semantics,
+  * different framing (documented divergence). Values travel base64.
+  *
+  * Endpoints (POST, JSON bodies):
+  *  - /ingest      {entity, key, attribute, stamp, value?, delete?}
+  *                 → {ok, uuid, message?}
+  *  - /ingest-bulk {requests: [...]}                → {statuses: [...]}
+  *  - /get         {entity, key, attribute}         → {found, value?}
+  *  - /list        {entity, key, prefix?, offset?, limit?} → {attributes}
+  *  - /multifetch  {entity, attribute, keys}        → {values: {key: v}}
+  */
+final class HttpGateway(op: GraftOperator, port: Int = 0) {
+
+  private val ingest = new IngestService(op)
+  private val retrieve = new RetrieveService(op)
+
+  private val server: HttpServer =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def handler(f: Map[String, Any] => String): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, body) =
+          try {
+            val in = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            (200, f(Json.parseObject(in)))
+          } catch {
+            case e: Exception =>
+              (400, Json.obj("error" -> Option(e.getMessage).getOrElse("bad request")))
+          }
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    }
+
+  private def str(m: Map[String, Any], k: String): String = m(k).toString
+  private def lng(m: Map[String, Any], k: String): Long = m(k) match {
+    case d: Double => d.toLong
+    case l: Long   => l
+    case s: String => s.toLong
+    case other     => throw new IllegalArgumentException(s"$k: $other")
+  }
+
+  private def doIngest(m: Map[String, Any]): IngestService.Status = {
+    val delete = m.get("delete").exists(_ == true)
+    val value =
+      if (delete) null
+      else Base64.getDecoder.decode(m.getOrElse("value", "").toString)
+    ingest.ingest(str(m, "entity"), str(m, "key"), str(m, "attribute"),
+      lng(m, "stamp"), value, delete)
+  }
+
+  private def statusJson(s: IngestService.Status): String =
+    Json.obj("ok" -> s.ok, "uuid" -> s.uuid, "message" -> s.message)
+
+  server.createContext("/ingest", handler(m => statusJson(doIngest(m))))
+
+  server.createContext("/ingest-bulk", handler { m =>
+    val reqs = m("requests").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    "{\"statuses\":[" + reqs.map(r => statusJson(doIngest(r))).mkString(",") + "]}"
+  })
+
+  server.createContext("/get", handler { m =>
+    retrieve.get(str(m, "entity"), str(m, "key"), str(m, "attribute")) match {
+      case Some(v) => Json.obj("found" -> true,
+        "value" -> Base64.getEncoder.encodeToString(v))
+      case None => Json.obj("found" -> false)
+    }
+  })
+
+  server.createContext("/list", handler { m =>
+    val attrs = retrieve.listAttributes(str(m, "entity"), str(m, "key"),
+      m.get("prefix").map(_.toString).getOrElse(""),
+      m.get("offset").map(x => lng(m, "offset").toInt).getOrElse(0),
+      m.get("limit").map(x => lng(m, "limit").toInt).getOrElse(Int.MaxValue))
+    "{\"attributes\":[" + attrs.map(Json.quote).mkString(",") + "]}"
+  })
+
+  server.createContext("/multifetch", handler { m =>
+    val keys = m("keys").asInstanceOf[Seq[Any]].map(_.toString)
+    val vals = retrieve.multifetch(str(m, "entity"), str(m, "attribute"), keys)
+    "{\"values\":{" + vals.map { case (k, v) =>
+      Json.quote(k) + ":" + Json.quote(Base64.getEncoder.encodeToString(v))
+    }.mkString(",") + "}}"
+  })
+
+  def start(): HttpGateway = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+/** Minimal JSON codec for the gateway (objects, arrays, strings, numbers,
+  * booleans, null; no external JSON jars exist in this build).
+  */
+private[service] object Json {
+
+  def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  def obj(fields: (String, Any)*): String =
+    "{" + fields.map { case (k, v) => quote(k) + ":" + render(v) }.mkString(",") + "}"
+
+  private def render(v: Any): String = v match {
+    case null       => "null"
+    case s: String  => quote(s)
+    case b: Boolean => b.toString
+    case n: Number  => n.toString
+    case other      => quote(other.toString)
+  }
+
+  def parseObject(s: String): Map[String, Any] = {
+    val p = new P(s)
+    p.ws()
+    val v = p.value()
+    v.asInstanceOf[Map[String, Any]]
+  }
+
+  private final class P(s: String) {
+    private var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def ch: Char = s.charAt(i)
+    private def expect(c: Char): Unit = {
+      ws(); require(i < s.length && ch == c, s"expected '$c' at $i"); i += 1
+    }
+    def value(): Any = {
+      ws()
+      ch match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => string()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _   => number()
+      }
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      val m = collection.mutable.LinkedHashMap.empty[String, Any]
+      if (ch == '}') { i += 1; return m.toMap }
+      var more = true
+      while (more) {
+        ws()
+        val k = string()
+        expect(':')
+        m(k) = value()
+        ws()
+        if (ch == ',') i += 1 else more = false
+      }
+      expect('}')
+      m.toMap
+    }
+    private def arr(): Seq[Any] = {
+      expect('['); ws()
+      val b = collection.mutable.ArrayBuffer.empty[Any]
+      if (ch == ']') { i += 1; return b.toSeq }
+      var more = true
+      while (more) {
+        b += value()
+        ws()
+        if (ch == ',') i += 1 else more = false
+      }
+      expect(']')
+      b.toSeq
+    }
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (ch != '"') {
+        if (ch == '\\') {
+          i += 1
+          ch match {
+            case 'n' => sb.append('\n'); i += 1
+            case 'r' => sb.append('\r'); i += 1
+            case 't' => sb.append('\t'); i += 1
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 5
+            case c => sb.append(c); i += 1
+          }
+        } else { sb.append(ch); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    private def number(): Any = {
+      val start = i
+      while (i < s.length && (ch.isDigit || "+-.eE".indexOf(ch) >= 0)) i += 1
+      val t = s.substring(start, i)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
+      else t.toLong
+    }
+  }
+}

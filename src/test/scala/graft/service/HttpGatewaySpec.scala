@@ -1,0 +1,91 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.Base64
+
+import graft.SparkSpec
+import graft.core.{GraftOperator, Repository}
+
+/** Wire-level exercise of the HTTP gateway with a real network client —
+  * the transport analog of the reference's ingest-server gRPC tests.
+  */
+class HttpGatewaySpec extends SparkSpec {
+
+  private def post(port: Int, path: String, body: String): String = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+      .build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("ingest/get/list/multifetch over real HTTP") {
+    val repo = Repository.parse(
+      """entities { gateway { attributes {
+        |  "status" { scheme: string }
+        |  "device.*" { scheme: bytes }
+        |} } }
+        |attributeFamilies {
+        |  gw-primary {
+        |    entity: gateway
+        |    attributes: [ "*" ]
+        |    storage: "inmem://gw"
+        |    type: primary
+        |    access: [ commit-log, batch-updates, batch-snapshot, random-access ]
+        |  }
+        |}""".stripMargin)
+    val gw = new HttpGateway(new GraftOperator(spark, repo)).start()
+    try {
+      val port = gw.boundPort
+      // ingest a value
+      val r1 = Json.parseObject(post(port, "/ingest",
+        s"""{"entity":"gateway","key":"g1","attribute":"status","stamp":1,"value":"${b64("on")}"}"""))
+      assert(r1("ok") == true)
+      assert(r1("uuid").toString.nonEmpty)
+      // unknown attribute rejected
+      val r2 = Json.parseObject(post(port, "/ingest",
+        s"""{"entity":"gateway","key":"g1","attribute":"nope","stamp":2,"value":"${b64("x")}"}"""))
+      assert(r2("ok") == false)
+      // bulk ingest wildcard suffixes
+      val r3 = Json.parseObject(post(port, "/ingest-bulk",
+        s"""{"requests":[
+           |{"entity":"gateway","key":"g1","attribute":"device.a","stamp":3,"value":"${b64("da")}"},
+           |{"entity":"gateway","key":"g1","attribute":"device.b","stamp":4,"value":"${b64("db")}"},
+           |{"entity":"gateway","key":"g2","attribute":"status","stamp":5,"value":"${b64("off")}"}
+           |]}""".stripMargin))
+      assert(r3("statuses").asInstanceOf[Seq[Any]].size == 3)
+      // point get round-trips the value
+      val g1 = Json.parseObject(post(port, "/get",
+        """{"entity":"gateway","key":"g1","attribute":"status"}"""))
+      assert(g1("found") == true)
+      assert(new String(Base64.getDecoder.decode(g1("value").toString), "UTF-8") == "on")
+      // list attributes with prefix
+      val l1 = Json.parseObject(post(port, "/list",
+        """{"entity":"gateway","key":"g1","prefix":"device."}"""))
+      assert(l1("attributes").asInstanceOf[Seq[Any]].map(_.toString) ==
+        Seq("device.a", "device.b"))
+      // multifetch
+      val mf = Json.parseObject(post(port, "/multifetch",
+        """{"entity":"gateway","attribute":"status","keys":["g1","g2","g9"]}"""))
+      val vals = mf("values").asInstanceOf[Map[String, Any]]
+      assert(vals.keySet == Set("g1", "g2"))
+      assert(new String(Base64.getDecoder.decode(vals("g2").toString), "UTF-8") == "off")
+      // delete tombstone over the wire hides the value
+      val d = Json.parseObject(post(port, "/ingest",
+        """{"entity":"gateway","key":"g1","attribute":"status","stamp":9,"delete":true}"""))
+      assert(d("ok") == true)
+      val g2 = Json.parseObject(post(port, "/get",
+        """{"entity":"gateway","key":"g1","attribute":"status"}"""))
+      assert(g2("found") == false)
+      // malformed request -> error, server stays up
+      assert(Json.parseObject(post(port, "/ingest", "{not json")).contains("error"))
+      assert(Json.parseObject(post(port, "/get",
+        """{"entity":"gateway","key":"g2","attribute":"status"}"""))("found") == true)
+    } finally gw.stop()
+  }
+}
