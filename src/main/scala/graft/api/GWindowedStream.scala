@@ -163,9 +163,14 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
     new GStream(a.map(x => (x._1, x._2))(wke).distinct(), None)
   }
 
-  /** Total sort per window (WindowedStream.sorted, WindowedStream.java:382)
-    * — lowered to a distributed sort of (window, stamp) rather than the
-    * reference's single-key in-memory GBK (flagged FIXME there).
+  /** Total sort per window (WindowedStream.sorted, WindowedStream.java:382).
+    *
+    * BOUND: the output value is one `Seq` PER WINDOW, so each window's
+    * contents materialize in a single task — the reference's own FIXME on
+    * its single-key GBK, inherent to the operator's return shape. Safe for
+    * windows that fit in executor memory; for unbounded windows use
+    * [[sortedPrefix]] (memory O(n)) or the columnar distributed
+    * `orderBy`/`limit` path (`queries/RelationalQueries` top-k).
     */
   def sorted(ord: Ordering[T])(implicit
       ke: Encoder[Int], we: Encoder[(TimeWindow, Int, T)],
@@ -175,6 +180,29 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
     val out = a.groupByKey(x => (x._1, x._2))
       .mapGroups { (wk: (TimeWindow, Int), it: Iterator[(TimeWindow, Int, T)]) =>
         (wk._1, it.map(_._3).toSeq.sorted(ord))
+      }
+    new GStream(out, None)
+  }
+
+  /** First `n` elements per window in sort order — the bounded-memory
+    * variant of [[sorted]]: each task keeps a size-n bounded buffer while
+    * streaming through its group (O(n) memory regardless of window size,
+    * the shape the reference's FIXME asks for).
+    */
+  def sortedPrefix(n: Int, ord: Ordering[T])(implicit
+      ke: Encoder[Int], we: Encoder[(TimeWindow, Int, T)],
+      wke: Encoder[(TimeWindow, Int)],
+      oe: Encoder[(TimeWindow, Seq[T])]): GStream[(TimeWindow, Seq[T])] = {
+    val a = assigned[Int](_ => 0)
+    val out = a.groupByKey(x => (x._1, x._2))
+      .mapGroups { (wk: (TimeWindow, Int), it: Iterator[(TimeWindow, Int, T)]) =>
+        // bounded max-heap of the n smallest: evict the largest on overflow
+        val heap = new scala.collection.mutable.PriorityQueue[T]()(ord)
+        it.foreach { x =>
+          heap += x._3
+          if (heap.size > n) heap.dequeue()
+        }
+        (wk._1, heap.dequeueAll.reverse.toSeq)
       }
     new GStream(out, None)
   }

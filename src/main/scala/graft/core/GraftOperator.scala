@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.randomaccess.RandomAccessReader
 import graft.streaming.{AttributeLogFamily, CachedView, CommitLogFamily,
-  EmbeddedKafka, KafkaLogFamily}
+  EmbeddedKafka, EmbeddedWideRow, KafkaLogFamily, WideRowFamily}
 
 /** Config-driven data operator: resolves entities/attributes to storage
   * families by required access pattern and hands out readers/writers — the
@@ -57,6 +57,11 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
         require(slash > 0, s"kafka URI needs broker/topic, got $storageUri")
         new KafkaLogFamily(spark,
           EmbeddedKafka.topic(rest.substring(0, slash), rest.substring(slash + 1)))
+      case "cassandra" | "hbase" =>
+        val slash = rest.indexOf('/')
+        require(slash > 0, s"$scheme URI needs cluster/table, got $storageUri")
+        new WideRowFamily(spark,
+          EmbeddedWideRow.store(rest.substring(0, slash), rest.substring(slash + 1)))
       case _ => new CommitLogFamily(spark, resolvePath(storageUri))
     }
   }

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.StreamElement
+import graft.streaming.CommitLogFamily
+
+/** Physical-plan quality gates — the properties that make the 100 TB story
+  * real: predicates reach the parquet scan, projections prune the read
+  * schema, stamp ranges push down, and small dimensions broadcast. These
+  * assertions pin the plan shape so a refactor that silently drops a
+  * pushdown fails CI, not a production run.
+  */
+class PlanQualitySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def fam() = {
+    val f = new CommitLogFamily(spark,
+      Files.createTempDirectory("graft-plan-").toString + "/log")
+    f.append((1 to 100).map(i =>
+      StreamElement("e", s"u$i", "status", s"uu$i", 0, i.toLong,
+        Array[Byte](1), delete = false, deleteWildcard = false)))
+    f
+  }
+
+  test("point-lookup key predicate is pushed into the parquet scan") {
+    val plan = fam().batchUpdates().filter(col("key") === "u7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(key,u7)"), plan)
+  }
+
+  test("stamp-range read pushes both bounds into the scan") {
+    val plan = fam().batchUpdates(from = 10, until = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(stamp,10)"), plan)
+    assert(plan.contains("LessThan(stamp,20)"), plan)
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val plan = fam().batchUpdates().toDF().select(col("key"), col("stamp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<key:string,stamp:bigint>"), plan)
+    assert(!plan.contains("value"), "unselected binary column must not be read")
+  }
+
+  test("small dimension side of a join is broadcast") {
+    val facts = (1 to 10000).map(i => (i.toLong, i % 25)).toDF("id", "dim_id")
+    val dims = (0 until 25).map(i => (i, s"dim$i")).toDF("dim_id", "name")
+    val plan = facts.join(dims, "dim_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("snapshot compaction is one scan with partial aggregation") {
+    val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
+    // single-pass aggregator: map-side partial agg before the shuffle
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("ObjectHashAggregate"), plan)
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"snapshot must read the log exactly once, saw $scans scans\n$plan")
+  }
+}

@@ -143,4 +143,15 @@ class GStreamSpec extends SparkSpec {
     val r = s.windowAll().sorted(Ordering.by((x: (Long, Int)) => x._2)).collect()
     assert(r.head._2.map(_._2) == Seq(1, 2, 3))
   }
+
+  test("sortedPrefix keeps the n smallest with bounded memory") {
+    val data = (1 to 50).map(i => (i.toLong, (i * 37) % 50))
+    val s = stream(data: _*).assignEventTime(_._1)
+    val ord = Ordering.by((x: (Long, Int)) => x._2)
+    val r = s.windowAll().sortedPrefix(5, ord).collect()
+    assert(r.head._2.map(_._2) == data.map(_._2).sorted.take(5))
+    // agrees with full sorted's prefix
+    val full = s.windowAll().sorted(ord).collect().head._2.take(5)
+    assert(r.head._2 == full)
+  }
 }
