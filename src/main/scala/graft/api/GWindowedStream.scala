@@ -57,6 +57,15 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
         ds.flatMap(t => w.assign(et(t)).map(tw => (tw, keyFn(t), t)))
     }
 
+  /** Pair every element with its assigned window(s) — the reference's
+    * standalone `withWindow` operator (Stream.withWindow; GroovyEnvTest
+    * exercises it to inspect window assignment). Sliding windows emit one
+    * pair per covering window, sessions one pair per merged session.
+    */
+  def withWindow(implicit ke: Encoder[Int], we: Encoder[(TimeWindow, Int, T)],
+      oe: Encoder[(TimeWindow, T)]): GStream[(TimeWindow, T)] =
+    new GStream(assigned[Int](_ => 0).map(x => (x._1, x._3)), None)
+
   private def eventTimeFn: T => Long = stream.eventTime.getOrElse(
     throw new IllegalStateException(
       "Windowed aggregation requires event time; call assignEventTime"))

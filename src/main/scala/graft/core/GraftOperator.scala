@@ -36,7 +36,11 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     scheme match {
       case "file"  => rest
       case "inmem" => s"$tmpRoot/${rest.replaceAll("[^A-Za-z0-9._-]", "_")}"
-      case other   => throw new IllegalArgumentException(
+      // object stores / DFS resolve through the Hadoop filesystem layer —
+      // the URI passes straight to the parquet reader (reference io-blob /
+      // io-gcloud-storage / io-hdfs bindings)
+      case "s3" | "s3a" | "gs" | "hdfs" | "abfs" | "wasbs" => storageUri
+      case other => throw new IllegalArgumentException(
         s"Unsupported storage scheme: $other (seam for further bindings)")
     }
   }

@@ -144,6 +144,19 @@ class GStreamSpec extends SparkSpec {
     assert(r.head._2.map(_._2) == Seq(1, 2, 3))
   }
 
+  test("withWindow pairs elements with their assigned windows") {
+    val s = stream((1000L, 1), (2500L, 2), (5500L, 3)).assignEventTime(_._1)
+    // tumbling 2s: [0,2000) [2000,4000) [4000,6000)
+    val fixed = s.timeWindow(2000).withWindow.collect()
+    assert(fixed.map { case (w, t) => (w.start, t._2) }.sorted ==
+      Seq((0L, 1), (2000L, 2), (4000L, 3)))
+    // sliding 4s every 2s: each element belongs to exactly two windows
+    val sliding = s.timeSlidingWindow(4000, 2000).withWindow.collect()
+    assert(sliding.count(_._2._2 == 1) == 2)
+    assert(sliding.filter(_._2._2 == 2).map(_._1.start).sorted ==
+      Seq(0L, 2000L))
+  }
+
   test("sortedPrefix keeps the n smallest with bounded memory") {
     val data = (1 to 50).map(i => (i.toLong, (i * 37) % 50))
     val s = stream(data: _*).assignEventTime(_._1)

@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, PrintStream}
+
+import graft.SparkSpec
+import graft.core.{GraftOperator, Repository}
+
+/** Scripted-session exercise of the console shell (the reference's
+  * Console/GroovyEnv tests drive the REPL the same way).
+  */
+class GraftShellSpec extends SparkSpec {
+
+  private def runScript(script: String): String = {
+    val repo = Repository.parse(
+      """entities { user { attributes {
+        |  "status" { scheme: string }
+        |  "device.*" { scheme: string }
+        |} } }
+        |attributeFamilies {
+        |  user-primary {
+        |    entity: user
+        |    attributes: [ "*" ]
+        |    storage: "inmem://shell"
+        |    type: primary
+        |    access: [ commit-log, batch-updates, batch-snapshot, random-access ]
+        |  }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, repo)
+    val out = new ByteArrayOutputStream()
+    val shell = new GraftShell(op,
+      new ByteArrayInputStream(script.getBytes("UTF-8")),
+      new PrintStream(out, true, "UTF-8"))
+    shell.run()
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  test("put/get/list/delete/snapshot session") {
+    val out = runScript(
+      """# seed some data
+        |put user u1 status 1 online
+        |put user u1 device.a 2 phone
+        |put user u1 device.b 3 tablet
+        |put user u2 status 4 offline
+        |get user u1 status
+        |list user u1 device.
+        |entities user
+        |delete user u2 status 5
+        |get user u2 status
+        |deleteWildcard user u1 device. 6
+        |list user u1 device.
+        |snapshot user
+        |badcommand
+        |exit
+        |""".stripMargin)
+    assert(out.contains("u1 status @1 = online"))
+    assert(out.contains("u1 device.a @2 = phone"))
+    assert(out.contains("u1 device.b @3 = tablet"))
+    assert(out.split("\n").count(_ == "u1") == 1)
+    assert(out.contains("u2"))
+    assert(out.contains("(not found)"), "deleted cell must read as missing")
+    assert(out.contains("(none)"), "wildcard-deleted relation must list empty")
+    assert(out.contains("1 row(s)"), s"snapshot must show only the live cell:\n$out")
+    assert(out.contains("unknown command"))
+  }
+
+  test("errors do not kill the session") {
+    val out = runScript(
+      """get nosuch u1 status
+        |put user u1 status 1 ok
+        |get user u1 status
+        |""".stripMargin)
+    assert(out.contains("error:"))
+    assert(out.contains("u1 status @1 = ok"), "session must continue after an error")
+  }
+}
