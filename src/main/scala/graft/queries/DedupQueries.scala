@@ -36,6 +36,31 @@ object DedupQueries extends QuerySet {
     "q_simhash_near_dup" -> ((s, d) => {
       val sh = MinHashLsh.simhash64(Tables.documents(s, d), "text")
       MinHashLsh.simhashNearDups(sh, 8)
+    }),
+
+    // THE canonical at-scale dedup pipeline end-to-end: LSH candidate
+    // generation followed by exact-Jaccard verification computed on the
+    // CANDIDATE pairs only — at 100 TB the verification join touches
+    // |candidates| x shingles, never all-pairs
+    "q_dedup_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = MinHashLsh.signature(docs, "text", 3, K)
+      val cands = MinHashLsh.lshCandidates(sig, K, BAND_ROWS)
+      val sh = MinHashLsh.shingles(docs, "text", 3, dedupe = false)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cands
+        .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+        .filter(col("inter") * 10 >= (col("a_sz") + col("b_sz") - col("inter")) * 5)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          (col("a_sz") + col("b_sz") - col("inter")).as("uni"))
     })
   )
 
@@ -106,6 +131,36 @@ object DedupQueries extends QuerySet {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       bit_count(xor(a.simhash, b.simhash)) AS dist
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    "q_dedup_pipeline" -> {
+      val bands = (0 until K / BAND_ROWS).map { bnd =>
+        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sig AS ($sigSql),
+         |banded AS (
+         |$bands
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |),
+         |sh2 AS ($shinglesSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh2 a ON a.doc_id = c.a_id
+         |  JOIN sh2 b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a_id, i.b_id, i.inter, (sa.sz + sb.sz - i.inter) AS uni
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.a_id
+         |JOIN sz sb ON sb.doc_id = i.b_id
+         |WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5""".stripMargin
+    }
   )
 }
