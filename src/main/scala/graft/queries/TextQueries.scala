@@ -81,6 +81,30 @@ object TextQueries extends QuerySet {
         .agg(min(col("h")).as("fp"))
     }),
 
+    // text normalization: whitespace collapse + trim + lowercase — the
+    // canonical pre-dedup canonicalization pass; output the normalized
+    // form's hash so near-identical whitespace variants collapse
+    "q_text_normalize" -> ((s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(norm).cast("long").as("norm_len"),
+        md5(norm).as("norm_fp"))
+    }),
+
+    // vocabulary building: top tokens by DOCUMENT frequency (distinct per
+    // doc before counting — the scan + two partial-aggregable shuffles
+    // shape that holds at corpus scale)
+    "q_token_vocab" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(100)
+    }),
+
     // language-ID: deterministic marker-count heuristic (the reference has
     // no NLP surface; this is the LLM-pipeline extension — n-gram/stopword
     // scoring per language, highest marker count wins, ties by fixed order)
@@ -147,6 +171,22 @@ object TextQueries extends QuerySet {
          |      AND ${occ(pad, " der ")} >= ${occ(pad, " los ")} THEN 'de'
          |     WHEN ${occ(pad, " le ")} >= ${occ(pad, " los ")} THEN 'fr'
          |     ELSE 'es' END AS predicted
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT)
+        |  AS norm_len,
+        |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_fp
+        |FROM documents""".stripMargin,
+
+    "q_token_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY doc_freq DESC, token
+        |LIMIT 100""".stripMargin
   )
 }
