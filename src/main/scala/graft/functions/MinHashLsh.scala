@@ -53,14 +53,21 @@ object MinHashLsh {
     * shingle string is semantics-preserving while shrinking the shuffle
     * ~10x (the only risk, a 60-bit collision, cannot change any min).
     */
-  def signature(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
-    val sh = shingles(docs, textCol, n, dedupe = false)
-      .select(col("doc_id"), hash60(col("shingle")).as("h"))
-      .distinct()
-    sh.groupBy(col("doc_id"))
+  def signature(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    signatureFromHashed(
+      shingles(docs, textCol, n, dedupe = false)
+        .select(col("doc_id"), hash60(col("shingle")).as("h"))
+        .distinct(), k)
+
+  /** Signature from a pre-hashed distinct (doc_id, h) shingle table —
+    * callers that also need the shingle sets downstream (e.g. candidate
+    * verification) compute and persist the hashed shingles ONCE and feed
+    * both consumers.
+    */
+  def signatureFromHashed(hashedShingles: DataFrame, k: Int): DataFrame =
+    hashedShingles.groupBy(col("doc_id"))
       .agg(min(affine(col("h"), 0)).as("mh_0"),
         (1 until k).map(j => min(affine(col("h"), j)).as(s"mh_$j")): _*)
-  }
 
   /** LSH candidate pairs: documents sharing at least one band of the
     * signature (bands of `rows` consecutive minhashes). Output a_id < b_id.

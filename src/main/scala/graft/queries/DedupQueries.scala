@@ -41,18 +41,22 @@ object DedupQueries extends QuerySet {
     // THE canonical at-scale dedup pipeline end-to-end: LSH candidate
     // generation followed by exact-Jaccard verification computed on the
     // CANDIDATE pairs only — at 100 TB the verification join touches
-    // |candidates| x shingles, never all-pairs
+    // |candidates| x shingles, never all-pairs. ONE hashed-shingle pass
+    // (persisted) feeds both the signatures and the verification: the
+    // 60-bit md5 hash is the shingle identity throughout, so the corpus
+    // is exploded and deduplicated exactly once.
     "q_dedup_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sig = MinHashLsh.signature(docs, "text", 3, K)
-      val cands = MinHashLsh.lshCandidates(sig, K, BAND_ROWS)
-      val sh = MinHashLsh.shingles(docs, "text", 3, dedupe = false)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      val sh60 = MinHashLsh.shingles(docs, "text", 3, dedupe = false)
+        .select(col("doc_id"), MinHashLsh.hash60(col("shingle")).as("h"))
         .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .persist()
+      val sig = MinHashLsh.signatureFromHashed(sh60, K)
+      val cands = MinHashLsh.lshCandidates(sig, K, BAND_ROWS)
+      val sizes = sh60.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cands
-        .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .join(sh60.select(col("doc_id").as("a_id"), col("h")), "a_id")
+        .join(sh60.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
         .groupBy(col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("inter"))
       inter
