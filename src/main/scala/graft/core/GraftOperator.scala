@@ -147,4 +147,53 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     require(fams.nonEmpty, s"No primary family for ${element.entity}.${element.attribute}")
     fams.foreach(f => family(f.name).append(Seq(element)))
   }
+
+  /** Distributed batch write routed by entity/attribute: each primary
+    * family appends the slice of the batch it covers — no per-element
+    * driver hops (the batch analog of [[write]], used by transformation
+    * sinks).
+    */
+  def writeBatch(batch: Dataset[StreamElement]): Unit = {
+    import org.apache.spark.sql.functions.col
+    implicit val se = StreamElement.encoder
+    implicit val stringEnc = org.apache.spark.sql.Encoders.STRING
+    val entities = batch.select(col("entity")).distinct().as[String].collect()
+    entities.foreach { ename =>
+      val e = repo.entity(ename)
+      val fams = repo.families.values
+        .filter(f => f.entity == ename && f.familyType == "primary").toSeq
+        .sortBy(_.name)
+      require(fams.nonEmpty, s"No primary family for entity $ename")
+      fams.foreach { f =>
+        val covered = batch.filter(el =>
+          el.entity == ename && f.coversAttribute(e, el.attribute))
+        family(f.name).append(covered)
+      }
+    }
+  }
+
+  /** Start every config-declared transformation as a continuous query —
+    * the reference's replication controller (ConfigRepository
+    * readTransformations:2003 + ReplicationController): the `using` class
+    * is instantiated reflectively, fed the source attributes' commit log,
+    * and its output elements route to their primary families through
+    * [[writeBatch]].
+    */
+  def startTransformations(checkpointRoot: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    implicit val se = StreamElement.encoder
+    repo.transformations.values.toSeq.sortBy(_.name).map { t =>
+      val transform = Class.forName(t.transformClass)
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[graft.streaming.Transformations.ElementWise]
+      getStream(t.entity, t.attributes: _*)
+        .flatMap(transform(_))
+        .writeStream
+        .option("checkpointLocation", s"$checkpointRoot/${t.name}")
+        .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
+          writeBatch(batch)
+        }
+        .start()
+    }
+  }
 }
