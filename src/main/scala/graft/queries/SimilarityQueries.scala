@@ -50,7 +50,23 @@ object SimilarityQueries extends QuerySet {
     // inverted-index bucket join in graft.functions.Jaccard
     "q_jaccard_pairs" -> ((s, d) =>
       graft.functions.Jaccard.pairs(Tables.documents(s, d), "text", 3,
-        thresholdNum = 5, thresholdDen = 10))
+        thresholdNum = 5, thresholdDen = 10)),
+
+    // multi-signal dedup: one pair table carrying BOTH evidence channels —
+    // text (exact n-gram Jaccard >= 0.5) and embedding (cosine >= 0.5) —
+    // the cross-modal review table a training-data pipeline dedups from
+    // (doc ids and vector ids are aligned in the corpus)
+    "q_multisignal_dedup" -> ((s, d) => {
+      val text = graft.functions.Jaccard
+        .pairs(Tables.documents(s, d), "text", 3, 5, 10)
+        .select(col("a_id"), col("b_id"), lit(true).as("text_dup"))
+      val vec = Similarity.nearDupPairs(Tables.embeddings(s, d), 0.5)
+        .select(col("a_id"), col("b_id"), lit(true).as("vec_dup"))
+      text.join(vec, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("text_dup"), lit(false)).as("text_dup"),
+          coalesce(col("vec_dup"), lit(false)).as("vec_dup"))
+    })
   )
 
   // DuckDB lacks a deterministic double-sequential list_sum, so oracles
@@ -128,6 +144,37 @@ object SimilarityQueries extends QuerySet {
         |FROM inter i
         |JOIN sz sa ON i.a_id = sa.doc_id
         |JOIN sz sb ON i.b_id = sb.doc_id
-        |WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5""".stripMargin
+        |WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5""".stripMargin,
+
+    "q_multisignal_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS shingle
+         |  FROM (
+         |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |           unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1)) AS i
+         |    FROM documents) t
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), textp AS (
+         |  SELECT i.a_id, i.b_id FROM inter i
+         |  JOIN sz sa ON i.a_id = sa.doc_id
+         |  JOIN sz sb ON i.b_id = sb.doc_id
+         |  WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5
+         |), vecp AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE a.vec_id < b.vec_id AND $cosExpr >= 0.5
+         |)
+         |SELECT coalesce(t.a_id, v.a_id) AS a_id,
+         |       coalesce(t.b_id, v.b_id) AS b_id,
+         |       (t.a_id IS NOT NULL) AS text_dup,
+         |       (v.a_id IS NOT NULL) AS vec_dup
+         |FROM textp t FULL OUTER JOIN vecp v
+         |  ON t.a_id = v.a_id AND t.b_id = v.b_id""".stripMargin
   )
 }
