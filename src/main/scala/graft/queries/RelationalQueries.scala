@@ -34,6 +34,24 @@ object RelationalQueries extends QuerySet {
         .select(col("event_id"), col("asof_click_cents"), col("asof_click_id"))
     }),
 
+    // RANGE join (custom operator Spark lacks): clicks landing inside the
+    // hour after a purchase by the same user — grain-bucketed equi-join,
+    // never the nested-loop plan an inequality join would pick
+    "q_range_join" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_start"),
+          (col("ts_us") + hourUs).as("p_end"),
+          col("event_id").as("purchase_id"))
+      graft.operators.RangeJoin.join(clicks, purchases, "user_id", "ts_us",
+          "p_start", "p_end", grain = hourUs)
+        .select(col("click_id"), col("purchase_id"))
+    }),
+
     // map (Stream.map, Stream.java:68): 1:1 remap with computed projection
     "q_map_project" -> ((s, d) => {
       Tables.lineitem(s, d).select(
@@ -190,6 +208,21 @@ object RelationalQueries extends QuerySet {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |) WHERE side = 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        |), c AS (
+        |  SELECT user_id, ts_us, event_id AS click_id FROM ev
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts_us AS p_start, ts_us + 3600000000 AS p_end,
+        |         event_id AS purchase_id
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.ts_us >= p.p_start AND c.ts_us < p.p_end""".stripMargin,
 
     "q_map_project" ->
       """SELECT l_orderkey, l_linenumber,
