@@ -33,8 +33,27 @@ object AsOfJoin {
     * @param valueCols right-side columns to carry; appear as `asof_<name>`
     * @param tiebreak  right-side ordering column within one instant
     */
+  /** The lowering reserves `_side`, `_tie`, `_v_<col>` and emits
+    * `asof_<col>` — caller columns under those names would be silently
+    * replaced by `withColumn`, so they are rejected up front.
+    */
+  private def requireNoReserved(cols: Seq[String], side: String): Unit = {
+    val clash = cols.filter(c =>
+      c == "_side" || c == "_tie" || c.startsWith("_v_") || c.startsWith("asof_"))
+    require(clash.isEmpty,
+      s"$side columns ${clash.mkString(", ")} collide with AsOfJoin's " +
+        "reserved names (_side, _tie, _v_*, asof_*)")
+  }
+
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCols: Seq[String], tiebreak: String): DataFrame = {
+    requireNoReserved(left.columns.toSeq, "left")
+    requireNoReserved(right.columns.toSeq, "right")
+    require(right.schema(tiebreak).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tiebreak column '$tiebreak' must be numeric, found " +
+        s"${right.schema(tiebreak).dataType.simpleString} (a silent cast " +
+        "would null it out and make same-instant resolution nondeterministic)")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_side", lit(1))

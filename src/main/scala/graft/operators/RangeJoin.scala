@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval-containment (range) join: left rows matched to right
@@ -18,18 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact 64-bit floor division — `floor(c / g)` in double arithmetic
+    * silently mis-buckets |c| > 2^53 (raw nanos exceed that), so bucketing
+    * stays in integer space: subtract the positive modulus (making the
+    * numerator an exact multiple of `g`), then integer-divide.
+    */
+  private[operators] def floorDivCol(c: Column, g: Long): Column = {
+    val cl = c.cast("long")
+    val exact = cl - pmod(cl, lit(g))
+    // The numerator is an exact multiple of g, so the decimal quotient is
+    // integral and the long cast is lossless (double division is not: it
+    // rounds the 64-bit numerator to 53-bit mantissa first).
+    (exact.cast("decimal(38,0)") / lit(g)).cast("long")
+  }
+
   /** @param left  rows with `key` and instant column `ts`
     * @param right rows with `key` and interval columns `start` (incl.)
-    *              and `end` (excl.); all time columns in one unit
+    *              and `end` (excl.); all time columns in one unit.
+    *              Degenerate intervals (`end <= start`) match nothing and
+    *              are filtered BEFORE the explode — without the guard one
+    *              corrupt row with `end << start` would otherwise expand
+    *              into a descending-sequence bucket blowup.
     * @param grain bucket width in the same unit
     */
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
       start: String, end: String, grain: Long): DataFrame = {
     require(grain > 0, "grain must be positive")
-    val lb = left.withColumn("_g", floor(col(ts) / grain).cast("long"))
-    val rb = right.withColumn("_g", explode(sequence(
-      floor(col(start) / grain).cast("long"),
-      floor((col(end) - 1) / grain).cast("long"))))
+    val lb = left.withColumn("_g", floorDivCol(col(ts), grain))
+    val rb = right
+      .filter(col(end) > col(start))
+      .withColumn("_g", explode(sequence(
+        floorDivCol(col(start), grain),
+        floorDivCol(col(end) - 1, grain))))
     lb.join(rb, Seq(key, "_g"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("_g")

@@ -116,10 +116,18 @@ final class WideRowFamily(val spark: SparkSession,
     spark.createDataset(
       store.all.filter(e => e.stamp >= from && e.stamp < until))
 
-  /** Already compacted at the storage layer. */
+  /** Already compacted at the storage layer. Historical `asOf` snapshots
+    * are REJECTED rather than silently wrong: the store keeps only current
+    * cells, so replaying LatestWithTombstones over them would make any cell
+    * overwritten after `asOf` disappear instead of reporting its pre-asOf
+    * version (which no longer exists here). Route time-travel snapshots to
+    * a commit-log family.
+    */
   override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
     if (asOf == Long.MaxValue) batchUpdates()
-    else super.batchSnapshot(asOf)
+    else throw new UnsupportedOperationException(
+      "wide-row storage holds no update history; a snapshot asOf " +
+        s"$asOf cannot be reconstructed (use a commit-log family)")
 
   def streamFromOldest(): Dataset[StreamElement] =
     throw new UnsupportedOperationException(

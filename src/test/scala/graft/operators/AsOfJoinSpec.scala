@@ -27,6 +27,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e4") == None, "no right rows for key b")
   }
 
+  test("reserved column names and non-numeric tiebreaks are rejected") {
+    val clashing = left.withColumnRenamed("eid", "asof_v")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.join(clashing, right, "k", "ts", Seq("v"), "rid")
+    }
+    assert(e1.getMessage.contains("asof_v"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.join(left, right, "k", "ts", Seq("rid"), tiebreak = "v")
+    }
+    assert(e2.getMessage.contains("must be numeric"))
+  }
+
   test("plan is one shuffle, never a cartesian or nested-loop range join") {
     val plan = AsOfJoin.join(left, right, "k", "ts", Seq("v"), "rid")
       .queryExecution.executedPlan.toString

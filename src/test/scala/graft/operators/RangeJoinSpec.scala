@@ -37,6 +37,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs(1000) == naive)
   }
 
+  test("bucketing is exact past 2^53 (double floor would mis-bucket)") {
+    // raw-nano scale instants: 2^53 + small offsets; double arithmetic
+    // rounds these to the same value and drops/invents matches
+    val base = (1L << 53)
+    val l = Seq(("a", base + 1L, "l1"), ("a", base + 3L, "l2"))
+      .toDF("k", "ts", "lid")
+    val r = Seq(("a", base + 2L, base + 4L, "r1")).toDF("k", "start", "end", "rid")
+    val got = RangeJoin.join(l, r, "k", "ts", "start", "end", 2L)
+      .select($"lid", $"rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == Set(("l2", "r1")))
+  }
+
+  test("corrupt end <= start intervals match nothing instead of exploding") {
+    val r = Seq(("a", 100L, -1000000000L, "bad"), ("a", 10L, 20L, "ok"))
+      .toDF("k", "start", "end", "rid")
+    val got = RangeJoin.join(left, r, "k", "ts", "start", "end", 10)
+      .select($"lid", $"rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == Set(("l2", "ok"), ("l3", "ok")))
+  }
+
   test("plan is an equi-join, not a nested loop") {
     val plan = RangeJoin.join(left, right, "k", "ts", "start", "end", 10)
       .queryExecution.executedPlan.toString
