@@ -1,0 +1,96 @@
+package graft.core
+
+import java.io.{FileNotFoundException, IOException}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.streaming.AttributeLogFamily
+
+/** Storage-level serialization of transaction commits — the analog of the
+  * reference's single transaction-manager observer that all coordinators'
+  * commits flow through (reference: direct/transaction-manager/.../
+  * TransactionLogObserver.java:81; clients never validate locally, they
+  * send requests through one serialized log consumer).
+  *
+  * Two layers, both keyed by STORAGE identity (never by coordinator
+  * instance):
+  *
+  *  - an in-JVM monitor per [[AttributeLogFamily.commitLockToken]] —
+  *    coordinators in one JVM over the same storage serialize here, no
+  *    filesystem round-trips;
+  *  - a cross-process marker-file lease for families exposing a
+  *    [[AttributeLogFamily.commitLockPath]] (path-backed storages a second
+  *    JVM can reach): atomic `create(overwrite = false)` claims the lock —
+  *    atomic on local filesystems and HDFS; a holder crash is healed by
+  *    lease expiry (a waiter breaks locks older than `leaseMs`).
+  *
+  * The lease carries the standard lease caveat: a holder stalled past
+  * `leaseMs` (GC pause mid-commit) can lose exclusivity. The default lease
+  * is far above a commit's validate+append duration; storages with a real
+  * conditional-put (object stores) would arbitrate there instead.
+  */
+object CommitArbiter {
+
+  private val monitors = TrieMap.empty[String, Object]
+
+  /** Run `f` as the storage's exclusive committer. */
+  def withCommitLock[T](family: AttributeLogFamily)(f: => T): T = {
+    val mon = monitors.getOrElseUpdate(family.commitLockToken, new Object)
+    mon.synchronized {
+      family.commitLockPath match {
+        case Some(p) =>
+          withMarkerLock(family.spark.sparkContext.hadoopConfiguration, p)(f)
+        case None => f
+      }
+    }
+  }
+
+  /** Cross-process mutex via atomic marker-file creation with lease expiry.
+    * The marker holds a random claim token so release only ever deletes the
+    * caller's own claim (a waiter that broke our expired lease and claimed
+    * is not clobbered).
+    */
+  private[graft] def withMarkerLock[T](conf: Configuration, lockPath: String,
+      leaseMs: Long = 60000L, pollMs: Long = 25L,
+      timeoutMs: Long = 300000L)(f: => T): T = {
+    val p = new Path(lockPath)
+    val fs = FileSystem.get(p.toUri, conf)
+    val claim = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"commit lock $lockPath not acquired within ${timeoutMs}ms")
+      try {
+        val out = fs.create(p, false)
+        out.writeBytes(claim)
+        out.close()
+        acquired = true
+      } catch {
+        case _: IOException =>
+          try {
+            val st = fs.getFileStatus(p)
+            if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
+              fs.delete(p, false) // stale holder: break the lease, re-claim
+            else Thread.sleep(pollMs)
+          } catch { case _: FileNotFoundException => () }
+      }
+    }
+    try f
+    finally {
+      try {
+        val in = fs.open(p)
+        val held = try {
+          val buf = new Array[Byte](claim.length)
+          val n = in.read(buf)
+          n == claim.length && new String(buf, "UTF-8") == claim
+        } finally in.close()
+        if (held) fs.delete(p, false)
+      } catch { case _: FileNotFoundException => () }
+    }
+  }
+}

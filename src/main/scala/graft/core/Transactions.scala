@@ -40,10 +40,14 @@ object TransactionMode {
   *  - on success one fresh sequential id stamps every buffered write and
   *    the batch lands as one atomic parquet commit.
   *
-  * Commits of a single coordinator are serialized (the reference
-  * serializes through a single transaction-manager observer per scope);
-  * cross-coordinator races are closed by deriving the next seq from
-  * storage inside the commit critical section.
+  * The validate→append critical section spans COORDINATORS, not just one
+  * instance: commits run under [[CommitArbiter]]'s storage-keyed lock —
+  * an in-JVM monitor per storage identity plus, for path-backed families,
+  * a cross-process marker-file lease (the reference equivalently routes
+  * every coordinator's commit through one serialized transaction-log
+  * observer). Two coordinator instances — or two JVMs on a shared
+  * filesystem — therefore cannot interleave the conflict scan with each
+  * other's append.
   */
 final class TransactionCoordinator(family: AttributeLogFamily,
     mode: TransactionMode = TransactionMode.Attribute) {
@@ -74,9 +78,10 @@ final class TransactionCoordinator(family: AttributeLogFamily,
 
     /** Validate + atomically append (TransactionLogObserver commit path).
       * Scope = reads ∪ writes, so write-write races (lost updates) abort
-      * even without a prior read.
+      * even without a prior read. The whole scan+append runs as the
+      * storage's exclusive committer (see [[CommitArbiter]]).
       */
-    def commit(): Long = TransactionCoordinator.this.synchronized {
+    def commit(): Long = CommitArbiter.withCommitLock(family) {
       val scope = touched.toSet ++ writes.map(e => (e.key, e.attribute))
       val since = family.batchUpdates().toDF()
         .filter(col("seqId") > beginSeq)

@@ -35,4 +35,18 @@ trait AttributeLogFamily {
 
   /** Streaming subscription replaying from the oldest retained element. */
   def streamFromOldest(): Dataset[StreamElement]
+
+  /** Storage-identity token for transaction-commit serialization: all
+    * coordinators over the same underlying STORAGE (not the same family
+    * instance) must produce the same token, so their commits share one
+    * in-JVM monitor in [[graft.core.CommitArbiter]]. The default is
+    * per-instance — bindings override with their storage's identity.
+    */
+  def commitLockToken: String = s"family:${System.identityHashCode(this)}"
+
+  /** Location for the cross-process commit lock (atomic-create marker
+    * file) on storages a second JVM can reach; None for in-process
+    * embedded stores, whose commits can only ever race within one JVM.
+    */
+  def commitLockPath: Option[String] = None
 }

@@ -31,6 +31,14 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
   def append(elems: Dataset[StreamElement]): Unit =
     elems.write.mode("append").parquet(path)
 
+  /** Commits serialize per parquet directory, across family instances. */
+  override def commitLockToken: String = s"parquet:$path"
+
+  /** Cross-process arbitration through a marker file inside the log
+    * directory (underscore-prefixed, so Spark's file index ignores it).
+    */
+  override def commitLockPath: Option[String] = Some(s"$path/_commit.lock")
+
   private def nonEmpty: Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

@@ -155,4 +155,10 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
 
   def consumer(group: String): EmbeddedKafka.Consumer =
     new EmbeddedKafka.Consumer(topic, group)
+
+  /** Commits serialize per embedded topic (in-process store — no second
+    * JVM can reach it, so no cross-process lock path).
+    */
+  override def commitLockToken: String =
+    s"kafka:${System.identityHashCode(topic)}"
 }

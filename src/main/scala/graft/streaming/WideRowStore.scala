@@ -134,6 +134,10 @@ final class WideRowFamily(val spark: SparkSession,
       "random-access storage serves no commit log (route commit-log access " +
         "to a kafka:// or file family)")
 
+  /** Commits serialize per embedded store (in-process — single JVM). */
+  override def commitLockToken: String =
+    s"widerow:${System.identityHashCode(store)}"
+
   /** Direct point read — the storage-native get, no Spark job. */
   def directGet(key: String, attribute: String): Option[StreamElement] =
     store.get(key, attribute)

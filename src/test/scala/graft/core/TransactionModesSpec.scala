@@ -91,6 +91,80 @@ class TransactionModesSpec extends SparkSpec {
     assert(vals.map(e => new String(e.value, "UTF-8")).contains("c1-wins"))
   }
 
+  test("TWO coordinator instances racing on one cell: one winner per round") {
+    // the round-2 gap: a per-instance lock cannot serialize two
+    // coordinators — both scan before either appends and both commit.
+    // The storage-keyed arbiter must yield exactly one winner per round.
+    val dir = Files.createTempDirectory("graft-tx-").toString + "/log"
+    val c1 = new TransactionCoordinator(
+      new CommitLogFamily(spark, dir), TransactionMode.Attribute)
+    val c2 = new TransactionCoordinator(
+      new CommitLogFamily(spark, dir), TransactionMode.Attribute)
+    val pool = Executors.newFixedThreadPool(2)
+    var winners = 0
+    for (round <- 1 to 3) {
+      val t1 = c1.begin(); val t2 = c2.begin() // both snapshot BEFORE racing
+      t1.update(up("hot", "cell", round * 10L, s"c1-r$round"))
+      t2.update(up("hot", "cell", round * 10L + 1, s"c2-r$round"))
+      val start = new CountDownLatch(1)
+      val results = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Boolean]())
+      Seq(t1, t2).foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try { t.commit(); results.add(true) }
+            catch { case _: Exception => results.add(false) }
+          }
+        })
+      }
+      start.countDown()
+      val deadline = System.currentTimeMillis() + 120000
+      while (results.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.count(identity) == 1,
+        s"round $round: exactly one of two racing coordinators must win, got $results")
+      winners += 1
+    }
+    pool.shutdown()
+    val fam = new CommitLogFamily(spark, dir)
+    val all = fam.batchUpdates().collect()
+    assert(all.length == winners, s"one row per won round, got ${all.length}")
+    assert(all.map(_.seqId).distinct.length == winners, "seqIds must be unique")
+  }
+
+  test("marker lock: mutual exclusion, own-claim release, stale-lease break") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lock = Files.createTempDirectory("graft-lock-").toString + "/_commit.lock"
+    val order = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val pool = Executors.newFixedThreadPool(2)
+    val inLock = new java.util.concurrent.atomic.AtomicInteger(0)
+    (1 to 2).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          CommitArbiter.withMarkerLock(conf, lock) {
+            assert(inLock.incrementAndGet() == 1, "two holders inside the lock")
+            order.add(s"enter-$i"); Thread.sleep(100)
+            inLock.decrementAndGet(); order.add(s"exit-$i")
+          }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(order.size == 4)
+    // a crashed holder's stale lock is broken after the lease expires
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val p = new org.apache.hadoop.fs.Path(lock)
+    fs.create(p, false).close()
+    fs.setTimes(p, System.currentTimeMillis() - 120000, -1) // long-dead holder
+    var ran = false
+    CommitArbiter.withMarkerLock(conf, lock, leaseMs = 1000) { ran = true }
+    assert(ran, "stale lock must be reclaimed")
+    assert(!fs.exists(p), "lock released after use")
+  }
+
   test("parallel commit storm on one cell: exactly one winner per round") {
     val f = fam()
     val coord = new TransactionCoordinator(f, TransactionMode.Attribute)
