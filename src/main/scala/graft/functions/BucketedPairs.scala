@@ -9,39 +9,54 @@ import org.apache.spark.sql.functions._
   * in-task pair emission is O(N²). At 100 TB that is a single straggler
   * task holding the whole cluster.
   *
-  * `prune` drops buckets above a size cap BEFORE any per-bucket list is
-  * materialized: a count pre-aggregation (map-side combinable, shuffle of
-  * one row per bucket) followed by a semi join. Dropping is semantically
-  * honest for near-dup candidate generation — a bucket of thousands of
-  * members is a boilerplate cluster, not a near-duplicate *pair* candidate
-  * set — and every drop is logged with its size so callers can route
-  * oversized clusters to a dedicated exact-dedup pass instead.
+  * [[split]] divides the input into rows of buckets at-or-under the cap
+  * (`kept`) and one row per oversized bucket (`dropped`, with its member
+  * count) — BOTH lazily composed DataFrames; no Spark job runs until an
+  * action, so the guard is usable inside streaming plans and interactive
+  * composition. Dropping is semantically honest for near-dup CANDIDATE
+  * generation — a bucket of thousands of members is a boilerplate cluster,
+  * not a near-duplicate pair candidate set — and the `dropped` side output
+  * lets a pipeline route those clusters to a dedicated exact-dedup pass
+  * instead of losing them to a log line.
   *
-  * Uncapped (`maxBucket == Int.MaxValue`) the function is a no-op, keeping
-  * the default single-shuffle plan.
+  * Uncapped (`maxBucket == Int.MaxValue`) the plan is untouched and
+  * `dropped` is statically empty.
   */
 object BucketedPairs {
 
-  @transient private lazy val log =
-    org.slf4j.LoggerFactory.getLogger(getClass)
+  /** Default per-bucket cap for pipeline entry points: generous enough
+    * that genuine near-dup clusters pass untouched, small enough that one
+    * boilerplate bucket (cap² / 2 ≈ 2M in-task pairs) stays a bounded task
+    * instead of an unkillable straggler.
+    */
+  val DefaultMaxBucket: Int = 2048
 
-  /** Remove all rows belonging to buckets (grouped by `keyCols`) with more
-    * than `maxBucket` members. Logs the number and max size of dropped
-    * buckets (an extra small job over the aggregated counts — only in
-    * capped mode).
+  /** `kept`: input rows in buckets with <= maxBucket members.
+    * `dropped`: one row per oversized bucket — its key columns plus
+    * `members` — for quarantine routing.
+    */
+  final case class Split(kept: DataFrame, dropped: DataFrame)
+
+  /** Lazily split `df` (bucketed by `keyCols`) at the cap. One count
+    * pre-aggregation (map-side combinable, one row per bucket) feeds both
+    * sides: a semi join keeps small-bucket rows, the over-cap counts ARE
+    * the dropped side output.
+    */
+  def split(df: DataFrame, keyCols: Seq[String], maxBucket: Int): Split = {
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("members"))
+    if (maxBucket == Int.MaxValue)
+      Split(df, counts.filter(lit(false)))
+    else
+      Split(
+        df.join(counts.filter(col("members") <= maxBucket).select(keys: _*),
+          keyCols, "left_semi"),
+        counts.filter(col("members") > maxBucket))
+  }
+
+  /** Keep only rows of buckets at-or-under the cap (discard the drop side
+    * output). A no-op when uncapped.
     */
   def prune(df: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
-    if (maxBucket == Int.MaxValue) df
-    else {
-      val keys = keyCols.map(col)
-      val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
-      val over = counts.filter(col("_n") > maxBucket)
-        .agg(count(lit(1)).as("buckets"), max(col("_n")).as("largest"))
-        .head()
-      if (over.getLong(0) > 0)
-        log.warn(s"BucketedPairs: dropping ${over.getLong(0)} bucket(s) " +
-          s"over cap $maxBucket (largest: ${over.getLong(1)} members)")
-      df.join(counts.filter(col("_n") <= maxBucket).select(keys: _*),
-        keyCols, "left_semi")
-    }
+    if (maxBucket == Int.MaxValue) df else split(df, keyCols, maxBucket).kept
 }

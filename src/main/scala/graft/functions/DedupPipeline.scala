@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The canonical at-scale near-duplicate pipeline: LSH candidate
+  * generation followed by exact-Jaccard verification computed on the
+  * CANDIDATE pairs only — at 100 TB the verification join touches
+  * |candidates| × shingles, never all-pairs. ONE hashed-shingle pass
+  * (persisted) feeds both the signatures and the verification, so the
+  * corpus is exploded and deduplicated exactly once.
+  *
+  * This is the capped PIPELINE entry point: `maxBucket` defaults to
+  * [[BucketedPairs.DefaultMaxBucket]], so a boilerplate cluster (N
+  * identical documents → one band bucket → N² in-task pairs) cannot
+  * straggle the stage; the dropped buckets come back as a side output for
+  * quarantine routing (each names a band value whose members should go to
+  * an exact-dedup pass). Verification callers wanting exhaustive pairs
+  * pass `maxBucket = Int.MaxValue`.
+  */
+object DedupPipeline {
+
+  /** `pairs`: verified near-dup pairs (a_id, b_id, inter, uni).
+    * `droppedBuckets`: over-cap LSH buckets (band, bval, members).
+    */
+  final case class Result(pairs: DataFrame, droppedBuckets: DataFrame)
+
+  /** @param thresholdNum/thresholdDen Jaccard threshold as a rational,
+    *   compared in integer arithmetic (no cross-engine float drift)
+    */
+  def nearDuplicates(docs: DataFrame, textCol: String = "text", n: Int = 3,
+      k: Int = 8, bandRows: Int = 2,
+      thresholdNum: Int = 5, thresholdDen: Int = 10,
+      maxBucket: Int = BucketedPairs.DefaultMaxBucket): Result = {
+    val sh60 = MinHashLsh.shingles(docs, textCol, n, dedupe = false)
+      .select(col("doc_id"), MinHashLsh.hash60(col("shingle")).as("h"))
+      .distinct()
+      .persist()
+    val sig = MinHashLsh.signatureFromHashed(sh60, k)
+    val cw = MinHashLsh.lshCandidatesWithDrops(sig, k, bandRows, maxBucket)
+    val sizes = sh60.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cw.pairs
+      .join(sh60.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(sh60.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .filter(col("inter") * thresholdDen >=
+        (col("a_sz") + col("b_sz") - col("inter")) * thresholdNum)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("a_sz") + col("b_sz") - col("inter")).as("uni"))
+    Result(pairs, cw.droppedBuckets)
+  }
+}

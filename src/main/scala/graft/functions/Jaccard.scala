@@ -21,7 +21,15 @@ object Jaccard {
 
   def pairs(docs: DataFrame, textCol: String, n: Int,
       thresholdNum: Int, thresholdDen: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsWithDrops(docs, textCol, n, thresholdNum, thresholdDen, maxBucket).pairs
+
+  /** Near-dup pairs plus the dropped-bucket side output (sh, members) —
+    * capped by default for pipeline use.
+    */
+  def pairsWithDrops(docs: DataFrame, textCol: String, n: Int,
+      thresholdNum: Int, thresholdDen: Int,
+      maxBucket: Int = BucketedPairs.DefaultMaxBucket): MinHashLsh.CandidatePairs = {
     import docs.sparkSession.implicits._
     // shingle strings are hashed to 8-byte keys before the distinct
     // (collision p ~ 1e-8 at this cardinality is the only divergence risk)
@@ -29,7 +37,8 @@ object Jaccard {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = BucketedPairs.prune(sh, Seq("sh"), maxBucket)
+    val sp = BucketedPairs.split(sh, Seq("sh"), maxBucket)
+    val inter = sp.kept
       .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
@@ -42,12 +51,13 @@ object Jaccard {
       .toDF("doc_id", "b_id")
       .groupBy(col("doc_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes, "doc_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .filter(col("inter") * thresholdDen >=
         (col("sz") + col("b_sz") - col("inter")) * thresholdNum)
       .select(col("doc_id").as("a_id"), col("b_id"), col("inter"),
         (col("sz") + col("b_sz") - col("inter")).as("uni"))
+    MinHashLsh.CandidatePairs(out, sp.dropped)
   }
 }

@@ -78,7 +78,16 @@ object MinHashLsh {
     * stalling the stage.
     */
   def lshCandidates(sig: DataFrame, k: Int, rows: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshCandidatesWithDrops(sig, k, rows, maxBucket).pairs
+
+  /** Candidate pairs plus the dropped-bucket side output (one row per
+    * over-cap band bucket: band, bval, members) — the pipeline entry
+    * point, capped by default so a boilerplate bucket can be routed to
+    * exact dedup instead of stalling the stage.
+    */
+  def lshCandidatesWithDrops(sig: DataFrame, k: Int, rows: Int,
+      maxBucket: Int = BucketedPairs.DefaultMaxBucket): CandidatePairs = {
     import sig.sparkSession.implicits._
     val nBands = k / rows
     val banded = sig.select(col("doc_id"), explode(array(
@@ -92,7 +101,8 @@ object MinHashLsh {
     // (a self-join would recompute the whole minhash pipeline for each side)
     // and one shuffle on the band value; LSH buckets are near-dup clusters,
     // so they stay small by construction
-    BucketedPairs.prune(banded, Seq("band", "bval"), maxBucket)
+    val sp = BucketedPairs.split(banded, Seq("band", "bval"), maxBucket)
+    val pairs = sp.kept
       .groupBy(col("band"), col("bval"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .select(col("ids"))
@@ -106,7 +116,11 @@ object MinHashLsh {
       }
       .toDF("a_id", "b_id")
       .distinct()
+    CandidatePairs(pairs, sp.dropped)
   }
+
+  /** Pair output plus the quarantine side channel of over-cap buckets. */
+  final case class CandidatePairs(pairs: DataFrame, droppedBuckets: DataFrame)
 
   /** 60-bit SimHash over whitespace tokens (with multiplicity): bit i set
     * iff tokens with bit i set outnumber those without.
@@ -143,7 +157,14 @@ object MinHashLsh {
     * verification pairs in one task.
     */
   def simhashNearDups(sh: DataFrame, maxDist: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashNearDupsWithDrops(sh, maxDist, maxBucket).pairs
+
+  /** Near-dup pairs plus the dropped-bucket side output (band, bits,
+    * members) — capped by default for pipeline use.
+    */
+  def simhashNearDupsWithDrops(sh: DataFrame, maxDist: Int,
+      maxBucket: Int = BucketedPairs.DefaultMaxBucket): CandidatePairs = {
     require(maxDist >= 0 && maxDist < 60, s"maxDist must be in [0, 60), got $maxDist")
     val spark = sh.sparkSession
     import spark.implicits._
@@ -160,7 +181,8 @@ object MinHashLsh {
       }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.bits").as("bits"))
-    BucketedPairs.prune(banded, Seq("band", "bits"), maxBucket)
+    val sp = BucketedPairs.split(banded, Seq("band", "bits"), maxBucket)
+    val pairs = sp.kept
       .groupBy(col("band"), col("bits"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("items"))
       .select(col("items"))
@@ -178,5 +200,6 @@ object MinHashLsh {
       }
       .toDF("a_id", "b_id", "dist")
       .distinct()
+    CandidatePairs(pairs, sp.dropped)
   }
 }

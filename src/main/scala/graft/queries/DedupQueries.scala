@@ -38,33 +38,24 @@ object DedupQueries extends QuerySet {
       MinHashLsh.simhashNearDups(sh, 8)
     }),
 
-    // THE canonical at-scale dedup pipeline end-to-end: LSH candidate
-    // generation followed by exact-Jaccard verification computed on the
-    // CANDIDATE pairs only — at 100 TB the verification join touches
-    // |candidates| x shingles, never all-pairs. ONE hashed-shingle pass
-    // (persisted) feeds both the signatures and the verification: the
-    // 60-bit md5 hash is the shingle identity throughout, so the corpus
-    // is exploded and deduplicated exactly once.
+    // THE canonical at-scale dedup pipeline end-to-end (see
+    // functions/DedupPipeline): LSH candidates → exact-Jaccard verify on
+    // candidates only, one persisted hashed-shingle pass feeding both.
+    // Uncapped HERE for oracle exactness; the pipeline entry point
+    // defaults to a finite bucket cap with a quarantine side output.
     "q_dedup_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh60 = MinHashLsh.shingles(docs, "text", 3, dedupe = false)
-        .select(col("doc_id"), MinHashLsh.hash60(col("shingle")).as("h"))
-        .distinct()
-        .persist()
-      val sig = MinHashLsh.signatureFromHashed(sh60, K)
-      val cands = MinHashLsh.lshCandidates(sig, K, BAND_ROWS)
-      val sizes = sh60.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cands
-        .join(sh60.select(col("doc_id").as("a_id"), col("h")), "a_id")
-        .join(sh60.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-        .filter(col("inter") * 10 >= (col("a_sz") + col("b_sz") - col("inter")) * 5)
-        .select(col("a_id"), col("b_id"), col("inter"),
-          (col("a_sz") + col("b_sz") - col("inter")).as("uni"))
+      graft.functions.DedupPipeline
+        .nearDuplicates(Tables.documents(s, d), maxBucket = Int.MaxValue)
+        .pairs
+    }),
+
+    // the quarantine side channel itself, oracle-checked: LSH band
+    // buckets over the cap come back as (band, bval, members) rows for
+    // routing to exact dedup — never silently lost to a log line
+    "q_lsh_dropped_buckets" -> ((s, d) => {
+      val sig = MinHashLsh.signature(Tables.documents(s, d), "text", 3, K)
+      MinHashLsh.lshCandidatesWithDrops(sig, K, BAND_ROWS, maxBucket = 2)
+        .droppedBuckets
     })
   )
 
@@ -113,6 +104,19 @@ object DedupQueries extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_sig" -> sigSql,
+
+    "q_lsh_dropped_buckets" -> {
+      val bands = (0 until K / BAND_ROWS).map { bnd =>
+        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sig AS ($sigSql),
+         |banded AS (
+         |$bands
+         |)
+         |SELECT band, bval, count(*) AS members
+         |FROM banded GROUP BY 1, 2 HAVING count(*) > 2""".stripMargin
+    },
 
     "q_lsh_candidates" -> {
       val bands = (0 until K / BAND_ROWS).map { bnd =>

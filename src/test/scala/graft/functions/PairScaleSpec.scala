@@ -20,10 +20,29 @@ class PairScaleSpec extends SparkSpec {
       (i.toLong, "the same boilerplate text repeated in every document")))
     val sig = MinHashLsh.signature(docs, "text", 3, 8)
     // every doc identical -> every band bucket holds all 300 docs
-    val capped = MinHashLsh.lshCandidates(sig, 8, 2, maxBucket = 10)
-    assert(capped.count() == 0, "capped run must drop the oversized bucket")
-    val uncapped = MinHashLsh.lshCandidates(sig, 8, 2)
-    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    val capped = MinHashLsh.lshCandidatesWithDrops(sig, 8, 2, maxBucket = 10)
+    assert(capped.pairs.count() == 0, "capped run must drop the oversized bucket")
+    // the drop side channel names every oversized bucket with its size —
+    // 4 bands, each one bucket of all 300 docs
+    val drops = capped.droppedBuckets.collect()
+    assert(drops.length == 4, s"4 over-cap band buckets, got ${drops.length}")
+    assert(drops.forall(_.getAs[Long]("members") == n.toLong))
+    val uncapped = MinHashLsh.lshCandidatesWithDrops(sig, 8, 2, Int.MaxValue)
+    assert(uncapped.pairs.count() == n.toLong * (n - 1) / 2)
+    assert(uncapped.droppedBuckets.count() == 0, "uncapped drops nothing")
+  }
+
+  test("pipeline entry point is capped by default and lazily composed") {
+    val n = 80
+    val docs = docsDf((1 to n).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every document")))
+    // construction must run NO job (was an eager .head() in round 2) —
+    // assert by composing against a cap and only then acting
+    val res = DedupPipeline.nearDuplicates(docs, maxBucket = 10)
+    assert(res.pairs.count() == 0)
+    assert(res.droppedBuckets.count() == 4)
+    val full = DedupPipeline.nearDuplicates(docs, maxBucket = Int.MaxValue)
+    assert(full.pairs.count() == n.toLong * (n - 1) / 2)
   }
 
   test("jaccard bucket cap: identical corpus completes empty, uncapped pairs all") {
