@@ -34,6 +34,24 @@ object RelationalQueries extends QuerySet {
         .select(col("event_id"), col("asof_click_cents"), col("asof_click_id"))
     }),
 
+    // the skew-safe AS-OF variant: same semantics, but the window
+    // partitions by (key, hour-bucket) with carried boundary state, so a
+    // hot key parallelizes instead of sorting its history in one task
+    "q_asof_join_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"),
+          cents(col("value")).as("click_cents"))
+      graft.operators.AsOfJoin.joinBucketed(errors, clicks, "user_id", "ts_us",
+          valueCols = Seq("click_cents", "click_id"), tiebreak = "click_id",
+          grain = 3600000000L)
+        .select(col("event_id"), col("asof_click_cents"), col("asof_click_id"))
+    }),
+
     // RANGE join (custom operator Spark lacks): clicks landing inside the
     // hour after a purchase by the same user — grain-bucketed equi-join,
     // never the nested-loop plan an inequality join would pick
@@ -186,6 +204,32 @@ object RelationalQueries extends QuerySet {
     // replays the union+window lowering verbatim (identical tie semantics:
     // right rows before left at equal ts, highest click_id within a tie)
     "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, ts_us, 1 AS side,
+        |         CAST(9223372036854775807 AS BIGINT) AS tie,
+        |         event_id, CAST(NULL AS BIGINT) AS click_cents,
+        |         CAST(NULL AS BIGINT) AS click_id
+        |  FROM ev WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, event_id, NULL,
+        |         CAST(round(value * 100, 0) AS BIGINT), event_id
+        |  FROM ev WHERE event_type = 'click'
+        |)
+        |SELECT event_id, asof_click_cents, asof_click_id FROM (
+        |  SELECT side, event_id,
+        |    last_value(click_cents IGNORE NULLS) OVER w AS asof_click_cents,
+        |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) WHERE side = 1""".stripMargin,
+
+    // identical answer to q_asof_join by construction — the bucketing is
+    // an execution detail, so the oracle is the same lowering
+    "q_asof_join_bucketed" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
         |  FROM events

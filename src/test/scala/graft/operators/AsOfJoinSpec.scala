@@ -46,4 +46,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("bucketed variant equals the plain join on a hot-key history") {
+    // one hot key with a dense interleaved history spanning many grains
+    // (incl. same-instant ties and a null value to exercise carry-in),
+    // plus a sparse key whose buckets are mostly right-less
+    val rnd = new scala.util.Random(42)
+    val hotL = (1 to 2000).map(i => ("hot", rnd.nextInt(500).toLong, s"e$i"))
+    val hotR = (1 to 600).map(i => ("hot", rnd.nextInt(500).toLong,
+      if (i % 37 == 0) null else s"v$i", i.toLong))
+    val sparse = Seq(("cold", 490L, "ec1"), ("cold", 3L, "ec2"))
+    val sparseR = Seq(("cold", 2L, "cv", 9001L))
+    val l = (hotL ++ sparse).toDF("k", "ts", "eid")
+    val r = (hotR ++ sparseR).toDF("k", "ts", "v", "rid")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getString(2), Option(x.getString(3)))).toSet
+    val plain = key(AsOfJoin.join(l, r, "k", "ts", Seq("v"), "rid"))
+    for (grain <- Seq(7L, 50L, 1000L))
+      assert(key(AsOfJoin.joinBucketed(l, r, "k", "ts", Seq("v"), "rid", grain))
+        == plain, s"grain $grain diverged")
+  }
+
+  test("bucketed variant partitions the big window by (key, bucket)") {
+    val plan = AsOfJoin.joinBucketed(left, right, "k", "ts", Seq("v"), "rid", 10L)
+      .queryExecution.executedPlan.toString
+    // the |L|+|R| window must NOT partition by key alone: its
+    // partition spec carries the bucket column, so a hot key spreads
+    assert(plan.contains("_b"), plan)
+    val windowSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowSpecs.exists(s => s.contains("_b") && s.contains("_side")),
+      s"in-bucket window must partition by (k, _b):\n$plan")
+  }
 }
