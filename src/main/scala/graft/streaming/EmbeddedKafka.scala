@@ -4,7 +4,6 @@ import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.core.StreamElement
 
@@ -35,30 +34,25 @@ object EmbeddedKafka {
 
   /** Resolve-or-create a broker-scoped topic: `kafka://broker/topic`. */
   def topic(broker: String, name: String, numPartitions: Int = 4): Topic =
-    topics.getOrElseUpdate(s"$broker/$name", new Topic(name, numPartitions))
+    topics.getOrElseUpdate(s"$broker/$name", new Topic(broker, name, numPartitions))
 
   /** Drop all topics (test isolation). */
   def reset(): Unit = topics.clear()
 
-  final class Topic(val name: String, val numPartitions: Int) {
+  final class Topic(val broker: String, val name: String, val numPartitions: Int) {
     private val partitions: Array[ArrayBuffer[StreamElement]] =
       Array.fill(numPartitions)(ArrayBuffer.empty[StreamElement])
     private val groupOffsets = TrieMap.empty[String, Map[Int, Long]]
-    private val listeners = ArrayBuffer.empty[StreamElement => Unit]
 
     /** KeyAttributePartitioner: stable hash of (key, attribute). */
     def partitionFor(e: StreamElement): Int =
       math.floorMod((e.key + "#" + e.attribute).hashCode, numPartitions)
 
-    def append(e: StreamElement): Record = {
-      val (rec, toNotify) = synchronized {
-        val p = partitionFor(e)
-        val buf = partitions(p)
-        buf += e
-        (Record(p, buf.size - 1L, e), listeners.toSeq)
-      }
-      toNotify.foreach(_(e))
-      rec
+    def append(e: StreamElement): Record = synchronized {
+      val p = partitionFor(e)
+      val buf = partitions(p)
+      buf += e
+      Record(p, buf.size - 1L, e)
     }
 
     def earliestOffsets: Map[Int, Long] =
@@ -89,12 +83,16 @@ object EmbeddedKafka {
     def committed(group: String): Map[Int, Long] =
       groupOffsets.getOrElse(group, Map.empty)
 
-    /** Atomically snapshot existing records AND subscribe to future
-      * appends — an element landing between the two cannot be duplicated
-      * or lost (used by the streaming adapter).
+    /** Records of one partition in offset range [from, until) — the
+      * per-split read the streaming source's partition readers issue.
       */
-    private[streaming] def subscribe(f: StreamElement => Unit): Seq[StreamElement] =
-      synchronized { listeners += f; partitions.flatMap(_.toSeq).toSeq }
+    def slice(p: Int, from: Long, until: Long): Array[StreamElement] =
+      synchronized {
+        val buf = partitions(p)
+        val lo = math.max(0L, from).toInt
+        val hi = math.min(buf.size.toLong, until).toInt
+        if (hi <= lo) Array.empty else buf.slice(lo, hi).toArray
+      }
 
     private[streaming] def allElements: Seq[StreamElement] =
       synchronized { partitions.flatMap(_.toSeq).toSeq }
@@ -126,8 +124,10 @@ object EmbeddedKafka {
   * the embedded broker lives in driver memory, exactly like the reference's
   * test InMemStorage; the production path binds spark-sql-kafka behind the
   * same [[AttributeLogFamily]] methods and keeps everything distributed.
-  * Streaming is a real Structured Streaming source (memory-stream pump):
-  * existing records replay first, later appends flow incrementally.
+  * Streaming is the real offset-tracked DataSourceV2 source
+  * ([[KafkaSource]]): per-partition splits, checkpointed offsets, restart
+  * recovery — existing records replay first, later appends flow in
+  * subsequent micro-batches.
   */
 final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
     val topic: EmbeddedKafka.Topic) extends AttributeLogFamily {
@@ -145,12 +145,20 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
     spark.createDataset(all)
   }
 
-  def streamFromOldest(): Dataset[StreamElement] = {
-    implicit val sq = spark.sqlContext
-    val ms = MemoryStream[StreamElement]
-    val existing = topic.subscribe(e => ms.addData(e))
-    if (existing.nonEmpty) ms.addData(existing)
-    ms.toDS()
+  def streamFromOldest(): Dataset[StreamElement] =
+    streamReader(None).load().as[StreamElement]
+
+  /** Streaming subscription that also COMMITS processed offsets to the
+    * consumer group after each checkpointed micro-batch (the reference's
+    * observe+ack pairing).
+    */
+  def streamFromOldest(group: String): Dataset[StreamElement] =
+    streamReader(Some(group)).load().as[StreamElement]
+
+  private def streamReader(group: Option[String]) = {
+    val r = spark.readStream.format(KafkaSource.SHORT_NAME)
+      .option("broker", topic.broker).option("topic", topic.name)
+    group.fold(r)(g => r.option("group", g))
   }
 
   def consumer(group: String): EmbeddedKafka.Consumer =

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.StreamElement
+
+/** Offset-tracked Structured Streaming source over the embedded Kafka
+  * log — a real DataSourceV2 `MicroBatchStream`, not a MemoryStream pump:
+  * offsets are planned per partition, each micro-batch reads exactly
+  * [start, end) splits (one `InputPartition` per topic partition), the
+  * engine checkpoints the JSON offsets, and a restarted query resumes
+  * from the committed position (reference: the reference's
+  * DirectUnboundedSource.java:47 checkpoints per-split offsets the same
+  * way; its KafkaLogReader observe/ack maps to `commit`).
+  *
+  * The BROKER is the embedded in-process log (this sandbox has no Kafka
+  * client jars) — partition readers resolve the topic through the
+  * JVM-static registry, which local-mode executors share. Everything
+  * Spark-facing (offset planning, splits, checkpoint recovery, group
+  * commit) is the real protocol a networked binding would keep.
+  *
+  * Usage: `spark.readStream.format("graft-kafka").option("broker", b)
+  * .option("topic", t)` with optional `option("group", g)` to commit
+  * processed offsets to a consumer group on the embedded log.
+  */
+object KafkaSource {
+
+  val SHORT_NAME = "graft-kafka"
+
+  def schema: StructType = StreamElement.encoder.schema
+
+  private[streaming] def offsetsToJson(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+
+  private[streaming] def offsetsFromJson(s: String): Map[Int, Long] = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap
+  }
+
+  /** StreamElement → InternalRow in the product-encoder field order. */
+  private[streaming] def toRow(e: StreamElement): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.entity), UTF8String.fromString(e.key),
+      UTF8String.fromString(e.attribute), UTF8String.fromString(e.uuid),
+      e.seqId, e.stamp, e.value, e.delete, e.deleteWildcard))
+}
+
+/** Per-partition offsets, serialized as `{"0":12,"1":7}`. */
+case class KafkaSourceOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = KafkaSource.offsetsToJson(offsets)
+}
+
+class KafkaSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = KafkaSource.SHORT_NAME
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KafkaSourceTable(properties.get("broker"), properties.get("topic"),
+      Option(properties.get("group")))
+}
+
+class KafkaSourceTable(broker: String, topicName: String, group: Option[String])
+    extends Table with SupportsRead {
+  require(broker != null && topicName != null,
+    "graft-kafka requires options broker and topic")
+  override def name(): String = s"graft-kafka://$broker/$topicName"
+  override def schema(): StructType = KafkaSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new KafkaScan(broker, topicName, group)
+    }
+}
+
+class KafkaScan(broker: String, topicName: String, group: Option[String])
+    extends Scan {
+  override def readSchema(): StructType = KafkaSource.schema
+
+  /** Batch read: one split per partition over [0, latest). */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      EmbeddedKafka.topic(broker, topicName).latestOffsets.toArray
+        .map { case (p, end) =>
+          KafkaInputPartition(broker, topicName, p, 0L, end): InputPartition
+        }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KafkaReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaMicroBatchStream(broker, topicName, group)
+}
+
+/** A split: one topic partition, offsets [from, until). */
+case class KafkaInputPartition(broker: String, topic: String, partition: Int,
+    from: Long, until: Long) extends InputPartition
+
+class KafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KafkaInputPartition]
+    val elems = EmbeddedKafka.topic(p.broker, p.topic)
+      .slice(p.partition, p.from, p.until)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < elems.length }
+      override def get(): InternalRow = KafkaSource.toRow(elems(i))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class KafkaMicroBatchStream(broker: String, topicName: String,
+    group: Option[String]) extends MicroBatchStream {
+
+  private def topic = EmbeddedKafka.topic(broker, topicName)
+
+  override def initialOffset(): Offset = KafkaSourceOffset(topic.earliestOffsets)
+
+  override def latestOffset(): Offset = KafkaSourceOffset(topic.latestOffsets)
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaSourceOffset(KafkaSource.offsetsFromJson(json))
+
+  /** Batch completed: advance the consumer group on the log (the
+    * reference's OnNextContext.confirm ack path).
+    */
+  override def commit(end: Offset): Unit =
+    group.foreach(g =>
+      topic.commit(g, end.asInstanceOf[KafkaSourceOffset].offsets))
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaSourceOffset].offsets
+    end.asInstanceOf[KafkaSourceOffset].offsets.toArray
+      .flatMap { case (p, until) =>
+        val from = s.getOrElse(p, 0L)
+        if (until > from)
+          Some(KafkaInputPartition(broker, topicName, p, from, until): InputPartition)
+        else None
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaReaderFactory
+}
