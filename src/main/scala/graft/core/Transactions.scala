@@ -95,14 +95,17 @@ final class TransactionCoordinator(family: AttributeLogFamily,
             scope.contains((r.getString(1), r.getString(2)))
         }
       }
-      if (conflicting.nonEmpty)
+      if (conflicting.nonEmpty) {
+        Metrics.inc("graft.transactions.rejected")
         throw new TransactionRejectedException(
           s"${conflicting.length} commit(s) after seq $beginSeq touch the " +
             s"transaction scope under mode $mode (first: " +
             s"${conflicting.head.getString(1)}/${conflicting.head.getString(2)})")
+      }
       val seq = (since.map(_.getLong(0)) :+ beginSeq).max + 1
       if (writes.nonEmpty)
         family.append(writes.map(_.copy(seqId = seq)).toSeq)
+      Metrics.inc("graft.transactions.committed")
       seq
     }
   }

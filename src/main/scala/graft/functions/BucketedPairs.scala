@@ -47,11 +47,19 @@ object BucketedPairs {
     val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("members"))
     if (maxBucket == Int.MaxValue)
       Split(df, counts.filter(lit(false)))
-    else
+    else {
+      // consuming the quarantine side also feeds the metrics surface
+      // (graft.core.Metrics.install harvests observe() fields) — counted
+      // where the drops are materialized, no extra job
+      val dropped = graft.core.Metrics.observed(
+        counts.filter(col("members") > maxBucket),
+        Seq(count(lit(1)).as("graft.buckets.dropped"),
+          coalesce(sum(col("members")), lit(0L)).as("graft.buckets.droppedMembers")))
       Split(
         df.join(counts.filter(col("members") <= maxBucket).select(keys: _*),
           keyCols, "left_semi"),
-        counts.filter(col("members") > maxBucket))
+        dropped)
+    }
   }
 
   /** Keep only rows of buckets at-or-under the cap (discard the drop side

@@ -20,8 +20,10 @@ import graft.streaming.AttributeLogFamily
 final class RandomAccessReader(family: AttributeLogFamily) {
 
   private def compactFor(pred: org.apache.spark.sql.Column,
-      asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+      asOf: Long = Long.MaxValue): Dataset[StreamElement] = {
+    graft.core.Metrics.inc("graft.randomaccess.lookups")
     SnapshotCompact.snapshot(family.batchUpdates().filter(pred), asOf)
+  }
 
   /** Wildcard-delete tombstones are stored as `prefix.*` rows, so a lookup
     * predicate on the exact attribute must ALSO admit the covering tombstone

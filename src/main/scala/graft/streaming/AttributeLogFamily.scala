@@ -20,8 +20,10 @@ trait AttributeLogFamily {
 
   def append(elems: Dataset[StreamElement]): Unit
 
-  def append(elems: Seq[StreamElement]): Unit =
+  def append(elems: Seq[StreamElement]): Unit = {
+    graft.core.Metrics.inc("graft.elements.appended", elems.size.toLong)
     append(spark.createDataset(elems)(StreamElement.encoder))
+  }
 
   /** Full update history, optional stamp range [from, until). */
   def batchUpdates(from: Long = Long.MinValue,

@@ -75,9 +75,25 @@ final class CachedView(family: AttributeLogFamily,
       }
   }
 
-  /** Start continuous maintenance (CachedView.assign). */
-  def assign(checkpoint: String): CachedView = synchronized {
-    val updates = StateOps.snapshotUpdates(family.streamFromOldest())
+  /** Start continuous maintenance over the WHOLE family
+    * (CachedView.assign with every partition).
+    */
+  def assign(checkpoint: String): CachedView =
+    assign(checkpoint, org.apache.spark.sql.functions.lit(true))
+
+  /** Partition-scoped maintenance: only elements matching `keyPredicate`
+    * are maintained — the filter sits UPSTREAM of the stateful snapshot
+    * operator and the driver-side collect, so a process materializes (and
+    * keeps streaming state for) exactly its assigned key range. This is
+    * what makes the per-process cache viable at cluster scale: N
+    * consumers each assign a disjoint range and no JVM holds the full
+    * keyspace (reference LocalCachedPartitionedView.assign:126 — the view
+    * caches only the partitions handed to it).
+    */
+  def assign(checkpoint: String,
+      keyPredicate: org.apache.spark.sql.Column): CachedView = synchronized {
+    val updates = StateOps.snapshotUpdates(
+      family.streamFromOldest().filter(keyPredicate))
     val q = updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -88,6 +104,18 @@ final class CachedView(family: AttributeLogFamily,
       .start()
     query = Some(q)
     this
+  }
+
+  /** Reference-shaped partition assignment: keys hash into
+    * `numPartitions` buckets; this process maintains only `partitions`.
+    */
+  def assignPartitions(checkpoint: String, partitions: Set[Int],
+      numPartitions: Int): CachedView = {
+    require(partitions.nonEmpty && partitions.forall(p => p >= 0 && p < numPartitions),
+      s"partitions must be within [0, $numPartitions)")
+    import org.apache.spark.sql.functions._
+    assign(checkpoint,
+      pmod(hash(col("key")), lit(numPartitions)).isin(partitions.toSeq: _*))
   }
 
   /** Block until all currently-available log entries are reflected. */

@@ -142,9 +142,11 @@ class KafkaMicroBatchStream(broker: String, topicName: String,
   /** Batch completed: advance the consumer group on the log (the
     * reference's OnNextContext.confirm ack path).
     */
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
+    graft.core.Metrics.inc("graft.kafka.stream.batches")
     group.foreach(g =>
       topic.commit(g, end.asInstanceOf[KafkaSourceOffset].offsets))
+  }
 
   override def stop(): Unit = ()
 

@@ -133,11 +133,13 @@ object Watermarks {
     */
   final class GlobalWatermarkTracker {
     private val processes = TrieMap.empty[String, Long]
-    def update(process: String, watermarkMs: Long): Unit =
+    def update(process: String, watermarkMs: Long): Unit = {
       processes.updateWith(process) {
         case Some(old) => Some(math.max(old, watermarkMs)) // monotonic per process
         case None      => Some(watermarkMs)
       }
+      graft.core.Metrics.gauge("graft.watermark.global", globalWatermark)
+    }
     def finished(process: String): Unit = processes.remove(process)
     def globalWatermark: Long =
       if (processes.isEmpty) MaxWatermark else processes.values.min

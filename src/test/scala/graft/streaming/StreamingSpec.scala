@@ -103,6 +103,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cached view: partition-scoped assign materializes only its range") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    fam.append(Seq(up("alpha", "status", 1, "a"), up("beta", "status", 2, "b"),
+      up("zulu", "status", 3, "z")))
+    // this process is assigned keys < "m"; the filter runs upstream of
+    // the stateful operator and the collect, so "zulu" never reaches
+    // this JVM's cache
+    val view = new CachedView(fam)
+      .assign(tmp() + "/ckpt", org.apache.spark.sql.functions.col("key") < "m")
+    try {
+      view.processAllAvailable()
+      assert(view.get("alpha", "status").isDefined)
+      assert(view.get("beta", "status").isDefined)
+      assert(view.get("zulu", "status").isEmpty, "unassigned key must not be cached")
+      assert(view.listEntities(0, 10) == Seq("alpha", "beta"))
+    } finally view.stop()
+    // hash-partition flavor: the four buckets cover the keyspace exactly
+    val all = new CachedView(fam)
+      .assignPartitions(tmp() + "/ckpt2", Set(0, 1, 2, 3), 4)
+    try {
+      all.processAllAvailable()
+      assert(all.listEntities(0, 10) == Seq("alpha", "beta", "zulu"))
+    } finally all.stop()
+  }
+
   test("cached view: get/scanWildcard/listEntities + write-through") {
     val fam = new CommitLogFamily(spark, tmp() + "/log")
     fam.append(Seq(up("u1", "device.1", 1, "d1"), up("u1", "device.2", 2, "d2"),
