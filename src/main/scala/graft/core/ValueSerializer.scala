@@ -164,13 +164,16 @@ object ValueSerializer {
   ).map(s => s.scheme -> s).toMap
 
   /** Resolve a serializer from a scheme URI ("string", "json",
-    * "avro:<writer-schema-json>", or "proto:{<descriptor>}").
+    * "avro:<writer-schema-json>", "proto:{<descriptor>}", or
+    * "proto-json:{<descriptor>}").
     */
   def of(schemeUri: String): ValueSerializer[_] = {
     val parts = schemeUri.split(":", 2)
     parts(0) match {
       case "avro" if parts.length == 2  => new AvroValueSerializer(parts(1))
       case "proto" if parts.length == 2 => new ProtoValueSerializer(parts(1))
+      case "proto-json" if parts.length == 2 =>
+        new ProtoJsonValueSerializer(parts(1))
       case base => registry.getOrElse(base,
         throw new IllegalArgumentException(s"Unknown scheme: $schemeUri"))
     }

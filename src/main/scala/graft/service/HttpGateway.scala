@@ -113,10 +113,11 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
   def stop(): Unit = server.stop(0)
 }
 
-/** Minimal JSON codec for the gateway (objects, arrays, strings, numbers,
-  * booleans, null; no external JSON jars exist in this build).
+/** Minimal JSON codec (objects, arrays, strings, numbers, booleans,
+  * null; no external JSON jars exist in this build). Shared by the
+  * gateway and the proto-json value scheme.
   */
-private[service] object Json {
+private[graft] object Json {
 
   def quote(s: String): String = {
     val sb = new StringBuilder("\"")
