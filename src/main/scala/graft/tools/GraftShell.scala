@@ -24,6 +24,8 @@ import graft.streaming.StreamCollector
   *   entities <entity> [offset limit]
   *   snapshot <entity>          (row count + first rows of the compacted view)
   *   stream <entity> <attr> <n> (first n elements of the commit log stream)
+  *   eval <expression>          (scripted pipeline, see [[ShellExpr]] —
+  *                               e.g. user.filter(value == "on").count())
   *   help | exit
   */
 final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
@@ -49,7 +51,11 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
       val trimmed = line.trim
       if (trimmed.nonEmpty && !trimmed.startsWith("#")) {
         n += 1
-        try exec(trimmed.split("\\s+", 6).toSeq) match {
+        // `eval <expression>` keeps its spaces; everything else tokenizes
+        val cmd =
+          if (trimmed.startsWith("eval ")) Seq("eval", trimmed.substring(5))
+          else trimmed.split("\\s+", 6).toSeq
+        try exec(cmd) match {
           case Left(_) => done = true
           case Right(msg) => out.println(msg)
         } catch {
@@ -65,7 +71,13 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
   private def exec(args: Seq[String]): Either[Unit, String] = args match {
     case Seq("exit") | Seq("quit") => Left(())
     case Seq("help") => Right(
-      "commands: put delete deleteWildcard get list entities snapshot stream help exit")
+      "commands: put delete deleteWildcard get list entities snapshot stream " +
+        "eval help exit\n" +
+        "eval: <entity>[.updates()].filter(...).map(...).take(n)|.count()|.sum(...)")
+    // scripted expressions (Console.java closures): predicates compile to
+    // Catalyst columns, so filter+count runs distributed
+    case Seq("eval", expression) =>
+      Right(ShellExpr.eval(op, expression))
     case Seq("put", entity, key, attr, stamp, value) =>
       op.write(StreamElement.upsert(entity, key, attr,
         java.util.UUID.randomUUID().toString, stamp.toLong,

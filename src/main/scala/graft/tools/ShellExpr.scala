@@ -1,0 +1,255 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftOperator
+
+/** Scripted expressions for the console — the reference console
+  * evaluates user closures over the entity model (reference:
+  * tools/.../Console.java:44, GroovyEnv.java:42 — `env.user.filter {...}
+  * .count()` at the prompt). No scripting-engine jars exist in this
+  * build (the JDK's JavaScript engine was removed in JDK 15), so this is
+  * a small expression language with the same shape:
+  *
+  * {{{
+  *   user.filter(value == "on" && stamp > 5).count()
+  *   user.updates().filter(key.startsWith("u1")).take(10)
+  *   user.map(key).distinct().count()
+  * }}}
+  *
+  * Crucially the predicates COMPILE TO CATALYST COLUMNS: a scripted
+  * filter+count runs as a distributed Spark job over the family, not a
+  * driver-side loop over collected rows (the Groovy console's closures
+  * are driver-side; this is the Spark-first version of the same UX).
+  *
+  * Grammar: pipeline = entity [.updates()] chain; chain methods
+  * filter(expr) / map(expr) / distinct() / take(n) / count() / sum(expr).
+  * Expressions: element fields (key, attribute, entity, uuid, stamp,
+  * seqId, value — value reads as UTF-8 text), literals, comparisons,
+  * boolean and arithmetic operators, and string methods startsWith /
+  * contains / endsWith / length / lower / upper.
+  */
+object ShellExpr {
+
+  // ---- lexer ----
+  private sealed trait Tok
+  private final case class TId(s: String) extends Tok
+  private final case class TNum(v: Long) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TSym(s: String) extends Tok
+
+  private val Syms2 = Set("==", "!=", "<=", ">=", "&&", "||")
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += TId(s.substring(st, i))
+      } else if (c.isDigit) {
+        val st = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        out += TNum(s.substring(st, i).toLong)
+      } else if (c == '"' || c == '\'') {
+        i += 1
+        val sb = new StringBuilder
+        while (i < s.length && s.charAt(i) != c) { sb.append(s.charAt(i)); i += 1 }
+        require(i < s.length, "unterminated string literal")
+        i += 1
+        out += TStr(sb.toString)
+      } else if (i + 1 < s.length && Syms2(s.substring(i, i + 2))) {
+        out += TSym(s.substring(i, i + 2)); i += 2
+      } else { out += TSym(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- AST ----
+  private sealed trait Expr
+  private final case class Lit(v: Any) extends Expr
+  private final case class Ref(name: String) extends Expr
+  private final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  private final case class Un(op: String, e: Expr) extends Expr
+  private final case class Call(target: Expr, name: String, args: Seq[Expr]) extends Expr
+
+  private final class P(ts: Vector[Tok]) {
+    private var i = 0
+    private def peek: Option[Tok] = if (i < ts.length) Some(ts(i)) else None
+    private def next(): Tok = {
+      require(i < ts.length, "unexpected end of expression")
+      val t = ts(i); i += 1; t
+    }
+    private def expectSym(s: String): Unit = next() match {
+      case TSym(`s`) => ()
+      case other => throw new IllegalArgumentException(s"expected '$s', got $other")
+    }
+    def parse(): Expr = {
+      val e = or()
+      require(i == ts.length, s"trailing input after expression (token $i)")
+      e
+    }
+    private def or(): Expr = {
+      var l = and()
+      while (peek.contains(TSym("||"))) { next(); l = Bin("||", l, and()) }
+      l
+    }
+    private def and(): Expr = {
+      var l = cmp()
+      while (peek.contains(TSym("&&"))) { next(); l = Bin("&&", l, cmp()) }
+      l
+    }
+    private def cmp(): Expr = {
+      val l = add()
+      peek match {
+        case Some(TSym(op)) if Set("==", "!=", "<", "<=", ">", ">=")(op) =>
+          next(); Bin(op, l, add())
+        case _ => l
+      }
+    }
+    private def add(): Expr = {
+      var l = mul()
+      var go = true
+      while (go) peek match {
+        case Some(TSym(op @ ("+" | "-"))) => next(); l = Bin(op, l, mul())
+        case _ => go = false
+      }
+      l
+    }
+    private def mul(): Expr = {
+      var l = unary()
+      var go = true
+      while (go) peek match {
+        case Some(TSym(op @ ("*" | "/" | "%"))) => next(); l = Bin(op, l, unary())
+        case _ => go = false
+      }
+      l
+    }
+    private def unary(): Expr = peek match {
+      case Some(TSym("!")) => next(); Un("!", unary())
+      case Some(TSym("-")) => next(); Un("-", unary())
+      case _ => postfix()
+    }
+    private def postfix(): Expr = {
+      var e = primary()
+      var go = true
+      while (go) peek match {
+        case Some(TSym(".")) =>
+          next()
+          val name = next() match {
+            case TId(n) => n
+            case other => throw new IllegalArgumentException(s"expected method after '.', got $other")
+          }
+          expectSym("(")
+          val args = ArrayBuffer.empty[Expr]
+          if (!peek.contains(TSym(")"))) {
+            args += or()
+            while (peek.contains(TSym(","))) { next(); args += or() }
+          }
+          expectSym(")")
+          e = Call(e, name, args.toSeq)
+        case _ => go = false
+      }
+      e
+    }
+    private def primary(): Expr = next() match {
+      case TId("true")  => Lit(true)
+      case TId("false") => Lit(false)
+      case TId(n)       => Ref(n)
+      case TNum(v)      => Lit(v)
+      case TStr(s)      => Lit(s)
+      case TSym("(")    => val e = or(); expectSym(")"); e
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+  }
+
+  private val Fields = Set("key", "attribute", "entity", "uuid", "stamp", "seqId", "value")
+
+  /** Compile an element-level expression to a Catalyst Column. */
+  private def toColumn(e: Expr): Column = e match {
+    case Lit(v)        => lit(v)
+    case Ref("value")  => col("value").cast("string") // UTF-8 text view
+    case Ref(n) if Fields(n) => col(n)
+    case Ref(n) => throw new IllegalArgumentException(
+      s"unknown field '$n' (fields: ${Fields.toSeq.sorted.mkString(", ")})")
+    case Un("!", x) => !toColumn(x)
+    case Un("-", x) => -toColumn(x)
+    case Un(op, _)  => throw new IllegalArgumentException(s"unknown operator '$op'")
+    case Bin(op, l, r) =>
+      val (a, b) = (toColumn(l), toColumn(r))
+      op match {
+        case "==" => a === b
+        case "!=" => a =!= b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+        case "&&" => a && b
+        case "||" => a || b
+        case "+"  => a + b
+        case "-"  => a - b
+        case "*"  => a * b
+        case "/"  => a / b
+        case "%"  => a % b
+      }
+    case Call(t, "startsWith", Seq(a)) => toColumn(t).startsWith(toColumn(a))
+    case Call(t, "contains", Seq(a))   => toColumn(t).contains(toColumn(a))
+    case Call(t, "endsWith", Seq(a))   => toColumn(t).endsWith(toColumn(a))
+    case Call(t, "length", Seq())      => length(toColumn(t))
+    case Call(t, "lower", Seq())       => lower(toColumn(t))
+    case Call(t, "upper", Seq())       => upper(toColumn(t))
+    case Call(_, n, _) => throw new IllegalArgumentException(
+      s"unknown method '$n' in expression")
+  }
+
+  private def renderRows(df: DataFrame, n: Int): String = {
+    val rows = df.limit(n).collect()
+    if (rows.isEmpty) "(none)"
+    else rows.map(_.toSeq.map {
+      case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case null => "<null>"
+      case x => x.toString
+    }.mkString(" ")).mkString("\n")
+  }
+
+  /** Evaluate a scripted pipeline; returns the rendered result. */
+  def eval(op: GraftOperator, input: String): String = {
+    val ast = new P(tokenize(input)).parse()
+    def run(e: Expr): Either[DataFrame, String] = e match {
+      case Ref(entity) => Left(op.getBatchSnapshot(entity).toDF())
+      case Call(Ref(entity), "updates", Seq()) =>
+        Left(op.getBatchUpdates(entity).toDF())
+      case Call(t, name, args) => run(t) match {
+        case Left(df) => name match {
+          case "filter"   => Left(df.filter(toColumn(args.head)))
+          case "map"      => Left(df.select(toColumn(args.head).as("_mapped")))
+          case "distinct" => Left(df.distinct())
+          case "count" if args.isEmpty => Right(df.count().toString)
+          case "sum" =>
+            Right(df.agg(sum(toColumn(args.head))).head().get(0).toString)
+          case "take" => args.head match {
+            case Lit(n: Long) => Right(renderRows(df, n.toInt))
+            case other => throw new IllegalArgumentException(s"take needs a count, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"unknown pipeline method '$other' " +
+              "(filter, map, distinct, take, count, sum)")
+        }
+        case Right(_) =>
+          throw new IllegalArgumentException("terminal operation must be last")
+      }
+      case _ => throw new IllegalArgumentException(
+        "pipeline must start with an entity name")
+    }
+    run(ast) match {
+      case Right(s)  => s
+      case Left(df)  => renderRows(df, 20)
+    }
+  }
+}

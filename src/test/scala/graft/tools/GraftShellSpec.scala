@@ -63,6 +63,42 @@ class GraftShellSpec extends SparkSpec {
     assert(out.contains("unknown command"))
   }
 
+  test("eval: scripted filter/map/count expressions over a family") {
+    val out = runScript(
+      """put user u1 status 1 online
+        |put user u2 status 2 offline
+        |put user u3 status 3 online
+        |put user v9 status 4 online
+        |eval user.filter(value == "online").count()
+        |eval user.filter(key.startsWith("u") && value != "offline").count()
+        |eval user.filter(stamp > 1 && stamp <= 3).count()
+        |eval user.map(key).distinct().count()
+        |eval user.sum(stamp)
+        |eval user.updates().count()
+        |eval user.filter(value.contains("line")).map(key).take(10)
+        |""".stripMargin)
+    val lines = out.linesIterator.filterNot(_ == "ok").toSeq
+    assert(lines(0) == "3", s"online count: $out")
+    assert(lines(1) == "2", s"u-prefix online count: $out")
+    assert(lines(2) == "2", s"stamp range count: $out")
+    assert(lines(3) == "4", s"distinct keys: $out")
+    assert(lines(4) == "10", s"sum of stamps: $out")
+    assert(lines(5) == "4", s"updates count: $out")
+    assert(lines.drop(6).toSet == Set("u1", "u2", "u3", "v9"), s"mapped keys: $out")
+  }
+
+  test("eval: bad expressions report errors without killing the session") {
+    val out = runScript(
+      """put user u1 status 1 on
+        |eval user.filter(nosuchfield == 1).count()
+        |eval user.explode()
+        |eval user.count()
+        |""".stripMargin)
+    assert(out.contains("unknown field 'nosuchfield'"), out)
+    assert(out.contains("unknown pipeline method 'explode'"), out)
+    assert(out.linesIterator.toSeq.last == "1", "session must continue")
+  }
+
   test("errors do not kill the session") {
     val out = runScript(
       """get nosuch u1 status
