@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * local[32] + 32 shuffle partitions per the driver contract; a warm-up pass
   * on sf0.001 amortizes codegen/classload so per-query numbers measure the
   * plan, not JIT.
+  *
+  * Run isolation (round-2 bench triage): queries run alphabetically, so
+  * the heavy dedup queries preceded the join queries and left behind (a)
+  * a persisted shingle table occupying storage memory and (b) garbage
+  * pressure — the join timings doubled with unchanged plans. Each query
+  * now starts from a clean slate: `clearCache()` drops any persist the
+  * previous query pinned and an explicit GC empties the young generation,
+  * so per-query numbers measure the plan, not the predecessor's residue.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,11 +27,15 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
+    spark.catalog.clearCache()
     val results = names.map { name =>
+      System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 endurance bench: scales the sf0.1 fixtures 10× into a scratch
+  * directory, then runs every SparkEntry query there — one order of
+  * magnitude past the driver's per-round bench, to surface the
+  * memory-pressure cliffs (spills, straggling partitions, cache
+  * thrash) a 600k-row set hides.
+  *
+  * Scaling preserves query SHAPE instead of degenerating it:
+  *
+  *  - dimension tables (region/nation/part/supplier) stay 1× — TPC-H
+  *    dims grow sub-linearly, and 10× fact rows per dim key is the
+  *    realistic join fan-in;
+  *  - fact keys (custkey/orderkey/user_id/doc_id/vec_id) shift by a
+  *    per-copy offset, so joins and windows get 10× the keys, not 10×
+  *    duplicates of each key (which would inflate join outputs 100×);
+  *  - document TEXT is re-tokenized per copy (every token prefixed with
+  *    the copy tag), so near-dup structure replicates per copy — pair
+  *    counts scale linearly — instead of every document gaining 9
+  *    bit-identical twins (quadratic pair blowup, a different benchmark);
+  *  - embeddings replicate as-is: the blocked cosine scan's work is
+  *    O(N²/blocks), which is exactly the scaling under test.
+  *
+  * Prints ONE JSON line like Bench, metric "endurance_total".
+  */
+object EnduranceBench {
+
+  private val Copies = 10
+  private val KeyOff = 1000000000L
+
+  private def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+  def generate(spark: SparkSession, base: String, out: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$out/_DONE")
+    if (fs.exists(done)) return
+    def shift(df: DataFrame, i: Int, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * KeyOff)))
+
+    Seq("region", "nation", "part", "supplier").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    copies(spark.read.parquet(s"$base/customer.parquet"))(shift(_, _, "c_custkey"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    copies(spark.read.parquet(s"$base/orders.parquet"))(
+      shift(_, _, "o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    copies(spark.read.parquet(s"$base/lineitem.parquet"))(shift(_, _, "l_orderkey"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // events.ts is TIMESTAMP(NANOS): read as nanos long (written back as
+    // INT64, which Tables.events rebuilds identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try copies(spark.read.parquet(s"$base/events.parquet"))(
+      shift(_, _, "event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    copies(spark.read.parquet(s"$base/documents.parquet")) { (df, i) =>
+      val shifted = shift(df, i, "doc_id")
+      if (i == 0) shifted
+      else shifted.withColumn("text",
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(lit(s"c${i}x"), t)), " "))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    copies(spark.read.parquet(s"$base/embeddings.parquet"))(shift(_, _, "vec_id"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    fs.create(done, true).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(
+      sys.props("java.io.tmpdir") + "/graft-sf1")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF1_BASE", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    val g0 = System.nanoTime()
+    generate(spark, base, out)
+    val genSec = (System.nanoTime() - g0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var failures = 0
+    val results = names.map { name =>
+      System.gc()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, out).count()
+      catch { case e: Throwable =>
+        failures += 1
+        System.err.println(s"[endurance] $name failed: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"endurance_total","value":$total,"unit":"sec",""" +
+      s""""gen_sec":${f"$genSec%.1f"},"failures":$failures,""" +
+      s""""queries":$qs,"sf":"sf1 (10x sf0.1)"}""")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

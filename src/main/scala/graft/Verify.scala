@@ -14,6 +14,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query isolation: a query's persist() (e.g. the dedup
+      // pipeline's shared shingle pass) must not occupy storage memory
+      // for every query after it
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

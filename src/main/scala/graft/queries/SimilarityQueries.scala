@@ -30,6 +30,20 @@ object SimilarityQueries extends QuerySet {
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
+    // IVF ANN with a trained coarse quantizer, run at FULL probe: the
+    // cell machinery (seeded KMeans train, map-only assignment, per-query
+    // probe filter) is exercised end-to-end while the probe set admits
+    // every cell, so results are exactly the brute-force baseline and the
+    // oracle is shared — the approximation is a pure subset relaxation
+    // (partial-probe recall is spec-tested in IvfSpec)
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8)
+      graft.functions.Ivf.searchTopK(emb, col("vec_id") < 10, 5,
+          centroids, nProbe = 8)
+        .select(col("q_id"), col("rk"), col("neighbor_id"))
+    }),
+
     // embedding-cosine near-duplicate pairs above a threshold
     // (broadcast-blocked self-scan, no cross-join shuffle)
     "q_near_dup_cosine" -> ((s, d) => {
@@ -81,6 +95,19 @@ object SimilarityQueries extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "q_ann_topk" ->
+      s"""WITH scored AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT q_id, rk, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored) WHERE rk <= 5""".stripMargin,
+
+    // identical answer to q_ann_topk by construction (full probe)
+    "q_ivf_topk" ->
       s"""WITH scored AS (
          |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
          |  FROM embeddings a CROSS JOIN embeddings b
