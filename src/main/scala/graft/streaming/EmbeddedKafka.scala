@@ -155,6 +155,15 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
   def streamFromOldest(group: String): Dataset[StreamElement] =
     streamReader(Some(group)).load().as[StreamElement]
 
+  /** Throughput-limited streaming subscription: at most
+    * `maxRecordsPerTrigger` records per micro-batch — the reference's
+    * ThroughputLimiter knob on the source's admission control.
+    */
+  def streamFromOldestThrottled(maxRecordsPerTrigger: Long): Dataset[StreamElement] =
+    streamReader(None)
+      .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+      .load().as[StreamElement]
+
   private def streamReader(group: Option[String]) = {
     val r = spark.readStream.format(KafkaSource.SHORT_NAME)
       .option("broker", topic.broker).option("topic", topic.name)

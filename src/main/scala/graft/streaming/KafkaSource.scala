@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,11 +73,12 @@ class KafkaSourceProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new KafkaSourceTable(properties.get("broker"), properties.get("topic"),
-      Option(properties.get("group")))
+      Option(properties.get("group")),
+      Option(properties.get("maxRecordsPerTrigger")).map(_.toLong))
 }
 
-class KafkaSourceTable(broker: String, topicName: String, group: Option[String])
-    extends Table with SupportsRead {
+class KafkaSourceTable(broker: String, topicName: String, group: Option[String],
+    maxRecordsPerTrigger: Option[Long]) extends Table with SupportsRead {
   require(broker != null && topicName != null,
     "graft-kafka requires options broker and topic")
   override def name(): String = s"graft-kafka://$broker/$topicName"
@@ -86,12 +87,13 @@ class KafkaSourceTable(broker: String, topicName: String, group: Option[String])
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KafkaScan(broker, topicName, group)
+      override def build(): Scan =
+        new KafkaScan(broker, topicName, group, maxRecordsPerTrigger)
     }
 }
 
-class KafkaScan(broker: String, topicName: String, group: Option[String])
-    extends Scan {
+class KafkaScan(broker: String, topicName: String, group: Option[String],
+    maxRecordsPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = KafkaSource.schema
 
   /** Batch read: one split per partition over [0, latest). */
@@ -106,7 +108,7 @@ class KafkaScan(broker: String, topicName: String, group: Option[String])
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaMicroBatchStream(broker, topicName, group)
+    new KafkaMicroBatchStream(broker, topicName, group, maxRecordsPerTrigger)
 }
 
 /** A split: one topic partition, offsets [from, until). */
@@ -127,14 +129,50 @@ class KafkaReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** Admission control: `maxRecordsPerTrigger` caps each micro-batch (the
+  * reference's ThroughputLimiter on the observe path; the same knob
+  * spark-sql-kafka exposes), distributed greedily across partitions.
+  * `Trigger.AvailableNow` snapshots the latest offsets up front and
+  * drains to exactly that point in capped batches, then terminates.
+  */
 class KafkaMicroBatchStream(broker: String, topicName: String,
-    group: Option[String]) extends MicroBatchStream {
+    group: Option[String], maxRecordsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def topic = EmbeddedKafka.topic(broker, topicName)
+
+  @volatile private var availableNowCap: Option[Map[Int, Long]] = None
 
   override def initialOffset(): Offset = KafkaSourceOffset(topic.earliestOffsets)
 
   override def latestOffset(): Offset = KafkaSourceOffset(topic.latestOffsets)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(topic.latestOffsets)
+
+  override def reportLatestOffset(): Offset = KafkaSourceOffset(topic.latestOffsets)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[KafkaSourceOffset].offsets
+    // AvailableNow drains to the prepared snapshot, never past it
+    val target = availableNowCap.getOrElse(topic.latestOffsets)
+    limit match {
+      case _: ReadAllAvailable => KafkaSourceOffset(target)
+      case mr: ReadMaxRows =>
+        var budget = mr.maxRows()
+        val out = target.toSeq.sortBy(_._1).map { case (p, end) =>
+          val lo = from.getOrElse(p, 0L)
+          val take = math.min(math.max(0L, end - lo), budget)
+          budget -= take
+          p -> (lo + take)
+        }.toMap
+        KafkaSourceOffset(out)
+      case _ => KafkaSourceOffset(target)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     KafkaSourceOffset(KafkaSource.offsetsFromJson(json))

@@ -140,6 +140,41 @@ class KafkaSeamSpec extends SparkSpec {
       s"only the uncommitted tail may replay, got $remaining")
   }
 
+  test("DSv2 source: maxRecordsPerTrigger caps each micro-batch") {
+    val t = EmbeddedKafka.topic("b1", "t-throttle", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    (1 to 7).foreach(i => fam.append(Seq(up(s"k$i", "a", i, s"v$i"))))
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = fam.streamFromOldestThrottled(maxRecordsPerTrigger = 2).writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamElement], _: Long) =>
+          sizes.add(b.count()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val s = sizes.asScala.toSeq.filter(_ > 0)
+    assert(s.sum == 7, s"all records delivered: $s")
+    assert(s.forall(_ <= 2), s"each batch capped at 2: $s")
+    assert(s.size >= 4, s"7 records at cap 2 need >= 4 batches: $s")
+  }
+
+  test("DSv2 source: Trigger.AvailableNow drains the snapshot then stops") {
+    val t = EmbeddedKafka.topic("b1", "t-availnow", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    (1 to 5).foreach(i => fam.append(Seq(up(s"k$i", "a", i, s"v$i"))))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = fam.streamFromOldestThrottled(maxRecordsPerTrigger = 2).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamElement], _: Long) =>
+          b.collect().foreach(e => seen.add(e.uuid))
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(seen.size == 5, s"snapshot fully drained: $seen")
+  }
+
   test("offset json round-trips") {
     val o = Map(0 -> 12L, 1 -> 0L, 3 -> 999L)
     assert(KafkaSource.offsetsFromJson(KafkaSourceOffset(o).json()) == o)
