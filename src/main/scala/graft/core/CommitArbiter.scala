@@ -52,6 +52,13 @@ object CommitArbiter {
     * The marker holds a random claim token so release only ever deletes the
     * caller's own claim (a waiter that broke our expired lease and claimed
     * is not clobbered).
+    *
+    * Atomicity of the claim: on local filesystems Hadoop's
+    * `create(overwrite = false)` is exists-check-then-open (a TOCTOU
+    * window two claimants can both pass), so local paths claim through
+    * NIO `CREATE_NEW` — a single O_CREAT|O_EXCL syscall. Non-local
+    * schemes keep the Hadoop create, which IS atomic where it matters
+    * (HDFS arbitrates at the namenode).
     */
   private[graft] def withMarkerLock[T](conf: Configuration, lockPath: String,
       leaseMs: Long = 60000L, pollMs: Long = 25L,
@@ -59,25 +66,39 @@ object CommitArbiter {
     val p = new Path(lockPath)
     val fs = FileSystem.get(p.toUri, conf)
     val claim = java.util.UUID.randomUUID().toString
+    val local = p.toUri.getScheme == null || p.toUri.getScheme == "file"
+    def tryClaim(): Boolean =
+      if (local) {
+        val np = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          Option(np.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(np, claim.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: IOException => false }
+      } else {
+        try {
+          val out = fs.create(p, false)
+          out.writeBytes(claim)
+          out.close()
+          true
+        } catch { case _: IOException => false }
+      }
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"commit lock $lockPath not acquired within ${timeoutMs}ms")
-      try {
-        val out = fs.create(p, false)
-        out.writeBytes(claim)
-        out.close()
-        acquired = true
-      } catch {
-        case _: IOException =>
-          try {
-            val st = fs.getFileStatus(p)
-            if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
-              fs.delete(p, false) // stale holder: break the lease, re-claim
-            else Thread.sleep(pollMs)
-          } catch { case _: FileNotFoundException => () }
+      if (tryClaim()) acquired = true
+      else {
+        try {
+          val st = fs.getFileStatus(p)
+          if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
+            fs.delete(p, false) // stale holder: break the lease, re-claim
+          else Thread.sleep(pollMs)
+        } catch { case _: FileNotFoundException => () }
       }
     }
     try f

@@ -174,6 +174,8 @@ object ValueSerializer {
       case "proto" if parts.length == 2 => new ProtoValueSerializer(parts(1))
       case "proto-json" if parts.length == 2 =>
         new ProtoJsonValueSerializer(parts(1))
+      case "schema-registry" if parts.length == 2 =>
+        new SchemaRegistryValueSerializer(parts(1))
       case base => registry.getOrElse(base,
         throw new IllegalArgumentException(s"Unknown scheme: $schemeUri"))
     }

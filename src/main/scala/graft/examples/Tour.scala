@@ -88,6 +88,39 @@ object Tour {
       println(s"http /get -> $resp")
     } finally gw.stop()
 
+    // ---- round-3 additions ----
+
+    // 6. scripted console expressions: predicates compile to Catalyst
+    // columns, so the count runs as a distributed job
+    println("-- scripted eval --")
+    new GraftShell(op, new ByteArrayInputStream(
+      "eval gateway.filter(attribute == \"status\").count()\nexit\n".getBytes("UTF-8")),
+      new PrintStream(System.out, true, "UTF-8")).run()
+
+    // 7. throttled streaming over the kafka family: the DSv2 source plans
+    // capped micro-batches and AvailableNow drains the current snapshot
+    val kafkaFam = op.family("gw-commit")
+      .asInstanceOf[graft.streaming.KafkaLogFamily]
+    val drained = kafkaFam.streamFromOldestThrottled(maxRecordsPerTrigger = 1)
+      .writeStream.format("memory").queryName("tour_drain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    drained.awaitTermination(60000)
+    println(s"throttled AvailableNow drained ${spark.table("tour_drain").count()} records")
+
+    // 8. the dedup pipeline with its quarantine side output
+    import spark.implicits._
+    val docs = ((1 to 30).map(i => (i.toLong, "common boilerplate header text here")) ++
+      Seq((100L, "a genuinely unique document body"),
+        (101L, "a genuinely unique document body indeed")))
+      .toDF("doc_id", "text")
+    val dedup = graft.functions.DedupPipeline.nearDuplicates(docs, maxBucket = 8)
+    println(s"near-dup pairs: ${dedup.pairs.count()}, " +
+      s"quarantined buckets: ${dedup.droppedBuckets.count()}")
+
+    // 9. metrics picked up along the way
+    println("metrics: " + graft.core.Metrics.snapshot.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString(", "))
+
     spark.stop()
   }
 }

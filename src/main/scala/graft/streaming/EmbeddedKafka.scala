@@ -136,8 +136,10 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
   def append(elems: Dataset[StreamElement]): Unit =
     elems.collect().foreach(topic.append)
 
-  override def append(elems: Seq[StreamElement]): Unit =
+  override def append(elems: Seq[StreamElement]): Unit = {
+    graft.core.Metrics.inc("graft.elements.appended", elems.size.toLong)
     elems.foreach(topic.append)
+  }
 
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement] = {

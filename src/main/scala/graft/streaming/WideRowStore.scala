@@ -108,8 +108,10 @@ final class WideRowFamily(val spark: SparkSession,
   def append(elems: Dataset[StreamElement]): Unit =
     elems.collect().foreach(store.put)
 
-  override def append(elems: Seq[StreamElement]): Unit =
+  override def append(elems: Seq[StreamElement]): Unit = {
+    graft.core.Metrics.inc("graft.elements.appended", elems.size.toLong)
     elems.foreach(store.put)
+  }
 
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement] =

@@ -139,21 +139,23 @@ class TransactionModesSpec extends SparkSpec {
     val lock = Files.createTempDirectory("graft-lock-").toString + "/_commit.lock"
     val order = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
-    val pool = Executors.newFixedThreadPool(2)
+    val pool = Executors.newFixedThreadPool(4)
     val inLock = new java.util.concurrent.atomic.AtomicInteger(0)
-    (1 to 2).foreach { i =>
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (1 to 4).foreach { i =>
       pool.submit(new Runnable {
         override def run(): Unit =
           CommitArbiter.withMarkerLock(conf, lock) {
-            assert(inLock.incrementAndGet() == 1, "two holders inside the lock")
-            order.add(s"enter-$i"); Thread.sleep(100)
+            if (inLock.incrementAndGet() != 1) overlap.set(true)
+            order.add(s"enter-$i"); Thread.sleep(40)
             inLock.decrementAndGet(); order.add(s"exit-$i")
           }
       })
     }
     pool.shutdown()
     assert(pool.awaitTermination(60, TimeUnit.SECONDS))
-    assert(order.size == 4)
+    assert(!overlap.get(), "two holders were inside the lock simultaneously")
+    assert(order.size == 8, s"every contender must eventually enter+exit: $order")
     // a crashed holder's stale lock is broken after the lease expires
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val p = new org.apache.hadoop.fs.Path(lock)

@@ -36,9 +36,23 @@ class PairScaleSpec extends SparkSpec {
     val n = 80
     val docs = docsDf((1 to n).map(i =>
       (i.toLong, "the same boilerplate text repeated in every document")))
-    // construction must run NO job (was an eager .head() in round 2) —
-    // assert by composing against a cap and only then acting
-    val res = DedupPipeline.nearDuplicates(docs, maxBucket = 10)
+    // construction must run NO job (round 2 had an eager .head() inside
+    // the cap) — count Spark jobs across plan composition
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    graft.SparkSpec.spark.sparkContext.addSparkListener(listener)
+    val res = try {
+      val r = DedupPipeline.nearDuplicates(docs, maxBucket = 10)
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(jobs.get() == 0,
+        s"composing the capped pipeline must run zero Spark jobs, ran ${jobs.get()}")
+      r
+    } finally graft.SparkSpec.spark.sparkContext.removeSparkListener(listener)
     assert(res.pairs.count() == 0)
     assert(res.droppedBuckets.count() == 4)
     val full = DedupPipeline.nearDuplicates(docs, maxBucket = Int.MaxValue)
