@@ -175,6 +175,42 @@ class KafkaSeamSpec extends SparkSpec {
     assert(seen.size == 5, s"snapshot fully drained: $seen")
   }
 
+  test("typed windowed aggregation over the DSv2 stream matches batch") {
+    val t = EmbeddedKafka.topic("b1", "t-window", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    // two keys, stamps spread over three 10s windows (stamps in micros)
+    val rows = Seq(
+      ("k1", 1000000L), ("k1", 2000000L), ("k1", 11000000L),
+      ("k2", 1000000L), ("k2", 21000000L), ("k2", 22000000L), ("k2", 23000000L))
+    rows.zipWithIndex.foreach { case ((k, st), i) =>
+      fam.append(Seq(up(k, "a", st, s"v$i")))
+    }
+    // append mode emits a window only after the watermark passes its end;
+    // a sentinel far in the future closes every real window (excluded
+    // from the comparison on both sides)
+    fam.append(Seq(up("flush", "a", 40000000L, "sentinel")))
+    // streaming: typed tumbling count over the offset-tracked source
+    import graft.SparkSpec.spark.implicits._
+    val counts = graft.api.GUnboundedStream.ofElements(fam.streamFromOldest())
+      .tumblingAggByKey(sizeMs = 10000, latenessMs = 0)(
+        _.key, _ => 1.0, "count")
+    val q = counts.writeStream.format("memory").queryName("kafka_windows")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("kafka_windows")
+      .filter("key != 'flush'")
+      .selectExpr("key", "w_start_us", "agg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch ground truth over the same topic
+    val expect = fam.batchUpdates().toDF()
+      .filter("key != 'flush'")
+      .selectExpr("key", "(stamp div 10000000) * 10000000 AS ws")
+      .groupBy("key", "ws").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2).toDouble)).toSet
+    assert(got == expect, s"streaming $got != batch $expect")
+  }
+
   test("offset json round-trips") {
     val o = Map(0 -> 12L, 1 -> 0L, 3 -> 999L)
     assert(KafkaSource.offsetsFromJson(KafkaSourceOffset(o).json()) == o)
