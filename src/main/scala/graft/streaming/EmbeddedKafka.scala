@@ -120,14 +120,12 @@ object EmbeddedKafka {
 
 /** `kafka://` attribute family over the embedded log.
   *
-  * Batch reads materialize the topic through the driver BY CONSTRUCTION —
-  * the embedded broker lives in driver memory, exactly like the reference's
-  * test InMemStorage; the production path binds spark-sql-kafka behind the
-  * same [[AttributeLogFamily]] methods and keeps everything distributed.
-  * Streaming is the real offset-tracked DataSourceV2 source
-  * ([[KafkaSource]]): per-partition splits, checkpointed offsets, restart
-  * recovery — existing records replay first, later appends flow in
-  * subsequent micro-batches.
+  * Both read paths go through the [[KafkaSource]] DataSourceV2: batch
+  * reads plan one split per topic partition (readers pull their slice —
+  * the distributed plan shape; only the embedded broker itself is
+  * driver-JVM state, exactly like the reference's test InMemStorage),
+  * and streaming is the offset-tracked `MicroBatchStream` with
+  * checkpointed offsets, restart recovery and admission control.
   */
 final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
     val topic: EmbeddedKafka.Topic) extends AttributeLogFamily {
@@ -143,8 +141,13 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
 
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement] = {
-    val all = topic.allElements.filter(e => e.stamp >= from && e.stamp < until)
-    spark.createDataset(all)
+    var df = spark.read.format(KafkaSource.SHORT_NAME)
+      .option("broker", topic.broker).option("topic", topic.name).load()
+    if (from != Long.MinValue)
+      df = df.filter(org.apache.spark.sql.functions.col("stamp") >= from)
+    if (until != Long.MaxValue)
+      df = df.filter(org.apache.spark.sql.functions.col("stamp") < until)
+    df.as[StreamElement]
   }
 
   def streamFromOldest(): Dataset[StreamElement] =

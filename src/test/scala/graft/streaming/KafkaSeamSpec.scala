@@ -211,6 +211,18 @@ class KafkaSeamSpec extends SparkSpec {
     assert(got == expect, s"streaming $got != batch $expect")
   }
 
+  test("batch read plans one split per topic partition") {
+    val t = EmbeddedKafka.topic("b1", "t-batch-splits", 3)
+    val fam = new KafkaLogFamily(spark, t)
+    (1 to 9).foreach(i => fam.append(Seq(up(s"k$i", "a", i, s"v$i"))))
+    val ds = fam.batchUpdates()
+    assert(ds.count() == 9)
+    assert(ds.rdd.getNumPartitions == 3,
+      "DSv2 batch scan must split by topic partition")
+    // stamp-range filter applies on top of the scan
+    assert(fam.batchUpdates(from = 3, until = 7).count() == 4)
+  }
+
   test("offset json round-trips") {
     val o = Map(0 -> 12L, 1 -> 0L, 3 -> 999L)
     assert(KafkaSource.offsetsFromJson(KafkaSourceOffset(o).json()) == o)
