@@ -22,8 +22,14 @@ object DedupPipeline {
 
   /** `pairs`: verified near-dup pairs (a_id, b_id, inter, uni).
     * `droppedBuckets`: over-cap LSH buckets (band, bval, members).
+    * Call [[Result.unpersist]] when done — the pipeline pins its shared
+    * hashed-shingle pass in storage memory; long-lived sessions should
+    * release it once the outputs are consumed.
     */
-  final case class Result(pairs: DataFrame, droppedBuckets: DataFrame)
+  final case class Result(pairs: DataFrame, droppedBuckets: DataFrame,
+      private val shared: DataFrame) {
+    def unpersist(): Unit = { shared.unpersist(); () }
+  }
 
   /** @param thresholdNum/thresholdDen Jaccard threshold as a rational,
     *   compared in integer arithmetic (no cross-engine float drift)
@@ -51,6 +57,6 @@ object DedupPipeline {
         (col("a_sz") + col("b_sz") - col("inter")) * thresholdNum)
       .select(col("a_id"), col("b_id"), col("inter"),
         (col("a_sz") + col("b_sz") - col("inter")).as("uni"))
-    Result(pairs, cw.droppedBuckets)
+    Result(pairs, cw.droppedBuckets, sh60)
   }
 }

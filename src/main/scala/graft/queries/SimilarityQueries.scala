@@ -38,7 +38,10 @@ object SimilarityQueries extends QuerySet {
     // (partial-probe recall is spec-tested in IvfSpec)
     "q_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8)
+      // maxIter 5: at FULL probe the answer is iteration-independent
+      // (cells only prune; here they admit everything), so training only
+      // needs enough rounds to form cells, not converged ones
+      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8, maxIter = 5)
       graft.functions.Ivf.searchTopK(emb, col("vec_id") < 10, 5,
           centroids, nProbe = 8)
         .select(col("q_id"), col("rk"), col("neighbor_id"))
