@@ -42,7 +42,9 @@ object Metrics {
   private val gauges = TrieMap.empty[String, AtomicLong]
   private val listeners = new CopyOnWriteArrayList[Listener]()
   private val obsId = new AtomicLong()
-  private val installed = TrieMap.empty[SparkSession, Unit]
+  // weak keys: an install must not pin a stopped session in memory
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def inc(name: String, delta: Long = 1L): Unit = {
     val c = counters.getOrElseUpdate(name, new LongAdder)
@@ -81,8 +83,9 @@ object Metrics {
     * every observed-metric field named `graft.…` increments the counter
     * of that name after each successful action.
     */
-  def install(spark: SparkSession): Unit =
-    installed.getOrElseUpdate(spark, {
+  def install(spark: SparkSession): Unit = installed.synchronized {
+    if (!installed.containsKey(spark)) {
+      installed.put(spark, java.lang.Boolean.TRUE)
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
@@ -98,5 +101,6 @@ object Metrics {
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
-    })
+    }
+  }
 }

@@ -11,7 +11,7 @@ import org.scalacheck.Prop.forAll
   */
 object ProtoLaws extends Properties("ProtoWire") {
 
-  private val desc = "{1:i32=int32;2:i64=int64;3:s32=sint32;4:s64=sint64;" +
+  private[core] val desc = "{1:i32=int32;2:i64=int64;3:s32=sint32;4:s64=sint64;" +
     "5:f32=fixed32;6:f64=sfixed64;7:b=bool;8:f=float;9:d=double;" +
     "10:s=string;11:by=bytes;12:tags=repeated string;13:nums=repeated sint64;" +
     "14:nested={1:q=int64;2:t=string}}"
@@ -23,7 +23,7 @@ object ProtoLaws extends Properties("ProtoWire") {
   private val genBytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
     .map(_.toArray)
 
-  private val genValue: Gen[Map[String, Any]] = for {
+  private[core] val genValue: Gen[Map[String, Any]] = for {
     i32 <- Gen.choose(Int.MinValue, Int.MaxValue)
     i64 <- Gen.choose(Long.MinValue, Long.MaxValue)
     s32 <- Gen.choose(Int.MinValue, Int.MaxValue)
@@ -46,7 +46,7 @@ object ProtoLaws extends Properties("ProtoWire") {
     "s" -> s, "by" -> by, "tags" -> tags.toSeq, "nums" -> nums.toSeq,
     "nested" -> Map("q" -> q, "t" -> t))
 
-  private def normalize(m: Map[String, Any]): Map[String, Any] = m.map {
+  private[core] def normalize(m: Map[String, Any]): Map[String, Any] = m.map {
     case (k, b: Array[Byte]) => k -> b.toSeq
     case (k, s: Seq[_]) => k -> s.map {
       case mm: Map[_, _] => normalize(mm.asInstanceOf[Map[String, Any]])
@@ -66,7 +66,7 @@ object ProtoLaws extends Properties("ProtoWire") {
   /** The round-trip target: absent fields materialize as proto3 defaults
     * on decode (recursively for nested messages).
     */
-  private def filled(m: ProtoSchema.PMessage,
+  private[core] def filled(m: ProtoSchema.PMessage,
       v: Map[String, Any]): Map[String, Any] =
     m.fields.map { f =>
       val a = v.getOrElse(f.name, ProtoSchema.defaultOf(f.tpe))
@@ -77,7 +77,7 @@ object ProtoLaws extends Properties("ProtoWire") {
       })
     }.toMap
 
-  private val parsedDesc = ProtoSchema.parse(desc)
+  private[core] val parsedDesc = ProtoSchema.parse(desc)
 
   property("roundTrip") = forAll(genValue) { v =>
     normalize(ser.deserialize(ser.serialize(v)).get) ==
