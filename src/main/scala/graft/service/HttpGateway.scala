@@ -25,6 +25,11 @@ import graft.core.GraftOperator
   *  - /get         {entity, key, attribute}         → {found, value?}
   *  - /list        {entity, key, prefix?, offset?, limit?} → {attributes}
   *  - /multifetch  {entity, attribute, keys}        → {values: {key: v}}
+  *  - /schema/register {registry, subject, schema} → {id, version}
+  *    /schema/latest   {registry, subject}         → {found, id?, version?, schema?}
+  *    /schema/by-id    {id}                        → {found, schema?}
+  *    (the reference's Confluent registry is an HTTP service; these
+  *    endpoints put the embedded registry double behind the same wire)
   */
 final class HttpGateway(op: GraftOperator, port: Int = 0) {
 
@@ -107,6 +112,28 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
     "{\"values\":{" + vals.map { case (k, v) =>
       Json.quote(k) + ":" + Json.quote(Base64.getEncoder.encodeToString(v))
     }.mkString(",") + "}}"
+  })
+
+  server.createContext("/schema/register", handler { m =>
+    val r = graft.core.EmbeddedSchemaRegistry.register(
+      str(m, "registry"), str(m, "subject"), str(m, "schema"))
+    Json.obj("id" -> r.id, "version" -> r.version)
+  })
+
+  server.createContext("/schema/latest", handler { m =>
+    graft.core.EmbeddedSchemaRegistry.latest(
+      str(m, "registry"), str(m, "subject")) match {
+      case Some(r) => Json.obj("found" -> true, "id" -> r.id,
+        "version" -> r.version, "schema" -> r.schemaJson)
+      case None => Json.obj("found" -> false)
+    }
+  })
+
+  server.createContext("/schema/by-id", handler { m =>
+    graft.core.EmbeddedSchemaRegistry.byId(lng(m, "id").toInt) match {
+      case Some(schema) => Json.obj("found" -> true, "schema" -> schema)
+      case None         => Json.obj("found" -> false)
+    }
   })
 
   def start(): HttpGateway = { server.start(); this }

@@ -88,4 +88,37 @@ class HttpGatewaySpec extends SparkSpec {
         """{"entity":"gateway","key":"g2","attribute":"status"}"""))("found") == true)
     } finally gw.stop()
   }
+
+  test("schema registry over real HTTP: register, latest, by-id") {
+    graft.core.EmbeddedSchemaRegistry.reset()
+    val repo = Repository.parse(
+      """entities { gateway { attributes { "status" { scheme: string } } } }""")
+    val gw = new HttpGateway(new GraftOperator(spark, repo)).start()
+    try {
+      val port = gw.boundPort
+      val schema =
+        """{\"type\":\"record\",\"name\":\"U\",\"fields\":[{\"name\":\"id\",\"type\":\"long\"}]}"""
+      val reg = Json.parseObject(post(port, "/schema/register",
+        s"""{"registry":"wire-r","subject":"u-value","schema":"$schema"}"""))
+      val id = reg("id").toString.toDouble.toLong
+      assert(reg("version").toString.toDouble.toLong == 1L)
+      // idempotent re-register returns the same id
+      val again = Json.parseObject(post(port, "/schema/register",
+        s"""{"registry":"wire-r","subject":"u-value","schema":"$schema"}"""))
+      assert(again("id").toString.toDouble.toLong == id)
+      val latest = Json.parseObject(post(port, "/schema/latest",
+        """{"registry":"wire-r","subject":"u-value"}"""))
+      assert(latest("found") == true)
+      assert(latest("schema").toString.contains("\"name\":\"id\""))
+      val byId = Json.parseObject(post(port, "/schema/by-id", s"""{"id":$id}"""))
+      assert(byId("found") == true)
+      // the wire-registered schema drives the value serializer directly
+      val ser = new graft.core.SchemaRegistryValueSerializer("wire-r/u-value")
+      val rec = new org.apache.avro.generic.GenericData.Record(
+        new org.apache.avro.Schema.Parser().parse(latest("schema").toString))
+      rec.put("id", 9L)
+      assert(ser.deserialize(ser.serialize(rec)).get.get("id") == 9L)
+      assert(Json.parseObject(post(port, "/schema/by-id", """{"id":999}"""))("found") == false)
+    } finally gw.stop()
+  }
 }
