@@ -49,6 +49,18 @@ object DedupQueries extends QuerySet {
         .pairs
     }),
 
+    // dedup GROUPS: connected components over the verified near-dup
+    // pairs — the step that turns pairs into keep-one-representative
+    // clusters (component = smallest doc_id of the group). Iterative
+    // min-label propagation; the oracle replays it as a recursive
+    // transitive closure
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = graft.functions.DedupPipeline
+        .nearDuplicates(Tables.documents(s, d), maxBucket = Int.MaxValue)
+        .pairs.select(col("a_id"), col("b_id"))
+      graft.functions.Clusters.connectedComponents(pairs)
+    }),
+
     // the quarantine side channel itself, oracle-checked: LSH band
     // buckets over the cap come back as (band, bval, members) rows for
     // routing to exact dedup — never silently lost to a log line
@@ -104,6 +116,50 @@ object DedupQueries extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_sig" -> sigSql,
+
+    // the pipeline's pair set + recursive transitive closure: component
+    // of a node = the smallest node it can reach in the undirected graph
+    "q_dedup_clusters" -> {
+      val bands = (0 until K / BAND_ROWS).map { bnd =>
+        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE sig AS ($sigSql),
+         |banded AS (
+         |$bands
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |),
+         |sh2 AS ($shinglesSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh2 a ON a.doc_id = c.a_id
+         |  JOIN sh2 b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT i.a_id, i.b_id FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a_id
+         |  JOIN sz sb ON sb.doc_id = i.b_id
+         |  WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5
+         |),
+         |edges AS (
+         |  SELECT a_id AS x, b_id AS y FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+         |)
+         |SELECT x AS doc_id, least(x, min(y)) AS component
+         |FROM reach GROUP BY x""".stripMargin
+    },
 
     "q_lsh_dropped_buckets" -> {
       val bands = (0 until K / BAND_ROWS).map { bnd =>
