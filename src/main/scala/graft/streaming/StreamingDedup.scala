@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.MinHashLsh
+
+/** Streaming near-duplicate gate: every incoming document is checked
+  * against the corpus seen SO FAR — the ingestion-time dedup a
+  * training-data pipeline runs before a document ever lands (the batch
+  * [[graft.functions.DedupPipeline]] is the retrospective counterpart).
+  *
+  * Shape: the k-minhash signature is computed PER ROW (a document's
+  * signature depends only on its own text, so this is a pure map — no
+  * shuffle, unlike the batch columnar lowering which aggregates exploded
+  * shingles); each document then lands in its LSH band buckets, and ONE
+  * stateful operator (`flatMapGroupsWithState` keyed by band bucket,
+  * state = first document id seen) flags any document sharing a bucket
+  * with an earlier one. Spark's restriction on chained stateful
+  * operators is exactly why the signature must be map-side here.
+  *
+  * State is bounded by distinct band buckets (≤ documents × bands);
+  * at 100 TB the state store shards it by bucket key across executors.
+  * The per-row signature math is IDENTICAL to the batch column
+  * expressions (same md5-60-bit base hash, same affine permutations mod
+  * 2^31-1) — spec-enforced — so streaming flags agree with what the
+  * batch pipeline would compute over the same corpus.
+  */
+object StreamingDedup {
+
+  /** One band-bucket hit: `dup_of` names the bucket's first document
+    * (None when this document IS the bucket's first). A document is a
+    * near-dup candidate iff ANY of its bands carries `dup_of`.
+    */
+  final case class BandHit(doc_id: Long, band: Int, bval: String,
+      dup_of: Option[Long])
+
+  /** 60-bit md5 base hash — bit-identical to the columnar
+    * `conv(substr(md5(s), 1, 15), 16, 10)`.
+    */
+  private[graft] def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Per-document k-minhash signature over n-token shingles; identical
+    * integers to [[MinHashLsh.signature]] (min over the shingle multiset
+    * equals min over its set, so no dedup is needed).
+    */
+  private[graft] def signature(text: String, n: Int, k: Int): Array[Long] = {
+    val toks = text.trim.split("\\s+")
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (toks.length >= n) {
+      var i = 0
+      while (i + n <= toks.length) {
+        val h = hash60(toks.slice(i, i + n).mkString(" ")) % MinHashLsh.P
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 1) * h + (j * 7919L + 13L)) % MinHashLsh.P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band-bucket hits for a (doc_id, text) stream. Update output mode;
+    * within one micro-batch the smallest doc id claims a fresh bucket
+    * (deterministic).
+    */
+  def bandHits(docs: Dataset[(Long, String)], n: Int = 3, k: Int = 8,
+      bandRows: Int = 2): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bandRows == 0, s"bandRows $bandRows must divide k $k")
+    val banded = docs.flatMap { case (id, text) =>
+      val sig = signature(text, n, k)
+      (0 until k / bandRows).map { b =>
+        (b, (0 until bandRows).map(r => sig(b * bandRows + r)).mkString("|"), id)
+      }
+    }
+    banded
+      .groupByKey { case (b, bval, _) => (b, bval) }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Int, String, Long)],
+            state: GroupState[Long]) =>
+          val ids = rows.map(_._3).toSeq.sorted
+          var first = state.getOption
+          val out = ids.map { id =>
+            first match {
+              case None =>
+                first = Some(id)
+                BandHit(id, key._1, key._2, None)
+              case Some(f) =>
+                BandHit(id, key._1, key._2, if (f == id) None else Some(f))
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+      }
+  }
+}
