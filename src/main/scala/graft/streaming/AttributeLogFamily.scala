@@ -38,6 +38,29 @@ trait AttributeLogFamily {
   /** Streaming subscription replaying from the oldest retained element. */
   def streamFromOldest(): Dataset[StreamElement]
 
+  /** Idempotent-by-uuid append: drops elements whose uuid already exists
+    * in the family within the batch's stamp range before appending, so a
+    * replayed micro-batch (restart between write and checkpoint commit)
+    * does not duplicate rows. The anti-join is bounded to the batch's
+    * [min, max] stamps — at 100 TB the dedup scan touches only what the
+    * stamp-range pushdown selects, not the whole family (uuid is the
+    * reference's per-write identity, StreamElement.java:44).
+    */
+  def appendIdempotent(batch: Dataset[StreamElement]): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val b = batch.persist()
+    try {
+      val mm = b.toDF().agg(min(col("stamp")), max(col("stamp"))).head()
+      if (!mm.isNullAt(0)) {
+        val existing = batchUpdates(mm.getLong(0), mm.getLong(1) + 1)
+          .toDF().select(col("uuid"))
+        val fresh = b.join(existing, Seq("uuid"), "left_anti")
+          .as[StreamElement](StreamElement.encoder)
+        append(fresh)
+      }
+    } finally b.unpersist()
+  }
+
   /** Storage-identity token for transaction-commit serialization: all
     * coordinators over the same underlying STORAGE (not the same family
     * instance) must produce the same token, so their commits share one

@@ -109,30 +109,9 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
       .as[StreamElement]
   }
 
-  /** Idempotent-by-uuid append: drops elements whose uuid already exists
-    * in the family within the batch's stamp range before appending, so a
-    * replayed micro-batch (restart between write and checkpoint commit)
-    * does not duplicate rows. The anti-join is bounded to the batch's
-    * [min, max] stamps — at 100 TB the dedup scan touches only the files
-    * the stamp-range pushdown selects, not the whole family. Distinct
-    * writes that happen to share a uuid across disjoint stamp ranges are
-    * untouched (uuid is the reference's per-write identity,
-    * StreamElement.java:44).
-    */
-  def appendIdempotent(batch: Dataset[StreamElement]): Unit = {
-    val b = batch.persist()
-    try {
-      val mm = b.toDF().agg(min(col("stamp")), max(col("stamp"))).head()
-      if (!mm.isNullAt(0)) {
-        val existing = batchUpdates(mm.getLong(0), mm.getLong(1) + 1)
-          .toDF().select(col("uuid"))
-        val fresh = b.join(existing, Seq("uuid"), "left_anti").as[StreamElement]
-        append(fresh)
-      }
-    } finally b.unpersist()
-  }
-
-  /** Exactly-once-ish sink: idempotent-by-uuid append via foreachBatch
+  /** Exactly-once-ish sink: idempotent-by-uuid append ([[appendIdempotent]],
+    * inherited — the anti-join rides this family's stamp-range pushdown)
+    * via foreachBatch
     * (reference BufferUntilCheckpoint + commit callbacks collapse to
     * checkpointed idempotent writes on Spark; BufferUntilCheckpoint.java:37).
     */

@@ -25,7 +25,12 @@ object Transformations {
     def apply(element: StreamElement): Seq[StreamElement]
   }
 
-  /** Run continuously: source commit log → transform → target family. */
+  /** Run continuously: source commit log → transform → target family.
+    * The write IS idempotent-by-uuid ([[AttributeLogFamily
+    * .appendIdempotent]]): a micro-batch replayed after a restart
+    * between target write and checkpoint commit cannot duplicate rows
+    * in the target.
+    */
   def run(source: AttributeLogFamily, target: AttributeLogFamily,
       transform: ElementWise, checkpoint: String): StreamingQuery = {
     implicit val enc = StreamElement.encoder
@@ -34,7 +39,7 @@ object Transformations {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
-        target.append(batch)
+        target.appendIdempotent(batch)
       }
       .start()
   }

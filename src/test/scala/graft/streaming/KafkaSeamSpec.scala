@@ -223,6 +223,22 @@ class KafkaSeamSpec extends SparkSpec {
     assert(fam.batchUpdates(from = 3, until = 7).count() == 4)
   }
 
+  test("appendIdempotent drops replayed uuids on a kafka family") {
+    val t = EmbeddedKafka.topic("b1", "t-idem", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    val batch = spark.createDataset(Seq(
+      up("k1", "a", 10, "v1"), up("k2", "a", 11, "v2")))(
+      graft.core.StreamElement.encoder)
+    fam.appendIdempotent(batch)
+    // a replayed micro-batch (same uuids) must not duplicate rows
+    fam.appendIdempotent(batch)
+    assert(fam.batchUpdates().count() == 2)
+    // a genuinely new element still lands
+    fam.appendIdempotent(spark.createDataset(Seq(up("k3", "a", 12, "v3")))(
+      graft.core.StreamElement.encoder))
+    assert(fam.batchUpdates().count() == 3)
+  }
+
   test("offset json round-trips") {
     val o = Map(0 -> 12L, 1 -> 0L, 3 -> 999L)
     assert(KafkaSource.offsetsFromJson(KafkaSourceOffset(o).json()) == o)
