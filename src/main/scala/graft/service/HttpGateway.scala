@@ -76,7 +76,8 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
       if (delete) null
       else Base64.getDecoder.decode(m.getOrElse("value", "").toString)
     ingest.ingest(str(m, "entity"), str(m, "key"), str(m, "attribute"),
-      lng(m, "stamp"), value, delete)
+      lng(m, "stamp"), value, delete,
+      clientUuid = m.get("uuid").map(_.toString))
   }
 
   private def statusJson(s: IngestService.Status): String =

@@ -22,15 +22,24 @@ final class IngestService(op: GraftOperator) {
 
   /** Single ingest (rpc.proto ingest:143): validates the attribute against
     * the repository, assigns a uuid, routes to the primary family.
+    *
+    * `clientUuid` is the reference's client-supplied write identity
+    * (rpc.proto Ingest.uuid): a client retrying a timed-out request
+    * resends the SAME uuid, and downstream uuid-based dedup
+    * ([[graft.streaming.AttributeLogFamily.appendIdempotent]], the
+    * checkpointed sinks) collapses the duplicates — at-least-once
+    * delivery with idempotent effect. Absent, the server assigns one.
     */
   def ingest(entity: String, key: String, attribute: String, stamp: Long,
-      value: Array[Byte], delete: Boolean = false): Status = {
+      value: Array[Byte], delete: Boolean = false,
+      clientUuid: Option[String] = None): Status = {
     val e = op.repo.entities.get(entity)
     if (e.isEmpty) return Status(ok = false, "", s"Unknown entity $entity")
     val attr = e.get.resolve(attribute)
     if (attr.isEmpty)
       return Status(ok = false, "", s"Unknown attribute $entity.$attribute")
-    val uuid = UUID.randomUUID().toString
+    val uuid = clientUuid.filter(_.nonEmpty)
+      .getOrElse(UUID.randomUUID().toString)
     val isWcDelete = delete && attribute.endsWith(".*")
     val el = StreamElement(entity, key, attribute, uuid, 0L, stamp,
       if (delete) null else value, delete, isWcDelete)

@@ -89,6 +89,23 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("client-supplied uuid is honored for retry idempotence") {
+    val repo = Repository.parse(
+      """entities { gateway { attributes { "status" { scheme: string } } } }
+        |attributeFamilies {
+        |  gw-p { entity: gateway, attributes: [ "*" ], storage: "inmem://gw2",
+        |         type: primary, access: [ commit-log, batch-updates ] }
+        |}""".stripMargin)
+    val gw = new HttpGateway(new GraftOperator(spark, repo)).start()
+    try {
+      val port = gw.boundPort
+      val r = Json.parseObject(post(port, "/ingest",
+        s"""{"entity":"gateway","key":"g9","attribute":"status","stamp":5,"value":"${b64("x")}","uuid":"retry-123"}"""))
+      assert(r("ok") == true && r("uuid") == "retry-123",
+        "the echoed uuid must be the client's, enabling uuid-based dedup on retry")
+    } finally gw.stop()
+  }
+
   test("schema registry over real HTTP: register, latest, by-id") {
     graft.core.EmbeddedSchemaRegistry.reset()
     val repo = Repository.parse(
