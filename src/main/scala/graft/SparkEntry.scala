@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries,
     SimilarityQueries,
     DedupQueries,
+    CurationQueries,
     MultimodalQueries,
     ChangelogQueries
   )

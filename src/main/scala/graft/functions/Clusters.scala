@@ -26,8 +26,14 @@ object Clusters {
     */
   def connectedComponents(pairs: DataFrame, a: String = "a_id",
       b: String = "b_id", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
-      .union(pairs.select(col(b).cast("long").as("x"), col(a).cast("long").as("y")))
+    // both directions in ONE pass over `pairs` (explode, not union): the
+    // input is typically the tail of an expensive pipeline, and a
+    // two-branch union would execute that pipeline once per branch
+    val edges = pairs
+      .select(explode(array(
+        struct(col(a).cast("long").as("x"), col(b).cast("long").as("y")),
+        struct(col(b).cast("long").as("x"), col(a).cast("long").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct()
       .persist()
     try {

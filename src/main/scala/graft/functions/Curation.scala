@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline (LLM-pipeline
+  * extension beyond the reference's operator set): benchmark
+  * decontamination, Gopher-style repetition statistics, and deterministic
+  * hash sampling (stratified rates / domain-mix rebalancing).
+  *
+  * Scale shapes:
+  *  - decontamination joins the corpus against the DISTINCT n-gram set of
+  *    the eval benchmark — the benchmark side is tiny (thousands of docs),
+  *    so it broadcasts and the corpus side stays a single scan + map-side
+  *    join + partial-aggregable count;
+  *  - repetition stats are two explode→groupBy passes (token and bigram),
+  *    both partial-aggregable, joined per-doc at the end;
+  *  - hash sampling is a pure map: keep iff a 60-bit md5 of the doc id
+  *    lands under the stratum's rate in basis points. Deterministic across
+  *    engines, retries and re-runs (no RNG state), and rebalancing rates
+  *    derive from one tiny per-domain aggregate broadcast back.
+  */
+object Curation {
+
+  /** Deterministic per-row sampling hash in [0, 10000) basis points.
+    * Namespaced by `salt` so independent sampling decisions (stratified
+    * sample vs domain mix) are uncorrelated.
+    */
+  def sampleBucket(id: Column, salt: String): Column =
+    MinHashLsh.hash60(concat(lit(salt + ":"), id.cast("string"))) % 10000
+
+  /** Docs from `train` sharing at least one n-token shingle with `eval`
+    * (the benchmark set): (doc_id, n_hits) where n_hits counts the
+    * DISTINCT contaminated shingles of the doc. Non-overlapping docs are
+    * absent — the common downstream move is an anti-join to drop the hits.
+    *
+    * Both sides shingle independently (the eval set is a separate, small
+    * table in a real pipeline); shingles are compared via their 64-bit
+    * hash so the shuffle/broadcast carries 8-byte keys, not strings.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame) = MinHashLsh.shingles(df, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+    val evalGrams = grams(eval).select(col("g")).distinct()
+    grams(train)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Gopher-style repetition statistics per document: token totals,
+    * distinct counts, the hottest token/bigram, and the derived fractions
+    * used as filter thresholds (duplicate-token fraction, top-bigram
+    * fraction). Fractions are rounded to 4 decimals — the established
+    * cross-engine-safe ratio form.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String): DataFrame = {
+    val tokCounts = docs
+      .select(col("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val perTok = tokCounts.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_token"))
+    val biCounts = MinHashLsh.shingles(docs, textCol, n = 2, dedupe = false)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+    val perBi = biCounts.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      max(col("c")).as("top_bigram"))
+    perTok.join(perBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_token"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4)
+          .as("dup_token_frac"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(round(col("top_bigram") / col("n_bigrams").cast("double"), 4))
+          .as("top_bigram_frac"))
+  }
+
+  /** Keep rows whose sampling bucket lands under `rateBp` (basis points,
+    * 10000 = keep all). `rateBp` may be any Column — a literal, a
+    * per-stratum CASE, or a joined-in rebalancing rate.
+    */
+  def hashSample(docs: DataFrame, id: Column, salt: String,
+      rateBp: Column): DataFrame =
+    docs.filter(sampleBucket(id, salt) < rateBp)
+
+  /** Per-domain rates (basis points) that rebalance the corpus toward a
+    * UNIFORM share of `weightCol` (chars/tokens) per domain: domains over
+    * the uniform target are downsampled to it, domains under keep
+    * everything. All-integer arithmetic (floor division) so the rates are
+    * bit-identical across engines.
+    *
+    * One tiny aggregate (ndomains rows) — broadcast it back onto the
+    * corpus and pass the joined column to [[hashSample]].
+    */
+  def domainMixRates(docs: DataFrame, domainCol: String,
+      weightCol: String): DataFrame = {
+    val per = docs.groupBy(col(domainCol))
+      .agg(sum(col(weightCol)).as("domain_w"))
+    val tot = per.agg(sum(col("domain_w")).as("total_w"),
+      count(lit(1)).as("n_domains"))
+    per.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        least(lit(10000L),
+          expr("((total_w div n_domains) * 10000) div domain_w")).as("rate_bp"))
+  }
+}

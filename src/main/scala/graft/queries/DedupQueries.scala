@@ -55,10 +55,14 @@ object DedupQueries extends QuerySet {
     // min-label propagation; the oracle replays it as a recursive
     // transitive closure
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = graft.functions.DedupPipeline
+      val res = graft.functions.DedupPipeline
         .nearDuplicates(Tables.documents(s, d), maxBucket = Int.MaxValue)
-        .pairs.select(col("a_id"), col("b_id"))
-      graft.functions.Clusters.connectedComponents(pairs)
+      val cc = graft.functions.Clusters
+        .connectedComponents(res.pairs.select(col("a_id"), col("b_id")))
+      // CC ran its loop eagerly (labels are checkpointed) — the shared
+      // shingle cache is no longer needed
+      res.unpersist()
+      cc
     }),
 
     // the quarantine side channel itself, oracle-checked: LSH band

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.SparkSpec.spark.implicits._
+
+/** Curation operators: planted contamination is found (and only it),
+  * repetition stats match hand counts, hash sampling is deterministic and
+  * rate-proportional, domain-mix rates hit the uniform target.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate flags exactly the planted overlap") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the 4-gram "beta gamma delta epsilon" (1 hit) and
+      // "alpha beta gamma delta" (1 hit)
+      (1L, "x alpha beta gamma delta epsilon y"),
+      (2L, "alpha beta X gamma delta epsilon"), // no shared 4-gram
+      (3L, "unrelated words only here man")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L))
+  }
+
+  test("repetitionStats matches hand counts") {
+    val docs = Seq(
+      (1L, "a a a b"),      // 4 tokens, 2 distinct, top token a=3;
+                            // bigrams: "a a" x2, "a b" -> top 2 of 3
+      (2L, "only")          // 1 token; no bigrams
+    ).toDF("doc_id", "text")
+    val rows = Curation.repetitionStats(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 2 && r1.getLong(3) == 3)
+    assert(r1.getLong(4) == 3 && r1.getLong(5) == 2)
+    assert(r1.getDouble(6) == 0.5 && r1.getDouble(7) == 0.6667)
+    val r2 = rows(2L)
+    assert(r2.getLong(1) == 1 && r2.getLong(4) == 0 && r2.getLong(5) == 0)
+    assert(r2.getDouble(6) == 0.0 && r2.getDouble(7) == 0.0)
+  }
+
+  test("hashSample is deterministic and roughly rate-proportional") {
+    val docs = spark.range(10000).select(col("id").as("doc_id"))
+    val a = Curation.hashSample(docs, col("doc_id"), "s", lit(2500L))
+    val b = Curation.hashSample(docs, col("doc_id"), "s", lit(2500L))
+    val na = a.count()
+    assert(na == b.count()) // pure function of the id
+    assert(na > 2000 && na < 3000, s"kept $na of 10000 at 25%")
+    // different salt -> independent decision, similar rate
+    val nc = Curation.hashSample(docs, col("doc_id"), "t", lit(2500L)).count()
+    assert(nc > 2000 && nc < 3000 && nc != na)
+  }
+
+  test("domainMixRates downsamples heavy domains to the uniform share") {
+    // dom a: 6000 chars, dom b: 3000, dom c: 1000 -> total 10000, target
+    // 3333 -> a rate 5555, b rate 10000 (capped), c rate 10000
+    val docs = Seq(
+      ("a", 6000L), ("b", 3000L), ("c", 1000L)
+    ).toDF("source", "n_chars")
+    val rates = Curation.domainMixRates(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("a" -> 5555L, "b" -> 10000L, "c" -> 10000L))
+  }
+}
