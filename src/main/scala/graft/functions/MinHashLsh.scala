@@ -129,14 +129,19 @@ object MinHashLsh {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .select(col("doc_id"), hash60(col("t")).as("h"))
-    toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("bit", expr("shiftrightunsigned(h, CAST(b AS INT)) % 2"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit") * 2 - 1).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    // 60 independent sum aggregates over the token rows — all map-side
+    // partial-aggregable in ONE groupBy. (The obvious alternative,
+    // exploding a (token, bit) row per bit, pushes 60x the rows through
+    // the shuffle for the same 60 sums.)
+    val sums = (0 until 60).map { b =>
+      sum(expr(s"shiftrightunsigned(h, $b) % 2") * 2 - 1).as(s"s_$b")
+    }
+    toks.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map { b =>
+          when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist — pigeonhole
