@@ -131,8 +131,13 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
     val topic: EmbeddedKafka.Topic) extends AttributeLogFamily {
   import graft.core.StreamElement.encoder
 
+  /** Distributed append through the DataSourceV2 write path — executor
+    * tasks append their partitions directly; no driver collect.
+    */
   def append(elems: Dataset[StreamElement]): Unit =
-    elems.collect().foreach(topic.append)
+    elems.toDF().write.format(KafkaSource.SHORT_NAME)
+      .option("broker", topic.broker).option("topic", topic.name)
+      .mode("append").save()
 
   override def append(elems: Seq[StreamElement]): Unit = {
     graft.core.Metrics.inc("graft.elements.appended", elems.size.toLong)

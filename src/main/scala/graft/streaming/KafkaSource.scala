@@ -4,10 +4,12 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +61,15 @@ object KafkaSource {
       UTF8String.fromString(e.entity), UTF8String.fromString(e.key),
       UTF8String.fromString(e.attribute), UTF8String.fromString(e.uuid),
       e.seqId, e.stamp, e.value, e.delete, e.deleteWildcard))
+
+  /** InternalRow (product-encoder field order) → StreamElement. */
+  private[streaming] def fromRow(r: InternalRow): StreamElement =
+    StreamElement(
+      r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+      r.getUTF8String(2).toString, r.getUTF8String(3).toString,
+      r.getLong(4), r.getLong(5),
+      if (r.isNullAt(6)) null else r.getBinary(6),
+      r.getBoolean(7), r.getBoolean(8))
 }
 
 /** Per-partition offsets, serialized as `{"0":12,"1":7}`. */
@@ -78,18 +89,77 @@ class KafkaSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 class KafkaSourceTable(broker: String, topicName: String, group: Option[String],
-    maxRecordsPerTrigger: Option[Long]) extends Table with SupportsRead {
+    maxRecordsPerTrigger: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
   require(broker != null && topicName != null,
     "graft-kafka requires options broker and topic")
   override def name(): String = s"graft-kafka://$broker/$topicName"
   override def schema(): StructType = KafkaSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
         new KafkaScan(broker, topicName, group, maxRecordsPerTrigger)
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val names = info.schema().fieldNames.toSeq
+    require(names == KafkaSource.schema.fieldNames.toSeq,
+      s"graft-kafka writes take the StreamElement schema " +
+        s"(${KafkaSource.schema.fieldNames.mkString(", ")}); got " +
+        names.mkString(", "))
+    new WriteBuilder {
+      override def build(): Write = new KafkaWrite(broker, topicName)
+    }
+  }
+}
+
+/** DataSourceV2 write onto the embedded log — tasks append records to the
+  * broker as they arrive (the same delivery contract as the real Kafka
+  * sink: at-least-once, a retried task re-appends and the reader-side
+  * uuid dedup / `appendIdempotent` absorbs the duplicates; `abort`
+  * cannot unwrite a log). Task commit messages carry only counts; the
+  * driver-side commit records metrics — no element ever rides through
+  * the driver, unlike a `collect().foreach(append)` loop.
+  */
+class KafkaWrite(broker: String, topicName: String) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new KafkaWriterFactory(broker, topicName)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      graft.core.Metrics.inc("graft.kafka.batch.written",
+        messages.map(_.asInstanceOf[KafkaCommitMessage].count).sum)
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new KafkaWriterFactory(broker, topicName)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      graft.core.Metrics.inc("graft.kafka.stream.written",
+        messages.map(_.asInstanceOf[KafkaCommitMessage].count).sum)
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class KafkaCommitMessage(count: Long) extends WriterCommitMessage
+
+class KafkaWriterFactory(broker: String, topicName: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = writer
+  private def writer: DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val topic = EmbeddedKafka.topic(broker, topicName)
+    private var n = 0L
+    override def write(row: InternalRow): Unit = {
+      topic.append(KafkaSource.fromRow(row)); n += 1
+    }
+    override def commit(): WriterCommitMessage = KafkaCommitMessage(n)
+    override def abort(): Unit = ()
+    override def close(): Unit = ()
+  }
 }
 
 class KafkaScan(broker: String, topicName: String, group: Option[String],

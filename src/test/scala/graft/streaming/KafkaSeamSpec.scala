@@ -239,6 +239,52 @@ class KafkaSeamSpec extends SparkSpec {
     assert(fam.batchUpdates().count() == 3)
   }
 
+  test("DSv2 write: batch save appends from executor tasks, reads back") {
+    import graft.SparkSpec.spark.implicits._
+    val t = EmbeddedKafka.topic("b1", "t-write", 4)
+    val elems = (1 to 50).map(i => up(s"k$i", "a", i, s"v$i"))
+    elems.toDS().repartition(8)
+      .toDF().write.format(KafkaSource.SHORT_NAME)
+      .option("broker", "b1").option("topic", "t-write")
+      .mode("append").save()
+    val back = new KafkaLogFamily(spark, t).batchUpdates().collect()
+    assert(back.map(_.uuid).sorted.toSeq == elems.map(_.uuid).sorted)
+    assert(t.latestOffsets.values.sum == 50)
+    // key routing holds through the write path: one key -> one partition
+    val perPart = back.groupBy(e => t.partitionFor(e)).view.mapValues(_.map(_.key).toSet)
+    assert(perPart.values.map(_.size).sum == 50)
+  }
+
+  test("DSv2 write: rejects a non-StreamElement schema") {
+    import graft.SparkSpec.spark.implicits._
+    val ex = intercept[Exception] {
+      Seq((1, "x")).toDF("a", "b").write.format(KafkaSource.SHORT_NAME)
+        .option("broker", "b1").option("topic", "t-write-bad")
+        .mode("append").save()
+    }
+    // the analyzer validates against Table.schema() before the write
+    // builder even runs — INCOMPATIBLE_DATA_FOR_TABLE names the column
+    assert(ex.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE"))
+  }
+
+  test("DSv2 write: streaming mirror kafka -> kafka via writeStream") {
+    val src = EmbeddedKafka.topic("b1", "t-mirror-src", 2)
+    val dst = EmbeddedKafka.topic("b1", "t-mirror-dst", 2)
+    val fam = new KafkaLogFamily(spark, src)
+    fam.append((1 to 7).map(i => up(s"k$i", "a", i, s"v$i")))
+    val q = fam.streamFromOldest().toDF()
+      .writeStream.format(KafkaSource.SHORT_NAME)
+      .option("broker", "b1").option("topic", "t-mirror-dst")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mirror-cp-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val copied = new KafkaLogFamily(spark, dst).batchUpdates().collect()
+    assert(copied.map(_.uuid).sorted.toSeq ==
+      (1 to 7).map(i => s"u-k$i-a-$i").sorted)
+  }
+
   test("offset json round-trips") {
     val o = Map(0 -> 12L, 1 -> 0L, 3 -> 999L)
     assert(KafkaSource.offsetsFromJson(KafkaSourceOffset(o).json()) == o)
