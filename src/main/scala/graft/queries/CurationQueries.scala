@@ -45,6 +45,26 @@ object CurationQueries extends QuerySet {
           Curation.sampleBucket(col("doc_id"), "sample").as("bucket"))
     }),
 
+    // corpus profiling: exact per-language length quantiles by
+    // NEAREST-RANK selection (rank = ceil(q*n), all-integer, so the
+    // DuckDB replay is hash-exact — no interpolation doubles). The
+    // distributed shape is one per-group sort + one tiny count join; at
+    // 100 TB swap in approx_percentile (t-digest, one pass, no sort)
+    // when exactness isn't required
+    "q_length_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val ranked = docs.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      def atRank(pct: Int) =
+        max(when(col("rn") === expr(s"(n * $pct + 99) div 100"), col("n_chars")))
+      ranked.join(broadcast(counts), "lang")
+        .groupBy(col("lang"))
+        .agg(atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
+    }),
+
     // domain-mix rebalancing: downsample domains above the uniform
     // char-share target to it (rates from one tiny broadcast aggregate)
     "q_domain_mix" -> ((s, d) => {
@@ -116,6 +136,22 @@ object CurationQueries extends QuerySet {
          |WHERE ${bucket("sample", "doc_id")} <
          |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
          |            WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q_length_quantiles" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.lang,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r JOIN c USING (lang)
+        |GROUP BY 1""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH per AS (
