@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * never data — the same shape GraphX's connected components runs
   * under the hood. Labels are minima, so the output is deterministic:
   * `component` is the smallest doc id in the group.
+  *
+  * Choosing an algorithm: [[connectedComponents]] (min-label
+  * propagation) does O(diameter) rounds — optimal for near-dup
+  * clusters, whose diameter is a small constant. For graphs whose
+  * diameter is unknown or large (entity-resolution chains, link
+  * graphs), [[connectedComponentsAltStar]] converges in O(log n)
+  * rounds of the alternating large-star/small-star contraction
+  * instead.
   */
 object Clusters {
 
@@ -62,7 +70,99 @@ object Clusters {
         converged = changed == 0
         i += 1
       }
+      // a silent partial answer would look exactly like a real one —
+      // refuse instead (raise maxIter, or use the O(log n)-round
+      // connectedComponentsAltStar for high-diameter graphs)
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter or use " +
+          "connectedComponentsAltStar")
       labels.select(col("node").as("doc_id"), col("label").as("component"))
     } finally edges.unpersist()
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction — O(log n) rounds regardless of component diameter
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). Each round is two
+    * groupBy-and-emit passes over the edge list:
+    *
+    *  - large-star at node u links every neighbor LARGER than u to the
+    *    minimum of u's closed neighborhood — long tails fold onto small
+    *    ids in one hop;
+    *  - small-star at node u (edges directed large→small) re-links u
+    *    and its smaller neighbors to their minimum — stars flatten.
+    *
+    * A fixpoint is a forest of stars centered at each component's
+    * minimum id. Same contract and output as [[connectedComponents]]
+    * (nodes of self-pairs excepted: a (x, x) input pair contributes no
+    * edge here).
+    */
+  def connectedComponentsAltStar(pairs: DataFrame, a: String = "a_id",
+      b: String = "b_id", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical large→small edges, one pass over the input (see
+    // connectedComponents on why not union), self-loops dropped
+    var edges = pairs
+      .select(col(a).cast("long").as("p"), col(b).cast("long").as("q"))
+      .filter(col("p") =!= col("q"))
+      .select(greatest(col("p"), col("q")).as("u"),
+        least(col("p"), col("q")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+
+    def emitStars(e: DataFrame, large: Boolean): DataFrame =
+      e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
+        .select(col("u"), col("ns")).as[(Long, Seq[Long])]
+        .flatMap { case (u, ns) =>
+          val m = math.min(u, ns.min)
+          if (large) ns.iterator.filter(_ > u).map(v => (v, m))
+          else ns.iterator.filter(v => v != m && v < u).map(v => (v, m)) ++
+            Iterator((u, m))
+        }
+        .toDF("p", "q")
+        .filter(col("p") =!= col("q"))
+        .select(greatest(col("p"), col("q")).as("u"),
+          least(col("p"), col("q")).as("v"))
+        .distinct()
+
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: ANSI mode would throw on long overflow of a plain
+      // sum of 64-bit hashes
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star needs BOTH directions of every edge (its star is over
+      // the full neighborhood); small-star consumes the directed form
+      val bidirected = edges.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val afterLarge = emitStars(bidirected, large = true).localCheckpoint()
+      val afterSmall = emitStars(afterLarge, large = false).localCheckpoint()
+      val nfp = fingerprint(afterSmall)
+      converged = nfp == fp
+      fp = nfp
+      edges = afterSmall
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsAltStar did not converge in $maxIter rounds")
+    // fixpoint: every edge is (member, component-min)
+    nodes.join(edges.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 }
