@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.Curation
+import graft.functions.{Curation, CurationPipeline}
 import graft.sources.Tables
 
 /** Corpus-curation operators over `documents` (LLM-pipeline extension):
@@ -65,6 +65,38 @@ object CurationQueries extends QuerySet {
         .agg(atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
     }),
 
+    // THE end-to-end curation pipeline (functions/CurationPipeline):
+    // quality gate -> exact dedup -> decontaminate -> near-dup dedup
+    // (LSH + Jaccard + connected components, survivors only) -> sampled
+    // corpus. Stage 4 runs its iterative CC jobs at composition time
+    // (inherent to a fixpoint algorithm, like q_dedup_clusters)
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationPipeline.curate(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0)).kept
+    }),
+
+    // reproducible training-shard shuffle: shard + within-shard order
+    // are pure functions of the doc id, so a re-run (or an engine swap)
+    // emits byte-identical shards; at scale this is repartition(shard)
+    // + sortWithinPartitions(posh) feeding the shard writer
+    "q_shuffle_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val posh = graft.functions.MinHashLsh
+        .hash60(concat(lit("pos:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (graft.functions.MinHashLsh
+            .hash60(concat(lit("shard:"), col("doc_id").cast("string"))) % 8)
+            .as("shard"),
+          posh.as("posh"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("posh"), col("doc_id")))
+          .cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+    }),
+
     // domain-mix rebalancing: downsample domains above the uniform
     // char-share target to it (rates from one tiny broadcast aggregate)
     "q_domain_mix" -> ((s, d) => {
@@ -79,18 +111,118 @@ object CurationQueries extends QuerySet {
   // ---- DuckDB replays ----
 
   /** n-token shingles, 1-based positions: i ranges over [1, len-(n-1)). */
-  private def shingleSql(n: Int, distinct: Boolean) = {
+  private def shingleSql(n: Int, distinct: Boolean, from: String = "documents") = {
     val gram = (0 until n).map(o => s"t.toks[t.i + $o]").mkString(" || ' ' || ")
     val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
     s"""$sel doc_id, $gram AS g
        |FROM (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
        |         unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - ${n - 2})) AS i
-       |  FROM documents) t""".stripMargin
+       |  FROM $from) t""".stripMargin
   }
 
   private def bucket(salt: String, id: String) =
     s"('0x' || substr(md5('$salt:' || $id), 1, 15))::UBIGINT % 10000"
+
+  private def hash60(salt: String, id: String) =
+    s"('0x' || substr(md5('$salt:' || $id), 1, 15))::UBIGINT"
+
+  private val langRateSql =
+    """CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
+      |          WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin
+
+  /** The full pipeline replay: identical stage semantics and integer
+    * thresholds as [[graft.functions.CurationPipeline.curate]] with the
+    * minhash/LSH/Jaccard fragments of the dedup oracles restricted to
+    * the surviving corpus (K=8 affine permutations mod 2^31-1, 4 bands
+    * x 2 rows, Jaccard >= 5/10 — the DedupPipeline defaults).
+    */
+  private val curationPipelineSql: String = {
+    val K = 8
+    val bandRows = 2
+    def affine(j: Int) = {
+      val a = 2L * j + 1
+      val b = j * 7919L + 13L
+      s"CAST(min(($a * hm + $b) % 2147483647) AS BIGINT) AS mh_$j"
+    }
+    val bands = (0 until K / bandRows).map { bnd =>
+      val cols = (0 until bandRows).map(r => s"CAST(mh_${bnd * bandRows + r} AS VARCHAR)")
+      s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |base AS (SELECT * FROM documents WHERE doc_id % $EvalMod <> 0),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base
+       |),
+       |s1 AS (
+       |  SELECT b.* FROM base b JOIN toks USING (doc_id)
+       |  WHERE len(tk) >= 30 AND len(list_distinct(tk)) * 100 >= len(tk) * 35
+       |),
+       |keep2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+       |s2 AS (SELECT s1.* FROM s1 JOIN keep2 USING (doc_id)),
+       |g4 AS (${shingleSql(4, distinct = true)}),
+       |ev AS (SELECT DISTINCT g FROM g4 WHERE doc_id % $EvalMod = 0),
+       |cont AS (
+       |  SELECT DISTINCT s2.doc_id FROM s2
+       |  JOIN g4 ON g4.doc_id = s2.doc_id
+       |  JOIN ev ON ev.g = g4.g
+       |),
+       |s3 AS (
+       |  SELECT s2.* FROM s2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+       |),
+       |sh AS (${shingleSql(3, distinct = true, from = "s3")}),
+       |hv AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS hm
+       |  FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id, ${(0 until K).map(affine).mkString(", ")}
+       |  FROM hv GROUP BY doc_id
+       |),
+       |banded AS (
+       |$bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.a_id
+       |  JOIN sh b ON b.doc_id = c.b_id AND b.g = a.g
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT i.a_id, i.b_id FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.a_id
+       |  JOIN sz sb ON sb.doc_id = i.b_id
+       |  WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5
+       |),
+       |edges AS (
+       |  SELECT a_id AS x, b_id AS y FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       |),
+       |cc AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS component
+       |  FROM reach GROUP BY x
+       |),
+       |s4 AS (
+       |  SELECT s3.* FROM s3 LEFT JOIN cc ON cc.doc_id = s3.doc_id
+       |  WHERE cc.component IS NULL OR cc.component = s3.doc_id
+       |)
+       |SELECT doc_id, lang, source FROM s4
+       |WHERE ${bucket("sample", "doc_id")} < $langRateSql""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" ->
@@ -133,9 +265,18 @@ object CurationQueries extends QuerySet {
       s"""SELECT doc_id, lang,
          |  CAST(${bucket("sample", "doc_id")} AS BIGINT) AS bucket
          |FROM documents
-         |WHERE ${bucket("sample", "doc_id")} <
-         |  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
-         |            WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin,
+         |WHERE ${bucket("sample", "doc_id")} < $langRateSql""".stripMargin,
+
+    "q_curation_pipeline" -> curationPipelineSql,
+
+    "q_shuffle_shards" ->
+      s"""SELECT
+         |  CAST(${hash60("shard", "doc_id")} % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ${hash60("shard", "doc_id")} % 8
+         |    ORDER BY ${hash60("pos", "doc_id")}, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM documents""".stripMargin,
 
     "q_length_quantiles" ->
       """WITH c AS (
