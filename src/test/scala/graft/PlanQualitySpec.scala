@@ -54,6 +54,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontamination broadcasts the eval gram set, not the corpus") {
+    val train = (1 to 500).map(i =>
+      (i.toLong, (1 to 30).map(j => s"d${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval = Seq((9001L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val plan = graft.functions.Curation.decontaminate(train, eval, "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("domain-mix rates join back by broadcast") {
+    val docs = (1 to 1000).map(i => (i.toLong, s"src${i % 5}", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val rates = graft.functions.Curation.domainMixRates(docs, "source", "n_chars")
+    val plan = docs.join(broadcast(rates), "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("quality gate runs inside the scan stage (no shuffle before filter)") {
+    val dir = Files.createTempDirectory("graft-qgate-").toString + "/docs"
+    (1 to 200).map(i => (i.toLong, (1 to 40).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val t = split(trim(col("text")), "\\s+")
+    val gated = docs.filter(size(t) >= 30 &&
+      size(array_distinct(t)) * 100 >= size(t) * 35)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc quality gate must not shuffle:\n$plan")
+  }
+
   test("snapshot compaction is one scan with partial aggregation") {
     val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
     // single-pass aggregator: map-side partial agg before the shuffle
