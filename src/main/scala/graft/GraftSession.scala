@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cores: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.install)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -22,8 +22,16 @@ object MinHashLsh {
 
   val P: Long = 2147483647L // 2^31 - 1
 
-  /** 60-bit base hash of a string column. */
-  def hash60(c: Column): Column =
+  /** 60-bit base hash of a string column — the codegen'd [[Hash60Expr]]
+    * (digest-byte arithmetic, no hex-string round trip). Bit-identical to
+    * [[hash60Reference]]; `Hash60Spec` pins the equality.
+    */
+  def hash60(c: Column): Column = Hash60.column(c)
+
+  /** The functions-only formula the DuckDB oracles replay; retained as the
+    * cross-engine reference implementation for [[Hash60Expr]].
+    */
+  def hash60Reference(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   private def affine(h: Column, j: Int): Column =

@@ -35,15 +35,11 @@ object StreamingDedup {
   final case class BandHit(doc_id: Long, band: Int, bval: String,
       dup_of: Option[Long])
 
-  /** 60-bit md5 base hash — bit-identical to the columnar
-    * `conv(substr(md5(s), 1, 15), 16, 10)`.
+  /** 60-bit md5 base hash — the same digest-byte kernel the columnar
+    * [[graft.functions.Hash60Expr]] generates code against.
     */
-  private[graft] def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).take(8)
-      .map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
+  private[graft] def hash60(s: String): Long =
+    graft.functions.Hash60.digest60(s.getBytes("UTF-8"))
 
   /** Per-document k-minhash signature over n-token shingles; identical
     * integers to [[MinHashLsh.signature]] (min over the shingle multiset
