@@ -60,11 +60,15 @@ object Clusters {
           .join(labels.select(col("node").as("y"), col("label").as("ylab")), "y")
           .groupBy(col("x").as("node"))
           .agg(min(col("ylab")).as("nlab"))
+        // lazy checkpoint: the `changed` count is the materializing action,
+        // so each round runs ONE job (compute + checkpoint + count) instead
+        // of two — at tiny post-verification graph sizes the loop cost is
+        // per-job scheduling latency, not data
         val updated = labels
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"), col("label"),
             least(col("label"), coalesce(col("nlab"), col("label"))).as("nlabel"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val changed = updated.filter(col("nlabel") < col("label")).count()
         labels = updated.select(col("node"), col("nlabel").as("label"))
         converged = changed == 0
@@ -149,8 +153,12 @@ object Clusters {
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-      val afterLarge = emitStars(bidirected, large = true).localCheckpoint()
-      val afterSmall = emitStars(afterLarge, large = false).localCheckpoint()
+      // lazy checkpoints: the fingerprint aggregation materializes both
+      // (one job per round); lineage is still truncated for round i+1
+      val afterLarge = emitStars(bidirected, large = true)
+        .localCheckpoint(eager = false)
+      val afterSmall = emitStars(afterLarge, large = false)
+        .localCheckpoint(eager = false)
       val nfp = fingerprint(afterSmall)
       converged = nfp == fp
       fp = nfp

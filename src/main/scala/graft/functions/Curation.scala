@@ -88,6 +88,67 @@ object Curation {
       rateBp: Column): DataFrame =
     docs.filter(sampleBucket(id, salt) < rateBp)
 
+  /** Redaction patterns: kept to syntax that Java regex (Spark) and RE2
+    * (DuckDB, the oracle) interpret identically — character classes,
+    * bounded repetition, word boundaries; no lookaround, no backrefs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII scrubbing: replace emails, IPv4 addresses and international
+    * phone numbers with typed placeholder tokens, and count each kind
+    * (counts run on the ORIGINAL text so they are independent of
+    * replacement order). Pure per-row column expressions — codegen'd,
+    * no shuffle, linear scan at any scale. Order of replacement is
+    * email → ip → phone; the patterns cannot create each other's
+    * matches from the placeholder tokens.
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"), redacted.as("red_text"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
+  /** Deterministic sequence packing for training: shuffle docs into
+    * `nShards` shards (same hash-derived shard/position keys as the
+    * reproducible shard shuffle), then concatenate each shard's token
+    * stream and chunk it into `ctx`-token sequences. A doc's sequence id
+    * and offset derive from the running token total BEFORE it — the
+    * standard pack-then-chunk layout (documents may straddle sequence
+    * boundaries). All integers, so a re-run or engine replay is
+    * bit-identical.
+    *
+    * Scale shape: one hash-partitioned window (= repartition(shard) +
+    * sortWithinPartitions) — no global sort, no driver state; shard
+    * count spreads the running-sum chains across executors.
+    */
+  def packSequences(docs: DataFrame, textCol: String, ctx: Int,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val shard = MinHashLsh.hash60(
+      concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
+    val posh = MinHashLsh.hash60(
+      concat(lit("pos:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("posh"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shard.as("shard"), posh.as("posh"),
+        nTok.as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"(end_off - n_tokens) div $ctx").as("seq_id"),
+        expr(s"(end_off - n_tokens) % $ctx").as("seq_off"))
+  }
+
   /** Per-domain rates (basis points) that rebalance the corpus toward a
     * UNIFORM share of `weightCol` (chars/tokens) per domain: domains over
     * the uniform target are downsampled to it, domains under keep

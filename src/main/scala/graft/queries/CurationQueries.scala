@@ -97,6 +97,26 @@ object CurationQueries extends QuerySet {
         .select(col("shard"), col("pos"), col("doc_id"))
     }),
 
+    // PII redaction: the synthetic corpus carries no PII, so the query
+    // plants a deterministic email/IP/phone suffix per doc (pure function
+    // of doc_id — both engines build the identical string) and the
+    // operator must scrub all three and count them
+    "q_pii_redact" -> ((s, d) => {
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@mail.example.com from 10."),
+          col("doc_id") % 256, lit("."), (col("doc_id") * 7) % 256,
+          lit(".4 or +420601"), col("doc_id") % 1000).as("text"))
+      Curation.redactPii(aug, "text")
+    }),
+
+    // sequence packing: shuffle into 8 shards, concatenate each shard's
+    // token stream, chunk into 2048-token training sequences; every doc
+    // gets (seq_id, offset) from the running token total before it
+    "q_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "text",
+        ctx = 2048, nShards = 8)),
+
     // domain-mix rebalancing: downsample domains above the uniform
     // char-share target to it (rates from one tiny broadcast aggregate)
     "q_domain_mix" -> ((s, d) => {
@@ -293,6 +313,47 @@ object CurationQueries extends QuerySet {
         |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
         |FROM r JOIN c USING (lang)
         |GROUP BY 1""".stripMargin,
+
+    "q_pii_redact" -> {
+      // RE2 'g' flag == Java replace-all; patterns stay in the
+      // Java/RE2-common subset (see Curation.EmailRe etc.)
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val phone = "\\+[0-9]{7,15}"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact u' || doc_id || '@mail.example.com from 10.'
+         |              || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+         |              || '.4 or +420601' || (doc_id % 1000) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS red_text,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones
+         |FROM aug""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${hash60("shard", "doc_id")} % 8 AS shard,
+         |    ${hash60("pos", "doc_id")} AS posh,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents
+         |), r AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY posh, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS end_off
+         |  FROM t)
+         |SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST((end_off - n_tokens) // 2048 AS BIGINT) AS seq_id,
+         |  CAST((end_off - n_tokens) % 2048 AS BIGINT) AS seq_off
+         |FROM r""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH per AS (

@@ -64,4 +64,40 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rates == Map("a" -> 5555L, "b" -> 10000L, "c" -> 10000L))
   }
+
+  test("redactPii scrubs planted email/ip/phone and counts each") {
+    val docs = Seq(
+      (1L, "write me at bob.smith+x@sub.example.org today"),
+      (2L, "host 192.168.1.254 then call +420777123456 now"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.cz c@d.org and ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == (("write me at <EMAIL> today", 1L, 0L, 0L)))
+    assert(out(2L) == (("host <IP> then call <PHONE> now", 0L, 1L, 1L)))
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+    assert(out(4L) == (("two mails <EMAIL> <EMAIL> and ip <IP>", 2L, 1L, 0L)))
+  }
+
+  test("packSequences conserves tokens and chunks at the context boundary") {
+    val ctx = 10
+    // 30 docs of 1..30 tokens, single shard so the chain is deterministic
+    val docs = (1 to 30).map(i => (i.toLong, Seq.fill(i)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, "text", ctx = ctx, nShards = 1)
+      .orderBy(col("seq_id"), col("seq_off")).collect()
+    assert(out.map(_.getLong(2)).sum == (1 to 30).sum)
+    // offsets stay inside the context window
+    assert(out.forall(r => r.getLong(4) >= 0 && r.getLong(4) < ctx))
+    // the doc starting at running-total R lands in sequence R/ctx with
+    // offset R%ctx: recompute the chain independently in shard order
+    var running = 0L
+    out.sortBy(r => (r.getLong(3), r.getLong(4))).foreach { r =>
+      assert(r.getLong(3) == running / ctx, s"seq_id for doc ${r.getLong(1)}")
+      assert(r.getLong(4) == running % ctx, s"seq_off for doc ${r.getLong(1)}")
+      running += r.getLong(2)
+    }
+  }
 }
