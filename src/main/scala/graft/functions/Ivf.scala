@@ -83,6 +83,18 @@ object Ivf {
     }.toDF("vec_id", "cell")
   }
 
+  /** Per-query probe set: the nProbe nearest centroid cells (tiny —
+    * queries × nCentroids distances on the driver). Shared with the
+    * IVF-PQ composition in [[Pq.searchTopKIvf]].
+    */
+  private[functions] def probeSets(queries: Array[Vec],
+      centroids: Array[Array[Double]], nProbe: Int): Map[Long, Set[Int]] =
+    queries.map { q =>
+      q.id -> centroids.indices
+        .sortBy(c => sqDist(centroids(c), q.v))
+        .take(math.min(nProbe, centroids.length)).toSet
+    }.toMap
+
   /** Cosine top-k for each query row (selected by `queryPred`), probing
     * each query's `nProbe` nearest cells only. Output
     * (q_id, rk, neighbor_id, cos) — same schema as the brute-force
@@ -94,13 +106,7 @@ object Ivf {
     import spark.implicits._
     val corpus = toVecs(emb)
     val queries = toVecs(emb.filter(queryPred)).collect()
-    // per-query probe set: the nProbe nearest centroid cells (tiny —
-    // queries × nCentroids distances on the driver)
-    val probes: Map[Long, Set[Int]] = queries.map { q =>
-      q.id -> centroids.indices
-        .sortBy(c => sqDist(centroids(c), q.v))
-        .take(math.min(nProbe, centroids.length)).toSet
-    }.toMap
+    val probes = probeSets(queries, centroids, nProbe)
     val qb = spark.sparkContext.broadcast(queries)
     val pb = spark.sparkContext.broadcast(probes)
     val assigned = assign(emb, centroids).as[(Long, Int)]

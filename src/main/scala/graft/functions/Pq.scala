@@ -137,6 +137,24 @@ object Pq {
     }.toDF("vec_id", "code", "recon_norm")
   }
 
+  /** Per-query ADC tables: `table(j)(c)` = dot of the query's j-th
+    * subvector with centroid c of subspace j; a code's approximate dot
+    * is then m table lookups.
+    */
+  private def adcTables(queries: Array[Vec],
+      cb: Codebooks): Array[(Long, Double, Array[Array[Double]])] =
+    queries.map { q =>
+      val t = Array.tabulate(cb.m) { j =>
+        val off = j * cb.dsub
+        cb.centroids(j).map { cent =>
+          var i = 0; var s = 0.0
+          while (i < cb.dsub) { s += cent(i) * q.v(off + i).toDouble; i += 1 }
+          s
+        }
+      }
+      (q.id, q.norm, t)
+    }
+
   /** ADC cosine top-k per query row (selected by `queryPred`) over the
     * ENCODED corpus: per query one m×k partial-dot table, per code m
     * lookups. Output (q_id, rk, neighbor_id, cos) — the [[Ivf]]/
@@ -149,18 +167,7 @@ object Pq {
     import spark.implicits._
     val queries = toVecs(emb.filter(queryPred)).collect()
     val codes = encode(emb, cb)
-    // per-query ADC tables: table(q)(j)(c) = <q_subj, centroid_jc>
-    val tables: Array[(Long, Double, Array[Array[Double]])] = queries.map { q =>
-      val t = Array.tabulate(cb.m) { j =>
-        val off = j * cb.dsub
-        cb.centroids(j).map { cent =>
-          var i = 0; var s = 0.0
-          while (i < cb.dsub) { s += cent(i) * q.v(off + i).toDouble; i += 1 }
-          s
-        }
-      }
-      (q.id, q.norm, t)
-    }
+    val tables = adcTables(queries, cb)
     val tb = spark.sparkContext.broadcast(tables)
     val scored = codes.as[(Long, Array[Byte], Double)]
       .mapPartitions { it =>
@@ -173,6 +180,45 @@ object Pq {
           }
         }
       }.toDF("q_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-PQ: the production ANN shape — [[Ivf.assign]] cells prune WHICH
+    * codes a query scores ([[Ivf.probeSets]] per-query nProbe cells), PQ
+    * codes compress WHAT is scanned (ADC lookup tables). With
+    * `nProbe == nCentroids` the probe filter admits everything and the
+    * result is identical to [[searchTopK]] — spec-enforced, so cell
+    * pruning is a pure subset relaxation on top of quantization.
+    */
+  def searchTopKIvf(emb: DataFrame, queryPred: Column, k: Int,
+      cb: Codebooks, coarseCentroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = toVecs(emb.filter(queryPred)).collect()
+    val probes = Ivf.probeSets(queries, coarseCentroids, nProbe)
+    val tables = adcTables(queries, cb)
+    val tb = spark.sparkContext.broadcast(tables)
+    val pb = spark.sparkContext.broadcast(probes)
+    val withCells = encode(emb, cb).join(Ivf.assign(emb, coarseCentroids), "vec_id")
+      .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
+      .as[(Long, Array[Byte], Double, Int)]
+    val scored = withCells.mapPartitions { it =>
+      val ts = tb.value
+      val pr = pb.value
+      it.flatMap { case (id, code, rnorm, cell) =>
+        ts.iterator
+          .filter { case (qid, _, _) => qid != id && pr(qid).contains(cell) }
+          .map { case (qid, qnorm, t) =>
+            var j = 0; var s = 0.0
+            while (j < code.length) { s += t(j)(code(j) & 0xff); j += 1 }
+            (qid, id, s / (qnorm * rnorm))
+          }
+      }
+    }.toDF("q_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

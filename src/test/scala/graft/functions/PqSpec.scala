@@ -72,6 +72,21 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall was $recall")
   }
 
+  test("IVF-PQ with full probes equals plain PQ; single probe keeps recall") {
+    val cb = Pq.train(clusteredEmb, m = 4, k = 8)
+    val coarse = Ivf.train(clusteredEmb, nCentroids = 4)
+    val full = topSet(Pq.searchTopKIvf(clusteredEmb, col("vec_id") < 5,
+      k = 10, cb, coarse, nProbe = 4))
+    val plain = topSet(Pq.searchTopK(clusteredEmb, col("vec_id") < 5, k = 10, cb))
+    assert(full == plain)
+    val one = topSet(Pq.searchTopKIvf(clusteredEmb, col("vec_id") < 5,
+      k = 10, cb, coarse, nProbe = 1))
+    val brute = topSet(
+      Similarity.bruteForceTopK(clusteredEmb, col("vec_id") < 5, k = 10))
+    val recall = one.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall was $recall")
+  }
+
   test("train on a deterministic hash-sample still covers the corpus") {
     val cb = Pq.train(clusteredEmb, m = 4, k = 4, trainSampleBp = 5000)
     val enc = Pq.encode(clusteredEmb, cb)
