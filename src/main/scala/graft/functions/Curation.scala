@@ -133,7 +133,7 @@ object Curation {
   def packSequences(docs: DataFrame, textCol: String, ctx: Int,
       nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val nTok = TokenCount.column(col(textCol)).cast("long")
     val shard = MinHashLsh.hash60(
       concat(lit("shard:"), col("doc_id").cast("string"))) % nShards
     val posh = MinHashLsh.hash60(

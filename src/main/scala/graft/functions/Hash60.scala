@@ -99,6 +99,8 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Hash60.functionDescription)
+    ext.injectFunction(TokenCount.functionDescription)
+  }
 }

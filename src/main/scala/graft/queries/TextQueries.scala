@@ -27,8 +27,9 @@ object TextQueries extends QuerySet {
   val queries: Map[String, QFn] = Map(
     // token counting (whitespace tokenizer)
     "q_token_count" -> ((s, d) => {
+      // native byte-scan counter (TokenCountExpr) — no per-row token array
       Tables.documents(s, d).select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.functions.TokenCount.column(col("text")).cast("long").as("n_tokens"))
     }),
 
     // document fingerprinting: content hash as dedup identity
@@ -46,7 +47,7 @@ object TextQueries extends QuerySet {
     // quality scoring: length / token stats + stopword ratio
     "q_quality_score" -> ((s, d) => {
       val t = col("text")
-      val nTok = size(tokens(t)).cast("long")
+      val nTok = graft.functions.TokenCount.column(t).cast("long")
       Tables.documents(s, d).select(
         col("doc_id"),
         length(t).cast("long").as("chars"),
