@@ -49,6 +49,38 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape. The
+    * exact path joins EVERY corpus gram against the eval set; here a
+    * Bloom filter of the eval grams (a few bits per gram — holds millions
+    * of grams in tens of MB) is broadcast first and drops ~(1-fpp) of
+    * clean grams map-side, before any join machinery sees them. The
+    * surviving grams still go through the exact join, so Bloom false
+    * positives are eliminated and the result is IDENTICAL to
+    * [[decontaminate]] — spec-enforced. The prefilter udf sits outside
+    * whole-stage codegen but runs on the few survivors' path input only
+    * once per gram, and the join shuffle it avoids dominates at scale.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, textCol: String,
+      n: Int, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    def grams(df: DataFrame) = MinHashLsh.shingles(df, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+    val evalGrams = grams(eval).select(col("g")).distinct().persist()
+    try {
+      val nEval = math.max(evalGrams.count(), 1L)
+      val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+      // no broadcast hint here (unlike the exact path): the variant
+      // exists for eval sets too big to broadcast — AQE picks the join
+      grams(train)
+        .filter(mightContain(col("g")))
+        .join(evalGrams, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    } finally evalGrams.unpersist(blocking = false)
+  }
+
   /** Gopher-style repetition statistics per document: token totals,
     * distinct counts, the hottest token/bigram, and the derived fractions
     * used as filter thresholds (duplicate-token fraction, top-bigram

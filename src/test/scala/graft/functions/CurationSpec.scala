@@ -65,6 +65,25 @@ class CurationSpec extends SparkSpec {
     assert(rates == Map("a" -> 5555L, "b" -> 10000L, "c" -> 10000L))
   }
 
+  test("decontaminateBloom equals the exact path (FPs verified away)") {
+    val eval = (0 until 20).map(i =>
+      (1000L + i, s"ev${i}a ev${i}b ev${i}c ev${i}d extra")).toDF("doc_id", "text")
+    val train = (0 until 60).map { i =>
+      val text = if (i % 3 == 0) s"x ev${i % 20}a ev${i % 20}b ev${i % 20}c ev${i % 20}d y"
+        else s"clean t${i}a t${i}b t${i}c t${i}d t${i}e"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a high-fpp filter forces false positives through the prefilter;
+    // the exact verify join must still eliminate every one
+    val exact = asMap(Curation.decontaminate(train, eval, "text", n = 4))
+    val bloom = asMap(Curation.decontaminateBloom(train, eval, "text", n = 4,
+      fpp = 0.5))
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
   test("redactPii scrubs planted email/ip/phone and counts each") {
     val docs = Seq(
       (1L, "write me at bob.smith+x@sub.example.org today"),
