@@ -104,8 +104,6 @@ object Clusters {
     */
   def connectedComponentsAltStar(pairs: DataFrame, a: String = "a_id",
       b: String = "b_id", maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
     // canonical large→small edges, one pass over the input (see
     // connectedComponents on why not union), self-loops dropped
     var edges = pairs
@@ -119,20 +117,33 @@ object Clusters {
       .union(edges.select(col("v").as("node"))).distinct()
       .localCheckpoint()
 
-    def emitStars(e: DataFrame, large: Boolean): DataFrame =
-      e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
-        .select(col("u"), col("ns")).as[(Long, Seq[Long])]
-        .flatMap { case (u, ns) =>
-          val m = math.min(u, ns.min)
-          if (large) ns.iterator.filter(_ > u).map(v => (v, m))
-          else ns.iterator.filter(v => v != m && v < u).map(v => (v, m)) ++
-            Iterator((u, m))
-        }
-        .toDF("p", "q")
+    // a star emission at node u needs only the MINIMUM of u's
+    // neighborhood, never the member list: a partial-aggregable min()
+    // joined back to the edges keeps a hub node (a component-min at
+    // the fixpoint holds its whole component as neighbors) spread
+    // across tasks instead of materialized as one collect_list row
+    def emitStars(e: DataFrame, large: Boolean): DataFrame = {
+      val mins = e.groupBy(col("u"))
+        .agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val relinked =
+        if (large)
+          // large-star: every neighbor LARGER than u links to the
+          // closed-neighborhood min
+          e.join(mins, "u").filter(col("v") > col("u"))
+            .select(col("v").as("p"), col("m").as("q"))
+        else
+          // small-star (edges directed large→small, so v < u always):
+          // smaller neighbors and u itself re-link to the min
+          e.join(mins, "u").filter(col("v") =!= col("m"))
+            .select(col("v").as("p"), col("m").as("q"))
+            .union(mins.select(col("u").as("p"), col("m").as("q")))
+      relinked
         .filter(col("p") =!= col("q"))
         .select(greatest(col("p"), col("q")).as("u"),
           least(col("p"), col("q")).as("v"))
         .distinct()
+    }
 
     def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
       // decimal sum: ANSI mode would throw on long overflow of a plain

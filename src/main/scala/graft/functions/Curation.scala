@@ -198,7 +198,12 @@ object Curation {
       count(lit(1)).as("n_domains"))
     per.crossJoin(broadcast(tot))
       .select(col(domainCol),
-        least(lit(10000L),
-          expr("((total_w div n_domains) * 10000) div domain_w")).as("rate_bp"))
+        // a zero-weight domain (every row weightCol = 0) cannot be over
+        // the uniform target — keep it all rather than tripping ANSI
+        // DIVIDE_BY_ZERO (or silently dropping it via a NULL rate)
+        when(col("domain_w") === 0, lit(10000L))
+          .otherwise(least(lit(10000L),
+            expr("((total_w div n_domains) * 10000) div domain_w")))
+          .as("rate_bp"))
   }
 }

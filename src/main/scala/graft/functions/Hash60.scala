@@ -69,10 +69,15 @@ object Hash60 {
   }
 
   /** Column wrapper: `hash60(c)` as the native expression, resolved through
-    * the session function registry (requires [[GraftExtensions]], which
-    * [[graft.GraftSession]] installs).
+    * the session function registry. [[GraftExtensions]] (installed by
+    * [[graft.GraftSession]]) registers it at session build; for a vanilla
+    * `SparkSession` the wrapper registers into the active session's
+    * registry on first use, so the Column API never needs the extension.
     */
-  def column(c: Column): Column = call_function("graft_hash60", c)
+  def column(c: Column): Column = {
+    GraftExtensions.ensureRegistered()
+    call_function("graft_hash60", c)
+  }
 
   /** Function registration for `SparkSessionExtensions.injectFunction`.
     * The builder casts its argument to string, mirroring `md5(c)`'s
@@ -103,4 +108,23 @@ object GraftExtensions {
     ext.injectFunction(Hash60.functionDescription)
     ext.injectFunction(TokenCount.functionDescription)
   }
+
+  /** Fallback for sessions built WITHOUT the extension: register the graft
+    * functions into the active (or default) session's own registry if they
+    * are absent, so [[Hash60.column]] / [[TokenCount.column]] analyze on a
+    * vanilla `SparkSession` too. Session-scoped and idempotent; a column
+    * built with no session at all is left to resolve at analysis time
+    * against whatever session runs it (where `GraftSession` installs the
+    * extension anyway).
+    */
+  def ensureRegistered(): Unit =
+    org.apache.spark.sql.classic.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.classic.SparkSession.getDefaultSession)
+      .foreach { s =>
+        val reg = s.sessionState.functionRegistry
+        Seq(Hash60.functionDescription, TokenCount.functionDescription).foreach {
+          case (ident, info, builder) =>
+            if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+        }
+      }
 }

@@ -99,9 +99,24 @@ object Ivf {
     * each query's `nProbe` nearest cells only. Output
     * (q_id, rk, neighbor_id, cos) — same schema as the brute-force
     * baseline.
+    *
+    * Convenience form: recomputes the cell assignment inline (one corpus
+    * scan). For repeated query batches use the overload taking a
+    * persisted `assigned` table from [[assign]] — one assignment feeds
+    * every batch.
     */
   def searchTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
-      k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+      k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    searchTopK(emb, assign(emb, centroids), queryPred, k, centroids, nProbe)
+
+  /** Artifact-reusing form: `assigned` is a (vec_id, cell) table from
+    * [[assign]] — persist it once and amortize the corpus scan across
+    * query batches (the 100 TB shape: assignment is the expensive pass,
+    * probes are cheap).
+    */
+  def searchTopK(emb: DataFrame, assigned: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val corpus = toVecs(emb)
@@ -109,9 +124,9 @@ object Ivf {
     val probes = probeSets(queries, centroids, nProbe)
     val qb = spark.sparkContext.broadcast(queries)
     val pb = spark.sparkContext.broadcast(probes)
-    val assigned = assign(emb, centroids).as[(Long, Int)]
+    val cells = assigned.select(col("vec_id"), col("cell")).as[(Long, Int)]
     val scored = corpus
-      .joinWith(assigned, corpus("id") === assigned("vec_id"))
+      .joinWith(cells, corpus("id") === cells("vec_id"))
       .map { case (v, (_, cell)) => (v, cell) }
       .mapPartitions { it =>
         val qs = qb.value
@@ -119,7 +134,7 @@ object Ivf {
         it.flatMap { case (c, cell) =>
           qs.iterator
             .filter(q => q.id != c.id && pr(q.id).contains(cell))
-            .map(q => (q.id, c.id, dot(q.v, c.v) / (q.norm * c.norm)))
+            .map(q => (q.id, c.id, Similarity.cosine(dot(q.v, c.v), q.norm, c.norm)))
         }
       }.toDF("q_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("q_id"))

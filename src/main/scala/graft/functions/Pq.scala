@@ -162,21 +162,30 @@ object Pq {
     * approximation dot(q, x̂)/(|q|·|x̂|).
     */
   def searchTopK(emb: DataFrame, queryPred: Column, k: Int,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks): DataFrame =
+    searchTopK(emb, encode(emb, cb), queryPred, k, cb)
+
+  /** Artifact-reusing form: `codes` is a persisted (vec_id, code,
+    * recon_norm) table from [[encode]] — encode once, serve every query
+    * batch from the compressed table (the point of PQ at 100 TB: the
+    * float corpus is read exactly once, at encode time).
+    */
+  def searchTopK(emb: DataFrame, codes: DataFrame, queryPred: Column,
+      k: Int, cb: Codebooks): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = toVecs(emb.filter(queryPred)).collect()
-    val codes = encode(emb, cb)
     val tables = adcTables(queries, cb)
     val tb = spark.sparkContext.broadcast(tables)
-    val scored = codes.as[(Long, Array[Byte], Double)]
+    val scored = codes.select(col("vec_id"), col("code"), col("recon_norm"))
+      .as[(Long, Array[Byte], Double)]
       .mapPartitions { it =>
         val ts = tb.value
         it.flatMap { case (id, code, rnorm) =>
           ts.iterator.filter(_._1 != id).map { case (qid, qnorm, t) =>
             var j = 0; var s = 0.0
             while (j < code.length) { s += t(j)(code(j) & 0xff); j += 1 }
-            (qid, id, s / (qnorm * rnorm))
+            (qid, id, Similarity.cosine(s, qnorm, rnorm))
           }
         }
       }.toDF("q_id", "neighbor_id", "cos")
@@ -195,7 +204,18 @@ object Pq {
     */
   def searchTopKIvf(emb: DataFrame, queryPred: Column, k: Int,
       cb: Codebooks, coarseCentroids: Array[Array[Double]],
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    searchTopKIvf(emb, encode(emb, cb), Ivf.assign(emb, coarseCentroids),
+      queryPred, k, cb, coarseCentroids, nProbe)
+
+  /** Artifact-reusing form: `codes` from [[encode]] and `assigned` from
+    * [[Ivf.assign]], both persistable — one encode pass + one assignment
+    * pass feed every query batch; per batch only the tiny probe/table
+    * broadcasts change.
+    */
+  def searchTopKIvf(emb: DataFrame, codes: DataFrame, assigned: DataFrame,
+      queryPred: Column, k: Int, cb: Codebooks,
+      coarseCentroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = toVecs(emb.filter(queryPred)).collect()
@@ -203,7 +223,7 @@ object Pq {
     val tables = adcTables(queries, cb)
     val tb = spark.sparkContext.broadcast(tables)
     val pb = spark.sparkContext.broadcast(probes)
-    val withCells = encode(emb, cb).join(Ivf.assign(emb, coarseCentroids), "vec_id")
+    val withCells = codes.join(assigned, "vec_id")
       .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
       .as[(Long, Array[Byte], Double, Int)]
     val scored = withCells.mapPartitions { it =>
@@ -215,7 +235,7 @@ object Pq {
           .map { case (qid, qnorm, t) =>
             var j = 0; var s = 0.0
             while (j < code.length) { s += t(j)(code(j) & 0xff); j += 1 }
-            (qid, id, s / (qnorm * rnorm))
+            (qid, id, Similarity.cosine(s, qnorm, rnorm))
           }
       }
     }.toDF("q_id", "neighbor_id", "cos")

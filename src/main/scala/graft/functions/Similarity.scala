@@ -39,6 +39,18 @@ object Similarity {
     s
   }
 
+  /** Cosine from a precomputed dot and the two norms, zero-norm-safe: a
+    * zero vector has no direction, so its similarity to anything is 0.0
+    * rather than NaN (NaN sorts FIRST under `cos DESC` and would displace
+    * real top-k rows). Shared by every scorer ([[bruteForceTopK]],
+    * [[Ivf]], [[Pq]]) so the guard is uniform across exact and
+    * approximate paths.
+    */
+  private[functions] def cosine(dot: Double, normA: Double, normB: Double): Double = {
+    val d = normA * normB
+    if (d == 0.0) 0.0 else dot / d
+  }
+
   /** Hyperplane coordinate (p, d) ∈ [-1, 1): first 15 hex chars of
     * md5("plane:p:d") → 60-bit int, >> 8 → 52-bit (exactly representable
     * in double), / 2^51 - 1. DuckDB replays it verbatim:
@@ -66,7 +78,7 @@ object Similarity {
       val qs = qb.value
       it.flatMap { c =>
         qs.iterator.filter(_.id != c.id).map { q =>
-          (q.id, c.id, dot(q.v, c.v) / (q.norm * c.norm))
+          (q.id, c.id, cosine(dot(q.v, c.v), q.norm, c.norm))
         }
       }
     }.toDF("q_id", "neighbor_id", "cos")
@@ -114,7 +126,7 @@ object Similarity {
           x <- arr.iterator
           y <- arr
           if x.id < y.id
-          c = dot(x.v, y.v) / (x.norm * y.norm)
+          c = cosine(dot(x.v, y.v), x.norm, y.norm)
           if c >= threshold
         } yield (x.id, y.id, c)
       } else {
@@ -123,7 +135,7 @@ object Similarity {
         for {
           x <- a.iterator
           y <- b
-          c = dot(x.v, y.v) / (x.norm * y.norm)
+          c = cosine(dot(x.v, y.v), x.norm, y.norm)
           if c >= threshold
         } yield (math.min(x.id, y.id), math.max(x.id, y.id), c)
       }
@@ -165,7 +177,7 @@ object Similarity {
         i <- (0 until vs.length).iterator
         j <- (i + 1) until vs.length
         a = vs(i); b = vs(j)
-        c = dot(a.v, b.v) / (a.norm * b.norm)
+        c = cosine(dot(a.v, b.v), a.norm, b.norm)
         if c >= threshold
       } yield (math.min(a.id, b.id), math.max(a.id, b.id), c)
     }.toDF("a_id", "b_id", "cos")

@@ -66,8 +66,14 @@ object TokenCount {
     runs + (if (isWs(bytes(lo))) 1 else 0) + (if (isWs(bytes(hi - 1))) 1 else 0)
   }
 
-  /** Column wrapper: token count of `trim(c)` as the native expression. */
-  def column(c: Column): Column = call_function("graft_token_count", c)
+  /** Column wrapper: token count of `trim(c)` as the native expression.
+    * Registers into the active session's registry on first use if the
+    * [[GraftExtensions]] hook was not installed (vanilla sessions).
+    */
+  def column(c: Column): Column = {
+    GraftExtensions.ensureRegistered()
+    call_function("graft_token_count", c)
+  }
 
   val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_token_count"),

@@ -133,6 +133,14 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
 
   /** Distributed append through the DataSourceV2 write path — executor
     * tasks append their partitions directly; no driver collect.
+    *
+    * Ordering/delivery contract (differs from the `Seq` overload, which
+    * appends in sequence order from the driver): broker offset order is
+    * task completion order, NOT dataset order, and a retried or
+    * speculative task re-appends its partition — at-least-once. Callers
+    * needing exactly-once batch appends should route through
+    * [[AttributeLogFamily.appendIdempotent]] (uuid anti-join) instead;
+    * callers needing deterministic offsets should use the `Seq` overload.
     */
   def append(elems: Dataset[StreamElement]): Unit =
     elems.toDF().write.format(KafkaSource.SHORT_NAME)

@@ -65,6 +65,19 @@ class CurationSpec extends SparkSpec {
     assert(rates == Map("a" -> 5555L, "b" -> 10000L, "c" -> 10000L))
   }
 
+  test("domainMixRates keeps a zero-weight domain instead of dividing by 0") {
+    // dom z carries only zero-weight rows: it cannot be over the uniform
+    // target, so it keeps everything (and must not throw under ANSI mode)
+    val docs = Seq(
+      ("a", 6000L), ("b", 3000L), ("z", 0L), ("z", 0L)
+    ).toDF("source", "n_chars")
+    val rates = Curation.domainMixRates(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("z") == 10000L)
+    assert(rates("a") == 5000L) // total 9000, 3 domains -> target 3000
+    assert(rates("b") == 10000L)
+  }
+
   test("decontaminateBloom equals the exact path (FPs verified away)") {
     val eval = (0 until 20).map(i =>
       (1000L + i, s"ev${i}a ev${i}b ev${i}c ev${i}d extra")).toDF("doc_id", "text")

@@ -52,6 +52,28 @@ final class Hash60Spec extends SparkSpec {
     }
   }
 
+  test("Column wrappers self-register when GraftExtensions is absent") {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val reg = classic.sessionState.functionRegistry
+    val descs = Seq(Hash60.functionDescription, TokenCount.functionDescription)
+    // simulate a vanilla session: the registry has no graft functions
+    descs.foreach(d => reg.dropFunction(d._1))
+    try {
+      assert(descs.forall(d => !reg.functionExists(d._1)))
+      val r = Seq("one two three").toDF("s")
+        .select(Hash60.column(col("s")).as("h"),
+          TokenCount.column(col("s")).as("t"))
+        .head()
+      assert(r.getLong(0) == Hash60.digest60("one two three".getBytes("UTF-8")))
+      assert(r.getInt(1) == 3)
+      assert(descs.forall(d => reg.functionExists(d._1)))
+    } finally
+      // restore unconditionally for the other suites in this JVM
+      descs.foreach { case (id, info, b) =>
+        if (!reg.functionExists(id)) reg.registerFunction(id, info, b)
+      }
+  }
+
   test("hash60 stays inside whole-stage codegen") {
     val plan = spark.range(100)
       .select(Hash60.column(concat(lit("doc "), col("id"))).as("h"))

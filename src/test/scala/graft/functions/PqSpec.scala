@@ -87,6 +87,48 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall was $recall")
   }
 
+  test("zero-norm vectors score 0.0, never NaN (NaN would sort first)") {
+    val withZero = clusteredEmb
+      .union(Seq((999L, Array.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val cb = Pq.train(clusteredEmb, m = 4, k = 8)
+    // zero vector as corpus row: PQ quantizes it to the nearest (nonzero)
+    // centroids, so its ADC cos is merely finite — but never NaN
+    val asCorpus = Pq.searchTopK(withZero, col("vec_id") < 2, k = 200, cb)
+      .collect()
+    assert(asCorpus.forall(r => !r.getDouble(3).isNaN))
+    // zero vector as the QUERY: all neighbors 0.0, top-k still k rows
+    val asQuery = Pq.searchTopK(withZero, col("vec_id") === 999L, k = 5, cb)
+      .collect()
+    assert(asQuery.length == 5)
+    assert(asQuery.forall(r => r.getDouble(3) == 0.0))
+    // exact scorer agrees on the guard
+    val brute = Similarity.bruteForceTopK(withZero, col("vec_id") === 999L, k = 5)
+      .collect()
+    assert(brute.forall(r => !r.getDouble(3).isNaN && r.getDouble(3) == 0.0))
+  }
+
+  test("one encode + one assign feed two query batches identically") {
+    val cb = Pq.train(clusteredEmb, m = 4, k = 8)
+    val coarse = Ivf.train(clusteredEmb, nCentroids = 4)
+    val codes = Pq.encode(clusteredEmb, cb).persist()
+    val assigned = Ivf.assign(clusteredEmb, coarse).persist()
+    try {
+      for (pred <- Seq(col("vec_id") < 5,
+          col("vec_id") >= 50 && col("vec_id") < 55)) {
+        val reused = topSet(Pq.searchTopKIvf(clusteredEmb, codes, assigned,
+          pred, k = 10, cb, coarse, nProbe = 4))
+        val fresh = topSet(Pq.searchTopKIvf(clusteredEmb, pred,
+          k = 10, cb, coarse, nProbe = 4))
+        assert(reused == fresh)
+        val ivfReused = topSet(Ivf.searchTopK(clusteredEmb, assigned, pred,
+          k = 10, coarse, nProbe = 4))
+        val ivfFresh = topSet(Ivf.searchTopK(clusteredEmb, pred,
+          k = 10, coarse, nProbe = 4))
+        assert(ivfReused == ivfFresh)
+      }
+    } finally { codes.unpersist(); assigned.unpersist() }
+  }
+
   test("train on a deterministic hash-sample still covers the corpus") {
     val cb = Pq.train(clusteredEmb, m = 4, k = 4, trainSampleBp = 5000)
     val enc = Pq.encode(clusteredEmb, cb)
