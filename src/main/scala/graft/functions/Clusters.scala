@@ -73,6 +73,9 @@ object Clusters {
         labels = updated.select(col("node"), col("nlabel").as("label"))
         converged = changed == 0
         i += 1
+        // observable fixpoint progress: lets callers (and specs) assert
+        // the expensive loop does NOT re-run on a later plan re-read
+        graft.core.Metrics.inc("graft.cc.rounds")
       }
       // a silent partial answer would look exactly like a real one —
       // refuse instead (raise maxIter, or use the O(log n)-round

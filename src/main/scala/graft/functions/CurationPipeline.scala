@@ -26,25 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** `kept`: the final corpus (doc_id, lang, source). `release()`
-    * unpins the survivor set cached for the multi-stage reuse.
+  /** `kept`: the final corpus (doc_id, lang, source). `droppedBuckets`:
+    * over-cap LSH buckets the near-dup stage refused to explode
+    * (band, bval, members) — route their members to a dedicated
+    * exact-dedup pass. `release()` unpins the survivor sets cached for
+    * the multi-stage reuse.
     */
-  final case class Result(kept: DataFrame, stages: Seq[(String, DataFrame)],
-      release: () => Unit) {
-    /** Per-stage surviving-document counts — the drop ledger a pipeline
-      * operator watches. Runs one count job per stage.
+  final case class Result(kept: DataFrame, droppedBuckets: DataFrame,
+      stages: Seq[(String, DataFrame)], release: () => Unit) {
+    /** Per-stage surviving-document counts plus the quarantined-bucket
+      * count — the drop ledger a pipeline operator watches. Runs one
+      * count job per stage; the intermediate stages are persisted, so
+      * this never re-runs the CC fixpoint.
       */
     def ledger(): Seq[(String, Long)] =
-      stages.map { case (name, df) => name -> df.count() }
+      stages.map { case (name, df) => name -> df.count() } :+
+        ("quarantined_buckets" -> droppedBuckets.count())
   }
 
+  /** @param maxBucket per-LSH-bucket cap for the near-dup stage. The
+    *   capped default keeps one boilerplate cluster (N near-identical
+    *   docs → one band bucket → N² in-task pairs) from straggling the
+    *   whole run; its members come back in [[Result.droppedBuckets]] for
+    *   quarantine routing rather than silently exploding the join.
+    *   `Int.MaxValue` restores exhaustive pairing.
+    */
   def curate(docs: DataFrame, eval: DataFrame, textCol: String = "text",
       minTokens: Int = 30, minDistinctPct: Int = 35,
       decontShingle: Int = 4,
       sampleRateBp: Column = when(col("lang") === "en", 8000L)
         .when(col("lang") === "de", 5000L)
         .when(col("lang") === "fr", 2500L)
-        .otherwise(1000L)): Result = {
+        .otherwise(1000L),
+      maxBucket: Int = BucketedPairs.DefaultMaxBucket): Result = {
     val t = split(trim(col(textCol)), "\\s+")
     // 1. quality gate: length + repetition, single scan, no shuffle
     val s1 = docs.filter(size(t) >= minTokens &&
@@ -57,21 +71,25 @@ object CurationPipeline {
     val contaminated = Curation
       .decontaminate(s2, eval, textCol, decontShingle).select(col("doc_id"))
     val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti").persist()
-    // 4. near-dup dedup: pairs on the SURVIVING corpus only, then keep
-    // each component's min-id representative
-    val nd = DedupPipeline.nearDuplicates(s3, textCol,
-      maxBucket = Int.MaxValue)
+    // 4. near-dup dedup: pairs on the SURVIVING corpus only (capped — an
+    // over-cap bucket is a boilerplate cluster, not a pair candidate
+    // set), then keep each component's min-id representative
+    val nd = DedupPipeline.nearDuplicates(s3, textCol, maxBucket = maxBucket)
     val nonReps = Clusters
       .connectedComponents(nd.pairs.select(col("a_id"), col("b_id")))
       .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
-    val s4 = s3.join(nonReps, Seq("doc_id"), "left_anti")
+    // persisted so a later ledger()/kept re-read hits the cache instead
+    // of re-running the anti-join over the checkpointed CC labels
+    val s4 = s3.join(nonReps, Seq("doc_id"), "left_anti").persist()
     // 5. deterministic stratified sample
     val s5 = Curation.hashSample(s4, col("doc_id"), "sample", sampleRateBp)
       .select(col("doc_id"), col("lang"), col("source"))
     Result(
       kept = s5,
+      droppedBuckets = nd.droppedBuckets,
       stages = Seq("input" -> docs, "quality" -> s1, "exact_dedup" -> s2,
         "decontaminated" -> s3, "near_dedup" -> s4, "sampled" -> s5),
-      release = () => { nd.unpersist(); s3.unpersist(); s2.unpersist(); () })
+      release = () => { nd.unpersist(); s4.unpersist(); s3.unpersist()
+        s2.unpersist(); () })
   }
 }

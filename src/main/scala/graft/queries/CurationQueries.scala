@@ -155,11 +155,16 @@ object CurationQueries extends QuerySet {
     * thresholds as [[graft.functions.CurationPipeline.curate]] with the
     * minhash/LSH/Jaccard fragments of the dedup oracles restricted to
     * the surviving corpus (K=8 affine permutations mod 2^31-1, 4 bands
-    * x 2 rows, Jaccard >= 5/10 — the DedupPipeline defaults).
+    * x 2 rows, Jaccard >= 5/10 — the DedupPipeline defaults), INCLUDING
+    * the per-bucket candidate cap: band buckets over
+    * [[graft.functions.BucketedPairs.DefaultMaxBucket]] members emit no
+    * pairs (bucket membership is deterministic md5, so the cap replays
+    * exactly).
     */
   private val curationPipelineSql: String = {
     val K = 8
     val bandRows = 2
+    val cap = graft.functions.BucketedPairs.DefaultMaxBucket
     def affine(j: Int) = {
       val a = 2L * j + 1
       val b = j * 7919L + 13L
@@ -204,9 +209,15 @@ object CurationQueries extends QuerySet {
        |banded AS (
        |$bands
        |),
+       |okb AS (
+       |  SELECT band, bval FROM banded
+       |  GROUP BY 1, 2 HAVING count(*) <= $cap
+       |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM banded a JOIN banded b
+       |  FROM banded a
+       |  JOIN okb ON okb.band = a.band AND okb.bval = a.bval
+       |  JOIN banded b
        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
        |),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
