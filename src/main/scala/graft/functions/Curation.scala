@@ -181,6 +181,35 @@ object Curation {
         expr(s"(end_off - n_tokens) % $ctx").as("seq_off"))
   }
 
+  /** Exact per-group nearest-rank quantiles (rank = ceil(p·n/100),
+    * all-integer) WITHOUT a per-group row sort: a `row_number` window
+    * partitioned by group sends every group's rows to one task — at
+    * 100 TB the `en` partition is half the corpus sorted on a single
+    * executor. Instead: one partial-aggregable histogram per
+    * (group, value), a cumulative sum over that tiny distinct-value
+    * table, and the quantile is the smallest value whose cumulative
+    * count reaches the rank. The only window runs over the histogram —
+    * rows per group = distinct VALUES, bounded by the value domain, not
+    * the corpus.
+    *
+    * Output: (groupCol, p&lt;pct&gt;...) with the value column's type.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val aggs = pcts.map(p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(valueCol)))
+        .as(s"p$p"))
+    cum.join(broadcast(totals), groupCol)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-domain rates (basis points) that rebalance the corpus toward a
     * UNIFORM share of `weightCol` (chars/tokens) per domain: domains over
     * the uniform target are downsampled to it, domains under keep

@@ -47,23 +47,13 @@ object CurationQueries extends QuerySet {
 
     // corpus profiling: exact per-language length quantiles by
     // NEAREST-RANK selection (rank = ceil(q*n), all-integer, so the
-    // DuckDB replay is hash-exact — no interpolation doubles). The
-    // distributed shape is one per-group sort + one tiny count join; at
-    // 100 TB swap in approx_percentile (t-digest, one pass, no sort)
-    // when exactness isn't required
-    "q_length_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val ranked = docs.withColumn("rn",
-        row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      def atRank(pct: Int) =
-        max(when(col("rn") === expr(s"(n * $pct + 99) div 100"), col("n_chars")))
-      ranked.join(broadcast(counts), "lang")
-        .groupBy(col("lang"))
-        .agg(atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
-    }),
+    // DuckDB replay is hash-exact — no interpolation doubles).
+    // Skew-safe: a per-(lang, n_chars) histogram + cumulative-rank
+    // selection — no per-language row sort funnels half the corpus
+    // into one task (see Curation.exactQuantiles)
+    "q_length_quantiles" -> ((s, d) =>
+      Curation.exactQuantiles(Tables.documents(s, d), "lang", "n_chars",
+        Seq(50, 90, 99))),
 
     // THE end-to-end curation pipeline (functions/CurationPipeline):
     // quality gate -> exact dedup -> decontaminate -> near-dup dedup

@@ -87,6 +87,22 @@ class PlanQualitySpec extends SparkSpec {
       s"per-doc quality gate must not shuffle:\n$plan")
   }
 
+  test("exact quantiles window over the histogram, never the raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = (1 to 5000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
+      (i % 37).toLong)).toDF("doc_id", "lang", "n_chars")
+    val q = graft.functions.Curation.exactQuantiles(docs, "lang", "n_chars",
+      Seq(50, 90, 99))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "cumulative ranks require one window")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"the window must consume the per-(group,value) histogram, not " +
+          s"the raw corpus (a bare-group row sort is the 100 TB skew " +
+          s"funnel):\n${q.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("snapshot compaction is one scan with partial aggregation") {
     val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
     // single-pass aggregator: map-side partial agg before the shuffle

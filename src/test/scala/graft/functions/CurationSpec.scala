@@ -78,6 +78,24 @@ class CurationSpec extends SparkSpec {
     assert(rates("b") == 10000L)
   }
 
+  test("exactQuantiles equals the sort-based nearest-rank reference") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 2000).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, lang, (rnd.nextInt(300) + 1).toLong)
+    }.toDF("doc_id", "lang", "n_chars")
+    val got = Curation.exactQuantiles(docs, "lang", "n_chars", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // reference: sort each group, take the value at rank ceil(p*n/100)
+    val byLang = docs.collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sorted).toMap
+    byLang.foreach { case (lang, vs) =>
+      def ref(p: Int) = vs((vs.length * p + 99) / 100 - 1)
+      assert(got(lang) == ((ref(50), ref(90), ref(99))), s"lang=$lang")
+    }
+  }
+
   test("decontaminateBloom equals the exact path (FPs verified away)") {
     val eval = (0 until 20).map(i =>
       (1000L + i, s"ev${i}a ev${i}b ev${i}c ev${i}d extra")).toDF("doc_id", "text")
