@@ -63,6 +63,34 @@ object SimilarityQueries extends QuerySet {
         .select(col("a_id"), col("b_id"))
     }),
 
+    // PQ ANN on an exact-reconstruction corpus: each of the 4 subspaces
+    // of a derived vector is copied verbatim from one of 4 anchor rows
+    // (pattern = (vec_id / 4^j) % 4 — pure integer math both engines
+    // replay). k=4 per-subspace KMeans recovers the 4 anchor subvectors,
+    // reconstruction is exact, and ADC cosine ranks exactly like brute
+    // force — so the oracle is the brute-force SQL over the same derived
+    // corpus, and the quantization machinery (train, byte codes, ADC
+    // lookup scan) is exercised end-to-end under full verification
+    "q_pq_topk" -> ((s, d) => {
+      val derived = pqDerivedCorpus(s, d)
+      val cb = graft.functions.Pq.train(derived, m = 4, k = 4, maxIter = 40)
+      graft.functions.Pq.searchTopK(derived, col("vec_id") < 8, 5, cb)
+        .select(col("q_id"), col("rk"), col("neighbor_id"))
+    }),
+
+    // IVF-PQ at FULL probe over the same exact-reconstruction corpus:
+    // cells admit everything (probe = nCentroids), so the composition
+    // (coarse cells pruning + PQ codes scanning) answers exactly like
+    // plain PQ — one shared oracle, same pattern as q_ivf_topk
+    "q_ivf_pq_topk" -> ((s, d) => {
+      val derived = pqDerivedCorpus(s, d)
+      val cb = graft.functions.Pq.train(derived, m = 4, k = 4, maxIter = 40)
+      val coarse = graft.functions.Ivf.train(derived, nCentroids = 8, maxIter = 5)
+      graft.functions.Pq.searchTopKIvf(derived, col("vec_id") < 8, 5, cb,
+          coarse, nProbe = 8)
+        .select(col("q_id"), col("rk"), col("neighbor_id"))
+    }),
+
     // n-gram (3-token shingle) Jaccard near-dup over documents:
     // inverted-index bucket join in graft.functions.Jaccard
     "q_jaccard_pairs" -> ((s, d) =>
@@ -86,6 +114,65 @@ object SimilarityQueries extends QuerySet {
     })
   )
 
+  /** The exact-reconstruction corpus for the PQ queries: subspace j
+    * (16 floats) of derived vector i is the j-th subvector of anchor row
+    * `(i >> 2j) & 3` — float bits copied from the parquet, so DuckDB's
+    * list-slice construction is bit-identical.
+    */
+  private def pqDerivedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val bc = s.sparkContext.broadcast(anchors)
+    emb.select(col("vec_id")).as[Long].map { i =>
+      val a = bc.value
+      val out = new Array[Float](64)
+      var j = 0
+      while (j < 4) {
+        val p = ((i >> (2 * j)) & 3L).toInt
+        System.arraycopy(a(p), j * 16, out, j * 16, 16)
+        j += 1
+      }
+      (i, out)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Derived-corpus construction in DuckDB (mirrors [[pqDerivedCorpus]]):
+    * one row per (vector, subspace), anchor slice by list indexing,
+    * re-assembled in subspace order.
+    */
+  private val pqDerivedSql =
+    """parts AS (
+      |  SELECT e.vec_id AS i, j.j AS j,
+      |         (e.vec_id // (CASE j.j WHEN 0 THEN 1 WHEN 1 THEN 4
+      |                                WHEN 2 THEN 16 ELSE 64 END)) % 4 AS p
+      |  FROM embeddings e, range(4) j(j)
+      |),
+      |derived AS (
+      |  SELECT i AS vec_id,
+      |         flatten(list(a.embedding[x.j*16+1 : x.j*16+16] ORDER BY x.j))
+      |           AS embedding
+      |  FROM parts x JOIN embeddings a ON a.vec_id = x.p
+      |  GROUP BY i
+      |)""".stripMargin
+
+  // lazy: refers to cosExpr, declared below
+  private lazy val pqTopkSql =
+    s"""WITH $pqDerivedSql,
+       |scored AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
+       |  FROM derived a CROSS JOIN derived b
+       |  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+       |)
+       |SELECT q_id, rk, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin
+
   // DuckDB lacks a deterministic double-sequential list_sum, so oracles
   // recompute cosine via list_zip/list_transform in double; outputs compare
   // ids/ranks only (see scaladoc).
@@ -97,6 +184,11 @@ object SimilarityQueries extends QuerySet {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact reconstruction => ADC ranking == brute-force ranking over the
+    // derived corpus; full-probe IVF-PQ == plain PQ (same oracle)
+    "q_pq_topk" -> pqTopkSql,
+    "q_ivf_pq_topk" -> pqTopkSql,
+
     "q_ann_topk" ->
       s"""WITH scored AS (
          |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
