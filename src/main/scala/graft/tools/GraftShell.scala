@@ -73,7 +73,9 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
     case Seq("help") => Right(
       "commands: put delete deleteWildcard get list entities snapshot stream " +
         "eval help exit\n" +
-        "eval: <entity>[.updates()].filter(...).map(...).take(n)|.count()|.sum(...)")
+        "eval: <entity>[.updates()].filter(...).map(...).take(n)|.count()|.sum(...)\n" +
+        "      windowed/grouped: .timeWindow(ms).groupBy(key, window)" +
+        ".reduce(init, accExpr)|.count()|.sum(e)|.min(e)|.max(e)|.avg(e)")
     // scripted expressions (Console.java closures): predicates compile to
     // Catalyst columns, so filter+count runs distributed
     case Seq("eval", expression) =>

@@ -26,11 +26,30 @@ import graft.core.GraftOperator
   * are driver-side; this is the Spark-first version of the same UX).
   *
   * Grammar: pipeline = entity [.updates()] chain; chain methods
-  * filter(expr) / map(expr) / distinct() / take(n) / count() / sum(expr).
+  * filter(expr) / map(expr) / distinct() / take(n) / count() / sum(expr)
+  * / timeWindow(ms) / groupBy(expr...). A grouped pipeline supports
+  * count() / sum(e) / min(e) / max(e) / avg(e) and — the closure-shaped
+  * operator of the reference console — reduce(init, accExpr): an
+  * EVENT-TIME-SORTED fold of each group where `accExpr` references `acc`
+  * plus the element fields, e.g.
+  *
+  * {{{
+  *   user.updates().timeWindow(10).groupBy(key, window)
+  *       .reduce("", acc.concat(value)).take(10)
+  * }}}
+  *
+  * The fold compiles to Catalyst higher-order functions
+  * (`aggregate(array_sort(collect_list(struct(...))), init, merge)`), so
+  * a scripted reduce runs distributed with one shuffle — each group is
+  * materialized as a sorted array first, exactly the reference reduce's
+  * contract (non-commutative folds are safe; reference:
+  * tools/.../WindowedStream.java:40 reduce "materializes groups").
+  *
   * Expressions: element fields (key, attribute, entity, uuid, stamp,
-  * seqId, value — value reads as UTF-8 text), literals, comparisons,
+  * seqId, value — value reads as UTF-8 text; window after timeWindow;
+  * derived columns like `reduced` chain onward), literals, comparisons,
   * boolean and arithmetic operators, and string methods startsWith /
-  * contains / endsWith / length / lower / upper.
+  * contains / endsWith / concat / length / lower / upper.
   */
 object ShellExpr {
 
@@ -171,18 +190,33 @@ object ShellExpr {
 
   private val Fields = Set("key", "attribute", "entity", "uuid", "stamp", "seqId", "value")
 
-  /** Compile an element-level expression to a Catalyst Column. */
-  private def toColumn(e: Expr): Column = e match {
+  /** Pipeline-derived column names referenceable downstream of the step
+    * that creates them (timeWindow / map / grouped aggregations).
+    */
+  private val Derived = Set("window", "_mapped", "count", "sum", "min", "max",
+    "avg", "reduced")
+
+  /** Compile an element-level expression to a Catalyst Column. `env`
+    * overrides name resolution (the reduce fold binds `acc` and the
+    * element fields to lambda variables); outside an env, `value` reads
+    * as UTF-8 text and any other name resolves to the pipeline column of
+    * that name (fields, `window`, derived aggregates like `reduced`).
+    */
+  private def toColumn(e: Expr, env: Map[String, Column] = Map.empty): Column = e match {
     case Lit(v)        => lit(v)
+    case Ref(n) if env.contains(n) => env(n)
+    case Ref(n) if env.nonEmpty => throw new IllegalArgumentException(
+      s"unknown name '$n' in fold expression " +
+        s"(bound: ${env.keys.toSeq.sorted.mkString(", ")})")
     case Ref("value")  => col("value").cast("string") // UTF-8 text view
-    case Ref(n) if Fields(n) => col(n)
+    case Ref(n) if Fields(n) || Derived(n) => col(n)
     case Ref(n) => throw new IllegalArgumentException(
-      s"unknown field '$n' (fields: ${Fields.toSeq.sorted.mkString(", ")})")
-    case Un("!", x) => !toColumn(x)
-    case Un("-", x) => -toColumn(x)
+      s"unknown field '$n' (fields: ${(Fields ++ Derived).toSeq.sorted.mkString(", ")})")
+    case Un("!", x) => !toColumn(x, env)
+    case Un("-", x) => -toColumn(x, env)
     case Un(op, _)  => throw new IllegalArgumentException(s"unknown operator '$op'")
     case Bin(op, l, r) =>
-      val (a, b) = (toColumn(l), toColumn(r))
+      val (a, b) = (toColumn(l, env), toColumn(r, env))
       op match {
         case "==" => a === b
         case "!=" => a =!= b
@@ -198,12 +232,13 @@ object ShellExpr {
         case "/"  => a / b
         case "%"  => a % b
       }
-    case Call(t, "startsWith", Seq(a)) => toColumn(t).startsWith(toColumn(a))
-    case Call(t, "contains", Seq(a))   => toColumn(t).contains(toColumn(a))
-    case Call(t, "endsWith", Seq(a))   => toColumn(t).endsWith(toColumn(a))
-    case Call(t, "length", Seq())      => length(toColumn(t))
-    case Call(t, "lower", Seq())       => lower(toColumn(t))
-    case Call(t, "upper", Seq())       => upper(toColumn(t))
+    case Call(t, "startsWith", Seq(a)) => toColumn(t, env).startsWith(toColumn(a, env))
+    case Call(t, "contains", Seq(a))   => toColumn(t, env).contains(toColumn(a, env))
+    case Call(t, "endsWith", Seq(a))   => toColumn(t, env).endsWith(toColumn(a, env))
+    case Call(t, "concat", Seq(a))     => concat(toColumn(t, env), toColumn(a, env))
+    case Call(t, "length", Seq())      => length(toColumn(t, env))
+    case Call(t, "lower", Seq())       => lower(toColumn(t, env))
+    case Call(t, "upper", Seq())       => upper(toColumn(t, env))
     case Call(_, n, _) => throw new IllegalArgumentException(
       s"unknown method '$n' in expression")
   }
@@ -218,38 +253,102 @@ object ShellExpr {
     }.mkString(" ")).mkString("\n")
   }
 
+  // pipeline evaluation states: a flat DataFrame, a grouped pipeline
+  // awaiting its aggregation, or a rendered terminal result
+  private sealed trait St
+  private final case class DfSt(df: DataFrame) extends St
+  private final case class GrSt(df: DataFrame, keys: Seq[Column]) extends St
+  private final case class DoneSt(s: String) extends St
+
+  /** Per-element struct carried into the reduce fold: stamp first and
+    * seqId second, so `array_sort` orders each group's fold by event
+    * time (ties by sequential id, then the remaining fields) — the
+    * time-sorted-input discipline the reference's reduce relies on.
+    */
+  private def elemStruct: Column = struct(col("stamp"), col("seqId"),
+    col("key"), col("attribute"), col("uuid"),
+    col("value").cast("string").as("value"))
+
+  private def keyName(e: Expr, i: Int): String = e match {
+    case Ref(n) => n
+    case _ => s"k$i"
+  }
+
   /** Evaluate a scripted pipeline; returns the rendered result. */
   def eval(op: GraftOperator, input: String): String = {
     val ast = new P(tokenize(input)).parse()
-    def run(e: Expr): Either[DataFrame, String] = e match {
-      case Ref(entity) => Left(op.getBatchSnapshot(entity).toDF())
+    def run(e: Expr): St = e match {
+      case Ref(entity) => DfSt(op.getBatchSnapshot(entity).toDF())
       case Call(Ref(entity), "updates", Seq()) =>
-        Left(op.getBatchUpdates(entity).toDF())
+        DfSt(op.getBatchUpdates(entity).toDF())
       case Call(t, name, args) => run(t) match {
-        case Left(df) => name match {
-          case "filter"   => Left(df.filter(toColumn(args.head)))
-          case "map"      => Left(df.select(toColumn(args.head).as("_mapped")))
-          case "distinct" => Left(df.distinct())
-          case "count" if args.isEmpty => Right(df.count().toString)
+        case DfSt(df) => name match {
+          case "filter"   => DfSt(df.filter(toColumn(args.head)))
+          case "map"      => DfSt(df.select(toColumn(args.head).as("_mapped")))
+          case "distinct" => DfSt(df.distinct())
+          case "count" if args.isEmpty => DoneSt(df.count().toString)
           case "sum" =>
-            Right(df.agg(sum(toColumn(args.head))).head().get(0).toString)
+            DoneSt(df.agg(sum(toColumn(args.head))).head().get(0).toString)
+          // event-time bucketing: window = start of the stamp's bucket
+          case "timeWindow" => args.head match {
+            case Lit(ms: Long) =>
+              DfSt(df.withColumn("window", expr(s"(stamp div $ms) * $ms")))
+            case other => throw new IllegalArgumentException(
+              s"timeWindow needs a millisecond literal, got $other")
+          }
+          case "groupBy" =>
+            require(args.nonEmpty, "groupBy needs at least one key expression")
+            GrSt(df, args.zipWithIndex.map { case (a, i) =>
+              toColumn(a).as(keyName(a, i)) })
           case "take" => args.head match {
-            case Lit(n: Long) => Right(renderRows(df, n.toInt))
+            case Lit(n: Long) => DoneSt(renderRows(df, n.toInt))
             case other => throw new IllegalArgumentException(s"take needs a count, got $other")
           }
           case other => throw new IllegalArgumentException(
             s"unknown pipeline method '$other' " +
-              "(filter, map, distinct, take, count, sum)")
+              "(filter, map, distinct, take, count, sum, timeWindow, groupBy)")
         }
-        case Right(_) =>
+        case GrSt(df, keys) => name match {
+          case "count" if args.isEmpty =>
+            DfSt(df.groupBy(keys: _*).agg(count(lit(1)).as("count")))
+          case "sum" =>
+            DfSt(df.groupBy(keys: _*).agg(sum(toColumn(args.head)).as("sum")))
+          case "min" =>
+            DfSt(df.groupBy(keys: _*).agg(min(toColumn(args.head)).as("min")))
+          case "max" =>
+            DfSt(df.groupBy(keys: _*).agg(max(toColumn(args.head)).as("max")))
+          case "avg" =>
+            DfSt(df.groupBy(keys: _*).agg(avg(toColumn(args.head)).as("avg")))
+          // the closure-shaped fold: reduce(init, accExpr) — each group
+          // collected as an event-time-sorted array, folded by a Catalyst
+          // higher-order aggregate; accExpr sees `acc` + element fields
+          case "reduce" => args match {
+            case Seq(Lit(init), accExpr) =>
+              val folded = aggregate(
+                array_sort(collect_list(elemStruct)),
+                lit(init),
+                (acc, el) => toColumn(accExpr,
+                  Map("acc" -> acc) ++
+                    Seq("stamp", "seqId", "key", "attribute", "uuid", "value")
+                      .map(f => f -> el.getField(f))))
+              DfSt(df.groupBy(keys: _*).agg(folded.as("reduced")))
+            case _ => throw new IllegalArgumentException(
+              "reduce needs (initLiteral, accumulatorExpression)")
+          }
+          case other => throw new IllegalArgumentException(
+            s"unknown grouped method '$other' (count, sum, min, max, avg, reduce)")
+        }
+        case DoneSt(_) =>
           throw new IllegalArgumentException("terminal operation must be last")
       }
       case _ => throw new IllegalArgumentException(
         "pipeline must start with an entity name")
     }
     run(ast) match {
-      case Right(s)  => s
-      case Left(df)  => renderRows(df, 20)
+      case DoneSt(s)  => s
+      case DfSt(df)   => renderRows(df, 20)
+      case GrSt(_, _) => throw new IllegalArgumentException(
+        "grouped pipeline needs an aggregation (count, sum, min, max, avg, reduce)")
     }
   }
 }

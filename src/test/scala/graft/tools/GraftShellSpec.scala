@@ -87,6 +87,30 @@ class GraftShellSpec extends SparkSpec {
     assert(lines.drop(6).toSet == Set("u1", "u2", "u3", "v9"), s"mapped keys: $out")
   }
 
+  test("eval: scripted windowed reduce folds groups in event-time order") {
+    val out = runScript(
+      """put user u1 status 1 a
+        |put user u1 status 2 b
+        |put user u1 status 12 c
+        |put user u2 status 3 x
+        |eval user.updates().timeWindow(10).groupBy(key, window).reduce("", acc.concat(value)).take(10)
+        |eval user.updates().timeWindow(10).groupBy(key, window).reduce(0, acc + 1).sum(reduced)
+        |eval user.updates().groupBy(key).count().sum(count)
+        |eval user.updates().timeWindow(10).groupBy(window).sum(stamp).take(10)
+        |""".stripMargin)
+    val lines = out.linesIterator.filterNot(_ == "ok").toSeq
+    // fold 1: concat in stamp order — u1/win0 = "ab" (1 then 2), u1/win10
+    // = "c", u2/win0 = "x"; row order is not fixed, membership is
+    val folded = lines.take(3).toSet
+    assert(folded == Set("u1 0 ab", "u1 10 c", "u2 0 x"), s"windowed fold: $out")
+    // fold 2: counting fold over 3 groups = 4 elements total
+    assert(lines(3) == "4", s"count-fold total: $out")
+    // grouped count chained into a further aggregation
+    assert(lines(4) == "4", s"count chain: $out")
+    // windowed sum: window 0 -> stamps 1+2+3=6, window 10 -> 12
+    assert(lines.drop(5).toSet == Set("0 6", "10 12"), s"windowed sum: $out")
+  }
+
   test("eval: bad expressions report errors without killing the session") {
     val out = runScript(
       """put user u1 status 1 on
