@@ -1,0 +1,81 @@
+package graft.service
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.{GraftOperator, Repository}
+
+/** Deployable ingest server: ONE process that boots the repository from a
+  * config path, starts every config-declared transformation/replication as
+  * a continuous query, and opens the HTTP front door — the reference's
+  * ingest-server process shape (reference: direct/ingest-server/.../
+  * IngestServer.java wiring IngestService + RetrieveService +
+  * ReplicationController from a config file; entry semantics of
+  * IngestService.java / ReplicationController.java).
+  *
+  * `boot` is the embeddable form (used by tests and hosts that bring their
+  * own SparkSession); `main` is the operational form:
+  *
+  * {{{
+  *   runMain graft.service.IngestServer /path/to/graft.conf [port] [checkpointRoot]
+  * }}}
+  *
+  * Writes arriving over HTTP land in each attribute's primary family;
+  * transformations observe the commit logs and route derived elements to
+  * their target families with idempotent-by-uuid appends, so a crash
+  * between target write and checkpoint commit cannot duplicate (the
+  * controller contract spec-tested in TransformationControllerSpec).
+  */
+object IngestServer {
+
+  /** A running server: HTTP gateway + transformation queries. */
+  final case class Handle(op: GraftOperator, gateway: HttpGateway,
+      transformations: Seq[StreamingQuery]) {
+    def port: Int = gateway.boundPort
+    def stop(): Unit = {
+      transformations.foreach(q =>
+        try q.stop() catch { case _: Exception => () })
+      gateway.stop()
+    }
+  }
+
+  /** Boot from config text: parse the repository, start the declared
+    * transformations, open the gateway (port 0 = ephemeral).
+    */
+  def boot(spark: SparkSession, configText: String, port: Int = 0,
+      checkpointRoot: String =
+        Files.createTempDirectory("graft-ingest-ckpt-").toString): Handle = {
+    val repo = Repository.parse(configText)
+    val op = new GraftOperator(spark, repo)
+    val queries = op.startTransformations(checkpointRoot)
+    val gateway = new HttpGateway(op, port).start()
+    Handle(op, gateway, queries)
+  }
+
+  /** Boot from a config file path (the process form). */
+  def bootFromPath(spark: SparkSession, configPath: String, port: Int = 0,
+      checkpointRoot: String =
+        Files.createTempDirectory("graft-ingest-ckpt-").toString): Handle =
+    boot(spark,
+      new String(Files.readAllBytes(Paths.get(configPath)), "UTF-8"),
+      port, checkpointRoot)
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: IngestServer <config.conf> [port] [checkpointRoot]")
+    val port = if (args.length > 1) args(1).toInt else 8420
+    val spark = graft.GraftSession.local()
+    val handle = bootFromPath(spark, args(0), port,
+      if (args.length > 2) args(2)
+      else Files.createTempDirectory("graft-ingest-ckpt-").toString)
+    // one machine-readable boot line, then serve until the process dies
+    println(s"""{"service":"graft-ingest","port":${handle.port},""" +
+      s""""transformations":${handle.transformations.size}}""")
+    val forever = new CountDownLatch(1)
+    sys.addShutdownHook { handle.stop(); forever.countDown() }
+    forever.await()
+  }
+}

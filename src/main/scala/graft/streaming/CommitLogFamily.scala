@@ -67,11 +67,26 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
   override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
     graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
 
+  /** The file streaming source refuses a missing directory, but a freshly
+    * deployed family legitimately has no writes yet (an ingest server
+    * starts its transformation observers BEFORE the first element
+    * arrives) — materialize the empty log directory so subscribing to a
+    * virgin commit log works like subscribing to an empty topic.
+    */
+  private def ensureDir(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) fs.mkdirs(p)
+  }
+
   /** Streaming subscription replaying from the oldest retained element
     * (commit-log access, position=OLDEST).
     */
-  override def streamFromOldest(): Dataset[StreamElement] =
+  override def streamFromOldest(): Dataset[StreamElement] = {
+    ensureDir()
     spark.readStream.schema(encoder.schema).parquet(path).as[StreamElement]
+  }
 
   /** Throughput-limited streaming subscription: at most `maxFilesPerTrigger`
     * log segments per micro-batch — the reference's ThroughputLimiter knob
@@ -79,10 +94,12 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
     * (ThroughputLimiter.java:27; see [[Throughput]] for the direct-path
     * token bucket).
     */
-  def streamFromOldestThrottled(maxFilesPerTrigger: Int): Dataset[StreamElement] =
+  def streamFromOldestThrottled(maxFilesPerTrigger: Int): Dataset[StreamElement] = {
+    ensureDir()
     spark.readStream.schema(encoder.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path).as[StreamElement]
+  }
 
   /** Streaming subscription; file sources always replay retained history, so
     * "from now" is approximated by a stamp filter at query start (the Kafka
