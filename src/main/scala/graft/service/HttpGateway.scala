@@ -6,7 +6,7 @@ import java.util.Base64
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
-import graft.core.GraftOperator
+import graft.core.{Access, GraftOperator, StreamElement, TransactionCoordinator, TransactionMode}
 
 /** HTTP/JSON wire transport for the ingest/retrieve services — a real
   * network front door for the engine (reference: the gRPC ingest server,
@@ -25,6 +25,19 @@ import graft.core.GraftOperator
   *  - /get         {entity, key, attribute}         → {found, value?}
   *  - /list        {entity, key, prefix?, offset?, limit?} → {attributes}
   *  - /multifetch  {entity, attribute, keys}        → {values: {key: v}}
+  *  - /scan        {entity, attrs?} → chunked JSON-lines stream, one
+  *                 {key, attribute, stamp, value} per element — the
+  *                 server-streaming full scan (rpc.proto scan:410),
+  *                 streamed via toLocalIterator (no driver
+  *                 materialization of the snapshot)
+  *  - /tx/begin    {entity, attribute, mode?}       → {tx}
+  *    /tx/get     {tx, key, attribute}              → {found, value?}
+  *    /tx/update  {tx, entity, key, attribute, stamp, value?, delete?} → {ok}
+  *    /tx/commit  {tx}                              → {ok, seq? | message}
+  *    /tx/rollback{tx}                              → {ok}
+  *    (rpc.proto begin:405 + TransactionalReadWrite semantics: optimistic
+  *    validation at commit, conflicts answer ok=false with the reason —
+  *    the wire form of [[graft.core.TransactionCoordinator]])
   *  - /schema/register {registry, subject, schema} → {id, version}
   *    /schema/latest   {registry, subject}         → {found, id?, version?, schema?}
   *    /schema/by-id    {id}                        → {found, schema?}
@@ -113,6 +126,110 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
     "{\"values\":{" + vals.map { case (k, v) =>
       Json.quote(k) + ":" + Json.quote(Base64.getEncoder.encodeToString(v))
     }.mkString(",") + "}}"
+  })
+
+  // server-streaming full scan (rpc.proto scan:410): chunked JSON lines
+  // via toLocalIterator — one partition in flight, never the snapshot
+  server.createContext("/scan", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val in = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val m = Json.parseObject(in)
+        val attrs = m.get("attrs")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val it = retrieve.scan(str(m, "entity"), attrs: _*).toLocalIterator()
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0L) // chunked
+        val out = ex.getResponseBody
+        while (it.hasNext) {
+          val e = it.next()
+          out.write((Json.obj("key" -> e.key, "attribute" -> e.attribute,
+            "stamp" -> e.stamp,
+            "value" -> (if (e.value == null) null
+              else Base64.getEncoder.encodeToString(e.value))) + "\n")
+            .getBytes(StandardCharsets.UTF_8))
+        }
+        out.close()
+      } catch {
+        case e: Exception =>
+          val msg = Json
+            .obj("error" -> Option(e.getMessage).getOrElse("bad request"))
+            .getBytes(StandardCharsets.UTF_8)
+          try {
+            ex.sendResponseHeaders(400, msg.length.toLong)
+            ex.getResponseBody.write(msg)
+          } catch { case _: Exception => () } // headers may be out already
+      } finally ex.close()
+  })
+
+  // ---- transactions over the wire (rpc.proto begin:405) ----
+
+  private val coordinators =
+    new java.util.concurrent.ConcurrentHashMap[(String, TransactionMode), TransactionCoordinator]()
+  private val openTxs =
+    new java.util.concurrent.ConcurrentHashMap[String, TransactionCoordinator#Transaction]()
+
+  private def openTx(m: Map[String, Any]): TransactionCoordinator#Transaction =
+    Option(openTxs.get(str(m, "tx"))).getOrElse(
+      throw new IllegalArgumentException("unknown or closed tx"))
+
+  server.createContext("/tx/begin", handler { m =>
+    val mode = m.get("mode").map(_.toString).getOrElse("attribute") match {
+      case "attribute" => TransactionMode.Attribute
+      case "key"       => TransactionMode.Key
+      case "all"       => TransactionMode.All
+      case other => throw new IllegalArgumentException(s"unknown mode '$other'")
+    }
+    val famName = op.repo
+      .familyFor(str(m, "entity"), str(m, "attribute"), Access.BatchUpdates)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no batch-updates family for ${str(m, "entity")}.${str(m, "attribute")}"))
+      .name
+    val coord = coordinators.computeIfAbsent((famName, mode),
+      _ => new TransactionCoordinator(op.family(famName), mode))
+    val id = java.util.UUID.randomUUID().toString
+    openTxs.put(id, coord.begin())
+    Json.obj("tx" -> id)
+  })
+
+  server.createContext("/tx/get", handler { m =>
+    openTx(m).get(str(m, "key"), str(m, "attribute")) match {
+      case Some(e) if e.value != null => Json.obj("found" -> true,
+        "value" -> Base64.getEncoder.encodeToString(e.value))
+      case _ => Json.obj("found" -> false)
+    }
+  })
+
+  server.createContext("/tx/update", handler { m =>
+    val entity = str(m, "entity")
+    val attr = str(m, "attribute")
+    val e = op.repo.entities.getOrElse(entity,
+      throw new IllegalArgumentException(s"Unknown entity $entity"))
+    require(e.resolve(attr).isDefined, s"Unknown attribute $entity.$attr")
+    val delete = m.get("delete").exists(_ == true)
+    openTx(m).update(StreamElement(entity, str(m, "key"), attr,
+      java.util.UUID.randomUUID().toString, 0L, lng(m, "stamp"),
+      if (delete) null
+      else Base64.getDecoder.decode(m.getOrElse("value", "").toString),
+      delete, delete && attr.endsWith(".*")))
+    Json.obj("ok" -> true)
+  })
+
+  server.createContext("/tx/commit", handler { m =>
+    val t = openTx(m)
+    openTxs.remove(str(m, "tx"))
+    try Json.obj("ok" -> true, "seq" -> t.commit())
+    catch {
+      case e: RuntimeException => Json.obj("ok" -> false,
+        "message" -> Option(e.getMessage).getOrElse("rejected"))
+    }
+  })
+
+  server.createContext("/tx/rollback", handler { m =>
+    openTx(m) // 400 on unknown id rather than a silent ok
+    openTxs.remove(str(m, "tx"))
+    Json.obj("ok" -> true)
   })
 
   server.createContext("/schema/register", handler { m =>

@@ -89,6 +89,66 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("server-streaming scan and wire transactions (begin/commit/conflict)") {
+    val repo = Repository.parse(
+      """entities { gateway { attributes { "status" { scheme: string } } } }
+        |attributeFamilies {
+        |  gw-tx { entity: gateway, attributes: [ "*" ], storage: "inmem://gwtx",
+        |          type: primary,
+        |          access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
+        |}""".stripMargin)
+    val gw = new HttpGateway(new GraftOperator(spark, repo)).start()
+    try {
+      val port = gw.boundPort
+      post(port, "/ingest",
+        s"""{"entity":"gateway","key":"g1","attribute":"status","stamp":1,"value":"${b64("up")}"}""")
+      post(port, "/ingest",
+        s"""{"entity":"gateway","key":"g2","attribute":"status","stamp":2,"value":"${b64("down")}"}""")
+
+      // chunked ndjson scan streams the snapshot
+      val scan = post(port, "/scan", """{"entity":"gateway"}""")
+      val rows = scan.linesIterator.filter(_.nonEmpty)
+        .map(Json.parseObject).toSeq
+      assert(rows.map(_("key").toString).toSet == Set("g1", "g2"), scan)
+      assert(rows.forall(r => new String(Base64.getDecoder
+        .decode(r("value").toString), "UTF-8").nonEmpty))
+
+      // two wire transactions race on the same cell: first commit wins,
+      // second aborts with the conflict reason (optimistic validation)
+      def begin(): String = Json.parseObject(post(port, "/tx/begin",
+        """{"entity":"gateway","attribute":"status"}"""))("tx").toString
+      val t1 = begin()
+      val t2 = begin()
+      val rd = Json.parseObject(post(port, "/tx/get",
+        s"""{"tx":"$t1","key":"g1","attribute":"status"}"""))
+      assert(rd("found") == true)
+      post(port, "/tx/update",
+        s"""{"tx":"$t1","entity":"gateway","key":"g1","attribute":"status","stamp":10,"value":"${b64("t1")}"}""")
+      post(port, "/tx/update",
+        s"""{"tx":"$t2","entity":"gateway","key":"g1","attribute":"status","stamp":11,"value":"${b64("t2")}"}""")
+      val c1 = Json.parseObject(post(port, "/tx/commit", s"""{"tx":"$t1"}"""))
+      assert(c1("ok") == true, c1)
+      val c2 = Json.parseObject(post(port, "/tx/commit", s"""{"tx":"$t2"}"""))
+      assert(c2("ok") == false, "second writer must abort on conflict")
+      assert(c2("message").toString.contains("touch"), c2)
+      // the committed value is t1's
+      val g = Json.parseObject(post(port, "/get",
+        """{"entity":"gateway","key":"g1","attribute":"status"}"""))
+      assert(new String(Base64.getDecoder.decode(g("value").toString),
+        "UTF-8") == "t1")
+      // a rolled-back tx leaves no trace; its id is gone afterwards
+      val t3 = begin()
+      post(port, "/tx/update",
+        s"""{"tx":"$t3","entity":"gateway","key":"g9","attribute":"status","stamp":12,"value":"${b64("x")}"}""")
+      assert(Json.parseObject(post(port, "/tx/rollback",
+        s"""{"tx":"$t3"}"""))("ok") == true)
+      assert(Json.parseObject(post(port, "/tx/commit",
+        s"""{"tx":"$t3"}""")).contains("error"))
+      assert(Json.parseObject(post(port, "/get",
+        """{"entity":"gateway","key":"g9","attribute":"status"}"""))("found") == false)
+    } finally gw.stop()
+  }
+
   test("client-supplied uuid is honored for retry idempotence") {
     val repo = Repository.parse(
       """entities { gateway { attributes { "status" { scheme: string } } } }
