@@ -73,7 +73,13 @@ object SimilarityQueries extends QuerySet {
     // lookup scan) is exercised end-to-end under full verification
     "q_pq_topk" -> ((s, d) => {
       val derived = pqDerivedCorpus(s, d)
-      val cb = graft.functions.Pq.train(derived, m = 4, k = 4, maxIter = 40)
+      // train on the pattern-complete 256-row prefix (every 4^4 pattern
+      // combination appears once): same 4 distinct points per subspace as
+      // the full corpus, so KMeans converges to identical centroids at a
+      // fraction of the scan cost — the deterministic-subset training
+      // shape production uses (Curation.hashSample) at 100 TB
+      val cb = graft.functions.Pq.train(derived.filter(col("vec_id") < 256),
+        m = 4, k = 4, maxIter = 40)
       graft.functions.Pq.searchTopK(derived, col("vec_id") < 8, 5, cb)
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
@@ -84,8 +90,12 @@ object SimilarityQueries extends QuerySet {
     // plain PQ — one shared oracle, same pattern as q_ivf_topk
     "q_ivf_pq_topk" -> ((s, d) => {
       val derived = pqDerivedCorpus(s, d)
-      val cb = graft.functions.Pq.train(derived, m = 4, k = 4, maxIter = 40)
-      val coarse = graft.functions.Ivf.train(derived, nCentroids = 8, maxIter = 5)
+      // subset training as in q_pq_topk; at FULL probe the coarse cells
+      // only prune (here: admit everything), so their exact positions
+      // cannot change the answer either
+      val sample = derived.filter(col("vec_id") < 256)
+      val cb = graft.functions.Pq.train(sample, m = 4, k = 4, maxIter = 40)
+      val coarse = graft.functions.Ivf.train(sample, nCentroids = 8, maxIter = 5)
       graft.functions.Pq.searchTopKIvf(derived, col("vec_id") < 8, 5, cb,
           coarse, nProbe = 8)
         .select(col("q_id"), col("rk"), col("neighbor_id"))

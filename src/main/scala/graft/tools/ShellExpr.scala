@@ -266,7 +266,7 @@ object ShellExpr {
     * time-sorted-input discipline the reference's reduce relies on.
     */
   private def elemStruct: Column = struct(col("stamp"), col("seqId"),
-    col("key"), col("attribute"), col("uuid"),
+    col("key"), col("attribute"), col("entity"), col("uuid"),
     col("value").cast("string").as("value"))
 
   private def keyName(e: Expr, i: Int): String = e match {
@@ -329,8 +329,8 @@ object ShellExpr {
                 lit(init),
                 (acc, el) => toColumn(accExpr,
                   Map("acc" -> acc) ++
-                    Seq("stamp", "seqId", "key", "attribute", "uuid", "value")
-                      .map(f => f -> el.getField(f))))
+                    Seq("stamp", "seqId", "key", "attribute", "entity",
+                      "uuid", "value").map(f => f -> el.getField(f))))
               DfSt(df.groupBy(keys: _*).agg(folded.as("reduced")))
             case _ => throw new IllegalArgumentException(
               "reduce needs (initLiteral, accumulatorExpression)")
