@@ -199,15 +199,17 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum",
-      sum(col("c")).over(Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
-    val totals = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    // group total as a second window over the SAME partitioning (not a
+    // re-aggregated join branch): one corpus scan, one exchange — the
+    // group-total branch would otherwise scan the corpus a second time
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(groupCol))))
     val aggs = pcts.map(p =>
       min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(valueCol)))
         .as(s"p$p"))
-    cum.join(broadcast(totals), groupCol)
-      .groupBy(col(groupCol))
-      .agg(aggs.head, aggs.tail: _*)
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-domain rates (basis points) that rebalance the corpus toward a

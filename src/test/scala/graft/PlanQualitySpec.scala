@@ -101,6 +101,11 @@ class PlanQualitySpec extends SparkSpec {
           s"the raw corpus (a bare-group row sort is the 100 TB skew " +
           s"funnel):\n${q.queryExecution.optimizedPlan}")
     }
+    // group totals come from a window over the same partition, never a
+    // second aggregation branch over the corpus
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "Scan".r.findAllIn(plan).size
+    assert(scans == 1, s"quantiles must read the corpus exactly once, saw $scans scans:\n$plan")
   }
 
   test("snapshot compaction is one scan with partial aggregation") {
