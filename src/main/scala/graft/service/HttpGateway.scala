@@ -167,12 +167,23 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
 
   private val coordinators =
     new java.util.concurrent.ConcurrentHashMap[(String, TransactionMode), TransactionCoordinator]()
+  // open transactions carry their creation time: an abandoned begin()
+  // (client died before commit/rollback) is swept at the next begin once
+  // older than the TTL, so leaked handles cannot accumulate — the
+  // reference equivalently expires transaction state on its server
   private val openTxs =
-    new java.util.concurrent.ConcurrentHashMap[String, TransactionCoordinator#Transaction]()
+    new java.util.concurrent.ConcurrentHashMap[String, (TransactionCoordinator#Transaction, Long)]()
+  private val txTtlMs: Long =
+    sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong
+
+  private def sweepExpiredTxs(): Unit = {
+    val cutoff = System.currentTimeMillis() - txTtlMs
+    openTxs.entrySet().removeIf(e => e.getValue._2 < cutoff)
+  }
 
   private def openTx(m: Map[String, Any]): TransactionCoordinator#Transaction =
-    Option(openTxs.get(str(m, "tx"))).getOrElse(
-      throw new IllegalArgumentException("unknown or closed tx"))
+    Option(openTxs.get(str(m, "tx"))).map(_._1).getOrElse(
+      throw new IllegalArgumentException("unknown, expired or closed tx"))
 
   server.createContext("/tx/begin", handler { m =>
     val mode = m.get("mode").map(_.toString).getOrElse("attribute") match {
@@ -188,8 +199,9 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
       .name
     val coord = coordinators.computeIfAbsent((famName, mode),
       _ => new TransactionCoordinator(op.family(famName), mode))
+    sweepExpiredTxs()
     val id = java.util.UUID.randomUUID().toString
-    openTxs.put(id, coord.begin())
+    openTxs.put(id, (coord.begin(), System.currentTimeMillis()))
     Json.obj("tx" -> id)
   })
 
