@@ -195,10 +195,21 @@ object Curation {
     * Output: (groupCol, p&lt;pct&gt;...) with the value column's type.
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int]): DataFrame =
+    exactQuantilesWeighted(df, groupCol, valueCol, lit(1L), pcts)
+
+  /** Weighted variant: the p-quantile is the smallest value whose
+    * cumulative WEIGHT reaches ceil(p·W/100) — e.g. weight = token count
+    * answers "which length cutoff keeps p% of the tokens", the form a
+    * token-budgeted curation run actually uses. Integer weights keep the
+    * selection engine-replayable; same single-scan histogram plan as the
+    * unweighted form (which is this with weight 1).
+    */
+  def exactQuantilesWeighted(df: DataFrame, groupCol: String,
+      valueCol: String, weight: Column, pcts: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weight).as("c"))
     // group total as a second window over the SAME partitioning (not a
     // re-aggregated join branch): one corpus scan, one exchange — the
     // group-total branch would otherwise scan the corpus a second time

@@ -55,6 +55,17 @@ object CurationQueries extends QuerySet {
       Curation.exactQuantiles(Tables.documents(s, d), "lang", "n_chars",
         Seq(50, 90, 99))),
 
+    // token-weighted length quantiles: the n_chars cutoff below which
+    // p% of each language's TOKENS live — the question a token-budgeted
+    // curation run asks. Weight = the native whitespace token count
+    // (graft_token_count, bit-equal to the split-based formula DuckDB
+    // replays); same single-scan histogram plan as q_length_quantiles
+    "q_weighted_quantiles" -> ((s, d) =>
+      Curation.exactQuantilesWeighted(Tables.documents(s, d), "lang",
+        "n_chars",
+        graft.functions.TokenCount.column(col("text")).cast("long"),
+        Seq(50, 90, 99))),
+
     // THE end-to-end curation pipeline (functions/CurationPipeline):
     // quality gate -> exact dedup -> decontaminate -> near-dup dedup
     // (LSH + Jaccard + connected components, survivors only) -> sampled
@@ -314,6 +325,26 @@ object CurationQueries extends QuerySet {
         |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
         |FROM r JOIN c USING (lang)
         |GROUP BY 1""".stripMargin,
+
+    // cumulative token weight per (lang, n_chars) histogram bucket; the
+    // quantile is the smallest n_chars whose cumulative weight reaches
+    // ceil(p*W/100) — mirror of Curation.exactQuantilesWeighted
+    "q_weighted_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars,
+        |         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, n_chars, c,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h
+        |)
+        |SELECT lang,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_pii_redact" -> {
       // RE2 'g' flag == Java replace-all; patterns stay in the

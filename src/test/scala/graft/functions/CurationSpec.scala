@@ -96,6 +96,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesWeighted selects by cumulative weight, not row count") {
+    import org.apache.spark.sql.functions.col
+    // one group: values 10,20,30 with weights 1,1,98 — the token-weighted
+    // p50 is 30 (98% of the weight), while the unweighted p50 is 20
+    val docs = Seq(
+      ("en", 10L, 1L), ("en", 20L, 1L), ("en", 30L, 98L)
+    ).toDF("lang", "n_chars", "w")
+    val weighted = Curation.exactQuantilesWeighted(docs, "lang", "n_chars",
+      col("w"), Seq(50)).head()
+    assert(weighted.getLong(1) == 30L)
+    val unweighted = Curation.exactQuantiles(docs, "lang", "n_chars",
+      Seq(50)).head()
+    assert(unweighted.getLong(1) == 20L)
+  }
+
   test("decontaminateBloom equals the exact path (FPs verified away)") {
     val eval = (0 until 20).map(i =>
       (1000L + i, s"ev${i}a ev${i}b ev${i}c ev${i}d extra")).toDF("doc_id", "text")
