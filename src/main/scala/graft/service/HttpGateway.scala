@@ -44,13 +44,19 @@ import graft.core.{Access, GraftOperator, StreamElement, TransactionCoordinator,
   *    (the reference's Confluent registry is an HTTP service; these
   *    endpoints put the embedded registry double behind the same wire)
   */
-final class HttpGateway(op: GraftOperator, port: Int = 0) {
+final class HttpGateway(op: GraftOperator, port: Int = 0,
+    bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1")) {
 
   private val ingest = new IngestService(op)
   private val retrieve = new RetrieveService(op)
 
   private val server: HttpServer =
-    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
+  // a thread pool, NOT the default sequential dispatcher: /scan streams
+  // an unbounded snapshot at the client's read speed — on the default
+  // executor one slow scan client would stall every other endpoint
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
 
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
@@ -167,23 +173,45 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
 
   private val coordinators =
     new java.util.concurrent.ConcurrentHashMap[(String, TransactionMode), TransactionCoordinator]()
-  // open transactions carry their creation time: an abandoned begin()
-  // (client died before commit/rollback) is swept at the next begin once
-  // older than the TTL, so leaked handles cannot accumulate — the
-  // reference equivalently expires transaction state on its server
+
+  /** An open wire transaction: the handle, the family it was begun on
+    * (updates must route to the SAME family — the coordinator validates
+    * and appends there), and a last-touched stamp refreshed by every
+    * get/update so only genuinely ABANDONED transactions expire.
+    */
+  private final case class TxHandle(t: TransactionCoordinator#Transaction,
+      family: String, lastUsed: java.util.concurrent.atomic.AtomicLong)
+
   private val openTxs =
-    new java.util.concurrent.ConcurrentHashMap[String, (TransactionCoordinator#Transaction, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, TxHandle]()
   private val txTtlMs: Long =
     sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong
 
   private def sweepExpiredTxs(): Unit = {
     val cutoff = System.currentTimeMillis() - txTtlMs
-    openTxs.entrySet().removeIf(e => e.getValue._2 < cutoff)
+    openTxs.entrySet().removeIf(e => e.getValue.lastUsed.get() < cutoff)
   }
 
-  private def openTx(m: Map[String, Any]): TransactionCoordinator#Transaction =
-    Option(openTxs.get(str(m, "tx"))).map(_._1).getOrElse(
+  private def openTx(m: Map[String, Any]): TxHandle = {
+    val h = Option(openTxs.get(str(m, "tx"))).getOrElse(
       throw new IllegalArgumentException("unknown, expired or closed tx"))
+    h.lastUsed.set(System.currentTimeMillis())
+    h
+  }
+
+  /** Atomically claim-and-close a tx for commit/rollback: concurrent
+    * commits of the same id cannot both reach `commit()` (the second
+    * gets a 400, never a double append).
+    */
+  private def takeTx(m: Map[String, Any]): TxHandle =
+    Option(openTxs.remove(str(m, "tx"))).getOrElse(
+      throw new IllegalArgumentException("unknown, expired or closed tx"))
+
+  private def txFamilyName(entity: String, attribute: String): String =
+    op.repo.familyFor(entity, attribute, Access.BatchUpdates)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no batch-updates family for $entity.$attribute"))
+      .name
 
   server.createContext("/tx/begin", handler { m =>
     val mode = m.get("mode").map(_.toString).getOrElse("attribute") match {
@@ -192,21 +220,18 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
       case "all"       => TransactionMode.All
       case other => throw new IllegalArgumentException(s"unknown mode '$other'")
     }
-    val famName = op.repo
-      .familyFor(str(m, "entity"), str(m, "attribute"), Access.BatchUpdates)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no batch-updates family for ${str(m, "entity")}.${str(m, "attribute")}"))
-      .name
+    val famName = txFamilyName(str(m, "entity"), str(m, "attribute"))
     val coord = coordinators.computeIfAbsent((famName, mode),
       _ => new TransactionCoordinator(op.family(famName), mode))
     sweepExpiredTxs()
     val id = java.util.UUID.randomUUID().toString
-    openTxs.put(id, (coord.begin(), System.currentTimeMillis()))
+    openTxs.put(id, TxHandle(coord.begin(), famName,
+      new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())))
     Json.obj("tx" -> id)
   })
 
   server.createContext("/tx/get", handler { m =>
-    openTx(m).get(str(m, "key"), str(m, "attribute")) match {
+    openTx(m).t.get(str(m, "key"), str(m, "attribute")) match {
       case Some(e) if e.value != null => Json.obj("found" -> true,
         "value" -> Base64.getEncoder.encodeToString(e.value))
       case _ => Json.obj("found" -> false)
@@ -219,8 +244,16 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
     val e = op.repo.entities.getOrElse(entity,
       throw new IllegalArgumentException(s"Unknown entity $entity"))
     require(e.resolve(attr).isDefined, s"Unknown attribute $entity.$attr")
+    val h = openTx(m)
+    // the coordinator appends into the family the tx was BEGUN on — an
+    // element routed elsewhere would land in the wrong commit log and be
+    // invisible to its own entity's readers
+    val fam = txFamilyName(entity, attr)
+    require(fam == h.family,
+      s"$entity.$attr routes to family '$fam' but the transaction was " +
+        s"begun on '${h.family}' — open one transaction per family")
     val delete = m.get("delete").exists(_ == true)
-    openTx(m).update(StreamElement(entity, str(m, "key"), attr,
+    h.t.update(StreamElement(entity, str(m, "key"), attr,
       java.util.UUID.randomUUID().toString, 0L, lng(m, "stamp"),
       if (delete) null
       else Base64.getDecoder.decode(m.getOrElse("value", "").toString),
@@ -229,9 +262,8 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
   })
 
   server.createContext("/tx/commit", handler { m =>
-    val t = openTx(m)
-    openTxs.remove(str(m, "tx"))
-    try Json.obj("ok" -> true, "seq" -> t.commit())
+    val h = takeTx(m)
+    try Json.obj("ok" -> true, "seq" -> h.t.commit())
     catch {
       case e: RuntimeException => Json.obj("ok" -> false,
         "message" -> Option(e.getMessage).getOrElse("rejected"))
@@ -239,8 +271,7 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
   })
 
   server.createContext("/tx/rollback", handler { m =>
-    openTx(m) // 400 on unknown id rather than a silent ok
-    openTxs.remove(str(m, "tx"))
+    takeTx(m) // 400 on unknown id rather than a silent ok
     Json.obj("ok" -> true)
   })
 
@@ -267,7 +298,7 @@ final class HttpGateway(op: GraftOperator, port: Int = 0) {
   })
 
   def start(): HttpGateway = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 }
 
 /** Minimal JSON codec (objects, arrays, strings, numbers, booleans,

@@ -17,7 +17,8 @@ import graft.core.{GraftOperator, Repository}
   * IngestService.java / ReplicationController.java).
   *
   * `boot` is the embeddable form (used by tests and hosts that bring their
-  * own SparkSession); `main` is the operational form:
+  * own SparkSession); `main` is the operational form (set `GRAFT_BIND` to
+  * an external interface — the gateway binds loopback by default):
   *
   * {{{
   *   runMain graft.service.IngestServer /path/to/graft.conf [port] [checkpointRoot]

@@ -74,9 +74,11 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
     * virgin commit log works like subscribing to an empty topic.
     */
   private def ensureDir(): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // resolve the filesystem from the PATH's scheme, not the default FS —
+    // an s3a:// family on an hdfs-default cluster must not throw Wrong FS
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) fs.mkdirs(p)
   }
 

@@ -289,12 +289,14 @@ object ShellExpr {
           case "count" if args.isEmpty => DoneSt(df.count().toString)
           case "sum" =>
             DoneSt(df.agg(sum(toColumn(args.head))).head().get(0).toString)
-          // event-time bucketing: window = start of the stamp's bucket
+          // event-time bucketing: window = start of the stamp's bucket.
+          // stamp - pmod(stamp, ms) FLOORS for pre-epoch stamps too
+          // (truncating division would put stamp -5 into window 0)
           case "timeWindow" => args.head match {
-            case Lit(ms: Long) =>
-              DfSt(df.withColumn("window", expr(s"(stamp div $ms) * $ms")))
+            case Lit(ms: Long) if ms > 0 =>
+              DfSt(df.withColumn("window", expr(s"stamp - pmod(stamp, $ms)")))
             case other => throw new IllegalArgumentException(
-              s"timeWindow needs a millisecond literal, got $other")
+              s"timeWindow needs a positive millisecond literal, got $other")
           }
           case "groupBy" =>
             require(args.nonEmpty, "groupBy needs at least one key expression")

@@ -91,11 +91,17 @@ class HttpGatewaySpec extends SparkSpec {
 
   test("server-streaming scan and wire transactions (begin/commit/conflict)") {
     val repo = Repository.parse(
-      """entities { gateway { attributes { "status" { scheme: string } } } }
+      """entities {
+        |  gateway { attributes { "status" { scheme: string } } }
+        |  other   { attributes { "x" { scheme: string } } }
+        |}
         |attributeFamilies {
         |  gw-tx { entity: gateway, attributes: [ "*" ], storage: "inmem://gwtx",
         |          type: primary,
         |          access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
+        |  other-p { entity: other, attributes: [ "*" ], storage: "inmem://gwother",
+        |            type: primary,
+        |            access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
         |}""".stripMargin)
     val gw = new HttpGateway(new GraftOperator(spark, repo)).start()
     try {
@@ -136,6 +142,14 @@ class HttpGatewaySpec extends SparkSpec {
         """{"entity":"gateway","key":"g1","attribute":"status"}"""))
       assert(new String(Base64.getDecoder.decode(g("value").toString),
         "UTF-8") == "t1")
+      // an update routed to a DIFFERENT family than the tx was begun on
+      // is rejected (it would land in the wrong commit log)
+      val tx4 = begin()
+      val cross = post(port, "/tx/update",
+        s"""{"tx":"$tx4","entity":"other","key":"o1","attribute":"x","stamp":20,"value":"${b64("v")}"}""")
+      assert(cross.contains("error") && cross.contains("begun on"), cross)
+      post(port, "/tx/rollback", s"""{"tx":"$tx4"}""")
+
       // a rolled-back tx leaves no trace; its id is gone afterwards
       val t3 = begin()
       post(port, "/tx/update",
