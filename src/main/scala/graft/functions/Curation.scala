@@ -35,13 +35,14 @@ object Curation {
     * absent — the common downstream move is an anti-join to drop the hits.
     *
     * Both sides shingle independently (the eval set is a separate, small
-    * table in a real pipeline); shingles are compared via their 64-bit
-    * hash so the shuffle/broadcast carries 8-byte keys, not strings.
+    * table in a real pipeline); shingles are compared via their 60-bit
+    * hash (native [[Shingle60Expr]]) so the shuffle/broadcast carries
+    * 8-byte keys, not strings.
     */
   def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
       n: Int): DataFrame = {
-    def grams(df: DataFrame) = MinHashLsh.shingles(df, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
+      .select(col("doc_id"), col("h").as("g"))
     val evalGrams = grams(eval).select(col("g")).distinct()
     grams(train)
       .join(broadcast(evalGrams), "g")
@@ -63,8 +64,8 @@ object Curation {
   def decontaminateBloom(train: DataFrame, eval: DataFrame, textCol: String,
       n: Int, fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
-    def grams(df: DataFrame) = MinHashLsh.shingles(df, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
+      .select(col("doc_id"), col("h").as("g"))
     val evalGrams = grams(eval).select(col("g")).distinct().persist()
     try {
       val nEval = math.max(evalGrams.count(), 1L)

@@ -38,9 +38,7 @@ object DedupPipeline {
       k: Int = 8, bandRows: Int = 2,
       thresholdNum: Int = 5, thresholdDen: Int = 10,
       maxBucket: Int = BucketedPairs.DefaultMaxBucket): Result = {
-    val sh60 = MinHashLsh.shingles(docs, textCol, n, dedupe = false)
-      .select(col("doc_id"), MinHashLsh.hash60(col("shingle")).as("h"))
-      .distinct()
+    val sh60 = MinHashLsh.hashedShingles(docs, textCol, n)
       .persist()
     val sig = MinHashLsh.signatureFromHashed(sh60, k)
     val cw = MinHashLsh.lshCandidatesWithDrops(sig, k, bandRows, maxBucket)

@@ -107,6 +107,7 @@ object GraftExtensions {
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Hash60.functionDescription)
     ext.injectFunction(TokenCount.functionDescription)
+    ext.injectFunction(ShingleHash60.functionDescription)
   }
 
   /** Fallback for sessions built WITHOUT the extension: register the graft
@@ -122,7 +123,8 @@ object GraftExtensions {
       .orElse(org.apache.spark.sql.classic.SparkSession.getDefaultSession)
       .foreach { s =>
         val reg = s.sessionState.functionRegistry
-        Seq(Hash60.functionDescription, TokenCount.functionDescription).foreach {
+        Seq(Hash60.functionDescription, TokenCount.functionDescription,
+          ShingleHash60.functionDescription).foreach {
           case (ident, info, builder) =>
             if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
         }

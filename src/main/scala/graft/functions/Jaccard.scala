@@ -31,11 +31,11 @@ object Jaccard {
       thresholdNum: Int, thresholdDen: Int,
       maxBucket: Int = BucketedPairs.DefaultMaxBucket): MinHashLsh.CandidatePairs = {
     import docs.sparkSession.implicits._
-    // shingle strings are hashed to 8-byte keys before the distinct
-    // (collision p ~ 1e-8 at this cardinality is the only divergence risk)
-    val sh = MinHashLsh.shingles(docs, textCol, n, dedupe = false)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
+    // shingles are hashed to 8-byte keys before the distinct (collision
+    // p ~ 1e-8 at this cardinality is the only divergence risk); the
+    // native Shingle60Expr skips materializing the shingle strings
+    val sh = MinHashLsh.hashedShingles(docs, textCol, n)
+      .select(col("doc_id"), col("h").as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val sp = BucketedPairs.split(sh, Seq("sh"), maxBucket)
     val inter = sp.kept

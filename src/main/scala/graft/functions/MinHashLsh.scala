@@ -54,18 +54,23 @@ object MinHashLsh {
     if (dedupe) raw.distinct() else raw
   }
 
-  /** k-minhash signature per document: doc_id, mh_0 .. mh_{k-1}.
-    *
-    * Shingles are hashed BEFORE the distinct: `min` over a multiset equals
-    * `min` over its set, so deduping on the 8-byte hash instead of the
-    * shingle string is semantics-preserving while shrinking the shuffle
+  /** Distinct hashed shingles per document: (doc_id, h) with h the 60-bit
+    * md5 prefix of each n-token shingle — the input every dedup sketch
+    * starts from, computed by the native [[Shingle60Expr]] (one byte scan
+    * per document, no shingle strings or token arrays materialized).
+    * Hashing BEFORE the distinct is semantics-preserving: `min`/set
+    * operations over a multiset equal those over its set, and deduping on
+    * the 8-byte hash instead of the shingle string shrinks the shuffle
     * ~10x (the only risk, a 60-bit collision, cannot change any min).
     */
+  def hashedShingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(ShingleHash60.column(col(textCol), n)).as("h"))
+      .distinct()
+
+  /** k-minhash signature per document: doc_id, mh_0 .. mh_{k-1}. */
   def signature(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    signatureFromHashed(
-      shingles(docs, textCol, n, dedupe = false)
-        .select(col("doc_id"), hash60(col("shingle")).as("h"))
-        .distinct(), k)
+    signatureFromHashed(hashedShingles(docs, textCol, n), k)
 
   /** Signature from a pre-hashed distinct (doc_id, h) shingle table —
     * callers that also need the shingle sets downstream (e.g. candidate
