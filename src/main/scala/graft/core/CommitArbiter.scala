@@ -36,14 +36,33 @@ object CommitArbiter {
 
   private val monitors = TrieMap.empty[String, Object]
 
-  /** Run `f` as the storage's exclusive committer. */
+  /** Tokens held by the current thread. The in-JVM monitor is reentrant by
+    * construction (`synchronized`), but the marker-file lease is not — a
+    * transaction commit that holds the lock and then appends through a
+    * storage whose `append` also takes the lock must not re-claim the
+    * marker against itself (it would spin until its own lease is broken).
+    */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run `f` as the storage's exclusive committer. Reentrant: a thread
+    * already holding the token runs `f` directly.
+    */
   def withCommitLock[T](family: AttributeLogFamily)(f: => T): T = {
-    val mon = monitors.getOrElseUpdate(family.commitLockToken, new Object)
-    mon.synchronized {
-      family.commitLockPath match {
-        case Some(p) =>
-          withMarkerLock(family.spark.sparkContext.hadoopConfiguration, p)(f)
-        case None => f
+    val token = family.commitLockToken
+    if (held.get().contains(token)) f
+    else {
+      val mon = monitors.getOrElseUpdate(token, new Object)
+      mon.synchronized {
+        held.set(held.get() + token)
+        try {
+          family.commitLockPath match {
+            case Some(p) =>
+              withMarkerLock(family.spark.sparkContext.hadoopConfiguration, p)(f)
+            case None => f
+          }
+        } finally held.set(held.get() - token)
       }
     }
   }

@@ -209,17 +209,20 @@ object Curation {
   def exactQuantilesWeighted(df: DataFrame, groupCol: String,
       valueCol: String, weight: Column, pcts: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collision-proof internal names: a user column named c/cum/n must not
+    // be silently overwritten by the histogram plumbing
+    val cC = "__graft_c"; val cCum = "__graft_cum"; val cN = "__graft_n"
     val hist = df.groupBy(col(groupCol), col(valueCol))
-      .agg(sum(weight).as("c"))
+      .agg(sum(weight).as(cC))
     // group total as a second window over the SAME partitioning (not a
     // re-aggregated join branch): one corpus scan, one exchange — the
     // group-total branch would otherwise scan the corpus a second time
     val cum = hist
-      .withColumn("cum",
-        sum(col("c")).over(Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(groupCol))))
+      .withColumn(cCum,
+        sum(col(cC)).over(Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn(cN, sum(col(cC)).over(Window.partitionBy(col(groupCol))))
     val aggs = pcts.map(p =>
-      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col(valueCol)))
+      min(when(col(cCum) >= expr(s"(`$cN` * $p + 99) div 100"), col(valueCol)))
         .as(s"p$p"))
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -25,13 +25,15 @@ import graft.core.{Access, GraftOperator, StreamElement, TransactionCoordinator,
   *  - /get         {entity, key, attribute}         → {found, value?}
   *  - /list        {entity, key, prefix?, offset?, limit?} → {attributes}
   *  - /multifetch  {entity, attribute, keys}        → {values: {key: v}}
-  *  - /scan        {entity, attrs?} → chunked JSON-lines stream, one
-  *                 {key, attribute, stamp, value} per element — the
-  *                 server-streaming full scan (rpc.proto scan:410),
+  *  - /scan        {entity, attrs?, maxRows?} → chunked JSON-lines
+  *                 stream, one {key, attribute, stamp, value} per element
+  *                 — the server-streaming scan (rpc.proto scan:410),
   *                 streamed via toLocalIterator (no driver
-  *                 materialization of the snapshot)
+  *                 materialization of the snapshot). A bounded RETRIEVAL
+  *                 surface: pass maxRows for an explicit bound; at most
+  *                 GRAFT_GATEWAY_MAX_SCANS run concurrently (429 over)
   *  - /tx/begin    {entity, attribute, mode?}       → {tx}
-  *    /tx/get     {tx, key, attribute}              → {found, value?}
+  *    /tx/get     {tx, entity, key, attribute}      → {found, value?}
   *    /tx/update  {tx, entity, key, attribute, stamp, value?, delete?} → {ok}
   *    /tx/commit  {tx}                              → {ok, seq? | message}
   *    /tx/rollback{tx}                              → {ok}
@@ -45,18 +47,31 @@ import graft.core.{Access, GraftOperator, StreamElement, TransactionCoordinator,
   *    endpoints put the embedded registry double behind the same wire)
   */
 final class HttpGateway(op: GraftOperator, port: Int = 0,
-    bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1")) {
+    bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1"),
+    gatewayThreads: Int =
+      sys.env.getOrElse("GRAFT_GATEWAY_THREADS", "16").toInt,
+    maxConcurrentScans: Int =
+      sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt) {
 
   private val ingest = new IngestService(op)
   private val retrieve = new RetrieveService(op)
 
   private val server: HttpServer =
     HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
-  // a thread pool, NOT the default sequential dispatcher: /scan streams
-  // an unbounded snapshot at the client's read speed — on the default
-  // executor one slow scan client would stall every other endpoint
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  // a BOUNDED pool, NOT the default sequential dispatcher: /scan streams
+  // a snapshot at the client's read speed — on the default executor one
+  // slow scan client would stall every other endpoint; on an unbounded
+  // pool a burst of slow clients would grow threads (each pinning a
+  // Spark job) without limit
+  private val pool =
+    java.util.concurrent.Executors.newFixedThreadPool(gatewayThreads)
   server.setExecutor(pool)
+
+  // /scan responses each hold a thread plus a toLocalIterator-driven job
+  // for the client's whole read — cap them below the pool size so scans
+  // can never starve the point endpoints; excess scans get 429
+  private val maxScans: Int = maxConcurrentScans
+  private val scanPermits = new java.util.concurrent.Semaphore(maxScans)
 
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
@@ -134,29 +149,49 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     }.mkString(",") + "}}"
   })
 
-  // server-streaming full scan (rpc.proto scan:410): chunked JSON lines
-  // via toLocalIterator — one partition in flight, never the snapshot
+  // server-streaming scan (rpc.proto scan:410): chunked JSON lines via
+  // toLocalIterator — one partition in flight, never the snapshot. This
+  // is a bounded RETRIEVAL surface, not a corpus export: a 100 TB full
+  // scan belongs on batchSnapshot + a distributed sink, so clients pass
+  // `maxRows` to state their bound (and the stream cuts off there);
+  // concurrent scans are capped (429 over the cap) so slow readers can
+  // never starve the point endpoints.
   server.createContext("/scan", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
-        val in = new String(ex.getRequestBody.readAllBytes(),
-          StandardCharsets.UTF_8)
-        val m = Json.parseObject(in)
-        val attrs = m.get("attrs")
-          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
-        val it = retrieve.scan(str(m, "entity"), attrs: _*).toLocalIterator()
-        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-        ex.sendResponseHeaders(200, 0L) // chunked
-        val out = ex.getResponseBody
-        while (it.hasNext) {
-          val e = it.next()
-          out.write((Json.obj("key" -> e.key, "attribute" -> e.attribute,
-            "stamp" -> e.stamp,
-            "value" -> (if (e.value == null) null
-              else Base64.getEncoder.encodeToString(e.value))) + "\n")
-            .getBytes(StandardCharsets.UTF_8))
+        if (!scanPermits.tryAcquire()) {
+          val msg = Json.obj("error" ->
+            s"too many concurrent scans (cap $maxScans)")
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(429, msg.length.toLong)
+          ex.getResponseBody.write(msg)
+          return
         }
-        out.close()
+        try {
+          val in = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val m = Json.parseObject(in)
+          val attrs = m.get("attrs")
+            .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+          val maxRows =
+            m.get("maxRows").map(_ => lng(m, "maxRows")).getOrElse(Long.MaxValue)
+          val it = retrieve.scan(str(m, "entity"), attrs: _*).toLocalIterator()
+          ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+          ex.sendResponseHeaders(200, 0L) // chunked
+          val out = ex.getResponseBody
+          var sent = 0L
+          while (it.hasNext && sent < maxRows) {
+            val e = it.next()
+            out.write((Json.obj("key" -> e.key, "attribute" -> e.attribute,
+              "stamp" -> e.stamp,
+              "value" -> (if (e.value == null) null
+                else Base64.getEncoder.encodeToString(e.value))) + "\n")
+              .getBytes(StandardCharsets.UTF_8))
+            sent += 1
+          }
+          out.close()
+        } finally scanPermits.release()
       } catch {
         case e: Exception =>
           val msg = Json
@@ -193,6 +228,9 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   }
 
   private def openTx(m: Map[String, Any]): TxHandle = {
+    // abandoned transactions must expire even when no new /tx/begin ever
+    // arrives — every tx endpoint sweeps, not just begin
+    sweepExpiredTxs()
     val h = Option(openTxs.get(str(m, "tx"))).getOrElse(
       throw new IllegalArgumentException("unknown, expired or closed tx"))
     h.lastUsed.set(System.currentTimeMillis())
@@ -203,9 +241,11 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     * commits of the same id cannot both reach `commit()` (the second
     * gets a 400, never a double append).
     */
-  private def takeTx(m: Map[String, Any]): TxHandle =
+  private def takeTx(m: Map[String, Any]): TxHandle = {
+    sweepExpiredTxs()
     Option(openTxs.remove(str(m, "tx"))).getOrElse(
       throw new IllegalArgumentException("unknown, expired or closed tx"))
+  }
 
   private def txFamilyName(entity: String, attribute: String): String =
     op.repo.familyFor(entity, attribute, Access.BatchUpdates)
@@ -231,7 +271,17 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   })
 
   server.createContext("/tx/get", handler { m =>
-    openTx(m).t.get(str(m, "key"), str(m, "attribute")) match {
+    val h = openTx(m)
+    val attr = str(m, "attribute")
+    // like /tx/update: a read routed to a DIFFERENT family than the tx
+    // was begun on would silently answer found=false while still adding
+    // the cell to the conflict scope — reject it instead
+    val fam = txFamilyName(str(m, "entity"), attr)
+    require(fam == h.family,
+      s"${str(m, "entity")}.$attr routes to family '$fam' but the " +
+        s"transaction was begun on '${h.family}' — open one transaction " +
+        "per family")
+    h.t.get(str(m, "key"), attr) match {
       case Some(e) if e.value != null => Json.obj("found" -> true,
         "value" -> Base64.getEncoder.encodeToString(e.value))
       case _ => Json.obj("found" -> false)

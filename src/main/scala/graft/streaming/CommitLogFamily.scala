@@ -28,8 +28,19 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
     extends AttributeLogFamily {
   import StreamElement.encoder
 
+  /** One atomic parquet commit per append, serialized per log directory:
+    * two concurrent append JOBS on one directory share `_temporary` under
+    * the default FileOutputCommitter, so one job's commit/cleanup can
+    * delete the other's staged task files — an acknowledged write lost
+    * silently. Concurrent writers (gateway ingest handlers, transformation
+    * sinks, transaction commits) therefore all funnel through the same
+    * storage-keyed [[graft.core.CommitArbiter]] lock; the nested acquire
+    * from a transaction commit (which already holds it) is a no-op.
+    */
   def append(elems: Dataset[StreamElement]): Unit =
-    elems.write.mode("append").parquet(path)
+    graft.core.CommitArbiter.withCommitLock(this) {
+      elems.write.mode("append").parquet(path)
+    }
 
   /** Commits serialize per parquet directory, across family instances. */
   override def commitLockToken: String = s"parquet:$path"

@@ -118,6 +118,10 @@ class HttpGatewaySpec extends SparkSpec {
       assert(rows.map(_("key").toString).toSet == Set("g1", "g2"), scan)
       assert(rows.forall(r => new String(Base64.getDecoder
         .decode(r("value").toString), "UTF-8").nonEmpty))
+      // maxRows bounds the stream: the scan endpoint is a bounded
+      // retrieval surface, not a corpus export
+      val capped = post(port, "/scan", """{"entity":"gateway","maxRows":1}""")
+      assert(capped.linesIterator.count(_.nonEmpty) == 1, capped)
 
       // two wire transactions race on the same cell: first commit wins,
       // second aborts with the conflict reason (optimistic validation)
@@ -126,8 +130,15 @@ class HttpGatewaySpec extends SparkSpec {
       val t1 = begin()
       val t2 = begin()
       val rd = Json.parseObject(post(port, "/tx/get",
-        s"""{"tx":"$t1","key":"g1","attribute":"status"}"""))
+        s"""{"tx":"$t1","entity":"gateway","key":"g1","attribute":"status"}"""))
       assert(rd("found") == true)
+      // a READ routed to a different family than the tx was begun on is
+      // rejected too — it would silently answer found=false while adding
+      // the cell to the conflict scope
+      val crossRead = post(port, "/tx/get",
+        s"""{"tx":"$t1","entity":"other","key":"o1","attribute":"x"}""")
+      assert(crossRead.contains("error") && crossRead.contains("begun on"),
+        crossRead)
       post(port, "/tx/update",
         s"""{"tx":"$t1","entity":"gateway","key":"g1","attribute":"status","stamp":10,"value":"${b64("t1")}"}""")
       post(port, "/tx/update",
@@ -160,6 +171,29 @@ class HttpGatewaySpec extends SparkSpec {
         s"""{"tx":"$t3"}""")).contains("error"))
       assert(Json.parseObject(post(port, "/get",
         """{"entity":"gateway","key":"g9","attribute":"status"}"""))("found") == false)
+    } finally gw.stop()
+  }
+
+  test("scan concurrency cap answers 429, never starves point endpoints") {
+    val repo = Repository.parse(
+      """entities { gateway { attributes { "status" { scheme: string } } } }
+        |attributeFamilies {
+        |  gw-cap { entity: gateway, attributes: [ "*" ], storage: "inmem://gwcap",
+        |           type: primary,
+        |           access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
+        |}""".stripMargin)
+    // cap of zero: every scan is over the cap — deterministic 429
+    val gw = new HttpGateway(new GraftOperator(spark, repo),
+      maxConcurrentScans = 0).start()
+    try {
+      val port = gw.boundPort
+      post(port, "/ingest",
+        s"""{"entity":"gateway","key":"g1","attribute":"status","stamp":1,"value":"${b64("v")}"}""")
+      val over = Json.parseObject(post(port, "/scan", """{"entity":"gateway"}"""))
+      assert(over("error").toString.contains("too many concurrent scans"), over)
+      // point endpoints keep serving while scans are refused
+      assert(Json.parseObject(post(port, "/get",
+        """{"entity":"gateway","key":"g1","attribute":"status"}"""))("found") == true)
     } finally gw.stop()
   }
 
