@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.StreamElement
 import graft.operators.LatestWithTombstones
 import graft.sources.Tables
+import graft.streaming.RetractJoin
 
 /** Core changelog semantics — StreamElement upserts/deletes compacted to a
   * snapshot, including wildcard-delete tombstones. Drives
@@ -47,6 +48,81 @@ object ChangelogQueries extends QuerySet {
         .select(col("key"), col("attribute"),
           col("seqId").as("last_event_id"),
           col("value").cast("string").as("last_type"))
+    }),
+
+    // the retracting most-recent join, driven through the REAL streaming
+    // query (flatMapGroupsWithState) — a bounded changelog fed in three
+    // stamp-ordered micro-batches so cross-batch state is exercised
+    // (reference: beam/core/.../retract/RetractJoin.java:57-140).
+    // Output is the per-pair change ledger aggregate: the SET of emitted
+    // changes per (joinKey, leftKey, rightKey) is deterministic (the
+    // per-application emission ORDER follows map iteration, so raw seq
+    // numbers are not an oracle surface; RetractJoinSpec pins those).
+    "q_retract_join" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = s.sqlContext
+      implicit val enc = StreamElement.encoder
+
+      def el(entity: String, jk: String, key: String, stamp: Long,
+          value: String, delete: Boolean): StreamElement =
+        StreamElement(entity, key, jk, s"$key-$stamp", 0L, stamp,
+          if (delete) null else value.getBytes("UTF-8"), delete,
+          deleteWildcard = false)
+
+      // left changelog from nation: v1, an update (+2000), and a delete
+      // (+4000) for every 5th key; join key = region
+      val lefts = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"),
+          col("n_name").cast("string"))
+        .collect().toSeq.flatMap { r =>
+          val (nk, jk, name) = (r.getLong(0), r.getLong(1).toString, r.getString(2))
+          val base = Seq(
+            el("nation", jk, s"n$nk", nk * 10 + 1, name, delete = false),
+            el("nation", jk, s"n$nk", 2000 + nk * 10 + 1, name + "#2", delete = false))
+          if (nk % 5 == 0)
+            base :+ el("nation", jk, s"n$nk", 4000 + nk * 10 + 1, null, delete = true)
+          else base
+        }
+      // right changelog from supplier: v1 and an update; join key = suppkey%5
+      val rights = Tables.supplier(s, d)
+        .select(col("s_suppkey").cast("long"), col("s_name").cast("string"))
+        .filter(col("s_suppkey") <= 40)
+        .collect().toSeq.flatMap { r =>
+          val (sk, name) = (r.getLong(0), r.getString(1))
+          val jk = (sk % 5).toString
+          Seq(
+            el("supplier", jk, s"s$sk", sk * 10 + 2, name, delete = false),
+            el("supplier", jk, s"s$sk", 2000 + sk * 10 + 2, name + "#2", delete = false))
+        }
+
+      val left = MemoryStream[StreamElement]
+      val right = MemoryStream[StreamElement]
+      val changes = RetractJoin(left.toDS(), _.attribute, right.toDS(), _.attribute)
+      val sink = "rj_oracle_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        // batch boundaries are PREFIXES of the global stamp order (all
+        // batch-1 stamps < batch-2 < batch-3), so sequential micro-batch
+        // application equals the reference's stamp-ordered replay
+        Seq((Long.MinValue, 2000L), (2000L, 4000L), (4000L, Long.MaxValue))
+          .foreach { case (lo, hi) =>
+            val lb = lefts.filter(e => e.stamp >= lo && e.stamp < hi)
+            val rb = rights.filter(e => e.stamp >= lo && e.stamp < hi)
+            if (lb.nonEmpty) left.addData(lb)
+            if (rb.nonEmpty) right.addData(rb)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+
+      s.table(sink).groupBy(
+          col("joinKey").as("join_key"),
+          col("leftKey").as("left_key"),
+          col("rightKey").as("right_key"))
+        .agg(
+          sum(when(col("isAddition"), 1L).otherwise(0L)).as("n_adds"),
+          sum(when(col("isAddition"), 0L).otherwise(1L)).as("n_retracts"))
     })
   )
 
@@ -88,6 +164,75 @@ object ChangelogQueries extends QuerySet {
         |FROM latest l LEFT JOIN wc ON l.user_id = wc.user_id
         |WHERE l.event_type NOT IN ('signup', 'error')
         |  AND (wc.wcpos IS NULL
-        |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin
+        |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin,
+
+    // replay of the retracting most-recent join in SQL: each side's
+    // events become validity intervals [s, next-event-of-key); an event
+    // ADDS a pair per live opposite key (unless it is a delete) and
+    // RETRACTS a pair per live opposite key when the key held a value
+    // before (previous event exists and was an upsert)
+    "q_retract_join" ->
+      """WITH lev AS (
+        |  SELECT CAST(n_regionkey AS VARCHAR) AS jk,
+        |         'n' || CAST(n_nationkey AS VARCHAR) AS k,
+        |         CAST(n_nationkey AS BIGINT) * 10 + 1 AS s, FALSE AS del
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS VARCHAR), 'n' || CAST(n_nationkey AS VARCHAR),
+        |         2000 + CAST(n_nationkey AS BIGINT) * 10 + 1, FALSE FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS VARCHAR), 'n' || CAST(n_nationkey AS VARCHAR),
+        |         4000 + CAST(n_nationkey AS BIGINT) * 10 + 1, TRUE FROM nation
+        |  WHERE n_nationkey % 5 = 0
+        |), rev AS (
+        |  SELECT CAST(s_suppkey % 5 AS VARCHAR) AS jk,
+        |         's' || CAST(s_suppkey AS VARCHAR) AS k,
+        |         CAST(s_suppkey AS BIGINT) * 10 + 2 AS s, FALSE AS del
+        |  FROM supplier WHERE s_suppkey <= 40
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey % 5 AS VARCHAR), 's' || CAST(s_suppkey AS VARCHAR),
+        |         2000 + CAST(s_suppkey AS BIGINT) * 10 + 2, FALSE
+        |  FROM supplier WHERE s_suppkey <= 40
+        |), liv AS (
+        |  SELECT jk, k, s AS s0,
+        |         lead(s) OVER (PARTITION BY jk, k ORDER BY s) AS s1, del
+        |  FROM lev
+        |), riv AS (
+        |  SELECT jk, k, s AS s0,
+        |         lead(s) OVER (PARTITION BY jk, k ORDER BY s) AS s1, del
+        |  FROM rev
+        |), lpr AS (
+        |  SELECT jk, k, s, del,
+        |         lag(del) OVER (PARTITION BY jk, k ORDER BY s) AS pdel
+        |  FROM lev
+        |), rpr AS (
+        |  SELECT jk, k, s, del,
+        |         lag(del) OVER (PARTITION BY jk, k ORDER BY s) AS pdel
+        |  FROM rev
+        |), changes AS (
+        |  SELECT l.jk, l.k AS lk, r.k AS rk, TRUE AS is_add
+        |  FROM lpr l JOIN riv r ON l.jk = r.jk AND NOT r.del
+        |    AND r.s0 < l.s AND (r.s1 IS NULL OR l.s < r.s1)
+        |  WHERE NOT l.del
+        |  UNION ALL
+        |  SELECT l.jk, l.k, r.k, FALSE
+        |  FROM lpr l JOIN riv r ON l.jk = r.jk AND NOT r.del
+        |    AND r.s0 < l.s AND (r.s1 IS NULL OR l.s < r.s1)
+        |  WHERE l.pdel = FALSE
+        |  UNION ALL
+        |  SELECT r.jk, l.k, r.k, TRUE AS is_add
+        |  FROM rpr r JOIN liv l ON r.jk = l.jk AND NOT l.del
+        |    AND l.s0 < r.s AND (l.s1 IS NULL OR r.s < l.s1)
+        |  WHERE NOT r.del
+        |  UNION ALL
+        |  SELECT r.jk, l.k, r.k, FALSE
+        |  FROM rpr r JOIN liv l ON r.jk = l.jk AND NOT l.del
+        |    AND l.s0 < r.s AND (l.s1 IS NULL OR r.s < l.s1)
+        |  WHERE r.pdel = FALSE
+        |)
+        |SELECT jk AS join_key, lk AS left_key, rk AS right_key,
+        |       COUNT(*) FILTER (WHERE is_add) AS n_adds,
+        |       COUNT(*) FILTER (WHERE NOT is_add) AS n_retracts
+        |FROM changes GROUP BY 1, 2, 3""".stripMargin
   )
 }
