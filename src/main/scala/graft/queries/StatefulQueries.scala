@@ -2,9 +2,12 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
+import graft.core.StreamElement
 import graft.sources.Tables
 import graft.sources.Tables.cents
+import graft.streaming.StateOps
 
 /** Keyed-state operators, batch lowering. The reference executes these as
   * time-sorted stateful DoFns (reference: tools/.../Stream.java:520
@@ -19,6 +22,45 @@ object StatefulQueries extends QuerySet {
 
   private val byUserTime = Window.partitionBy(col("user_id"))
     .orderBy(col("ts"), col("event_id"))
+
+  /** The events table as a bounded StreamElement changelog (key = user,
+    * stamp = event-time micros, seqId = event_id, value = caller-chosen
+    * payload), for driving the STREAMING stateful lowerings.
+    */
+  private def eventElements(s: SparkSession, d: String,
+      payload: org.apache.spark.sql.Column): Seq[StreamElement] =
+    Tables.events(s, d)
+      .select(col("user_id").cast("string"), unix_micros(col("ts")),
+        col("event_id").cast("long"), payload.cast("string"))
+      .collect().toSeq.map { r =>
+        StreamElement("user", r.getString(0), "state", s"u-${r.getLong(2)}",
+          r.getLong(2), r.getLong(1), r.getString(3).getBytes("UTF-8"),
+          delete = false, deleteWildcard = false)
+      }.sortBy(e => (e.stamp, e.seqId))
+
+  /** Run `f` over a MemoryStream fed the elements in three stamp-ordered
+    * prefix batches (so cross-batch state carry-over is exercised) and
+    * return the memory-sink table of the resulting streaming Dataset.
+    */
+  private def runStreamed[T](s: SparkSession, elems: Seq[StreamElement])(
+      f: Dataset[StreamElement] => Dataset[T]): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    implicit val enc = StreamElement.encoder
+    val in = MemoryStream[StreamElement]
+    val sink = "state_oracle_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = f(in.toDS()).writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try {
+      val third = (elems.size + 2) / 3
+      elems.grouped(math.max(third, 1)).foreach { batch =>
+        in.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+  }
 
   val queries: Map[String, QFn] = Map(
     // integratePerKey: running prefix-sum per key in event-time order,
@@ -39,6 +81,35 @@ object StatefulQueries extends QuerySet {
         .withColumn("prev_type",
           lag(col("event_type"), 1, "none").over(byUserTime))
         .select(col("event_id"), col("user_id"), col("prev_type"))
+    }),
+
+    // integratePerKey through the STREAMING lowering (StateOps,
+    // flatMapGroupsWithState): same semantics as q_integrate_per_key,
+    // answered by the transformWithState-path code so the streaming
+    // implementation gets its own oracle signal (BeamStream.java:1498)
+    "q_integrate_per_key_stream" -> ((s, d) => {
+      val elems = eventElements(s, d, cents(col("value")))
+      runStreamed(s, elems) { ds =>
+        StateOps.integratePerKey(ds, 0.0,
+          e => new String(e.value, "UTF-8").toDouble, _ + _)
+      }.select(col("_1").as("user_key"), col("_2").as("stamp_us"),
+        col("_3").cast("long").as("run_cents"))
+    }),
+
+    // reduceValueStateByKey through the STREAMING lowering: state =
+    // previous event_type, emit-then-update (BeamStream.java:1544)
+    "q_reduce_value_state_stream" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val oe = Encoders.tuple(Encoders.STRING,
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      implicit val se = Encoders.STRING
+      val elems = eventElements(s, d, col("event_type"))
+      runStreamed(s, elems) { ds =>
+        StateOps.reduceValueStateByKey[String, (Long, String)](ds, "none",
+          (st, e) => (e.seqId, st),
+          (_, e) => new String(e.value, "UTF-8"))
+      }.select(col("_1").as("user_key"), col("_2._1").as("event_id"),
+        col("_2._2").as("prev_type"))
     }),
 
     // groupReduce: whole-group UDF emitting N outputs (WindowedStream
@@ -64,6 +135,20 @@ object StatefulQueries extends QuerySet {
 
     "q_reduce_value_state" ->
       """SELECT event_id, user_id,
+        |coalesce(lag(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
+        |FROM events""".stripMargin,
+
+    "q_integrate_per_key_stream" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |epoch_us(ts) AS stamp_us,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        |FROM events""".stripMargin,
+
+    "q_reduce_value_state_stream" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_key, event_id,
         |coalesce(lag(event_type) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
         |FROM events""".stripMargin,
