@@ -1,0 +1,105 @@
+package graft.compiler
+
+import graft.SparkSpec
+import graft.core.{GraftOperator, Repository}
+
+/** CompilerTest-shaped spec (reference: direct/core-testing/.../CompilerTest.java,
+  * compiler/lib/.../ModelGeneratorTest.java): generate the typed model
+  * source from a config, COMPILE it in this JVM, and exercise generated
+  * accessors end-to-end against a live operator — including the negative
+  * proof that the typing is real (a wrong-typed upsert fails to compile).
+  */
+class ModelGeneratorSpec extends SparkSpec {
+
+  private val config =
+    """entities {
+      |  gateway {
+      |    attributes {
+      |      "status"   { scheme: string }
+      |      "hits"     { scheme: long }
+      |      "device.*" { scheme: bytes }
+      |    }
+      |  }
+      |}
+      |attributeFamilies {
+      |  gw-model { entity: gateway, attributes: [ "*" ],
+      |             storage: "inmem://model-test", type: primary,
+      |             access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
+      |}""".stripMargin
+
+  test("generated source shape: typed vals per attribute, package header") {
+    val repo = Repository.parse(config)
+    val src = ModelGenerator.generate(repo, "TestModel", pkg = "com.example.model")
+    assert(src.startsWith("package com.example.model"))
+    assert(src.contains("val `status`: graft.compiler.TypedAttribute[String]"))
+    assert(src.contains("val `hits`: graft.compiler.TypedAttribute[Long]"))
+    assert(src.contains(
+      "val `device`: graft.compiler.TypedWildcardAttribute[Array[Byte]]"))
+    assert(src.contains("val descriptor: graft.core.EntityDescriptor"))
+  }
+
+  test("compiled model: typed get/upsert/delete round-trip through a live operator") {
+    val repo = Repository.parse(config)
+    val op = new GraftOperator(spark, repo)
+    import scala.reflect.runtime.{universe => ru}
+    import scala.tools.reflect.ToolBox
+    val tb = ru.runtimeMirror(getClass.getClassLoader).mkToolBox()
+    val src = ModelGenerator.generate(repo, "TestModel")
+    // the exercised accessors are STATICALLY typed in the compiled script:
+    // upsert takes String for status, Long for hits, bytes for device.*
+    val script =
+      s"""$src
+         |(op: graft.core.GraftOperator) => {
+         |  val m = new TestModel(op)
+         |  m.`gateway`.`status`.upsert("g1", 1L, "on")
+         |  m.`gateway`.`hits`.upsert("g1", 2L, 42L)
+         |  m.`gateway`.`device`.upsert("g1", "a", 3L, Array[Byte](1, 2))
+         |  m.`gateway`.`device`.upsert("g1", "b", 4L, Array[Byte](3))
+         |  m.`gateway`.`device`.delete("g1", "a", 5L)
+         |  (m.`gateway`.`status`.get("g1"), m.`gateway`.`hits`.get("g1"),
+         |   m.`gateway`.`device`.list("g1").map(_._1),
+         |   m.`gateway`.`status`.descriptor.scheme)
+         |}
+         |""".stripMargin
+    val fn = tb.eval(tb.parse(script))
+      .asInstanceOf[GraftOperator => (Option[String], Option[Long], Seq[String], String)]
+    val (status, hits, deviceSuffixes, scheme) = fn(op)
+    assert(status == Some("on"))
+    assert(hits == Some(42L))
+    assert(deviceSuffixes == Seq("b"), "deleted suffix must not be listed")
+    assert(scheme == "string")
+  }
+
+  test("the typing is compile-time: wrong-typed upsert is rejected by the compiler") {
+    val repo = Repository.parse(config)
+    import scala.reflect.runtime.{universe => ru}
+    import scala.tools.reflect.ToolBox
+    import scala.tools.reflect.ToolBoxError
+    val tb = ru.runtimeMirror(getClass.getClassLoader).mkToolBox()
+    val src = ModelGenerator.generate(repo, "TestModel")
+    val bad =
+      s"""$src
+         |(op: graft.core.GraftOperator) => {
+         |  val m = new TestModel(op)
+         |  m.`gateway`.`status`.upsert("g1", 1L, 42)  // Int into a string attribute
+         |}
+         |""".stripMargin
+    intercept[ToolBoxError] { tb.eval(tb.parse(bad)) }
+  }
+
+  test("ModelGenerator.compile convenience constructs a live model") {
+    val repo = Repository.parse(
+      config.replace("inmem://model-test", "inmem://model-test2"))
+    val op = new GraftOperator(spark, repo)
+    val model = ModelGenerator.compile(repo, "TestModel", op)
+    // the toolbox wraps the class in a synthetic scope, so the runtime
+    // name carries a suffix — TestModel$1
+    assert(model != null && model.getClass.getSimpleName.startsWith("TestModel"))
+  }
+
+  test("identifier mangling: camel case, keyword/digit safety") {
+    assert(ModelGenerator.ident("device.*") == "`device`")
+    assert(ModelGenerator.ident("my-attr.name") == "`myAttrName`")
+    assert(ModelGenerator.ident("type") == "`type`")
+  }
+}
