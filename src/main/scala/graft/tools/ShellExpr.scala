@@ -26,12 +26,17 @@ import graft.core.GraftOperator
   * are driver-side; this is the Spark-first version of the same UX).
   *
   * Grammar: pipeline = entity [.updates()] chain; chain methods
-  * filter(expr) / map(expr) / distinct() / take(n) / count() / sum(expr)
-  * / timeWindow(ms) / groupBy(expr...). A grouped pipeline supports
-  * count() / sum(e) / min(e) / max(e) / avg(e) and — the closure-shaped
-  * operator of the reference console — reduce(init, accExpr): an
-  * EVENT-TIME-SORTED fold of each group where `accExpr` references `acc`
-  * plus the element fields, e.g.
+  * filter(expr) / map(expr) / flatMap(arrayExpr) / distinct() / take(n)
+  * / count() / sum(expr) / timeWindow(ms) / groupBy(expr...). The 1:N
+  * closure shapes of the reference console both script and stay
+  * distributed: `flatMap(split(value, " "))` lowers to `explode`, and
+  * `groupBy(key).groupReduce(top(2, stamp))` lowers to a ranked window
+  * (row_number over the group keys — one shuffle, groups never
+  * materialize on the driver). A grouped pipeline supports
+  * count() / sum(e) / min(e) / max(e) / avg(e) / groupReduce(top(n, e))
+  * and — the fold-shaped closure of the reference console —
+  * reduce(init, accExpr): an EVENT-TIME-SORTED fold of each group where
+  * `accExpr` references `acc` plus the element fields, e.g.
   *
   * {{{
   *   user.updates().timeWindow(10).groupBy(key, window)
@@ -97,6 +102,8 @@ object ShellExpr {
   private final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private final case class Un(op: String, e: Expr) extends Expr
   private final case class Call(target: Expr, name: String, args: Seq[Expr]) extends Expr
+  /** Bare function form `f(args)` — `split(value, " ")`, `top(2, stamp)`. */
+  private final case class Fn(name: String, args: Seq[Expr]) extends Expr
 
   private final class P(ts: Vector[Tok]) {
     private var i = 0
@@ -180,6 +187,15 @@ object ShellExpr {
     private def primary(): Expr = next() match {
       case TId("true")  => Lit(true)
       case TId("false") => Lit(false)
+      case TId(n) if peek.contains(TSym("(")) =>
+        next()
+        val args = ArrayBuffer.empty[Expr]
+        if (!peek.contains(TSym(")"))) {
+          args += or()
+          while (peek.contains(TSym(","))) { next(); args += or() }
+        }
+        expectSym(")")
+        Fn(n, args.toSeq)
       case TId(n)       => Ref(n)
       case TNum(v)      => Lit(v)
       case TStr(s)      => Lit(s)
@@ -194,7 +210,7 @@ object ShellExpr {
     * that creates them (timeWindow / map / grouped aggregations).
     */
   private val Derived = Set("window", "_mapped", "count", "sum", "min", "max",
-    "avg", "reduced")
+    "avg", "reduced", "rank")
 
   /** Compile an element-level expression to a Catalyst Column. `env`
     * overrides name resolution (the reduce fold binds `acc` and the
@@ -232,6 +248,12 @@ object ShellExpr {
         case "/"  => a / b
         case "%"  => a % b
       }
+    // literal-separator split (the regex is quoted) — the 1:N building
+    // block: flatMap(split(value, " "))
+    case Fn("split", Seq(a, Lit(sep: String))) =>
+      split(toColumn(a, env), java.util.regex.Pattern.quote(sep))
+    case Fn(n, _) => throw new IllegalArgumentException(
+      s"unknown function '$n' (functions: split(expr, sep))")
     case Call(t, "startsWith", Seq(a)) => toColumn(t, env).startsWith(toColumn(a, env))
     case Call(t, "contains", Seq(a))   => toColumn(t, env).contains(toColumn(a, env))
     case Call(t, "endsWith", Seq(a))   => toColumn(t, env).endsWith(toColumn(a, env))
@@ -257,7 +279,8 @@ object ShellExpr {
   // awaiting its aggregation, or a rendered terminal result
   private sealed trait St
   private final case class DfSt(df: DataFrame) extends St
-  private final case class GrSt(df: DataFrame, keys: Seq[Column]) extends St
+  private final case class GrSt(df: DataFrame, keys: Seq[Column],
+      rawKeys: Seq[Column]) extends St
   private final case class DoneSt(s: String) extends St
 
   /** Per-element struct carried into the reduce fold: stamp first and
@@ -285,6 +308,10 @@ object ShellExpr {
         case DfSt(df) => name match {
           case "filter"   => DfSt(df.filter(toColumn(args.head)))
           case "map"      => DfSt(df.select(toColumn(args.head).as("_mapped")))
+          // the 1:N closure shape, lowered to explode (generator stays
+          // distributed — no driver loop): flatMap(split(value, " "))
+          case "flatMap"  =>
+            DfSt(df.select(explode(toColumn(args.head)).as("_mapped")))
           case "distinct" => DfSt(df.distinct())
           case "count" if args.isEmpty => DoneSt(df.count().toString)
           case "sum" =>
@@ -301,16 +328,16 @@ object ShellExpr {
           case "groupBy" =>
             require(args.nonEmpty, "groupBy needs at least one key expression")
             GrSt(df, args.zipWithIndex.map { case (a, i) =>
-              toColumn(a).as(keyName(a, i)) })
+              toColumn(a).as(keyName(a, i)) }, args.map(toColumn(_)))
           case "take" => args.head match {
             case Lit(n: Long) => DoneSt(renderRows(df, n.toInt))
             case other => throw new IllegalArgumentException(s"take needs a count, got $other")
           }
           case other => throw new IllegalArgumentException(
             s"unknown pipeline method '$other' " +
-              "(filter, map, distinct, take, count, sum, timeWindow, groupBy)")
+              "(filter, map, flatMap, distinct, take, count, sum, timeWindow, groupBy)")
         }
-        case GrSt(df, keys) => name match {
+        case GrSt(df, keys, rawKeys) => name match {
           case "count" if args.isEmpty =>
             DfSt(df.groupBy(keys: _*).agg(count(lit(1)).as("count")))
           case "sum" =>
@@ -337,8 +364,24 @@ object ShellExpr {
             case _ => throw new IllegalArgumentException(
               "reduce needs (initLiteral, accumulatorExpression)")
           }
+          // the other 1:N closure shape of the reference console —
+          // groupReduce emitting N element rows per group
+          // (WindowedStream.java:129) — scripted as top(n, orderExpr)
+          // and lowered to a ranked window (one shuffle, spill-safe;
+          // groups are never materialized on the driver)
+          case "groupReduce" => args match {
+            case Seq(Fn("top", Seq(Lit(n: Long), orderExpr))) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(rawKeys: _*)
+                .orderBy(toColumn(orderExpr).desc, col("stamp"), col("seqId"))
+              DfSt(df
+                .withColumn("rank", row_number().over(w))
+                .filter(col("rank") <= n.toInt))
+            case _ => throw new IllegalArgumentException(
+              "groupReduce needs top(nLiteral, orderExpression)")
+          }
           case other => throw new IllegalArgumentException(
-            s"unknown grouped method '$other' (count, sum, min, max, avg, reduce)")
+            s"unknown grouped method '$other' (count, sum, min, max, avg, reduce, groupReduce)")
         }
         case DoneSt(_) =>
           throw new IllegalArgumentException("terminal operation must be last")
@@ -349,7 +392,7 @@ object ShellExpr {
     run(ast) match {
       case DoneSt(s)  => s
       case DfSt(df)   => renderRows(df, 20)
-      case GrSt(_, _) => throw new IllegalArgumentException(
+      case GrSt(_, _, _) => throw new IllegalArgumentException(
         "grouped pipeline needs an aggregation (count, sum, min, max, avg, reduce)")
     }
   }

@@ -87,6 +87,31 @@ class GraftShellSpec extends SparkSpec {
     assert(lines.drop(6).toSet == Set("u1", "u2", "u3", "v9"), s"mapped keys: $out")
   }
 
+  test("eval: scripted flatMap explodes 1:N, groupReduce ranks top-n per group") {
+    val out = runScript(
+      """put user u1 status 1 online
+        |put user u1 device.a 2 red_phone
+        |put user u1 device.b 3 blue_tablet
+        |put user u2 status 4 offline
+        |eval user.flatMap(split(value, "_")).count()
+        |eval user.flatMap(split(value, "_")).distinct().take(10)
+        |eval user.updates().groupBy(key).groupReduce(top(1, stamp)).map(value).take(10)
+        |eval user.updates().groupBy(key).groupReduce(top(2, stamp)).count()
+        |""".stripMargin)
+    val lines = out.linesIterator.filterNot(_ == "ok").toSeq
+    // flatMap(split): online | red phone | blue tablet | offline -> 6 tokens
+    assert(lines(0) == "6", s"flatMap token count: $out")
+    assert(lines.slice(1, 7).toSet ==
+      Set("online", "offline", "red", "phone", "blue", "tablet"),
+      s"flatMap distinct tokens: $out")
+    // groupReduce(top(1, stamp)): latest element per key — u1's stamp-3
+    // write and u2's stamp-4 write
+    assert(lines.slice(7, 9).toSet == Set("blue_tablet", "offline"),
+      s"top-1 per key: $out")
+    // top(2): u1 contributes 2 rows, u2 has only 1
+    assert(lines(9) == "3", s"top-2 count: $out")
+  }
+
   test("eval: scripted windowed reduce folds groups in event-time order") {
     val out = runScript(
       """put user u1 status 1 a
