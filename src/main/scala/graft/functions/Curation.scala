@@ -53,29 +53,29 @@ object Curation {
   /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape. The
     * exact path joins EVERY corpus gram against the eval set; here a
     * Bloom filter of the eval grams (a few bits per gram — holds millions
-    * of grams in tens of MB) is broadcast first and drops ~(1-fpp) of
-    * clean grams map-side, before any join machinery sees them. The
-    * surviving grams still go through the exact join, so Bloom false
-    * positives are eliminated and the result is IDENTICAL to
-    * [[decontaminate]] — spec-enforced. The prefilter udf sits outside
-    * whole-stage codegen but runs on the few survivors' path input only
-    * once per gram, and the join shuffle it avoids dominates at scale.
+    * of grams in tens of MB) drops ~(1-fpp) of clean grams map-side,
+    * before any join machinery sees them. The surviving grams still go
+    * through the exact join, so Bloom false positives are eliminated and
+    * the result is IDENTICAL to [[decontaminate]] — spec-enforced. The
+    * probe is Spark's own `BloomFilterMightContain` Catalyst expression
+    * (exposed as `graft_might_contain` by [[GraftExtensions]]), so the
+    * prefilter scan stays inside whole-stage codegen; the serialized
+    * sketch rides the plan as a literal, broadcast with the task binary.
     */
   def decontaminateBloom(train: DataFrame, eval: DataFrame, textCol: String,
       n: Int, fpp: Double = 0.01): DataFrame = {
-    val spark = train.sparkSession
     def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
       .select(col("doc_id"), col("h").as("g"))
     val evalGrams = grams(eval).select(col("g")).distinct().persist()
     try {
       val nEval = math.max(evalGrams.count(), 1L)
       val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
-      val bfB = spark.sparkContext.broadcast(bf)
-      val mightContain = udf((g: Long) => bfB.value.mightContainLong(g))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
       // no broadcast hint here (unlike the exact path): the variant
       // exists for eval sets too big to broadcast — AQE picks the join
       grams(train)
-        .filter(mightContain(col("g")))
+        .filter(MightContain.column(bos.toByteArray, col("g")))
         .join(evalGrams, "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))

@@ -108,6 +108,7 @@ object GraftExtensions {
     ext.injectFunction(Hash60.functionDescription)
     ext.injectFunction(TokenCount.functionDescription)
     ext.injectFunction(ShingleHash60.functionDescription)
+    ext.injectFunction(MightContain.functionDescription)
   }
 
   /** Fallback for sessions built WITHOUT the extension: register the graft
@@ -124,7 +125,8 @@ object GraftExtensions {
       .foreach { s =>
         val reg = s.sessionState.functionRegistry
         Seq(Hash60.functionDescription, TokenCount.functionDescription,
-          ShingleHash60.functionDescription).foreach {
+          ShingleHash60.functionDescription,
+          MightContain.functionDescription).foreach {
           case (ident, info, builder) =>
             if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
         }

@@ -111,6 +111,17 @@ class CurationSpec extends SparkSpec {
     assert(unweighted.getLong(1) == 20L)
   }
 
+  test("exactQuantiles survives user columns named n/c/cum (internal-name collision)") {
+    // before the __graft_-prefixed internals, a value column named "n"
+    // was silently overwritten by the group-total window -> wrong result
+    val docs = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L))
+      .toDF("cum", "n")
+    val out = Curation.exactQuantiles(docs, "cum", "n", Seq(50, 100))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") == (20L, 30L))
+    assert(out("b") == (5L, 5L))
+  }
+
   test("decontaminateBloom equals the exact path (FPs verified away)") {
     val eval = (0 until 20).map(i =>
       (1000L + i, s"ev${i}a ev${i}b ev${i}c ev${i}d extra")).toDF("doc_id", "text")
@@ -128,6 +139,12 @@ class CurationSpec extends SparkSpec {
       fpp = 0.5))
     assert(exact.nonEmpty)
     assert(bloom == exact)
+    // plan gate: the probe is the native BloomFilterMightContain
+    // expression inside codegen, not a Scala UDF
+    val plan = Curation.decontaminateBloom(train, eval, "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(!plan.contains("UDF"), "bloom probe must not be a Scala UDF")
   }
 
   test("redactPii scrubs planted email/ip/phone and counts each") {
