@@ -41,6 +41,48 @@ object AccessQueries extends QuerySet {
     "q_list_entities" -> ((s, d) => {
       Tables.events(s, d).select(col("user_id")).distinct()
         .orderBy(col("user_id")).offset(10).limit(50)
+    }),
+
+    // scanWildcardAll(key): ALL live attributes of one key through the
+    // REAL reader (tombstones + wildcard deletes honored by the
+    // compaction, predicate pushed below it) — the changelog is the
+    // same device.*/signup/error encoding q_snapshot_wildcard_delete
+    // uses, so DuckDB replays the identical semantics
+    // (reference RandomAccessReader.scanWildcardAll:207)
+    "q_scan_wildcard_all" -> ((s, d) => {
+      import graft.core.StreamElement
+      import s.implicits._
+      val log = Tables.events(s, d).select(
+        lit("user").as("entity"),
+        concat(lit("user-"), col("user_id")).as("key"),
+        when(col("event_type") === "signup", lit("device.*"))
+          .otherwise(concat(lit("device."), col("event_id") % 7)).as("attribute"),
+        concat(lit("uuid-"), col("event_id")).as("uuid"),
+        col("event_id").as("seqId"),
+        unix_micros(col("ts")).as("stamp"),
+        when(col("event_type").isin("signup", "error"), lit(null))
+          .otherwise(encode(col("event_type"), "UTF-8")).as("value"),
+        col("event_type").isin("signup", "error").as("delete"),
+        (col("event_type") === "signup").as("deleteWildcard")
+      ).as[StreamElement]
+      val fam = new graft.streaming.AttributeLogFamily {
+        override def spark = s
+        override def append(elems: org.apache.spark.sql.Dataset[StreamElement]): Unit =
+          throw new UnsupportedOperationException("read-only changelog view")
+        override def batchUpdates(from: Long, until: Long) = {
+          var df = log.toDF()
+          if (from != Long.MinValue) df = df.filter(col("stamp") >= from)
+          if (until != Long.MaxValue) df = df.filter(col("stamp") < until)
+          df.as[StreamElement]
+        }
+        override def streamFromOldest() =
+          throw new UnsupportedOperationException("batch view")
+      }
+      val rows = new graft.randomaccess.RandomAccessReader(fam)
+        .scanWildcardAll("user-4")
+      s.createDataset(rows)(StreamElement.encoder).toDF()
+        .select(col("attribute"), col("seqId").as("last_event_id"),
+          col("value").cast("string").as("last_type"))
     })
   )
 
@@ -56,6 +98,33 @@ object AccessQueries extends QuerySet {
       """SELECT doc_id, source, n_chars FROM documents WHERE source LIKE 'src1%'""",
 
     "q_list_entities" ->
-      """SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 50 OFFSET 10"""
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 50 OFFSET 10""",
+
+    // per attribute of user 4: the latest write survives iff it is an
+    // upsert AND strictly newer than the user's newest wildcard
+    // tombstone ('signup'); position = (stamp, event_id) — the
+    // q_snapshot_wildcard_delete replay restricted to one key
+    "q_scan_wildcard_all" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'signup' THEN 'device.*'
+        |              ELSE 'device.' || CAST(event_id % 7 AS VARCHAR) END AS attr,
+        |         epoch_us(ts) AS e, event_id, event_type
+        |  FROM events WHERE user_id = 4
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT attr, e, event_id, event_type,
+        |           row_number() OVER (PARTITION BY attr
+        |             ORDER BY e DESC, event_id DESC) AS rn
+        |    FROM base) WHERE rn = 1
+        |), wc AS (
+        |  SELECT max(CAST(e AS HUGEINT) * 100000000 + event_id) AS wcpos
+        |  FROM base WHERE event_type = 'signup'
+        |)
+        |SELECT l.attr AS attribute, l.event_id AS last_event_id,
+        |       l.event_type AS last_type
+        |FROM latest l LEFT JOIN wc ON TRUE
+        |WHERE l.event_type NOT IN ('signup', 'error')
+        |  AND (wc.wcpos IS NULL
+        |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin
   )
 }
