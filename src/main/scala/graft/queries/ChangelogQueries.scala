@@ -116,7 +116,11 @@ object ChangelogQueries extends QuerySet {
           }
       } finally q.stop()
 
-      s.table(sink).groupBy(
+      // decouple from the memory sink and drop its temp view so repeated
+      // runs in one session don't accumulate pinned sink tables
+      val changes2 = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      changes2.groupBy(
           col("joinKey").as("join_key"),
           col("leftKey").as("left_key"),
           col("rightKey").as("right_key"))

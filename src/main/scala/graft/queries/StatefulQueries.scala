@@ -59,7 +59,12 @@ object StatefulQueries extends QuerySet {
         q.processAllAvailable()
       }
     } finally q.stop()
-    s.table(sink)
+    // decouple from the memory sink and drop its temp view: a long-lived
+    // session (Bench runs every query twice) must not accumulate sink
+    // tables pinning every run's rows on the driver
+    val out = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   val queries: Map[String, QFn] = Map(
