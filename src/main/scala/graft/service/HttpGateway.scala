@@ -51,7 +51,9 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     gatewayThreads: Int =
       sys.env.getOrElse("GRAFT_GATEWAY_THREADS", "16").toInt,
     maxConcurrentScans: Int =
-      sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt) {
+      sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt,
+    txTtlMs: Long =
+      sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong) {
 
   private val ingest = new IngestService(op)
   private val retrieve = new RetrieveService(op)
@@ -219,8 +221,6 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
 
   private val openTxs =
     new java.util.concurrent.ConcurrentHashMap[String, TxHandle]()
-  private val txTtlMs: Long =
-    sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong
 
   private def sweepExpiredTxs(): Unit = {
     val cutoff = System.currentTimeMillis() - txTtlMs

@@ -197,6 +197,30 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("abandoned transactions expire on ANY tx endpoint, not only begin") {
+    val repo = Repository.parse(
+      """entities { gateway { attributes { "status" { scheme: string } } } }
+        |attributeFamilies {
+        |  gw-ttl { entity: gateway, attributes: [ "*" ], storage: "inmem://gwttl",
+        |           type: primary,
+        |           access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
+        |}""".stripMargin)
+    // negative TTL: every handle is expired the moment any tx endpoint
+    // sweeps — no new /tx/begin needed for the sweep to run
+    val gw = new HttpGateway(new GraftOperator(spark, repo), txTtlMs = -1L)
+      .start()
+    try {
+      val port = gw.boundPort
+      val tx = Json.parseObject(post(port, "/tx/begin",
+        """{"entity":"gateway","attribute":"status"}"""))("tx").toString
+      val upd = post(port, "/tx/update",
+        s"""{"tx":"$tx","entity":"gateway","key":"g1","attribute":"status","stamp":1,"value":"${b64("x")}"}""")
+      assert(upd.contains("expired"), s"the update itself must sweep: $upd")
+      assert(Json.parseObject(post(port, "/tx/commit",
+        s"""{"tx":"$tx"}""")).contains("error"))
+    } finally gw.stop()
+  }
+
   test("client-supplied uuid is honored for retry idempotence") {
     val repo = Repository.parse(
       """entities { gateway { attributes { "status" { scheme: string } } } }
