@@ -126,6 +126,19 @@ class GStreamSpec extends SparkSpec {
     assert(r.map(_._2).sorted == Seq(-1, 10, 20))
   }
 
+  test("reduceValueStateByKeyUnsorted folds per key without event time") {
+    // unsorted form: no assignEventTime required; order within a key is
+    // arbitrary, so fold with an order-insensitive state (running sum,
+    // output = state BEFORE the element) and check the output multiset
+    val s = stream((0L, "a", 1), (0L, "a", 2), (0L, "b", 5))
+    val r = s.reduceValueStateByKeyUnsorted[String, Int, Int, Int](
+      _._2, _._3, 0, (st, _) => st, (st, v) => st + v).collect()
+    assert(r.filter(_._1 == "a").map(_._2).sorted == Seq(0, 1).sorted ||
+      r.filter(_._1 == "a").map(_._2).sorted == Seq(0, 2).sorted,
+      s"per-key fold must thread state through both elements: $r")
+    assert(r.filter(_._1 == "b").map(_._2) == Seq(0))
+  }
+
   test("reduce allows non-commutative fold; groupReduce sees whole group") {
     val s = stream((1L, "k", "x"), (2L, "k", "y")).assignEventTime(_._1)
     val folded = s.windowAll()
