@@ -3,8 +3,9 @@ package graft.core
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.randomaccess.RandomAccessReader
-import graft.streaming.{AttributeLogFamily, CachedView, CommitLogFamily,
-  EmbeddedKafka, EmbeddedWideRow, KafkaLogFamily, WideRowFamily}
+import graft.streaming.{AttributeLogFamily, BlobLogFamily, CachedView,
+  CommitLogFamily, EmbeddedKafka, EmbeddedWideRow, KafkaLogFamily,
+  WideRowFamily}
 
 /** Config-driven data operator: resolves entities/attributes to storage
   * families by required access pattern and hands out readers/writers — the
@@ -66,6 +67,24 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
         require(slash > 0, s"$scheme URI needs cluster/table, got $storageUri")
         new WideRowFamily(spark,
           EmbeddedWideRow.store(rest.substring(0, slash), rest.substring(slash + 1)))
+      // time-sliced bulk blob layout (reference io-blob / io-bulkfs /
+      // io-gcloud-storage / io-s3): blob://<inner-uri>[?rollSpan=N] —
+      // the inner URI resolves like any path storage (inmem://x,
+      // file:///x, s3a://bucket/x), elements roll into stamp-period
+      // partition directories
+      case "blob" =>
+        val (inner, query) = rest.indexOf('?') match {
+          case -1 => (rest, "")
+          case q  => (rest.substring(0, q), rest.substring(q + 1))
+        }
+        val rollSpan = query.split('&').collectFirst {
+          case kv if kv.startsWith("rollSpan=") => kv.drop(9).toLong
+        }
+        val innerUri = if (inner.contains("://")) inner else s"inmem://$inner"
+        rollSpan match {
+          case Some(r) => new BlobLogFamily(spark, resolvePath(innerUri), r)
+          case None    => new BlobLogFamily(spark, resolvePath(innerUri))
+        }
       case _ => new CommitLogFamily(spark, resolvePath(storageUri))
     }
   }
