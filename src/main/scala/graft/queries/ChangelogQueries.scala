@@ -50,6 +50,28 @@ object ChangelogQueries extends QuerySet {
           col("value").cast("string").as("last_type"))
     }),
 
+    // stamp-range read through the time-sliced BLOB storage: the events
+    // changelog is appended into roll-period partitions and the range
+    // read prunes whole period directories (reference io-blob/io-bulkfs
+    // prefix listing; BlobLogFamilySpec gates the pruning) — results
+    // must equal the plain-table range scan, so q_batch_updates_range's
+    // oracle replays it
+    "q_blob_updates_range" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-blob-q").toString
+      val fam = new graft.streaming.BlobLogFamily(s, s"$tmp/blob")
+      fam.append(Tables.eventsAsChangelog(s, d))
+      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        .toEpochMilli * 1000L
+      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        .toEpochMilli * 1000L
+      val json = col("value").cast("string")
+      fam.batchUpdates(from, until).toDF()
+        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
+            .as("sum_cents"))
+    }),
+
     // the retracting most-recent join, driven through the REAL streaming
     // query (flatMapGroupsWithState) — a bounded changelog fed in three
     // stamp-ordered micro-batches so cross-batch state is exercised
@@ -169,6 +191,13 @@ object ChangelogQueries extends QuerySet {
         |WHERE l.event_type NOT IN ('signup', 'error')
         |  AND (wc.wcpos IS NULL
         |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin,
+
+    "q_blob_updates_range" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type""".stripMargin,
 
     // replay of the retracting most-recent join in SQL: each side's
     // events become validity intervals [s, next-event-of-key); an event
