@@ -72,6 +72,28 @@ object ChangelogQueries extends QuerySet {
             .as("sum_cents"))
     }),
 
+    // stamp-range read through the JDBC storage binding (embedded Derby
+    // behind Spark's partitioned JDBC source — range splits on stamp,
+    // WHERE pushdown): a 10%-of-events changelog round-trips through the
+    // database and the range aggregate must equal the plain-table scan
+    // (reference io-jdbc JdbcStorageDescriptor.java:29)
+    "q_jdbc_updates_range" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc-q").toString
+      val fam = new graft.sources.JdbcFamily(s,
+        s"jdbc:derby:$tmp/db;create=true", "events_log")
+      fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        .toEpochMilli * 1000L
+      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        .toEpochMilli * 1000L
+      val json = col("value").cast("string")
+      fam.batchUpdates(from, until).toDF()
+        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
+            .as("sum_cents"))
+    }),
+
     // the retracting most-recent join, driven through the REAL streaming
     // query (flatMapGroupsWithState) — a bounded changelog fed in three
     // stamp-ordered micro-batches so cross-batch state is exercised
@@ -197,6 +219,14 @@ object ChangelogQueries extends QuerySet {
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+
+    "q_jdbc_updates_range" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_id % 10 = 0
         |GROUP BY event_type""".stripMargin,
 
     // replay of the retracting most-recent join in SQL: each side's
