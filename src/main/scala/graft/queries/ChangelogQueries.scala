@@ -94,6 +94,53 @@ object ChangelogQueries extends QuerySet {
             .as("sum_cents"))
     }),
 
+    // stamp-range read through the kafka:// commit-log binding: the
+    // changelog sample is appended through the DataSourceV2 WRITE path
+    // (executor tasks append their partitions — no driver collect) and
+    // read back through the DSv2 batch scan; with blob and jdbc this
+    // puts every storage binding's write+read path under the oracle
+    // (reference io-kafka KafkaStorage; the broker is the in-process
+    // double, the plan shape is the production one)
+    "q_kafka_updates_range" -> ((s, d) => {
+      val topic = graft.streaming.EmbeddedKafka.topic("oracle-broker",
+        "t-" + java.util.UUID.randomUUID().toString.replace("-", ""), 4)
+      val fam = new graft.streaming.KafkaLogFamily(s, topic)
+      fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        .toEpochMilli * 1000L
+      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        .toEpochMilli * 1000L
+      val json = col("value").cast("string")
+      fam.batchUpdates(from, until).toDF()
+        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
+            .as("sum_cents"))
+    }),
+
+    // the wide-row (cassandra://-shaped) binding: a random-access store
+    // compacts at the storage layer — last writer per (key, attribute)
+    // by (stamp, seqId) position wins, tombstones hide the cell — so
+    // the oracle is latest-per-user with delete filtering, range-read
+    // over the LIVE cells (reference io-cassandra
+    // CassandraStorageDescriptor semantics on the in-process double)
+    "q_widerow_latest_range" -> ((s, d) => {
+      val store = graft.streaming.EmbeddedWideRow.store("oracle-cluster",
+        "t-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val fam = new graft.streaming.WideRowFamily(s, store)
+      fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        .toEpochMilli * 1000L
+      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        .toEpochMilli * 1000L
+      val json = col("value").cast("string")
+      fam.batchUpdates(from, until).toDF()
+        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
+            .as("sum_cents"))
+    }),
+
     // the retracting most-recent join, driven through the REAL streaming
     // query (flatMapGroupsWithState) — a bounded changelog fed in three
     // stamp-ordered micro-batches so cross-batch state is exercised
@@ -227,6 +274,35 @@ object ChangelogQueries extends QuerySet {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |  AND event_id % 10 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    "q_kafka_updates_range" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_id % 10 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    // latest sampled event per user by (ts, event_id); the cell is live
+    // iff that latest write is not a delete ('error'); range filter on
+    // the LIVE cell's stamp
+    "q_widerow_latest_range" ->
+      """WITH s AS (
+        |  SELECT * FROM events WHERE event_id % 10 = 0
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, ts, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM s) WHERE rn = 1
+        |)
+        |SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM latest
+        |WHERE event_type <> 'error'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type""".stripMargin,
 
     // replay of the retracting most-recent join in SQL: each side's
