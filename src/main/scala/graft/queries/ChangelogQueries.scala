@@ -141,6 +141,32 @@ object ChangelogQueries extends QuerySet {
             .as("sum_cents"))
     }),
 
+    // the transformation layer (reference ElementWiseTransformation;
+    // example/model EventDataToUserHistory.java): events fan out into
+    // per-event user-history wildcard cells in a TARGET family, deletes
+    // dropped; the target's content is then aggregated and must equal
+    // the source-side replay — the backfill path of the replication
+    // controller under the oracle
+    "q_transformation_backfill" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tf-q").toString
+      val source = new graft.streaming.CommitLogFamily(s, s"$tmp/src")
+      val target = new graft.streaming.CommitLogFamily(s, s"$tmp/dst")
+      source.append(Tables.eventsAsChangelog(s, d))
+      val toHistory = new graft.streaming.Transformations.ElementWise {
+        def apply(e: graft.core.StreamElement): Seq[graft.core.StreamElement] =
+          if (e.isDelete) Seq.empty
+          else Seq(e.copy(entity = "user-history",
+            attribute = s"history.${e.seqId}", uuid = e.uuid + "-h"))
+      }
+      graft.streaming.Transformations.backfill(source, target, toHistory)
+      val json = col("value").cast("string")
+      target.batchUpdates().toDF()
+        .filter(col("attribute").startsWith("history."))
+        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key")).as("n_users"))
+    }),
+
     // the retracting most-recent join, driven through the REAL streaming
     // query (flatMapGroupsWithState) — a bounded changelog fed in three
     // stamp-ordered micro-batches so cross-batch state is exercised
@@ -303,6 +329,14 @@ object ChangelogQueries extends QuerySet {
         |WHERE event_type <> 'error'
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+
+    // every non-delete event lands as one history cell; deletes
+    // ('error') are dropped by the transformation
+    "q_transformation_backfill" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type""".stripMargin,
 
     // replay of the retracting most-recent join in SQL: each side's
