@@ -16,6 +16,50 @@ import graft.streaming.RetractJoin
   */
 object ChangelogQueries extends QuerySet {
 
+
+  // ---- shared plumbing for the storage-binding range queries ----
+
+  // the shared probe range [2024-01-10, 2024-01-20) in stamp micros
+  private val RangeFromUs =
+    java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+  private val RangeUntilUs =
+    java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L
+
+  /** count + integer-cents aggregate by event_type over a JSON-valued
+    * changelog slice — the one aggregate every binding's oracle replays.
+    */
+  private def eventTypeAgg(
+      updates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val json = col("value").cast("string")
+    updates
+      .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
+          .as("sum_cents"))
+  }
+
+  /** Materialize the (tiny) result, then release the query's scratch
+    * storage: oracle queries run repeatedly in one session (Bench runs
+    * each twice), so their topics/stores/databases/temp dirs must not
+    * accumulate. localCheckpoint breaks the lineage back to the scratch
+    * storage before `cleanup` tears it down.
+    */
+  private def materialized(df: org.apache.spark.sql.DataFrame)(
+      cleanup: => Unit): org.apache.spark.sql.DataFrame = {
+    val out = df.localCheckpoint(true)
+    cleanup
+    out
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   val queries: Map[String, QFn] = Map(
     // reduceToLatest over a real changelog with delete tombstones
     // (reference: PCollectionTools.reduceAsSnapshot:42, datamodel.md:120-149)
@@ -60,16 +104,10 @@ object ChangelogQueries extends QuerySet {
       val tmp = java.nio.file.Files.createTempDirectory("graft-blob-q").toString
       val fam = new graft.streaming.BlobLogFamily(s, s"$tmp/blob")
       fam.append(Tables.eventsAsChangelog(s, d))
-      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
-        .toEpochMilli * 1000L
-      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
-        .toEpochMilli * 1000L
-      val json = col("value").cast("string")
-      fam.batchUpdates(from, until).toDF()
-        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
-            .as("sum_cents"))
+      materialized(
+        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+        deleteRecursively(tmp)
+      }
     }),
 
     // stamp-range read through the JDBC storage binding (embedded Derby
@@ -82,16 +120,14 @@ object ChangelogQueries extends QuerySet {
       val fam = new graft.sources.JdbcFamily(s,
         s"jdbc:derby:$tmp/db;create=true", "events_log")
       fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
-      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
-        .toEpochMilli * 1000L
-      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
-        .toEpochMilli * 1000L
-      val json = col("value").cast("string")
-      fam.batchUpdates(from, until).toDF()
-        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
-            .as("sum_cents"))
+      materialized(
+        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+        // embedded Derby holds the db open until told to shut down;
+        // success surfaces as SQLException 08006 by contract
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:$tmp/db;shutdown=true")
+        catch { case _: java.sql.SQLException => () }
+        deleteRecursively(tmp)
+      }
     }),
 
     // stamp-range read through the kafka:// commit-log binding: the
@@ -106,16 +142,10 @@ object ChangelogQueries extends QuerySet {
         "t-" + java.util.UUID.randomUUID().toString.replace("-", ""), 4)
       val fam = new graft.streaming.KafkaLogFamily(s, topic)
       fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
-      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
-        .toEpochMilli * 1000L
-      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
-        .toEpochMilli * 1000L
-      val json = col("value").cast("string")
-      fam.batchUpdates(from, until).toDF()
-        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
-            .as("sum_cents"))
+      materialized(
+        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+        graft.streaming.EmbeddedKafka.drop(topic.broker, topic.name)
+      }
     }),
 
     // the wide-row (cassandra://-shaped) binding: a random-access store
@@ -125,20 +155,14 @@ object ChangelogQueries extends QuerySet {
     // over the LIVE cells (reference io-cassandra
     // CassandraStorageDescriptor semantics on the in-process double)
     "q_widerow_latest_range" -> ((s, d) => {
-      val store = graft.streaming.EmbeddedWideRow.store("oracle-cluster",
-        "t-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val table = "t-" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val store = graft.streaming.EmbeddedWideRow.store("oracle-cluster", table)
       val fam = new graft.streaming.WideRowFamily(s, store)
       fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
-      val from = java.time.Instant.parse("2024-01-10T00:00:00Z")
-        .toEpochMilli * 1000L
-      val until = java.time.Instant.parse("2024-01-20T00:00:00Z")
-        .toEpochMilli * 1000L
-      val json = col("value").cast("string")
-      fam.batchUpdates(from, until).toDF()
-        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(Tables.cents(get_json_object(json, "$.value").cast("double")))
-            .as("sum_cents"))
+      materialized(
+        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+        graft.streaming.EmbeddedWideRow.drop("oracle-cluster", table)
+      }
     }),
 
     // the transformation layer (reference ElementWiseTransformation;
@@ -160,11 +184,14 @@ object ChangelogQueries extends QuerySet {
       }
       graft.streaming.Transformations.backfill(source, target, toHistory)
       val json = col("value").cast("string")
-      target.batchUpdates().toDF()
-        .filter(col("attribute").startsWith("history."))
-        .groupBy(get_json_object(json, "$.event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("key")).as("n_users"))
+      materialized(
+        target.batchUpdates().toDF()
+          .filter(col("attribute").startsWith("history."))
+          .groupBy(get_json_object(json, "$.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("key")).as("n_users"))) {
+        deleteRecursively(tmp)
+      }
     }),
 
     // the retracting most-recent join, driven through the REAL streaming
@@ -215,11 +242,7 @@ object ChangelogQueries extends QuerySet {
       val left = MemoryStream[StreamElement]
       val right = MemoryStream[StreamElement]
       val changes = RetractJoin(left.toDS(), _.attribute, right.toDS(), _.attribute)
-      val sink = "rj_oracle_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = changes.writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try {
+      val changes2 = StreamSupport.runToMemorySink(s, changes) { q =>
         // batch boundaries are PREFIXES of the global stamp order (all
         // batch-1 stamps < batch-2 < batch-3), so sequential micro-batch
         // application equals the reference's stamp-ordered replay
@@ -231,12 +254,7 @@ object ChangelogQueries extends QuerySet {
             if (rb.nonEmpty) right.addData(rb)
             q.processAllAvailable()
           }
-      } finally q.stop()
-
-      // decouple from the memory sink and drop its temp view so repeated
-      // runs in one session don't accumulate pinned sink tables
-      val changes2 = s.table(sink).localCheckpoint(true)
-      s.catalog.dropTempView(sink)
+      }
       changes2.groupBy(
           col("joinKey").as("join_key"),
           col("leftKey").as("left_key"),

@@ -21,3 +21,25 @@ trait QuerySet {
   def queries: Map[String, QFn]
   def oracles: Map[String, String]
 }
+
+/** Shared plumbing for oracle queries that answer through a STREAMING
+  * query: run it against a uniquely-named memory sink, then decouple the
+  * result from the sink and drop its temp view — a long-lived session
+  * (Bench runs every query twice) must not accumulate sink tables
+  * pinning every run's rows on the driver.
+  */
+private[queries] object StreamSupport {
+
+  def runToMemorySink[T](s: SparkSession,
+      stream: org.apache.spark.sql.Dataset[T])(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val sink = "q_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try drive(q) finally q.stop()
+    val out = s.table(sink).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
+}

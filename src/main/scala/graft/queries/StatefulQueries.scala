@@ -40,7 +40,7 @@ object StatefulQueries extends QuerySet {
 
   /** Run `f` over a MemoryStream fed the elements in three stamp-ordered
     * prefix batches (so cross-batch state carry-over is exercised) and
-    * return the memory-sink table of the resulting streaming Dataset.
+    * return the (sink-decoupled) result table.
     */
   private def runStreamed[T](s: SparkSession, elems: Seq[StreamElement])(
       f: Dataset[StreamElement] => Dataset[T]): DataFrame = {
@@ -48,23 +48,13 @@ object StatefulQueries extends QuerySet {
     implicit val sq = s.sqlContext
     implicit val enc = StreamElement.encoder
     val in = MemoryStream[StreamElement]
-    val sink = "state_oracle_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = f(in.toDS()).writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try {
+    StreamSupport.runToMemorySink(s, f(in.toDS())) { q =>
       val third = (elems.size + 2) / 3
       elems.grouped(math.max(third, 1)).foreach { batch =>
         in.addData(batch)
         q.processAllAvailable()
       }
-    } finally q.stop()
-    // decouple from the memory sink and drop its temp view: a long-lived
-    // session (Bench runs every query twice) must not accumulate sink
-    // tables pinning every run's rows on the driver
-    val out = s.table(sink).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    out
+    }
   }
 
   val queries: Map[String, QFn] = Map(

@@ -70,9 +70,12 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   server.setExecutor(pool)
 
   // /scan responses each hold a thread plus a toLocalIterator-driven job
-  // for the client's whole read — cap them below the pool size so scans
-  // can never starve the point endpoints; excess scans get 429
-  private val maxScans: Int = maxConcurrentScans
+  // for the client's whole read — cap them BELOW the pool size (enforced,
+  // not assumed: a config with maxScans >= threads would let slow scan
+  // clients pin every pool thread and starve the point endpoints, the
+  // exact failure the cap exists to prevent); excess scans get 429
+  private val maxScans: Int =
+    math.max(0, math.min(maxConcurrentScans, gatewayThreads - 1))
   private val scanPermits = new java.util.concurrent.Semaphore(maxScans)
 
   /** Bound port (useful when constructed with port 0). */

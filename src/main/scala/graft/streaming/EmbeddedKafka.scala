@@ -39,6 +39,13 @@ object EmbeddedKafka {
   /** Drop all topics (test isolation). */
   def reset(): Unit = topics.clear()
 
+  /** Drop ONE topic and release its retained log (scratch topics of
+    * repeatedly-run queries must not accumulate in a long session).
+    */
+  def drop(broker: String, name: String): Unit = {
+    topics.remove(s"$broker/$name"); ()
+  }
+
   final class Topic(val broker: String, val name: String, val numPartitions: Int) {
     private val partitions: Array[ArrayBuffer[StreamElement]] =
       Array.fill(numPartitions)(ArrayBuffer.empty[StreamElement])

@@ -36,6 +36,13 @@ object EmbeddedWideRow {
 
   def reset(): Unit = stores.clear()
 
+  /** Drop ONE store (scratch tables of repeatedly-run queries must not
+    * accumulate in a long session).
+    */
+  def drop(cluster: String, table: String): Unit = {
+    stores.remove(s"$cluster/$table"); ()
+  }
+
   private type Pos = (Long, Long, String)
   private def pos(e: StreamElement): Pos = (e.stamp, e.seqId, e.uuid)
   private val posOrd = implicitly[Ordering[Pos]]

@@ -381,7 +381,8 @@ object ShellExpr {
               "groupReduce needs top(nLiteral, orderExpression)")
           }
           case other => throw new IllegalArgumentException(
-            s"unknown grouped method '$other' (count, sum, min, max, avg, reduce, groupReduce)")
+            s"unknown grouped method '$other' " +
+              "(count, sum, min, max, avg, reduce, groupReduce)")
         }
         case DoneSt(_) =>
           throw new IllegalArgumentException("terminal operation must be last")
@@ -393,7 +394,7 @@ object ShellExpr {
       case DoneSt(s)  => s
       case DfSt(df)   => renderRows(df, 20)
       case GrSt(_, _, _) => throw new IllegalArgumentException(
-        "grouped pipeline needs an aggregation (count, sum, min, max, avg, reduce)")
+        "grouped pipeline needs an aggregation (count, sum, min, max, avg, reduce, groupReduce)")
     }
   }
 }

@@ -102,4 +102,55 @@ class ModelGeneratorSpec extends SparkSpec {
     assert(ModelGenerator.ident("my-attr.name") == "`myAttrName`")
     assert(ModelGenerator.ident("type") == "`type`")
   }
+
+  test("complex schemes stay byte-typed through the RAW codec, not a bad cast") {
+    // the avro serializer is ValueSerializer[GenericRecord]; the generated
+    // byte-typed surface must use BytesSerializer, or upsert/get would
+    // ClassCastException at runtime
+    val repo = Repository.parse(
+      """entities { ev { attributes {
+        |  "payload" { scheme: "avro:{\"type\":\"record\",\"name\":\"P\",\"fields\":[{\"name\":\"id\",\"type\":\"long\"}]}" }
+        |} } }
+        |attributeFamilies {
+        |  ev-p { entity: ev, attributes: [ "*" ], storage: "inmem://model-avro",
+        |         type: primary, access: [ commit-log, batch-updates, random-access ] }
+        |}""".stripMargin)
+    val src = ModelGenerator.generate(repo, "AvroModel")
+    assert(src.contains("TypedAttribute[Array[Byte]]"))
+    assert(src.contains("ValueSerializer.BytesSerializer"))
+    assert(!src.contains("ValueSerializer.of(\"avro:"))
+    // and the raw surface actually round-trips through a live operator
+    val op = new GraftOperator(spark, repo)
+    val model = ModelGenerator.compile(repo, "AvroModel", op)
+    import scala.reflect.runtime.{universe => ru}
+    import scala.tools.reflect.ToolBox
+    val tb = ru.runtimeMirror(getClass.getClassLoader).mkToolBox()
+    val fn = tb.eval(tb.parse(
+      s"""${ModelGenerator.generate(repo, "AvroModel2")}
+         |(op: graft.core.GraftOperator) => {
+         |  val m = new AvroModel2(op)
+         |  m.`ev`.`payload`.upsert("k", 1L, Array[Byte](7, 8))
+         |  m.`ev`.`payload`.get("k").map(_.toSeq)
+         |}
+         |""".stripMargin))
+      .asInstanceOf[GraftOperator => Option[Seq[Byte]]]
+    assert(fn(op) == Some(Seq[Byte](7, 8)))
+    assert(model != null)
+  }
+
+  test("colliding mangled attribute names disambiguate with a suffix") {
+    val repo = Repository.parse(
+      """entities { e { attributes {
+        |  "my-attr" { scheme: string }
+        |  "myAttr"  { scheme: string }
+        |} } }""".stripMargin)
+    val src = ModelGenerator.generate(repo, "CollideModel")
+    // "my-attr" sorts before "myAttr": first keeps the base name, the
+    // second gets the suffix — and the source must COMPILE
+    assert(src.contains("val `myAttr`:") && src.contains("val `myAttr2`:"), src)
+    import scala.reflect.runtime.{universe => ru}
+    import scala.tools.reflect.ToolBox
+    val tb = ru.runtimeMirror(getClass.getClassLoader).mkToolBox()
+    tb.compile(tb.parse(src + "\n()"))
+  }
 }
