@@ -28,11 +28,17 @@ import graft.streaming.AttributeLogFamily
   *    lease expiry (a waiter breaks locks older than `leaseMs`).
   *
   * The lease carries the standard lease caveat: a holder stalled past
-  * `leaseMs` (GC pause mid-commit) can lose exclusivity. The default lease
-  * is far above a commit's validate+append duration; storages with a real
-  * conditional-put (object stores) would arbitrate there instead.
+  * `leaseMs` (GC pause mid-commit) can lose exclusivity. A heartbeat
+  * thread refreshes the marker's mtime at `leaseMs / 4` while the commit
+  * runs, so a commit is only preempted when its whole JVM stalls longer
+  * than the lease (not merely because a bulk append outlives one lease
+  * interval); a broken lease is logged loudly on both sides. Storages
+  * with a real conditional-put (object stores) would arbitrate there
+  * instead.
   */
 object CommitArbiter {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val monitors = TrieMap.empty[String, Object]
 
@@ -104,6 +110,18 @@ object CommitArbiter {
           true
         } catch { case _: IOException => false }
       }
+    // the marker still holds OUR claim token (not a waiter's re-claim
+    // after breaking our lease)
+    def stillOurs(): Boolean =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](claim.length)
+          val n = in.read(buf)
+          n == claim.length && new String(buf, "UTF-8") == claim
+        } finally in.close()
+      } catch { case _: IOException => false }
+
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
@@ -114,22 +132,49 @@ object CommitArbiter {
       else {
         try {
           val st = fs.getFileStatus(p)
-          if (System.currentTimeMillis() - st.getModificationTime > leaseMs)
-            fs.delete(p, false) // stale holder: break the lease, re-claim
-          else Thread.sleep(pollMs)
+          if (System.currentTimeMillis() - st.getModificationTime > leaseMs) {
+            // stale holder: break the lease, re-claim. With the holder-side
+            // heartbeat this means a JVM dead (or stalled) for a full lease
+            // interval — loud by design, silent lease breaks reintroduce
+            // the concurrent-append clobbering this lock exists to prevent.
+            log.warn("Breaking commit lease {} last refreshed {}ms ago " +
+              "(lease {}ms) — holder presumed dead", lockPath,
+              Long.box(System.currentTimeMillis() - st.getModificationTime),
+              Long.box(leaseMs))
+            fs.delete(p, false)
+          } else Thread.sleep(pollMs)
         } catch { case _: FileNotFoundException => () }
       }
     }
+    // heartbeat: refresh the marker mtime while the commit runs, so a bulk
+    // append outliving one lease interval is not preempted by a waiter. The
+    // claim check keeps a heartbeat that lost its lease anyway (whole-JVM
+    // stall > leaseMs) from refreshing the new holder's marker.
+    val beat = new Thread(() => {
+      var ours = true
+      try {
+        while (ours && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(leaseMs / 4, 1L))
+          if (stillOurs()) {
+            try fs.setTimes(p, System.currentTimeMillis(), -1)
+            catch { case _: IOException => () } // transient; next beat retries
+          } else {
+            log.error("Commit lease {} was broken while held (claim token " +
+              "replaced) — a concurrent writer may be committing; this " +
+              "holder's commit is no longer exclusive", lockPath)
+            ours = false
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-commit-lease-heartbeat-${p.getName}")
+    beat.setDaemon(true)
+    beat.start()
     try f
     finally {
+      beat.interrupt()
+      beat.join(2000L)
       try {
-        val in = fs.open(p)
-        val held = try {
-          val buf = new Array[Byte](claim.length)
-          val n = in.read(buf)
-          n == claim.length && new String(buf, "UTF-8") == claim
-        } finally in.close()
-        if (held) fs.delete(p, false)
+        if (stillOurs()) fs.delete(p, false)
       } catch { case _: FileNotFoundException => () }
     }
   }

@@ -25,36 +25,72 @@ object StatefulQueries extends QuerySet {
 
   /** The events table as a bounded StreamElement changelog (key = user,
     * stamp = event-time micros, seqId = event_id, value = caller-chosen
-    * payload), for driving the STREAMING stateful lowerings.
+    * payload), staged into a scratch [[graft.streaming.CommitLogFamily]]
+    * as three stamp-range segment files. Everything stays distributed —
+    * each segment is one Spark write job (coalesced to a single log
+    * segment), nothing is collected to the driver — so the streaming
+    * oracle queries exercise the PRODUCTION source→stateful-op path:
+    * commit-log replay with `maxFilesPerTrigger=1` turns the three
+    * segments into three stamp-ordered micro-batches, forcing real
+    * cross-batch state carry-over through the file-source checkpointing
+    * machinery rather than a driver-fed MemoryStream.
     */
-  private def eventElements(s: SparkSession, d: String,
-      payload: org.apache.spark.sql.Column): Seq[StreamElement] =
-    Tables.events(s, d)
+  private def stageEventLog(s: SparkSession, d: String,
+      payload: org.apache.spark.sql.Column): (graft.streaming.CommitLogFamily, String) = {
+    implicit val enc = StreamElement.encoder
+    implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-state-q").toString
+    val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+    val elems = Tables.events(s, d)
       .select(col("user_id").cast("string"), unix_micros(col("ts")),
         col("event_id").cast("long"), payload.cast("string"))
-      .collect().toSeq.map { r =>
-        StreamElement("user", r.getString(0), "state", s"u-${r.getLong(2)}",
-          r.getLong(2), r.getLong(1), r.getString(3).getBytes("UTF-8"),
-          delete = false, deleteWildcard = false)
-      }.sortBy(e => (e.stamp, e.seqId))
-
-  /** Run `f` over a MemoryStream fed the elements in three stamp-ordered
-    * prefix batches (so cross-batch state carry-over is exercised) and
-    * return the (sink-decoupled) result table.
-    */
-  private def runStreamed[T](s: SparkSession, elems: Seq[StreamElement])(
-      f: Dataset[StreamElement] => Dataset[T]): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sq = s.sqlContext
-    implicit val enc = StreamElement.encoder
-    val in = MemoryStream[StreamElement]
-    StreamSupport.runToMemorySink(s, f(in.toDS())) { q =>
-      val third = (elems.size + 2) / 3
-      elems.grouped(math.max(third, 1)).foreach { batch =>
-        in.addData(batch)
-        q.processAllAvailable()
+      .as[(String, Long, Long, String)]
+      .map { case (user, stampUs, id, pay) =>
+        StreamElement("user", user, "state", s"u-$id", id, stampUs,
+          pay.getBytes("UTF-8"), delete = false, deleteWildcard = false)
       }
+      .persist()
+    try {
+      // slice on stamp terciles: per-key event-time order is preserved
+      // across segments (ties never straddle a boundary), which is all the
+      // per-batch-sorting state operators need for global-order semantics
+      val cuts = elems.stat.approxQuantile("stamp", Array(1.0 / 3, 2.0 / 3), 0.001)
+      val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+      Seq(
+        elems.filter(col("stamp") < c1),
+        elems.filter(col("stamp") >= c1 && col("stamp") < c2),
+        elems.filter(col("stamp") >= c2)
+      ).foreach(slice => fam.append(slice.coalesce(1)))
+    } finally elems.unpersist()
+    (fam, tmp)
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
     }
+  }
+
+  /** Run `f` over the staged commit log replayed one segment per
+    * micro-batch and return the (sink-decoupled, lineage-truncated) result
+    * table; the scratch log is deleted before returning (oracle queries
+    * run repeatedly in one session — scratch storage must not accumulate).
+    */
+  private def runStreamed[T](s: SparkSession, d: String,
+      payload: org.apache.spark.sql.Column)(
+      f: Dataset[StreamElement] => Dataset[T]): DataFrame = {
+    val (fam, tmp) = stageEventLog(s, d, payload)
+    val out = StreamSupport.runToMemorySink(s,
+      f(fam.streamFromOldestThrottled(maxFilesPerTrigger = 1))) { q =>
+      q.processAllAvailable()
+    }
+    deleteRecursively(tmp)
+    out
   }
 
   val queries: Map[String, QFn] = Map(
@@ -83,8 +119,7 @@ object StatefulQueries extends QuerySet {
     // answered by the transformWithState-path code so the streaming
     // implementation gets its own oracle signal (BeamStream.java:1498)
     "q_integrate_per_key_stream" -> ((s, d) => {
-      val elems = eventElements(s, d, cents(col("value")))
-      runStreamed(s, elems) { ds =>
+      runStreamed(s, d, cents(col("value"))) { ds =>
         StateOps.integratePerKey(ds, 0.0,
           e => new String(e.value, "UTF-8").toDouble, _ + _)
       }.select(col("_1").as("user_key"), col("_2").as("stamp_us"),
@@ -98,8 +133,7 @@ object StatefulQueries extends QuerySet {
       implicit val oe = Encoders.tuple(Encoders.STRING,
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       implicit val se = Encoders.STRING
-      val elems = eventElements(s, d, col("event_type"))
-      runStreamed(s, elems) { ds =>
+      runStreamed(s, d, col("event_type")) { ds =>
         StateOps.reduceValueStateByKey[String, (Long, String)](ds, "none",
           (st, e) => (e.seqId, st),
           (_, e) => new String(e.value, "UTF-8"))

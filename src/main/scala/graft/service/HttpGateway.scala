@@ -76,6 +76,17 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   // exact failure the cap exists to prevent); excess scans get 429
   private val maxScans: Int =
     math.max(0, math.min(maxConcurrentScans, gatewayThreads - 1))
+  // a clamped-to-zero cap disables /scan entirely (every request answers
+  // 429) — legitimate only when configured; as a CONSEQUENCE of a 1-thread
+  // pool it is a misconfiguration that would masquerade as load shedding,
+  // so say it loudly at startup instead of letting the operator discover
+  // it one 429 at a time
+  if (maxScans == 0 && maxConcurrentScans > 0)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      "/scan is DISABLED: maxConcurrentScans={} clamped to 0 by " +
+        "gatewayThreads={} (the cap must stay below the pool size); " +
+        "raise gatewayThreads to at least 2 to serve scans",
+      Int.box(maxConcurrentScans), Int.box(gatewayThreads))
   private val scanPermits = new java.util.concurrent.Semaphore(maxScans)
 
   /** Bound port (useful when constructed with port 0). */

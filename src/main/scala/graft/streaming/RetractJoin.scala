@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.concurrent.duration.FiniteDuration
+
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -23,10 +25,33 @@ import graft.core.StreamElement
   * RetractMostRecentJoinFn:176). Elements are applied in (stamp, seqId)
   * order within a batch; stale arrivals (older than the held value) are
   * ignored, deletes evict. State size per join key = live element keys —
-  * same bound as the reference; cleanup timers map to state TTL config.
+  * same bound as the reference.
+  *
+  * Cleanup: the reference's `join(…, cleanupDuration)` arms a per-join-key
+  * EVENT-TIME timer that evicts entries older than the cleanup horizon and
+  * clears the whole cell once both sides are empty (RetractJoin.java:195-213
+  * timer setup, :349-371 onTimer). The Spark lowering keeps the event-time
+  * domain: an `EventTimeTimeout` state timer whose idle clock is the cell's
+  * newest element stamp — when the watermark passes (last event time +
+  * cleanup), the ENTIRE cell is dropped (seq counter included,
+  * RetractJoin.java:361-366) and a later element rebuilds it from empty.
+  * Coarser than the reference's per-entry horizon (an active key's stale
+  * entries survive until the key goes idle) but the same
+  * unbounded-cardinality guarantee: state is bounded by join keys active
+  * within the cleanup window. Elements arriving after their key was
+  * evicted join against an empty cell — exactly the reference's contract
+  * that data older than the cleanup horizon is no longer retractable. The
+  * operator attaches its own zero-disorder watermark over the unioned
+  * element stamps (`stampUnit` micros|millis) right before the stateful
+  * step — an upstream watermark annotation cannot survive the tagging
+  * map, which re-creates attributes without metadata. Spark's watermark
+  * is computed per micro-batch, so eviction lands on the next batch
+  * boundary after the horizon passes; at real cleanup horizons (minutes+)
+  * the discretization is noise.
   *
   * Works identically on bounded inputs (one mega-batch): the emitted
-  * changelog then ends in the final join state.
+  * changelog then ends in the final join state (batch execution never
+  * fires timeouts, so `cleanup` is inert there).
   */
 object RetractJoin {
 
@@ -44,14 +69,20 @@ object RetractJoin {
   final case class SideState(
       entries: Map[String, (Long, Long, Array[Byte])]) // elemKey -> (stamp, seqId, value)
 
-  final case class JoinState(left: SideState, right: SideState, nextSeq: Long)
+  /** `lastEventMs` = the cell's newest element stamp on the millisecond
+    * clock: the idle clock the cleanup timer measures against.
+    */
+  final case class JoinState(left: SideState, right: SideState, nextSeq: Long,
+      lastEventMs: Long)
 
   /** Internal union tag (public: encoder codegen requires accessible types). */
   final case class Tagged(isLeft: Boolean, joinKey: String, e: StreamElement)
 
   def apply(
       left: Dataset[StreamElement], leftJoinKey: StreamElement => String,
-      right: Dataset[StreamElement], rightJoinKey: StreamElement => String): Dataset[Change] = {
+      right: Dataset[StreamElement], rightJoinKey: StreamElement => String,
+      cleanup: Option[FiniteDuration] = None,
+      stampUnit: String = "micros"): Dataset[Change] = {
     implicit val te = Encoders.product[Tagged]
     implicit val ce = Encoders.product[Change]
     implicit val se = Encoders.product[JoinState]
@@ -60,53 +91,87 @@ object RetractJoin {
     val tagged = left.map(e => Tagged(isLeft = true, leftJoinKey(e), e))
       .union(right.map(e => Tagged(isLeft = false, rightJoinKey(e), e)))
 
-    tagged
+    val timeout =
+      if (cleanup.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val div = StateOps.stampDivisor(stampUnit)
+    val src =
+      if (cleanup.isDefined) StateOps.withStampWatermark(tagged, "e.stamp", stampUnit)
+      else tagged
+
+    src
       .groupByKey(_.joinKey)
       .flatMapGroupsWithState[JoinState, Change](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         case (joinKey, elems, state: GroupState[JoinState]) =>
-          var st = state.getOption.getOrElse(
-            JoinState(SideState(Map.empty), SideState(Map.empty), 0L))
-          val out = collection.mutable.ArrayBuffer.empty[Change]
-
-          def emit(add: Boolean, lk: String, rk: String,
-              lv: Array[Byte], rv: Array[Byte]): Unit = {
-            out += Change(joinKey, st.nextSeq, add, lk, rk, lv, rv)
-            st = st.copy(nextSeq = st.nextSeq + 1)
-          }
-
-          elems.toSeq.sortBy(t => (t.e.stamp, t.e.seqId)).foreach { t =>
-            val e = t.e
-            val (mySide, otherSide) = if (t.isLeft) (st.left, st.right) else (st.right, st.left)
-            val cur = mySide.entries.get(e.key)
-            val isStale = cur.exists { case (s, q, _) =>
-              s > e.stamp || (s == e.stamp && q >= e.seqId)
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val idleFor = wm - state.get.lastEventMs
+            if (cleanup.exists(c => idleFor >= c.toMillis)) {
+              // cell's newest element a full cleanup behind the watermark:
+              // clear the whole cell, seq included (reference onTimer,
+              // RetractJoin.java:361-366)
+              state.remove()
+            } else {
+              // armed early (the arm was clamped past a stale watermark);
+              // re-arm for the remaining idle allowance
+              cleanup.foreach(c =>
+                StateOps.armAfter(state, wm, state.get.lastEventMs + c.toMillis))
             }
-            if (!isStale) {
-              // retract pairs produced by the previous value
-              cur.foreach { case (_, _, oldV) =>
-                otherSide.entries.foreach { case (ok, (_, _, ov)) =>
-                  if (t.isLeft) emit(add = false, e.key, ok, oldV, ov)
-                  else emit(add = false, ok, e.key, ov, oldV)
-                }
-              }
-              val newEntries =
-                if (e.isDelete) mySide.entries - e.key
-                else mySide.entries.updated(e.key, (e.stamp, e.seqId, e.value))
-              // add pairs for the new value
-              if (!e.isDelete) {
-                otherSide.entries.foreach { case (ok, (_, _, ov)) =>
-                  if (t.isLeft) emit(add = true, e.key, ok, e.value, ov)
-                  else emit(add = true, ok, e.key, ov, e.value)
-                }
-              }
-              st =
-                if (t.isLeft) st.copy(left = SideState(newEntries))
-                else st.copy(right = SideState(newEntries))
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              JoinState(SideState(Map.empty), SideState(Map.empty), 0L,
+                Long.MinValue))
+            val out = collection.mutable.ArrayBuffer.empty[Change]
+
+            def emit(add: Boolean, lk: String, rk: String,
+                lv: Array[Byte], rv: Array[Byte]): Unit = {
+              out += Change(joinKey, st.nextSeq, add, lk, rk, lv, rv)
+              st = st.copy(nextSeq = st.nextSeq + 1)
             }
+
+            elems.toSeq.sortBy(t => (t.e.stamp, t.e.seqId)).foreach { t =>
+              val e = t.e
+              st = st.copy(lastEventMs = math.max(st.lastEventMs, e.stamp / div))
+              val (mySide, otherSide) = if (t.isLeft) (st.left, st.right) else (st.right, st.left)
+              val cur = mySide.entries.get(e.key)
+              val isStale = cur.exists { case (s, q, _) =>
+                s > e.stamp || (s == e.stamp && q >= e.seqId)
+              }
+              if (!isStale) {
+                // retract pairs produced by the previous value
+                cur.foreach { case (_, _, oldV) =>
+                  otherSide.entries.foreach { case (ok, (_, _, ov)) =>
+                    if (t.isLeft) emit(add = false, e.key, ok, oldV, ov)
+                    else emit(add = false, ok, e.key, ov, oldV)
+                  }
+                }
+                val newEntries =
+                  if (e.isDelete) mySide.entries - e.key
+                  else mySide.entries.updated(e.key, (e.stamp, e.seqId, e.value))
+                // add pairs for the new value
+                if (!e.isDelete) {
+                  otherSide.entries.foreach { case (ok, (_, _, ov)) =>
+                    if (t.isLeft) emit(add = true, e.key, ok, e.value, ov)
+                    else emit(add = true, ok, e.key, ov, e.value)
+                  }
+                }
+                st =
+                  if (t.isLeft) st.copy(left = SideState(newEntries))
+                  else st.copy(right = SideState(newEntries))
+              }
+            }
+            cleanup.foreach { c =>
+              // (re-)arm the cleanup timer off the refreshed idle clock;
+              // in batch execution there is no watermark and timers never
+              // fire, so cleanup is inert there by construction
+              StateOps.watermarkMs(state).foreach(wm =>
+                StateOps.armAfter(state, wm, st.lastEventMs + c.toMillis))
+            }
+            state.update(st)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

@@ -112,6 +112,14 @@ final class WideRowFamily(val spark: SparkSession,
     val store: EmbeddedWideRow.Store) extends AttributeLogFamily {
   import graft.core.StreamElement.encoder
 
+  /** Dataset appends COLLECT TO THE DRIVER by design: the embedded store
+    * is an in-JVM TrieMap living in the driver process, so there is no
+    * executor-side surface to write to — unlike the kafka double, whose
+    * DataSourceV2 writer appends from executor tasks. A real Cassandra
+    * binding would write per-partition from executors (the reference's
+    * CassandraWriter runs in each worker); this collect is the double's
+    * seam, not the production write shape.
+    */
   def append(elems: Dataset[StreamElement]): Unit =
     elems.collect().foreach(store.put)
 

@@ -55,6 +55,17 @@ import graft.core.GraftOperator
   * derived columns like `reduced` chain onward), literals, comparisons,
   * boolean and arithmetic operators, and string methods startsWith /
   * contains / endsWith / concat / length / lower / upper.
+  *
+  * Escape hatch: `sql("...")` embeds ANY Spark SQL expression over the
+  * element schema in a map/filter position — the pragmatic stand-in for
+  * the reference console's arbitrary closures (Console.java:44 compiles
+  * free-form Groovy; here the free form is Spark SQL, which keeps the
+  * scripted step distributed instead of a driver-side lambda):
+  *
+  * {{{
+  *   user.updates().filter(sql("stamp % 2 = 0 AND length(CAST(value AS STRING)) > 1")).count()
+  *   user.map(sql("concat(upper(key), ':', CAST(stamp AS STRING))")).take(5)
+  * }}}
   */
 object ShellExpr {
 
@@ -252,8 +263,27 @@ object ShellExpr {
     // block: flatMap(split(value, " "))
     case Fn("split", Seq(a, Lit(sep: String))) =>
       split(toColumn(a, env), java.util.regex.Pattern.quote(sep))
+    case Fn("split", _) => throw new IllegalArgumentException(
+      "split needs (expression, separator) where the separator is a " +
+        "string literal, e.g. split(value, \" \")")
+    // free-form Spark SQL passthrough — the remaining distance to the
+    // reference console's arbitrary Groovy closures (Console.java:44):
+    // any SQL expression over the element schema scripts inline, e.g.
+    //   user.filter(sql("regexp_like(CAST(value AS STRING), '^o.')")).count()
+    //   user.map(sql("substring(key, 1, 2)")).distinct().count()
+    // The expression compiles through Catalyst like every other verb, so
+    // a scripted sql() step still runs as a distributed plan. `value` is
+    // BINARY in the element schema — SQL text must cast it explicitly.
+    case Fn("sql", Seq(Lit(sqlText: String))) if env.isEmpty =>
+      expr(sqlText)
+    case Fn("sql", Seq(Lit(_: String))) => throw new IllegalArgumentException(
+      "sql(...) is not available inside a reduce fold — the fold binds " +
+        "lambda variables a SQL string cannot reference; use the " +
+        "expression operators instead")
+    case Fn("sql", _) => throw new IllegalArgumentException(
+      "sql needs one string literal containing a Spark SQL expression")
     case Fn(n, _) => throw new IllegalArgumentException(
-      s"unknown function '$n' (functions: split(expr, sep))")
+      s"unknown function '$n' (functions: split(expr, sep), sql(\"...\"))")
     case Call(t, "startsWith", Seq(a)) => toColumn(t, env).startsWith(toColumn(a, env))
     case Call(t, "contains", Seq(a))   => toColumn(t, env).contains(toColumn(a, env))
     case Call(t, "endsWith", Seq(a))   => toColumn(t, env).endsWith(toColumn(a, env))

@@ -103,6 +103,33 @@ class ModelGeneratorSpec extends SparkSpec {
     assert(ModelGenerator.ident("type") == "`type`")
   }
 
+  test("collision disambiguation survives a literal attribute taking the suffixed name") {
+    // "my-attr" and "myAttr" both mangle to myAttr; the numeric-suffix
+    // fallback picks myAttr2 — which the literal attribute "myAttr2"
+    // already owns, so the suffix must keep bumping until unused and the
+    // emitted source must still COMPILE (three distinct vals)
+    val repo = Repository.parse(
+      """entities { clash { attributes {
+        |  "my-attr"  { scheme: string }
+        |  "myAttr"   { scheme: string }
+        |  "myAttr2"  { scheme: string }
+        |} } }
+        |attributeFamilies {
+        |  clash-f { entity: clash, attributes: [ "*" ],
+        |            storage: "inmem://model-clash", type: primary,
+        |            access: [ commit-log, batch-updates, random-access ] }
+        |}""".stripMargin)
+    val src = ModelGenerator.generate(repo, "ClashModel")
+    val valNames = "val `([^`]+)`".r.findAllMatchIn(src).map(_.group(1)).toSeq
+      .filterNot(_ == "descriptor")
+    assert(valNames.distinct.size == 3,
+      s"three attributes need three distinct identifiers, got $valNames")
+    // the real proof: the toolbox compiles it
+    val op = new GraftOperator(spark, repo)
+    val model = ModelGenerator.compile(repo, "ClashModel", op)
+    assert(model != null)
+  }
+
   test("complex schemes stay byte-typed through the RAW codec, not a bad cast") {
     // the avro serializer is ValueSerializer[GenericRecord]; the generated
     // byte-typed surface must use BytesSerializer, or upsert/get would

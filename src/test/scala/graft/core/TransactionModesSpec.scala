@@ -167,6 +167,32 @@ class TransactionModesSpec extends SparkSpec {
     assert(!fs.exists(p), "lock released after use")
   }
 
+  test("marker lock: heartbeat keeps a live holder's lease from being broken") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lock = Files.createTempDirectory("graft-lock-hb-").toString + "/_commit.lock"
+    val order = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val pool = Executors.newFixedThreadPool(1)
+    // the holder's commit runs FIVE lease intervals — without the mtime
+    // heartbeat the waiter would break the lease at ~one interval and run
+    // concurrently with the still-live holder
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        CommitArbiter.withMarkerLock(conf, lock, leaseMs = 300) {
+          order.add("holder-enter"); Thread.sleep(1500); order.add("holder-exit")
+        }
+    })
+    pool.shutdown()
+    Thread.sleep(100) // let the holder claim first
+    CommitArbiter.withMarkerLock(conf, lock, leaseMs = 300) {
+      order.add("waiter-enter")
+    }
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    assert(order.toArray.toSeq ==
+      Seq("holder-enter", "holder-exit", "waiter-enter"),
+      s"waiter must not preempt a heartbeating holder: $order")
+  }
+
   test("parallel commit storm on one cell: exactly one winner per round") {
     val f = fam()
     val coord = new TransactionCoordinator(f, TransactionMode.Attribute)

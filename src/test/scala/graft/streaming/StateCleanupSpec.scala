@@ -1,0 +1,251 @@
+package graft.streaming
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.core.StreamElement
+
+/** Timeout-based keyed-state cleanup and early emission — the Spark
+  * lowerings of the reference's EVENT-TIME state timers (reference:
+  * beam/core/.../retract/RetractJoin.java:195-213 cleanup timer setup,
+  * :349-371 onTimer eviction; BeamStream.java:1596-1622
+  * AbstractReduceValueStateByKey early-emitting timer,
+  * TimerSpecs.timer(TimeDomain.EVENT_TIME)).
+  *
+  * Everything here is WATERMARK-driven, no wall-clock sleeps: elements
+  * carry millisecond stamps, the operators attach their own zero-disorder
+  * watermark riding the stamp, and timers fire as later elements advance
+  * it. Two Spark facts shape the tests: the watermark is computed at
+  * batch END (a timer set against batch N's data can only fire from
+  * batch N+1 on), and `processAllAvailable` does not wait for data-less
+  * timer-only batches — so each expected firing is driven by a "poke"
+  * batch on an unrelated key, which advances nothing for the key under
+  * test but guarantees the expired timer is serviced before the next
+  * assertion.
+  */
+class StateCleanupSpec extends SparkSpec {
+
+  private def el(key: String, stamp: Long, v: String, seq: Long = 0) =
+    StreamElement("e", key, "a", s"$key-$stamp-$seq", seq, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  private def str(b: Array[Byte]): String =
+    if (b == null) null else new String(b, "UTF-8")
+
+  private implicit val changeEnc: org.apache.spark.sql.Encoder[RetractJoin.Change] =
+    org.apache.spark.sql.Encoders.product[RetractJoin.Change]
+
+  test("retract join: idle join key evicted after cleanup, rebuilt by later elements") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val left = MemoryStream[StreamElement]
+    val right = MemoryStream[StreamElement]
+    val changes = RetractJoin(
+      left.toDS(), e => if (e.key.startsWith("x")) "OTHER" else "J",
+      right.toDS(), _ => "J",
+      cleanup = Some(5000.millis), stampUnit = "millis")
+    val q = changes.writeStream.format("memory").queryName("rj_ttl")
+      .outputMode("update").start()
+    try {
+      def byKey = spark.sql("SELECT * FROM rj_ttl WHERE joinKey = 'J'")
+        .as[RetractJoin.Change].collect().sortBy(_.seq)
+
+      left.addData(el("L1", 10000, "a"))
+      right.addData(el("R1", 11000, "b"))
+      q.processAllAvailable()
+      assert(byKey.length == 1 && byKey.head.isAddition)
+
+      // an unrelated-key element pushes the watermark past J's cleanup
+      // horizon (lastEvent 11000 + 5000); the poke batch then services
+      // the expired timer: J's whole cell is evicted — and eviction
+      // emits NO retraction of (L1, R1): data older than the cleanup
+      // horizon is no longer retractable
+      left.addData(el("xpoke", 20000, "p"))
+      q.processAllAvailable()
+      left.addData(el("xpoke", 20001, "p2"))
+      q.processAllAvailable()
+      assert(byKey.length == 1, s"eviction must not emit changes: ${byKey.toList}")
+
+      // rebuild: R2+L2 arrive into the evicted (empty) cell in one batch —
+      // R1 is gone, so the only pair is (L2, R2), built from scratch
+      right.addData(el("R2", 21000, "c"))
+      left.addData(el("L2", 22000, "d"))
+      q.processAllAvailable()
+      val after = byKey
+      assert(after.length == 2)
+      val rebuilt = after.last
+      assert(rebuilt.isAddition && rebuilt.leftKey == "L2" &&
+        rebuilt.rightKey == "R2" && str(rebuilt.leftValue) == "d")
+      // seq restarted from 0 — the reference clears the seq state too
+      // (RetractJoin.java:361-366)
+      assert(rebuilt.seq == 0L,
+        s"seq must restart after eviction, got ${rebuilt.seq}")
+      assert(after.count(!_.isAddition) == 0)
+    } finally q.stop()
+  }
+
+  test("retract join without cleanup keeps idle state across watermark advance") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val left = MemoryStream[StreamElement]
+    val right = MemoryStream[StreamElement]
+    val changes = RetractJoin(left.toDS(), _ => "J", right.toDS(), _ => "J")
+    val q = changes.writeStream.format("memory").queryName("rj_nottl")
+      .outputMode("update").start()
+    try {
+      left.addData(el("L1", 1000, "a"))
+      q.processAllAvailable()
+      right.addData(el("R1", 99999999L, "b"))
+      q.processAllAvailable()
+      val c = spark.sql("SELECT * FROM rj_nottl").as[RetractJoin.Change].collect()
+      assert(c.length == 1 && c.head.leftKey == "L1" && c.head.rightKey == "R1")
+    } finally q.stop()
+  }
+
+  test("integratePerKey: idle key evicted, restarts from initial; changelog correct") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = MemoryStream[StreamElement]
+    val q = StateOps.integratePerKey(input.toDS(), 0.0,
+        e => new String(e.value, "UTF-8").toDouble, _ + _,
+        cleanup = Some(5000.millis), stampUnit = "millis")
+      .toDF("key", "stamp", "running")
+      .writeStream.format("memory").queryName("integ_ttl")
+      .outputMode("update").start()
+    try {
+      input.addData(el("k", 10000, "10"))
+      q.processAllAvailable()
+      // unrelated key pushes the watermark past k's horizon (15000)...
+      input.addData(el("other", 20000, "1"))
+      q.processAllAvailable()
+      // ...and the poke batch services the expired timer: k is evicted
+      input.addData(el("other", 20500, "1"))
+      q.processAllAvailable()
+      input.addData(el("k", 30000, "7"))
+      q.processAllAvailable()
+      val runs = spark.sql("SELECT running FROM integ_ttl WHERE key='k' ORDER BY stamp")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(runs == Seq(10.0, 7.0),
+        s"evicted key must restart from initial, got $runs")
+    } finally q.stop()
+  }
+
+  test("integratePerKey: a key active within each cleanup window keeps its state") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = MemoryStream[StreamElement]
+    val q = StateOps.integratePerKey(input.toDS(), 0.0,
+        e => new String(e.value, "UTF-8").toDouble, _ + _,
+        cleanup = Some(5000.millis), stampUnit = "millis")
+      .toDF("key", "stamp", "running")
+      .writeStream.format("memory").queryName("integ_live")
+      .outputMode("update").start()
+    try {
+      // every arrival (k's own and the unrelated key's) keeps the
+      // watermark short of k's current deadline (lastEvent + 5000), so
+      // the timer never resolves as an eviction and the accumulator
+      // carries across batches — watermark advance alone must not evict
+      // an active key
+      input.addData(el("k", 10000, "10"))
+      q.processAllAvailable()
+      input.addData(el("other", 13000, "1"))
+      q.processAllAvailable()
+      input.addData(el("k", 14000, "5"))
+      q.processAllAvailable()
+      input.addData(el("other", 17000, "1"))
+      q.processAllAvailable()
+      input.addData(el("k", 18000, "2"))
+      q.processAllAvailable()
+      val runs = spark.sql("SELECT running FROM integ_live WHERE key='k' ORDER BY stamp")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(runs == Seq(10.0, 15.0, 17.0), s"active key must keep state: $runs")
+    } finally q.stop()
+  }
+
+  test("reduceValueStateByKey: early-emit timer re-emits output(state, null) for a quiet key") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    implicit val oe = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING)
+    implicit val se = org.apache.spark.sql.Encoders.STRING
+    val input = MemoryStream[StreamElement]
+    // output distinguishes the timer call (null element) from arrivals —
+    // exactly the reference's onTimer `output.call(state, null)`
+    // (BeamStream.java:1615)
+    val out = StateOps.reduceValueStateByKey[String, String](
+      input.toDS(), "init",
+      (st, e) => if (e == null) s"timer:$st" else s"elem:$st",
+      (st, e) => new String(e.value, "UTF-8"),
+      earlyEmit = Some(5000.millis), stampUnit = "millis")
+    val q = out.toDF("key", "o")
+      .writeStream.format("memory").queryName("early")
+      .outputMode("update").start()
+    try {
+      def rows(like: String) = spark.sql(
+        s"SELECT o FROM early WHERE key='k' AND o LIKE '$like'")
+        .collect().map(_.getString(0)).toSeq
+      input.addData(el("k", 10000, "v1"))
+      q.processAllAvailable()
+      // quiet key + watermark past its 15000 deadline -> timer re-emission
+      // (the second poke guarantees the expired timer is serviced)
+      input.addData(el("other", 20000, "x"))
+      q.processAllAvailable()
+      input.addData(el("other", 20002, "y"))
+      q.processAllAvailable()
+      assert(rows("timer:%").nonEmpty, "quiet key must re-emit on the timer")
+      // the timer saw the post-update state and did NOT change it
+      assert(rows("timer:%").forall(_ == "timer:v1"), rows("timer:%").toList)
+      input.addData(el("k", 40000, "v2"))
+      q.processAllAvailable()
+      assert(rows("elem:%") == Seq("elem:init", "elem:v1"),
+        "arrival outputs must fold across timer emissions unchanged")
+    } finally q.stop()
+  }
+
+  test("reduceValueStateByKey: earlyEmit + cleanup — quiet key re-emits, idle key evicts") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    implicit val oe = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING)
+    implicit val se = org.apache.spark.sql.Encoders.STRING
+    val input = MemoryStream[StreamElement]
+    val out = StateOps.reduceValueStateByKey[String, String](
+      input.toDS(), "init",
+      (st, e) => if (e == null) s"timer:$st" else s"elem:$st",
+      (st, e) => new String(e.value, "UTF-8"),
+      cleanup = Some(10000.millis),
+      earlyEmit = Some(2000.millis), stampUnit = "millis")
+    val q = out.toDF("key", "o")
+      .writeStream.format("memory").queryName("early_ttl")
+      .outputMode("update").start()
+    try {
+      def rows(like: String) = spark.sql(
+        s"SELECT o FROM early_ttl WHERE key='k' AND o LIKE '$like'")
+        .collect().map(_.getString(0)).toSeq
+      input.addData(el("k", 10000, "v1"))
+      q.processAllAvailable()
+      // inside the cleanup window: watermark 13000 passes k's early-emit
+      // deadline (12000) but not its cleanup deadline (20000) — the poke
+      // batch services the timer as an early emission, not an eviction
+      input.addData(el("other", 13000, "w"))
+      q.processAllAvailable()
+      input.addData(el("other", 13500, "x"))
+      q.processAllAvailable()
+      assert(rows("timer:%").nonEmpty, "early emission inside cleanup window")
+      assert(rows("timer:%").forall(_ == "timer:v1"), rows("timer:%").toList)
+      // push the watermark a full cleanup interval past k's last arrival:
+      // now the timer resolves as an eviction, so the next k element
+      // folds from the initial state again
+      input.addData(el("other", 30000, "y"))
+      q.processAllAvailable()
+      input.addData(el("other", 30100, "z"))
+      q.processAllAvailable()
+      input.addData(el("k", 31000, "v9"))
+      q.processAllAvailable()
+      assert(rows("elem:%").count(_ == "elem:init") == 2,
+        s"idle ≥ cleanup must evict: ${rows("elem:%").toList}")
+    } finally q.stop()
+  }
+}

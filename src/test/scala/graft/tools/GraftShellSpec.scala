@@ -136,6 +136,28 @@ class GraftShellSpec extends SparkSpec {
     assert(lines.drop(5).toSet == Set("0 6", "10 12"), s"windowed sum: $out")
   }
 
+  test("eval: sql() escape hatch runs free-form Spark SQL no DSL verb covers") {
+    val out = runScript(
+      """put user u1 status 2 online
+        |put user u2 status 3 offline
+        |put user u3 status 4 advent
+        |eval user.filter(sql("regexp_like(CAST(value AS STRING), '^o.+e$')")).count()
+        |eval user.map(sql("concat(upper(key), ':', CAST(stamp % 2 AS STRING))")).take(10)
+        |eval user.filter(sql("stamp % 2 = 0")).count()
+        |eval user.filter(sql(42)).count()
+        |eval user.flatMap(split(value, stamp)).count()
+        |""".stripMargin)
+    val lines = out.linesIterator.filterNot(_ == "ok").toSeq
+    // regexp matching: no DSL verb does regexes — only sql() can
+    assert(lines(0) == "2", s"regexp filter: $out")
+    assert(lines.slice(1, 4).toSet == Set("U1:0", "U2:1", "U3:0"),
+      s"sql-mapped projection: $out")
+    assert(lines(4) == "2", s"modulo filter: $out")
+    // wrong-shaped arguments get targeted messages, not 'unknown function'
+    assert(out.contains("sql needs one string literal"), out)
+    assert(out.contains("split needs (expression, separator)"), out)
+  }
+
   test("eval: bad expressions report errors without killing the session") {
     val out = runScript(
       """put user u1 status 1 on
