@@ -92,8 +92,21 @@ final class CachedView(family: AttributeLogFamily,
     */
   def assign(checkpoint: String,
       keyPredicate: org.apache.spark.sql.Column): CachedView = synchronized {
+    // the local cache ages cells out at keepDurationMs (evictAged), so the
+    // UPSTREAM snapshot state ages out in lockstep: idle keys are evicted
+    // from the flatMapGroupsWithState store on the same horizon, keeping
+    // the maintenance query's state bounded by keys active within the keep
+    // window instead of every key ever seen. Stamps are treated on the
+    // millisecond clock, matching keepDurationMs; a stale re-emit after an
+    // upstream eviction is harmless because fold() ranks versions by
+    // (stamp, seqId, uuid) and the local evictAged drops it anyway.
+    val cleanup =
+      if (keepDurationMs == Long.MaxValue) None
+      else Some(scala.concurrent.duration.Duration(keepDurationMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
     val updates = StateOps.snapshotUpdates(
-      family.streamFromOldest().filter(keyPredicate))
+      family.streamFromOldest().filter(keyPredicate),
+      cleanup = cleanup, stampUnit = "millis")
     val q = updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)

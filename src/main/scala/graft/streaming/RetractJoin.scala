@@ -38,16 +38,20 @@ import graft.core.StreamElement
   * Coarser than the reference's per-entry horizon (an active key's stale
   * entries survive until the key goes idle) but the same
   * unbounded-cardinality guarantee: state is bounded by join keys active
-  * within the cleanup window. Elements arriving after their key was
-  * evicted join against an empty cell — exactly the reference's contract
-  * that data older than the cleanup horizon is no longer retractable. The
-  * operator attaches its own zero-disorder watermark over the unioned
-  * element stamps (`stampUnit` micros|millis) right before the stateful
-  * step — an upstream watermark annotation cannot survive the tagging
-  * map, which re-creates attributes without metadata. Spark's watermark
-  * is computed per micro-batch, so eviction lands on the next batch
-  * boundary after the horizon passes; at real cleanup horizons (minutes+)
-  * the discretization is noise.
+  * within the cleanup window. Elements within the horizon arriving after
+  * their key was evicted join against an empty cell, and elements MORE
+  * than a full horizon out of order are dropped before the operator
+  * (Spark's event-time-timeout late-row filter; the attached watermark
+  * is delayed by the horizon so the drop lands exactly on the contract
+  * boundary) — both are the reference's contract that data older than
+  * the cleanup horizon is no longer retractable. The operator attaches
+  * its own watermark over the unioned element stamps (`stampUnit`
+  * micros|millis) right before the stateful step — an upstream watermark
+  * annotation cannot survive the tagging map, which re-creates
+  * attributes without metadata. Spark's watermark is computed per
+  * micro-batch, so eviction lands on the next batch boundary after the
+  * horizon passes; at real cleanup horizons (minutes+) the
+  * discretization is noise.
   *
   * Works identically on bounded inputs (one mega-batch): the emitted
   * changelog then ends in the final join state (batch execution never
@@ -95,9 +99,11 @@ object RetractJoin {
       if (cleanup.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     val div = StateOps.stampDivisor(stampUnit)
-    val src =
-      if (cleanup.isDefined) StateOps.withStampWatermark(tagged, "e.stamp", stampUnit)
-      else tagged
+    val src = cleanup match {
+      case Some(c) =>
+        StateOps.withStampWatermark(tagged, "e.stamp", stampUnit, c.toMillis)
+      case None => tagged
+    }
 
     src
       .groupByKey(_.joinKey)
@@ -105,18 +111,17 @@ object RetractJoin {
         OutputMode.Update(), timeout) {
         case (joinKey, elems, state: GroupState[JoinState]) =>
           if (state.hasTimedOut) {
+            // the watermark lags max-stamp-seen by the horizon, so wm ≥
+            // lastEventMs ⟺ the cell has been idle a full cleanup
             val wm = state.getCurrentWatermarkMs()
-            val idleFor = wm - state.get.lastEventMs
-            if (cleanup.exists(c => idleFor >= c.toMillis)) {
-              // cell's newest element a full cleanup behind the watermark:
+            if (wm >= state.get.lastEventMs) {
               // clear the whole cell, seq included (reference onTimer,
               // RetractJoin.java:361-366)
               state.remove()
             } else {
               // armed early (the arm was clamped past a stale watermark);
               // re-arm for the remaining idle allowance
-              cleanup.foreach(c =>
-                StateOps.armAfter(state, wm, state.get.lastEventMs + c.toMillis))
+              StateOps.armAfter(state, wm, state.get.lastEventMs)
             }
             Iterator.empty
           } else {
@@ -162,12 +167,14 @@ object RetractJoin {
                   else st.copy(right = SideState(newEntries))
               }
             }
-            cleanup.foreach { c =>
-              // (re-)arm the cleanup timer off the refreshed idle clock;
-              // in batch execution there is no watermark and timers never
-              // fire, so cleanup is inert there by construction
+            if (cleanup.isDefined) {
+              // (re-)arm the cleanup timer off the refreshed idle clock
+              // (deadline = lastEventMs on the horizon-lagged watermark
+              // clock); in batch execution there is no watermark and
+              // timers never fire, so cleanup is inert there by
+              // construction
               StateOps.watermarkMs(state).foreach(wm =>
-                StateOps.armAfter(state, wm, st.lastEventMs + c.toMillis))
+                StateOps.armAfter(state, wm, st.lastEventMs))
             }
             state.update(st)
             out.iterator

@@ -29,16 +29,21 @@ import graft.core.StreamElement
   * newest element is older than (watermark − cleanup) is evicted on an
   * `EventTimeTimeout` and a later element rebuilds it from the initial
   * state, so unbounded key cardinality cannot grow state forever across a
-  * long-running query. The operator attaches its own zero-disorder
-  * watermark over the element stamp right before the stateful step —
-  * Spark requires the watermark-annotated column in the state operator's
-  * direct input, and any upstream annotation dies at the first
-  * object-level transform (MapElements re-creates attributes without
-  * metadata), so an internal attach is the only shape that always works.
-  * Spark's watermark is per-micro-batch (one batch of lag — noise at
-  * real cleanup horizons). When unset (bounded inputs, tests) state is
-  * kept for the lifetime of the query, matching the previous behavior;
-  * batch execution never fires timers, so cleanup is inert there.
+  * long-running query. The operator attaches its own watermark over the
+  * element stamp, delayed by the cleanup horizon, right before the
+  * stateful step — Spark requires the watermark-annotated column in the
+  * state operator's direct input, and any upstream annotation dies at
+  * the first object-level transform (MapElements re-creates attributes
+  * without metadata), so an internal attach is the only shape that
+  * always works. With cleanup set, an element arriving more than a full
+  * horizon out of order is DROPPED before the operator (Spark's
+  * event-time-timeout late-row filter) — the same horizon contract as
+  * eviction, so one `cleanup` bounds both state size and accepted
+  * disorder. Spark's watermark is per-micro-batch (one batch of lag —
+  * noise at real cleanup horizons). When unset (bounded inputs, tests)
+  * state is kept for the lifetime of the query and nothing is dropped,
+  * matching the previous behavior; batch execution never fires timers,
+  * so cleanup is inert there.
   */
 object StateOps {
 
@@ -68,16 +73,24 @@ object StateOps {
       s"stampUnit must be micros|millis, got '$u'")
   }
 
-  /** Attach a zero-disorder watermark riding the element stamp, keeping
-    * the annotated column in the plan (the typed deserializer ignores the
-    * extra column, so downstream object code is unaffected). Zero
-    * disorder is correct here: the stateful operators order per batch and
-    * compare stamps themselves, so a late element is still APPLIED — the
-    * watermark only drives timers, and the cleanup horizon is documented
-    * to exceed the source's max disorder.
+  /** Attach a watermark riding the element stamp, delayed by the cleanup
+    * horizon, keeping the annotated column in the plan (the typed
+    * deserializer ignores the extra column, so downstream object code is
+    * unaffected). The delay choice is load-bearing: with
+    * `EventTimeTimeout`, Spark's FlatMapGroupsWithStateExec DROPS input
+    * rows older than the late-events watermark before the user function
+    * sees them (applyRemovingRowsOlderThanWatermark in
+    * processDataWithPartition) — delaying the watermark by the horizon
+    * makes that drop land exactly on the operator's documented contract
+    * (data more than `cleanup` out of order is no longer
+    * applicable/retractable), instead of on whatever disorder happens to
+    * straddle a micro-batch boundary. Consequence used by every caller:
+    * the watermark reads as (max stamp seen − horizon), so "evict when
+    * the cell is idle a full horizon" is simply `watermark ≥
+    * lastEventMs`.
     */
   private[streaming] def withStampWatermark[T](ds: Dataset[T], stampCol: String,
-      stampUnit: String)(implicit enc: Encoder[T]): Dataset[T] = {
+      stampUnit: String, delayMs: Long)(implicit enc: Encoder[T]): Dataset[T] = {
     val ts = stampUnit match {
       case "micros" => timestamp_micros(col(stampCol))
       case "millis" => timestamp_millis(col(stampCol))
@@ -85,13 +98,13 @@ object StateOps {
         s"stampUnit must be micros|millis, got '$u'")
     }
     ds.withColumn("__graft_event_time", ts)
-      .withWatermark("__graft_event_time", "0 milliseconds").as[T]
+      .withWatermark("__graft_event_time", s"$delayMs milliseconds").as[T]
   }
 
-  /** Arm the state timer: at the cleanup/early-emit deadline measured
-    * from the cell's last event time, but never at-or-before the current
-    * watermark (Spark rejects that) — a deadline already behind the
-    * watermark fires on the next batch boundary instead.
+  /** Arm the state timer at a deadline on the watermark clock, but never
+    * at-or-before the current watermark (Spark rejects that) — a deadline
+    * already behind the watermark fires on the next batch boundary
+    * instead.
     */
   private[streaming] def armAfter(state: GroupState[_], wm: Long,
       deadlineMs: Long): Unit =
@@ -128,29 +141,32 @@ object StateOps {
     implicit val ste = Encoders.product[PrefixState]
     implicit val ke = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     val div = stampDivisor(stampUnit)
-    val src =
-      if (cleanup.isDefined) withStampWatermark(stream, "stamp", stampUnit)
-      else stream
+    val src = cleanup match {
+      case Some(c) => withStampWatermark(stream, "stamp", stampUnit, c.toMillis)
+      case None    => stream
+    }
     src
       .groupByKey(e => (e.key, e.attributePrefix))
       .flatMapGroupsWithState[PrefixState, StreamElement](
         OutputMode.Update(), timeoutConf(cleanup)) {
         case (_, elems, state: GroupState[PrefixState]) =>
           if (state.hasTimedOut) {
+            // the watermark lags max-stamp-seen by the horizon, so wm ≥
+            // lastEventMs ⟺ the cell has been idle a full cleanup in
+            // event time
             val wm = state.getCurrentWatermarkMs()
-            if (cleanup.exists(c => wm - state.get.lastEventMs >= c.toMillis)) {
-              // cell's newest element is a full cleanup behind the
-              // watermark: drop it. A later element rebuilds the snapshot
-              // from scratch — the same trade-off as the reference's
+            if (wm >= state.get.lastEventMs) {
+              // drop the cell. A later element rebuilds the snapshot from
+              // scratch — the same trade-off as the reference's
               // TimeBoundedVersionedCache aging out a key's versions: an
               // element older than an already-evicted winner can win
-              // again, which is why cleanup must exceed the source's max
-              // disorder.
+              // again if it is within the horizon (anything older is
+              // late-filtered before the operator).
               state.remove()
             } else {
               // armed early (the arm was clamped past a stale watermark):
               // re-arm for the true deadline
-              cleanup.foreach(c => armAfter(state, wm, state.get.lastEventMs + c.toMillis))
+              armAfter(state, wm, state.get.lastEventMs)
             }
             Iterator.empty
           } else {
@@ -182,9 +198,9 @@ object StateOps {
                 }
               }
             }
-            cleanup.foreach { c =>
+            if (cleanup.isDefined) {
               watermarkMs(state).foreach(wm =>
-                armAfter(state, wm, st.lastEventMs + c.toMillis))
+                armAfter(state, wm, st.lastEventMs))
             }
             state.update(st)
             changed.values.iterator
@@ -208,22 +224,23 @@ object StateOps {
     implicit val ste = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
     implicit val ke = Encoders.STRING
     val div = stampDivisor(stampUnit)
-    val src =
-      if (cleanup.isDefined) withStampWatermark(stream, "stamp", stampUnit)
-      else stream
+    val src = cleanup match {
+      case Some(c) => withStampWatermark(stream, "stamp", stampUnit, c.toMillis)
+      case None    => stream
+    }
     src
       .groupByKey(_.key)
       .flatMapGroupsWithState[(Double, Long), (String, Long, Double)](
         OutputMode.Update(), timeoutConf(cleanup)) {
         case (key, elems, state: GroupState[(Double, Long)]) =>
           if (state.hasTimedOut) {
+            // horizon-delayed watermark: wm ≥ lastEventMs ⟺ idle ≥ cleanup
             val wm = state.getCurrentWatermarkMs()
-            if (cleanup.exists(c => wm - state.get._2 >= c.toMillis)) {
-              // newest element a full cleanup behind the watermark: evict;
-              // a later element restarts from `initial`
+            if (wm >= state.get._2) {
+              // evict; a later element restarts from `initial`
               state.remove()
             } else {
-              cleanup.foreach(c => armAfter(state, wm, state.get._2 + c.toMillis))
+              armAfter(state, wm, state.get._2)
             }
             Iterator.empty
           } else {
@@ -234,9 +251,9 @@ object StateOps {
               lastEventMs = math.max(lastEventMs, e.stamp / div)
               (key, e.stamp, acc)
             }
-            cleanup.foreach { c =>
+            if (cleanup.isDefined) {
               watermarkMs(state).foreach(wm =>
-                armAfter(state, wm, lastEventMs + c.toMillis))
+                armAfter(state, wm, lastEventMs))
             }
             state.update((acc, lastEventMs))
             out.iterator
@@ -254,10 +271,14 @@ object StateOps {
     * `output(state, null)` — null element, exactly the reference's timer
     * call — and re-arms, so a quiet key keeps publishing its current fold
     * on a watermark cadence. A null OUTPUT is discarded (Stream.java:409
-    * "when function returns null the output is discarded"). When both
-    * `earlyEmit` and `cleanup` are set the single state timer ticks at
-    * the smaller interval and the cell tracks its last-arrival watermark
-    * to tell the two apart: idle ≥ cleanup wins and evicts.
+    * "when function returns null the output is discarded"). The cell
+    * tracks its last event time and its last emission time on the stamp
+    * clock; the single state timer arms at the earlier of the two
+    * deadlines (next emission, eviction), and the firing handler tells
+    * them apart — idle ≥ cleanup wins and evicts. The attached
+    * watermark's delay is the cleanup horizon when set (one horizon for
+    * both eviction and the late-row filter), else the early-emit
+    * interval.
     */
   def reduceValueStateByKey[S: org.apache.spark.sql.Encoder, O](
       stream: Dataset[StreamElement], initialState: S,
@@ -267,61 +288,69 @@ object StateOps {
       stampUnit: String = "micros")(
       implicit oe: org.apache.spark.sql.Encoder[(String, O)]): Dataset[(String, O)] = {
     implicit val ke = Encoders.STRING
-    // state envelope carries the cell's last event time (ms) for the
-    // cleanup-vs-earlyEmit disambiguation; MinValue until data arrives
-    implicit val envEnc: org.apache.spark.sql.Encoder[(S, Long)] =
-      Encoders.tuple(implicitly[org.apache.spark.sql.Encoder[S]], Encoders.scalaLong)
-    val tick: Option[FiniteDuration] = (earlyEmit, cleanup) match {
-      case (Some(e), Some(c)) => Some(e.min(c))
-      case (e, c)             => e.orElse(c)
-    }
+    // state envelope: (fold state, last event ms, last emission ms) —
+    // both clocks on the STAMP domain; MinValue until data arrives
+    implicit val envEnc: org.apache.spark.sql.Encoder[((S, Long), Long)] =
+      Encoders.tuple(
+        Encoders.tuple(implicitly[org.apache.spark.sql.Encoder[S]],
+          Encoders.scalaLong), Encoders.scalaLong)
+    val timerOn = cleanup.isDefined || earlyEmit.isDefined
+    // the watermark reads as (max stamp − delayMs); deadlines below are
+    // stored on the stamp clock and translated by −delayMs when arming
+    val delayMs = cleanup.orElse(earlyEmit).map(_.toMillis).getOrElse(0L)
     val div = stampDivisor(stampUnit)
     val src =
-      if (tick.isDefined) withStampWatermark(stream, "stamp", stampUnit)
+      if (timerOn) withStampWatermark(stream, "stamp", stampUnit, delayMs)
       else stream
+    // next timer deadline on the WATERMARK clock for a cell with the
+    // given last-event/last-emission stamps
+    def deadline(lastEventMs: Long, lastTickMs: Long): Long = {
+      val evictAt = cleanup.map(_ => lastEventMs) // wm ≥ lastEvent ⟺ idle ≥ C
+      val emitAt = earlyEmit.map(e => lastTickMs + e.toMillis - delayMs)
+      (evictAt.toSeq ++ emitAt.toSeq).min
+    }
     src
       .groupByKey(_.key)
-      .flatMapGroupsWithState[(S, Long), (String, O)](
-        OutputMode.Update(), timeoutConf(tick)) {
-        case (key, elems, state: GroupState[(S, Long)]) =>
+      .flatMapGroupsWithState[((S, Long), Long), (String, O)](
+        OutputMode.Update(),
+        if (timerOn) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        case (key, elems, state: GroupState[((S, Long), Long)]) =>
           if (state.hasTimedOut) {
-            val (st, lastEventMs) = state.get
+            val ((st, lastEventMs), lastTickMs) = state.get
             val wm = state.getCurrentWatermarkMs()
-            if (cleanup.exists(c => wm - lastEventMs >= c.toMillis)) {
+            val stampNow = wm + delayMs // max stamp the watermark vouches for
+            if (cleanup.isDefined && wm >= lastEventMs) {
               state.remove()
               Iterator.empty
+            } else if (earlyEmit.exists(e => stampNow >= lastTickMs + e.toMillis)) {
+              // the reference re-arms offset(earlyEmitting) relative to
+              // the firing (BeamStream.java:1620): next emission one
+              // interval past this one
+              state.update(((st, lastEventMs), stampNow))
+              armAfter(state, wm, deadline(lastEventMs, stampNow))
+              Option(output(st, null)).map(o => (key, o)).iterator
             } else {
-              // not yet idle ≥ cleanup: re-arm. An early-emitting key
-              // re-arms one interval from the current watermark (the
-              // reference re-arms offset(earlyEmitting) relative,
-              // BeamStream.java:1620) — never past the cleanup deadline;
-              // a cleanup-only timer that fired off a clamped arm re-arms
-              // for the remaining idle allowance.
-              val nextAt = (earlyEmit, cleanup) match {
-                case (Some(e), Some(c)) =>
-                  math.min(wm + e.toMillis, lastEventMs + c.toMillis)
-                case (Some(e), None) => wm + e.toMillis
-                case (None, c)       => lastEventMs + c.get.toMillis
-              }
-              armAfter(state, wm, nextAt)
-              if (earlyEmit.isDefined)
-                Option(output(st, null)).map(o => (key, o)).iterator
-              else Iterator.empty
+              // armed early off a clamped/stale deadline: re-arm only
+              armAfter(state, wm, deadline(lastEventMs, lastTickMs))
+              Iterator.empty
             }
           } else {
-            var st = state.getOption.map(_._1).getOrElse(initialState)
-            var lastEventMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
+            var st = state.getOption.map(_._1._1).getOrElse(initialState)
+            var lastEventMs = state.getOption.map(_._1._2).getOrElse(Long.MinValue)
             val out = elems.toSeq.sortBy(e => (e.stamp, e.seqId)).map { e =>
               val o = output(st, e)
               st = update(st, e)
               lastEventMs = math.max(lastEventMs, e.stamp / div)
               (key, o)
             }
-            tick.foreach { t =>
+            // an arrival restarts the emission cadence from the newest
+            // element (the reference arms its early timer per element)
+            if (timerOn) {
               watermarkMs(state).foreach(wm =>
-                armAfter(state, wm, lastEventMs + t.toMillis))
+                armAfter(state, wm, deadline(lastEventMs, lastEventMs)))
             }
-            state.update((st, lastEventMs))
+            state.update(((st, lastEventMs), lastEventMs))
             out.iterator
           }
       }

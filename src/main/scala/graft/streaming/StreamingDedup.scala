@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.concurrent.duration.FiniteDuration
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -21,6 +23,13 @@ import graft.functions.MinHashLsh
   *
   * State is bounded by distinct band buckets (≤ documents × bands);
   * at 100 TB the state store shards it by bucket key across executors.
+  * For a LONG-RUNNING gate that bound still grows with the corpus —
+  * [[bandHitsWithHorizon]] bounds it by a dedup horizon instead: a
+  * bucket idle past the horizon is evicted (its next occupant claims it
+  * fresh), turning "dup of anything ever seen" into "dup of anything
+  * seen within the window" — the standard trade a perpetual ingestion
+  * gate makes, via the same event-time timeout machinery as
+  * [[StateOps]].
   * The per-row signature math is IDENTICAL to the batch column
   * expressions (same md5-60-bit base hash, same affine permutations mod
   * 2^31-1) — spec-enforced — so streaming flags agree with what the
@@ -97,6 +106,71 @@ object StreamingDedup {
           }
           first.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Banded row for the horizon gate (a named class, not a tuple: the
+    * internally-attached watermark column rides alongside, and tuple
+    * deserializers are positional — they reject extra columns — while
+    * case-class fields resolve by name).
+    */
+  final case class Banded(band: Int, bval: String, id: Long, stamp: Long)
+
+  /** [[bandHits]] with a dedup horizon: input rows carry an event-time
+    * stamp, and a band bucket whose newest arrival falls a full `horizon`
+    * behind the watermark is evicted — the next document hashing into it
+    * claims it fresh. State is then bounded by buckets ACTIVE within the
+    * horizon, the shape a perpetual gate needs at 100 TB.
+    */
+  def bandHitsWithHorizon(docs: Dataset[(Long, String, Long)],
+      horizon: FiniteDuration, n: Int = 3, k: Int = 8, bandRows: Int = 2,
+      stampUnit: String = "millis"): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bandRows == 0, s"bandRows $bandRows must divide k $k")
+    val div = StateOps.stampDivisor(stampUnit)
+    val banded = docs.flatMap { case (id, text, stamp) =>
+      val sig = signature(text, n, k)
+      (0 until k / bandRows).map { b =>
+        Banded(b, (0 until bandRows).map(r => sig(b * bandRows + r)).mkString("|"),
+          id, stamp)
+      }
+    }
+    StateOps.withStampWatermark(banded, "stamp", stampUnit, horizon.toMillis)
+      .groupByKey(r => (r.band, r.bval))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[Banded],
+            state: GroupState[(Long, Long)]) =>  // (first id, lastEventMs)
+          if (state.hasTimedOut) {
+            // horizon-delayed watermark: wm ≥ lastEventMs ⟺ bucket idle a
+            // full horizon (and docs straddling the horizon are dropped
+            // by the late-row filter — also within the window contract)
+            val wm = state.getCurrentWatermarkMs()
+            if (wm >= state.get._2) state.remove()
+            else StateOps.armAfter(state, wm, state.get._2)
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.stamp, r.id))
+            var first = state.getOption.map(_._1)
+            var lastEventMs = state.getOption.map(_._2).getOrElse(Long.MinValue)
+            val out = sorted.map { case Banded(_, _, id, stamp) =>
+              lastEventMs = math.max(lastEventMs, stamp / div)
+              first match {
+                case None =>
+                  first = Some(id)
+                  BandHit(id, key._1, key._2, None)
+                case Some(f) =>
+                  BandHit(id, key._1, key._2, if (f == id) None else Some(f))
+              }
+            }
+            first.foreach { f =>
+              StateOps.watermarkMs(state).foreach(wm =>
+                StateOps.armAfter(state, wm, lastEventMs))
+              state.update((f, lastEventMs))
+            }
+            out.iterator
+          }
       }
   }
 }

@@ -15,9 +15,11 @@ import graft.core.StreamElement
   * TimerSpecs.timer(TimeDomain.EVENT_TIME)).
   *
   * Everything here is WATERMARK-driven, no wall-clock sleeps: elements
-  * carry millisecond stamps, the operators attach their own zero-disorder
-  * watermark riding the stamp, and timers fire as later elements advance
-  * it. Two Spark facts shape the tests: the watermark is computed at
+  * carry millisecond stamps, the operators attach their own
+  * horizon-delayed watermark riding the stamp (watermark = max stamp −
+  * cleanup, so "idle a full horizon" reads as watermark ≥ last event
+  * time), and timers fire as later elements advance it. Two Spark facts
+  * shape the tests: the watermark is computed at
   * batch END (a timer set against batch N's data can only fire from
   * batch N+1 on), and `processAllAvailable` does not wait for data-less
   * timer-only batches — so each expected firing is driven by a "poke"
@@ -57,11 +59,11 @@ class StateCleanupSpec extends SparkSpec {
       q.processAllAvailable()
       assert(byKey.length == 1 && byKey.head.isAddition)
 
-      // an unrelated-key element pushes the watermark past J's cleanup
-      // horizon (lastEvent 11000 + 5000); the poke batch then services
-      // the expired timer: J's whole cell is evicted — and eviction
-      // emits NO retraction of (L1, R1): data older than the cleanup
-      // horizon is no longer retractable
+      // an unrelated-key element pushes the horizon-lagged watermark
+      // (max stamp − 5000) past J's last event time (11000); the poke
+      // batch then services the expired timer: J's whole cell is evicted
+      // — and eviction emits NO retraction of (L1, R1): data older than
+      // the cleanup horizon is no longer retractable
       left.addData(el("xpoke", 20000, "p"))
       q.processAllAvailable()
       left.addData(el("xpoke", 20001, "p2"))
@@ -117,7 +119,8 @@ class StateCleanupSpec extends SparkSpec {
     try {
       input.addData(el("k", 10000, "10"))
       q.processAllAvailable()
-      // unrelated key pushes the watermark past k's horizon (15000)...
+      // unrelated key pushes the lagged watermark (20000 − 5000) past
+      // k's last event time (10000)...
       input.addData(el("other", 20000, "1"))
       q.processAllAvailable()
       // ...and the poke batch services the expired timer: k is evicted
@@ -164,6 +167,52 @@ class StateCleanupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotUpdates: idle cell evicted from the state store; output stays correct") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = MemoryStream[StreamElement]
+    val q = StateOps.snapshotUpdates(input.toDS(),
+        cleanup = Some(5000.millis), stampUnit = "millis")
+      .writeStream.format("memory").queryName("snap_ttl")
+      .outputMode("update").start()
+    try {
+      def outs(key: String) = spark.sql(
+        s"SELECT value, delete FROM snap_ttl WHERE key='$key'").collect()
+      input.addData(el("K", 10000, "v1"))
+      q.processAllAvailable()
+      assert(outs("K").length == 1, "winner emitted")
+      // an older element within the window loses to the held winner: no
+      // emission while the cell is alive
+      input.addData(el("K", 9500, "v0"))
+      q.processAllAvailable()
+      assert(outs("K").length == 1, "stale element must not re-emit")
+      // push the lagged watermark (max stamp − 5000) past K's last event
+      // time; the poke batch services the eviction
+      input.addData(el("other", 20000, "w"))
+      q.processAllAvailable()
+      input.addData(el("other", 20500, "x"))
+      q.processAllAvailable()
+      // eviction emits nothing (no spurious deletes) but drops the state
+      // row — visible in the operator metrics
+      assert(outs("K").length == 1, "eviction must not emit")
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 1, s"state rows must actually be removed, got $removed")
+      // a fresh element within the new window claims the cell from scratch
+      input.addData(el("K", 21000, "v2"))
+      q.processAllAvailable()
+      val ks = outs("K")
+      assert(ks.length == 2 && !ks.last.getBoolean(1) &&
+        new String(ks.last.getAs[Array[Byte]](0), "UTF-8") == "v2")
+      // the horizon closes the stale-resurrection hole by construction:
+      // an element older than an evicted winner is necessarily behind the
+      // late-events watermark and is dropped before the operator, so it
+      // can never re-emerge as a winner
+      input.addData(el("K", 9000, "ghost"))
+      q.processAllAvailable()
+      assert(outs("K").length == 2, "behind-horizon element must be dropped")
+    } finally q.stop()
+  }
+
   test("reduceValueStateByKey: early-emit timer re-emits output(state, null) for a quiet key") {
     implicit val sq = spark.sqlContext
     implicit val enc = StreamElement.encoder
@@ -188,8 +237,9 @@ class StateCleanupSpec extends SparkSpec {
         .collect().map(_.getString(0)).toSeq
       input.addData(el("k", 10000, "v1"))
       q.processAllAvailable()
-      // quiet key + watermark past its 15000 deadline -> timer re-emission
-      // (the second poke guarantees the expired timer is serviced)
+      // quiet key + max stamp a full interval past k's last emission ->
+      // timer re-emission (the second poke guarantees the expired timer
+      // is serviced)
       input.addData(el("other", 20000, "x"))
       q.processAllAvailable()
       input.addData(el("other", 20002, "y"))
@@ -226,9 +276,10 @@ class StateCleanupSpec extends SparkSpec {
         .collect().map(_.getString(0)).toSeq
       input.addData(el("k", 10000, "v1"))
       q.processAllAvailable()
-      // inside the cleanup window: watermark 13000 passes k's early-emit
-      // deadline (12000) but not its cleanup deadline (20000) — the poke
-      // batch services the timer as an early emission, not an eviction
+      // inside the cleanup window: max stamp 13000 passes k's next
+      // emission (10000 + 2000) but the lagged watermark (3000) is far
+      // short of k's last event time — the poke batch services the timer
+      // as an early emission, not an eviction
       input.addData(el("other", 13000, "w"))
       q.processAllAvailable()
       input.addData(el("other", 13500, "x"))

@@ -53,4 +53,42 @@ class StreamingDedupSpec extends SparkSpec {
       assert(d2(11L).isEmpty, "fresh unique content passes the gate")
     } finally q.stop()
   }
+
+  test("horizon gate: an idle bucket is evicted and its next occupant claims it fresh") {
+    import scala.concurrent.duration._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingDedup.bandHitsWithHorizon(in.toDS(), horizon = 5000.millis)
+      .writeStream.format("memory").queryName("dedup_horizon")
+      .outputMode("update").start()
+    try {
+      def dupsOf(id: Long): Set[Long] = spark.table("dedup_horizon")
+        .collect().filter(_.getLong(0) == id)
+        .flatMap(r => Option(r.get(3)).map(_.toString.toLong)).toSet
+      // doc 1 claims textA's buckets at t=10000
+      in.addData((1L, textA, 10000L))
+      q.processAllAvailable()
+      // inside the horizon a twin is flagged against the stored owner
+      in.addData((2L, textA, 12000L))
+      q.processAllAvailable()
+      assert(dupsOf(2L) == Set(1L), "within-horizon dup flags against the owner")
+      // unrelated docs push the lagged watermark (max stamp − 5000) past
+      // the bucket's last arrival (12000); the poke batch services the
+      // eviction
+      in.addData((50L, textB, 25000L))
+      q.processAllAvailable()
+      in.addData((51L, textC, 25500L))
+      q.processAllAvailable()
+      // the bucket was evicted: the same text now claims it fresh — no
+      // flag, the gate remembers only the horizon window
+      in.addData((3L, textA, 26000L))
+      q.processAllAvailable()
+      assert(dupsOf(3L).isEmpty,
+        "post-horizon occupant must claim the bucket fresh")
+      // and a NEW twin inside the new window flags against the new owner
+      in.addData((4L, textA, 27000L))
+      q.processAllAvailable()
+      assert(dupsOf(4L) == Set(3L), "new window, new owner")
+    } finally q.stop()
+  }
 }
