@@ -36,7 +36,8 @@ object StatefulQueries extends QuerySet {
     * machinery rather than a driver-fed MemoryStream.
     */
   private def stageEventLog(s: SparkSession, d: String,
-      payload: org.apache.spark.sql.Column): (graft.streaming.CommitLogFamily, String) = {
+      payload: org.apache.spark.sql.Column,
+      attrOf: Long => String): (graft.streaming.CommitLogFamily, String) = {
     implicit val enc = StreamElement.encoder
     implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
@@ -48,7 +49,7 @@ object StatefulQueries extends QuerySet {
         col("event_id").cast("long"), payload.cast("string"))
       .as[(String, Long, Long, String)]
       .map { case (user, stampUs, id, pay) =>
-        StreamElement("user", user, "state", s"u-$id", id, stampUs,
+        StreamElement("user", user, attrOf(id), s"u-$id", id, stampUs,
           pay.getBytes("UTF-8"), delete = false, deleteWildcard = false)
       }
       .persist()
@@ -82,9 +83,10 @@ object StatefulQueries extends QuerySet {
     * run repeatedly in one session — scratch storage must not accumulate).
     */
   private def runStreamed[T](s: SparkSession, d: String,
-      payload: org.apache.spark.sql.Column)(
+      payload: org.apache.spark.sql.Column,
+      attrOf: Long => String = _ => "state")(
       f: Dataset[StreamElement] => Dataset[T]): DataFrame = {
-    val (fam, tmp) = stageEventLog(s, d, payload)
+    val (fam, tmp) = stageEventLog(s, d, payload, attrOf)
     val out = StreamSupport.runToMemorySink(s,
       f(fam.streamFromOldestThrottled(maxFilesPerTrigger = 1))) { q =>
       q.processAllAvailable()
@@ -141,6 +143,26 @@ object StatefulQueries extends QuerySet {
         col("_2._2").as("prev_type"))
     }),
 
+    // snapshotUpdates through the STREAMING lowering: the CachedView
+    // maintenance query (LocalCachedPartitionedView.java:59) replayed
+    // from a commit log in three micro-batches. Events land in wildcard
+    // attributes ev.<bucket> so one state cell owns several suffixes;
+    // the emitted upsert changelog's final winner per (key, attribute)
+    // must equal the latest event per (user, bucket)
+    "q_snapshot_updates_stream" -> ((s, d) => {
+      val changelog = runStreamed(s, d, cents(col("value")),
+        attrOf = id => s"ev.${id % 8}") { ds =>
+        StateOps.snapshotUpdates(ds)
+      }
+      val w = Window.partitionBy(col("key"), col("attribute"))
+        .orderBy(col("stamp").desc, col("seqId").desc)
+      changelog
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key").as("user_key"), col("attribute").as("attr"),
+          col("value").cast("string").cast("long").as("val_cents"))
+    }),
+
     // groupReduce: whole-group UDF emitting N outputs (WindowedStream
     // .java:129) — here top-2 per event_type by value; lowered to a ranked
     // window (distributed, spill-safe) instead of materializing groups
@@ -181,6 +203,16 @@ object StatefulQueries extends QuerySet {
         |coalesce(lag(event_type) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
         |FROM events""".stripMargin,
+
+    "q_snapshot_updates_stream" ->
+      """SELECT user_key, attr, val_cents FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |         'ev.' || CAST(event_id % 8 AS VARCHAR) AS attr,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS val_cents,
+        |         row_number() OVER (PARTITION BY user_id, event_id % 8
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
 
     "q_group_reduce_top2" ->
       """SELECT event_type, rk, event_id, value FROM (
