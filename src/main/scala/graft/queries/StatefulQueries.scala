@@ -24,49 +24,70 @@ object StatefulQueries extends QuerySet {
     .orderBy(col("ts"), col("event_id"))
 
   /** The events table as a bounded StreamElement changelog (key = user,
-    * stamp = event-time micros, seqId = event_id, value = caller-chosen
-    * payload), staged into a scratch [[graft.streaming.CommitLogFamily]]
-    * as three stamp-range segment files. Everything stays distributed —
-    * each segment is one Spark write job (coalesced to a single log
-    * segment), nothing is collected to the driver — so the streaming
-    * oracle queries exercise the PRODUCTION source→stateful-op path:
-    * commit-log replay with `maxFilesPerTrigger=1` turns the three
-    * segments into three stamp-ordered micro-batches, forcing real
-    * cross-batch state carry-over through the file-source checkpointing
-    * machinery rather than a driver-fed MemoryStream.
+    * attribute = ev.<event_id % 8> so one wildcard cell owns several
+    * suffixes, stamp = event-time micros, seqId = event_id, value =
+    * "<cents>|<event_type>" so every streaming oracle query extracts its
+    * field from ONE shared log), staged into a scratch
+    * [[graft.streaming.CommitLogFamily]] as three stamp-range segment
+    * files. Everything stays distributed — each segment is one Spark
+    * write job (coalesced to a single log segment), nothing is collected
+    * to the driver — so the streaming oracle queries exercise the
+    * PRODUCTION source→stateful-op path: commit-log replay with
+    * `maxFilesPerTrigger=1` turns the three segments into three
+    * stamp-ordered micro-batches, forcing real cross-batch state
+    * carry-over through the file-source checkpointing machinery rather
+    * than a driver-fed MemoryStream.
+    *
+    * The log is deterministic given the sf dir, so it is staged ONCE per
+    * JVM per sf dir and shared by all streaming oracle queries (bench and
+    * verify run them in one session — re-staging per query would triple
+    * the scratch writes); a shutdown hook removes the scratch dirs, so
+    * repeated runs in one session still cannot accumulate storage.
     */
-  private def stageEventLog(s: SparkSession, d: String,
-      payload: org.apache.spark.sql.Column,
-      attrOf: Long => String): (graft.streaming.CommitLogFamily, String) = {
-    implicit val enc = StreamElement.encoder
-    implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-state-q").toString
-    val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
-    val elems = Tables.events(s, d)
-      .select(col("user_id").cast("string"), unix_micros(col("ts")),
-        col("event_id").cast("long"), payload.cast("string"))
-      .as[(String, Long, Long, String)]
-      .map { case (user, stampUs, id, pay) =>
-        StreamElement("user", user, attrOf(id), s"u-$id", id, stampUs,
-          pay.getBytes("UTF-8"), delete = false, deleteWildcard = false)
-      }
-      .persist()
-    try {
-      // slice on stamp terciles: per-key event-time order is preserved
-      // across segments (ties never straddle a boundary), which is all the
-      // per-batch-sorting state operators need for global-order semantics
-      val cuts = elems.stat.approxQuantile("stamp", Array(1.0 / 3, 2.0 / 3), 0.001)
-      val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
-      Seq(
-        elems.filter(col("stamp") < c1),
-        elems.filter(col("stamp") >= c1 && col("stamp") < c2),
-        elems.filter(col("stamp") >= c2)
-      ).foreach(slice => fam.append(slice.coalesce(1)))
-    } finally elems.unpersist()
-    (fam, tmp)
+  private val stagedLogs =
+    scala.collection.concurrent.TrieMap.empty[String, graft.streaming.CommitLogFamily]
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedLogs.values.foreach(f =>
+        deleteRecursively(new java.io.File(f.path).getParent))))
   }
+
+  private def sharedEventLog(s: SparkSession, d: String): graft.streaming.CommitLogFamily =
+    stagedLogs.synchronized {
+      stagedLogs.getOrElseUpdate(d, {
+        implicit val enc = StreamElement.encoder
+        implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-state-q").toString
+        val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+        val elems = Tables.events(s, d)
+          .select(col("user_id").cast("string"), unix_micros(col("ts")),
+            col("event_id").cast("long"),
+            concat(cents(col("value")).cast("string"), lit("|"), col("event_type")))
+          .as[(String, Long, Long, String)]
+          .map { case (user, stampUs, id, pay) =>
+            StreamElement("user", user, s"ev.${id % 8}", s"u-$id", id, stampUs,
+              pay.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+          }
+          .persist()
+        try {
+          // slice on stamp terciles: per-key event-time order is preserved
+          // across segments (ties never straddle a boundary), which is all
+          // the per-batch-sorting state operators need for global-order
+          // semantics
+          val cuts = elems.stat.approxQuantile("stamp", Array(1.0 / 3, 2.0 / 3), 0.001)
+          val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+          Seq(
+            elems.filter(col("stamp") < c1),
+            elems.filter(col("stamp") >= c1 && col("stamp") < c2),
+            elems.filter(col("stamp") >= c2)
+          ).foreach(slice => fam.append(slice.coalesce(1)))
+        } finally elems.unpersist()
+        fam
+      })
+    }
 
   private def deleteRecursively(dir: String): Unit = {
     import java.nio.file.{Files, Path, Paths}
@@ -77,22 +98,29 @@ object StatefulQueries extends QuerySet {
     }
   }
 
-  /** Run `f` over the staged commit log replayed one segment per
-    * micro-batch and return the (sink-decoupled, lineage-truncated) result
-    * table; the scratch log is deleted before returning (oracle queries
-    * run repeatedly in one session — scratch storage must not accumulate).
+  /** The cents half of the shared-log payload. */
+  private def payCents(e: StreamElement): Double = {
+    val v = new String(e.value, "UTF-8")
+    v.substring(0, v.indexOf('|')).toDouble
+  }
+
+  /** The event_type half of the shared-log payload. */
+  private def payType(e: StreamElement): String = {
+    val v = new String(e.value, "UTF-8")
+    v.substring(v.indexOf('|') + 1)
+  }
+
+  /** Run `f` over the shared staged commit log replayed one segment per
+    * micro-batch and return the (sink-decoupled, lineage-truncated)
+    * result table.
     */
-  private def runStreamed[T](s: SparkSession, d: String,
-      payload: org.apache.spark.sql.Column,
-      attrOf: Long => String = _ => "state")(
+  private def runStreamed[T](s: SparkSession, d: String)(
       f: Dataset[StreamElement] => Dataset[T]): DataFrame = {
-    val (fam, tmp) = stageEventLog(s, d, payload, attrOf)
-    val out = StreamSupport.runToMemorySink(s,
+    val fam = sharedEventLog(s, d)
+    StreamSupport.runToMemorySink(s,
       f(fam.streamFromOldestThrottled(maxFilesPerTrigger = 1))) { q =>
       q.processAllAvailable()
     }
-    deleteRecursively(tmp)
-    out
   }
 
   val queries: Map[String, QFn] = Map(
@@ -121,9 +149,8 @@ object StatefulQueries extends QuerySet {
     // answered by the transformWithState-path code so the streaming
     // implementation gets its own oracle signal (BeamStream.java:1498)
     "q_integrate_per_key_stream" -> ((s, d) => {
-      runStreamed(s, d, cents(col("value"))) { ds =>
-        StateOps.integratePerKey(ds, 0.0,
-          e => new String(e.value, "UTF-8").toDouble, _ + _)
+      runStreamed(s, d) { ds =>
+        StateOps.integratePerKey(ds, 0.0, payCents, _ + _)
       }.select(col("_1").as("user_key"), col("_2").as("stamp_us"),
         col("_3").cast("long").as("run_cents"))
     }),
@@ -135,10 +162,10 @@ object StatefulQueries extends QuerySet {
       implicit val oe = Encoders.tuple(Encoders.STRING,
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       implicit val se = Encoders.STRING
-      runStreamed(s, d, col("event_type")) { ds =>
+      runStreamed(s, d) { ds =>
         StateOps.reduceValueStateByKey[String, (Long, String)](ds, "none",
           (st, e) => (e.seqId, st),
-          (_, e) => new String(e.value, "UTF-8"))
+          (_, e) => payType(e))
       }.select(col("_1").as("user_key"), col("_2._1").as("event_id"),
         col("_2._2").as("prev_type"))
     }),
@@ -150,8 +177,7 @@ object StatefulQueries extends QuerySet {
     // the emitted upsert changelog's final winner per (key, attribute)
     // must equal the latest event per (user, bucket)
     "q_snapshot_updates_stream" -> ((s, d) => {
-      val changelog = runStreamed(s, d, cents(col("value")),
-        attrOf = id => s"ev.${id % 8}") { ds =>
+      val changelog = runStreamed(s, d) { ds =>
         StateOps.snapshotUpdates(ds)
       }
       val w = Window.partitionBy(col("key"), col("attribute"))
@@ -160,7 +186,8 @@ object StatefulQueries extends QuerySet {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("key").as("user_key"), col("attribute").as("attr"),
-          col("value").cast("string").cast("long").as("val_cents"))
+          split(col("value").cast("string"), "\\|").getItem(0)
+            .cast("long").as("val_cents"))
     }),
 
     // groupReduce: whole-group UDF emitting N outputs (WindowedStream
