@@ -167,6 +167,49 @@ class StateCleanupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cleanup bounds state under key churn; NoTimeout grows with every key ever seen") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+
+    // 24 waves of 5 fresh keys each, 1s apart: at any instant only the
+    // keys of the last ~3 waves are inside a 3s cleanup window
+    def waves: Seq[StreamElement] =
+      (0 until 24).flatMap(w => (0 until 5).map(i =>
+        el(s"w$w-k$i", 10000L + w * 1000L, "1")))
+
+    def run(cleanup: Option[scala.concurrent.duration.FiniteDuration],
+        name: String): Long = {
+      val input = MemoryStream[StreamElement]
+      val q = StateOps.integratePerKey(input.toDS(), 0.0,
+          e => new String(e.value, "UTF-8").toDouble, _ + _,
+          cleanup = cleanup, stampUnit = "millis")
+        .toDF("key", "stamp", "running")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        waves.grouped(5).foreach { batch =>
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+        // final poke so the last expired timers are serviced
+        input.addData(el("poke", 60000L, "1"))
+        q.processAllAvailable()
+        input.addData(el("poke2", 60001L, "1"))
+        q.processAllAvailable()
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).last
+      } finally q.stop()
+    }
+
+    val unbounded = run(None, "churn_nottl")
+    val bounded = run(Some(3000.millis), "churn_ttl")
+    // every wave's keys stay resident without cleanup
+    assert(unbounded >= 120, s"NoTimeout keeps all cells, got $unbounded")
+    // with a 3s horizon only the last waves (+ pokes) survive — the bound
+    // a 100 TB long-running query needs: state ∝ keys active in the
+    // window, not keys ever seen
+    assert(bounded <= 30, s"cleanup must bound resident state, got $bounded")
+  }
+
   test("snapshotUpdates: idle cell evicted from the state store; output stays correct") {
     implicit val sq = spark.sqlContext
     implicit val enc = StreamElement.encoder
