@@ -86,20 +86,33 @@ object ModelGenerator {
     val entities = repo.entities.values.toSeq.sortBy(_.name).map { e =>
       // distinct attribute names can mangle to one identifier
       // ("my-attr" and "myAttr" both camel to myAttr) — disambiguate
-      // with a numeric suffix. The suffixed name can itself collide with
-      // a literal attribute ("myAttr2"), so track every emitted
-      // identifier (backticks stripped — `x` and x are the same Scala
-      // name) and bump the suffix until unused, so the generated object
-      // always compiles
-      val used = scala.collection.mutable.Set.empty[String]
+      // with a numeric suffix. Binding must stay FAITHFUL, not merely
+      // compilable: an attribute whose raw name IS already a legal
+      // identifier (mangling changed nothing) owns that identifier
+      // outright, reserved in a first pass — otherwise "my-attr" could
+      // take `myAttr2` and silently shadow the literal attribute
+      // "myAttr2", so model.myAttr2 would read the wrong attribute.
+      // Mangled names then bump a numeric suffix past every reserved or
+      // assigned identifier (backticks stripped — `x` and x are the same
+      // Scala name), so the generated object always compiles AND every
+      // literal name resolves to its own attribute
       def bare(s: String) = s.stripPrefix("`").stripSuffix("`")
-      val attrs = e.attributes.sortBy(_.name).map { a =>
-        val base = ident(if (a.isWildcard) a.prefix else a.name)
+      def rawOf(a: graft.core.AttributeDescriptor) = if (a.isWildcard) a.prefix else a.name
+      val sorted = e.attributes.sortBy(_.name)
+      val used = scala.collection.mutable.Set.empty[String]
+      sorted.foreach { a =>
+        val base = ident(rawOf(a))
+        if (bare(base) == rawOf(a)) used += bare(base)
+      }
+      val attrs = sorted.map { a =>
+        val base = ident(rawOf(a))
         var name = base
-        var n = 1
-        while (used.contains(bare(name))) {
-          n += 1
-          name = "`" + bare(base) + n + "`"
+        if (bare(base) != rawOf(a)) {
+          var n = 1
+          while (used.contains(bare(name))) {
+            n += 1
+            name = "`" + bare(base) + n + "`"
+          }
         }
         used += bare(name)
         accessor(e.name, a, name)

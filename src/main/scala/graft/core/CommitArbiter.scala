@@ -110,17 +110,31 @@ object CommitArbiter {
           true
         } catch { case _: IOException => false }
       }
-    // the marker still holds OUR claim token (not a waiter's re-claim
-    // after breaking our lease)
-    def stillOurs(): Boolean =
+    // Whether the marker still holds OUR claim token (not a waiter's
+    // re-claim after breaking our lease). Three-valued: None means the
+    // check itself failed (transient I/O) — only a SUCCESSFUL read of a
+    // different token proves the lease was taken, so an indeterminate
+    // answer must not stop the heartbeat (a hiccup-killed heartbeat would
+    // silently revert the commit to unprotected pre-heartbeat behavior).
+    // A missing or short file IS determinate: our complete claim was
+    // replaced.
+    def stillOurs(): Option[Boolean] =
       try {
         val in = fs.open(p)
         try {
           val buf = new Array[Byte](claim.length)
-          val n = in.read(buf)
-          n == claim.length && new String(buf, "UTF-8") == claim
+          var off = 0
+          var n = 0
+          while (off < buf.length && n >= 0) {
+            n = in.read(buf, off, buf.length - off)
+            if (n > 0) off += n
+          }
+          Some(off == buf.length && new String(buf, "UTF-8") == claim)
         } finally in.close()
-      } catch { case _: IOException => false }
+      } catch {
+        case _: FileNotFoundException => Some(false)
+        case _: IOException           => None
+      }
 
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
@@ -147,35 +161,46 @@ object CommitArbiter {
       }
     }
     // heartbeat: refresh the marker mtime while the commit runs, so a bulk
-    // append outliving one lease interval is not preempted by a waiter. The
-    // claim check keeps a heartbeat that lost its lease anyway (whole-JVM
-    // stall > leaseMs) from refreshing the new holder's marker.
-    val beat = new Thread(() => {
-      var ours = true
-      try {
-        while (ours && !Thread.currentThread().isInterrupted) {
-          Thread.sleep(math.max(leaseMs / 4, 1L))
-          if (stillOurs()) {
+    // append outliving one lease interval is not preempted by a waiter.
+    // Scheduled on ONE shared daemon scheduler (appends can be frequent —
+    // a thread per acquisition would churn thousands of threads whose only
+    // job is to sleep). The claim check keeps a heartbeat that lost its
+    // lease anyway (whole-JVM stall > leaseMs) from refreshing the new
+    // holder's marker: only a successful read of a DIFFERENT token stops
+    // the beat; an indeterminate check retries next interval.
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val beat: java.util.concurrent.ScheduledFuture[_] =
+      beatPool.scheduleWithFixedDelay(() => {
+        if (!stopped.get) stillOurs() match {
+          case Some(true) =>
             try fs.setTimes(p, System.currentTimeMillis(), -1)
             catch { case _: IOException => () } // transient; next beat retries
-          } else {
+          case Some(false) =>
             log.error("Commit lease {} was broken while held (claim token " +
               "replaced) — a concurrent writer may be committing; this " +
               "holder's commit is no longer exclusive", lockPath)
-            ours = false
-          }
+            stopped.set(true)
+            beat.cancel(false)
+          case None => () // indeterminate (transient I/O): retry next beat
         }
-      } catch { case _: InterruptedException => () }
-    }, s"graft-commit-lease-heartbeat-${p.getName}")
-    beat.setDaemon(true)
-    beat.start()
+      }, math.max(leaseMs / 4, 1L), math.max(leaseMs / 4, 1L),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    beat // force scheduling
     try f
     finally {
-      beat.interrupt()
-      beat.join(2000L)
+      stopped.set(true)
+      beat.cancel(false)
       try {
-        if (stillOurs()) fs.delete(p, false)
+        if (stillOurs().contains(true)) fs.delete(p, false)
       } catch { case _: FileNotFoundException => () }
     }
   }
+
+  /** One shared daemon scheduler for every lease heartbeat in the JVM. */
+  private lazy val beatPool: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-commit-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
 }

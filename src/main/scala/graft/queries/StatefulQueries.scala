@@ -44,8 +44,8 @@ object StatefulQueries extends QuerySet {
     * the scratch writes); a shutdown hook removes the scratch dirs, so
     * repeated runs in one session still cannot accumulate storage.
     */
-  private val stagedLogs =
-    scala.collection.concurrent.TrieMap.empty[String, graft.streaming.CommitLogFamily]
+  private val stagedLogs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.streaming.CommitLogFamily]
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -53,9 +53,12 @@ object StatefulQueries extends QuerySet {
         deleteRecursively(new java.io.File(f.path).getParent))))
   }
 
+  // keyed by (session, dir): the family captures its builder's session, so
+  // a later session over the same sf dir must stage its own log rather
+  // than run a streaming query against a stale (possibly stopped) session
   private def sharedEventLog(s: SparkSession, d: String): graft.streaming.CommitLogFamily =
     stagedLogs.synchronized {
-      stagedLogs.getOrElseUpdate(d, {
+      stagedLogs.getOrElseUpdate((s, d), {
         implicit val enc = StreamElement.encoder
         implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,

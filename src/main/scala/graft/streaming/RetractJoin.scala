@@ -111,18 +111,9 @@ object RetractJoin {
         OutputMode.Update(), timeout) {
         case (joinKey, elems, state: GroupState[JoinState]) =>
           if (state.hasTimedOut) {
-            // the watermark lags max-stamp-seen by the horizon, so wm ≥
-            // lastEventMs ⟺ the cell has been idle a full cleanup
-            val wm = state.getCurrentWatermarkMs()
-            if (wm >= state.get.lastEventMs) {
-              // clear the whole cell, seq included (reference onTimer,
-              // RetractJoin.java:361-366)
-              state.remove()
-            } else {
-              // armed early (the arm was clamped past a stale watermark);
-              // re-arm for the remaining idle allowance
-              StateOps.armAfter(state, wm, state.get.lastEventMs)
-            }
+            // eviction clears the whole cell, seq included (reference
+            // onTimer, RetractJoin.java:361-366)
+            StateOps.evictOrRearm(state, state.get.lastEventMs)
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(

@@ -110,6 +110,19 @@ object StateOps {
       deadlineMs: Long): Unit =
     state.setTimeoutTimestamp(math.max(deadlineMs, wm + 1))
 
+  /** The shared hasTimedOut handler for horizon-delayed cleanup-only
+    * cells (the watermark lags max-stamp-seen by the horizon, so wm ≥
+    * lastEventMs ⟺ the cell has been idle a full cleanup in event time):
+    * evict when idle, else re-arm for the true deadline (the arm may have
+    * been clamped past a stale watermark). Returns true when evicted.
+    */
+  private[streaming] def evictOrRearm(state: GroupState[_],
+      lastEventMs: Long): Boolean = {
+    val wm = state.getCurrentWatermarkMs()
+    if (wm >= lastEventMs) { state.remove(); true }
+    else { armAfter(state, wm, lastEventMs); false }
+  }
+
   /** Ordering position of an element (stamp, seqId, uuid) — ties resolved
     * exactly like SnapshotCompact.
     */
@@ -151,23 +164,13 @@ object StateOps {
         OutputMode.Update(), timeoutConf(cleanup)) {
         case (_, elems, state: GroupState[PrefixState]) =>
           if (state.hasTimedOut) {
-            // the watermark lags max-stamp-seen by the horizon, so wm ≥
-            // lastEventMs ⟺ the cell has been idle a full cleanup in
-            // event time
-            val wm = state.getCurrentWatermarkMs()
-            if (wm >= state.get.lastEventMs) {
-              // drop the cell. A later element rebuilds the snapshot from
-              // scratch — the same trade-off as the reference's
-              // TimeBoundedVersionedCache aging out a key's versions: an
-              // element older than an already-evicted winner can win
-              // again if it is within the horizon (anything older is
-              // late-filtered before the operator).
-              state.remove()
-            } else {
-              // armed early (the arm was clamped past a stale watermark):
-              // re-arm for the true deadline
-              armAfter(state, wm, state.get.lastEventMs)
-            }
+            // on eviction a later element rebuilds the snapshot from
+            // scratch — the same trade-off as the reference's
+            // TimeBoundedVersionedCache aging out a key's versions: an
+            // element older than an already-evicted winner can win again
+            // if it is within the horizon (anything older is
+            // late-filtered before the operator)
+            evictOrRearm(state, state.get.lastEventMs)
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(
@@ -234,14 +237,8 @@ object StateOps {
         OutputMode.Update(), timeoutConf(cleanup)) {
         case (key, elems, state: GroupState[(Double, Long)]) =>
           if (state.hasTimedOut) {
-            // horizon-delayed watermark: wm ≥ lastEventMs ⟺ idle ≥ cleanup
-            val wm = state.getCurrentWatermarkMs()
-            if (wm >= state.get._2) {
-              // evict; a later element restarts from `initial`
-              state.remove()
-            } else {
-              armAfter(state, wm, state.get._2)
-            }
+            // on eviction a later element restarts from `initial`
+            evictOrRearm(state, state.get._2)
             Iterator.empty
           } else {
             var acc = state.getOption.map(_._1).getOrElse(initial)
@@ -275,17 +272,28 @@ object StateOps {
     * tracks its last event time and its last emission time on the stamp
     * clock; the single state timer arms at the earlier of the two
     * deadlines (next emission, eviction), and the firing handler tells
-    * them apart — idle ≥ cleanup wins and evicts. The attached
-    * watermark's delay is the cleanup horizon when set (one horizon for
-    * both eviction and the late-row filter), else the early-emit
-    * interval.
+    * them apart — idle ≥ cleanup wins and evicts.
+    *
+    * `disorder` bounds the accepted out-of-orderness independently of
+    * the timer intervals. Any event-time timeout makes Spark drop rows
+    * behind the late-events watermark, so the attached watermark's delay
+    * is max(cleanup, disorder, earlyEmit): with cleanup set the drop
+    * horizon defaults to the eviction horizon (one contract boundary),
+    * and with ONLY earlyEmit set, raise `disorder` to accept stragglers
+    * later than one emission interval — an output-cadence knob must not
+    * silently impose a data-loss bound (the reference's early timer
+    * never drops input). A disorder wider than cleanup re-admits
+    * elements older than an already-evicted cell, which then folds from
+    * the initial state — the standard horizon trade-off, now under the
+    * caller's control.
     */
   def reduceValueStateByKey[S: org.apache.spark.sql.Encoder, O](
       stream: Dataset[StreamElement], initialState: S,
       output: (S, StreamElement) => O, update: (S, StreamElement) => S,
       cleanup: Option[FiniteDuration] = None,
       earlyEmit: Option[FiniteDuration] = None,
-      stampUnit: String = "micros")(
+      stampUnit: String = "micros",
+      disorder: Option[FiniteDuration] = None)(
       implicit oe: org.apache.spark.sql.Encoder[(String, O)]): Dataset[(String, O)] = {
     implicit val ke = Encoders.STRING
     // state envelope: (fold state, last event ms, last emission ms) —
@@ -297,15 +305,17 @@ object StateOps {
     val timerOn = cleanup.isDefined || earlyEmit.isDefined
     // the watermark reads as (max stamp − delayMs); deadlines below are
     // stored on the stamp clock and translated by −delayMs when arming
-    val delayMs = cleanup.orElse(earlyEmit).map(_.toMillis).getOrElse(0L)
+    val delayMs = (cleanup.toSeq ++ disorder.toSeq ++ earlyEmit.toSeq)
+      .map(_.toMillis).maxOption.getOrElse(0L)
     val div = stampDivisor(stampUnit)
     val src =
       if (timerOn) withStampWatermark(stream, "stamp", stampUnit, delayMs)
       else stream
     // next timer deadline on the WATERMARK clock for a cell with the
-    // given last-event/last-emission stamps
+    // given last-event/last-emission stamps (deadlines live on the stamp
+    // clock; −delayMs translates to the watermark clock)
     def deadline(lastEventMs: Long, lastTickMs: Long): Long = {
-      val evictAt = cleanup.map(_ => lastEventMs) // wm ≥ lastEvent ⟺ idle ≥ C
+      val evictAt = cleanup.map(c => lastEventMs + c.toMillis - delayMs)
       val emitAt = earlyEmit.map(e => lastTickMs + e.toMillis - delayMs)
       (evictAt.toSeq ++ emitAt.toSeq).min
     }
@@ -320,7 +330,7 @@ object StateOps {
             val ((st, lastEventMs), lastTickMs) = state.get
             val wm = state.getCurrentWatermarkMs()
             val stampNow = wm + delayMs // max stamp the watermark vouches for
-            if (cleanup.isDefined && wm >= lastEventMs) {
+            if (cleanup.exists(c => stampNow >= lastEventMs + c.toMillis)) {
               state.remove()
               Iterator.empty
             } else if (earlyEmit.exists(e => stampNow >= lastTickMs + e.toMillis)) {

@@ -143,12 +143,10 @@ object StreamingDedup {
         (key: (Int, String), rows: Iterator[Banded],
             state: GroupState[(Long, Long)]) =>  // (first id, lastEventMs)
           if (state.hasTimedOut) {
-            // horizon-delayed watermark: wm ≥ lastEventMs ⟺ bucket idle a
-            // full horizon (and docs straddling the horizon are dropped
-            // by the late-row filter — also within the window contract)
-            val wm = state.getCurrentWatermarkMs()
-            if (wm >= state.get._2) state.remove()
-            else StateOps.armAfter(state, wm, state.get._2)
+            // bucket idle a full horizon is evicted (and docs straddling
+            // the horizon are dropped by the late-row filter — also
+            // within the window contract)
+            StateOps.evictOrRearm(state, state.get._2)
             Iterator.empty
           } else {
             val sorted = rows.toSeq.sortBy(r => (r.stamp, r.id))

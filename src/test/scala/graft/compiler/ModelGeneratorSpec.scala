@@ -124,6 +124,22 @@ class ModelGeneratorSpec extends SparkSpec {
       .filterNot(_ == "descriptor")
     assert(valNames.distinct.size == 3,
       s"three attributes need three distinct identifiers, got $valNames")
+    // binding must be FAITHFUL, not merely compilable: each literal name
+    // owns its own identifier (model.myAttr2 reads attribute "myAttr2",
+    // never the mangled "my-attr"), and the mangled attribute takes a
+    // suffix past every literal
+    def boundAttr(valName: String): String = {
+      val m = ("(?s)val `" + valName + "`[^\\n]*\\n[^\\n]*\\n[^\\n]*").r
+        .findFirstIn(src).getOrElse(fail(s"no accessor for $valName"))
+      // accessor args are (operator, "entity", "attribute", serializer)
+      "\"clash\", \"([^\"]+)\"".r.findFirstMatchIn(m)
+        .getOrElse(fail(s"no attribute arg in: $m")).group(1)
+    }
+    assert(boundAttr("myAttr") == "myAttr")
+    assert(boundAttr("myAttr2") == "myAttr2",
+      "literal myAttr2 must bind to its own attribute, not the mangled my-attr")
+    assert(boundAttr("myAttr3") == "my-attr",
+      "the mangled name takes the next free suffix")
     // the real proof: the toolbox compiles it
     val op = new GraftOperator(spark, repo)
     val model = ModelGenerator.compile(repo, "ClashModel", op)

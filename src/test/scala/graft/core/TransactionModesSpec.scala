@@ -173,18 +173,20 @@ class TransactionModesSpec extends SparkSpec {
     val order = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     val pool = Executors.newFixedThreadPool(1)
-    // the holder's commit runs FIVE lease intervals — without the mtime
+    // the holder's commit runs 2.5 lease intervals — without the mtime
     // heartbeat the waiter would break the lease at ~one interval and run
-    // concurrently with the still-live holder
+    // concurrently with the still-live holder. The lease is generous
+    // (2s, beats every 500ms) so a CI scheduler stall between beats
+    // cannot make the waiter's break legitimate and flake the ordering
     pool.submit(new Runnable {
       override def run(): Unit =
-        CommitArbiter.withMarkerLock(conf, lock, leaseMs = 300) {
-          order.add("holder-enter"); Thread.sleep(1500); order.add("holder-exit")
+        CommitArbiter.withMarkerLock(conf, lock, leaseMs = 2000) {
+          order.add("holder-enter"); Thread.sleep(5000); order.add("holder-exit")
         }
     })
     pool.shutdown()
     Thread.sleep(100) // let the holder claim first
-    CommitArbiter.withMarkerLock(conf, lock, leaseMs = 300) {
+    CommitArbiter.withMarkerLock(conf, lock, leaseMs = 2000) {
       order.add("waiter-enter")
     }
     assert(pool.awaitTermination(30, TimeUnit.SECONDS))
