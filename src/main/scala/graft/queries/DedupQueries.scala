@@ -15,6 +15,37 @@ object DedupQueries extends QuerySet {
   private val K = 8
   private val BAND_ROWS = 2
 
+  /** The documents table as a doc_id-ordered commit log (key = doc_id,
+    * value = text, stamp = seqId = doc_id), staged once per session+dir
+    * as three doc_id-tercile segments: `maxFilesPerTrigger=1` replays
+    * them as three id-ordered micro-batches, so the streaming gate's
+    * "first document claims the bucket" resolves to the GLOBALLY smallest
+    * doc_id per band bucket — exactly what the DuckDB oracle computes.
+    */
+  private def sharedDocLog(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.streaming.CommitLogFamily =
+    StagedLogs.getOrStage(s, d, "dedup-q") { fam =>
+      implicit val ee = graft.core.StreamElement.encoder
+      implicit val te = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          graft.core.StreamElement("document", id.toString, "text", s"d-$id",
+            id, id, text.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+        }
+        .persist()
+      try {
+        val maxId = docs.agg(max(col("seqId"))).head.getLong(0)
+        val (c1, c2) = ((maxId + 1) / 3, 2 * (maxId + 1) / 3)
+        Seq(
+          docs.filter(col("seqId") < c1),
+          docs.filter(col("seqId") >= c1 && col("seqId") < c2),
+          docs.filter(col("seqId") >= c2)
+        ).foreach(slice => fam.append(slice.coalesce(1)))
+      } finally docs.unpersist()
+    }
+
   val queries: Map[String, QFn] = Map(
     // k=8 minhash signature over 3-token shingles
     "q_minhash_sig" -> ((s, d) => {
@@ -63,6 +94,28 @@ object DedupQueries extends QuerySet {
       // shingle cache is no longer needed
       res.unpersist()
       cc
+    }),
+
+    // the INGESTION-TIME near-dup gate through the real streaming path:
+    // documents replayed from a commit log in three id-ordered
+    // micro-batches, per-row minhash signatures (no shuffle), ONE
+    // stateful band-bucket operator carrying "first occupant" state
+    // ACROSS batches — a document sharing any bucket with an earlier one
+    // gets dup_of = that bucket's first. Docs under n tokens have no
+    // shingles (the batch signature omits them) and are filtered before
+    // the gate. Oracle: first occupant per bucket = min doc_id.
+    "q_dedup_stream" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val te = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+      val fam = sharedDocLog(s, d)
+      StreamSupport.runToMemorySink(s,
+        graft.streaming.StreamingDedup.bandHits(
+          fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+            .map(e => (e.seqId, new String(e.value, "UTF-8")))
+            .filter(r => r._2.trim.split("\\s+").length >= 3),
+          n = 3, k = K, bandRows = BAND_ROWS)
+      )(q => q.processAllAvailable())
+        .select(col("doc_id"), col("band"), col("bval"), col("dup_of"))
     }),
 
     // the quarantine side channel itself, oracle-checked: LSH band
@@ -190,6 +243,27 @@ object DedupQueries extends QuerySet {
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // streaming gate replay: with id-ordered arrival, a bucket's first
+    // occupant is its smallest doc_id; every other member points at it
+    "q_dedup_stream" -> {
+      val bands = (0 until K / BAND_ROWS).map { bnd =>
+        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sig AS ($sigSql),
+         |banded AS (
+         |$bands
+         |),
+         |firsts AS (
+         |  SELECT doc_id, band, bval,
+         |         min(doc_id) OVER (PARTITION BY band, bval) AS first_id
+         |  FROM banded
+         |)
+         |SELECT doc_id, band, bval,
+         |       CASE WHEN doc_id = first_id THEN NULL ELSE first_id END AS dup_of
+         |FROM firsts""".stripMargin
     },
 
     "q_simhash" -> simhashSql,

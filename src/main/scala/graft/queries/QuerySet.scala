@@ -43,3 +43,46 @@ private[queries] object StreamSupport {
     out
   }
 }
+
+/** Scratch commit logs staged ONCE per (session, sf dir, name) and shared
+  * by every oracle query that replays them — bench and verify run all
+  * queries in one session, and re-staging per query would multiply the
+  * scratch writes. A shutdown hook removes the temp dirs, so repeated
+  * runs in one session cannot accumulate storage. Keyed by session (not
+  * just dir): the family captures its builder's session, and a streaming
+  * query must never run against a stale (possibly stopped) one.
+  */
+private[queries] object StagedLogs {
+
+  private val logs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), graft.streaming.CommitLogFamily]
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      logs.values.foreach(f =>
+        deleteRecursively(new java.io.File(f.path).getParent))))
+  }
+
+  /** The staged log for (s, d, name), building it on first use: `stage`
+    * receives a fresh empty family and appends its segments.
+    */
+  def getOrStage(s: SparkSession, d: String, name: String)(
+      stage: graft.streaming.CommitLogFamily => Unit): graft.streaming.CommitLogFamily =
+    logs.synchronized {
+      logs.getOrElseUpdate((s, d, name), {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+        val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+        stage(fam)
+        fam
+      })
+    }
+
+  def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+}

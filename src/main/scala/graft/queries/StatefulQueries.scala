@@ -44,62 +44,38 @@ object StatefulQueries extends QuerySet {
     * the scratch writes); a shutdown hook removes the scratch dirs, so
     * repeated runs in one session still cannot accumulate storage.
     */
-  private val stagedLogs = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), graft.streaming.CommitLogFamily]
-
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stagedLogs.values.foreach(f =>
-        deleteRecursively(new java.io.File(f.path).getParent))))
-  }
-
-  // keyed by (session, dir): the family captures its builder's session, so
-  // a later session over the same sf dir must stage its own log rather
-  // than run a streaming query against a stale (possibly stopped) session
   private def sharedEventLog(s: SparkSession, d: String): graft.streaming.CommitLogFamily =
-    stagedLogs.synchronized {
-      stagedLogs.getOrElseUpdate((s, d), {
-        implicit val enc = StreamElement.encoder
-        implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-state-q").toString
-        val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
-        val elems = Tables.events(s, d)
-          .select(col("user_id").cast("string"), unix_micros(col("ts")),
-            col("event_id").cast("long"),
-            concat(cents(col("value")).cast("string"), lit("|"), col("event_type")))
-          .as[(String, Long, Long, String)]
-          .map { case (user, stampUs, id, pay) =>
-            StreamElement("user", user, s"ev.${id % 8}", s"u-$id", id, stampUs,
-              pay.getBytes("UTF-8"), delete = false, deleteWildcard = false)
-          }
-          .persist()
-        try {
-          // slice on stamp terciles: per-key event-time order is preserved
-          // across segments (ties never straddle a boundary), which is all
-          // the per-batch-sorting state operators need for global-order
-          // semantics
-          val cuts = elems.stat.approxQuantile("stamp", Array(1.0 / 3, 2.0 / 3), 0.001)
-          val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
-          Seq(
-            elems.filter(col("stamp") < c1),
-            elems.filter(col("stamp") >= c1 && col("stamp") < c2),
-            elems.filter(col("stamp") >= c2)
-          ).foreach(slice => fam.append(slice.coalesce(1)))
-        } finally elems.unpersist()
-        fam
-      })
+    StagedLogs.getOrStage(s, d, "state-q") { fam =>
+      implicit val enc = StreamElement.encoder
+      implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+      val elems = Tables.events(s, d)
+        .select(col("user_id").cast("string"), unix_micros(col("ts")),
+          col("event_id").cast("long"),
+          concat(cents(col("value")).cast("string"), lit("|"), col("event_type")))
+        .as[(String, Long, Long, String)]
+        .map { case (user, stampUs, id, pay) =>
+          StreamElement("user", user, s"ev.${id % 8}", s"u-$id", id, stampUs,
+            pay.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+        }
+        .persist()
+      try {
+        // slice on stamp terciles: per-key event-time order is preserved
+        // across segments (ties never straddle a boundary), which is all
+        // the per-batch-sorting state operators need for global-order
+        // semantics
+        val cuts = elems.stat.approxQuantile("stamp", Array(1.0 / 3, 2.0 / 3), 0.001)
+        val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+        Seq(
+          elems.filter(col("stamp") < c1),
+          elems.filter(col("stamp") >= c1 && col("stamp") < c2),
+          elems.filter(col("stamp") >= c2)
+        ).foreach(slice => fam.append(slice.coalesce(1)))
+      } finally elems.unpersist()
     }
 
-  private def deleteRecursively(dir: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-    }
-  }
+  private def deleteDir(dir: String): Unit = StagedLogs.deleteRecursively(dir)
 
   /** The cents half of the shared-log payload. */
   private def payCents(e: StreamElement): Double = {
@@ -193,6 +169,55 @@ object StatefulQueries extends QuerySet {
             .cast("long").as("val_cents"))
     }),
 
+    // streamFromOldest replay itself, oracle-checked: the commit-log
+    // subscription (CommitLogReader.java:37, position=OLDEST) replayed
+    // across three micro-batches must deliver every element bit-exact —
+    // key, attribute, sequence id, stamp and payload all hash-matched
+    // against the source table. The *_stream state queries above verify
+    // the operators ON this source; this row verifies the source itself.
+    "q_stream_from_oldest" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val oe = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+      runStreamed(s, d) { ds =>
+        ds.map(e => (e.key, e.attribute, e.seqId, e.stamp,
+          new String(e.value, "UTF-8")))
+      }.select(col("_1").as("user_key"), col("_2").as("attr"),
+        col("_3").as("event_id"), col("_4").as("stamp_us"),
+        split(col("_5"), "\\|").getItem(0).cast("long").as("val_cents"),
+        split(col("_5"), "\\|").getItem(1).as("event_type"))
+    }),
+
+    // CachedView end-to-end: continuous maintenance (assign → snapshot
+    // updates → local fold) over the shared commit log, then the view's
+    // materialized snapshot must equal latest-per-(key, attribute)
+    // (LocalCachedPartitionedView.java:59 — the read-write view random
+    // access serves from). The snapshot dump is driver-side BY DESIGN:
+    // the view IS a per-process cache (its scaladoc documents the
+    // cluster-scale shape: each consumer assigns only its key range).
+    "q_cached_view" -> ((s, d) => {
+      import s.implicits._
+      val fam = sharedEventLog(s, d)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cv-q").toString
+      val view = new graft.streaming.CachedView(fam)
+      try {
+        view.assign(s"$ckpt/ckpt")
+        view.processAllAvailable()
+        view.snapshotContents
+          .map(e => (e.key, e.attribute, {
+            val v = new String(e.value, "UTF-8")
+            v.substring(0, v.indexOf('|')).toLong
+          }))
+          .toDS()
+          .select(col("_1").as("user_key"), col("_2").as("attr"),
+            col("_3").as("val_cents"))
+          .localCheckpoint(true)
+      } finally {
+        view.stop()
+        deleteDir(ckpt)
+      }
+    }),
+
     // groupReduce: whole-group UDF emitting N outputs (WindowedStream
     // .java:129) — here top-2 per event_type by value; lowered to a ranked
     // window (distributed, spill-safe) instead of materializing groups
@@ -235,6 +260,23 @@ object StatefulQueries extends QuerySet {
         |FROM events""".stripMargin,
 
     "q_snapshot_updates_stream" ->
+      """SELECT user_key, attr, val_cents FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |         'ev.' || CAST(event_id % 8 AS VARCHAR) AS attr,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS val_cents,
+        |         row_number() OVER (PARTITION BY user_id, event_id % 8
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_stream_from_oldest" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |'ev.' || CAST(event_id % 8 AS VARCHAR) AS attr,
+        |event_id, epoch_us(ts) AS stamp_us,
+        |CAST(round(value * 100, 0) AS BIGINT) AS val_cents, event_type
+        |FROM events""".stripMargin,
+
+    "q_cached_view" ->
       """SELECT user_key, attr, val_cents FROM (
         |  SELECT CAST(user_id AS VARCHAR) AS user_key,
         |         'ev.' || CAST(event_id % 8 AS VARCHAR) AS attr,

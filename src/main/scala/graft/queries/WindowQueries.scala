@@ -19,7 +19,58 @@ import graft.sources.Tables.cents
   */
 object WindowQueries extends QuerySet {
 
+  /** The events table staged as a three-segment commit log sliced by
+    * `event_id % 3` — a batch-membership rule the DuckDB oracle can
+    * replay EXACTLY (the stateful-query log slices on approximate stamp
+    * terciles, fine for batch-order-independent results but not for a
+    * pane ledger whose every row is "cumulative count at batch b").
+    */
+  private def eventLogModSliced(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.streaming.CommitLogFamily =
+    StagedLogs.getOrStage(s, d, "window-q") { fam =>
+      implicit val ee = graft.core.StreamElement.encoder
+      implicit val te = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val elems = Tables.events(s, d)
+        .select(col("user_id").cast("string"), unix_micros(col("ts")),
+          col("event_id").cast("long"))
+        .as[(String, Long, Long)]
+        .map { case (user, stampUs, id) =>
+          graft.core.StreamElement("user", user, s"ev.${id % 8}", s"u-$id",
+            id, stampUs, Array.emptyByteArray,
+            delete = false, deleteWildcard = false)
+        }
+        .persist()
+      try {
+        (0L until 3L).foreach(b =>
+          fam.append(elems.filter(col("seqId") % 3 === b).coalesce(1)))
+      } finally elems.unpersist()
+    }
+
   val queries: Map[String, QFn] = Map(
+    // withEarlyEmitting through the real streaming path: partial
+    // per-window results while the window is still open
+    // (WindowedStream.withEarlyEmitting:531 → update output mode; the
+    // wall-clock ProcessingTime trigger cadence is replaced by
+    // one-segment-per-trigger file batches so every pane is
+    // deterministic). Three id-sliced micro-batches over hourly
+    // tumbling counts per user: each batch that touches a (window, key)
+    // emits the RUNNING count — the pane ledger. Lateness is set beyond
+    // the fixture's whole time span so no window finalizes early
+    // (panes, not final results, are what this row verifies; the
+    // watermark-finalization contract is q_window_tumbling + specs).
+    "q_window_early_emit_stream" -> ((s, d) => {
+      val fam = eventLogModSliced(s, d)
+      val panes = graft.streaming.EventTimeWindows.tumblingCounts(
+        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1),
+        sizeMs = 3600000L, allowedLatenessMs = 10L * 365 * 24 * 3600 * 1000)
+      StreamSupport.runToMemorySink(s, panes)(_.processAllAvailable())
+        .select(col("w_start_us"), col("key").as("user_key"), col("n"))
+    }),
+
+
     // timeWindow (tumbling, FixedWindows): hourly per-type counts + sums
     "q_window_tumbling" -> ((s, d) => {
       Tables.events(s, d)
@@ -100,6 +151,22 @@ object WindowQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    // pane ledger replay: batch b's pane for a (window, user) with new
+    // data = running count over batches <= b
+    "q_window_early_emit_stream" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |         event_id % 3 AS b
+        |  FROM events
+        |), agg AS (
+        |  SELECT w_start_us, user_key, b, count(*) AS nb FROM e GROUP BY 1, 2, 3
+        |)
+        |SELECT w_start_us, user_key,
+        |       CAST(sum(nb) OVER (PARTITION BY w_start_us, user_key
+        |         ORDER BY b) AS BIGINT) AS n
+        |FROM agg""".stripMargin,
+
     "q_window_tumbling" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
         |event_type, count(*) AS n,

@@ -162,6 +162,13 @@ final class CachedView(family: AttributeLogFamily,
       .flatMap(_._2.headOption).filterNot(_.isDelete)
       .toSeq.sortBy(_.attribute)
 
+  /** Latest non-tombstone version of every cached cell — the full
+    * materialized snapshot this view serves (inspection/oracle surface;
+    * a production consumer reads it cell-wise via [[get]]/[[scanWildcard]]).
+    */
+  def snapshotContents: Seq[StreamElement] =
+    cache.iterator.flatMap(_._2.headOption).filterNot(_.isDelete).toSeq
+
   /** Paged key listing (listEntities:325). */
   def listEntities(offset: Int, limit: Int): Seq[String] =
     cache.iterator
