@@ -70,6 +70,47 @@ object WindowQueries extends QuerySet {
         .select(col("w_start_us"), col("key").as("user_key"), col("n"))
     }),
 
+    // WindowedStream.reduce through the TYPED API path (GStream →
+    // assignEventTime → timeWindow → reduce, WindowedStream.java:40):
+    // an arbitrary-state fold per (hour window, event_type). The
+    // accumulator here is order-insensitive (count/sum/min/max) so the
+    // oracle is exact at any parallelism — the non-commutative
+    // allowance itself is pinned by GStreamSpec. This is the oracle row
+    // for the typed surface: every other window row checks the columnar
+    // lowering; this one checks the lambda path end-to-end.
+    "q_reduce_fold" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_millis(col("ts")),
+          col("event_type"), cents(col("value")))
+        .as[(Long, Long, String, Long)]
+      new graft.api.GStream(ev, None)
+        .assignEventTime(_._2)
+        .timeWindow(3600000L)
+        .reduce[String, (Long, Long, Long, Long)](
+          _._3,
+          (0L, 0L, Long.MaxValue, Long.MinValue),
+          (st, e) => (st._1 + 1, st._2 + e._4,
+            math.min(st._3, e._1), math.max(st._4, e._1)))
+        .ds
+        .select((col("_1.start") * lit(1000L)).cast("long").as("w_start_us"),
+          col("_2").as("event_type"), col("_3._1").as("n"),
+          col("_3._2").as("sum_cents"), col("_3._3").as("min_id"),
+          col("_3._4").as("max_id"))
+    }),
+
+    // late-data split (FilterLatecomers.getOnTime:52/getLate:57): the
+    // batch/audit analog — split on-time vs late against the watermark
+    // position at the end of the replay (max stamp) with 1h allowed
+    // lateness. The bounded max-stamp aggregate is one row to the driver.
+    "q_late_split" -> ((s, d) => {
+      val ds = Tables.eventsAsChangelog(s, d)
+      val wm = ds.agg(max(col("stamp"))).head.getLong(0)
+      val (onTime, late) = graft.streaming.EventTimeWindows
+        .splitLate(ds, wm, allowedLatenessMs = 3600000L)
+      onTime.select(col("seqId").as("event_id")).withColumn("is_late", lit(false))
+        .union(late.select(col("seqId").as("event_id")).withColumn("is_late", lit(true)))
+    }),
 
     // timeWindow (tumbling, FixedWindows): hourly per-type counts + sums
     "q_window_tumbling" -> ((s, d) => {
@@ -166,6 +207,19 @@ object WindowQueries extends QuerySet {
         |       CAST(sum(nb) OVER (PARTITION BY w_start_us, user_key
         |         ORDER BY b) AS BIGINT) AS n
         |FROM agg""".stripMargin,
+
+    "q_reduce_fold" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_late_split" ->
+      """SELECT event_id,
+        |epoch_us(ts) < (SELECT max(epoch_us(ts)) FROM events) - 3600000000
+        |  AS is_late
+        |FROM events""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
