@@ -32,14 +32,15 @@ object WindowQueries extends QuerySet {
       implicit val te = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong)
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
       val elems = Tables.events(s, d)
         .select(col("user_id").cast("string"), unix_micros(col("ts")),
-          col("event_id").cast("long"))
-        .as[(String, Long, Long)]
-        .map { case (user, stampUs, id) =>
+          col("event_id").cast("long"), col("event_type"))
+        .as[(String, Long, Long, String)]
+        .map { case (user, stampUs, id, typ) =>
           graft.core.StreamElement("user", user, s"ev.${id % 8}", s"u-$id",
-            id, stampUs, Array.emptyByteArray,
+            id, stampUs, typ.getBytes("UTF-8"),
             delete = false, deleteWildcard = false)
         }
         .persist()
@@ -56,18 +57,47 @@ object WindowQueries extends QuerySet {
     // wall-clock ProcessingTime trigger cadence is replaced by
     // one-segment-per-trigger file batches so every pane is
     // deterministic). Three id-sliced micro-batches over hourly
-    // tumbling counts per user: each batch that touches a (window, key)
-    // emits the RUNNING count — the pane ledger. Lateness is set beyond
-    // the fixture's whole time span so no window finalizes early
-    // (panes, not final results, are what this row verifies; the
+    // tumbling counts per event_type: because every batch contains every
+    // type, nearly every (window, type) state cell is updated in ALL
+    // three batches — maximal cross-batch running-pane carry-over (a
+    // user-keyed variant touches most cells once, verifying far less
+    // while emitting ~1M panes at sf1). Lateness is set beyond the
+    // fixture's whole time span so no window finalizes early (panes,
+    // not final results, are what this row verifies; the
     // watermark-finalization contract is q_window_tumbling + specs).
     "q_window_early_emit_stream" -> ((s, d) => {
+      implicit val ee = graft.core.StreamElement.encoder
       val fam = eventLogModSliced(s, d)
       val panes = graft.streaming.EventTimeWindows.tumblingCounts(
-        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1),
+        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+          .map(e => e.copy(key = new String(e.value, "UTF-8"))),
         sizeMs = 3600000L, allowedLatenessMs = 10L * 365 * 24 * 3600 * 1000)
       StreamSupport.runToMemorySink(s, panes)(_.processAllAvailable())
-        .select(col("w_start_us"), col("key").as("user_key"), col("n"))
+        .select(col("w_start_us"), col("key").as("event_type"), col("n"))
+    }),
+
+    // asUnbounded typed surface end-to-end (Stream.asUnbounded →
+    // GUnboundedStream.tumblingAggByKey, the streaming lowering of the
+    // typed windowed aggs): hourly counts per event_type over the same
+    // three-batch replay, finalized from the update-mode pane ledger by
+    // taking each (window, key)'s LAST pane (counts are monotone, so
+    // max = final) — the value the window would emit on finalization.
+    "q_unbounded_count" -> ((s, d) => {
+      implicit val te = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val fam = eventLogModSliced(s, d)
+      val panes = new graft.api.GUnboundedStream(
+        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1), None)
+        .assignEventTime(_.stamp)
+        .tumblingAggByKey(sizeMs = 3600000L,
+          latenessMs = 10L * 365 * 24 * 3600 * 1000)(
+          e => new String(e.value, "UTF-8"), _ => 1.0, how = "count")
+      StreamSupport.runToMemorySink(s, panes)(_.processAllAvailable())
+        .groupBy(col("w_start_us"), col("key"))
+        .agg(max(col("agg")).cast("long").as("n"))
+        .select(col("w_start_us"), col("key").as("event_type"), col("n"))
     }),
 
     // WindowedStream.reduce through the TYPED API path (GStream →
@@ -196,17 +226,22 @@ object WindowQueries extends QuerySet {
     // data = running count over batches <= b
     "q_window_early_emit_stream" ->
       """WITH e AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS user_key,
+        |  SELECT event_type,
         |         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
         |         event_id % 3 AS b
         |  FROM events
         |), agg AS (
-        |  SELECT w_start_us, user_key, b, count(*) AS nb FROM e GROUP BY 1, 2, 3
+        |  SELECT w_start_us, event_type, b, count(*) AS nb FROM e GROUP BY 1, 2, 3
         |)
-        |SELECT w_start_us, user_key,
-        |       CAST(sum(nb) OVER (PARTITION BY w_start_us, user_key
+        |SELECT w_start_us, event_type,
+        |       CAST(sum(nb) OVER (PARTITION BY w_start_us, event_type
         |         ORDER BY b) AS BIGINT) AS n
         |FROM agg""".stripMargin,
+
+    "q_unbounded_count" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_reduce_fold" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
