@@ -94,6 +94,25 @@ object ChangelogQueries extends QuerySet {
           col("value").cast("string").as("last_type"))
     }),
 
+    // the exactly-once sink contract (reference BufferUntilCheckpoint →
+    // checkpointed idempotent writes, BufferUntilCheckpoint.java:37): the
+    // SAME changelog appended TWICE through appendIdempotent — a replay
+    // after simulated checkpoint loss — must read back single-copy; the
+    // replayed batch's uuids are anti-joined away inside the batch's
+    // stamp range (the 100 TB shape: the dedup scan touches only the
+    // range pushdown's slice, never the whole family). A failed dedup
+    // doubles every count below.
+    "q_idempotent_sink" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-idem-q").toString
+      val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+      val log = Tables.eventsAsChangelog(s, d)
+      fam.appendIdempotent(log)
+      fam.appendIdempotent(log)
+      materialized(eventTypeAgg(fam.batchUpdates().toDF())) {
+        deleteRecursively(tmp)
+      }
+    }),
+
     // stamp-range read through the time-sliced BLOB storage: the events
     // changelog is appended into roll-period partitions and the range
     // read prunes whole period directories (reference io-blob/io-bulkfs
@@ -304,6 +323,12 @@ object ChangelogQueries extends QuerySet {
         |WHERE l.event_type NOT IN ('signup', 'error')
         |  AND (wc.wcpos IS NULL
         |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin,
+
+    // one copy of everything, despite the double append
+    "q_idempotent_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_blob_updates_range" ->
       """SELECT event_type, count(*) AS n,

@@ -188,6 +188,33 @@ object StatefulQueries extends QuerySet {
         split(col("_5"), "\\|").getItem(1).as("event_type"))
     }),
 
+    // stream(fromStamp) — the position=CURRENT approximation: a streaming
+    // subscription that replays only elements at-or-after a stamp (the
+    // file source always replays retained history; the stamp filter is
+    // the documented lowering, CommitLogFamily.stream:121). The bound is
+    // the last hour before the log's max stamp (one 1-row aggregate).
+    "q_stream_from_stamp" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val oe = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      val fam = sharedEventLog(s, d)
+      val maxUs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      StreamSupport.runToMemorySink(s,
+        fam.stream(fromStamp = maxUs - 3600L * 1000000)
+          .map(e => (e.seqId, e.stamp))
+      )(_.processAllAvailable())
+        .select(col("_1").as("event_id"), col("_2").as("stamp_us"))
+    }),
+
+    // watermark shift (WatermarkShift.java:43 / AssignEventTime.java:27):
+    // every element's event time moved forward two minutes, id + shifted
+    // stamp hash-matched
+    "q_watermark_shift" -> ((s, d) => {
+      graft.streaming.EventTimeWindows
+        .shiftEventTime(Tables.eventsAsChangelog(s, d), byMs = 120000L)
+        .select(col("seqId").as("event_id"), col("stamp").as("stamp_us"))
+    }),
+
     // CachedView end-to-end: continuous maintenance (assign → snapshot
     // updates → local fold) over the shared commit log, then the view's
     // materialized snapshot must equal latest-per-(key, attribute)
@@ -275,6 +302,13 @@ object StatefulQueries extends QuerySet {
         |event_id, epoch_us(ts) AS stamp_us,
         |CAST(round(value * 100, 0) AS BIGINT) AS val_cents, event_type
         |FROM events""".stripMargin,
+
+    "q_stream_from_stamp" ->
+      """SELECT event_id, epoch_us(ts) AS stamp_us FROM events
+        |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 3600000000""".stripMargin,
+
+    "q_watermark_shift" ->
+      """SELECT event_id, epoch_us(ts) + 120000000 AS stamp_us FROM events""".stripMargin,
 
     "q_cached_view" ->
       """SELECT user_key, attr, val_cents FROM (
