@@ -9,9 +9,16 @@ object Verify {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q_a,q_b dumps a subset (local iteration on
-    // new queries; the driver always runs the full set)
+    // new queries; the driver always runs the full set). A typo'd name
+    // fails loudly — silently selecting nothing would let a stale outDir
+    // "verify" a query that never ran.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries in SPARK_GRAFT_VERIFY_ONLY: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -51,14 +51,8 @@ object ChangelogQueries extends QuerySet {
     out
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-    }
-  }
+  private def deleteRecursively(dir: String): Unit =
+    StagedLogs.deleteRecursively(dir)
 
   val queries: Map[String, QFn] = Map(
     // reduceToLatest over a real changelog with delete tombstones

@@ -14,6 +14,12 @@ object DedupQueries extends QuerySet {
 
   private val K = 8
   private val BAND_ROWS = 2
+  /** Shingle size everywhere in this set — the streaming gate's pre-gate
+    * token filter MUST use the same n as its signature (a doc with fewer
+    * than n tokens has no shingles; the batch signature and the oracle
+    * both omit it).
+    */
+  private val SHINGLE_N = 3
 
   /** The documents table as a doc_id-ordered commit log (key = doc_id,
     * value = text, stamp = seqId = doc_id), staged once per session+dir
@@ -38,11 +44,10 @@ object DedupQueries extends QuerySet {
       try {
         val maxId = docs.agg(max(col("seqId"))).head.getLong(0)
         val (c1, c2) = ((maxId + 1) / 3, 2 * (maxId + 1) / 3)
-        Seq(
+        StagedLogs.appendOrdered(fam, Seq(
           docs.filter(col("seqId") < c1),
           docs.filter(col("seqId") >= c1 && col("seqId") < c2),
-          docs.filter(col("seqId") >= c2)
-        ).foreach(slice => fam.append(slice.coalesce(1)))
+          docs.filter(col("seqId") >= c2)))
       } finally docs.unpersist()
     }
 
@@ -112,8 +117,8 @@ object DedupQueries extends QuerySet {
         graft.streaming.StreamingDedup.bandHits(
           fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
             .map(e => (e.seqId, new String(e.value, "UTF-8")))
-            .filter(r => r._2.trim.split("\\s+").length >= 3),
-          n = 3, k = K, bandRows = BAND_ROWS)
+            .filter(r => r._2.trim.split("\\s+").length >= SHINGLE_N),
+          n = SHINGLE_N, k = K, bandRows = BAND_ROWS)
       )(q => q.processAllAvailable())
         .select(col("doc_id"), col("band"), col("bval"), col("dup_of"))
     }),

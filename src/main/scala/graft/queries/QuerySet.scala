@@ -64,7 +64,10 @@ private[queries] object StagedLogs {
   }
 
   /** The staged log for (s, d, name), building it on first use: `stage`
-    * receives a fresh empty family and appends its segments.
+    * receives a fresh empty family and appends its segments. A failed
+    * staging deletes its scratch dir before rethrowing — an orphaned
+    * half-written log would never be seen by the shutdown hook (the
+    * entry is only registered on success) and a retry restages fresh.
     */
   def getOrStage(s: SparkSession, d: String, name: String)(
       stage: graft.streaming.CommitLogFamily => Unit): graft.streaming.CommitLogFamily =
@@ -72,10 +75,38 @@ private[queries] object StagedLogs {
       logs.getOrElseUpdate((s, d, name), {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
         val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
-        stage(fam)
+        try stage(fam)
+        catch { case e: Throwable => deleteRecursively(tmp); throw e }
         fam
       })
     }
+
+  /** Append each slice as ONE log segment (coalesced to a single file)
+    * and stamp every segment's files with strictly increasing
+    * modification times. The file streaming source orders files by
+    * mtime, and several oracle rows verify batch ORDER itself (the
+    * dedup gate's first-occupant, the pane ledger's running counts) —
+    * three sub-second appends can land with EQUAL mtimes on a
+    * coarse-granularity filesystem, making replay order
+    * nondeterministic. 2 s spacing outlasts 1 s mtime granularity;
+    * the base sits in the past so later live appends still sort after.
+    */
+  def appendOrdered(fam: graft.streaming.CommitLogFamily,
+      slices: Seq[org.apache.spark.sql.Dataset[graft.core.StreamElement]]): Unit = {
+    val dir = new java.io.File(fam.path)
+    val base = System.currentTimeMillis() - 3600L * 1000
+    var stamped = Set.empty[String]
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      fam.append(slice.coalesce(1))
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !stamped(f.getName))
+        .foreach { f =>
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+          stamped += f.getName
+        }
+    }
+  }
 
   def deleteRecursively(dir: String): Unit = {
     import java.nio.file.{Files, Path, Paths}

@@ -67,15 +67,12 @@ object StatefulQueries extends QuerySet {
         // semantics
         val cuts = elems.stat.approxQuantile("stamp", Array(1.0 / 3, 2.0 / 3), 0.001)
         val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
-        Seq(
+        StagedLogs.appendOrdered(fam, Seq(
           elems.filter(col("stamp") < c1),
           elems.filter(col("stamp") >= c1 && col("stamp") < c2),
-          elems.filter(col("stamp") >= c2)
-        ).foreach(slice => fam.append(slice.coalesce(1)))
+          elems.filter(col("stamp") >= c2)))
       } finally elems.unpersist()
     }
-
-  private def deleteDir(dir: String): Unit = StagedLogs.deleteRecursively(dir)
 
   /** The cents half of the shared-log payload. */
   private def payCents(e: StreamElement): Double = {
@@ -241,7 +238,7 @@ object StatefulQueries extends QuerySet {
           .localCheckpoint(true)
       } finally {
         view.stop()
-        deleteDir(ckpt)
+        StagedLogs.deleteRecursively(ckpt)
       }
     }),
 

@@ -45,8 +45,8 @@ object WindowQueries extends QuerySet {
         }
         .persist()
       try {
-        (0L until 3L).foreach(b =>
-          fam.append(elems.filter(col("seqId") % 3 === b).coalesce(1)))
+        StagedLogs.appendOrdered(fam,
+          (0L until 3L).map(b => elems.filter(col("seqId") % 3 === b)))
       } finally elems.unpersist()
     }
 
