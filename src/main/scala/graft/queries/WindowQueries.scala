@@ -129,6 +129,32 @@ object WindowQueries extends QuerySet {
           col("_3._4").as("max_id"))
     }),
 
+    // withAllowedLateness DROP semantics through the real streaming path
+    // (WindowedStream.withAllowedLateness; Beam drops panes past
+    // lateness): hourly per-type counts over the three-batch replay with
+    // 1h allowed lateness, so batch 2's old-window rows are dropped by
+    // the stateful operator's late-event filter. Spark's rule, pinned by
+    // LatenessProbeSpec: a row is dropped iff its window END <= the
+    // late-event watermark in effect for its batch, and that watermark is
+    // the one computed at the PREVIOUS batch's planning — i.e. from data
+    // through batch b-2 (ms-floored max stamp minus the delay). Batches
+    // 0/1 therefore drop nothing and batch 2 filters against
+    // floor(max_us(batch 0)/1000)*1000 - 1h. The DuckDB oracle replays
+    // exactly that rule; the final value per (window, type) cell is the
+    // last (= max, counts are monotone) pane it emitted.
+    "q_late_drop" -> ((s, d) => {
+      implicit val ee = graft.core.StreamElement.encoder
+      val fam = eventLogModSliced(s, d)
+      val panes = graft.streaming.EventTimeWindows.tumblingCounts(
+        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+          .map(e => e.copy(key = new String(e.value, "UTF-8"))),
+        sizeMs = 3600000L, allowedLatenessMs = 3600000L)
+      StreamSupport.runToMemorySink(s, panes)(_.processAllAvailable())
+        .groupBy(col("w_start_us"), col("key"))
+        .agg(max(col("n")).as("n"))
+        .select(col("w_start_us"), col("key").as("event_type"), col("n"))
+    }),
+
     // late-data split (FilterLatecomers.getOnTime:52/getLate:57): the
     // batch/audit analog — split on-time vs late against the watermark
     // position at the end of the replay (max stamp) with 1h allowed
@@ -249,6 +275,24 @@ object WindowQueries extends QuerySet {
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
         |min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // replay of the pinned drop rule: batch b's late-filter watermark is
+    // built from data through batch b-2 (so only batch 2 drops), value
+    // floor(max_ms(batch 0)) - 1h, and a row survives iff w_end > wm
+    "q_late_drop" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |         epoch_us(ts) AS us, event_id % 3 AS b
+        |  FROM events
+        |), wm2 AS (
+        |  SELECT (CAST(floor(max(us) / 1000) AS BIGINT) - 3600000) * 1000 AS wm_us
+        |  FROM e WHERE b = 0
+        |)
+        |SELECT w_start_us, event_type, count(*) AS n
+        |FROM e
+        |WHERE b < 2 OR w_start_us + 3600000000 > (SELECT wm_us FROM wm2)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_late_split" ->
       """SELECT event_id,
