@@ -120,6 +120,26 @@ object StatefulQueries extends QuerySet {
         .select(col("event_id"), col("user_id"), col("prev_type"))
     }),
 
+    // reduceValueStateByKeyUnsorted (Stream.java:386 sorted=false):
+    // arrival-order fold with NO event-time sort. Per-element outputs
+    // are order-dependent in general, so the probe uses an accumulator
+    // whose output MULTISET is order-invariant: value 1, state += v,
+    // emit state+v → each user emits exactly {1..n}. The row drives the
+    // real unsorted lowering (repartition + key-only sortWithinPartitions
+    // + mapPartitions state machine) end-to-end; the order-sensitive
+    // variant is pinned by GStreamSpec.
+    "q_reduce_value_state_unsorted" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+      new graft.api.GStream(ev, None)
+        .reduceValueStateByKeyUnsorted[Long, Long, Long, Long](
+          _._1, _ => 1L, 0L, (st, v) => st + v, (st, v) => st + v)
+        .ds
+        .toDF("user_id", "ordinal")
+    }),
+
     // integratePerKey through the STREAMING lowering (StateOps,
     // flatMapGroupsWithState): same semantics as q_integrate_per_key,
     // answered by the transformWithState-path code so the streaming
@@ -267,6 +287,13 @@ object StatefulQueries extends QuerySet {
       """SELECT event_id, user_id,
         |coalesce(lag(event_type) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
+        |FROM events""".stripMargin,
+
+    // the fold's output multiset per user is {1..n} in any order; any
+    // total order reproduces the same multiset, and the compare sorts
+    "q_reduce_value_state_unsorted" ->
+      """SELECT user_id, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY event_id) AS ordinal
         |FROM events""".stripMargin,
 
     "q_integrate_per_key_stream" ->
