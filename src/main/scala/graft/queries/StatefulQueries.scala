@@ -74,6 +74,46 @@ object StatefulQueries extends QuerySet {
       } finally elems.unpersist()
     }
 
+  /** The events table staged for the EARLY-EMIT oracle: high-cardinality
+    * keys (`user:event_id%7`, so per-batch absences — the "quiet key"
+    * the timer exists for — actually occur), `event_id % 3` batch
+    * slicing the oracle can replay exactly, plus a FOURTH single-element
+    * "poke" segment at the exact global max stamp. The poke guarantees a
+    * final data batch in which the watermark (always one batch behind
+    * the data) has reached max−delay, so every due timer fires inside a
+    * batch `processAllAvailable` is obliged to wait for — and because
+    * the poke does not advance the max stamp, no further
+    * watermark-advance batch ever runs. The fire pattern is then a
+    * closed-form function of per-key batch membership.
+    */
+  private def earlyEmitLog(s: SparkSession, d: String): graft.streaming.CommitLogFamily =
+    StagedLogs.getOrStage(s, d, "early-q") { fam =>
+      implicit val enc = StreamElement.encoder
+      implicit val rowEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val elems = Tables.events(s, d)
+        .select(concat(col("user_id").cast("string"), lit(":"),
+            (col("event_id") % 7).cast("string")),
+          unix_micros(col("ts")), col("event_id").cast("long"))
+        .as[(String, Long, Long)]
+        .map { case (key, stampUs, id) =>
+          StreamElement("user", key, "ev", s"u-$id", id, stampUs,
+            Array.empty[Byte], delete = false, deleteWildcard = false)
+        }
+        .persist()
+      try {
+        val maxUs = Tables.events(s, d)
+          .agg(max(unix_micros(col("ts")))).head.getLong(0)
+        val poke = s.createDataset(Seq(
+          StreamElement("user", "poke", "ev", "u-poke", -1L, maxUs,
+            Array.empty[Byte], delete = false, deleteWildcard = false)))(enc)
+        StagedLogs.appendOrdered(fam,
+          (0L until 3L).map(b => elems.filter(col("seqId") % 3 === b)) :+ poke)
+      } finally elems.unpersist()
+    }
+
   /** The cents half of the shared-log payload. */
   private def payCents(e: StreamElement): Double = {
     val v = new String(e.value, "UTF-8")
@@ -164,6 +204,43 @@ object StatefulQueries extends QuerySet {
           (_, e) => payType(e))
       }.select(col("_1").as("user_key"), col("_2._1").as("event_id"),
         col("_2._2").as("prev_type"))
+    }),
+
+    // reduceValueStateByKey with the EARLY-EMIT timer loop
+    // (BeamStream.java:1596-1622 AbstractReduceValueStateByKey onTimer):
+    // a key that is quiet while the watermark advances a full interval
+    // re-emits output(state, null). Per-element panes are the running
+    // ordinal ((event_id, n) with n = fold position); timer panes are
+    // (-1, count-so-far). Determinism: the 4-segment early-q log gives
+    // the watermark trajectory wm(b) = maxStamp(batches < b) − delay;
+    // `disorder` = 60 d (> the 30 d span) so the late-event filter never
+    // drops a row, and `earlyEmit` = 1 d far exceeds any gap between
+    // successive batch maxima, so a fired cell's re-armed deadline
+    // (lastFireWm + 1 d) is past the final watermark — at most ONE timer
+    // pane per key. A key therefore fires at the first batch where it
+    // has no data and its armed deadline (max(lastEventMs + 1 d,
+    // armingWm + 1 ms), all on the stamp clock) is strictly below that
+    // batch's watermark; the poke batch is the final chance with the
+    // watermark at maxStamp. The DuckDB oracle replays exactly that
+    // closed form. LatenessProbeSpec pins the watermark-lag contract;
+    // StateCleanupSpec pins the timer cadence semantics.
+    "q_reduce_value_state_early" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      import scala.concurrent.duration._
+      implicit val oe = Encoders.tuple(Encoders.STRING,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      implicit val se = Encoders.scalaLong
+      val fam = earlyEmitLog(s, d)
+      val out = StateOps.reduceValueStateByKey[Long, (Long, Long)](
+        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1), 0L,
+        (st, e) => if (e == null) (-1L, st) else (e.seqId, st + 1),
+        (st, _) => st + 1,
+        earlyEmit = Some(1.day),
+        disorder = Some(60.days))
+      StreamSupport.runToMemorySink(s, out)(_.processAllAvailable())
+        .filter(col("_1") =!= "poke")
+        .select(col("_1").as("user_key"), col("_2._1").as("event_id"),
+          col("_2._2").as("n"))
     }),
 
     // snapshotUpdates through the STREAMING lowering: the CachedView
@@ -288,6 +365,70 @@ object StatefulQueries extends QuerySet {
         |coalesce(lag(event_type) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
         |FROM events""".stripMargin,
+
+    // closed-form replay of the early-emit timer machine over the
+    // 4-segment log (3 data batches by event_id % 3 + the max-stamp
+    // poke). Element panes = per-key fold ordinal in (batch, stamp, id)
+    // order. Timer panes: with delay = max(earlyEmit=1d, disorder=60d)
+    // the stamp-clock deadline of a cell last fed at batch b is
+    // max(lastEventMs + 1d, wmAtArming + 1) and the watermark of batch
+    // b' sits at maxMs(batches < b'); a quiet cell fires when deadline <
+    // watermark (strict, LatenessProbeSpec-adjacent Spark contract).
+    // fire1: quiet at batch 1 vs m0. fire2: quiet at batch 2 vs m01
+    // (arming clamp m0+1 applies when last fed in batch 1). fire3: the
+    // poke batch vs m (a cell that fired at batch 1 re-fires only if
+    // batch-2 data re-armed it from an old stamp; a fired-and-idle cell
+    // re-armed at wmFire + 1d can never fire again inside the span).
+    "q_reduce_value_state_early" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' || CAST(event_id % 7 AS VARCHAR) AS user_key,
+        |         event_id, epoch_us(ts) AS us,
+        |         CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms,
+        |         event_id % 3 AS b
+        |  FROM events
+        |), bm AS (
+        |  SELECT max(ms) FILTER (WHERE b = 0) AS m0,
+        |         max(ms) FILTER (WHERE b <= 1) AS m01,
+        |         max(ms) AS m
+        |  FROM e
+        |), kb AS (
+        |  SELECT user_key,
+        |         bool_or(b = 0) AS p0, bool_or(b = 1) AS p1, bool_or(b = 2) AS p2,
+        |         max(ms) FILTER (WHERE b = 0) AS cum0,
+        |         max(ms) FILTER (WHERE b <= 1) AS cum1,
+        |         max(ms) AS cum2,
+        |         count(*) FILTER (WHERE b = 0) AS c0,
+        |         count(*) FILTER (WHERE b <= 1) AS c01,
+        |         count(*) AS c012
+        |  FROM e GROUP BY user_key
+        |), f AS (
+        |  SELECT *,
+        |    (p0 AND NOT p1 AND cum0 + 86400000 < (SELECT m0 FROM bm)) AS fire1
+        |  FROM kb
+        |), f2 AS (
+        |  SELECT *,
+        |    (NOT fire1 AND NOT p2 AND
+        |     (CASE WHEN p1 THEN greatest(cum1 + 86400000, (SELECT m0 FROM bm) + 1)
+        |           ELSE cum0 + 86400000 END) < (SELECT m01 FROM bm)) AS fire2
+        |  FROM f
+        |), f3 AS (
+        |  SELECT *,
+        |    (NOT fire2 AND NOT (fire1 AND NOT p2) AND
+        |     (CASE WHEN p2 THEN greatest(cum2 + 86400000, (SELECT m01 FROM bm) + 1)
+        |           WHEN p1 THEN greatest(cum1 + 86400000, (SELECT m0 FROM bm) + 1)
+        |           ELSE cum0 + 86400000 END) < (SELECT m FROM bm)) AS fire3
+        |  FROM f2
+        |)
+        |SELECT user_key, event_id,
+        |       row_number() OVER (PARTITION BY user_key ORDER BY b, us, event_id) AS n
+        |FROM e
+        |UNION ALL
+        |SELECT user_key, CAST(-1 AS BIGINT) AS event_id,
+        |       CASE WHEN fire1 THEN c0 ELSE c01 END AS n
+        |FROM f3 WHERE fire1 OR fire2
+        |UNION ALL
+        |SELECT user_key, CAST(-1 AS BIGINT) AS event_id, c012 AS n
+        |FROM f3 WHERE fire3""".stripMargin,
 
     // the fold's output multiset per user is {1..n} in any order; any
     // total order reproduces the same multiset, and the compare sorts
