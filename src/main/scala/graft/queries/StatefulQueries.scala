@@ -104,8 +104,7 @@ object StatefulQueries extends QuerySet {
         }
         .persist()
       try {
-        val maxUs = Tables.events(s, d)
-          .agg(max(unix_micros(col("ts")))).head.getLong(0)
+        val maxUs = elems.agg(max(col("stamp"))).head.getLong(0)
         val poke = s.createDataset(Seq(
           StreamElement("user", "poke", "ev", "u-poke", -1L, maxUs,
             Array.empty[Byte], delete = false, deleteWildcard = false)))(enc)
@@ -215,9 +214,12 @@ object StatefulQueries extends QuerySet {
     // the watermark trajectory wm(b) = maxStamp(batches < b) − delay;
     // `disorder` = 60 d (> the 30 d span) so the late-event filter never
     // drops a row, and `earlyEmit` = 1 d far exceeds any gap between
-    // successive batch maxima, so a fired cell's re-armed deadline
-    // (lastFireWm + 1 d) is past the final watermark — at most ONE timer
-    // pane per key. A key therefore fires at the first batch where it
+    // successive batch maxima, so a fired-and-idle cell's re-armed
+    // deadline (lastFireWm + 1 d) is past the final watermark — a
+    // SECOND timer pane needs a batch-2 arrival after a batch-1 fire
+    // (the arrival re-arms from its own, possibly old, stamp), the one
+    // double-fire path the oracle's fire3 branch encodes.
+    // A key therefore fires at the first batch where it
     // has no data and its armed deadline (max(lastEventMs + 1 d,
     // armingWm + 1 ms), all on the stamp clock) is strictly below that
     // batch's watermark; the poke batch is the final chance with the
