@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+import graft.core.StreamElement
+
+/** Model-based cut-invariance laws for the streaming keyed-state
+  * lowerings: however an event-time-ordered changelog is cut into
+  * micro-batches, the streaming fold must equal the batch lowering —
+  * the contract every staged-log oracle row pins at ONE fixed slicing
+  * (tercile / event_id%3), checked here across random logs and random
+  * cut points. The reference runs one code path for both modes
+  * (Stream.java:386/520 execute on bounded and unbounded alike), so
+  * mode-equivalence is its documented semantics, not an accident.
+  *
+  * Stamps are generated DISTINCT per log: the streaming fold orders by
+  * (stamp, seqId) within each batch while the batch lowering sorts by
+  * stamp alone, so stamp ties have no defined cross-mode order — the
+  * contract is only total where event time is total.
+  */
+object StateCutLaws extends Properties("StateOpsCutInvariance") {
+
+  // every sample drives a real MemoryStream query per cut; 6 diverse
+  // logs per law keeps the suite's property budget
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.spark
+  private implicit lazy val ee: org.apache.spark.sql.Encoder[StreamElement] =
+    StreamElement.encoder
+
+  /** (event-time-sorted log with distinct stamps, interior cut points). */
+  private val genLogAndCuts: Gen[(List[StreamElement], List[Int])] = for {
+    n <- Gen.choose(2, 16)
+    keys <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    vals <- Gen.listOfN(n, Gen.choose(1, 9))
+    stamps <- Gen.pick(n, 1 to 200)
+    cuts <- Gen.someOf(1 until n)
+  } yield {
+    val log = keys.lazyZip(vals).lazyZip(stamps.toList).toList.zipWithIndex.map {
+      case ((k, v, st), i) =>
+        StreamElement("e", k, "x", s"u$i", i.toLong, st * 1000L,
+          v.toString.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+    }.sortBy(_.stamp)
+    (log, cuts.toList.sorted)
+  }
+
+  private def segments(log: List[StreamElement], cuts: List[Int]): List[List[StreamElement]] =
+    (0 :: cuts).zip(cuts :+ log.length).map { case (a, b) => log.slice(a, b) }
+      .filter(_.nonEmpty)
+
+  /** Feed `segs` one micro-batch each through `f`, return the sink rows. */
+  private def runStreamed[T](segs: List[List[StreamElement]])(
+      f: Dataset[StreamElement] => Dataset[T]): Seq[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StreamElement]
+    val sink = "cutlaw_" + UUID.randomUUID().toString.replace("-", "")
+    val q = f(input.toDS()).writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    try {
+      segs.foreach { seg => input.addData(seg); q.processAllAvailable() }
+      spark.table(sink).collect().toSeq
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  private def num(e: StreamElement): Double =
+    new String(e.value, "UTF-8").toDouble
+
+  property("integratePerKey: any event-time-ordered cut equals the batch fold") =
+    forAll(genLogAndCuts) { case (log, cuts) =>
+      val streamed = runStreamed(segments(log, cuts)) { ds =>
+        StateOps.integratePerKey(ds, 0.0, num, _ + _)
+      }.map(r => (r.getString(0), r.getDouble(2)))
+
+      implicit val ke = Encoders.STRING
+      implicit val tupe = Encoders.tuple(Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaDouble)
+      implicit val oute = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+      val batch = new graft.api.GStream(spark.createDataset(log), None)
+        .assignEventTime(_.stamp)
+        .integratePerKey[String, Double](_.key, num, 0.0, _ + _)
+        .ds.collect().toSeq
+
+      streamed.sorted == batch.sorted
+    }
+
+  property("reduceValueStateByKey: order-sensitive fold is cut-invariant") =
+    forAll(genLogAndCuts) { case (log, cuts) =>
+      // state = concatenation of values seen so far; emit the PRE-update
+      // state per element — any cross-batch reordering changes some
+      // emitted prefix, so this catches order bugs counts cannot
+      implicit val se = Encoders.STRING
+      implicit val oe = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+      val streamed = runStreamed(segments(log, cuts)) { ds =>
+        StateOps.reduceValueStateByKey[String, String](ds, "",
+          (st, e) => st, (st, e) => st + new String(e.value, "UTF-8"))
+      }.map(r => (r.getString(0), r.getString(1)))
+
+      implicit val tupe = Encoders.tuple(Encoders.STRING,
+        Encoders.scalaLong, Encoders.STRING)
+      val batch = new graft.api.GStream(spark.createDataset(log), None)
+        .assignEventTime(_.stamp)
+        .reduceValueStateByKey[String, String, String, String](
+          _.key, e => new String(e.value, "UTF-8"), "",
+          (st, _) => st, (st, v) => st + v)
+        .ds.collect().toSeq
+
+      streamed.sorted == batch.sorted
+    }
+}
