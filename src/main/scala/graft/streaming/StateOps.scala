@@ -182,12 +182,24 @@ object StateOps {
               st = st.copy(lastEventMs = math.max(st.lastEventMs, e.stamp / div))
               if (e.deleteWildcard) {
                 if (!st.hasWc || posOrd.gt(pos(e), wcPos)) {
-                  // evict every live suffix at-or-before the tombstone
+                  // evict every live suffix at-or-before the tombstone.
+                  // The per-suffix delete is emitted AT THE TOMBSTONE'S
+                  // position (uuid disambiguated per attribute so the
+                  // idempotent sink's uuid anti-join keeps per-element
+                  // granularity): the deletion happened at the
+                  // tombstone's stamp, so a position-ordered consumer
+                  // (LWW store, CachedView as-of reads between the dead
+                  // upsert and the tombstone) sees the cell die at the
+                  // right point — an emission reusing the dead element's
+                  // own position would tie with it and be ignored or
+                  // shadow it at earlier stamps.
                   val (dead, alive) = st.latest.partition { case (_, v) =>
                     posOrd.lteq(pos(v), pos(e))
                   }
                   dead.foreach { case (a, v) =>
-                    changed(a) = v.copy(value = null, delete = true)
+                    changed(a) = v.copy(uuid = s"${e.uuid}#$a",
+                      seqId = e.seqId, stamp = e.stamp,
+                      value = null, delete = true)
                   }
                   st = PrefixState(e.stamp, e.seqId, e.uuid, hasWc = true,
                     alive, st.lastEventMs)

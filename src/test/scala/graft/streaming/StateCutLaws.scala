@@ -94,6 +94,68 @@ object StateCutLaws extends Properties("StateOpsCutInvariance") {
       streamed.sorted == batch.sorted
     }
 
+  // --- snapshot maintenance: LWW is position-based, so the law holds
+  // under ARBITRARY cuts of an arbitrarily-ordered changelog (no
+  // watermark attached with cleanup=None → nothing is ever dropped) ---
+
+  private val genSnapElement: Gen[StreamElement] = for {
+    key <- Gen.oneOf("k1", "k2")
+    kind <- Gen.frequency(6 -> "up", 2 -> "del", 2 -> "wc")
+    suffix <- Gen.choose(1, 3)
+    attr = if (kind == "wc") "device.*" else s"device.$suffix"
+    stamp <- Gen.choose(1L, 20L)
+    seq <- Gen.choose(1L, 1000L)
+  } yield StreamElement("e", key, attr, s"u$seq", seq, stamp * 1000L,
+    if (kind == "up") s"v$seq".getBytes else null,
+    delete = kind != "up", deleteWildcard = kind == "wc")
+
+  private val genSnapLogAndCuts: Gen[(List[StreamElement], List[Int])] = for {
+    n <- Gen.choose(1, 14)
+    log <- Gen.listOfN(n, genSnapElement)
+    cuts <- Gen.someOf(1 until n)
+  } yield (log, cuts.toList.sorted)
+
+  property("snapshotUpdates: changelog winners equal the batch snapshot under any cut") =
+    forAll(genSnapLogAndCuts) { case (log, cuts) =>
+      val emissions = runStreamed(segments(log, cuts)) { ds =>
+        StateOps.snapshotUpdates(ds)
+      }
+      // reconstruct visibility: per (key, attribute) the emission at the
+      // top changelog position wins; visible iff it is an upsert
+      val visible = emissions
+        .map(r => (r.getString(1), r.getString(2),
+          (r.getLong(5), r.getLong(4), r.getString(3)),
+          r.getAs[Array[Byte]]("value"), r.getAs[Boolean]("delete")))
+        .groupBy(t => (t._1, t._2)).values
+        .map(_.maxBy(_._3))
+        .collect { case (k, a, _, v, del) if !del => (k, a, new String(v, "UTF-8")) }
+        .toSet
+
+      val batch = graft.operators.SnapshotCompact
+        .snapshot(spark.createDataset(log))
+        .collect()
+        .map(e => (e.key, e.attribute, new String(e.value, "UTF-8"))).toSet
+
+      visible == batch
+    }
+
+  property("tumblingCounts: final panes equal the per-window count under any cut") =
+    forAll(genSnapLogAndCuts) { case (log, cuts) =>
+      // counts are order-insensitive and the lateness bound exceeds the
+      // stamp range, so ANY segmentation must converge to the same final
+      // pane (= max of the running panes) per (window, key) cell
+      val panes = runStreamed(segments(log, cuts)) { ds =>
+        EventTimeWindows.tumblingCounts(ds, sizeMs = 5L,
+          allowedLatenessMs = 60000L)
+      }.map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      val finalPanes = panes.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+      val expected = log.groupBy(e => (e.stamp / 5000 * 5000, e.key))
+        .view.mapValues(_.size.toLong).toMap
+
+      finalPanes == expected
+    }
+
   property("reduceValueStateByKey: order-sensitive fold is cut-invariant") =
     forAll(genLogAndCuts) { case (log, cuts) =>
       // state = concatenation of values seen so far; emit the PRE-update
