@@ -156,6 +156,81 @@ object StateCutLaws extends Properties("StateOpsCutInvariance") {
       finalPanes == expected
     }
 
+  // --- retract join: the ± ledger differs per cut (seq numbers,
+  // intermediate retractions), but folding it with currentResult must
+  // always land on the same live pair set — checked against an
+  // independent latest-per-element-key model, not the operator's own
+  // bounded path ---
+
+  private val genJoinLogAndCuts: Gen[(List[(Boolean, StreamElement)], List[Int])] = for {
+    n <- Gen.choose(2, 14)
+    sides <- Gen.listOfN(n, Gen.oneOf(true, false))
+    eks <- Gen.listOfN(n, Gen.choose(1, 3))
+    jks <- Gen.listOfN(n, Gen.oneOf("j1", "j2"))
+    dels <- Gen.listOfN(n, Gen.frequency(4 -> false, 1 -> true))
+    vals <- Gen.listOfN(n, Gen.choose(1, 9))
+    stamps <- Gen.pick(n, 1 to 200)
+    cuts <- Gen.someOf(1 until n)
+  } yield {
+    val log = (0 until n).map { i =>
+      val side = if (sides(i)) "l" else "r"
+      (sides(i), StreamElement("e", s"$side${eks(i)}", jks(i), s"u$i",
+        i.toLong, stamps.toList(i) * 1000L,
+        if (dels(i)) null else vals(i).toString.getBytes("UTF-8"),
+        delete = dels(i), deleteWildcard = false))
+    }.toList.sortBy(_._2.stamp)
+    (log, cuts.toList.sorted)
+  }
+
+  private type Pair = (String, String, String, String, String)
+
+  /** Independent model: most-recent live value per (side, joinKey,
+    * elemKey) — latest by (stamp, seqId) wins, a latest delete evicts —
+    * then per join key the cross product of live sides.
+    */
+  private def joinModel(log: List[(Boolean, StreamElement)]): Set[Pair] = {
+    def live(isLeft: Boolean) = log.filter(_._1 == isLeft).map(_._2)
+      .groupBy(e => (e.attribute, e.key))
+      .view.mapValues(_.maxBy(e => (e.stamp, e.seqId))).toMap
+      .collect { case ((jk, ek), e) if !e.delete =>
+        (jk, ek, new String(e.value, "UTF-8")) }
+    (for {
+      (jk, lk, lv) <- live(isLeft = true)
+      (jk2, rk, rv) <- live(isLeft = false) if jk2 == jk
+    } yield (jk, lk, rk, lv, rv)).toSet
+  }
+
+  property("retractJoin: folded ledger equals the most-recent join model under any cut") =
+    forAll(genJoinLogAndCuts) { case (log, cuts) =>
+      implicit val sq = spark.sqlContext
+      implicit val ce = org.apache.spark.sql.Encoders.product[RetractJoin.Change]
+      val lIn = MemoryStream[StreamElement]
+      val rIn = MemoryStream[StreamElement]
+      val sink = "cutlaw_" + UUID.randomUUID().toString.replace("-", "")
+      val q = RetractJoin(lIn.toDS(), _.attribute, rIn.toDS(), _.attribute)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      val changes = try {
+        segments(log.map(_._2), cuts).foreach { seg =>
+          val segSet = seg.map(_.uuid).toSet
+          val bySide = log.filter(t => segSet(t._2.uuid))
+          lIn.addData(bySide.collect { case (true, e) => e })
+          rIn.addData(bySide.collect { case (false, e) => e })
+          q.processAllAvailable()
+        }
+        spark.table(sink).as[RetractJoin.Change].collect().toSeq
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(sink)
+      }
+      val folded = RetractJoin.currentResult(changes).map(c =>
+        (c.joinKey, c.leftKey, c.rightKey,
+          new String(c.leftValue, "UTF-8"),
+          new String(c.rightValue, "UTF-8"))).toSet
+
+      folded == joinModel(log)
+    }
+
   property("reduceValueStateByKey: order-sensitive fold is cut-invariant") =
     forAll(genLogAndCuts) { case (log, cuts) =>
       // state = concatenation of values seen so far; emit the PRE-update
