@@ -128,6 +128,27 @@ class StreamingSpec extends SparkSpec {
     } finally all.stop()
   }
 
+  test("cached view: as-of read between an upsert and its wildcard tombstone") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    fam.append(Seq(up("k", "device.1", 10, "d1")))
+    val view = new CachedView(fam, maxVersions = 2).assign(tmp() + "/ckpt")
+    try {
+      view.processAllAvailable()
+      // second batch: the tombstone arrives after the upsert pane is
+      // cached (intra-batch, update-mode compaction would collapse the
+      // pair to the delete alone — per-batch net change is the contract)
+      fam.append(Seq(delWc("k", "device.", 18)))
+      view.processAllAvailable()
+      // the eviction delete must carry the TOMBSTONE's stamp (18), not
+      // the dead upsert's (10): the cell was alive at 12
+      assert(view.get("k", "device.1", 12).map(e => new String(e.value, "UTF-8"))
+        .contains("d1"), "as-of read before the tombstone must see the upsert")
+      assert(view.get("k", "device.1", 19).isEmpty,
+        "as-of read after the tombstone must see the cell dead")
+      assert(view.get("k", "device.1").isEmpty)
+    } finally view.stop()
+  }
+
   test("cached view: get/scanWildcard/listEntities + write-through") {
     val fam = new CommitLogFamily(spark, tmp() + "/log")
     fam.append(Seq(up("u1", "device.1", 1, "d1"), up("u1", "device.2", 2, "d2"),
