@@ -75,7 +75,9 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
         "eval help exit\n" +
         "eval: <entity>[.updates()].filter(...).map(...).take(n)|.count()|.sum(...)\n" +
         "      windowed/grouped: .timeWindow(ms).groupBy(key, window)" +
-        ".reduce(init, accExpr)|.count()|.sum(e)|.min(e)|.max(e)|.avg(e)")
+        ".reduce(init, accExpr)|.count()|.sum(e)|.min(e)|.max(e)|.avg(e)\n" +
+        "      closures: filter(scala('value.rlike(\"x.*\")')) | " +
+        "transform(scala('df => ...')) | filter(sql(\"...\"))")
     // scripted expressions (Console.java closures): predicates compile to
     // Catalyst columns, so filter+count runs distributed
     case Seq("eval", expression) =>

@@ -66,6 +66,20 @@ import graft.core.GraftOperator
   *   user.updates().filter(sql("stamp % 2 = 0 AND length(CAST(value AS STRING)) > 1")).count()
   *   user.map(sql("concat(upper(key), ':', CAST(stamp AS STRING))")).take(5)
   * }}}
+  *
+  * Full closures: `scala("...")` compiles REAL Scala at the prompt (the
+  * reference console's arbitrary-Groovy-closure parity,
+  * Console.java:44 / Compiler.java) via [[ShellCompiler]]. In an
+  * expression position the source evaluates to a Catalyst `Column` with
+  * the element fields and `functions._` in scope; the pipeline verb
+  * `transform(scala("df => ..."))` takes a whole `DataFrame =>
+  * DataFrame`. Either way the compiled closure IS a plan — scripted
+  * steps stay distributed, nothing runtime-compiled ships to executors:
+  *
+  * {{{
+  *   user.filter(scala('value.rlike("^o.+e$")')).count()
+  *   user.transform(scala('df => df.groupBy("attribute").count()')).take(5)
+  * }}}
   */
 object ShellExpr {
 
@@ -282,8 +296,22 @@ object ShellExpr {
         "expression operators instead")
     case Fn("sql", _) => throw new IllegalArgumentException(
       "sql needs one string literal containing a Spark SQL expression")
+    // free-form SCALA closure (Console.java:44 arbitrary-closure parity):
+    // the source compiles to a Catalyst Column with the element fields
+    // and functions._ in scope (ShellCompiler), so even a runtime-
+    // compiled closure still runs as a distributed plan
+    case Fn("scala", Seq(Lit(src: String))) if env.isEmpty =>
+      ShellCompiler.columnClosure(src)
+    case Fn("scala", Seq(Lit(_: String))) => throw new IllegalArgumentException(
+      "scala(...) is not available inside a reduce fold — the fold binds " +
+        "lambda variables the compiled source cannot reference; use the " +
+        "expression operators instead")
+    case Fn("scala", _) => throw new IllegalArgumentException(
+      "scala needs one string literal containing Scala source that " +
+        "evaluates to a Column, e.g. scala('value.rlike(\"x.*\")')")
     case Fn(n, _) => throw new IllegalArgumentException(
-      s"unknown function '$n' (functions: split(expr, sep), sql(\"...\"))")
+      s"unknown function '$n' (functions: split(expr, sep), sql(\"...\"), " +
+        "scala(\"...\"))")
     case Call(t, "startsWith", Seq(a)) => toColumn(t, env).startsWith(toColumn(a, env))
     case Call(t, "contains", Seq(a))   => toColumn(t, env).contains(toColumn(a, env))
     case Call(t, "endsWith", Seq(a))   => toColumn(t, env).endsWith(toColumn(a, env))
@@ -363,9 +391,20 @@ object ShellExpr {
             case Lit(n: Long) => DoneSt(renderRows(df, n.toInt))
             case other => throw new IllegalArgumentException(s"take needs a count, got $other")
           }
+          // whole-pipeline closure: any DataFrame => DataFrame, compiled
+          // at the prompt (the full generality of the reference
+          // console's scripted Groovy pipelines, Console.java:44)
+          case "transform" => args match {
+            case Seq(Fn("scala", Seq(Lit(src: String)))) =>
+              DfSt(ShellCompiler.dfClosure(src)(df))
+            case _ => throw new IllegalArgumentException(
+              "transform needs scala(\"df => ...\") — Scala source for a " +
+                "DataFrame => DataFrame closure")
+          }
           case other => throw new IllegalArgumentException(
             s"unknown pipeline method '$other' " +
-              "(filter, map, flatMap, distinct, take, count, sum, timeWindow, groupBy)")
+              "(filter, map, flatMap, distinct, take, count, sum, timeWindow, " +
+              "groupBy, transform)")
         }
         case GrSt(df, keys, rawKeys) => name match {
           case "count" if args.isEmpty =>

@@ -158,6 +158,35 @@ class GraftShellSpec extends SparkSpec {
     assert(out.contains("split needs (expression, separator)"), out)
   }
 
+  test("eval: scala() closures compile free-form Scala at the prompt") {
+    val out = runScript(
+      """put user u1 status 2 online
+        |put user u2 status 3 offline
+        |put user u3 status 4 advent
+        |eval user.filter(scala('value.rlike("^o.+e$")')).count()
+        |eval user.map(scala('concat_ws(":", upper(key), stamp % 2)')).take(10)
+        |eval user.filter(scala('{ val evens = stamp % 2 === lit(0); evens || length(value) <= 7 }')).count()
+        |eval user.transform(scala('df => df.groupBy("attribute").count()')).take(5)
+        |eval user.filter(scala('this does not compile')).count()
+        |eval user.transform(split(value, "x")).count()
+        |eval user.count()
+        |""".stripMargin)
+    val lines = out.linesIterator.filterNot(_ == "ok").toSeq
+    // a real regex closure — same power as the reference's Groovy
+    // closures, compiled to a Catalyst column
+    assert(lines(0) == "2", s"rlike closure filter: $out")
+    assert(lines.slice(1, 4).toSet == Set("U1:0", "U2:1", "U3:0"),
+      s"scala-mapped projection: $out")
+    // multi-statement Scala (a block with locals) also compiles
+    assert(lines(4) == "3", s"block closure filter: $out")
+    // whole-pipeline DataFrame => DataFrame closure
+    assert(lines(5) == "status 3", s"transform closure: $out")
+    // a broken closure reports a compile error and the session continues
+    assert(out.contains("does not compile"), out)
+    assert(out.contains("transform needs scala("), out)
+    assert(lines.last == "3", s"session must continue: $out")
+  }
+
   test("eval: bad expressions report errors without killing the session") {
     val out = runScript(
       """put user u1 status 1 on
