@@ -82,6 +82,27 @@ object TextQueries extends QuerySet {
         .agg(min(col("h")).as("fp"))
     }),
 
+    // winnowing SELECTION (full scheme, not just the per-doc min): every
+    // sliding w-window's minimum gram hash, distinct per doc — the
+    // span-level index exact-substring dedup joins on. k=20/w=8 sizes
+    // the certified span at >= 27 chars (~4 words): long enough that a
+    // shared fingerprint means verbatim copying, not the synthetic
+    // corpus's short common phrases
+    "q_winnow_select" -> ((s, d) => {
+      graft.functions.Winnow.fingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 20, w = 8)
+    }),
+
+    // exact-substring overlap pairs: docs sharing >= 2 winnowing
+    // fingerprints (each certifies a shared >= 27-char exact span), hot
+    // boilerplate fingerprints capped at 10 docs
+    "q_substring_pairs" -> ((s, d) => {
+      graft.functions.Winnow.substringPairs(
+        graft.functions.Winnow.fingerprints(
+          Tables.documents(s, d), "doc_id", "text", k = 20, w = 8),
+        "doc_id", minShared = 2, maxBucket = 10)
+    }),
+
     // text normalization: whitespace collapse + trim + lowercase — the
     // canonical pre-dedup canonicalization pass; output the normalized
     // form's hash so near-identical whitespace variants collapse
@@ -129,6 +150,26 @@ object TextQueries extends QuerySet {
     s"CAST((length($expr) - length(replace($expr, '$marker', ''))) / ${marker.length} AS BIGINT)"
   private val pad = "' ' || text || ' '"
 
+  /** Winnowing selection as SQL (k=20, w=8), bit-matching
+    * [[graft.functions.Winnow.fingerprints]]: gram hashes, sliding
+    * 8-window minimum, full windows only, distinct per doc.
+    */
+  private val winnowSelSql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(i.i AS INT) AS i, length(text) - 19 AS g,
+      |         CAST(('0x' || substr(md5(substr(text, CAST(i.i AS INT), 20)), 1, 15))::UBIGINT
+      |           AS BIGINT) AS h
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, length(text) - 18)) AS i) i
+      |), wm AS (
+      |  SELECT doc_id, i, g,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      |  FROM g
+      |), sel AS (
+      |  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= g - 7
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
       s"""SELECT doc_id, CAST($tokCount AS BIGINT) AS n_tokens FROM documents""",
@@ -149,6 +190,19 @@ object TextQueries extends QuerySet {
         |FROM documents,
         |  LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i) i
         |GROUP BY doc_id""".stripMargin,
+
+    "q_winnow_select" ->
+      s"""$winnowSelSql
+         |SELECT doc_id, fp FROM sel""".stripMargin,
+
+    "q_substring_pairs" ->
+      s"""$winnowSelSql,
+         |okfp AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 10)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sel a JOIN okfp USING (fp)
+         |JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
