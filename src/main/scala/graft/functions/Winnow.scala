@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing fingerprints and exact-substring overlap pairs — the
@@ -24,15 +23,18 @@ import org.apache.spark.sql.functions._
   * shared span); selection density is ~2/(w+1), so the index is ~2/(w+1)
   * of the gram count.
   *
-  * Scale shape: the gram explode is a map (no shuffle); the sliding min
-  * is ONE window shuffle partitioned by doc_id (each partition sorts its
-  * own grams — spill-safe, no skew because partitioning is by document);
-  * the pair join is an inverted index on fingerprint value with hot
-  * buckets CAPPED (a fingerprint shared by > maxBucket documents is
-  * ecosystem boilerplate — a license header — whose O(n²) pair
-  * explosion drowns the signal; same policy as [[MinHashLsh]] LSH
-  * buckets and [[Jaccard]]). At 100 TB each stage is partial-aggregable
-  * or bucket-bounded; nothing is quadratic in the corpus.
+  * Scale shape: selection is a PURE MAP — the gram-hash array, the
+  * sliding minima and the distinct all happen inside each document's
+  * own row via higher-order array functions (`transform` / `slice` /
+  * `array_min` / `array_distinct`), so the per-document work never
+  * leaves its input partition and the only output is the ~2/(w+1)-dense
+  * fingerprint explode. No window shuffle, no doc-wide sort: at 100 TB
+  * the selection cost is one scan. The pair join is an inverted index
+  * on fingerprint value with hot buckets CAPPED (a fingerprint shared
+  * by > maxBucket documents is ecosystem boilerplate — a license
+  * header — whose O(n²) pair explosion drowns the signal; same policy
+  * as [[MinHashLsh]] LSH buckets and [[Jaccard]]). Nothing is
+  * quadratic in the corpus.
   */
 object Winnow {
 
@@ -43,23 +45,38 @@ object Winnow {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val n = length(col(textCol))
-    // g = number of k-grams; positions are 1-based (SQL substring)
-    val grams = docs
-      .select(col(idCol), col(textCol), (n - (k - 1)).as("g"),
-        explode(when(n >= k, sequence(lit(1), n - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col(idCol), col("g"), col("i"),
-        conv(substring(md5(expr(s"substring($textCol, i, $k)")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-    val slide = Window.partitionBy(col(idCol)).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(slide))
-      // full windows only: the last start position is g - (w - 1)
-      .filter(col("i") <= col("g") - (w - 1))
-      .select(col(idCol), col("fp"))
-      .distinct()
+    // all per-document: gram hashes, sliding minima and dedup are
+    // higher-order array expressions inside the row — no shuffle; the
+    // 1-based positions match SQL substring on both engines, and the
+    // gram hash is the native graft_hash60 (== the oracle's
+    // conv(substr(md5(s), 1, 15), 16, 10), Hash60Spec-pinned) so the
+    // hot kernel skips the hex-string round-trip. g = number of
+    // k-grams; the last full w-window starts at g - (w - 1). The empty
+    // cases are explicit CASEs: sequence(1, 0) is a DESCENDING [1, 0]
+    // in Spark, not an empty array.
+    val hs =
+      s"""case when length($textCol) >= $k then
+         |  transform(sequence(1, length($textCol) - ${k - 1}),
+         |    i -> graft_hash60(substr($textCol, i, $k)))
+         |else cast(array() as array<bigint>) end""".stripMargin
+    val sel =
+      s"""case when size(__graft_hs) >= $w then
+         |  array_distinct(transform(
+         |    sequence(1, size(__graft_hs) - ${w - 1}),
+         |    j -> array_min(slice(__graft_hs, j, $w))))
+         |else cast(array() as array<bigint>) end""".stripMargin
+    // small-input guard: selection is compute-bound, so it wants one
+    // task per core; a source offering fewer splits than cores is a
+    // small-file artifact (impossible at corpus scale, where input
+    // splits vastly outnumber cores — the guard then never fires and
+    // nothing is shuffled). The shuffled payload when it does fire is
+    // by definition tiny.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    GraftExtensions.ensureRegistered()
+    src
+      .withColumn("__graft_hs", expr(hs))
+      .select(col(idCol), explode(expr(sel)).as("fp"))
   }
 
   /** Document pairs sharing ≥ minShared fingerprints, with hot
