@@ -87,6 +87,22 @@ class PlanQualitySpec extends SparkSpec {
       s"per-doc quality gate must not shuffle:\n$plan")
   }
 
+  test("winnowing selection is in-row: no sort, no window, no shuffle") {
+    val dir = Files.createTempDirectory("graft-winnow-").toString + "/docs"
+    (1 to 64).map(i => (i.toLong, (1 to 60).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(32).write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    // 32 input splits >= cores: the small-input guard must NOT fire, and
+    // the whole selection must stay inside the scan stage — the property
+    // that makes it one pass over a 100 TB corpus
+    val plan = graft.functions.Winnow.fingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"winnow selection must not shuffle:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort"),
+      s"winnow selection must not sort:\n$plan")
+  }
+
   test("exact quantiles window over the histogram, never the raw rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val docs = (1 to 5000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
