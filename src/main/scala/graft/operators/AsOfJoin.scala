@@ -74,7 +74,7 @@ object AsOfJoin {
     val missingInL = r.columns.toSet -- l.columns.toSet
     var lAligned = l
     missingInL.foreach(c => lAligned = lAligned.withColumn(c, lit(null)))
-    lAligned.select(r.columns.map(col): _*).unionByName(r)
+    lAligned.select(r.columns.toIndexedSeq.map(col): _*).unionByName(r)
   }
 
   /** @param left      fact rows (any columns; must contain `key` and `ts`)

@@ -48,14 +48,14 @@ object SnapshotCompact {
   def snapshot(ds: Dataset[StreamElement], asOf: Long = Long.MaxValue): Dataset[StreamElement] = {
     import ds.sparkSession.implicits._
 
-    val bounded = if (asOf == Long.MaxValue) ds.toDF else ds.filter(col("stamp") <= asOf).toDF
+    val bounded = if (asOf == Long.MaxValue) ds.toDF() else ds.filter(col("stamp") <= asOf).toDF()
     val withPrefix = bounded.withColumn("_prefix", prefixCol)
 
     // 1. latest element per (key, attribute) — one combinable max_by pass
     val latest = withPrefix
       .groupBy(col("key"), col("attribute"))
       .agg(max_by(
-        struct(withPrefix.columns.map(col): _*),
+        struct(withPrefix.columns.toIndexedSeq.map(col): _*),
         pos(col("stamp"), col("seqId"), col("uuid"))).as("e"))
       .select(col("e.*"))
 
@@ -79,9 +79,9 @@ object SnapshotCompact {
     */
   def latestPerAttribute(ds: Dataset[StreamElement]): Dataset[StreamElement] = {
     import ds.sparkSession.implicits._
-    val df = ds.toDF
+    val df = ds.toDF()
     df.groupBy(col("key"), col("attribute"))
-      .agg(max_by(struct(df.columns.map(col): _*),
+      .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*),
         pos(col("stamp"), col("seqId"), col("uuid"))).as("e"))
       .select(col("e.*"))
       .as[StreamElement]

@@ -42,7 +42,7 @@ object DedupQueries extends QuerySet {
         }
         .persist()
       try {
-        val maxId = docs.agg(max(col("seqId"))).head.getLong(0)
+        val maxId = docs.agg(max(col("seqId"))).head().getLong(0)
         val (c1, c2) = ((maxId + 1) / 3, 2 * (maxId + 1) / 3)
         StagedLogs.appendOrdered(fam, Seq(
           docs.filter(col("seqId") < c1),

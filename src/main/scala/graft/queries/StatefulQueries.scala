@@ -104,7 +104,7 @@ object StatefulQueries extends QuerySet {
         }
         .persist()
       try {
-        val maxUs = elems.agg(max(col("stamp"))).head.getLong(0)
+        val maxUs = elems.agg(max(col("stamp"))).head().getLong(0)
         val poke = s.createDataset(Seq(
           StreamElement("user", "poke", "ev", "u-poke", -1L, maxUs,
             Array.empty[Byte], delete = false, deleteWildcard = false)))(enc)
@@ -294,7 +294,7 @@ object StatefulQueries extends QuerySet {
       implicit val oe = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       val fam = sharedEventLog(s, d)
       val maxUs = Tables.events(s, d)
-        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
       StreamSupport.runToMemorySink(s,
         fam.stream(fromStamp = maxUs - 3600L * 1000000)
           .map(e => (e.seqId, e.stamp))

@@ -161,7 +161,7 @@ object WindowQueries extends QuerySet {
     // lateness. The bounded max-stamp aggregate is one row to the driver.
     "q_late_split" -> ((s, d) => {
       val ds = Tables.eventsAsChangelog(s, d)
-      val wm = ds.agg(max(col("stamp"))).head.getLong(0)
+      val wm = ds.agg(max(col("stamp"))).head().getLong(0)
       val (onTime, late) = graft.streaming.EventTimeWindows
         .splitLate(ds, wm, allowedLatenessMs = 3600000L)
       onTime.select(col("seqId").as("event_id")).withColumn("is_late", lit(false))

@@ -230,8 +230,12 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     * and appends there), and a last-touched stamp refreshed by every
     * get/update so only genuinely ABANDONED transactions expire.
     */
-  private final case class TxHandle(t: TransactionCoordinator#Transaction,
-      family: String, lastUsed: java.util.concurrent.atomic.AtomicLong)
+  // a plain class, not a case class: the path-dependent Transaction type
+  // would give the synthetic case-class equality an outer-reference check
+  // scalac cannot verify (the handle is an identity-keyed map value, so
+  // structural equality is unwanted anyway)
+  private final class TxHandle(val t: TransactionCoordinator#Transaction,
+      val family: String, val lastUsed: java.util.concurrent.atomic.AtomicLong)
 
   private val openTxs =
     new java.util.concurrent.ConcurrentHashMap[String, TxHandle]()
@@ -279,7 +283,7 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
       _ => new TransactionCoordinator(op.family(famName), mode))
     sweepExpiredTxs()
     val id = java.util.UUID.randomUUID().toString
-    openTxs.put(id, TxHandle(coord.begin(), famName,
+    openTxs.put(id, new TxHandle(coord.begin(), famName,
       new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())))
     Json.obj("tx" -> id)
   })
