@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016 — learn the
+  * merge table a byte-pair tokenizer runs): repeatedly find the most
+  * frequent adjacent symbol pair in the corpus and merge it. The
+  * training-data pipeline counterpart of [[TokenCount]]'s BPE-ish
+  * counting: this learns the merges themselves.
+  *
+  * Scale shape — the classic algorithm is corpus-sized per round; this
+  * one is VOCAB-sized: pair statistics are computed over the distinct
+  * WORD-frequency table (one corpus scan + one shuffle, ever), and each
+  * merge round is then (a) one partial-aggregable pair-count over the
+  * word table weighted by word frequency, (b) a ONE-ROW argmax to the
+  * driver (count desc, pair asc — fully deterministic), (c) a columnar
+  * `replace` applying the merge. At 100 TB the word table is tens of
+  * millions of rows regardless of corpus size, so N rounds cost N small
+  * aggregates, not N corpus scans.
+  *
+  * Representation: a word is its space-joined symbol string (initially
+  * one char per symbol; symbols never contain spaces). Applying a merge
+  * is a left-to-right non-overlapping fold over the symbol list — the
+  * `aggregate` higher-order function whose accumulator is the rebuilt
+  * string, with its LAST token playing "previous symbol": when the last
+  * token is `l` and the next is `r` they fuse into `lr`, and the fused
+  * token can never re-match in the same pass (`l + r ≠ l`), which is
+  * exactly reference BPE's greedy non-overlapping application (a
+  * space-padded string `replace` would NOT be: its match consumes the
+  * delimiter, so runs like `a a a a` merge once instead of twice). The
+  * DuckDB oracle replays the identical fold via `list_reduce`. No
+  * end-of-word marker (merges stay within words); add one upstream as a
+  * reserved symbol if cross-boundary merges must be blocked from a
+  * downstream tokenizer's perspective.
+  */
+object BpeTrain {
+
+  /** One learned merge: at `merge_rank`, symbols `l_sym r_sym` fused
+    * into `merged`, with corpus-weighted pair frequency `f_weight`.
+    */
+  final case class Merge(merge_rank: Int, l_sym: String, r_sym: String,
+      merged: String, f_weight: Long)
+
+  /** The word-frequency table: (syms, freq) with `syms` the
+    * space-joined character symbols. One scan + one shuffle.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
+        col("freq"))
+
+  /** Learn `rounds` merges. Each round's argmax is the ONLY driver
+    * traffic (one row per round).
+    */
+  def train(spark: SparkSession, words: DataFrame, rounds: Int): Seq[Merge] = {
+    val out = Vector.newBuilder[Merge]
+    var cur = words.persist()
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // adjacent pairs of each word's symbol list, weighted by freq;
+        // the empty case is an explicit CASE (sequence(1, 0) descends)
+        val pairs = cur
+          .withColumn("l", split(col("syms"), " "))
+          .select(col("freq"), explode(expr(
+            """case when size(l) >= 2 then
+              |  transform(sequence(1, size(l) - 1),
+              |    i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
+              |else cast(array() as array<string>) end""".stripMargin)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+          .orderBy(col("f").desc, col("pair").asc)
+          .limit(1)
+          .collect()
+        if (pairs.isEmpty) exhausted = true
+        else {
+          val pair = pairs(0).getString(0)
+          val f = pairs(0).getLong(1)
+          val Array(l, rr) = pair.split(" ", 2)
+          out += Merge(r, l, rr, l + rr, f)
+          val next = cur
+            .select(applyMerge(col("syms"), l, rr).as("syms"), col("freq"))
+            .persist()
+          next.count() // materialize before dropping the parent pin
+          cur.unpersist()
+          cur = next
+          r += 1
+        }
+      }
+      out.result()
+    } finally cur.unpersist()
+  }
+
+  /** The greedy non-overlapping merge fold (see the class scaladoc):
+    * pure Column DSL, so corpus symbols never touch SQL text. Lengths
+    * are code points, matching SQL `length`.
+    */
+  private def applyMerge(syms: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column = {
+    val lLen = lit(l.codePointCount(0, l.length))
+    aggregate(
+      split(syms, " "),
+      lit(""),
+      (s, x) =>
+        when((s === lit(l) || s.endsWith(lit(" " + l))) && x === lit(r),
+          concat(s.substr(lit(1), length(s) - lLen), lit(l + r)))
+          .otherwise(when(s === lit(""), x)
+            .otherwise(concat(s, lit(" "), x))))
+  }
+
+  /** The learned merge table as a DataFrame (for the oracle row). */
+  def merges(spark: SparkSession, docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    train(spark, wordTable(docs, textCol), rounds).toDF()
+  }
+}

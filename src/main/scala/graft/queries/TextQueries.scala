@@ -103,6 +103,15 @@ object TextQueries extends QuerySet {
         "doc_id", minShared = 2, maxBucket = 10)
     }),
 
+    // BPE tokenizer TRAINING (Sennrich-style merge learning over the
+    // word-frequency table — vocab-sized rounds, not corpus scans): the
+    // first 8 learned merges, deterministic argmax (count desc, pair
+    // asc), replayed round-for-round by the generated DuckDB oracle
+    "q_bpe_merges" -> ((s, d) => {
+      graft.functions.BpeTrain.merges(s, Tables.documents(s, d), "text",
+        rounds = BPE_ROUNDS)
+    }),
+
     // text normalization: whitespace collapse + trim + lowercase — the
     // canonical pre-dedup canonicalization pass; output the normalized
     // form's hash so near-identical whitespace variants collapse
@@ -150,6 +159,64 @@ object TextQueries extends QuerySet {
     s"CAST((length($expr) - length(replace($expr, '$marker', ''))) / ${marker.length} AS BIGINT)"
   private val pad = "' ' || text || ' '"
 
+  private val BPE_ROUNDS = 8
+
+  /** The BPE training replay as SQL: w0 = the char-spaced word-frequency
+    * table, then per round r an argmax CTE (m_r) and the merged table
+    * (w_r), chained [[BPE_ROUNDS]] times — the same deterministic rounds
+    * [[graft.functions.BpeTrain.train]] runs.
+    */
+  private def bpeSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms,
+        |         count(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY 1
+        |)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |m$r AS MATERIALIZED (
+        |  SELECT pair, f, split_part(pair, ' ', 1) AS l,
+        |         split_part(pair, ' ', 2) AS rr,
+        |         replace(pair, ' ', '') AS merged
+        |  FROM (
+        |    SELECT pair, sum(freq) AS f FROM (
+        |      SELECT freq,
+        |             unnest(list_transform(
+        |               generate_series(1, len(string_split(syms, ' ')) - 1),
+        |               i -> string_split(syms, ' ')[i] || ' ' ||
+        |                    string_split(syms, ' ')[i + 1])) AS pair
+        |      FROM w${r - 1})
+        |    GROUP BY pair ORDER BY f DESC, pair LIMIT 1)
+        |)""".stripMargin
+      // the merge application is the same greedy non-overlapping fold
+      // the engine runs (BpeTrain.applyMerge): accumulator = rebuilt
+      // string, last token = "previous symbol" (a space-padded replace
+      // would under-merge runs — its match consumes the delimiter)
+      if (r < rounds) sb ++= s""",
+        |w$r AS MATERIALIZED (
+        |  SELECT list_reduce(list_prepend('', string_split(syms, ' ')),
+        |           (s, x) -> CASE
+        |             WHEN (s = m.l OR right(s, length(m.l) + 1) = ' ' || m.l)
+        |                  AND x = m.rr
+        |               THEN left(s, length(s) - length(m.l)) || m.merged
+        |             WHEN s = '' THEN x
+        |             ELSE s || ' ' || x END) AS syms,
+        |         freq
+        |  FROM w${r - 1}, m$r m
+        |)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds).map(r =>
+      s"""SELECT $r AS merge_rank, l AS l_sym, rr AS r_sym, merged,
+         |  f AS f_weight FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    sb.result()
+  }
+
   /** Winnowing selection as SQL (k=20, w=8), bit-matching
     * [[graft.functions.Winnow.fingerprints]]: gram hashes, sliding
     * 8-window minimum, full windows only, distinct per doc.
@@ -190,6 +257,8 @@ object TextQueries extends QuerySet {
         |FROM documents,
         |  LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i) i
         |GROUP BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> bpeSql(BPE_ROUNDS),
 
     "q_winnow_select" ->
       s"""$winnowSelSql
