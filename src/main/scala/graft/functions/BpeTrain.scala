@@ -42,57 +42,66 @@ object BpeTrain {
   final case class Merge(merge_rank: Int, l_sym: String, r_sym: String,
       merged: String, f_weight: Long)
 
-  /** The word-frequency table: (syms, freq) with `syms` the
-    * space-joined character symbols. One scan + one shuffle.
+  /** The word-frequency table: (word, syms, freq) with `syms` the
+    * space-joined character symbols. One scan + one shuffle. `word` is
+    * retained so the trained table doubles as the tokenizer vocabulary
+    * (word → final symbol segmentation).
     */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
+      .select(col("word"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
         col("freq"))
+
+  /** Learned merges plus the final word → segmentation vocabulary.
+    * `vocab` is persisted; `unpersist()` it when done.
+    */
+  final case class Trained(merges: Seq[Merge], vocab: DataFrame) {
+    def unpersist(): Unit = { vocab.unpersist(); () }
+  }
 
   /** Learn `rounds` merges. Each round's argmax is the ONLY driver
     * traffic (one row per round).
     */
-  def train(spark: SparkSession, words: DataFrame, rounds: Int): Seq[Merge] = {
+  def train(spark: SparkSession, words: DataFrame, rounds: Int): Trained = {
     val out = Vector.newBuilder[Merge]
     var cur = words.persist()
-    try {
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        // adjacent pairs of each word's symbol list, weighted by freq;
-        // the empty case is an explicit CASE (sequence(1, 0) descends)
-        val pairs = cur
-          .withColumn("l", split(col("syms"), " "))
-          .select(col("freq"), explode(expr(
-            """case when size(l) >= 2 then
-              |  transform(sequence(1, size(l) - 1),
-              |    i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
-              |else cast(array() as array<string>) end""".stripMargin)).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
-          .orderBy(col("f").desc, col("pair").asc)
-          .limit(1)
-          .collect()
-        if (pairs.isEmpty) exhausted = true
-        else {
-          val pair = pairs(0).getString(0)
-          val f = pairs(0).getLong(1)
-          val Array(l, rr) = pair.split(" ", 2)
-          out += Merge(r, l, rr, l + rr, f)
-          val next = cur
-            .select(applyMerge(col("syms"), l, rr).as("syms"), col("freq"))
-            .persist()
-          next.count() // materialize before dropping the parent pin
-          cur.unpersist()
-          cur = next
-          r += 1
-        }
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // adjacent pairs of each word's symbol list, weighted by freq;
+      // the empty case is an explicit CASE (sequence(1, 0) descends)
+      val pairs = cur
+        .withColumn("l", split(col("syms"), " "))
+        .select(col("freq"), explode(expr(
+          """case when size(l) >= 2 then
+            |  transform(sequence(1, size(l) - 1),
+            |    i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
+            |else cast(array() as array<string>) end""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val pair = pairs(0).getString(0)
+        val f = pairs(0).getLong(1)
+        val Array(l, rr) = pair.split(" ", 2)
+        out += Merge(r, l, rr, l + rr, f)
+        val next = cur
+          .select(col("word"), applyMerge(col("syms"), l, rr).as("syms"),
+            col("freq"))
+          .persist()
+        next.count() // materialize before dropping the parent pin
+        cur.unpersist()
+        cur = next
+        r += 1
       }
-      out.result()
-    } finally cur.unpersist()
+    }
+    Trained(out.result(), cur)
   }
 
   /** The greedy non-overlapping merge fold (see the class scaladoc):
@@ -116,6 +125,28 @@ object BpeTrain {
   def merges(spark: SparkSession, docs: DataFrame, textCol: String,
       rounds: Int): DataFrame = {
     import spark.implicits._
-    train(spark, wordTable(docs, textCol), rounds).toDF()
+    val t = train(spark, wordTable(docs, textCol), rounds)
+    try t.merges.toDF() finally t.unpersist()
+  }
+
+  /** Tokenize with the trained vocabulary: per document, the BPE token
+    * count after `rounds` merges. The vocab join is the scale story: a
+    * corpus joins its (exploded) words against the VOCAB-sized mapping,
+    * which Spark broadcasts when small and shuffle-joins otherwise; no
+    * per-document re-segmentation work is repeated across duplicate
+    * words.
+    */
+  def tokenize(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int): DataFrame = {
+    val t = train(spark, wordTable(docs, textCol), rounds)
+    docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(t.vocab.select(col("word"),
+        size(split(col("syms"), " ")).as("n_sym")), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"))
+    // the vocab pin stays until the harness clearCache (the plan above
+    // is lazy — unpersisting here would drop it before execution)
   }
 }

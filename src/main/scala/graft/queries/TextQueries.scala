@@ -112,6 +112,14 @@ object TextQueries extends QuerySet {
         rounds = BPE_ROUNDS)
     }),
 
+    // BPE tokenization with the learned vocabulary: per-document token
+    // count after the 8 merges — corpus words join the vocab-sized
+    // word -> segmentation mapping (broadcast when small)
+    "q_bpe_tokenize" -> ((s, d) => {
+      graft.functions.BpeTrain.tokenize(s, Tables.documents(s, d),
+        "doc_id", "text", rounds = BPE_ROUNDS)
+    }),
+
     // text normalization: whitespace collapse + trim + lowercase — the
     // canonical pre-dedup canonicalization pass; output the normalized
     // form's hash so near-identical whitespace variants collapse
@@ -161,21 +169,23 @@ object TextQueries extends QuerySet {
 
   private val BPE_ROUNDS = 8
 
-  /** The BPE training replay as SQL: w0 = the char-spaced word-frequency
-    * table, then per round r an argmax CTE (m_r) and the merged table
-    * (w_r), chained [[BPE_ROUNDS]] times — the same deterministic rounds
-    * [[graft.functions.BpeTrain.train]] runs.
+  /** The BPE training replay as SQL (the WITH block): w0 = the
+    * char-spaced word-frequency table, then per round r an argmax CTE
+    * (m_r) and the merged table (w_r), chained [[BPE_ROUNDS]] times —
+    * the same deterministic rounds [[graft.functions.BpeTrain.train]]
+    * runs.
     */
-  private def bpeSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++=
       """WITH w0 AS MATERIALIZED (
-        |  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms,
-        |         count(*) AS freq
-        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |        FROM documents)
-        |  WHERE length(word) > 0
-        |  GROUP BY 1
+        |  SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms, freq
+        |  FROM (
+        |    SELECT word, count(*) AS freq
+        |    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |          FROM documents)
+        |    WHERE length(word) > 0
+        |    GROUP BY word)
         |)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
@@ -196,10 +206,13 @@ object TextQueries extends QuerySet {
       // the merge application is the same greedy non-overlapping fold
       // the engine runs (BpeTrain.applyMerge): accumulator = rebuilt
       // string, last token = "previous symbol" (a space-padded replace
-      // would under-merge runs — its match consumes the delimiter)
-      if (r < rounds) sb ++= s""",
+      // would under-merge runs — its match consumes the delimiter).
+      // Emitted for the FINAL round too: w$rounds is the tokenizer
+      // vocabulary q_bpe_tokenize joins on
+      sb ++= s""",
         |w$r AS MATERIALIZED (
-        |  SELECT list_reduce(list_prepend('', string_split(syms, ' ')),
+        |  SELECT word,
+        |         list_reduce(list_prepend('', string_split(syms, ' ')),
         |           (s, x) -> CASE
         |             WHEN (s = m.l OR right(s, length(m.l) + 1) = ' ' || m.l)
         |                  AND x = m.rr
@@ -210,12 +223,27 @@ object TextQueries extends QuerySet {
         |  FROM w${r - 1}, m$r m
         |)""".stripMargin
     }
-    sb ++= "\n" + (1 to rounds).map(r =>
+    sb.result()
+  }
+
+  private def bpeMergesSql(rounds: Int): String =
+    bpeCtes(rounds) + "\n" + (1 to rounds).map(r =>
       s"""SELECT $r AS merge_rank, l AS l_sym, rr AS r_sym, merged,
          |  f AS f_weight FROM m$r""".stripMargin)
       .mkString("\nUNION ALL\n")
-    sb.result()
-  }
+
+  private def bpeTokenizeSql(rounds: Int): String =
+    bpeCtes(rounds) +
+      s"""
+         |SELECT d.doc_id,
+         |       CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT)
+         |         AS n_bpe_tokens
+         |FROM (SELECT doc_id,
+         |             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |      FROM documents) d
+         |JOIN w$rounds v USING (word)
+         |WHERE length(d.word) > 0
+         |GROUP BY d.doc_id""".stripMargin
 
   /** Winnowing selection as SQL (k=20, w=8), bit-matching
     * [[graft.functions.Winnow.fingerprints]]: gram hashes, sliding
@@ -258,7 +286,9 @@ object TextQueries extends QuerySet {
         |  LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i) i
         |GROUP BY doc_id""".stripMargin,
 
-    "q_bpe_merges" -> bpeSql(BPE_ROUNDS),
+    "q_bpe_merges" -> bpeMergesSql(BPE_ROUNDS),
+
+    "q_bpe_tokenize" -> bpeTokenizeSql(BPE_ROUNDS),
 
     "q_winnow_select" ->
       s"""$winnowSelSql

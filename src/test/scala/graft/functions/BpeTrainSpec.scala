@@ -27,34 +27,42 @@ class BpeTrainSpec extends SparkSpec {
         val ((l, r), f) = counts.toSeq
           .sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
         out += ((l, r, f))
-        tbl = tbl.groupMapReduce { case (syms, _) =>
-          // left-to-right non-overlapping application
-          val merged = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-              merged += (l + r); i += 2
-            } else { merged += syms(i); i += 1 }
-          }
-          merged.result()
-        }(_._2)(_ + _)
+        tbl = tbl.groupMapReduce { case (syms, _) => applyRef(syms, l, r) }(_._2)(_ + _)
       }
     }
     out.result()
   }
 
+  /** Left-to-right non-overlapping merge application. */
+  private def applyRef(syms: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def wordFreqs(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split("\\s+")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+
   test("learned merges match the classic algorithm on a small corpus") {
     val s = spark
     import s.implicits._
-    val docs = Seq(
-      (1L, "low lower lowest low low"),
-      (2L, "newer newest new new lower"),
-      (3L, "wider wide widest new lower lowest")).toDF("doc_id", "text")
-    val words = docs.rdd.flatMap(r => r.getString(1).split("\\s+"))
-      .map(w => w -> 1L).reduceByKey(_ + _).collect().toMap
-    val expected = referenceBpe(words, rounds = 6)
-    val got = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 6)
-      .map(m => (m.l_sym, m.r_sym, m.f_weight))
+    val texts = Seq(
+      "low lower lowest low low",
+      "newer newest new new lower",
+      "wider wide widest new lower lowest")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val expected = referenceBpe(wordFreqs(texts), rounds = 6)
+    val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 6)
+    val got = trained.merges.map(m => (m.l_sym, m.r_sym, m.f_weight))
+    trained.unpersist()
     assert(got == expected, s"\nexpected $expected\ngot      $got")
   }
 
@@ -63,10 +71,12 @@ class BpeTrainSpec extends SparkSpec {
     import s.implicits._
     // 'aaaa' freq 3: round 1 merges (a,a) — 'a a a a' has 3 adjacent
     // pairs x freq 3 = 9 — and applies left-to-right non-overlapping
-    // ('aa aa'); round 2 must merge the MERGED symbol pair (aa,aa) at
-    // 1 pair x freq 3 = 3
+    // ('aa aa', NOT 'aa a a'); round 2 must merge the MERGED symbol
+    // pair (aa,aa) at 1 pair x freq 3 = 3
     val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
-    val got = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 2)
+    val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 2)
+    val got = trained.merges
+    trained.unpersist()
     assert(got.map(m => (m.l_sym, m.r_sym, m.f_weight)) ==
       Seq(("a", "a", 9L), ("aa", "aa", 3L)), got.toString)
   }
@@ -75,10 +85,45 @@ class BpeTrainSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
-    val got = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 10)
+    val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 10)
+    val got = trained.merges
+    trained.unpersist()
     // round 1: (a,b) f=2; round 2: (c,d) f=1; then every word is one
     // symbol — no pairs remain, training stops
     assert(got.map(m => (m.l_sym, m.r_sym, m.f_weight)) ==
       Seq(("a", "b", 2L), ("c", "d", 1L)), got.toString)
+  }
+
+  test("tokenize counts the reference segmentation per document") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("low low lower", "newest lowest")
+    val docs = Seq((1L, texts(0)), (2L, texts(1))).toDF("doc_id", "text")
+    val words = wordFreqs(texts)
+    val rounds = 4
+
+    // rounds = 0 tokenizes to characters
+    val zero = BpeTrain.tokenize(s, docs, "doc_id", "text", 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == Map(1L -> 11L, 2L -> 12L),
+      s"0 merges tokenizes to characters: $zero")
+
+    // reference: replay the reference-learned merges on every word,
+    // count final segments per document
+    val refMerges = referenceBpe(words, rounds)
+    var seg: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.toVector.map(_.toString)).toMap
+    refMerges.foreach { case (l, r, _) =>
+      seg = seg.view.mapValues(applyRef(_, l, r)).toMap
+    }
+    val expected = Map(
+      1L -> texts(0).split(" ").map(w => seg(w).length.toLong).sum,
+      2L -> texts(1).split(" ").map(w => seg(w).length.toLong).sum)
+
+    val got = BpeTrain.tokenize(s, docs, "doc_id", "text", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"expected $expected got $got")
+    assert(got(1L) < zero(1L) && got(2L) < zero(2L),
+      s"merges must shorten documents: $got vs $zero")
   }
 }
