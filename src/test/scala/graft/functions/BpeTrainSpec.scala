@@ -94,6 +94,27 @@ class BpeTrainSpec extends SparkSpec {
       Seq(("a", "b", 2L), ("c", "d", 1L)), got.toString)
   }
 
+  test("train matches the classic algorithm on random run-heavy corpora") {
+    val s = spark
+    import s.implicits._
+    // tiny alphabet maximizes repeated-pair runs — the adversarial case
+    // for greedy non-overlapping application
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (1 to 4).map(_ =>
+        (1 to 10).map(_ =>
+          (1 to (1 + rnd.nextInt(6))).map(_ => "ab".charAt(rnd.nextInt(2)))
+            .mkString).mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val expected = referenceBpe(wordFreqs(texts), rounds = 4)
+      val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), 4)
+      val got = trained.merges.map(m => (m.l_sym, m.r_sym, m.f_weight))
+      trained.unpersist()
+      assert(got == expected, s"seed $seed:\nexpected $expected\ngot      $got")
+    }
+  }
+
   test("tokenize counts the reference segmentation per document") {
     val s = spark
     import s.implicits._

@@ -65,6 +65,22 @@ class WinnowSpec extends SparkSpec {
     assert(capped.count() < 15L, "the cap must drop header-only pairs")
   }
 
+  test("Spark selection equals the JVM reference (transfers WinnowLaws)") {
+    val rnd = new scala.util.Random(42)
+    val texts = (1L to 30L).map { i =>
+      val n = rnd.nextInt(120)
+      i -> (1 to n).map(_ => "abcdeé中 ".charAt(rnd.nextInt(8))).mkString
+    }
+    val got = Winnow.fingerprints(docs(texts: _*), "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    texts.foreach { case (id, t) =>
+      val exp = WinnowLaws.select(t)
+      assert(got.getOrElse(id, Set.empty[Long]) == exp,
+        s"doc $id '${t.take(40)}...' sel mismatch")
+    }
+  }
+
   test("selection density is roughly 2/(w+1) of the gram count") {
     val text = (1 to 400).map(i => s"tok$i").mkString(" ")
     val d = docs(1L -> text)
