@@ -91,11 +91,18 @@ object BpeTrain {
         val f = pairs(0).getLong(1)
         val Array(l, rr) = pair.split(" ", 2)
         out += Merge(r, l, rr, l + rr, f)
-        val next = cur
+        val applied = cur
           .select(col("word"), applyMerge(col("syms"), l, rr).as("syms"),
             col("freq"))
-          .persist()
-        next.count() // materialize before dropping the parent pin
+        // persist bounds the PHYSICAL recompute; it does not truncate
+        // the LOGICAL plan, which nests one applyMerge fold per round —
+        // at a realistic merge count (thousands, not the bench's 8)
+        // per-round Catalyst analysis would grow O(r) and the loop
+        // O(r²). A periodic localCheckpoint cuts the plan back to a
+        // leaf, keeping every round O(1) in plan depth.
+        val next =
+          if (r % LineageEvery == 0) applied.localCheckpoint(true)
+          else { val p = applied.persist(); p.count(); p }
         cur.unpersist()
         cur = next
         r += 1
@@ -103,6 +110,9 @@ object BpeTrain {
     }
     Trained(out.result(), cur)
   }
+
+  /** Rounds between lineage-truncating checkpoints in [[train]]. */
+  private val LineageEvery = 16
 
   /** The greedy non-overlapping merge fold (see the class scaladoc):
     * pure Column DSL, so corpus symbols never touch SQL text. Lengths
@@ -129,24 +139,34 @@ object BpeTrain {
     try t.merges.toDF() finally t.unpersist()
   }
 
-  /** Tokenize with the trained vocabulary: per document, the BPE token
-    * count after `rounds` merges. The vocab join is the scale story: a
-    * corpus joins its (exploded) words against the VOCAB-sized mapping,
-    * which Spark broadcasts when small and shuffle-joins otherwise; no
+  /** Tokenize with an already-[[Trained]] vocabulary: per document,
+    * the BPE token count. The vocab join is the scale story: a corpus
+    * joins its (exploded) words against the VOCAB-sized mapping, which
+    * Spark broadcasts when small and shuffle-joins otherwise; no
     * per-document re-segmentation work is repeated across duplicate
-    * words.
+    * words. The caller owns the vocab lifecycle
+    * (`trained.unpersist()` once results are materialized) — the
+    * production shape: train once, tokenize many batches.
     */
-  def tokenize(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, rounds: Int): DataFrame = {
-    val t = train(spark, wordTable(docs, textCol), rounds)
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      trained: Trained): DataFrame =
     docs
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-      .join(t.vocab.select(col("word"),
+      .join(trained.vocab.select(col("word"),
         size(split(col("syms"), " ")).as("n_sym")), "word")
       .groupBy(col(idCol))
       .agg(sum(col("n_sym")).as("n_bpe_tokens"))
-    // the vocab pin stays until the harness clearCache (the plan above
-    // is lazy — unpersisting here would drop it before execution)
-  }
+
+  /** Train-then-tokenize in one call — the ORACLE/bench shape (retrain
+    * per invocation for determinism). The internal vocab pin stays
+    * cached until the harness's per-query `clearCache()` (the result is
+    * lazy, so unpersisting here would drop the pin before execution);
+    * a long-lived application should [[train]] once and use the
+    * [[Trained]] overload instead.
+    */
+  def tokenize(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int): DataFrame =
+    tokenize(docs, idCol, textCol,
+      train(spark, wordTable(docs, textCol), rounds))
 }

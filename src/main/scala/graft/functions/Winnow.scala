@@ -93,7 +93,13 @@ object Winnow {
     */
   def substringPairs(fps: DataFrame, idCol: String,
       minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
-    val pinned = fps.persist()
+    // defensive dedup: the cap and n_shared both count ROWS, which is
+    // only correct when each (doc, fp) appears once — true of
+    // [[fingerprints]] output, but this is a public entry point and a
+    // unioned/raw index would otherwise over-count buckets past the cap
+    // and inflate n_shared. One aggregation-shaped shuffle, collapsed
+    // into work the pairing pipeline does anyway.
+    val pinned = fps.dropDuplicates(idCol, "fp").persist()
     val perFp = pinned.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBucket)

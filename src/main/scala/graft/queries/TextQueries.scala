@@ -90,7 +90,7 @@ object TextQueries extends QuerySet {
     // corpus's short common phrases
     "q_winnow_select" -> ((s, d) => {
       graft.functions.Winnow.fingerprints(
-        Tables.documents(s, d), "doc_id", "text", k = 20, w = 8)
+        Tables.documents(s, d), "doc_id", "text", k = WINNOW_K, w = WINNOW_W)
     }),
 
     // exact-substring overlap pairs: docs sharing >= 2 winnowing
@@ -99,7 +99,7 @@ object TextQueries extends QuerySet {
     "q_substring_pairs" -> ((s, d) => {
       graft.functions.Winnow.substringPairs(
         graft.functions.Winnow.fingerprints(
-          Tables.documents(s, d), "doc_id", "text", k = 20, w = 8),
+          Tables.documents(s, d), "doc_id", "text", k = WINNOW_K, w = WINNOW_W),
         "doc_id", minShared = 2, maxBucket = 10)
     }),
 
@@ -168,6 +168,8 @@ object TextQueries extends QuerySet {
   private val pad = "' ' || text || ' '"
 
   private val BPE_ROUNDS = 8
+  private val WINNOW_K = 20
+  private val WINNOW_W = 8
 
   /** The BPE training replay as SQL (the WITH block): w0 = the
     * char-spaced word-frequency table, then per round r an argmax CTE
@@ -208,19 +210,25 @@ object TextQueries extends QuerySet {
       // string, last token = "previous symbol" (a space-padded replace
       // would under-merge runs — its match consumes the delimiter).
       // Emitted for the FINAL round too: w$rounds is the tokenizer
-      // vocabulary q_bpe_tokenize joins on
+      // vocabulary q_bpe_tokenize joins on. LEFT JOIN, not a cross
+      // join: when training exhausts early m$r is EMPTY, and the table
+      // must pass through unchanged (an inner/cross join would empty
+      // every later w and silently zero the tokenize oracle) — the
+      // engine keeps its last vocab on exhaustion, so the replay must
+      // too
       sb ++= s""",
         |w$r AS MATERIALIZED (
         |  SELECT word,
-        |         list_reduce(list_prepend('', string_split(syms, ' ')),
-        |           (s, x) -> CASE
-        |             WHEN (s = m.l OR right(s, length(m.l) + 1) = ' ' || m.l)
-        |                  AND x = m.rr
-        |               THEN left(s, length(s) - length(m.l)) || m.merged
-        |             WHEN s = '' THEN x
-        |             ELSE s || ' ' || x END) AS syms,
+        |         CASE WHEN m.l IS NULL THEN syms ELSE
+        |           list_reduce(list_prepend('', string_split(syms, ' ')),
+        |             (s, x) -> CASE
+        |               WHEN (s = m.l OR right(s, length(m.l) + 1) = ' ' || m.l)
+        |                    AND x = m.rr
+        |                 THEN left(s, length(s) - length(m.l)) || m.merged
+        |               WHEN s = '' THEN x
+        |               ELSE s || ' ' || x END) END AS syms,
         |         freq
-        |  FROM w${r - 1}, m$r m
+        |  FROM w${r - 1} LEFT JOIN m$r m ON true
         |)""".stripMargin
     }
     sb.result()
@@ -245,25 +253,28 @@ object TextQueries extends QuerySet {
          |WHERE length(d.word) > 0
          |GROUP BY d.doc_id""".stripMargin
 
-  /** Winnowing selection as SQL (k=20, w=8), bit-matching
-    * [[graft.functions.Winnow.fingerprints]]: gram hashes, sliding
-    * 8-window minimum, full windows only, distinct per doc.
+  /** Winnowing selection as SQL (k=[[WINNOW_K]], w=[[WINNOW_W]]),
+    * bit-matching [[graft.functions.Winnow.fingerprints]]: gram hashes,
+    * sliding w-window minimum, full windows only, distinct per doc.
+    * Every derived constant interpolates from the SAME vals the query
+    * side passes, so retuning k/w cannot desync the two engines.
     */
   private val winnowSelSql =
-    """WITH g AS (
-      |  SELECT doc_id, CAST(i.i AS INT) AS i, length(text) - 19 AS g,
-      |         CAST(('0x' || substr(md5(substr(text, CAST(i.i AS INT), 20)), 1, 15))::UBIGINT
-      |           AS BIGINT) AS h
-      |  FROM documents,
-      |    LATERAL (SELECT unnest(range(1, length(text) - 18)) AS i) i
-      |), wm AS (
-      |  SELECT doc_id, i, g,
-      |         min(h) OVER (PARTITION BY doc_id ORDER BY i
-      |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
-      |  FROM g
-      |), sel AS (
-      |  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= g - 7
-      |)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(i.i AS INT) AS i,
+       |         length(text) - ${WINNOW_K - 1} AS g,
+       |         CAST(('0x' || substr(md5(substr(text, CAST(i.i AS INT), $WINNOW_K)), 1, 15))::UBIGINT
+       |           AS BIGINT) AS h
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(range(1, length(text) - ${WINNOW_K - 2})) AS i) i
+       |), wm AS (
+       |  SELECT doc_id, i, g,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN CURRENT ROW AND ${WINNOW_W - 1} FOLLOWING) AS fp
+       |  FROM g
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, fp FROM wm WHERE i <= g - ${WINNOW_W - 1}
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->

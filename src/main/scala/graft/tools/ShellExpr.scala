@@ -107,9 +107,21 @@ object ShellExpr {
         while (i < s.length && s.charAt(i).isDigit) i += 1
         out += TNum(s.substring(st, i).toLong)
       } else if (c == '"' || c == '\'') {
+        // backslash escapes: \" \' \\ (plus \n \t) — a scala()/sql()
+        // closure often needs BOTH quote kinds in one literal, e.g.
+        // scala('value.contains("it\'s")')
         i += 1
         val sb = new StringBuilder
-        while (i < s.length && s.charAt(i) != c) { sb.append(s.charAt(i)); i += 1 }
+        while (i < s.length && s.charAt(i) != c) {
+          if (s.charAt(i) == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n'   => sb.append('\n')
+              case 't'   => sb.append('\t')
+              case other => sb.append(other) // \" \' \\ and any other char
+            }
+            i += 2
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
         require(i < s.length, "unterminated string literal")
         i += 1
         out += TStr(sb.toString)

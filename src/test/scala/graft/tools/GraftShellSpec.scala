@@ -187,6 +187,17 @@ class GraftShellSpec extends SparkSpec {
     assert(lines.last == "3", s"session must continue: $out")
   }
 
+  test("eval: string escapes let one literal carry both quote kinds") {
+    val out = runScript(
+      """put user u1 status 1 it's_on
+        |put user u2 status 2 plain
+        |eval user.filter(scala('value.contains("it\'s")')).count()
+        |eval user.filter(value == "it\'s_on").count()
+        |""".stripMargin)
+    val lines = out.linesIterator.filterNot(_ == "ok").toSeq
+    assert(lines == Seq("1", "1"), s"escaped-quote closures: $out")
+  }
+
   test("eval: bad expressions report errors without killing the session") {
     val out = runScript(
       """put user u1 status 1 on
