@@ -34,7 +34,18 @@ object ShellCompiler {
 
   private val cache = TrieMap.empty[String, Any]
 
-  private def compile(src: String, what: String): Any =
+  /** Cache bound: a console session replays a handful of snippets, but
+    * a SCRIPT generating unique source per line would otherwise grow
+    * the cache (and the ToolBox's loaded classes) without limit — at
+    * the cap the cache resets wholesale (recompiling a snippet is
+    * cheap; the compiled-class accumulation inside the ToolBox
+    * classloader is the JVM-lifetime cost this cannot reclaim, which
+    * is inherent to runtime compilation).
+    */
+  private val MaxCached = 512
+
+  private def compile(src: String, what: String): Any = {
+    if (cache.size >= MaxCached) cache.clear()
     cache.getOrElseUpdate(src,
       try toolbox.synchronized(toolbox.eval(toolbox.parse(src)))
       catch {
@@ -44,6 +55,7 @@ object ShellCompiler {
             s"scala($what) does not compile: " +
               e.getMessage.linesIterator.take(2).mkString(" "))
       })
+  }
 
   /** Compile a column-level closure: `body` is Scala source evaluating
     * to a [[Column]], with the element fields bound as Columns (`value`
