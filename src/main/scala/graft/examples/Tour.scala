@@ -117,7 +117,37 @@ object Tour {
     println(s"near-dup pairs: ${dedup.pairs.count()}, " +
       s"quarantined buckets: ${dedup.droppedBuckets.count()}")
 
-    // 9. metrics picked up along the way
+    // ---- round-7 additions ----
+
+    // 9. free-form console closures: real Scala compiled at the prompt,
+    // executed as a distributed Catalyst plan
+    println("-- scala() closure --")
+    val shell2 = new GraftShell(op,
+      new java.io.ByteArrayInputStream(
+        """eval gateway.filter(scala('key.rlike("^g4")')).count()
+          |eval gateway.transform(scala('df => df.groupBy("attribute").count()')).take(3)
+          |""".stripMargin.getBytes("UTF-8")),
+      System.out)
+    shell2.run()
+
+    // 10. exact-substring overlap via winnowing fingerprints: doc 100
+    // and 101 share a long verbatim span the token-set sketches dilute
+    val spanPairs = graft.functions.Winnow.substringPairs(
+      graft.functions.Winnow.fingerprints(docs, "doc_id", "text", k = 12, w = 4),
+      "doc_id", minShared = 1, maxBucket = 10)
+    println(s"verbatim-span pairs: ${spanPairs.count()}")
+
+    // 11. BPE tokenizer training + application: learn merges on the
+    // corpus, tokenize with the trained vocabulary
+    val trained = graft.functions.BpeTrain.train(spark,
+      graft.functions.BpeTrain.wordTable(docs, "text"), rounds = 4)
+    println("bpe merges: " + trained.merges
+      .map(m => s"${m.l_sym}+${m.r_sym}->${m.merged}").mkString(", "))
+    val toks = graft.functions.BpeTrain.tokenize(docs, "doc_id", "text", trained)
+    println(s"bpe-tokenized docs: ${toks.count()}")
+    trained.unpersist()
+
+    // 12. metrics picked up along the way
     println("metrics: " + graft.core.Metrics.snapshot.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString(", "))
 
