@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries,
     SimilarityQueries,
     DedupQueries,
+    RankingQueries,
     CurationQueries,
     MultimodalQueries,
     ChangelogQueries

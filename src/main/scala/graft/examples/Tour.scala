@@ -147,7 +147,31 @@ object Tour {
     println(s"bpe-tokenized docs: ${toks.count()}")
     trained.unpersist()
 
-    // 12. metrics picked up along the way
+    // 12. ranking + selection layer: BM25 keyword search, bigram-LM
+    // quality scoring with tertile buckets, token-budgeted selection
+    import org.apache.spark.sql.functions.col
+    val scored = graft.functions.NGramLm.score(docs, "doc_id", "text")
+    println(s"bm25 hit: ${graft.functions.Bm25
+      .topK(docs, "doc_id", "text", Seq("unique"), k = 1)
+      .head.getLong(0)}, lm-scored docs: ${scored.count()}")
+    val budget = graft.functions.BudgetSelect.select(
+      docs.join(scored, "doc_id")
+        .select(col("doc_id"), col("avg_logp").as("score"),
+          col("n_bigrams").as("n_tokens")),
+      "doc_id", "score", "n_tokens", pctBudget = 50)
+    println(s"token-budget keeps ${budget.count()} docs at 50% budget")
+
+    // 13. embedding PCA: distributed gram pass, driver-side Jacobi,
+    // broadcast projection
+    val emb = (1 to 40).map(i => (i.toLong,
+      Array.tabulate(4)(j => math.sin(i * (j + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val basis = graft.functions.Pca.fit(emb, "embedding", 2)
+    println(s"pca top-2 eigenvalues: ${basis.values.map(v =>
+      f"$v%.4f").mkString(", ")}; projected rows: ${graft.functions.Pca
+      .project(emb, "vec_id", "embedding", basis).count()}")
+
+    // 14. metrics picked up along the way
     println("metrics: " + graft.core.Metrics.snapshot.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString(", "))
 

@@ -121,7 +121,14 @@ object SimilarityQueries extends QuerySet {
         .select(col("a_id"), col("b_id"),
           coalesce(col("text_dup"), lit(false)).as("text_dup"),
           coalesce(col("vec_dup"), lit(false)).as("vec_dup"))
-    })
+    }),
+
+    // distributed Gram matrix (uncentered second moment) — the one
+    // corpus-sized pass of PCA (graft.functions.Pca): per-row
+    // upper-triangle products quantized to integer micros, map-side
+    // partial aggregation, d(d+1)/2-row result regardless of corpus size
+    "q_embed_gram" -> ((s, d) =>
+      graft.functions.Pca.gramMicros(Tables.embeddings(s, d), "embedding"))
   )
 
   /** The exact-reconstruction corpus for the PQ queries: subspace j
@@ -198,6 +205,8 @@ object SimilarityQueries extends QuerySet {
     // derived corpus; full-probe IVF-PQ == plain PQ (same oracle)
     "q_pq_topk" -> pqTopkSql,
     "q_ivf_pq_topk" -> pqTopkSql,
+
+    "q_embed_gram" -> graft.functions.Pca.gramOracleSql(),
 
     "q_ann_topk" ->
       s"""WITH scored AS (

@@ -124,6 +124,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"quantiles must read the corpus exactly once, saw $scans scans:\n$plan")
   }
 
+  test("bm25 top-k lowers to TakeOrdered over a broadcast stats row") {
+    val dir = Files.createTempDirectory("graft-bm25-").toString + "/docs"
+    (1 to 500).map(i => (i.toLong, (1 to 30).map(j => s"w${(i + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val plan = graft.functions.Bm25
+      .topK(docs, "doc_id", "text", Seq("w1", "w2"), 10)
+      .queryExecution.executedPlan.toString
+    // global top-k must be per-partition TakeOrdered, never a full sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must lower to TakeOrdered:\n$plan")
+    assert(!plan.contains("SortExec"), s"no global sort for top-k:\n$plan")
+    // the stats side is one 1-row aggregate, broadcast — the corpus is
+    // read exactly twice (stats pass + scoring pass), never more
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"bm25 reads the corpus exactly twice, saw $scans:\n$plan")
+  }
+
+  test("lm scoring joins the broadcast count tables, corpus scanned 3x") {
+    val dir = Files.createTempDirectory("graft-lm-").toString + "/docs"
+    (1 to 500).map(i => (i.toLong, (1 to 30).map(j => s"w${(i * j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val q = graft.functions.NGramLm.score(docs, "doc_id", "text")
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      // small-vocab model: both count-table joins broadcast (an open
+      // vocabulary legitimately falls back to shuffle joins — the model
+      // is data-sized — but this corpus must not)
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"bc and hist joins must broadcast:\n$plan")
+      // the hist roll-up and the scoring join must both consume the
+      // PERSISTED bigram-count table — without the persist Spark re-runs
+      // the whole bigram-count corpus scan for hist (no subtree sharing)
+      assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+        s"bc must be persisted and reused for hist + scoring:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("snapshot compaction is one scan with partial aggregation") {
     val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
     // single-pass aggregator: map-side partial agg before the shuffle

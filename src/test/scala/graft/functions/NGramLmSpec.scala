@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NGramLmSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bigram generation: adjacent pairs, <2-token docs excluded") {
+    val bg = NGramLm.bigrams(
+      docs(1L -> "a b c", 2L -> "x", 3L -> "p q"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(bg === Set((1L, "a", "b"), (1L, "b", "c"), (3L, "p", "q")))
+  }
+
+  test("add-one smoothed probabilities sum to 1 over the vocabulary") {
+    // For any seen history w1: Σ_{w2 ∈ V} (c(w1,w2)+1)/(hist(w1)+V) = 1
+    // exactly, because Σ c = hist(w1) and |V| terms each add 1/(hist+V).
+    val d = docs(1L -> "a b a b c", 2L -> "b a b b a")
+    val bg = NGramLm.bigrams(d, "doc_id", "text")
+    val bc = bg.groupBy("w1", "w2").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val vocab = Set("a", "b", "c")
+    val hist = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    for (w1 <- hist.keys) {
+      val total = vocab.toSeq.map { w2 =>
+        BigDecimal(bc.getOrElse((w1, w2), 0L) + 1) /
+          BigDecimal(hist(w1) + vocab.size)
+      }.sum
+      assert(total === BigDecimal(1), s"history $w1")
+    }
+  }
+
+  test("score matches a hand-rolled reference model") {
+    val d = docs(1L -> "a b a", 2L -> "b a b", 3L -> "a a b")
+    // corpus bigrams: (a,b)x3 [1:ab, 2:ab? ...] — compute by hand:
+    // doc1: (a,b),(b,a); doc2: (b,a),(a,b); doc3: (a,a),(a,b)
+    val c2 = Map(("a", "b") -> 3L, ("b", "a") -> 2L, ("a", "a") -> 1L)
+    val hist = Map("a" -> 4L, "b" -> 2L)
+    val v = 2 // vocabulary {a, b}
+    def logp(w1: String, w2: String): Double =
+      math.log((c2.getOrElse((w1, w2), 0L) + 1).toDouble /
+        (hist(w1) + v).toDouble)
+    def expect(pairs: (String, String)*): Double = {
+      val micros = pairs.map(p => math.round(logp(p._1, p._2) * 1e6))
+      val avg = micros.sum.toDouble / 1e6 / pairs.size
+      BigDecimal(avg).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = NGramLm.score(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((2L, expect(("a", "b"), ("b", "a")))))
+    assert(out(2L) === ((2L, expect(("b", "a"), ("a", "b")))))
+    assert(out(3L) === ((2L, expect(("a", "a"), ("a", "b")))))
+  }
+
+  test("a formulaic doc scores higher than one full of unseen bigrams") {
+    val common = (1L to 8L).map(i => i -> "the quick brown fox jumps")
+    val weird = 9L -> "fox the jumps brown quick"
+    val out = NGramLm.score(docs(common :+ weird: _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(9L))
+  }
+
+  test("buckets split distinct scores into exact tertiles") {
+    // 9 docs engineered to 9 distinct scores via different repetition
+    // counts of formulaic vs novel text — tertile buckets get 3 each
+    val d = docs((1L to 9L).map { i =>
+      val rep = ("w" + i + " ") * 3
+      i -> (("the cat sat " * i.toInt) + rep).trim
+    }: _*)
+    val out = NGramLm.buckets(d, "doc_id", "text")
+    val counts = out.groupBy("bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.select(countDistinct(col("avg_logp"))).head().getLong(0) === 9L)
+    assert(counts === Map("tail" -> 3L, "middle" -> 3L, "head" -> 3L))
+    // bucket assignment is monotone in the score
+    val rows = out.collect().map(r => r.getDouble(1) -> r.getString(2))
+    val maxTail = rows.filter(_._2 == "tail").map(_._1).max
+    val middle = rows.filter(_._2 == "middle").map(_._1)
+    val minHead = rows.filter(_._2 == "head").map(_._1).min
+    assert(middle.forall(s => s > maxTail && s < minHead))
+  }
+}
