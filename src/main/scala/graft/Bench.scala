@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
@@ -15,8 +15,45 @@ import org.apache.spark.sql.SparkSession
   * now starts from a clean slate: `clearCache()` drops any persist the
   * previous query pinned and an explicit GC empties the young generation,
   * so per-query numbers measure the plan, not the predecessor's residue.
+  *
+  * Failure honesty (round-7 audit): a failing query records -1, NEVER its
+  * fail-fast elapsed time — an analysis error that throws in 60 ms must be
+  * impossible to mistake for a 0.06 s success. Messages surface in an
+  * `errors` object, `failed` carries the count, and the process exits
+  * nonzero, so rc=0 can never hide breakage ([[BenchSpec]] pins this).
   */
 object Bench {
+
+  /** One measured query: -1.0 + the error on failure, elapsed seconds
+    * otherwise. `clearCache` between queries is the caller's job.
+    */
+  def runOne(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
+      sfDir: String): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+    catch { case e: Throwable =>
+      (-1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName))) }
+  }
+
+  /** The driver-contract JSON line. `value` sums only SUCCESSFUL queries —
+    * failures contribute -1 entries plus `failed`/`errors`, never time.
+    */
+  def renderJson(results: Seq[(String, Double, Option[String])],
+      sfDir: String): String = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      jstr(k) + ":" + jstr(m.take(300)) }.mkString("{", ",", "}")
+    val nFail = results.count(_._3.isDefined)
+    val total = results.collect { case (_, v, None) => v }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -40,17 +77,12 @@ object Bench {
     spark.catalog.clearCache()
     val results = names.map { name =>
       System.gc()
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (sec, err) = runOne(spark, SparkEntry.queries(name), sfDir)
       spark.catalog.clearCache()
-      name -> sec
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderJson(results, sfDir))
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(2)
   }
 }

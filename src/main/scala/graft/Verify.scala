@@ -26,6 +26,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed dump must be visible to the driver as an `err` row, not a
+        // silent omission indistinguishable from "not declared" (round-7:
+        // 30 broken queries vanished from CORRECTNESS without a trace).
+        // The marker lives INSIDE the query's outDir so any per-directory
+        // scan sees it; the write above is mode=overwrite so a partial
+        // parquet dir from the failed attempt is replaced, not merged.
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR"),
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(2000))
+        } catch { case _: Throwable => () }
       }
       // per-query isolation: a query's persist() (e.g. the dedup
       // pipeline's shared shingle pass) must not occupy storage memory

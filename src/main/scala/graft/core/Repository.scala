@@ -17,7 +17,9 @@ package graft.core
 final case class AttributeDescriptor(
     entity: String,
     name: String,            // declared name, e.g. "status" or "device.*"
-    scheme: String) {
+    scheme: String,
+    proxy: Option[ProxySpec] = None) {
+  def isProxy: Boolean = proxy.isDefined
   /** Wildcard attributes model map/list-like relations, suffix = map key
     * (reference AttributeDescriptor.isWildcard:135).
     */
@@ -113,12 +115,37 @@ object Repository {
     val root = HoconLite.parse(config)
     val entities = HoconLite.obj(root.getOrElse("entities", Map.empty))
       .map { case (ename, body) =>
-        val attrs = HoconLite.obj(HoconLite.obj(body).getOrElse("attributes", Map.empty))
+        // pass 1: declared scheme (None where omitted) + proxy block
+        val parsed = HoconLite.obj(HoconLite.obj(body).getOrElse("attributes", Map.empty))
           .map { case (aname, abody) =>
-            val scheme = HoconLite.obj(abody)
-              .get("scheme").map(HoconLite.str).getOrElse("bytes")
-            AttributeDescriptor(ename, aname, scheme)
-          }.toSeq.sortBy(_.name)
+            val m = HoconLite.obj(abody)
+            val scheme = m.get("scheme").map(HoconLite.str)
+            val proxy = m.get("proxy").map {
+              case s: String =>
+                // symmetric: `proxy: "_e.*"` (+ optional sibling `apply:`)
+                val cls = m.get("apply").map(HoconLite.str)
+                ProxySpec(Some(ProxySide(s, cls)), Some(ProxySide(s, cls)))
+              case o =>
+                val om = HoconLite.obj(o)
+                ProxySpec(
+                  read = om.get("read").map(HoconLite.obj).map(r =>
+                    ProxySide(HoconLite.str(r("from")), r.get("apply").map(HoconLite.str))),
+                  write = om.get("write").map(HoconLite.obj).map(w =>
+                    ProxySide(HoconLite.str(w("into")), w.get("apply").map(HoconLite.str))))
+            }
+            (aname, scheme, proxy)
+          }.toSeq
+        val declaredScheme = parsed.map { case (n, s, _) => n -> s }.toMap
+        // pass 2: a proxy without an explicit scheme inherits its READ
+        // target's (reference: proxies take the proxied attribute's scheme;
+        // write-only / different-read-scheme proxies declare their own —
+        // test-reference.conf:77-103 schemeAsymmetric, writeAsymmetric)
+        val attrs = parsed.map { case (aname, scheme, proxy) =>
+          val resolved = scheme.orElse(
+            proxy.flatMap(_.read).flatMap(r => declaredScheme.get(r.target).flatten))
+            .getOrElse("bytes")
+          AttributeDescriptor(ename, aname, resolved, proxy)
+        }.sortBy(_.name)
         ename -> EntityDescriptor(ename, attrs)
       }
     val families = HoconLite.obj(root.getOrElse("attributeFamilies", Map.empty))

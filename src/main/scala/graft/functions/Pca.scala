@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** Upper-triangle Gram matrix in micro-units: (i, j, micros) with
-    * 1-based i ≤ j and micros = Σ_rows round(v[i]·v[j]·1e6) — exact
-    * integer output, engine-replayable.
+    * 1-based i ≤ j and micros = Σ_rows floor(v[i]·v[j]·1e6 + 0.5) — exact
+    * integer output, engine-replayable. `floor(x+0.5)`, not `round(x)`:
+    * both engines define double `floor` identically, while `round` at an
+    * exact .5 product is HALF_UP in Spark but banker's-adjacent in DuckDB
+    * (the round-7 driver hash-fail on q_embed_gram).
     */
   def gramMicros(df: DataFrame, vecCol: String): DataFrame =
     df.select(col(vecCol).as("__v"))
@@ -37,9 +40,9 @@ object Pca {
         """flatten(transform(sequence(1, size(__v)), i ->
           |  transform(sequence(i, size(__v)), j ->
           |    struct(i AS i, j AS j,
-          |      CAST(round(CAST(element_at(__v, i) AS DOUBLE)
+          |      CAST(floor(CAST(element_at(__v, i) AS DOUBLE)
           |                 * CAST(element_at(__v, j) AS DOUBLE)
-          |                 * 1000000.0) AS BIGINT) AS m))))""".stripMargin))
+          |                 * 1000000.0 + 0.5) AS BIGINT) AS m))))""".stripMargin))
         .as("__c"))
       .select(col("__c.i").cast("long").as("i"),
         col("__c.j").cast("long").as("j"), col("__c.m").as("m"))
@@ -51,8 +54,8 @@ object Pca {
       vecCol: String = "embedding"): String =
     s"""WITH e AS (SELECT $vecCol AS v FROM $table)
        |SELECT i, j,
-       |       sum(CAST(round(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE)
-       |                      * 1000000.0) AS BIGINT)) AS micros
+       |       sum(CAST(floor(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE)
+       |                      * 1000000.0 + 0.5) AS BIGINT)) AS micros
        |FROM e,
        |     unnest(generate_series(1, len(v))) u(i),
        |     unnest(generate_series(1, len(v))) w(j)

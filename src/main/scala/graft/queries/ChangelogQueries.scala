@@ -88,6 +88,105 @@ object ChangelogQueries extends QuerySet {
           col("value").cast("string").as("last_type"))
     }),
 
+    // proxy attribute READ: `event.*` is a virtual attribute over the raw
+    // `device.*` changelog — the read path filters the raw family to the
+    // proxy's target BELOW the compaction (predicate pushes into the scan)
+    // and renames raw→proxy (reference ElementWiseProxyTransform.renaming,
+    // ConfigRepository.loadProxiedFamilies:1889, test-reference.conf:54-60)
+    "q_proxy_read" -> ((s, d) => {
+      import graft.core.{Proxies, ProxySide, ProxySpec}
+      val raw = graft.streaming.AttributeLogFamily.batchView(
+        Tables.eventsAsWildcardChangelog(s, d))
+      val view = Proxies.view(raw, "event.*",
+        ProxySpec(read = Some(ProxySide("device.*", None)), write = None))
+      view.batchSnapshot()
+        .select(col("key"), col("attribute"),
+          col("seqId").as("last_event_id"),
+          col("value").cast("string").as("last_type"))
+    }),
+
+    // proxy attribute WRITE: elements named in the proxy namespace
+    // (`event.N`) written through the proxy view land in the raw family
+    // under their raw names (`device.N`) — fromProxy applied before the
+    // storage commit (reference WriteProxy in test-reference.conf:62-75)
+    "q_proxy_write" -> ((s, d) => {
+      import graft.core.{Proxies, ProxySide, ProxySpec}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-proxy-q").toString
+      val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+      val side = ProxySide("device.*", None)
+      val view = Proxies.view(fam, "event.*",
+        ProxySpec(read = Some(side), write = Some(side)))
+      view.append(Tables.eventsAsWildcardChangelog(s, d, prefix = "event.")
+        .filter(col("seqId") % 10 === 0))
+      materialized(fam.batchUpdates().toDF()
+        .groupBy(col("attribute"))
+        .agg(count(lit(1)).as("n"), sum(col("seqId")).as("sum_ids"))) {
+        deleteRecursively(tmp)
+      }
+    }),
+
+    // transaction contention over the committed log (reference
+    // TransactionLogObserver.java:81 — concurrent transactions on one
+    // cell: loser aborted, winner's writes land with a fresh sequential
+    // id): a deterministic workload where every EVEN per-user attempt
+    // races the odd one before it (both begin, odd commits first) and
+    // must be rejected — the committed log then holds exactly the odd
+    // attempts, which DuckDB replays by row_number parity. The driver
+    // list is the bounded txn schedule (≤60 rows), not a data collect.
+    "q_txn_commits" -> ((s, d) => {
+      import graft.core.{StreamElement, TransactionCoordinator}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txn-q").toString
+      val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+      val coord = new TransactionCoordinator(fam)
+      val sample = Tables.events(s, d)
+        .filter(col("event_id") % 1000 === 0 && col("event_id") < 20000)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      // write-write scope only (no transactional read): a lost-update race
+      // must abort even without a prior get — and it halves the per-txn
+      // Spark jobs, keeping the schedule's wall time bounded
+      def write(t: TransactionCoordinator#Transaction,
+          user: Long, eid: Long, v: Double): Unit = {
+        // floor(x+0.5), not round(): engine-identical in DuckDB (Pca note)
+        val cents = math.floor(v * 100 + 0.5).toLong
+        t.update(StreamElement.upsert("user", s"user-$user", "balance",
+          s"txn-$eid", eid, cents.toString.getBytes("UTF-8")))
+      }
+      var lastSeq = 0L
+      sample.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, evs) =>
+        var i = 0
+        while (i < evs.length) {
+          val (u1, e1, v1) = evs(i)
+          if (i + 1 < evs.length) {
+            val (u2, e2, v2) = evs(i + 1)
+            val t1 = coord.begin(); val t2 = coord.begin()
+            write(t1, u1, e1, v1)
+            val seq = t1.commit()
+            require(seq > lastSeq, s"seqId not monotone: $seq after $lastSeq")
+            lastSeq = seq
+            write(t2, u2, e2, v2)
+            try { t2.commit(); sys.error(s"txn on contended cell user-$u2 must abort") }
+            catch { case _: coord.TransactionRejectedException => () }
+            i += 2
+          } else {
+            val t = coord.begin(); write(t, u1, e1, v1)
+            val seq = t.commit()
+            require(seq > lastSeq, s"seqId not monotone: $seq after $lastSeq")
+            lastSeq = seq
+            i += 1
+          }
+        }
+      }
+      materialized(fam.batchUpdates().toDF()
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_committed"),
+          sum(col("value").cast("string").cast("long")).as("balance_cents"))) {
+        deleteRecursively(tmp)
+      }
+    }),
+
     // the exactly-once sink contract (reference BufferUntilCheckpoint →
     // checkpointed idempotent writes, BufferUntilCheckpoint.java:37): the
     // SAME changelog appended TWICE through appendIdempotent — a replay
@@ -317,6 +416,64 @@ object ChangelogQueries extends QuerySet {
         |WHERE l.event_type NOT IN ('signup', 'error')
         |  AND (wc.wcpos IS NULL
         |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin,
+
+    // the wildcard-delete compaction in the PROXY namespace: identical to
+    // q_snapshot_wildcard_delete's replay with raw 'device.' names renamed
+    // to 'event.' (rename is bijective on the matched set, so
+    // rename∘compact = compact∘rename)
+    "q_proxy_read" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type = 'signup' THEN 'event.*'
+        |              ELSE 'event.' || CAST(event_id % 7 AS VARCHAR) END AS attr,
+        |         epoch_us(ts) AS e, event_id, event_type
+        |  FROM events
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, attr, e, event_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id, attr
+        |             ORDER BY e DESC, event_id DESC) AS rn
+        |    FROM base) WHERE rn = 1
+        |), wc AS (
+        |  SELECT user_id, max(CAST(e AS HUGEINT) * 100000000 + event_id) AS wcpos
+        |  FROM base WHERE event_type = 'signup' GROUP BY user_id
+        |)
+        |SELECT 'user-' || CAST(l.user_id AS VARCHAR) AS key,
+        |       l.attr AS attribute, l.event_id AS last_event_id,
+        |       l.event_type AS last_type
+        |FROM latest l LEFT JOIN wc ON l.user_id = wc.user_id
+        |WHERE l.event_type NOT IN ('signup', 'error')
+        |  AND (wc.wcpos IS NULL
+        |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin,
+
+    // what the RAW family holds after the proxy write: every proxy-named
+    // element stored under its raw 'device.' name
+    "q_proxy_write" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'device.*'
+        |            ELSE 'device.' || CAST(event_id % 7 AS VARCHAR) END AS attribute,
+        |       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events WHERE event_id % 10 = 0
+        |GROUP BY 1""".stripMargin,
+
+    // replay of the deterministic contention schedule: per user the
+    // sampled events in event_id order, every even attempt (rn % 2 = 0)
+    // raced the odd one before it and was rejected — only odd attempts
+    // reached the log
+    "q_txn_commits" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  WHERE event_id % 1000 = 0 AND event_id < 20000
+        |), r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM s
+        |)
+        |SELECT 'user-' || CAST(user_id AS VARCHAR) AS key,
+        |       count(*) AS n_committed,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS balance_cents
+        |FROM r WHERE rn % 2 = 1
+        |GROUP BY 1""".stripMargin,
 
     // one copy of everything, despite the double append
     "q_idempotent_sink" ->

@@ -132,7 +132,10 @@ object RelationalQueries extends QuerySet {
     // (WindowedStream.combine:168) lowered to partial+final hash aggregation
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("2025-06-01").cast("timestamp"))
+        // NTZ literal against the NTZ column: zone-free compare that still
+        // pushes into the parquet scan (an LTZ literal would promote the
+        // column through the session zone)
+        .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '2025-06-01 00:00:00'"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(cents(col("l_quantity"))).as("sum_qty_cents"),

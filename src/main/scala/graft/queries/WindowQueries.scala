@@ -168,22 +168,32 @@ object WindowQueries extends QuerySet {
         .union(late.select(col("seqId").as("event_id")).withColumn("is_late", lit(true)))
     }),
 
-    // timeWindow (tumbling, FixedWindows): hourly per-type counts + sums
+    // timeWindow (tumbling, FixedWindows): hourly per-type counts + sums.
+    // Epoch ARITHMETIC, not `window()`: Spark's window() aligns buckets to
+    // the SESSION-zone epoch (a Chicago session shifts every hourly bucket
+    // 6h — VanillaSessionSpec caught this), while FixedWindows.assign and
+    // the DuckDB oracle are plain UTC-epoch floors. Same plan shape (one
+    // hash aggregate), minus the struct expansion.
     "q_window_tumbling" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val sizeUs = 3600L * 1000000L
       Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .groupBy((us - pmod(us, lit(sizeUs))).as("w_start_us"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
-          col("n"), col("sum_cents"))
     }),
 
-    // timeSlidingWindow (SlidingWindows): 1h window, 30m slide
+    // timeSlidingWindow (SlidingWindows): 1h window, 30m slide — each
+    // element expands to its size/slide covering windows via `sequence`
+    // (epoch-aligned, session-zone-free; see q_window_tumbling)
     "q_window_sliding" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val slideUs = 1800L * 1000000L
+      val lastStart = us - pmod(us, lit(slideUs))
       Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .select(col("value"), explode(sequence(lastStart - lit(slideUs),
+          lastStart, lit(slideUs))).as("w_start_us"))
+        .groupBy(col("w_start_us"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-        .select(unix_micros(col("w.start")).as("w_start_us"), col("n"),
-          col("sum_cents"))
     }),
 
     // sessionWindow(keyEx, gap) (Sessions.withGapDuration): per-user sessions
@@ -225,8 +235,11 @@ object WindowQueries extends QuerySet {
     // end excl): stamp-range scan, pushed down to the parquet reader
     "q_batch_updates_range" -> ((s, d) => {
       Tables.events(s, d)
-        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        // micros-built literals: a string→timestamp cast reads the SESSION
+        // zone; timestamp_micros is an absolute instant in any session and
+        // still folds to a pushable parquet predicate
+        .filter(col("ts") >= timestamp_micros(lit(1704844800000000L)) &&
+          col("ts") < timestamp_micros(lit(1705708800000000L)))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
     }),

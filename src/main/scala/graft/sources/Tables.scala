@@ -27,10 +27,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a nanos long and is
-    * rebuilt here as a microsecond TIMESTAMP (floor division — matching what
-    * DuckDB's nanos→micros read does on the oracle side).
+  /** `events.ts` normalization — the ONE place raw parquet timestamp
+    * encodings become a session-TZ-independent TIMESTAMP (LTZ, micros).
+    * Testdata vintages have shipped two encodings:
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` it
+    *    arrives as a nanos long and is rebuilt as a micros TIMESTAMP (floor
+    *    division — matching DuckDB's nanos→micros read on the oracle side);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    the wall clock is interpreted as UTC via NTZ-epoch `timestampdiff`
+    *    arithmetic (session-zone-FREE — the driver's smoke check runs on a
+    *    vanilla session whose zone we don't control; both `cast` and
+    *    `to_utc_timestamp` would route NTZ through the session zone),
+    *    matching DuckDB's epoch_us on the same naive value.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver's smoke check)
@@ -48,6 +56,13 @@ object Tables {
           // integer `div`, not `/`: nanos exceed 2^53, double division would
           // lose microseconds
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NOT to_utc_timestamp(ts,"UTC"): for NTZ input that routes
+          // through the SESSION zone (probed: a Chicago session shifts
+          // every instant 6h). NTZ-minus-NTZ is pure wall-clock
+          // arithmetic — timezone-free in any session.
+          df.withColumn("ts", timestamp_micros(expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
         case _ => df
       }
     } finally prev match {
@@ -69,6 +84,31 @@ object Tables {
     * delete tombstones so snapshot/compaction semantics are exercised on
     * driver data (TESTDATA.md) without synthesizing fixtures.
     */
+  /** The `events` table as a WILDCARD-attribute changelog (same encoding as
+    * q_snapshot_wildcard_delete / q_scan_wildcard_all): per user, `device.N`
+    * upsert cells (N = event_id % 7), `error` = exact-cell delete, `signup`
+    * = `device.*` wildcard-delete tombstone. `prefix` renames the namespace
+    * (proxy-write staging uses "event.").
+    */
+  def eventsAsWildcardChangelog(spark: SparkSession, sfDir: String,
+      prefix: String = "device."): Dataset[StreamElement] = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .select(
+        lit("user").as("entity"),
+        concat(lit("user-"), $"user_id").as("key"),
+        when($"event_type" === "signup", lit(prefix + "*"))
+          .otherwise(concat(lit(prefix), $"event_id" % 7)).as("attribute"),
+        concat(lit("uuid-"), $"event_id").as("uuid"),
+        $"event_id".as("seqId"),
+        unix_micros($"ts").as("stamp"),
+        when($"event_type".isin("signup", "error"), lit(null))
+          .otherwise(encode($"event_type", "UTF-8")).as("value"),
+        $"event_type".isin("signup", "error").as("delete"),
+        ($"event_type" === "signup").as("deleteWildcard"))
+      .as[StreamElement]
+  }
+
   def eventsAsChangelog(spark: SparkSession, sfDir: String): Dataset[StreamElement] = {
     import spark.implicits._
     events(spark, sfDir)

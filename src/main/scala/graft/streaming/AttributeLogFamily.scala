@@ -75,3 +75,27 @@ trait AttributeLogFamily {
     */
   def commitLockPath: Option[String] = None
 }
+
+object AttributeLogFamily {
+
+  /** A read-only batch family over an existing changelog Dataset — the
+    * adapter that lets derived views (a table re-encoded as a changelog,
+    * a proxy read target) flow through every family-typed surface
+    * (random access, proxies, snapshots) without a storage round-trip.
+    */
+  def batchView(ds: Dataset[StreamElement]): AttributeLogFamily =
+    new AttributeLogFamily {
+      import org.apache.spark.sql.functions.col
+      override def spark: SparkSession = ds.sparkSession
+      override def append(elems: Dataset[StreamElement]): Unit =
+        throw new UnsupportedOperationException("read-only changelog view")
+      override def batchUpdates(from: Long, until: Long): Dataset[StreamElement] = {
+        var df = ds.toDF()
+        if (from != Long.MinValue) df = df.filter(col("stamp") >= from)
+        if (until != Long.MaxValue) df = df.filter(col("stamp") < until)
+        df.as[StreamElement](StreamElement.encoder)
+      }
+      override def streamFromOldest(): Dataset[StreamElement] =
+        throw new UnsupportedOperationException("batch view")
+    }
+}

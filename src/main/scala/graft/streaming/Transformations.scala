@@ -59,32 +59,6 @@ object Transformations {
     run(source, target, (e: StreamElement) => Seq(e), checkpoint)
 }
 
-/** Proxy attributes: virtual attributes reading/writing through a backing
-  * attribute with a bidirectional rename/transform
-  * (reference: core/.../transform/ProxyTransform.java,
-  * ElementWiseProxyTransform.java; config test-reference.conf:54-105).
-  */
-final case class ProxyAttribute(
-    proxyPrefix: String,     // e.g. "proxied."
-    backingPrefix: String) { // e.g. "raw."
-
-  /** Rewrite a write to the proxy attribute into the backing attribute
-    * (fromProxy / asElementWise write path).
-    */
-  def toBacking(e: StreamElement): StreamElement =
-    if (e.attribute.startsWith(proxyPrefix))
-      e.copy(attribute = backingPrefix + e.attribute.stripPrefix(proxyPrefix))
-    else e
-
-  /** Present a backing element as the proxy attribute (read path). */
-  def toProxy(e: StreamElement): StreamElement =
-    if (e.attribute.startsWith(backingPrefix))
-      e.copy(attribute = proxyPrefix + e.attribute.stripPrefix(backingPrefix))
-    else e
-
-  /** Proxied read view of a changelog. */
-  def readView(ds: org.apache.spark.sql.Dataset[StreamElement]): org.apache.spark.sql.Dataset[StreamElement] = {
-    implicit val enc = StreamElement.encoder
-    ds.map(toProxy)
-  }
-}
+// Proxy attributes moved to graft.core: config-parsed ProxySpec
+// (core/Repository), ElementWiseProxyTransform factories + Column fast
+// path, and the ProxiedFamily view (core/Proxy.scala).

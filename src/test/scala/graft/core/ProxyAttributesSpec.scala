@@ -1,0 +1,190 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.CommitLogFamily
+
+/** Test transform with the reference's EventTransform shape — loaded
+  * reflectively through the config's `apply:` key.
+  */
+class UppercasingProxy extends ElementWiseProxyTransform {
+  override def fromProxy(proxy: String): String = proxy.toLowerCase
+  override def toProxy(raw: String): String = raw.toUpperCase
+}
+
+/** Proxy attributes: virtual attributes with read/write name transforms
+  * (reference: core/.../transform/ElementWiseProxyTransform.java,
+  * ProxyTransform.java; config shape test-reference.conf:54-105; loading
+  * ConfigRepository.loadProxiedFamilies:1889; behavior
+  * ElementWiseProxyTransformTest.java).
+  */
+class ProxyAttributesSpec extends SparkSpec {
+
+  // the reference's proxied-attributes config section, re-expressed
+  // (test-reference.conf:40-110): symmetric, asymmetric, explicit-scheme
+  // asymmetric, write-only, and default-renaming variants
+  private val config =
+    """
+      |entities {
+      |  proxied {
+      |    attributes {
+      |      "_e.*":  { scheme: bytes }
+      |      "raw.*": { scheme: bytes }
+      |      "ints.*" { scheme: integer }
+      |      "dummy": { scheme: bytes }
+      |      "event.*": {
+      |        proxy: "_e.*"
+      |        apply: graft.core.UppercasingProxy
+      |      }
+      |      "asymmetric.*": {
+      |        proxy {
+      |          write { into: "_e.*",  apply: graft.core.UppercasingProxy }
+      |          read  { from: "raw.*", apply: graft.core.UppercasingProxy }
+      |        }
+      |      }
+      |      "schemeAsymmetric.*" {
+      |        proxy {
+      |          write { into: "_e.*",  apply: graft.core.UppercasingProxy }
+      |          read  { from: "ints.*", apply: graft.core.UppercasingProxy }
+      |        }
+      |        scheme: float
+      |      }
+      |      "writeAsymmetric.*" {
+      |        proxy {
+      |          write { into: "_e.*", apply: graft.core.UppercasingProxy }
+      |        }
+      |        scheme: bytes
+      |      }
+      |      differentScheme {
+      |        proxy: dummy
+      |        scheme: integer
+      |      }
+      |    }
+      |  }
+      |}
+      |attributeFamilies {
+      |  proxied-all { entity: proxied, attributes: ["*"],
+      |    storage: "inmem:///proxied", type: primary,
+      |    access: [commit-log, batch-updates] }
+      |}
+      |""".stripMargin
+
+  private val repo = Repository.parse(config)
+  private def attr(n: String) = repo.entity("proxied").attribute(n).get
+
+  test("symmetric proxy parses: both sides share the target") {
+    val p = attr("event.*").proxy.get
+    assert(p.isSymmetric && p.isReadProxy && p.isWriteProxy)
+    assert(p.read.get.target == "_e.*" && p.write.get.target == "_e.*")
+    assert(p.read.get.transformClass.contains("graft.core.UppercasingProxy"))
+    // scheme inherited from the read target (reference: proxy takes the
+    // proxied attribute's scheme)
+    assert(attr("event.*").scheme == "bytes")
+    assert(attr("event.*").isProxy && !attr("raw.*").isProxy)
+  }
+
+  test("asymmetric proxy parses: distinct read-from and write-into") {
+    val p = attr("asymmetric.*").proxy.get
+    assert(!p.isSymmetric && p.isReadProxy && p.isWriteProxy)
+    assert(p.read.get.target == "raw.*" && p.write.get.target == "_e.*")
+  }
+
+  test("explicit scheme wins over the read target's") {
+    assert(attr("schemeAsymmetric.*").scheme == "float")
+    assert(attr("differentScheme").scheme == "integer")
+  }
+
+  test("write-only proxy parses and rejects reads") {
+    val p = attr("writeAsymmetric.*").proxy.get
+    assert(p.isWriteProxy && !p.isReadProxy)
+    val fam = new CommitLogFamily(spark,
+      java.nio.file.Files.createTempDirectory("graft-proxy-wo").toString + "/log")
+    val view = Proxies.view(fam, "writeAsymmetric.*", p)
+    intercept[UnsupportedOperationException](view.batchUpdates())
+  }
+
+  test("default renaming transform when `apply` is absent") {
+    val p = attr("differentScheme").proxy.get
+    val t = Proxies.transformOf("differentScheme", p.read.get)
+    assert(t.fromProxy("differentScheme") == "dummy")
+    assert(t.toProxy("dummy") == "differentScheme")
+  }
+
+  // ---- transform factory laws (ElementWiseProxyTransformTest.java) ----
+
+  test("renaming maps prefixes both ways; non-matching passes through") {
+    val t = ElementWiseProxyTransform.renaming("event.", "_e.")
+    assert(t.fromProxy("event.abc") == "_e.abc")
+    assert(t.toProxy("_e.abc") == "event.abc")
+    assert(t.fromProxy("other.x") == "other.x")
+    assert(t.toProxy("other.x") == "other.x")
+    // the wildcard-delete tombstone row renames too
+    assert(t.toProxy("_e.*") == "event.*")
+  }
+
+  test("composite applies left-to-right on toProxy, reversed on fromProxy") {
+    val a = ElementWiseProxyTransform.renaming("b.", "a.")
+    val b = ElementWiseProxyTransform.renaming("c.", "b.")
+    val t = ElementWiseProxyTransform.composite(a, b)
+    assert(t.toProxy("a.x") == "c.x")
+    assert(t.fromProxy("c.x") == "a.x")
+  }
+
+  test("droppingUntilCharacter strips on read, restores on write") {
+    val t = ElementWiseProxyTransform.droppingUntilCharacter('$', "prefix$")
+    assert(t.toProxy("prefix$status") == "status")
+    assert(t.fromProxy("status") == "prefix$status")
+    assert(t.toProxy("nodollar") == "nodollar")
+  }
+
+  test("Column fast path is bit-identical to the string transform") {
+    val s = spark
+    import s.implicits._
+    val t = ElementWiseProxyTransform.renaming("event.", "_e.")
+    val names = Seq("_e.abc", "_e.*", "_e.", "other", "event.x", "_evnot")
+    val viaCol = names.toDF("attribute")
+      .select(t.toProxyColumn(col("attribute"))).as[String].collect().toSeq
+    assert(viaCol == names.map(t.toProxy))
+    val back = names.toDF("attribute")
+      .select(t.fromProxyColumn(col("attribute"))).as[String].collect().toSeq
+    assert(back == names.map(t.fromProxy))
+  }
+
+  // ---- end-to-end through a real family ----
+
+  test("reads rename raw→proxy, writes land raw, round-trip preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proxy-e2e").toString
+    val fam = new CommitLogFamily(spark, s"$dir/log")
+    val p = ProxyAttributesSpec.renamingSpec("_e.*")
+    val view = Proxies.view(fam, "event.*", p)
+
+    // write through the proxy: names arrive in proxy namespace
+    view.append(Seq(
+      StreamElement.upsert("proxied", "k1", "event.a", "u1", 10L, Array[Byte](1)),
+      StreamElement.upsert("proxied", "k1", "event.b", "u2", 20L, Array[Byte](2)),
+      StreamElement.upsert("proxied", "k2", "status", "u3", 30L, Array[Byte](3))))
+
+    // raw storage holds RAW names ("status" passes through untouched)
+    val rawNames = fam.batchUpdates().collect().map(_.attribute).sorted.toSeq
+    assert(rawNames == Seq("_e.a", "_e.b", "status"))
+
+    // the proxy read view renames back — and FILTERS to its target, so
+    // the non-proxied "status" row is invisible through the proxy
+    val viaProxy = view.batchUpdates().collect().sortBy(_.attribute)
+    assert(viaProxy.map(_.attribute).toSeq == Seq("event.a", "event.b"))
+    assert(viaProxy.map(_.value(0)).toSeq == Seq(1.toByte, 2.toByte))
+
+    // wildcard delete written through the proxy tombstones the raw rows
+    view.append(Seq(StreamElement.deleteWildcard(
+      "proxied", "k1", "event.", "u4", 40L)))
+    assert(fam.batchUpdates().filter(_.deleteWildcard)
+      .collect().map(_.attribute).toSeq == Seq("_e.*"))
+    assert(view.batchSnapshot().filter(e => !e.isDelete).collect().isEmpty)
+  }
+}
+
+object ProxyAttributesSpec {
+  def renamingSpec(target: String): ProxySpec =
+    graft.core.ProxySpec(Some(ProxySide(target, None)), Some(ProxySide(target, None)))
+}

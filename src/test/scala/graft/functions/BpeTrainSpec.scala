@@ -115,6 +115,36 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("argmax tie-break is count desc then pair asc in BINARY collation") {
+    val s = spark
+    import s.implicits._
+    // 'Zy' and 'ab' tie at freq 2. Binary (ASCII/UTF-8 byte) collation
+    // orders "Z y" < "a b" ('Z'=0x5A < 'a'=0x61); any locale-aware
+    // collation would order "a b" first. The oracle's DuckDB `ORDER BY
+    // pair` is binary, so the engine must be too — this is the collation
+    // law behind the driver's hash comparison (VERDICT r7 §Next #5).
+    val docs = Seq((1L, "Zy Zy ab ab")).toDF("doc_id", "text")
+    val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 1)
+    val got = trained.merges
+    trained.unpersist()
+    assert(got.map(m => (m.l_sym, m.r_sym, m.f_weight)) == Seq(("Z", "y", 2L)),
+      s"binary-collation tie-break violated: $got")
+  }
+
+  test("argmax tie-break orders by full pair string, shorter prefix first") {
+    val s = spark
+    import s.implicits._
+    // ties at f=2: pairs "a b" (from 'ab') and "a c" (from 'ac') — the
+    // 'b'<'c' byte decides; also guards against comparing (l, r) as a
+    // tuple in one engine vs the joined "l r" string in the other
+    val docs = Seq((1L, "ab ab ac ac")).toDF("doc_id", "text")
+    val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 1)
+    val got = trained.merges
+    trained.unpersist()
+    assert(got.map(m => (m.l_sym, m.r_sym, m.f_weight)) == Seq(("a", "b", 2L)),
+      s"pair-asc tie-break violated: $got")
+  }
+
   test("tokenize counts the reference segmentation per document") {
     val s = spark
     import s.implicits._

@@ -307,10 +307,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("proxy attribute read/write views") {
-    val p = ProxyAttribute("proxied.", "raw.")
-    val w = p.toBacking(up("k", "proxied.x", 1, "v"))
+    val t = graft.core.ElementWiseProxyTransform.renaming("proxied.", "raw.")
+    val w = up("k", "proxied.x", 1, "v").copy(
+      attribute = t.fromProxy("proxied.x"))
     assert(w.attribute == "raw.x")
-    val r = p.toProxy(w)
-    assert(r.attribute == "proxied.x")
+    assert(t.toProxy(w.attribute) == "proxied.x")
   }
 }
