@@ -53,8 +53,10 @@ object EnduranceBench {
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     copies(spark.read.parquet(s"$base/lineitem.parquet"))(shift(_, _, "l_orderkey"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    // events.ts is TIMESTAMP(NANOS): read as nanos long (written back as
-    // INT64, which Tables.events rebuilds identically)
+    // events.ts encoding varies by vintage — TIMESTAMP(NANOS) reads as a
+    // nanos long under this setting (round-tripped as INT64), the current
+    // TIMESTAMP(MICROS, NTZ) reads/writes as NTZ; Tables.events
+    // normalizes either on the query side
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try copies(spark.read.parquet(s"$base/events.parquet"))(
       shift(_, _, "event_id", "user_id"))
@@ -90,13 +92,12 @@ object EnduranceBench {
     var failures = 0
     val results = names.map { name =>
       System.gc()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, out).count()
-      catch { case e: Throwable =>
+      // same failure honesty as Bench: -1, never a fail-fast elapsed time
+      val (sec, err) = Bench.runOne(spark, SparkEntry.queries(name), out)
+      err.foreach { m =>
         failures += 1
-        System.err.println(s"[endurance] $name failed: ${e.getMessage}")
+        System.err.println(s"[endurance] $name failed: $m")
       }
-      val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> sec
     }

@@ -22,6 +22,11 @@ import graft.core.{Access, GraftOperator, StreamElement, TransactionCoordinator,
   *  - /ingest      {entity, key, attribute, stamp, value?, delete?}
   *                 → {ok, uuid, message?}
   *  - /ingest-bulk {requests: [...]}                → {statuses: [...]}
+  *  - /ingest-stream NDJSON request lines → NDJSON status lines, each
+  *                 flushed as its line is processed (the rpc.proto:122
+  *                 ingestBulk BIDI stream over chunked HTTP/1.1; one-line
+  *                 memory, malformed lines answer ok=false and the
+  *                 stream continues)
   *  - /get         {entity, key, attribute}         → {found, value?}
   *  - /list        {entity, key, prefix?, offset?, limit?} → {attributes}
   *  - /multifetch  {entity, attribute, keys}        → {values: {key: v}}
@@ -139,6 +144,41 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     val reqs = m("requests").asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
     "{\"statuses\":[" + reqs.map(r => statusJson(doIngest(r))).mkString(",") + "]}"
+  })
+
+  // duplex streaming ingest — the rpc.proto ingestBulk BIDI stream
+  // (rpc.proto:122 `rpc ingestBulk(stream IngestBulk) returns (stream
+  // StatusBulk)`) over HTTP/1.1 chunked framing: one NDJSON ingest
+  // request per input line, its status written (and flushed) as soon as
+  // that line is processed — the client reads statuses while still
+  // sending, and a malformed line answers ok=false WITHOUT aborting the
+  // stream (the reference's per-element StatusBulk contract, not
+  // all-or-nothing). Unlike /ingest-bulk nothing buffers: memory is one
+  // line, regardless of stream length.
+  server.createContext("/ingest-stream", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          ex.getRequestBody, StandardCharsets.UTF_8))
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0L) // chunked
+        val out = ex.getResponseBody
+        var line = in.readLine()
+        while (line != null) {
+          if (line.trim.nonEmpty) {
+            val status =
+              try statusJson(doIngest(Json.parseObject(line)))
+              catch { case e: Exception =>
+                Json.obj("ok" -> false, "uuid" -> "",
+                  "message" -> Option(e.getMessage).getOrElse("bad request")) }
+            out.write((status + "\n").getBytes(StandardCharsets.UTF_8))
+            out.flush() // duplex: the status must not wait for stream end
+          }
+          line = in.readLine()
+        }
+        out.close()
+      } catch { case _: Exception => () } // client hung up mid-stream
+      finally ex.close()
   })
 
   server.createContext("/get", handler { m =>

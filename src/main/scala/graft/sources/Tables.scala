@@ -34,11 +34,11 @@ object Tables {
     *    arrives as a nanos long and is rebuilt as a micros TIMESTAMP (floor
     *    division — matching DuckDB's nanos→micros read on the oracle side);
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
-    *    the wall clock is interpreted as UTC via NTZ-epoch `timestampdiff`
-    *    arithmetic (session-zone-FREE — the driver's smoke check runs on a
-    *    vanilla session whose zone we don't control; both `cast` and
-    *    `to_utc_timestamp` would route NTZ through the session zone),
-    *    matching DuckDB's epoch_us on the same naive value.
+    *    the wall clock is interpreted as UTC via pure wall-field arithmetic
+    *    (session-zone-FREE on every input, DST gaps included — the driver's
+    *    smoke check runs on a vanilla session whose zone we don't control;
+    *    see the case branch for why cast/to_utc_timestamp/timestampdiff all
+    *    fail that bar), matching DuckDB's epoch_us on the same naive value.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver's smoke check)
@@ -57,12 +57,20 @@ object Tables {
           // lose microseconds
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
-          // NOT to_utc_timestamp(ts,"UTC"): for NTZ input that routes
-          // through the SESSION zone (probed: a Chicago session shifts
-          // every instant 6h). NTZ-minus-NTZ is pure wall-clock
-          // arithmetic — timezone-free in any session.
+          // Pure field arithmetic — the ONLY total zone-free NTZ→micros
+          // path (all probed under a Chicago session):
+          //  - to_utc_timestamp(ts,"UTC") shifts EVERY instant by the
+          //    session offset (NTZ routes through the session zone);
+          //  - timestampdiff(.., NTZ epoch, ts) coerces both sides to LTZ
+          //    via the session zone; the round-trip cancels except for
+          //    wall times inside a DST transition gap (off by 1h);
+          //  - cast(ts as date) / hour / minute / date_part('SECOND') are
+          //    wall-field extractions on NTZ — no zone anywhere, exact to
+          //    the microsecond on every input.
           df.withColumn("ts", timestamp_micros(expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+            """unix_date(cast(ts as date)) * 86400000000L
+              | + hour(ts) * 3600000000L + minute(ts) * 60000000L
+              | + cast(date_part('SECOND', ts) * 1000000 as long)""".stripMargin)))
         case _ => df
       }
     } finally prev match {

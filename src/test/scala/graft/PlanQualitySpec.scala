@@ -173,4 +173,31 @@ class PlanQualitySpec extends SparkSpec {
     val scans = "FileScan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"snapshot must read the log exactly once, saw $scans scans\n$plan")
   }
+
+  test("epoch-arithmetic tumbling window is one partial-agg pass, no expand") {
+    // the session-zone-free window lowering (WindowQueries r8) must keep
+    // the plan a plain two-phase hash aggregate in whole-stage codegen —
+    // no Expand (window() struct explosion) and exactly one exchange
+    val df = graft.queries.WindowQueries
+      .queries("q_window_tumbling")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    // two-phase: partial_ functions before the exchange, final after
+    assert(plan.contains("partial_count"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"one shuffle expected, saw $exchanges\n$plan")
+  }
+
+  test("proxy read filters on the RAW attribute below the rename") {
+    // the proxy view's read predicate must be on the raw name (pushable
+    // below the rename projection), not on the renamed output
+    val raw = fam()
+    raw.append(Seq(StreamElement("e", "k", "_e.x", "uup", 0, 5L,
+      Array[Byte](2), delete = false, deleteWildcard = false)))
+    val view = graft.core.Proxies.view(raw, "event.*",
+      graft.core.ProxySpec(
+        Some(graft.core.ProxySide("_e.*", None)), None))
+    val plan = view.batchUpdates().queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith(attribute,_e.)"), plan)
+  }
 }

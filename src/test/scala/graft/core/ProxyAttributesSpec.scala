@@ -182,6 +182,19 @@ class ProxyAttributesSpec extends SparkSpec {
       .collect().map(_.attribute).toSeq == Seq("_e.*"))
     assert(view.batchSnapshot().filter(e => !e.isDelete).collect().isEmpty)
   }
+
+  test("commit-log subscription through the proxy renames and filters too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-proxy-str").toString
+    val fam = new CommitLogFamily(spark, s"$dir/log")
+    val view = Proxies.view(fam, "event.*", ProxyAttributesSpec.renamingSpec("_e.*"))
+    fam.append(Seq(
+      StreamElement.upsert("proxied", "k1", "_e.a", "u1", 10L, Array[Byte](1)),
+      StreamElement.upsert("proxied", "k1", "other", "u2", 20L, Array[Byte](2))))
+    val got = graft.streaming.StreamCollector.collect(
+      view.streamFromOldest(), limit = 1, timeoutMs = 30000)
+    assert(got.map(_.attribute) == Seq("event.a"),
+      s"stream must rename _e.a -> event.a and hide 'other': $got")
+  }
 }
 
 object ProxyAttributesSpec {

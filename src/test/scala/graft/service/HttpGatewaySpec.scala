@@ -238,6 +238,60 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("duplex streaming ingest: per-line statuses flush before stream end") {
+    val repo = Repository.parse(
+      """entities { gateway { attributes { "status" { scheme: string } } } }
+        |attributeFamilies {
+        |  gw-p { entity: gateway, attributes: [ "*" ], storage: "inmem://gws",
+        |         type: primary, access: [ commit-log, batch-updates,
+        |           batch-snapshot, random-access ] }
+        |}""".stripMargin)
+    val gw = new HttpGateway(new GraftOperator(spark, repo)).start()
+    val sock = new java.net.Socket("127.0.0.1", gw.boundPort)
+    try {
+      sock.setSoTimeout(15000)
+      val out = sock.getOutputStream
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, "UTF-8"))
+      out.write(("POST /ingest-stream HTTP/1.1\r\nHost: t\r\n" +
+        "Transfer-Encoding: chunked\r\n" +
+        "Content-Type: application/x-ndjson\r\n\r\n").getBytes("UTF-8"))
+      def chunk(s: String): Unit = {
+        out.write((s.length.toHexString + "\r\n" + s + "\r\n").getBytes("UTF-8"))
+        out.flush()
+      }
+      // the response is chunked NDJSON: skip headers/chunk-size framing
+      // lines, return the next JSON payload line
+      def readStatus(): Map[String, Any] = {
+        var l = in.readLine()
+        while (l != null && !l.startsWith("{")) l = in.readLine()
+        assert(l != null, "stream ended before a status line")
+        Json.parseObject(l)
+      }
+
+      // line 1 → its status arrives WHILE the request stream is open
+      // (no terminal chunk sent yet): that is the bidi contract
+      chunk(s"""{"entity":"gateway","key":"s1","attribute":"status","stamp":1,"value":"${b64("on")}"}""" + "\n")
+      val s1 = readStatus()
+      assert(s1("ok") == true)
+
+      // malformed line answers ok=false and the stream CONTINUES
+      chunk("not json at all\n")
+      assert(readStatus()("ok") == false)
+
+      // later lines still process after the failure
+      chunk(s"""{"entity":"gateway","key":"s2","attribute":"status","stamp":2,"value":"${b64("off")}"}""" + "\n")
+      assert(readStatus()("ok") == true)
+
+      chunk("") // terminal chunk: 0\r\n\r\n ends the request body
+
+      // both successful lines landed
+      val g = Json.parseObject(post(gw.boundPort, "/get",
+        """{"entity":"gateway","key":"s2","attribute":"status"}"""))
+      assert(g("found") == true)
+    } finally { sock.close(); gw.stop() }
+  }
+
   test("schema registry over real HTTP: register, latest, by-id") {
     graft.core.EmbeddedSchemaRegistry.reset()
     val repo = Repository.parse(
