@@ -40,12 +40,8 @@ object Bench {
     */
   def renderJson(results: Seq[(String, Double, Option[String])],
       sfDir: String): String = {
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+    import JsonLine.{num, str => jstr}
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       jstr(k) + ":" + jstr(m.take(300)) }.mkString("{", ",", "}")

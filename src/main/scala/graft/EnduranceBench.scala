@@ -101,11 +101,13 @@ object EnduranceBench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      JsonLine.str(k) + ":" + JsonLine.num(v) }.mkString("{", ",", "}")
+    // successes only: a -1 failure sentinel must never subtract from the
+    // headline number (it still shows per-query and in `failures`)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"endurance_total","value":$total,"unit":"sec",""" +
-      s""""gen_sec":${f"$genSec%.1f"},"failures":$failures,"order_seed":$seed,""" +
+      s""""gen_sec":${JsonLine.num(genSec, 1)},"failures":$failures,"order_seed":$seed,""" +
       s""""queries":$qs,"sf":"sf1 (10x sf0.1)"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -62,15 +62,32 @@ object ElementWiseProxyTransform {
     }
 
   /** Left-to-right composition on toProxy, reversed on fromProxy
-    * (reference composite:39).
+    * (reference composite:39). When every component supports the Column
+    * fast path, so does the composition — otherwise a composite of two
+    * renamings would silently demote every read/write to a deserializing
+    * Dataset.map, the exact cost [[ColumnProxyTransform]] exists to avoid.
     */
-  def composite(transforms: ElementWiseProxyTransform*): ElementWiseProxyTransform =
-    new ElementWiseProxyTransform {
-      override def fromProxy(proxy: String): String =
-        transforms.reverseIterator.foldLeft(proxy)((s, t) => t.fromProxy(s))
-      override def toProxy(raw: String): String =
-        transforms.foldLeft(raw)((s, t) => t.toProxy(s))
-    }
+  def composite(transforms: ElementWiseProxyTransform*): ElementWiseProxyTransform = {
+    def from(proxy: String) =
+      transforms.reverseIterator.foldLeft(proxy)((s, t) => t.fromProxy(s))
+    def to(raw: String) =
+      transforms.foldLeft(raw)((s, t) => t.toProxy(s))
+    if (transforms.forall(_.isInstanceOf[ColumnProxyTransform]))
+      new ColumnProxyTransform {
+        private def cols = transforms.map(_.asInstanceOf[ColumnProxyTransform])
+        override def fromProxy(proxy: String): String = from(proxy)
+        override def toProxy(raw: String): String = to(raw)
+        override def fromProxyColumn(proxy: Column): Column =
+          cols.reverseIterator.foldLeft(proxy)((c, t) => t.fromProxyColumn(c))
+        override def toProxyColumn(raw: Column): Column =
+          cols.foldLeft(raw)((c, t) => t.toProxyColumn(c))
+      }
+    else
+      new ElementWiseProxyTransform {
+        override def fromProxy(proxy: String): String = from(proxy)
+        override def toProxy(raw: String): String = to(raw)
+      }
+  }
 
   /** reference droppingUntilCharacter:91 — reads strip a routing prefix,
     * writes restore it.

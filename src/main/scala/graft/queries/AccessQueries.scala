@@ -51,33 +51,11 @@ object AccessQueries extends QuerySet {
     // (reference RandomAccessReader.scanWildcardAll:207)
     "q_scan_wildcard_all" -> ((s, d) => {
       import graft.core.StreamElement
-      import s.implicits._
-      val log = Tables.events(s, d).select(
-        lit("user").as("entity"),
-        concat(lit("user-"), col("user_id")).as("key"),
-        when(col("event_type") === "signup", lit("device.*"))
-          .otherwise(concat(lit("device."), col("event_id") % 7)).as("attribute"),
-        concat(lit("uuid-"), col("event_id")).as("uuid"),
-        col("event_id").as("seqId"),
-        unix_micros(col("ts")).as("stamp"),
-        when(col("event_type").isin("signup", "error"), lit(null))
-          .otherwise(encode(col("event_type"), "UTF-8")).as("value"),
-        col("event_type").isin("signup", "error").as("delete"),
-        (col("event_type") === "signup").as("deleteWildcard")
-      ).as[StreamElement]
-      val fam = new graft.streaming.AttributeLogFamily {
-        override def spark = s
-        override def append(elems: org.apache.spark.sql.Dataset[StreamElement]): Unit =
-          throw new UnsupportedOperationException("read-only changelog view")
-        override def batchUpdates(from: Long, until: Long) = {
-          var df = log.toDF()
-          if (from != Long.MinValue) df = df.filter(col("stamp") >= from)
-          if (until != Long.MaxValue) df = df.filter(col("stamp") < until)
-          df.as[StreamElement]
-        }
-        override def streamFromOldest() =
-          throw new UnsupportedOperationException("batch view")
-      }
+      // ONE shared encoding (Tables.eventsAsWildcardChangelog) + the
+      // generic read-only family adapter — the same definition
+      // q_snapshot_wildcard_delete and the proxy rows compact
+      val fam = graft.streaming.AttributeLogFamily.batchView(
+        Tables.eventsAsWildcardChangelog(s, d))
       val rows = new graft.randomaccess.RandomAccessReader(fam)
         .scanWildcardAll("user-4")
       s.createDataset(rows)(StreamElement.encoder).toDF()

@@ -54,6 +54,18 @@ object ChangelogQueries extends QuerySet {
   private def deleteRecursively(dir: String): Unit =
     StagedLogs.deleteRecursively(dir)
 
+  /** Scratch dir whose lifetime is bounded even when the body THROWS: the
+    * failure path deletes before rethrowing (the success path cleans via
+    * [[materialized]] once the result detaches). Without this, a failed
+    * staging in a long-lived session — Bench runs every query twice,
+    * VanillaSessionSpec runs them again — accumulates orphan temp dirs.
+    */
+  private def withScratch[A](prefix: String)(body: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    catch { case e: Throwable => deleteRecursively(tmp); throw e }
+  }
+
   val queries: Map[String, QFn] = Map(
     // reduceToLatest over a real changelog with delete tombstones
     // (reference: PCollectionTools.reduceAsSnapshot:42, datamodel.md:120-149)
@@ -66,23 +78,12 @@ object ChangelogQueries extends QuerySet {
     }),
 
     // wildcard attributes + deleteWildcard tombstones
-    // (reference: StreamElement.java:145, GroovyEnvTest.testWildcardDelete:286)
+    // (reference: StreamElement.java:145, GroovyEnvTest.testWildcardDelete:286).
+    // SAME encoding object as q_proxy_read/q_proxy_write — the proxy
+    // oracle's rename∘compact = compact∘rename argument depends on the
+    // encodings being the one definition, not copies kept in sync
     "q_snapshot_wildcard_delete" -> ((s, d) => {
-      import s.implicits._
-      val log = Tables.events(s, d).select(
-        lit("user").as("entity"),
-        concat(lit("user-"), col("user_id")).as("key"),
-        when(col("event_type") === "signup", lit("device.*"))
-          .otherwise(concat(lit("device."), col("event_id") % 7)).as("attribute"),
-        concat(lit("uuid-"), col("event_id")).as("uuid"),
-        col("event_id").as("seqId"),
-        unix_micros(col("ts")).as("stamp"),
-        when(col("event_type").isin("signup", "error"), lit(null))
-          .otherwise(encode(col("event_type"), "UTF-8")).as("value"),
-        col("event_type").isin("signup", "error").as("delete"),
-        (col("event_type") === "signup").as("deleteWildcard")
-      ).as[StreamElement]
-      LatestWithTombstones.snapshot(log)
+      LatestWithTombstones.snapshot(Tables.eventsAsWildcardChangelog(s, d))
         .select(col("key"), col("attribute"),
           col("seqId").as("last_event_id"),
           col("value").cast("string").as("last_type"))
@@ -109,9 +110,8 @@ object ChangelogQueries extends QuerySet {
     // (`event.N`) written through the proxy view land in the raw family
     // under their raw names (`device.N`) — fromProxy applied before the
     // storage commit (reference WriteProxy in test-reference.conf:62-75)
-    "q_proxy_write" -> ((s, d) => {
+    "q_proxy_write" -> ((s, d) => withScratch("graft-proxy-q") { tmp =>
       import graft.core.{Proxies, ProxySide, ProxySpec}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-proxy-q").toString
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
       val side = ProxySide("device.*", None)
       val view = Proxies.view(fam, "event.*",
@@ -133,9 +133,8 @@ object ChangelogQueries extends QuerySet {
     // must be rejected — the committed log then holds exactly the odd
     // attempts, which DuckDB replays by row_number parity. The driver
     // list is the bounded txn schedule (≤60 rows), not a data collect.
-    "q_txn_commits" -> ((s, d) => {
+    "q_txn_commits" -> ((s, d) => withScratch("graft-txn-q") { tmp =>
       import graft.core.{StreamElement, TransactionCoordinator}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-txn-q").toString
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
       val coord = new TransactionCoordinator(fam)
       val sample = Tables.events(s, d)
