@@ -47,6 +47,23 @@ object SimilarityQueries extends QuerySet {
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
+    // SemDeDup-shaped SEMANTIC dedup (Abbas et al. 2023 reduced to its
+    // deterministic core): embedding near-dup pairs from the LSH buckets
+    // (cos >= 0.3, the verified-margin threshold) collapse into
+    // connected components; each component keeps its min-vec_id
+    // representative. The 100 TB shape is the composition of two already
+    // -bounded stages — bucketed pair generation (never all-pairs) and
+    // the lineage-checkpointed component loop — so the semantic layer
+    // inherits both caps
+    "q_semantic_dedup" -> ((s, d) => {
+      val pairs = Similarity.lshBucketPairs(Tables.embeddings(s, d),
+        nPlanes = 4, threshold = 0.3).select(col("a_id"), col("b_id"))
+      graft.functions.Clusters.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"),
+          col("component").as("canonical_id"),
+          (col("doc_id") === col("component")).as("keep"))
+    }),
+
     // embedding-cosine near-duplicate pairs above a threshold
     // (broadcast-blocked self-scan, no cross-join shuffle)
     "q_near_dup_cosine" -> ((s, d) => {
@@ -265,6 +282,45 @@ object SimilarityQueries extends QuerySet {
          |JOIN embeddings a ON a.vec_id = c.a_id
          |JOIN embeddings b ON b.vec_id = c.b_id
          |WHERE $cosExpr >= 0.3""".stripMargin,
+
+    // the q_ann_lsh_pairs pair set closed into components by a recursive
+    // transitive closure (same replay pattern as q_dedup_clusters);
+    // canonical = min id reachable, keep = is-own-canonical
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE planes AS (
+         |  SELECT p, d,
+         |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
+         |      / 2251799813685248.0 - 1.0) AS w
+         |  FROM range(4) tp(p), range(64) td(d)
+         |), dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
+         |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+         |  GROUP BY 1, 2
+         |), sigs AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+         |  FROM dots GROUP BY 1
+         |), cand AS (
+         |  SELECT s1.vec_id AS a_id, s2.vec_id AS b_id
+         |  FROM sigs s1 JOIN sigs s2 ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id
+         |), pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.a_id
+         |  JOIN embeddings b ON b.vec_id = c.b_id
+         |  WHERE $cosExpr >= 0.3
+         |), edges AS (
+         |  SELECT a_id AS x, b_id AS y FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+         |)
+         |SELECT x AS vec_id, least(x, min(y)) AS canonical_id,
+         |       (x = least(x, min(y))) AS keep
+         |FROM reach GROUP BY x""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH sh AS (
