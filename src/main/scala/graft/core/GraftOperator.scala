@@ -95,12 +95,34 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     familyCache.getOrElseUpdate(name, bind(desc.storageUri))
   }
 
-  private def route(entity: String, attr: String, need: String): AttributeLogFamily = {
-    val desc = repo.familyFor(entity, attr, need).getOrElse(
-      throw new IllegalStateException(
-        s"No family with access '$need' for $entity.$attr"))
-    family(desc.name)
+  /** Proxy attributes route transparently (reference
+    * ConfigRepository.loadProxiedFamilies:1889 — the repo synthesizes
+    * proxy families over the target's): a read routes to the READ
+    * target's family wrapped in the proxy view; write-only proxies
+    * reject reads here, before any family is touched.
+    */
+  private def proxyRoute(entity: String, attr: String,
+      need: String): Option[AttributeLogFamily] = {
+    val e = repo.entity(entity)
+    e.attribute(attr).orElse(e.resolve(attr)).filter(_.isProxy).map { p =>
+      val spec = p.proxy.get
+      val side = spec.read.getOrElse(throw new UnsupportedOperationException(
+        s"proxy attribute ${p.name} is write-only — cannot serve '$need'"))
+      val raw = repo.familyFor(entity, side.target, need).getOrElse(
+        throw new IllegalStateException(
+          s"No family with access '$need' for $entity.${side.target} " +
+            s"(read target of proxy ${p.name})"))
+      Proxies.view(family(raw.name), p.name, spec)
+    }
   }
+
+  private def route(entity: String, attr: String, need: String): AttributeLogFamily =
+    proxyRoute(entity, attr, need).getOrElse {
+      val desc = repo.familyFor(entity, attr, need).getOrElse(
+        throw new IllegalStateException(
+          s"No family with access '$need' for $entity.$attr"))
+      family(desc.name)
+    }
 
   private def filterAttrs(ds: Dataset[StreamElement], entity: String,
       attrs: Seq[String]): Dataset[StreamElement] = {
@@ -122,10 +144,17 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
       .reduce(_ union _)
       .transform(filterAttrs(_, entity, attrs))
 
+  /** All STORED attributes of an entity — the "whole entity" default for
+    * reads. Proxy attributes are virtual views over these; including them
+    * would re-read their targets a second time under the proxy names.
+    */
+  private def storedAttrs(entity: String): Seq[String] =
+    repo.entity(entity).attributes.filterNot(_.isProxy).map(_.name)
+
   /** Full update history (getBatchUpdates:247), stamp range [from, until). */
   def getBatchUpdates(entity: String, from: Long = Long.MinValue,
       until: Long = Long.MaxValue, attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
-    val as = if (attrs.isEmpty) repo.entity(entity).attributes.map(_.name) else attrs
+    val as = if (attrs.isEmpty) storedAttrs(entity) else attrs
     as.map(a => route(entity, a, Access.BatchUpdates)).distinct
       .map(_.batchUpdates(from, until))
       .reduce(_ union _)
@@ -137,7 +166,7 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     */
   def getBatchSnapshot(entity: String, asOf: Long = Long.MaxValue,
       attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
-    val as = if (attrs.isEmpty) repo.entity(entity).attributes.map(_.name) else attrs
+    val as = if (attrs.isEmpty) storedAttrs(entity) else attrs
     as.map(a => route(entity, a, Access.BatchSnapshot)).distinct
       .map(_.batchSnapshot(asOf))
       .reduce(_ union _)
@@ -155,16 +184,33 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
   /** Write an element through its attribute's primary family
     * (DirectDataOperator.getWriter:300).
     */
-  def write(element: StreamElement): Unit = {
+  def write(element: StreamElement): Unit = write(element, depth = 0)
+
+  private def write(element: StreamElement, depth: Int): Unit = {
     val e = repo.entity(element.entity)
     val desc = e.resolve(element.attribute).getOrElse(
       throw new IllegalArgumentException(
         s"No attribute ${element.attribute} on ${element.entity}"))
-    val fams = repo.families.values
-      .filter(f => f.entity == element.entity && f.familyType == "primary")
-      .filter(_.coversAttribute(e, desc.name))
-    require(fams.nonEmpty, s"No primary family for ${element.entity}.${element.attribute}")
-    fams.foreach(f => family(f.name).append(Seq(element)))
+    if (desc.isProxy) {
+      // a write addressed to the proxy namespace lands in the WRITE
+      // target under its raw name (reference WriteProxy semantics);
+      // proxies may chain, but never unboundedly
+      require(depth < 8, s"proxy chain too deep at ${desc.name}")
+      val side = desc.proxy.get.write.getOrElse(
+        throw new UnsupportedOperationException(
+          s"proxy attribute ${desc.name} is read-only — cannot write"))
+      val t = Proxies.transformOf(desc.name, side)
+      val renamed = t.fromProxy(element.attribute)
+      require(renamed != element.attribute,
+        s"proxy write transform for ${desc.name} did not rename ${element.attribute}")
+      write(element.copy(attribute = renamed), depth + 1)
+    } else {
+      val fams = repo.families.values
+        .filter(f => f.entity == element.entity && f.familyType == "primary")
+        .filter(_.coversAttribute(e, desc.name))
+      require(fams.nonEmpty, s"No primary family for ${element.entity}.${element.attribute}")
+      fams.foreach(f => family(f.name).append(Seq(element)))
+    }
   }
 
   /** Distributed batch write routed by entity/attribute: each primary
@@ -172,6 +218,49 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     * driver hops (the batch analog of [[write]], used by transformation
     * sinks).
     */
+  /** Rewrite proxy-namespace rows of one entity into their raw write
+    * targets (batch counterpart of the singular proxy write). All-Column
+    * transforms chain as one `when` expression (codegen, no deserialize);
+    * any non-Column transform or read-only proxy falls back to a typed
+    * map that can also REJECT writes to read-only proxies per-row.
+    */
+  private def unproxy(e: EntityDescriptor,
+      ds: Dataset[StreamElement]): Dataset[StreamElement] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, when}
+    val proxies = e.attributes.filter(_.isProxy)
+    if (proxies.isEmpty) ds
+    else {
+      val rules = proxies.map(p =>
+        (p, p.proxy.get.write.map(s => Proxies.transformOf(p.name, s))))
+      val allColumn = rules.forall(_._2.forall(_.isInstanceOf[ColumnProxyTransform]))
+      def matches(p: AttributeDescriptor, a: String): Boolean =
+        if (p.isWildcard) a == p.name || (a.startsWith(p.prefix) && a.length > p.prefix.length)
+        else a == p.name
+      if (allColumn && rules.forall(_._2.isDefined)) {
+        def matchCol(p: AttributeDescriptor): Column =
+          if (p.isWildcard)
+            col("attribute") === p.name || col("attribute").startsWith(p.prefix)
+          else col("attribute") === p.name
+        val renamed = rules.foldRight(col("attribute")) { case ((p, t), els) =>
+          when(matchCol(p),
+            t.get.asInstanceOf[ColumnProxyTransform].fromProxyColumn(col("attribute")))
+            .otherwise(els)
+        }
+        ds.toDF().withColumn("attribute", renamed)
+          .as[StreamElement](StreamElement.encoder)
+      } else
+        ds.map { el =>
+          rules.find { case (p, _) => matches(p, el.attribute) } match {
+            case Some((p, None)) => throw new UnsupportedOperationException(
+              s"proxy attribute ${p.name} is read-only — cannot write ${el.attribute}")
+            case Some((_, Some(t))) => el.copy(attribute = t.fromProxy(el.attribute))
+            case None => el
+          }
+        }(StreamElement.encoder)
+    }
+  }
+
   def writeBatch(batch: Dataset[StreamElement]): Unit = {
     import org.apache.spark.sql.functions.col
     implicit val se = StreamElement.encoder
@@ -179,13 +268,13 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     val entities = batch.select(col("entity")).distinct().as[String].collect()
     entities.foreach { ename =>
       val e = repo.entity(ename)
+      val eBatch = unproxy(e, batch.filter(el => el.entity == ename))
       val fams = repo.families.values
         .filter(f => f.entity == ename && f.familyType == "primary").toSeq
         .sortBy(_.name)
       require(fams.nonEmpty, s"No primary family for entity $ename")
       fams.foreach { f =>
-        val covered = batch.filter(el =>
-          el.entity == ename && f.coversAttribute(e, el.attribute))
+        val covered = eBatch.filter(el => f.coversAttribute(e, el.attribute))
         family(f.name).append(covered)
       }
     }

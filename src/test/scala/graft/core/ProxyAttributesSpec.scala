@@ -183,6 +183,54 @@ class ProxyAttributesSpec extends SparkSpec {
     assert(view.batchSnapshot().filter(e => !e.isDelete).collect().isEmpty)
   }
 
+  test("operator routing: proxy attrs read/write transparently from config") {
+    // the reference shape: proxy declared in config, no explicit
+    // Proxies.view anywhere — the operator routes it
+    // (ConfigRepository.loadProxiedFamilies:1889)
+    val opRepo = Repository.parse(
+      """entities { proxied { attributes {
+        |  "_e.*":  { scheme: bytes }
+        |  "event.*": { proxy: "_e.*" }
+        |  "ro.*": { proxy { read { from: "_e.*" } } }
+        |} } }
+        |attributeFamilies {
+        |  p-primary { entity: proxied, attributes: [ "*" ],
+        |    storage: "inmem://proxied-op", type: primary,
+        |    access: [ commit-log, batch-updates, batch-snapshot, random-access ] }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, opRepo)
+
+    // write addressed to the PROXY namespace lands under the raw name
+    op.write(StreamElement.upsert("proxied", "k1", "event.a", "w1", 10L,
+      Array[Byte](7)))
+    val rawNames = op.getBatchUpdates("proxied")
+      .collect().map(_.attribute).toSeq
+    assert(rawNames == Seq("_e.a"),
+      s"stored names must be raw (and the whole-entity default must not " +
+        s"double-read through proxies): $rawNames")
+
+    // reads through the proxy rename back; random access too
+    assert(op.getBatchUpdates("proxied", attrs = Seq("event.*"))
+      .collect().map(_.attribute).toSeq == Seq("event.a"))
+    val got = op.getRandomAccess("proxied", "event.a").get("k1", "event.a")
+    assert(got.exists(_.value.headOption.contains(7.toByte)))
+
+    // distributed batch write: proxy rows renamed, raw rows untouched
+    op.writeBatch(spark.createDataset(Seq(
+      StreamElement.upsert("proxied", "k2", "event.b", "w2", 20L, Array[Byte](8)),
+      StreamElement.upsert("proxied", "k2", "_e.c", "w3", 30L, Array[Byte](9))))(
+      StreamElement.encoder))
+    val all = op.getBatchUpdates("proxied").collect().map(_.attribute).sorted.toSeq
+    assert(all == Seq("_e.a", "_e.b", "_e.c"), all.toString)
+
+    // read-only proxy: reads serve, writes reject
+    assert(op.getBatchUpdates("proxied", attrs = Seq("ro.*"))
+      .collect().map(_.attribute).sorted.toSeq == Seq("ro.a", "ro.b", "ro.c"))
+    intercept[UnsupportedOperationException](
+      op.write(StreamElement.upsert("proxied", "k3", "ro.x", "w4", 40L,
+        Array[Byte](1))))
+  }
+
   test("commit-log subscription through the proxy renames and filters too") {
     val dir = java.nio.file.Files.createTempDirectory("graft-proxy-str").toString
     val fam = new CommitLogFamily(spark, s"$dir/log")
