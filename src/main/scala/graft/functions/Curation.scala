@@ -121,6 +121,31 @@ object Curation {
       rateBp: Column): DataFrame =
     docs.filter(sampleBucket(id, salt) < rateBp)
 
+  /** Temperature-balanced domain resampling (the multilingual-pretraining
+    * alpha-smoothing move, fixed at alpha = 0.5): per-domain keep rate
+    * `keep_bp = floor(10000 · sqrt(n_min / n_d))` basis points — the
+    * smallest domain keeps everything, a 100× bigger one keeps 10%, so
+    * head domains flatten toward the tail without any domain exploding.
+    *
+    * alpha is FIXED at 0.5 on purpose: the rate is then one IEEE divide,
+    * one sqrt and one multiply — each correctly rounded, so the floor'd
+    * basis points are bit-identical in any engine (a general `pow` is
+    * not correctly rounded and could flip a boundary doc between
+    * engines). Shape: one partial-aggregable domain count, a 1-row
+    * driver anchor (min count), the tiny rate table broadcast back, and
+    * the usual integer hash-bucket decision per row.
+    */
+  def temperatureSample(docs: DataFrame, domain: String, id: Column,
+      salt: String): DataFrame = {
+    val rates = docs.groupBy(col(domain)).agg(count(lit(1)).as("n_d"))
+    val nMin = rates.agg(min(col("n_d"))).head().getLong(0)
+    val withBp = rates.withColumn("keep_bp",
+      floor(lit(10000.0) *
+        sqrt(lit(nMin.toDouble) / col("n_d").cast("double"))).cast("long"))
+    docs.join(broadcast(withBp), domain)
+      .filter(sampleBucket(id, salt) < col("keep_bp"))
+  }
+
   /** Redaction patterns: kept to syntax that Java regex (Spark) and RE2
     * (DuckDB, the oracle) interpret identically — character classes,
     * bounded repetition, word boundaries; no lookaround, no backrefs.

@@ -45,6 +45,15 @@ object CurationQueries extends QuerySet {
           Curation.sampleBucket(col("doc_id"), "sample").as("bucket"))
     }),
 
+    // temperature-balanced resampling across source domains (alpha=0.5
+    // smoothing): head domains downsample toward the tail by
+    // floor(10000*sqrt(n_min/n_d)) basis points — sqrt, not pow, so the
+    // rate is correctly-rounded-identical in both engines
+    "q_temperature_sample" -> ((s, d) =>
+      Curation.temperatureSample(Tables.documents(s, d), "lang",
+        col("doc_id"), "temp")
+        .select(col("doc_id"), col("lang"), col("keep_bp"))),
+
     // corpus profiling: exact per-language length quantiles by
     // NEAREST-RANK selection (rank = ceil(q*n), all-integer, so the
     // DuckDB replay is hash-exact — no interpolation doubles).
@@ -298,6 +307,20 @@ object CurationQueries extends QuerySet {
          |  CAST(${bucket("sample", "doc_id")} AS BIGINT) AS bucket
          |FROM documents
          |WHERE ${bucket("sample", "doc_id")} < $langRateSql""".stripMargin,
+
+    "q_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS n_d FROM documents GROUP BY 1
+         |), r AS (
+         |  SELECT lang,
+         |         CAST(floor(10000.0 * sqrt(
+         |           (SELECT CAST(min(n_d) AS DOUBLE) FROM c)
+         |             / CAST(n_d AS DOUBLE))) AS BIGINT) AS keep_bp
+         |  FROM c
+         |)
+         |SELECT d.doc_id, d.lang, r.keep_bp
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${bucket("temp", "d.doc_id")} < r.keep_bp""".stripMargin,
 
     "q_curation_pipeline" -> curationPipelineSql,
 
