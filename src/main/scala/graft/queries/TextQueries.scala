@@ -120,6 +120,32 @@ object TextQueries extends QuerySet {
         "doc_id", "text", rounds = BPE_ROUNDS)
     }),
 
+    // per-language distinct 3-GRAM cardinality through the KMV sketch —
+    // the deterministic counterpart of approx_count_distinct: k smallest
+    // distinct 60-bit hashes, merged as a custom partial aggregate (each
+    // partition ships <= k longs, never its distinct values), estimator
+    // floor((k-1)*2^60 / h_k) — all integer/IEEE-exact, so the sketch
+    // AND the estimate hash-match the DuckDB replay. 3-grams, not
+    // tokens: the fixture's vocabulary is 31 words (every sketch would
+    // stay under-full) while its 3-gram space is hundreds per language,
+    // so the oracle exercises BOTH the exact and the estimator branch
+    "q_kmv_distinct" -> ((s, d) => {
+      val K = 64
+      val mins = Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("lang"), explode(expr(
+          """case when size(toks) >= 3 then
+            |  transform(sequence(1, size(toks) - 2), i ->
+            |    concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+            |              element_at(toks, i + 2)))
+            |else cast(array() as array<string>) end""".stripMargin)).as("g"))
+        .select(col("lang"), graft.functions.MinHashLsh
+          .hash60(concat(lit("kmv:"), col("g"))).as("h"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.Kmv.sketch(K)(col("h")).as("mins"))
+      mins.select(col("lang") +: graft.functions.Kmv.estimate(col("mins"), K): _*)
+    }),
+
     // text normalization: whitespace collapse + trim + lowercase — the
     // canonical pre-dedup canonicalization pass; output the normalized
     // form's hash so near-identical whitespace variants collapse
@@ -352,6 +378,33 @@ object TextQueries extends QuerySet {
         |  FROM documents)
         |GROUP BY token
         |ORDER BY doc_freq DESC, token
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // KMV replay: rank the distinct hashes per language, keep the k
+    // smallest; kth = the rank-64 hash (null when under-full), estimate
+    // identical IEEE arithmetic to the engine's
+    "q_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5('kmv:' || g), 1, 15))::UBIGINT AS h
+        |  FROM (SELECT lang,
+        |          t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS g
+        |        FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |                unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS i
+        |              FROM documents) t)
+        |), r AS (
+        |  SELECT lang, h,
+        |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM tok
+        |)
+        |SELECT lang,
+        |  CAST(LEAST(max(n), 64) AS BIGINT) AS n_mins,
+        |  CAST(max(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS kth,
+        |  CAST(CASE WHEN max(n) < 64 THEN max(n)
+        |       ELSE floor(CAST(63 AS DOUBLE) * 1152921504606846976.0
+        |                  / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE))
+        |       END AS BIGINT) AS est_distinct
+        |FROM r GROUP BY lang""".stripMargin
   )
 }
