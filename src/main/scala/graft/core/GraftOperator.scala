@@ -139,10 +139,10 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
 
   /** Commit-log subscription for attributes (BeamDataOperator.getStream:160). */
   def getStream(entity: String, attrs: String*): Dataset[StreamElement] =
-    attrs.map(a => route(entity, a, Access.CommitLog)).distinct
+    attrs.distinct.map(a => route(entity, a, Access.CommitLog)).distinct
       .map(_.streamFromOldest())
       .reduce(_ union _)
-      .transform(filterAttrs(_, entity, attrs))
+      .transform(filterAttrs(_, entity, attrs.distinct))
 
   /** All STORED attributes of an entity — the "whole entity" default for
     * reads. Proxy attributes are virtual views over these; including them
@@ -154,8 +154,12 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
   /** Full update history (getBatchUpdates:247), stamp range [from, until). */
   def getBatchUpdates(entity: String, from: Long = Long.MinValue,
       until: Long = Long.MaxValue, attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
-    val as = if (attrs.isEmpty) storedAttrs(entity) else attrs
-    as.map(a => route(entity, a, Access.BatchUpdates)).distinct
+    // attrs dedupe BEFORE routing: proxy routes are fresh view instances
+    // (reference equality), so `.distinct` on families alone would read a
+    // twice-requested proxy attribute twice
+    val as = (if (attrs.isEmpty) storedAttrs(entity) else attrs).distinct
+    if (as.isEmpty) StreamElement.emptyDs(spark)
+    else as.map(a => route(entity, a, Access.BatchUpdates)).distinct
       .map(_.batchUpdates(from, until))
       .reduce(_ union _)
       .transform(filterAttrs(_, entity, as))
@@ -166,8 +170,9 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     */
   def getBatchSnapshot(entity: String, asOf: Long = Long.MaxValue,
       attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
-    val as = if (attrs.isEmpty) storedAttrs(entity) else attrs
-    as.map(a => route(entity, a, Access.BatchSnapshot)).distinct
+    val as = (if (attrs.isEmpty) storedAttrs(entity) else attrs).distinct
+    if (as.isEmpty) StreamElement.emptyDs(spark)
+    else as.map(a => route(entity, a, Access.BatchSnapshot)).distinct
       .map(_.batchSnapshot(asOf))
       .reduce(_ union _)
       .transform(filterAttrs(_, entity, as))
@@ -219,46 +224,89 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     * sinks).
     */
   /** Rewrite proxy-namespace rows of one entity into their raw write
-    * targets (batch counterpart of the singular proxy write). All-Column
-    * transforms chain as one `when` expression (codegen, no deserialize);
-    * any non-Column transform or read-only proxy falls back to a typed
-    * map that can also REJECT writes to read-only proxies per-row.
+    * targets (batch counterpart of the singular proxy write), mirroring
+    * [[write]]'s resolution rules exactly:
+    *  - a declared NON-proxy attribute always wins over a wildcard proxy
+    *    covering its name (EntityDescriptor.resolve is exact-first);
+    *  - proxy chains follow to their raw end, bounded like write();
+    *  - a write transform that fails to rename is a loud error, never a
+    *    silent proxy-named append;
+    *  - rows addressed to read-only proxies are rejected.
+    * All-Column single-step configs run as ONE chained `when` expression
+    * (codegen, no deserialize); chained or non-Column configs take a
+    * typed map.
     */
   private def unproxy(e: EntityDescriptor,
       ds: Dataset[StreamElement]): Dataset[StreamElement] = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.functions.{col, length, lit, when}
     val proxies = e.attributes.filter(_.isProxy)
-    if (proxies.isEmpty) ds
-    else {
-      val rules = proxies.map(p =>
-        (p, p.proxy.get.write.map(s => Proxies.transformOf(p.name, s))))
-      val allColumn = rules.forall(_._2.forall(_.isInstanceOf[ColumnProxyTransform]))
-      def matches(p: AttributeDescriptor, a: String): Boolean =
-        if (p.isWildcard) a == p.name || (a.startsWith(p.prefix) && a.length > p.prefix.length)
-        else a == p.name
-      if (allColumn && rules.forall(_._2.isDefined)) {
-        def matchCol(p: AttributeDescriptor): Column =
-          if (p.isWildcard)
-            col("attribute") === p.name || col("attribute").startsWith(p.prefix)
-          else col("attribute") === p.name
-        val renamed = rules.foldRight(col("attribute")) { case ((p, t), els) =>
-          when(matchCol(p),
-            t.get.asInstanceOf[ColumnProxyTransform].fromProxyColumn(col("attribute")))
-            .otherwise(els)
-        }
-        ds.toDF().withColumn("attribute", renamed)
-          .as[StreamElement](StreamElement.encoder)
-      } else
-        ds.map { el =>
-          rules.find { case (p, _) => matches(p, el.attribute) } match {
-            case Some((p, None)) => throw new UnsupportedOperationException(
-              s"proxy attribute ${p.name} is read-only — cannot write ${el.attribute}")
-            case Some((_, Some(t))) => el.copy(attribute = t.fromProxy(el.attribute))
-            case None => el
-          }
-        }(StreamElement.encoder)
+    if (proxies.isEmpty) return ds
+    val rules = proxies.map(p =>
+      (p, p.proxy.get.write.map(s => Proxies.transformOf(p.name, s))))
+    // exact-declared non-proxy names shadow wildcard proxies (resolve
+    // precedence): such rows pass through both paths untouched
+    val exactNonProxy = e.attributes.filterNot(_.isProxy)
+      .filterNot(_.isWildcard).map(_.name).toSet
+    def matches(p: AttributeDescriptor, a: String): Boolean =
+      if (p.isWildcard) a == p.name || (a.startsWith(p.prefix) && a.length > p.prefix.length)
+      else a == p.name
+    def ruleFor(a: String): Option[(AttributeDescriptor, Option[ElementWiseProxyTransform])] =
+      if (exactNonProxy.contains(a)) None else rules.find(r => matches(r._1, a))
+    // a chain exists when some proxy's write target lands in another
+    // proxy's namespace — then one rename step is not enough
+    val chained = rules.exists { case (p, t) =>
+      t.exists(tr => ruleFor(tr.fromProxy(if (p.isWildcard) p.prefix + "x" else p.name)).isDefined)
     }
+    val allColumn = rules.forall(_._2.forall(_.isInstanceOf[ColumnProxyTransform]))
+    if (!chained && allColumn && rules.forall(_._2.isDefined)) {
+      def matchCol(p: AttributeDescriptor): Column =
+        if (p.isWildcard)
+          col("attribute") === p.name ||
+            (col("attribute").startsWith(p.prefix) &&
+              length(col("attribute")) > p.prefix.length)
+        else col("attribute") === p.name
+      // rule-build probe: a transform that does not rename its own
+      // namespace would silently store proxy-named rows — reject the
+      // config here, where write() rejects per element
+      rules.foreach { case (p, t) =>
+        val probe = if (p.isWildcard) p.prefix + "x" else p.name
+        require(t.get.fromProxy(probe) != probe,
+          s"proxy write transform for ${p.name} does not rename $probe")
+      }
+      val passThrough: Column = exactNonProxy.toSeq.sorted match {
+        case Seq() => lit(false)
+        case names => col("attribute").isin(names.map(x => x: Any): _*)
+      }
+      val renamed = rules.foldRight(col("attribute")) { case ((p, t), els) =>
+        when(matchCol(p),
+          t.get.asInstanceOf[ColumnProxyTransform].fromProxyColumn(col("attribute")))
+          .otherwise(els)
+      }
+      ds.toDF().withColumn("attribute",
+        when(passThrough, col("attribute")).otherwise(renamed))
+        .as[StreamElement](StreamElement.encoder)
+    } else
+      ds.map { el =>
+        var cur = el.attribute
+        var depth = 0
+        var rule = ruleFor(cur)
+        while (rule.isDefined) {
+          require(depth < 8, s"proxy chain too deep at $cur")
+          rule.get match {
+            case (p, None) => throw new UnsupportedOperationException(
+              s"proxy attribute ${p.name} is read-only — cannot write $cur")
+            case (p, Some(t)) =>
+              val renamed = t.fromProxy(cur)
+              require(renamed != cur,
+                s"proxy write transform for ${p.name} did not rename $cur")
+              cur = renamed
+          }
+          depth += 1
+          rule = ruleFor(cur)
+        }
+        if (cur == el.attribute) el else el.copy(attribute = cur)
+      }(StreamElement.encoder)
   }
 
   def writeBatch(batch: Dataset[StreamElement]): Unit = {

@@ -138,11 +138,14 @@ object Curation {
   def temperatureSample(docs: DataFrame, domain: String, id: Column,
       salt: String): DataFrame = {
     val rates = docs.groupBy(col(domain)).agg(count(lit(1)).as("n_d"))
-    val nMin = rates.agg(min(col("n_d"))).head().getLong(0)
-    val withBp = rates.withColumn("keep_bp",
+    // anchor joined lazily (domainMixRates pattern): no eager driver job
+    // at composition time, and an EMPTY corpus yields an empty result
+    // instead of an NPE from head().getLong on a null min
+    val anchor = rates.agg(min(col("n_d")).as("n_min"))
+    val withBp = rates.crossJoin(broadcast(anchor)).withColumn("keep_bp",
       floor(lit(10000.0) *
-        sqrt(lit(nMin.toDouble) / col("n_d").cast("double"))).cast("long"))
-    docs.join(broadcast(withBp), domain)
+        sqrt(col("n_min").cast("double") / col("n_d").cast("double"))).cast("long"))
+    docs.join(broadcast(withBp.drop("n_min", "n_d")), domain)
       .filter(sampleBucket(id, salt) < col("keep_bp"))
   }
 

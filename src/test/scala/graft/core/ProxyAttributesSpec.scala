@@ -231,6 +231,43 @@ class ProxyAttributesSpec extends SparkSpec {
         Array[Byte](1))))
   }
 
+  test("writeBatch honors resolve precedence, proxy chains, and dedupe") {
+    val opRepo = Repository.parse(
+      """entities { proxied { attributes {
+        |  "_c.*": { scheme: bytes }
+        |  "b.*":  { proxy: "_c.*" }
+        |  "a.*":  { proxy: "b.*" }
+        |  "a.special": { scheme: bytes }
+        |} } }
+        |attributeFamilies {
+        |  p2 { entity: proxied, attributes: [ "*" ],
+        |    storage: "inmem://proxied-op2", type: primary,
+        |    access: [ commit-log, batch-updates ] }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, opRepo)
+    op.writeBatch(spark.createDataset(Seq(
+      // chained: a.x -> b.x -> _c.x
+      StreamElement.upsert("proxied", "k", "a.x", "u1", 1L, Array[Byte](1)),
+      // exact-declared scalar under the a.* wildcard: resolve precedence
+      // says it is its OWN attribute — must NOT be renamed
+      StreamElement.upsert("proxied", "k", "a.special", "u2", 2L, Array[Byte](2)),
+      // already-raw row passes through
+      StreamElement.upsert("proxied", "k", "_c.y", "u3", 3L, Array[Byte](3))))(
+      StreamElement.encoder))
+    val stored = op.getBatchUpdates("proxied").collect()
+      .map(_.attribute).sorted.toSeq
+    assert(stored == Seq("_c.x", "_c.y", "a.special"), stored.toString)
+    // the singular path agrees on the chain
+    op.write(StreamElement.upsert("proxied", "k", "a.z", "u4", 4L, Array[Byte](4)))
+    assert(op.getBatchUpdates("proxied").collect().map(_.attribute).sorted.toSeq
+      == Seq("_c.x", "_c.y", "_c.z", "a.special"))
+    // a twice-requested proxy attribute reads once, not twice
+    val viaProxy = op.getBatchUpdates("proxied", attrs = Seq("b.*", "b.*"))
+      .collect().map(_.attribute).sorted.toSeq
+    assert(viaProxy == Seq("b.x", "b.y", "b.z"),
+      s"duplicate attr request must not duplicate rows: $viaProxy")
+  }
+
   test("commit-log subscription through the proxy renames and filters too") {
     val dir = java.nio.file.Files.createTempDirectory("graft-proxy-str").toString
     val fam = new CommitLogFamily(spark, s"$dir/log")

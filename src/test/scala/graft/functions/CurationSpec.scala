@@ -54,6 +54,28 @@ class CurationSpec extends SparkSpec {
     assert(nc > 2000 && nc < 3000 && nc != na)
   }
 
+  test("temperatureSample: smallest domain keeps all, 4x domain keeps half") {
+    val s = spark
+    import s.implicits._
+    // 4 docs in 'big', 1 in 'small': keep_bp(small)=10000,
+    // keep_bp(big)=floor(10000*sqrt(1/4))=5000
+    val docs = ((1 to 4).map(i => (i.toLong, "big")) :+ (9L, "small"))
+      .toDF("doc_id", "dom")
+    val got = Curation.temperatureSample(docs, "dom", col("doc_id"), "t")
+      .select(col("dom"), col("keep_bp")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.get("small").forall(_ == 10000L))
+    assert(got.get("big").forall(_ == 5000L), got.toString)
+  }
+
+  test("temperatureSample on an empty corpus is empty, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "dom")
+    assert(Curation.temperatureSample(empty, "dom", col("doc_id"), "t")
+      .count() == 0)
+  }
+
   test("domainMixRates downsamples heavy domains to the uniform share") {
     // dom a: 6000 chars, dom b: 3000, dom c: 1000 -> total 10000, target
     // 3333 -> a rate 5555, b rate 10000 (capped), c rate 10000
