@@ -127,6 +127,26 @@ object CurationQueries extends QuerySet {
       Curation.packSequences(Tables.documents(s, d), "text",
         ctx = 2048, nShards = 8)),
 
+    // DSIR importance resampling (Xie et al. 2023): select the 20% of
+    // non-English docs whose hashed unigram+bigram profile looks most
+    // like the English target distribution, via Gumbel top-k over
+    // integer micro-nat importance weights — the published data-
+    // selection method, hash-deterministic end to end
+    "q_dsir_sample" -> ((s, d) =>
+      graft.functions.Dsir.sample(Tables.documents(s, d), "text",
+        col("lang") === "en")),
+
+    // Count-Min-sketch heavy hitters over the bigram stream: sketch pass
+    // (d x w mergeable grid) -> candidate filter (est >= total/800,
+    // no-false-negative) -> exact recount of candidates only. False
+    // positives stay in the output flagged is_heavy=false so the
+    // sketch's collision arithmetic is itself oracle-checked
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.functions.Cms.heavyHitters(
+        graft.functions.MinHashLsh.shingles(
+          Tables.documents(s, d), "text", n = 2, dedupe = false),
+        "shingle")),
+
     // domain-mix rebalancing: downsample domains above the uniform
     // char-share target to it (rates from one tiny broadcast aggregate)
     "q_domain_mix" -> ((s, d) => {
@@ -321,6 +341,80 @@ object CurationQueries extends QuerySet {
          |SELECT d.doc_id, d.lang, r.keep_bp
          |FROM documents d JOIN r USING (lang)
          |WHERE ${bucket("temp", "d.doc_id")} < r.keep_bp""".stripMargin,
+
+    // DSIR replay: identical hashed features (unigrams + space-joined
+    // bigrams into 1024 buckets), add-one-smoothed micro-nat lambda
+    // table, integer per-doc weight sums, Gumbel keys from the shared
+    // md5 uniform, top-20% by (key desc, doc_id)
+    "q_dsir_sample" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, unnest(t) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)
+         |), fb AS (
+         |  SELECT f.doc_id, d.lang, ${hash60("dsir", "g")} % 1024 AS b
+         |  FROM feat f JOIN documents d USING (doc_id)
+         |), ct AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+         |cr AS (SELECT b, count(*) AS c FROM fb WHERE lang <> 'en' GROUP BY 1),
+         |nt AS (SELECT count(*) AS n FROM fb WHERE lang = 'en'),
+         |nr AS (SELECT count(*) AS n FROM fb WHERE lang <> 'en'),
+         |lam AS (
+         |  SELECT r.range AS b,
+         |    CAST(round((ln(coalesce(ct.c, 0) + 1)
+         |              - ln(CAST((SELECT n FROM nt) + 1024 AS DOUBLE))
+         |              - ln(coalesce(cr.c, 0) + 1)
+         |              + ln(CAST((SELECT n FROM nr) + 1024 AS DOUBLE))) * 1e6)
+         |      AS BIGINT) AS lam
+         |  FROM range(1024) r
+         |  LEFT JOIN ct ON ct.b = r.range LEFT JOIN cr ON cr.b = r.range
+         |), w AS (
+         |  SELECT doc_id, CAST(sum(lam) AS BIGINT) AS logw_micros
+         |  FROM fb JOIN lam USING (b) WHERE lang <> 'en' GROUP BY 1
+         |), scored AS (
+         |  SELECT d.doc_id, d.lang, w.logw_micros,
+         |    CAST(w.logw_micros + CAST(round(-ln(-ln(
+         |        (CAST(${hash60("gum", "d.doc_id")} AS DOUBLE) + 0.5)
+         |          / 1152921504606846976.0)) * 1e6) AS BIGINT)
+         |      AS BIGINT) AS key_micros
+         |  FROM w JOIN documents d USING (doc_id)
+         |)
+         |SELECT doc_id, lang, logw_micros, key_micros FROM scored
+         |QUALIFY row_number() OVER (ORDER BY key_micros DESC, doc_id) <=
+         |  ((SELECT count(*) FROM documents WHERE lang <> 'en') * 2000 + 9999)
+         |    // 10000""".stripMargin,
+
+    // CMS replay: 4x1024 grid as per-(row, bucket) sums over the bigram
+    // counts, estimate = min over the 4 rows, threshold = total // 800,
+    // candidates (est >= threshold) recounted exactly
+    "q_heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+         |), g AS (
+         |  SELECT t[i] || ' ' || t[i+1] AS g
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk)
+         |), tc AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+         |grid AS (
+         |  SELECT j.range AS j,
+         |    ('0x' || substr(md5('cms' || j.range || ':' || g), 1, 15))::UBIGINT
+         |      % 1024 AS pos,
+         |    sum(c) AS s
+         |  FROM tc CROSS JOIN range(4) j GROUP BY 1, 2
+         |), est AS (
+         |  SELECT tc.g, tc.c, min(grid.s) AS est
+         |  FROM tc CROSS JOIN range(4) j
+         |  JOIN grid ON grid.j = j.range
+         |    AND grid.pos =
+         |      ('0x' || substr(md5('cms' || j.range || ':' || tc.g), 1, 15))::UBIGINT
+         |        % 1024
+         |  GROUP BY 1, 2
+         |), th AS (SELECT (SELECT sum(c) FROM tc) // 800 AS t)
+         |SELECT g AS token, CAST(est AS BIGINT) AS est, CAST(c AS BIGINT) AS cnt,
+         |       (c >= (SELECT t FROM th)) AS is_heavy
+         |FROM est WHERE est >= (SELECT t FROM th)""".stripMargin,
 
     "q_curation_pipeline" -> curationPipelineSql,
 

@@ -200,4 +200,40 @@ class PlanQualitySpec extends SparkSpec {
     val plan = view.batchUpdates().queryExecution.executedPlan.toString
     assert(plan.contains("StartsWith(attribute,_e.)"), plan)
   }
+
+  test("dsir selection is a map-only scoring scan lowered to TakeOrdered") {
+    val dir = Files.createTempDirectory("graft-dsir-").toString + "/docs"
+    (1 to 400).map(i => (i.toLong, if (i % 3 == 0) "en" else "de",
+        (1 to 20).map(j => s"w${(i + j) % 50}").mkString(" ")))
+      .toDF("doc_id", "lang", "text").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val plan = graft.functions.Dsir
+      .sample(docs, "text", col("lang") === "en", b = 128)
+      .queryExecution.executedPlan.toString
+    // λ rides the task binary as a literal: scoring joins nothing and
+    // selection is per-partition top-k + k-row driver merge
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"dsir selection must lower to TakeOrdered:\n$plan")
+    assert(!plan.contains("SortExec"), s"no global sort for top-k:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"scoring must be map-only up to the TakeOrdered:\n$plan")
+  }
+
+  test("cms candidate filter runs below the exact-recount exchange") {
+    val dir = Files.createTempDirectory("graft-cms-").toString + "/toks"
+    (1 to 5000).map(i => Tuple1(s"t${i % 60}")).toDF("token")
+      .write.parquet(dir)
+    val tokens = spark.read.parquet(dir)
+    val plan = graft.functions.Cms.heavyHitters(tokens, "token", denom = 50L)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange (the candidate groupBy) and the est-threshold
+    // Filter must sit under it, so the tail never shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"one shuffle for the recount, saw $exchanges:\n$plan")
+    val filterPos = plan.indexOf("Filter")
+    val exchangePos = plan.indexOf("Exchange hashpartitioning")
+    assert(filterPos > exchangePos && filterPos >= 0,
+      s"estimate filter must be below (after, in tree print) the exchange:\n$plan")
+  }
 }
