@@ -280,4 +280,83 @@ object Curation {
             expr("((total_w div n_domains) * 10000) div domain_w")))
           .as("rate_bp"))
   }
+
+  /** Segment-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    * move, with fixed `segTokens`-token segments standing in for
+    * paragraphs — this corpus has no line structure): every repeated
+    * segment keeps only its FIRST occurrence in (doc_id, seg_idx) order,
+    * and each document reports how much of it survived. Downstream
+    * reconstruction = concatenate the kept segments.
+    *
+    * Output: (doc_id, n_segs, n_kept, kept_ratio[4dp]).
+    *
+    * Scale shape: segments are built IN-ROW (`transform` over the token
+    * array — no corpus-sized explode before the hash), each segment
+    * travels as its 60-bit hash + a packed (doc_id, seg_idx) key; the
+    * canonical occurrence is one partial-aggregable `min` per hash and
+    * the keep decision is a join on the hash — two co-partitioned
+    * exchanges total, independent of document size. Packing the
+    * occurrence key into one long (`doc_id · 2^20 + seg_idx`) keeps the
+    * min engine-replayable (struct mins order-compare engine-privately).
+    */
+  def segmentDedup(docs: DataFrame, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nSegs = ((size(toks) + lit(segTokens - 1)) / lit(segTokens))
+      .cast("int")
+    val segArr = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    val segs = docs
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"),
+        MinHashLsh.hash60(concat(lit("seg:"), col("seg"))).as("h"),
+        (col("doc_id") * lit(1048576L) + col("seg_idx")).as("pk"))
+    val first = segs.groupBy(col("h")).agg(min(col("pk")).as("min_pk"))
+    segs.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("pk") === col("min_pk"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        round(col("n_kept") / col("n_segs").cast("double"), 4)
+          .as("kept_ratio"))
+  }
+
+  /** Epoch-mix resampling toward explicit per-domain corpus shares — the
+    * data-mixing move that UP-samples under-represented domains by
+    * repeating documents (fractional epochs), complementing
+    * [[temperatureSample]]'s down-only rates. For each domain with
+    * target share `w_bp` basis points: desired count
+    * `m_d = w_bp · N div 10000`, every doc repeats `m_d div n_d` times,
+    * and `m_d mod n_d` docs (hash-chosen) get one extra copy — so the
+    * emitted count tracks the target to ±hash noise, all in integer
+    * arithmetic both engines replay exactly.
+    *
+    * Output: one row per emitted copy, (doc_id, <domain>, copy_idx).
+    *
+    * Scale shape: one partial-aggregable domain count + a lazily-joined
+    * 1-row total (no eager driver job), the tiny rate table broadcast
+    * back, and the copy expansion is an in-row `explode(sequence)` whose
+    * width is the repeat factor — the output is exactly the training mix,
+    * no shuffle beyond the count.
+    */
+  def epochMix(docs: DataFrame, domain: String, id: Column,
+      targetBp: Column, salt: String): DataFrame = {
+    val nd = docs.groupBy(col(domain)).agg(count(lit(1)).as("n_d"))
+    val anchor = docs.agg(count(lit(1)).as("n_total"))
+    // targetBp may reference the domain column — resolve it on nd's rows
+    val withRates = nd
+      .withColumn("__target_bp", targetBp)
+      .crossJoin(broadcast(anchor))
+      .withColumn("m_d", expr("(__target_bp * n_total) div 10000"))
+      .select(col(domain), expr("m_d div n_d").as("r_base"),
+        expr("((m_d % n_d) * 10000) div n_d").as("extra_bp"))
+    docs.join(broadcast(withRates), domain)
+      .withColumn("n_copies",
+        col("r_base") + when(sampleBucket(id, salt) < col("extra_bp"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col(domain),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+  }
 }

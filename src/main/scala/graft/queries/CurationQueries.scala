@@ -127,6 +127,27 @@ object CurationQueries extends QuerySet {
       Curation.packSequences(Tables.documents(s, d), "text",
         ctx = 2048, nShards = 8)),
 
+    // segment-level exact dedup (CCNet-style paragraph dedup with fixed
+    // 10-token segments standing in for paragraphs): repeated segments
+    // keep only their first (doc_id, seg_idx) occurrence; per-doc
+    // retention stats
+    "q_segment_dedup" -> ((s, d) =>
+      Curation.segmentDedup(Tables.documents(s, d), "text", segTokens = 10)),
+
+    // epoch-mix resampling toward explicit per-domain shares: fractional
+    // epochs — every doc repeats m_d div n_d times, m_d mod n_d
+    // hash-chosen docs get one extra copy (UP-sampling complement to
+    // q_temperature_sample's down-only rates)
+    "q_epoch_mix" -> ((s, d) => {
+      val tbp = when(col("lang") === "en", 2000L)
+        .when(col("lang") === "de", 3000L)
+        .when(col("lang") === "fr", 2000L)
+        .when(col("lang") === "es", 2000L)
+        .otherwise(1000L)
+      Curation.epochMix(Tables.documents(s, d), "lang", col("doc_id"),
+        tbp, "epoch")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): select the 20% of
     // non-English docs whose hashed unigram+bigram profile looks most
     // like the English target distribution, via Gumbel top-k over
@@ -341,6 +362,54 @@ object CurationQueries extends QuerySet {
          |SELECT d.doc_id, d.lang, r.keep_bp
          |FROM documents d JOIN r USING (lang)
          |WHERE ${bucket("temp", "d.doc_id")} < r.keep_bp""".stripMargin,
+
+    // segment dedup replay: 10-token segments via 1-based inclusive
+    // array slices, packed (doc_id, seg_idx) occurrence keys, min per
+    // segment hash
+    "q_segment_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents
+         |), seg AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+         |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+9)//10)) AS i
+         |        FROM tk)
+         |), hs AS (
+         |  SELECT doc_id, seg_idx, ${hash60("seg", "seg")} AS h,
+         |         doc_id * 1048576 + seg_idx AS pk
+         |  FROM seg
+         |), m AS (SELECT h, min(pk) AS min_pk FROM hs GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(sum(CASE WHEN pk = min_pk THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       round(sum(CASE WHEN pk = min_pk THEN 1 ELSE 0 END)
+         |         / CAST(count(*) AS DOUBLE), 4) AS kept_ratio
+         |FROM hs JOIN m USING (h) GROUP BY 1""".stripMargin,
+
+    // epoch-mix replay: integer rate table (m_d = w_bp*N div 10000,
+    // r_base = m_d div n_d, extra_bp for the remainder), hash-chosen
+    // extra copies, range-expansion per emitted copy
+    "q_epoch_mix" ->
+      s"""WITH nd AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM documents),
+         |r AS (
+         |  SELECT lang, n_d,
+         |    (CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 3000
+         |               WHEN 'fr' THEN 2000 WHEN 'es' THEN 2000
+         |               ELSE 1000 END
+         |      * (SELECT n_total FROM tot)) // 10000 AS m_d
+         |  FROM nd
+         |), rr AS (
+         |  SELECT lang, m_d // n_d AS r_base,
+         |         ((m_d % n_d) * 10000) // n_d AS extra_bp
+         |  FROM r
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  unnest(range(0, r_base +
+         |    CASE WHEN ${bucket("epoch", "d.doc_id")} < extra_bp
+         |         THEN 1 ELSE 0 END)) AS copy_idx
+         |FROM documents d JOIN rr USING (lang)""".stripMargin,
 
     // DSIR replay: identical hashed features (unigrams + space-joined
     // bigrams into 1024 buckets), add-one-smoothed micro-nat lambda

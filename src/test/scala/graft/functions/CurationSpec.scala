@@ -204,4 +204,68 @@ class CurationSpec extends SparkSpec {
       running += r.getLong(2)
     }
   }
+
+  test("segmentDedup keeps only the first occurrence of a repeated segment") {
+    // seg size 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [a b]
+    // and doc 1 also repeats [c d] internally as its third segment
+    val docs = Seq(
+      (1L, "a b c d c d"),
+      (2L, "a b x y"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 3 segs, keeps [a b] + first [c d], drops the repeat
+    assert(out(1L) == ((3L, 2L, 0.6667)))
+    // doc 2: [a b] lost to doc 1, [x y] kept
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    // doc 3: everything lost
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
+  test("segmentDedup short/ragged docs segment by ceil division") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(docs, "text", segTokens = 3)
+      .collect().head
+    assert(out.getLong(1) == 3) // [t1 t2 t3][t4 t5 t6][t7]
+    assert(out.getLong(2) == 3)
+  }
+
+  test("epochMix emits r_base copies plus hash-chosen extras, near target") {
+    // 100 'big' docs + 10 'small' docs; target 50/50 → small needs
+    // m_d = 55 copies from 10 docs: r_base 5 each + 5 extras
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+      (200L to 209L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+      .withColumn("text", lit("x"))
+    val tbp = when(col("lang") === "small", 5000L).otherwise(5000L)
+    val out = Curation.epochMix(docs, "lang", col("doc_id"), tbp, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySmall = out.filter(_._2 == "small")
+    val byBig = out.filter(_._2 == "big")
+    // every small doc repeats at least 5x; total tracks 55 within the
+    // hash-noise band (binomial around 5 extras over 10 docs)
+    assert(bySmall.groupBy(_._1).forall(_._2.size >= 5))
+    assert(bySmall.size >= 50 && bySmall.size <= 60, s"got ${bySmall.size}")
+    // big is over target: m_d = 55 from 100 docs → 0 base copies, ~55
+    // hash-chosen docs emitted once
+    assert(byBig.groupBy(_._1).forall(_._2.size == 1))
+    assert(byBig.size >= 40 && byBig.size <= 70, s"got ${byBig.size}")
+    // copy indices are dense 0..k-1 per doc
+    out.groupBy(x => (x._1, x._2)).foreach { case (_, copies) =>
+      assert(copies.map(_._3).toSeq.sorted == (0L until copies.size.toLong).toSeq)
+    }
+  }
+
+  test("epochMix is deterministic and partitioning-invariant") {
+    val docs = (1L to 60L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val tbp = when(col("lang") === "a", 7000L).otherwise(3000L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.epochMix(df, "lang", col("doc_id"), tbp, "t")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+    assert(run(docs).nonEmpty)
+  }
 }
