@@ -63,16 +63,32 @@ object Dsir {
     * them at the shared micro-nat quantization.
     */
   def lambdaMicros(target: DataFrame, raw: DataFrame, textCol: String,
+      b: Int = DefaultBuckets): Array[Long] =
+    lambdaMicrosSplit(
+      target.withColumn("__t", lit(true))
+        .unionByName(raw.withColumn("__t", lit(false))),
+      textCol, col("__t"), b)
+
+  /** [[lambdaMicros]] over one frame with a target predicate — BOTH
+    * feature distributions come from a SINGLE corpus scan (conditional
+    * partial aggregation per bucket), which is the difference between 2
+    * and 1 passes over 100 TB.
+    */
+  def lambdaMicrosSplit(docs: DataFrame, textCol: String, isTarget: Column,
       b: Int = DefaultBuckets): Array[Long] = {
-    def counts(df: DataFrame): Map[Long, Long] = df
-      .select(explode(featureBuckets(col(textCol), b)).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ct = counts(target)
-    val cr = counts(raw)
+    val both = docs
+      .select(isTarget.as("__t"),
+        explode(featureBuckets(col(textCol), b)).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ct = both.view.mapValues(_._1).toMap
+    val cr = both.view.mapValues(_._2).toMap
     val nt = ct.valuesIterator.sum
     val nr = cr.valuesIterator.sum
-    val spark = target.sparkSession
+    val spark = docs.sparkSession
     // b-row local frame routed through Spark's ln/round so quantization
     // happens in the SAME engine arithmetic the scoring column uses
     import spark.implicits._
@@ -112,8 +128,7 @@ object Dsir {
     */
   def sample(docs: DataFrame, textCol: String, isTarget: Column,
       b: Int = DefaultBuckets, fracBp: Int = 2000): DataFrame = {
-    val lam = lambdaMicros(docs.filter(isTarget), docs.filter(!isTarget),
-      textCol, b)
+    val lam = lambdaMicrosSplit(docs, textCol, isTarget, b)
     val scored = docs.filter(!isTarget)
       .select(col("doc_id"), col("lang"),
         logwMicros(col(textCol), lam, b).as("logw_micros"))
