@@ -302,15 +302,15 @@ object Curation {
   def segmentDedup(docs: DataFrame, textCol: String,
       segTokens: Int = 10): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nSegs = ((size(toks) + lit(segTokens - 1)) / lit(segTokens))
-      .cast("int")
-    val segArr = transform(sequence(lit(0), nSegs - 1),
-      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    // native Segment60Expr: the salted segment hashes come from one byte
+    // scan per document — no token array, no segment strings (the
+    // strings were only ever hashed); bit-equality with the slice/
+    // concat_ws formula is spec-pinned (CurationSpec)
     val segs = docs
-      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
-      .select(col("doc_id"), col("seg_idx"),
-        MinHashLsh.hash60(concat(lit("seg:"), col("seg"))).as("h"),
+      .select(col("doc_id"), posexplode(
+        ShingleHash60.segmentColumn(col(textCol), segTokens, "seg:"))
+        .as(Seq("seg_idx", "h")))
+      .select(col("doc_id"), col("seg_idx"), col("h"),
         (col("doc_id") * lit(1048576L) + col("seg_idx")).as("pk"))
     val first = segs.groupBy(col("h")).agg(min(col("pk")).as("min_pk"))
     segs.join(first, "h")

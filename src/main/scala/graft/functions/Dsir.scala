@@ -38,10 +38,19 @@ object Dsir {
 
   /** In-row hashed feature buckets of a document: word unigrams plus
     * word bigrams (space-joined, matching the shingle convention), each
-    * hashed into `[0, b)` via the salted 60-bit md5 hash. Pure column
-    * expressions — codegen'd, zero shuffle.
+    * hashed into `[0, b)` via the salted 60-bit md5 hash. Native
+    * [[DsirBuckets60Expr]] — one byte scan per document inside
+    * whole-stage codegen, no token array or gram strings; bit-equality
+    * with [[featureBucketsReference]] is spec-pinned (DsirSpec).
     */
-  def featureBuckets(textCol: Column, b: Int): Column = {
+  def featureBuckets(textCol: Column, b: Int): Column =
+    ShingleHash60.dsirBucketsColumn(textCol, "dsir:", b)
+
+  /** The functions-only formula [[featureBuckets]] compiles down to —
+    * retained as the cross-engine reference implementation (it is what
+    * the DuckDB oracles replay in SQL).
+    */
+  def featureBucketsReference(textCol: Column, b: Int): Column = {
     val t = split(trim(textCol), "\\s+")
     def bucket(g: Column) =
       pmod(MinHashLsh.hash60(concat(lit("dsir:"), g)), lit(b.toLong))

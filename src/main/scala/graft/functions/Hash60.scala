@@ -108,6 +108,8 @@ object GraftExtensions {
     ext.injectFunction(Hash60.functionDescription)
     ext.injectFunction(TokenCount.functionDescription)
     ext.injectFunction(ShingleHash60.functionDescription)
+    ext.injectFunction(ShingleHash60.dsirFunctionDescription)
+    ext.injectFunction(ShingleHash60.segmentFunctionDescription)
     ext.injectFunction(MightContain.functionDescription)
   }
 
@@ -126,6 +128,8 @@ object GraftExtensions {
         val reg = s.sessionState.functionRegistry
         Seq(Hash60.functionDescription, TokenCount.functionDescription,
           ShingleHash60.functionDescription,
+          ShingleHash60.dsirFunctionDescription,
+          ShingleHash60.segmentFunctionDescription,
           MightContain.functionDescription).foreach {
           case (ident, info, builder) =>
             if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)

@@ -224,6 +224,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, 0.0)))
   }
 
+  test("native segment hashes == slice/concat_ws formula on edge inputs") {
+    val texts = Seq("a b c d e f g", "one", "", " pad  ded ", "\tx y\t",
+      (1 to 23).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 10)) {
+      val toks = split(trim(col("text")), "\\s+")
+      val nSegs = floor((size(toks) + lit(n - 1)) / lit(n)).cast("int")
+      val formula = transform(sequence(lit(0), nSegs - 1), i =>
+        MinHashLsh.hash60(concat(lit("seg:"),
+          concat_ws(" ", slice(toks, i * n + 1, lit(n))))))
+      val got = df.select(col("doc_id"),
+          ShingleHash60.segmentColumn(col("text"), n, "seg:").as("native"),
+          formula.as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"doc ${r.getLong(0)} n=$n: ${r.getSeq[Long](1)} != ${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
   test("segmentDedup short/ragged docs segment by ceil division") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
     val out = Curation.segmentDedup(docs, "text", segTokens = 3)

@@ -33,6 +33,27 @@ class DsirSpec extends SparkSpec {
     assert(got(3) == big)
   }
 
+  test("native featureBuckets == functions-only reference on edge inputs") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("alpha beta gamma", " lead  trail ", "", " ", "\tx",
+      "x\t", "a", "a  b", "über café 中文 日本語", "  \t  ",
+      (1 to 50).map(i => s"tok$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (b <- Seq(7, 1024)) {
+      val got = df.select(col("doc_id"),
+          Dsir.featureBuckets(col("text"), b).as("n"),
+          Dsir.featureBucketsReference(col("text"), b).as("r"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"doc ${r.getLong(0)} b=$b: native ${r.getSeq[Long](1)} != " +
+            s"reference ${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
   test("a single-token document has no bigram features") {
     val s = spark
     import s.implicits._
