@@ -111,6 +111,8 @@ object GraftExtensions {
     ext.injectFunction(ShingleHash60.dsirFunctionDescription)
     ext.injectFunction(ShingleHash60.segmentFunctionDescription)
     ext.injectFunction(MightContain.functionDescription)
+    // portable formula -> native expression rewrites (see NativeHashRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
   }
 
   /** Fallback for sessions built WITHOUT the extension: register the graft
@@ -134,5 +136,10 @@ object GraftExtensions {
           case (ident, info, builder) =>
             if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
         }
+        // the extension hook is gone on an already-built session; the
+        // experimental batch runs the same rewrite rule
+        if (!s.experimental.extraOptimizations.contains(graft.plans.NativeHashRewrite))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.NativeHashRewrite
       }
 }
