@@ -127,6 +127,18 @@ object CurationQueries extends QuerySet {
       Curation.packSequences(Tables.documents(s, d), "text",
         ctx = 2048, nShards = 8)),
 
+    // deterministic train/val/test split: one salted hash bucket per doc
+    // partitions the corpus 80/10/10 — disjoint and complete by
+    // construction, stable across re-runs, retries and engines, and a
+    // doc's assignment never depends on corpus membership (the property
+    // that keeps splits stable as the corpus grows)
+    "q_train_split" -> ((s, d) => {
+      val b = Curation.sampleBucket(col("doc_id"), "split")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+          .as("split"))
+    }),
+
     // segment-level exact dedup (CCNet-style paragraph dedup with fixed
     // 10-token segments standing in for paragraphs): repeated segments
     // keep only their first (doc_id, seg_idx) occurrence; per-doc
@@ -362,6 +374,13 @@ object CurationQueries extends QuerySet {
          |SELECT d.doc_id, d.lang, r.keep_bp
          |FROM documents d JOIN r USING (lang)
          |WHERE ${bucket("temp", "d.doc_id")} < r.keep_bp""".stripMargin,
+
+    "q_train_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${bucket("split", "doc_id")} < 8000 THEN 'train'
+         |       WHEN ${bucket("split", "doc_id")} < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     // segment dedup replay: 10-token segments via 1-based inclusive
     // array slices, packed (doc_id, seg_idx) occurrence keys, min per
