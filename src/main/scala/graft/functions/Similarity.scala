@@ -148,6 +148,32 @@ object Similarity {
     * within-bucket pairs. The 100 TB path: the bucket join replaces the
     * cross join; recall is traded via `nPlanes`.
     */
+  /** Deterministic LSH cell per vector: the `nPlanes`-bit sign signature
+    * under the md5-derived hyperplanes (the exact bucket key
+    * [[lshBucketPairs]] groups by, surfaced as a column) — a clustering
+    * every engine regenerates bit-exactly, which KMeans cells cannot
+    * offer. Map-only; the planes broadcast with the task binary.
+    */
+  def lshCells(emb: DataFrame, nPlanes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeCoord(p, d))
+    val pb = spark.sparkContext.broadcast(planes)
+    toVecs(emb).map { v =>
+      val ps = pb.value
+      var sig = 0L
+      var p = 0
+      while (p < ps.length) {
+        var s = 0.0; var i = 0
+        while (i < v.v.length) { s += ps(p)(i) * v.v(i); i += 1 }
+        if (s >= 0) sig |= (1L << p)
+        p += 1
+      }
+      (v.id, sig)
+    }.toDF("vec_id", "cell")
+  }
+
   def lshBucketPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

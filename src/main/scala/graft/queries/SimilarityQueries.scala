@@ -47,6 +47,18 @@ object SimilarityQueries extends QuerySet {
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
+    // cluster-balanced sampling: embedding-space diversity selection —
+    // LSH sign-signature cells (deterministic, unlike KMeans) resampled
+    // toward the tail cells with the alpha=0.5 temperature rates; over-
+    // represented regions of embedding space downsample, sparse regions
+    // keep everything
+    "q_cluster_sample" -> ((s, d) => {
+      val cells = Similarity.lshCells(Tables.embeddings(s, d), nPlanes = 4)
+      graft.functions.Curation.temperatureSample(
+          cells, "cell", col("vec_id"), "cellt")
+        .select(col("vec_id"), col("cell"), col("keep_bp"))
+    }),
+
     // SemDeDup-shaped SEMANTIC dedup (Abbas et al. 2023 reduced to its
     // deterministic core): embedding near-dup pairs from the LSH buckets
     // (cos >= 0.3, the verified-margin threshold) collapse into
@@ -258,6 +270,38 @@ object SimilarityQueries extends QuerySet {
     // replays the md5-derived hyperplane signatures bit-exactly (the sign
     // threshold and the 0.3 cosine threshold both sit >= 7e-6 away from
     // any data point at every SF — far beyond cross-engine double noise)
+    // sig replay identical to q_ann_lsh_pairs; per-cell counts feed the
+    // q_temperature_sample rate formula, keep decided by the salted
+    // hash bucket
+    "q_cluster_sample" ->
+      s"""WITH planes AS (
+         |  SELECT p, d,
+         |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
+         |      / 2251799813685248.0 - 1.0) AS w
+         |  FROM range(4) tp(p), range(64) td(d)
+         |), dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
+         |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+         |  GROUP BY 1, 2
+         |), sigs AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+         |           AS BIGINT) AS cell
+         |  FROM dots GROUP BY 1
+         |), c AS (SELECT cell, count(*) AS n_d FROM sigs GROUP BY 1),
+         |r AS (
+         |  SELECT cell,
+         |         CAST(floor(10000.0 * sqrt(
+         |           (SELECT CAST(min(n_d) AS DOUBLE) FROM c)
+         |             / CAST(n_d AS DOUBLE))) AS BIGINT) AS keep_bp
+         |  FROM c
+         |)
+         |SELECT s.vec_id, s.cell, r.keep_bp
+         |FROM sigs s JOIN r USING (cell)
+         |WHERE ('0x' || substr(md5('cellt:' || s.vec_id), 1, 15))::UBIGINT
+         |        % 10000 < r.keep_bp""".stripMargin,
+
     "q_ann_lsh_pairs" ->
       s"""WITH planes AS (
          |  SELECT p, d,
