@@ -20,6 +20,11 @@ object ChangelogQueries extends QuerySet {
   // ---- shared plumbing for the storage-binding range queries ----
 
   // the shared probe range [2024-01-10, 2024-01-20) in stamp micros
+  // q_snapshot_incremental's compact-to-watermark split point (mid-corpus;
+  // the events fixture spans 2024-01-01 .. 2024-01-30 at every sf)
+  private val IncrementalWatermarkUs =
+    java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli * 1000L
+
   private val RangeFromUs =
     java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
   private val RangeUntilUs =
@@ -87,6 +92,36 @@ object ChangelogQueries extends QuerySet {
         .select(col("key"), col("attribute"),
           col("seqId").as("last_event_id"),
           col("value").cast("string").as("last_type"))
+    }),
+
+    // incremental snapshot maintenance: compact history up to the
+    // mid-corpus watermark, then fold the newer delta into the compacted
+    // state WITHOUT rescanning history (IncrementalSnapshot.merge — the
+    // O(|snapshot|+|delta|) daily-maintenance path). The oracle replays
+    // FULL compaction over everything: equality is the merge law.
+    "q_snapshot_incremental" -> ((s, d) => {
+      val log = Tables.eventsAsWildcardChangelog(s, d)
+      val t = IncrementalWatermarkUs
+      val prev = LatestWithTombstones.snapshot(log.filter(_.stamp <= t))
+      graft.operators.IncrementalSnapshot
+        .merge(prev, log.filter(_.stamp > t))
+        .select(col("key"), col("attribute"),
+          col("seqId").as("last_event_id"),
+          col("value").cast("string").as("last_type"))
+    }),
+
+    // z-order storage layout (functions/ZOrder): the per-tile manifest a
+    // file-skipping index stores — Morton key over (user bucket, day),
+    // tile = z-prefix, min/max per dimension, and the pruning verdict for
+    // a (user range × day range) box query. Pure codegen'd bit arithmetic,
+    // one partial-agg groupBy; the DuckDB oracle replays the Part1By1
+    // magic-number chain bit-for-bit
+    "q_zorder_layout" -> ((s, d) => {
+      import graft.functions.ZOrder
+      ZOrder.manifest(Tables.events(s, d),
+        expr("user_id % 1024"),
+        expr("unix_micros(ts) div 86400000000 - 19723"),
+        tileShift = 8, box = ((32L, 95L), (7L, 21L)))
     }),
 
     // proxy attribute READ: `event.*` is a virtual attribute over the raw
@@ -376,6 +411,38 @@ object ChangelogQueries extends QuerySet {
     })
   )
 
+  /** Full wildcard-delete compaction replay: per (user, device-suffix) the
+    * latest write survives iff it is an upsert AND strictly newer than the
+    * user's newest wildcard tombstone ('signup'); position = (stamp,
+    * event_id). Shared by q_snapshot_wildcard_delete AND
+    * q_snapshot_incremental — the incremental path must land on exactly
+    * this result.
+    */
+  private val WildcardSnapshotSql =
+    """WITH base AS (
+      |  SELECT user_id,
+      |         CASE WHEN event_type = 'signup' THEN 'device.*'
+      |              ELSE 'device.' || CAST(event_id % 7 AS VARCHAR) END AS attr,
+      |         epoch_us(ts) AS e, event_id, event_type
+      |  FROM events
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, attr, e, event_id, event_type,
+      |           row_number() OVER (PARTITION BY user_id, attr
+      |             ORDER BY e DESC, event_id DESC) AS rn
+      |    FROM base) WHERE rn = 1
+      |), wc AS (
+      |  SELECT user_id, max(CAST(e AS HUGEINT) * 100000000 + event_id) AS wcpos
+      |  FROM base WHERE event_type = 'signup' GROUP BY user_id
+      |)
+      |SELECT 'user-' || CAST(l.user_id AS VARCHAR) AS key,
+      |       l.attr AS attribute, l.event_id AS last_event_id,
+      |       l.event_type AS last_type
+      |FROM latest l LEFT JOIN wc ON l.user_id = wc.user_id
+      |WHERE l.event_type NOT IN ('signup', 'error')
+      |  AND (wc.wcpos IS NULL
+      |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // latest element per user survives iff it is not a delete ('error')
     "q_snapshot_compaction" ->
@@ -388,33 +455,36 @@ object ChangelogQueries extends QuerySet {
         |  FROM events
         |) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
-    // per (user, device-suffix) the latest write survives iff it is an
-    // upsert AND is strictly newer than the user's newest wildcard tombstone
-    // ('signup'); ordering position = (stamp, event_id)
-    "q_snapshot_wildcard_delete" ->
-      """WITH base AS (
-        |  SELECT user_id,
-        |         CASE WHEN event_type = 'signup' THEN 'device.*'
-        |              ELSE 'device.' || CAST(event_id % 7 AS VARCHAR) END AS attr,
-        |         epoch_us(ts) AS e, event_id, event_type
+    "q_snapshot_wildcard_delete" -> WildcardSnapshotSql,
+
+    // Part1By1 interleave replayed step-by-step; day 0 = 2024-01-01
+    // (epoch day 19723); box = user bucket [32,95] × day [7,21]
+    "q_zorder_layout" ->
+      """WITH d0 AS (
+        |  SELECT user_id % 1024 AS x,
+        |         epoch_us(ts) // 86400000000 - 19723 AS y
         |  FROM events
-        |), latest AS (
-        |  SELECT * FROM (
-        |    SELECT user_id, attr, e, event_id, event_type,
-        |           row_number() OVER (PARTITION BY user_id, attr
-        |             ORDER BY e DESC, event_id DESC) AS rn
-        |    FROM base) WHERE rn = 1
-        |), wc AS (
-        |  SELECT user_id, max(CAST(e AS HUGEINT) * 100000000 + event_id) AS wcpos
-        |  FROM base WHERE event_type = 'signup' GROUP BY user_id
+        |), s1 AS (SELECT x, y,
+        |    (x | (x << 8)) & 16711935 AS xa, (y | (y << 8)) & 16711935 AS ya FROM d0
+        |), s2 AS (SELECT *,
+        |    (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM s1
+        |), s3 AS (SELECT *,
+        |    (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM s2
+        |), s4 AS (SELECT *,
+        |    (xc | (xc << 1)) & 1431655765 AS xd, (yc | (yc << 1)) & 1431655765 AS yd FROM s3
+        |), z AS (SELECT x, y, (xd | (yd << 1)) >> 8 AS z_tile FROM s4
+        |), m AS (
+        |  SELECT z_tile, count(*) AS n, min(x) AS x_min, max(x) AS x_max,
+        |         min(y) AS y_min, max(y) AS y_max
+        |  FROM z GROUP BY z_tile
         |)
-        |SELECT 'user-' || CAST(l.user_id AS VARCHAR) AS key,
-        |       l.attr AS attribute, l.event_id AS last_event_id,
-        |       l.event_type AS last_type
-        |FROM latest l LEFT JOIN wc ON l.user_id = wc.user_id
-        |WHERE l.event_type NOT IN ('signup', 'error')
-        |  AND (wc.wcpos IS NULL
-        |       OR CAST(l.e AS HUGEINT) * 100000000 + l.event_id > wc.wcpos)""".stripMargin,
+        |SELECT z_tile, n, x_min, x_max, y_min, y_max,
+        |       NOT (x_max < 32 OR x_min > 95 OR y_max < 7 OR y_min > 21) AS hit
+        |FROM m""".stripMargin,
+
+    // the incremental path must land on EXACTLY the full-compaction
+    // result — same oracle text, not a copy (the equality IS the law)
+    "q_snapshot_incremental" -> WildcardSnapshotSql,
 
     // the wildcard-delete compaction in the PROXY namespace: identical to
     // q_snapshot_wildcard_delete's replay with raw 'device.' names renamed

@@ -200,6 +200,28 @@ object RelationalQueries extends QuerySet {
       val o = Tables.orders(s, d)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Bloom-prefiltered join (functions/BloomJoin): the selective build
+    // side's keys become a Bloom filter probed MAP-SIDE on lineitem before
+    // the shuffle — at 100 TB the exchange carries the ~2% that can match,
+    // not the corpus. shuffle_hash hint models the at-scale regime where
+    // the build side exceeds the broadcast threshold; the oracle is the
+    // PLAIN join (no false negatives + exact join downstream = identical
+    // result, whatever the filter's false-positive set is).
+    "q_bloom_join" -> ((s, d) => {
+      import graft.functions.BloomJoin
+      val big = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000)
+      val li = BloomJoin.prefilter(Tables.lineitem(s, d), "l_orderkey",
+        big, "o_orderkey")
+      li.join(big.hint("shuffle_hash"),
+          li("l_orderkey") === big("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
     })
   )
 
@@ -321,6 +343,13 @@ object RelationalQueries extends QuerySet {
     "q_sorted_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q_join" ->
       """SELECT o_orderstatus,

@@ -236,4 +236,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(filterPos > exchangePos && filterPos >= 0,
       s"estimate filter must be below (after, in tree print) the exchange:\n$plan")
   }
+
+  test("bloom prefilter probes map-side, below the join exchange") {
+    val dir = Files.createTempDirectory("graft-bloom-").toString
+    (1L to 20000L).map(i => (i, i % 100)).toDF("k", "v")
+      .write.parquet(dir + "/probe")
+    (1L to 20000L by 197L).map(i => (i, s"b$i")).toDF("bk", "bv")
+      .write.parquet(dir + "/build")
+    val probe = spark.read.parquet(dir + "/probe")
+    val build = spark.read.parquet(dir + "/build")
+    val pre = graft.functions.BloomJoin.prefilter(probe, "k", build, "bk")
+    val joined = pre.join(build.hint("shuffle_hash"),
+      pre("k") === build("bk"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    // the join shuffles (the regime the prefilter exists for) and the
+    // might_contain probe runs in the SCAN stage: no exchange between
+    // the Filter holding it and the FileScan it guards — i.e. rows are
+    // dropped map-side, before they are shuffled for the join
+    assert(planStr.contains("ShuffledHashJoin") ||
+      planStr.contains("SortMergeJoin"), planStr.take(1200))
+    val probePos = planStr.indexOf("might_contain")
+    assert(probePos >= 0, planStr.take(1200))
+    val scanPos = planStr.indexOf("FileScan", probePos)
+    assert(scanPos > probePos &&
+      !planStr.substring(probePos, scanPos).contains("Exchange"),
+      s"bloom probe must run in the scan stage (map-side):\n$planStr")
+  }
 }

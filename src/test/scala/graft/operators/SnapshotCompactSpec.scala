@@ -80,4 +80,52 @@ class SnapshotCompactSpec extends SparkSpec {
     val r = SnapshotCompact.snapshot(ds, asOf = 5).collect()
     assert(r.map(_.stamp).toSeq == Seq(1))
   }
+
+  test("incremental merge folds deletes and wildcard deletes from the delta") {
+    val hist = Seq(up("k", "device.1", 1), up("k", "device.2", 2),
+      up("k", "status", 3), up("k2", "device.1", 4))
+    val delta = Seq(delWc("k", "device.", 10), up("k", "device.3", 11),
+      del("k2", "device.1", 12))
+    val prev = LatestWithTombstones.snapshot(
+      spark.createDataset(hist)(StreamElement.encoder))
+    val inc = IncrementalSnapshot.merge(prev,
+        spark.createDataset(delta)(StreamElement.encoder))
+      .collect().map(e => (e.key, e.attribute, e.stamp)).toSet
+    // k's device.* wiped then re-filled, scalar untouched; k2 deleted
+    assert(inc == Set(("k", "device.3", 11L), ("k", "status", 3L)))
+  }
+
+  test("precondition is NOT optional: an interleaved delta diverges " +
+      "(documented counterexample) and mergeChecked refuses it") {
+    // history: upsert @1 then delete @3 — full compaction of history ∪
+    // {upsert @2} keeps NOTHING (the @3 tombstone is latest). But the
+    // compacted snapshot dropped the tombstone, so a delta element
+    // positioned before it would wrongly survive an unchecked merge.
+    val hist = Seq(up("k", "a", 1), del("k", "a", 3))
+    val delta = Seq(up("k", "a", 2, "late"))
+    val full = snap(hist ++ delta: _*)
+    assert(full == Set.empty)
+    val prev = LatestWithTombstones.snapshot(
+      spark.createDataset(hist)(StreamElement.encoder))
+    val deltaDs = spark.createDataset(delta)(StreamElement.encoder)
+    assert(IncrementalSnapshot.merge(prev, deltaDs).collect()
+      .map(_.stamp).toSeq == Seq(2)) // the documented divergence
+    intercept[IllegalArgumentException] {
+      // history was compacted up to T=3; the delta's @2 is not after it
+      IncrementalSnapshot.mergeChecked(prev, deltaDs, watermark = 3)
+    }
+  }
+
+  test("mergeChecked accepts a watermark-clean split and matches full") {
+    val all = Seq(up("k", "device.1", 1), up("k", "b", 2),
+      delWc("k", "device.", 3),
+      up("k", "device.1", 5), del("k", "b", 6), up("k2", "a", 7))
+    val (hist, delta) = all.partition(_.stamp <= 4)
+    val prev = LatestWithTombstones.snapshot(
+      spark.createDataset(hist)(StreamElement.encoder))
+    val inc = IncrementalSnapshot.mergeChecked(prev,
+        spark.createDataset(delta)(StreamElement.encoder), watermark = 4)
+      .collect().map(e => (e.key, e.attribute, e.stamp)).toSet
+    assert(inc == snap(all: _*))
+  }
 }

@@ -79,4 +79,18 @@ object SnapshotLaws extends Properties("SnapshotCompact") {
         .collect().map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
       single == model(xs)
     }
+
+  property("incremental merge at any stamp watermark == full compaction") =
+    forAll(genLog, Gen.choose(0L, 21L)) { (xs, t) =>
+      // split by stamp: stamp dominates the position ordering, so every
+      // delta position is strictly newer — the compact-to-watermark
+      // precondition IncrementalSnapshot.merge requires
+      val (hist, delta) = xs.partition(_.stamp <= t)
+      val prev = LatestWithTombstones.snapshot(
+        spark.createDataset(hist)(StreamElement.encoder))
+      val inc = IncrementalSnapshot.merge(
+          prev, spark.createDataset(delta)(StreamElement.encoder))
+        .collect().map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
+      inc == model(xs)
+    }
 }
