@@ -169,6 +169,22 @@ object CurationQueries extends QuerySet {
       graft.functions.Dsir.sample(Tables.documents(s, d), "text",
         col("lang") === "en")),
 
+    // fastText-style quality classifier (functions/QualityClassifier):
+    // Naive Bayes over the DSIR hashed-n-gram feature space, trained on
+    // the labeled half (even doc_id; positive = lang 'en'), scored over
+    // EVERY document — the odd half is held out, so the output exhibits
+    // generalization, and every score is an exact integer micro-nat sum
+    "q_quality_classifier" -> ((s, d) => {
+      import graft.functions.QualityClassifier
+      val docs = Tables.documents(s, d)
+      val m = QualityClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", col("lang") === "en")
+      QualityClassifier.withScores(docs, "text", m, predCol = "pred_en")
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % 2 === 0).as("train"),
+          col("score_micros"), col("pred_en"))
+    }),
+
     // Count-Min-sketch heavy hitters over the bigram stream: sketch pass
     // (d x w mergeable grid) -> candidate filter (est >= total/800,
     // no-false-negative) -> exact recount of candidates only. False
@@ -474,6 +490,53 @@ object CurationQueries extends QuerySet {
          |QUALIFY row_number() OVER (ORDER BY key_micros DESC, doc_id) <=
          |  ((SELECT count(*) FROM documents WHERE lang <> 'en') * 2000 + 9999)
          |    // 10000""".stripMargin,
+
+    // NB classifier replay: λ from the TRAIN half's conditional feature
+    // counts (the q_dsir_sample formula with the labeled subset as both
+    // distributions' source), prior from train DOC counts, score = exact
+    // integer sum over every doc's feature buckets
+    "q_quality_classifier" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, unnest(t) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)
+         |), fb AS (
+         |  SELECT f.doc_id, d.lang, d.doc_id % 2 = 0 AS train,
+         |         ${hash60("dsir", "g")} % 1024 AS b
+         |  FROM feat f JOIN documents d USING (doc_id)
+         |), ct AS (SELECT b, count(*) AS c FROM fb
+         |          WHERE train AND lang = 'en' GROUP BY 1),
+         |cr AS (SELECT b, count(*) AS c FROM fb
+         |       WHERE train AND lang <> 'en' GROUP BY 1),
+         |nt AS (SELECT count(*) AS n FROM fb WHERE train AND lang = 'en'),
+         |nr AS (SELECT count(*) AS n FROM fb WHERE train AND lang <> 'en'),
+         |lam AS (
+         |  SELECT r.range AS b,
+         |    CAST(round((ln(coalesce(ct.c, 0) + 1)
+         |              - ln(CAST((SELECT n FROM nt) + 1024 AS DOUBLE))
+         |              - ln(coalesce(cr.c, 0) + 1)
+         |              + ln(CAST((SELECT n FROM nr) + 1024 AS DOUBLE))) * 1e6)
+         |      AS BIGINT) AS lam
+         |  FROM range(1024) r
+         |  LEFT JOIN ct ON ct.b = r.range LEFT JOIN cr ON cr.b = r.range
+         |), prior AS (
+         |  SELECT CAST(round((ln((SELECT count(*) FROM documents
+         |                          WHERE doc_id % 2 = 0 AND lang = 'en') + 1)
+         |                   - ln((SELECT count(*) FROM documents
+         |                          WHERE doc_id % 2 = 0 AND lang <> 'en') + 1))
+         |                  * 1e6) AS BIGINT) AS p
+         |), w AS (
+         |  SELECT doc_id, CAST(sum(lam) AS BIGINT) AS s
+         |  FROM fb JOIN lam USING (b) GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.lang, d.doc_id % 2 = 0 AS train,
+         |       CAST(w.s + (SELECT p FROM prior) AS BIGINT) AS score_micros,
+         |       (w.s + (SELECT p FROM prior)) > 0 AS pred_en
+         |FROM documents d JOIN w USING (doc_id)""".stripMargin,
 
     // CMS replay: 4x1024 grid as per-(row, bucket) sums over the bigram
     // counts, estimate = min over the 4 rows, threshold = total // 800,
