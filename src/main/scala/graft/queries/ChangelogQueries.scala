@@ -110,6 +110,29 @@ object ChangelogQueries extends QuerySet {
           col("value").cast("string").as("last_type"))
     }),
 
+    // bucketed random-access store end-to-end: materialize the pre-
+    // watermark snapshot hive-partitioned by key bucket, fold the delta
+    // via refresh (rewrites ONLY touched buckets — the
+    // IncrementalSnapshot maintenance path), read the store back. The
+    // oracle replays FULL compaction: equality pins write, bucket
+    // routing, per-bucket merge + directory swap, and read-back
+    "q_bucketed_store" -> ((s, d) => {
+      val log = Tables.eventsAsWildcardChangelog(s, d)
+      val t = IncrementalWatermarkUs
+      withScratch("graft-bss-") { tmp =>
+        val store = new graft.randomaccess.BucketedSnapshotStore(
+          s, tmp + "/store", buckets = 64)
+        store.write(LatestWithTombstones.snapshot(log.filter(_.stamp <= t)))
+        store.refresh(log.filter(_.stamp > t))
+        materialized(store.snapshot().toDF()
+          .select(col("key"), col("attribute"),
+            col("seqId").as("last_event_id"),
+            col("value").cast("string").as("last_type"))) {
+          deleteRecursively(tmp)
+        }
+      }
+    }),
+
     // z-order storage layout (functions/ZOrder): the per-tile manifest a
     // file-skipping index stores — Morton key over (user bucket, day),
     // tile = z-prefix, min/max per dimension, and the pruning verdict for
@@ -485,6 +508,9 @@ object ChangelogQueries extends QuerySet {
     // the incremental path must land on EXACTLY the full-compaction
     // result — same oracle text, not a copy (the equality IS the law)
     "q_snapshot_incremental" -> WildcardSnapshotSql,
+
+    // same law through the PERSISTED store (write + bucket-local refresh)
+    "q_bucketed_store" -> WildcardSnapshotSql,
 
     // the wildcard-delete compaction in the PROXY namespace: identical to
     // q_snapshot_wildcard_delete's replay with raw 'device.' names renamed

@@ -1,0 +1,113 @@
+package graft.randomaccess
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.StreamElement
+import graft.operators.LatestWithTombstones
+
+class BucketedSnapshotSpec extends SparkSpec {
+
+  private def up(key: String, attr: String, stamp: Long, v: String) =
+    StreamElement("e", key, attr, s"u-$key-$attr-$stamp", 0, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  private def del(key: String, attr: String, stamp: Long) =
+    StreamElement("e", key, attr, s"d-$key-$attr-$stamp", 0, stamp,
+      null, delete = true, deleteWildcard = false)
+
+  private def log(xs: Seq[StreamElement]) =
+    spark.createDataset(xs)(StreamElement.encoder)
+
+  private def store(b: Int = 8) = new BucketedSnapshotStore(spark,
+    Files.createTempDirectory("graft-bss-").toString + "/store", buckets = b)
+
+  private val hist = (1 to 50).map(i => up(s"k$i", "status", i.toLong, s"v$i"))
+
+  test("get/multiFetch/scan read back the compacted snapshot") {
+    val s = store()
+    s.write(LatestWithTombstones.snapshot(log(
+      hist ++ Seq(up("k7", "status", 100, "newer"), up("k7", "extra", 101, "x")))))
+    assert(s.get("k7", "status").map(e => new String(e.value)) == Some("newer"))
+    assert(s.get("missing", "status").isEmpty)
+    assert(s.multiFetch(Seq("k1", "k2", "missing"), "status")
+      .view.mapValues(e => new String(e.value)).toMap ==
+      Map("k1" -> "v1", "k2" -> "v2"))
+    assert(s.scan("k7").map(_.attribute) == Seq("extra", "status"))
+  }
+
+  test("point lookup prunes to one bucket directory (PartitionFilters)") {
+    import org.apache.spark.sql.functions.col
+    val s = store()
+    s.write(LatestWithTombstones.snapshot(log(hist)))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the exact read get() performs
+      val df = spark.read.parquet(s.path)
+        .filter(col("kb") === s.bucketOf("k13") && col("key") === "k13" &&
+          col("attribute") === "status")
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("PartitionFilters") &&
+        plan.toString.contains("kb"), plan.toString.take(1500))
+      val scan = plan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head
+      val touched = scan.metrics("numFiles").value
+      val total = spark.read.parquet(s.path).inputFiles.length
+      assert(touched < total,
+        s"bucket pruning must skip files: $touched/$total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("refresh rewrites only affected buckets and matches full compaction") {
+    val s = store()
+    s.write(LatestWithTombstones.snapshot(log(hist)))
+    val delta = Seq(up("k3", "status", 200, "fresh"), del("k5", "status", 201),
+      up("k99", "status", 202, "new-key"))
+    s.refresh(log(delta))
+
+    val got = s.snapshot().collect()
+      .map(e => (e.key, e.attribute) -> new String(e.value)).toMap
+    val full = LatestWithTombstones.snapshot(log(hist ++ delta)).collect()
+      .map(e => (e.key, e.attribute) -> new String(e.value)).toMap
+    assert(got == full)
+    assert(got(("k3", "status")) == "fresh")
+    assert(!got.contains(("k5", "status")))
+    assert(got(("k99", "status")) == "new-key")
+  }
+
+  test("refresh leaves untouched bucket files physically unmodified") {
+    val s = store(b = 16)
+    s.write(LatestWithTombstones.snapshot(log(hist)))
+    val dir = s.snapshot().inputFiles.map(f =>
+      f.substring(0, f.lastIndexOf('/'))).distinct
+    val before = s.snapshot().inputFiles.toSet
+    val deltaKey = "k1"
+    s.refresh(log(Seq(up(deltaKey, "status", 300, "touched"))))
+    val after = s.snapshot().inputFiles.toSet
+    val touchedDir = s"kb=${s.bucketOf(deltaKey)}"
+    val (changedB, keptB) = before.partition(_.contains(touchedDir))
+    val (changedA, keptA) = after.partition(_.contains(touchedDir))
+    assert(keptA == keptB, "untouched bucket files must be byte-identical paths")
+    assert(changedA != changedB, "the touched bucket must be rewritten")
+    assert(dir.nonEmpty)
+  }
+
+  test("refresh that deletes a whole bucket removes its directory") {
+    val s = store(b = 4)
+    val keys = ('a' to 'j').map(_.toString)
+    s.write(LatestWithTombstones.snapshot(log(keys.map(up(_, "x", 1, "v")))))
+    // delete every key living in a's bucket; other buckets stay live
+    val sameBucket = keys.filter(k => s.bucketOf(k) == s.bucketOf("a"))
+    val remaining = keys.diff(sameBucket)
+    assert(remaining.nonEmpty, "fixture must span more than one bucket")
+    s.refresh(log(sameBucket.map(k => del(k, "x", 10))))
+    sameBucket.foreach(k => assert(s.get(k, "x").isEmpty))
+    remaining.foreach(k => assert(s.get(k, "x").nonEmpty))
+    // the emptied bucket's directory is gone from the store
+    assert(!s.snapshot().inputFiles
+      .exists(_.contains(s"kb=${s.bucketOf("a")}")))
+  }
+}
