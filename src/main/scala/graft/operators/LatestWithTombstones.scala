@@ -33,7 +33,19 @@ object LatestWithTombstones {
   private def pos(e: StreamElement): (Long, Long, String) =
     (e.stamp, e.seqId, e.uuid)
 
-  final class Agg extends Aggregator[StreamElement, Acc, Seq[StreamElement]] {
+  /** `retainTombstones = false` is the classic snapshot (tombstones
+    * resolved then DROPPED). `true` keeps the newest tombstone per cell —
+    * exact deletes and the covering wildcard tombstone itself — in the
+    * output, making compaction an UNCONDITIONAL semigroup:
+    * `compactRetaining(compactRetaining(A) ∪ B) == compactRetaining(A ∪ B)`
+    * for ANY split, late data included (no compact-to-watermark
+    * precondition — the retained tombstone is exactly the information
+    * whose loss creates [[IncrementalSnapshot]]'s counterexample). This
+    * is the Kafka-log-compaction / Cassandra-gc-grace model; pair with
+    * a separate tombstone-expiry pass once lateness is bounded.
+    */
+  final class Agg(retainTombstones: Boolean = false)
+      extends Aggregator[StreamElement, Acc, Seq[StreamElement]] {
     def zero: Acc = Acc(hasWc = false, Long.MinValue, Long.MinValue, "", Map.empty)
 
     private def wcPos(a: Acc) = (a.wcStamp, a.wcSeq, a.wcUuid)
@@ -44,8 +56,14 @@ object LatestWithTombstones {
         a.latest.filter { case (_, e) => posOrd.gt(pos(e), p) })
 
     def reduce(a: Acc, e: StreamElement): Acc =
-      if (e.deleteWildcard) applyWc(a, pos(e))
-      else {
+      if (e.deleteWildcard) {
+        // the covering tombstone is itself retained as the latest element
+        // of its `prefix.*` attribute (harmless in classic mode: finish
+        // filters deletes), so a retained compaction round-trips it
+        val b = applyWc(a, pos(e))
+        if (b.latest.get(e.attribute).exists(c => posOrd.gteq(pos(c), pos(e)))) b
+        else b.copy(latest = b.latest.updated(e.attribute, e))
+      } else {
         val covered = a.hasWc && posOrd.lteq(pos(e), wcPos(a))
         val stale = a.latest.get(e.attribute).exists(c => posOrd.gteq(pos(c), pos(e)))
         if (covered || stale) a
@@ -61,21 +79,37 @@ object LatestWithTombstones {
     }
 
     def finish(a: Acc): Seq[StreamElement] =
-      a.latest.values.filterNot(_.delete).toSeq
+      if (retainTombstones) a.latest.values.toSeq
+      else a.latest.values.filterNot(_.delete).toSeq
 
     def bufferEncoder: Encoder[Acc] = Encoders.product[Acc]
     def outputEncoder: Encoder[Seq[StreamElement]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[StreamElement]]()
   }
 
-  /** One-shuffle snapshot (same contract as SnapshotCompact.snapshot). */
-  def snapshot(ds: Dataset[StreamElement], asOf: Long = Long.MaxValue): Dataset[StreamElement] = {
+  private def compactWith(ds: Dataset[StreamElement], asOf: Long,
+      retain: Boolean): Dataset[StreamElement] = {
     implicit val se = StreamElement.encoder
     implicit val ke = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     val bounded = if (asOf == Long.MaxValue) ds else ds.filter(_.stamp <= asOf)
     bounded
       .groupByKey(e => (e.key, e.attributePrefix))
-      .agg(new Agg().toColumn.name("snap"))
+      .agg(new Agg(retain).toColumn.name("snap"))
       .flatMap(_._2)
   }
+
+  /** One-shuffle snapshot (same contract as SnapshotCompact.snapshot). */
+  def snapshot(ds: Dataset[StreamElement], asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+    compactWith(ds, asOf, retain = false)
+
+  /** Tombstone-RETAINING compaction: latest element per cell including
+    * deletes and the newest wildcard tombstone per prefix. Idempotent and
+    * unconditionally incremental (see [[Agg]]); `snapshot` = this
+    * filtered to non-deletes. The live-read filter is `!delete`;
+    * tombstones are garbage only once lateness is bounded — expire them
+    * with a stamp-horizon filter, after which elements older than the
+    * horizon may resurrect (the documented log-compaction contract).
+    */
+  def compactRetaining(ds: Dataset[StreamElement]): Dataset[StreamElement] =
+    compactWith(ds, Long.MaxValue, retain = true)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.StreamElement
 import graft.functions.Hash60
-import graft.operators.IncrementalSnapshot
+import graft.operators.LatestWithTombstones
 
 /** Key-bucketed materialization of a compacted snapshot — the Spark-native
   * analog of the reference's random-access families (Cassandra/HBase in
@@ -22,11 +22,17 @@ import graft.operators.IncrementalSnapshot
   *     pure pruned scan, not a compaction (contrast
   *     [[RandomAccessReader]], which compacts the changelog per lookup).
   *
-  * Maintenance composes with [[IncrementalSnapshot]]: [[refresh]] folds a
-  * post-watermark changelog delta by rewriting ONLY the buckets whose
-  * keys the delta touches — at 256 buckets, a delta touching 1% of the
-  * key space rewrites ~93% fewer bytes than a full snapshot rewrite, and
-  * untouched buckets are never read.
+  * Maintenance: [[refresh]] folds a changelog delta by rewriting ONLY the
+  * buckets whose keys the delta touches — at 256 buckets, a delta
+  * touching 1% of the key space rewrites ~93% fewer bytes than a full
+  * snapshot rewrite, and untouched buckets are never read. The store
+  * RETAINS tombstones ([[LatestWithTombstones.compactRetaining]] — the
+  * Kafka-log-compaction model), so refresh is an unconditional semigroup
+  * fold: deltas may arrive in ANY order, late data included, and the
+  * live view stays equal to full compaction of everything ever folded
+  * in. [[expireTombstones]] reclaims tombstones once lateness is
+  * bounded; [[replicate]] drives refresh from a Structured Streaming
+  * changelog (the reference's commit-log → random-access replication).
   */
 final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     val buckets: Int = 256) {
@@ -63,14 +69,18 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
 
   private def readDf: DataFrame = spark.read.schema(readSchema).parquet(path)
 
-  /** The full snapshot view (all buckets). */
-  def snapshot(): Dataset[StreamElement] = asElements(readDf)
+  /** The live snapshot view (all buckets, tombstones hidden). */
+  def snapshot(): Dataset[StreamElement] =
+    asElements(readDf.filter(!col("delete")))
+
+  /** Raw store contents including retained tombstones. */
+  def contents(): Dataset[StreamElement] = asElements(readDf)
 
   /** Point lookup: bucket-pruned, aggregate-free scan. */
   def get(key: String, attribute: String): Option[StreamElement] =
     asElements(readDf
         .filter(col("kb") === bucketOf(key) && col("key") === key &&
-          col("attribute") === attribute))
+          col("attribute") === attribute && !col("delete")))
       .collect().headOption
 
   /** Batched lookups: the key set prunes to its bucket set. */
@@ -78,21 +88,23 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     val kbs = keys.map(bucketOf).distinct
     asElements(readDf
         .filter(col("kb").isin(kbs: _*) && col("key").isin(keys: _*) &&
-          col("attribute") === attribute))
+          col("attribute") === attribute && !col("delete")))
       .collect().map(e => e.key -> e).toMap
   }
 
   /** All live attributes of a key (scanWildcardAll shape). */
   def scan(key: String): Seq[StreamElement] =
     asElements(readDf
-        .filter(col("kb") === bucketOf(key) && col("key") === key))
+        .filter(col("kb") === bucketOf(key) && col("key") === key &&
+          !col("delete")))
       .collect().sortBy(_.attribute).toSeq
 
-  /** Fold a post-watermark changelog delta into the store, rewriting only
-    * the buckets the delta's keys touch (compact-to-watermark contract of
-    * [[IncrementalSnapshot.merge]] — delta stamps must be newer than
-    * everything compacted into the store). Affected bucket directories
-    * are replaced atomically-per-bucket: merged contents are staged,
+  /** Fold a changelog delta into the store, rewriting only the buckets
+    * the delta's keys touch. No ordering precondition: the store retains
+    * tombstones, so the per-bucket re-compaction over (existing ∪ delta)
+    * is a semigroup fold — late elements resolve exactly as they would
+    * in a full compaction (SnapshotLaws property). Affected bucket
+    * directories are replaced per-bucket: merged contents are staged,
     * then each stale directory is swapped. Untouched buckets are never
     * read or written.
     */
@@ -103,7 +115,50 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     if (affected.isEmpty) return
     val existing = asElements(
       readDf.filter(col("kb").isin(affected: _*)))
-    val merged = IncrementalSnapshot.merge(existing, delta)
+    swapBuckets(
+      LatestWithTombstones.compactRetaining(existing.unionByName(delta)),
+      affected)
+  }
+
+  /** Reclaim tombstones older than `horizonUs` — call once lateness is
+    * bounded (the horizon plays Kafka's delete.retention.ms / Cassandra's
+    * gc_grace). Only buckets actually holding expired tombstones are
+    * rewritten. After expiry, a delta element older than the horizon may
+    * resurrect its cell — the documented log-compaction contract.
+    */
+  def expireTombstones(horizonUs: Long): Unit = {
+    val expired = col("delete") && col("stamp") < horizonUs
+    val affected = readDf.filter(expired).select("kb").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return
+    swapBuckets(
+      asElements(readDf.filter(col("kb").isin(affected: _*) && !expired)),
+      affected)
+  }
+
+  /** Maintain the store from a streaming changelog — the reference's
+    * commit-log → random-access replication
+    * (reference: ConfigRepository replication families; direct/core
+    * commit-log observe feeding random-access writers). Each micro-batch
+    * is one [[refresh]]; because refresh is order-insensitive, replay
+    * after a checkpoint restart converges to the same store. Caller
+    * `.start()`s the returned writer.
+    */
+  def replicate(stream: Dataset[StreamElement], checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[StreamElement] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
+        refresh(batch)
+      }
+
+  /** Stage `merged` (keys restricted to `affected` buckets) and swap each
+    * affected directory; a bucket with no staged contents is legitimately
+    * empty and just gets removed.
+    */
+  private def swapBuckets(merged: Dataset[StreamElement],
+      affected: Seq[Long]): Unit = {
     val staging = path + "_staging"
     merged.toDF()
       .withColumn("kb", bucketCol(col("key")))
@@ -115,8 +170,6 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
       val live = new Path(s"$path/kb=$kb")
       val staged = new Path(s"$staging/kb=$kb")
       fs.delete(live, true)
-      // a bucket whose keys were all deleted legitimately has no staged
-      // dir — the delete above is the whole swap then
       if (fs.exists(staged)) fs.rename(staged, live)
     }
     fs.delete(new Path(staging), true)

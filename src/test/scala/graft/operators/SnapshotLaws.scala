@@ -80,6 +80,29 @@ object SnapshotLaws extends Properties("SnapshotCompact") {
       single == model(xs)
     }
 
+  property("retained compaction is an UNCONDITIONAL semigroup: " +
+      "re-compacting a compacted prefix with ANY suffix == full") =
+    forAll(genLog, Gen.choose(0, 12)) { (xs, cut) =>
+      // arbitrary split — NOT stamp-ordered; late data crosses the cut
+      val (a, b) = xs.splitAt(cut min xs.length)
+      val once = LatestWithTombstones.compactRetaining(
+        spark.createDataset(a)(StreamElement.encoder)).collect().toSeq
+      val inc = LatestWithTombstones.compactRetaining(
+          spark.createDataset(once ++ b)(StreamElement.encoder))
+        .collect().filterNot(_.delete)
+        .map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
+      inc == model(xs)
+    }
+
+  property("snapshot == retained compaction with tombstones hidden") =
+    forAll(genLog) { xs =>
+      val ds = spark.createDataset(xs)(StreamElement.encoder)
+      val viaRetained = LatestWithTombstones.compactRetaining(ds)
+        .collect().filterNot(_.delete)
+        .map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
+      viaRetained == model(xs)
+    }
+
   property("incremental merge at any stamp watermark == full compaction") =
     forAll(genLog, Gen.choose(0L, 21L)) { (xs, t) =>
       // split by stamp: stamp dominates the position ordering, so every

@@ -95,7 +95,7 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(dir.nonEmpty)
   }
 
-  test("refresh that deletes a whole bucket removes its directory") {
+  test("deleted cells stay as tombstones until expiry reclaims the bucket") {
     val s = store(b = 4)
     val keys = ('a' to 'j').map(_.toString)
     s.write(LatestWithTombstones.snapshot(log(keys.map(up(_, "x", 1, "v")))))
@@ -106,8 +106,60 @@ class BucketedSnapshotSpec extends SparkSpec {
     s.refresh(log(sameBucket.map(k => del(k, "x", 10))))
     sameBucket.foreach(k => assert(s.get(k, "x").isEmpty))
     remaining.foreach(k => assert(s.get(k, "x").nonEmpty))
-    // the emptied bucket's directory is gone from the store
-    assert(!s.snapshot().inputFiles
+    // tombstones are RETAINED (late-data safety) until expiry...
+    assert(s.contents().filter(_.delete).count() == sameBucket.size)
+    // ...which removes the now-empty bucket directory entirely
+    s.expireTombstones(horizonUs = 11)
+    assert(s.contents().filter(_.delete).count() == 0)
+    assert(!s.contents().inputFiles
       .exists(_.contains(s"kb=${s.bucketOf("a")}")))
+    remaining.foreach(k => assert(s.get(k, "x").nonEmpty))
+  }
+
+  test("late upsert under an already-applied newer delete stays dead " +
+      "(the case watermark-ordered merge cannot handle)") {
+    val s = store(b = 4)
+    s.write(LatestWithTombstones.compactRetaining(log(Seq(
+      up("k", "x", 1, "v1"), del("k", "x", 10)))))
+    assert(s.get("k", "x").isEmpty)
+    s.refresh(log(Seq(up("k", "x", 5, "late")))) // older than the delete
+    assert(s.get("k", "x").isEmpty, "retained tombstone must veto late data")
+    s.refresh(log(Seq(up("k", "x", 20, "fresh")))) // genuinely newer
+    assert(s.get("k", "x").map(e => new String(e.value)) == Some("fresh"))
+    // but after expiry the same late element WOULD resurrect — contract
+    s.expireTombstones(horizonUs = 100)
+    s.refresh(log(Seq(del("k", "x", 30))))
+    s.expireTombstones(horizonUs = 100)
+    s.refresh(log(Seq(up("k", "x", 25, "zombie"))))
+    assert(s.get("k", "x").map(e => new String(e.value)) == Some("zombie"))
+  }
+
+  test("replicate folds a streaming changelog, out-of-order micro-batches") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamElement]
+    val s = store(b = 4)
+    s.write(log(Nil)) // empty store
+    val q = s.replicate(input.toDS(),
+      Files.createTempDirectory("graft-bss-ckpt-").toString).start()
+    try {
+      input.addData(up("k1", "x", 10, "v10"), up("k2", "x", 11, "v11"))
+      q.processAllAvailable()
+      input.addData(del("k1", "x", 15), up("k1", "x", 12, "mid"))
+      q.processAllAvailable()
+      input.addData(up("k1", "x", 13, "late")) // still under the delete
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(s.get("k1", "x").isEmpty)
+    assert(s.get("k2", "x").map(e => new String(e.value)) == Some("v11"))
+    // store == full compaction of everything that ever streamed in
+    val full = LatestWithTombstones.snapshot(log(Seq(
+      up("k1", "x", 10, "v10"), up("k2", "x", 11, "v11"),
+      del("k1", "x", 15), up("k1", "x", 12, "mid"),
+      up("k1", "x", 13, "late")))).collect()
+      .map(e => (e.key, e.attribute, e.stamp)).toSet
+    assert(s.snapshot().collect()
+      .map(e => (e.key, e.attribute, e.stamp)).toSet == full)
   }
 }
