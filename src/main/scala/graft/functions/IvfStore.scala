@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-partitioned vector store: the PHYSICAL-layout half of [[Ivf]] —
+  * embeddings persisted hive-partitioned by their coarse cell, norms
+  * precomputed at write time. An ANN query then prunes at the STORAGE
+  * layer: its nProbe cells become a partition predicate
+  * (PartitionFilters, gated in IvfStoreSpec), so the scan lists and reads
+  * only nProbe/nCentroids of the corpus files — the DiskANN/IVF-on-
+  * object-storage serving shape. At 100 TB with 1024 cells and
+  * nProbe=8, a query batch touches <1% of the bytes, with zero index
+  * structures beyond the directory layout itself.
+  *
+  * Same exactness anchor as [[Ivf]]: at full probe the cell predicate
+  * admits everything and results equal [[Similarity.bruteForceTopK]]
+  * (spec-enforced + oracle q_ivf_store_topk) — partial probe is a pure
+  * subset relaxation.
+  */
+object IvfStore {
+  // static kernels: executor closures must not capture the (non-
+  // serializable) store instance
+  private def sqDist(a: Array[Double], b: Array[Float]): Double = {
+    var i = 0; var s = 0.0
+    while (i < b.length) { val d = a(i) - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var i = 0; var s = 0.0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+}
+
+final class IvfStore(spark: SparkSession, val path: String,
+    centroids: Array[Array[Double]]) {
+
+  import IvfStore.{dot, sqDist}
+  import Similarity.Vec
+  import spark.implicits._
+
+  /** Partition the corpus by nearest-centroid cell (one broadcast +
+    * map-only scan, the [[Ivf.assign]] pass) and persist with
+    * precomputed norms — query time pays neither assignment nor norm.
+    */
+  def write(emb: DataFrame): Unit = {
+    val cb = spark.sparkContext.broadcast(centroids)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = cb.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = sqDist(cs(c), v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0; var n = 0.0
+        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+        (id, v, math.sqrt(n), best)
+      }.toDF("vec_id", "embedding", "norm", "cell")
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** The cell-pruned read an nProbe query batch performs. */
+  def probedCorpus(probeCells: Set[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+
+  /** Cosine top-k per query vector, probing each query's nProbe nearest
+    * cells. `queries` is a (vec_id, embedding) batch — collected to the
+    * driver (query batches are small; the corpus never is).
+    */
+  def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val qVecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        var i = 0; var n = 0.0
+        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+        Vec(id, v, math.sqrt(n))
+      }
+    val probes: Map[Long, Set[Int]] = qVecs.map { q =>
+      q.id -> centroids.indices
+        .sortBy(c => sqDist(centroids(c), q.v))
+        .take(math.min(nProbe, centroids.length)).toSet
+    }.toMap
+    val allCells = probes.values.flatten.toSet
+    val qb = spark.sparkContext.broadcast(qVecs)
+    val pb = spark.sparkContext.broadcast(probes)
+    val scored = probedCorpus(allCells)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cell").cast("int"))
+      .as[(Long, Array[Float], Double, Int)]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val pr = pb.value
+        it.flatMap { case (id, v, norm, cell) =>
+          qs.iterator
+            .filter(q => q.id != id && pr(q.id).contains(cell))
+            .map(q => (q.id, id, Similarity.cosine(dot(q.v, v), q.norm, norm)))
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+}

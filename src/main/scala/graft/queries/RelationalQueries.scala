@@ -202,6 +202,21 @@ object RelationalQueries extends QuerySet {
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
     }),
 
+    // salted join (functions/Skew): each probe key spreads over 8 reducer
+    // partitions (deterministic row salt; build side replicated 8x), so a
+    // hot key cannot serialize one task at 100 TB. AQE's skew splitting
+    // only fires on detected stats — salting is the declarative guarantee.
+    // Oracle = the PLAIN join: salting must not change a single row
+    "q_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.functions.Skew.saltedJoin(li, sup, "l_suppkey", salt = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
     // Bloom-prefiltered join (functions/BloomJoin): the selective build
     // side's keys become a Bloom filter probed MAP-SIDE on lineitem before
     // the shuffle — at 100 TB the exchange carries the ~2% that can match,
@@ -343,6 +358,12 @@ object RelationalQueries extends QuerySet {
     "q_sorted_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -47,6 +47,24 @@ object SimilarityQueries extends QuerySet {
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
+    // the PERSISTED IVF layout (functions/IvfStore): corpus written
+    // hive-partitioned by coarse cell with precomputed norms, queries
+    // prune cell DIRECTORIES at the storage layer (the 100 TB ANN
+    // serving shape; pruning plan-gated in IvfStoreSpec). Full probe
+    // here — the store must answer exactly like brute force
+    "q_ivf_store_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfstore-").toString
+      try {
+        val store = new graft.functions.IvfStore(s, tmp + "/v", centroids)
+        store.write(emb)
+        store.searchTopK(emb.filter(col("vec_id") < 10), 5, nProbe = 8)
+          .select(col("q_id"), col("rk"), col("neighbor_id"))
+          .localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // cluster-balanced sampling: embedding-space diversity selection —
     // LSH sign-signature cells (deterministic, unlike KMeans) resampled
     // toward the tail cells with the alpha=0.5 temperature rates; over-
@@ -250,6 +268,18 @@ object SimilarityQueries extends QuerySet {
          |  FROM scored) WHERE rk <= 5""".stripMargin,
 
     // identical answer to q_ann_topk by construction (full probe)
+    "q_ivf_store_topk" ->
+      s"""WITH scored AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT q_id, rk, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored) WHERE rk <= 5""".stripMargin,
+
     "q_ivf_topk" ->
       s"""WITH scored AS (
          |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
