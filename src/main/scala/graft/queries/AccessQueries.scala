@@ -43,6 +43,40 @@ object AccessQueries extends QuerySet {
         .orderBy(col("user_id")).offset(10).limit(50)
     }),
 
+    // secondary index family (randomaccess/SecondaryIndex): value → keys,
+    // built from the pre-watermark snapshot then MAINTAINED by the
+    // snapshot-diff changelog (O(changed keys) elements, one co-
+    // partitioned full-outer join) — the reference's transformation-fed
+    // index family + scanWildcard lookup. The lookup answers "which
+    // users' LATEST activity is a purchase" from the index alone; the
+    // oracle replays the direct latest-per-user rule
+    "q_secondary_index" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.StreamElement
+      import graft.operators.LatestWithTombstones
+      import graft.randomaccess.SecondaryIndex
+      val changelog = Tables.events(s, d).select(
+        lit("user").as("entity"),
+        concat(lit("user-"), col("user_id")).as("key"),
+        lit("activity").as("attribute"),
+        concat(lit("uuid-"), col("event_id")).as("uuid"),
+        col("event_id").as("seqId"),
+        unix_micros(col("ts")).as("stamp"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(encode(col("event_type"), "UTF-8")).as("value"),
+        (col("event_type") === "error").as("delete"),
+        lit(false).as("deleteWildcard")).as[StreamElement]
+      val t = java.time.Instant.parse("2024-01-16T00:00:00Z")
+        .toEpochMilli * 1000L
+      val oldSnap = LatestWithTombstones.snapshot(changelog.filter(_.stamp <= t))
+      val newSnap = LatestWithTombstones.snapshot(changelog)
+      val index = SecondaryIndex.fromSnapshot(oldSnap, "activity")
+        .unionByName(SecondaryIndex.diff(oldSnap, newSnap, "activity",
+          newStamp = t + 1))
+      SecondaryIndex.lookup(
+        LatestWithTombstones.snapshot(index), "activity", "purchase")
+    }),
+
     // scanWildcardAll(key): ALL live attributes of one key through the
     // REAL reader (tombstones + wildcard deletes honored by the
     // compaction, predicate pushed below it) — the changelog is the
@@ -65,6 +99,16 @@ object AccessQueries extends QuerySet {
   )
 
   val oracles: Map[String, String] = Map(
+    // users whose latest event (position = ts, event_id) is a purchase —
+    // the index must answer exactly the direct rule
+    "q_secondary_index" ->
+      """SELECT 'user-' || CAST(user_id AS VARCHAR) AS entity_key FROM (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 AND event_type = 'purchase'""".stripMargin,
+
     "q_get" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 424""",
 
