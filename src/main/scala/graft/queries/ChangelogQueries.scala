@@ -110,6 +110,18 @@ object ChangelogQueries extends QuerySet {
           col("value").cast("string").as("last_type"))
     }),
 
+    // as-of (time-travel) snapshot: the compacted state the table HAD at
+    // the probe stamp — elements after it invisible, tombstone semantics
+    // evaluated at that horizon (reference RandomAccessReader get(...,
+    // stamp):121 / batchSnapshot(ts); SnapshotCompact.snapshot(asOf))
+    "q_snapshot_asof" -> ((s, d) => {
+      LatestWithTombstones.snapshot(
+          Tables.eventsAsWildcardChangelog(s, d), asOf = RangeFromUs)
+        .select(col("key"), col("attribute"),
+          col("seqId").as("last_event_id"),
+          col("value").cast("string").as("last_type"))
+    }),
+
     // bucketed random-access store end-to-end: materialize the pre-
     // watermark snapshot hive-partitioned by key bucket, fold the delta
     // via refresh (rewrites ONLY touched buckets — the
@@ -511,6 +523,11 @@ object ChangelogQueries extends QuerySet {
 
     // same law through the PERSISTED store (write + bucket-local refresh)
     "q_bucketed_store" -> WildcardSnapshotSql,
+
+    // the full replay restricted to elements at-or-before the horizon —
+    // derived from the ONE compaction oracle, not a parallel copy
+    "q_snapshot_asof" -> WildcardSnapshotSql.replace("FROM events",
+      s"FROM events WHERE epoch_us(ts) <= $RangeFromUs"),
 
     // the wildcard-delete compaction in the PROXY namespace: identical to
     // q_snapshot_wildcard_delete's replay with raw 'device.' names renamed

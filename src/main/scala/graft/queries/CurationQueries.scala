@@ -169,6 +169,21 @@ object CurationQueries extends QuerySet {
       graft.functions.Dsir.sample(Tables.documents(s, d), "text",
         col("lang") === "en")),
 
+    // declarative data-quality expectations (functions/Expectations):
+    // the whole constraint suite — completeness, uniqueness, range,
+    // set membership, min count — evaluated in ONE aggregation pass
+    // (conditional partial aggregates, 1-row result), verdicts in exact
+    // integer basis points so the report hash-matches cross-engine
+    "q_data_quality" -> ((s, d) => {
+      import graft.functions.Expectations._
+      report(Tables.documents(s, d), Seq(
+        Complete("text", 10000L),
+        Unique("doc_id"),
+        InRange("n_chars", 1L, 1000000L, 0L),
+        InSet("lang", Seq("en", "de", "fr", "es", "zh"), 0L),
+        MinCount(100L)))
+    }),
+
     // fastText-style quality classifier (functions/QualityClassifier):
     // Naive Bayes over the DSIR hashed-n-gram feature space, trained on
     // the labeled half (even doc_id; positive = lang 'en'), scored over
@@ -490,6 +505,38 @@ object CurationQueries extends QuerySet {
          |QUALIFY row_number() OVER (ORDER BY key_micros DESC, doc_id) <=
          |  ((SELECT count(*) FROM documents WHERE lang <> 'en') * 2000 + 9999)
          |    // 10000""".stripMargin,
+
+    // one measurement CTE, five verdict rows — identical check labels
+    // and integer-bp arithmetic as Expectations.report
+    "q_data_quality" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(text) AS c_text,
+        |         count(DISTINCT doc_id) AS d_id, count(doc_id) AS nn_id,
+        |         CAST(sum(CASE WHEN n_chars IS NOT NULL
+        |              AND (n_chars < 1 OR n_chars > 1000000)
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |         count(n_chars) AS nn_chars,
+        |         CAST(sum(CASE WHEN lang IS NOT NULL
+        |              AND lang NOT IN ('en','de','fr','es','zh')
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |         count(lang) AS nn_lang
+        |  FROM documents
+        |)
+        |SELECT 'complete(text)>=10000' AS "check",
+        |       c_text * 10000 // n AS metric_bp,
+        |       CAST(10000 AS BIGINT) AS bound_bp,
+        |       c_text * 10000 // n >= 10000 AS pass FROM m
+        |UNION ALL
+        |SELECT 'unique(doc_id)', d_id * 10000 // nn_id,
+        |       CAST(10000 AS BIGINT), d_id * 10000 // nn_id = 10000 FROM m
+        |UNION ALL
+        |SELECT 'in_range(n_chars,1,1000000)<=0', v_range * 10000 // nn_chars,
+        |       CAST(0 AS BIGINT), v_range * 10000 // nn_chars <= 0 FROM m
+        |UNION ALL
+        |SELECT 'in_set(lang)<=0', v_set * 10000 // nn_lang,
+        |       CAST(0 AS BIGINT), v_set * 10000 // nn_lang <= 0 FROM m
+        |UNION ALL
+        |SELECT 'count>=100', n, CAST(100 AS BIGINT), n >= 100 FROM m""".stripMargin,
 
     // NB classifier replay: λ from the TRAIN half's conditional feature
     // counts (the q_dsir_sample formula with the labeled subset as both
