@@ -209,8 +209,11 @@ object RelationalQueries extends QuerySet {
     // Oracle = the PLAIN join: salting must not change a single row
     "q_salted_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // shuffle_hash hint: model the at-scale regime where the build side
+      // exceeds the broadcast threshold — under a broadcast join salting
+      // would be pointless (no shuffle to de-skew)
       val sup = Tables.supplier(s, d)
-        .withColumnRenamed("s_suppkey", "l_suppkey")
+        .withColumnRenamed("s_suppkey", "l_suppkey").hint("shuffle_hash")
       graft.functions.Skew.saltedJoin(li, sup, "l_suppkey", salt = 8)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),

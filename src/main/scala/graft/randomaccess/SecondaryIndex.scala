@@ -72,16 +72,23 @@ object SecondaryIndex {
     val n = newSnap.filter(col("attribute") === attribute && !col("delete"))
       .toDF().select(col("key"), col("value").cast("string").as("new_v"),
         col("stamp").as("new_stamp"))
+    // ONE full-outer join; both the retraction and the assertion explode
+    // out of the same joined row (a two-branch union would re-run the
+    // join — two snapshot scans instead of one)
     val changed = o.join(n, Seq("key"), "full_outer")
       .filter(!(col("old_v") <=> col("new_v")))
-    val retract = changed.filter(col("old_v").isNotNull)
-      .select(col("key"), col("old_v").as("value"))
-      .withColumn("stamp", lit(newStamp))
-    val assert_ = changed.filter(col("new_v").isNotNull)
-      .select(col("key"), col("new_v").as("value"),
-        greatest(col("new_stamp"), lit(newStamp)).as("stamp"))
-    elements(retract, attribute, col("stamp"), lit(true))
-      .unionByName(elements(assert_, attribute, col("stamp"), lit(false)))
+      .select(col("key"), explode(array(
+        when(col("old_v").isNotNull, struct(
+          col("old_v").as("value"), lit(newStamp).as("stamp"),
+          lit(true).as("retract"))),
+        when(col("new_v").isNotNull, struct(
+          col("new_v").as("value"),
+          greatest(col("new_stamp"), lit(newStamp)).as("stamp"),
+          lit(false).as("retract"))))).as("x"))
+      .filter(col("x").isNotNull)
+      .select(col("key"), col("x.value").as("value"),
+        col("x.stamp").as("stamp"), col("x.retract").as("retract"))
+    elements(changed, attribute, col("stamp"), col("retract"))
   }
 
   /** Keys currently holding `value` — a wildcard scan of the index
