@@ -169,6 +169,31 @@ object CurationQueries extends QuerySet {
       graft.functions.Dsir.sample(Tables.documents(s, d), "text",
         col("lang") === "en")),
 
+    // link-graph centrality (functions/Centrality): integer-micro
+    // PageRank over a deterministic citation graph (intra-source doc
+    // chains + to-hub edges), 3 unrolled power iterations — the Common-
+    // Crawl-style "rank hosts by connectivity" curation signal; hub
+    // docs surface on top. Exact integer update rule, so the DuckDB
+    // oracle replays every division bit-for-bit
+    "q_centrality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val chainW = Window.partitionBy("source").orderBy("doc_id")
+      val chain = docs
+        .select(lag("doc_id", 1).over(chainW).as("src"),
+          col("doc_id").as("dst"))
+        .filter(col("src").isNotNull)
+      val hub = docs
+        .select(col("doc_id").as("src"),
+          min("doc_id").over(Window.partitionBy("source")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.functions.Centrality
+        .pageRankMicros(chain.unionByName(hub), iters = 3)
+        .orderBy(col("rank_micros").desc, col("id"))
+        .limit(50)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // declarative data-quality expectations (functions/Expectations):
     // the whole constraint suite — completeness, uniqueness, range,
     // set membership, min count — evaluated in ONE aggregation pass
@@ -505,6 +530,37 @@ object CurationQueries extends QuerySet {
          |QUALIFY row_number() OVER (ORDER BY key_micros DESC, doc_id) <=
          |  ((SELECT count(*) FROM documents WHERE lang <> 'en') * 2000 + 9999)
          |    // 10000""".stripMargin,
+
+    // three power iterations unrolled (recursive CTEs cannot aggregate);
+    // base = (10000-8500)*1e6//10000 = 150000 micro-units
+    "q_centrality" ->
+      """WITH e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS src,
+        |           doc_id AS dst FROM documents) WHERE src IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id AS src, m AS dst FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS m
+        |    FROM documents) WHERE doc_id <> m
+        |), n AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        |), od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.dst, CAST(sum(r0.r // od.d) AS BIGINT) AS c
+        |       FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(150000 + 8500 * coalesce(c1.c, 0) // 10000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c1 ON c1.dst = n.id),
+        |c2 AS (SELECT e.dst, CAST(sum(r1.r // od.d) AS BIGINT) AS c
+        |       FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(150000 + 8500 * coalesce(c2.c, 0) // 10000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c2 ON c2.dst = n.id),
+        |c3 AS (SELECT e.dst, CAST(sum(r2.r // od.d) AS BIGINT) AS c
+        |       FROM e JOIN od USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CAST(150000 + 8500 * coalesce(c3.c, 0) // 10000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c3 ON c3.dst = n.id)
+        |SELECT id AS doc_id, r AS rank_micros FROM r3
+        |ORDER BY r DESC, id LIMIT 50""".stripMargin,
 
     // one measurement CTE, five verdict rows — identical check labels
     // and integer-bp arithmetic as Expectations.report

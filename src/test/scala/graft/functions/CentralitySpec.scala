@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class CentralitySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def rank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Centrality.pageRankMicros(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** In-memory reference of the exact integer update rule. */
+  private def model(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    (0 until iters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (150000L + 8500L * contrib.getOrElse(v, 0L) / 10000L)).toMap
+    }
+    r
+  }
+
+  test("matches the in-memory integer model on a small digraph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    (0 to 4).foreach { it =>
+      assert(rank(edges, it) == model(edges, it), s"iters=$it")
+    }
+  }
+
+  test("star center out-ranks the leaves") {
+    val edges = (2L to 10L).flatMap(i => Seq((i, 1L), (1L, i)))
+    val r = rank(edges, 3)
+    val leaves = (2L to 10L).map(r)
+    assert(leaves.forall(_ < r(1L)))
+    assert(leaves.distinct.size == 1) // symmetric leaves tie exactly
+  }
+
+  test("ranks are partitioning-invariant exact integers") {
+    val edges = (1L to 60L).map(i => (i, i * 7 % 60 + 1))
+    val a = rank(edges, 3)
+    val b = Centrality.pageRankMicros(
+        edges.toDF("src", "dst").repartition(17), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("dangling mass leaks but ranking survives (documented contract)") {
+    // 1 -> 2 -> 3, node 3 dangling: totals shrink, order is 3 > 2 ~ base
+    val r = rank(Seq((1L, 2L), (2L, 3L)), 3)
+    assert(r(3L) > r(2L) && r(2L) >= r(1L))
+  }
+}
