@@ -44,6 +44,26 @@ object TextQueries extends QuerySet {
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
     }),
 
+    // ingestion-time exact dedup against a PERSISTED corpus: the existing
+    // half's fingerprint set rides as a serialized Bloom artifact
+    // (BloomJoin.keyFilter — reusable across ingest batches); an incoming
+    // doc probes it MAP-SIDE and only Bloom candidates reach the exact
+    // confirm join — at 100 TB, genuinely-new content never shuffles.
+    // Output = the incoming doc_ids confirmed duplicate (no false
+    // negatives + exact confirm ⇒ identical to the plain semi-join)
+    "q_incremental_dedup" -> ((s, d) => {
+      import graft.functions.BloomJoin
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("fp"))
+      val incoming = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val bloom = BloomJoin.keyFilter(existing, "fp")
+      incoming
+        .filter(BloomJoin.mightMatch(bloom, col("fp")))
+        .join(existing.hint("shuffle_hash"), Seq("fp"), "left_semi")
+        .select(col("doc_id"))
+    }),
+
     // quality scoring: length / token stats + stopword ratio
     "q_quality_score" -> ((s, d) => {
       val t = col("text")
@@ -343,6 +363,11 @@ object TextQueries extends QuerySet {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """SELECT a.doc_id FROM documents a
+        |WHERE EXISTS (SELECT 1 FROM documents b
+        |              WHERE b.doc_id % 2 = 0 AND md5(b.text) = md5(a.text))""".stripMargin,
 
     "q_quality_score" ->
       s"""SELECT doc_id,
