@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.CommitLogFamily
+
+/** Small-files maintenance for append-only parquet commit logs. Every
+  * `append` is one atomic parquet commit, so a family ingesting from many
+  * sources accumulates files far smaller than a sane scan unit — at
+  * 100 TB the listing + footer + task-scheduling overhead of millions of
+  * small files dominates the read path long before the bytes do
+  * (the reference's bulk families roll files by period for the same
+  * reason: direct/io-bulkfs roll intervals). [[compact]] rewrites a log
+  * directory into files of ~`targetBytes` WITHOUT changing a single
+  * element: read → coalesce to ceil(bytes/target) partitions →
+  * stamp-sorted rewrite (so stamp-range reads prune row groups) →
+  * atomic directory swap under the family's own commit lock, so
+  * concurrent appends serialize against the swap and none is lost.
+  */
+object FileCompaction {
+
+  final case class Stats(filesBefore: Long, filesAfter: Long,
+      bytes: Long, rows: Long)
+
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** Rewrite `family`'s log into ~`targetBytes` files; returns stats.
+    * Data-preserving by construction (same elements, any order — the log
+    * is an unordered multiset; consumers order by position columns).
+    */
+  def compact(family: CommitLogFamily, targetBytes: Long = 128L << 20): Stats =
+    graft.core.CommitArbiter.withCommitLock(family) {
+      val spark = family.spark
+      val before = listDataFiles(spark, family.path)
+      if (before.isEmpty) Stats(0, 0, 0, 0)
+      else compactListed(family, before, targetBytes)
+    }
+
+  private def compactListed(family: CommitLogFamily,
+      before: Seq[(String, Long)], targetBytes: Long): Stats = {
+      val spark = family.spark
+      val bytes = before.map(_._2).sum
+      val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val staging = family.path + "_compacting"
+      val rows = family.batchUpdates().count()
+      family.batchUpdates()
+        .repartition(parts)
+        .sortWithinPartitions("stamp", "key", "attribute")
+        .write.mode("overwrite").parquet(staging)
+      val fs = new Path(family.path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // swap: remove old data files, move staged ones in (metadata files
+      // like _commit.lock stay put — the lock we hold lives there)
+      before.foreach { case (f, _) => fs.delete(new Path(f), false) }
+      listDataFiles(spark, staging).foreach { case (f, _) =>
+        val src = new Path(f)
+        fs.rename(src, new Path(family.path, src.getName))
+      }
+      fs.delete(new Path(staging), true)
+      Stats(before.size, listDataFiles(spark, family.path).size, bytes, rows)
+  }
+}

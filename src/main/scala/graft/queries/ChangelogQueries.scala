@@ -275,6 +275,26 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // small-files maintenance (operators/FileCompaction): the changelog
+    // lands as 24 tiny parquet commits (6 appends × 4 partitions — the
+    // many-writers pattern), gets compacted to target-sized files under
+    // the family's commit lock, and must read back element-identical.
+    // The in-query require makes a no-op compaction fail loudly; the
+    // oracle proves data preservation
+    "q_file_compaction" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+      val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+      val log = Tables.eventsAsChangelog(s, d).repartition(4)
+      (0 until 6).foreach(i => fam.append(log.filter(col("seqId") % 6 === i)))
+      val stats = graft.operators.FileCompaction.compact(fam,
+        targetBytes = 64L << 20)
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction must reduce files: $stats")
+      materialized(eventTypeAgg(fam.batchUpdates().toDF())) {
+        deleteRecursively(tmp)
+      }
+    }),
+
     // stamp-range read through the time-sliced BLOB storage: the events
     // changelog is appended into roll-period partitions and the range
     // read prunes whole period directories (reference io-blob/io-bulkfs
@@ -589,6 +609,12 @@ object ChangelogQueries extends QuerySet {
 
     // one copy of everything, despite the double append
     "q_idempotent_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // compaction must be invisible to readers: the same full aggregate
+    "q_file_compaction" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin,
