@@ -38,21 +38,32 @@ object FileCompaction {
     * is an unordered multiset; consumers order by position columns).
     */
   def compact(family: CommitLogFamily, targetBytes: Long = 128L << 20): Stats =
+    compactRetaining(family, Long.MinValue, targetBytes)
+
+  /** [[compact]] that ALSO enforces a retention horizon: elements with
+    * `stamp < keepFromUs` are dropped during the rewrite — one pass does
+    * both maintenance jobs (the reference's bulk families age out whole
+    * roll-period files; this is the element-precise form for flat logs).
+    * Readers see the cutoff atomically with the swap.
+    */
+  def compactRetaining(family: CommitLogFamily, keepFromUs: Long,
+      targetBytes: Long = 128L << 20): Stats =
     graft.core.CommitArbiter.withCommitLock(family) {
-      val spark = family.spark
-      val before = listDataFiles(spark, family.path)
+      val before = listDataFiles(family.spark, family.path)
       if (before.isEmpty) Stats(0, 0, 0, 0)
-      else compactListed(family, before, targetBytes)
+      else compactListed(family, before, keepFromUs, targetBytes)
     }
 
   private def compactListed(family: CommitLogFamily,
-      before: Seq[(String, Long)], targetBytes: Long): Stats = {
+      before: Seq[(String, Long)], keepFromUs: Long,
+      targetBytes: Long): Stats = {
       val spark = family.spark
       val bytes = before.map(_._2).sum
       val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val staging = family.path + "_compacting"
-      val rows = family.batchUpdates().count()
-      family.batchUpdates()
+      val kept = family.batchUpdates(from = keepFromUs)
+      val rows = kept.count()
+      kept
         .repartition(parts)
         .sortWithinPartitions("stamp", "key", "attribute")
         .write.mode("overwrite").parquet(staging)

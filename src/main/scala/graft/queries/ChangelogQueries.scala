@@ -295,6 +295,20 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // retention enforcement through the same maintenance pass: elements
+    // before the horizon are dropped during the compaction rewrite and
+    // the cutoff is visible atomically with the swap
+    "q_log_retention" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-retain-q").toString
+      val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+      fam.append(Tables.eventsAsChangelog(s, d))
+      graft.operators.FileCompaction.compactRetaining(fam,
+        keepFromUs = RangeFromUs)
+      materialized(eventTypeAgg(fam.batchUpdates().toDF())) {
+        deleteRecursively(tmp)
+      }
+    }),
+
     // stamp-range read through the time-sliced BLOB storage: the events
     // changelog is appended into roll-period partitions and the range
     // read prunes whole period directories (reference io-blob/io-bulkfs
@@ -618,6 +632,13 @@ object ChangelogQueries extends QuerySet {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // retention: the same aggregate over the kept horizon only
+    "q_log_retention" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type""".stripMargin,
 
     "q_blob_updates_range" ->
       """SELECT event_type, count(*) AS n,

@@ -55,6 +55,15 @@ class FileCompactionSpec extends SparkSpec {
     assert(f.batchUpdates(from = 5, until = 12).count() == 7)
   }
 
+  test("retention compaction drops pre-horizon elements atomically") {
+    val f = fam()
+    f.append(spark.createDataset((0 until 100).map(up))(StreamElement.encoder))
+    val st = FileCompaction.compactRetaining(f, keepFromUs = 40)
+    assert(st.rows == 60)
+    val back = f.batchUpdates().collect()
+    assert(back.length == 60 && back.forall(_.stamp >= 40))
+  }
+
   test("empty family compacts to empty stats") {
     assert(FileCompaction.compact(fam()) ==
       FileCompaction.Stats(0, 0, 0, 0))
