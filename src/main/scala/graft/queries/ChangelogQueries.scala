@@ -309,6 +309,22 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // roll-period retention on the BLOB layout: whole period directories
+    // at-or-before the horizon are DELETED BY PREFIX — zero bytes read or
+    // rewritten (the object-store aging model; element-precise retention
+    // is q_log_retention's flat-log pass). The horizon sits on a period
+    // boundary here, so the two retention forms agree exactly
+    "q_blob_retention" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-blobret-q").toString
+      val fam = new graft.streaming.BlobLogFamily(s, s"$tmp/blob")
+      fam.append(Tables.eventsAsChangelog(s, d))
+      val dropped = fam.expirePeriods(keepFromUs = RangeFromUs)
+      require(dropped.nonEmpty, "fixture must have expired periods")
+      materialized(eventTypeAgg(fam.batchUpdates().toDF())) {
+        deleteRecursively(tmp)
+      }
+    }),
+
     // stamp-range read through the time-sliced BLOB storage: the events
     // changelog is appended into roll-period partitions and the range
     // read prunes whole period directories (reference io-blob/io-bulkfs
@@ -632,6 +648,13 @@ object ChangelogQueries extends QuerySet {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // prefix deletion on a boundary horizon == element-precise retention
+    "q_blob_retention" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type""".stripMargin,
 
     // retention: the same aggregate over the kept horizon only
     "q_log_retention" ->

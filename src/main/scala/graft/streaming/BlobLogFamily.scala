@@ -48,6 +48,33 @@ final class BlobLogFamily(val spark: SparkSession, val path: String,
   override def commitLockToken: String = s"blob:$path"
   override def commitLockPath: Option[String] = Some(s"$path/_commit.lock")
 
+  /** Retention by ROLL PERIOD: drop every period directory that ends
+    * at-or-before `keepFromUs` — whole-prefix deletion with zero data
+    * read/rewrite, the way object-store bulk families age out (the
+    * reference's bulk layouts delete by name prefix; io-bulkfs roll
+    * files carry their stamp range for exactly this). Element-precise
+    * retention belongs to flat logs
+    * ([[graft.operators.FileCompaction.compactRetaining]]); here the
+    * period containing the horizon SURVIVES whole — readers see the
+    * cutoff floored to the previous period boundary. Returns the dropped
+    * period starts.
+    */
+  def expirePeriods(keepFromUs: Long): Seq[Long] =
+    graft.core.CommitArbiter.withCommitLock(this) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val dropped = fs.listStatus(p).toSeq
+          .filter(_.getPath.getName.startsWith("roll="))
+          .map(s => s.getPath -> s.getPath.getName.stripPrefix("roll=").toLong)
+          .filter { case (_, start) => start + rollSpan <= keepFromUs }
+          .sortBy(_._2)
+        dropped.foreach { case (dir, _) => fs.delete(dir, true) }
+        dropped.map(_._2)
+      }
+    }
+
   private def schemaWithRoll: StructType =
     encoder.schema.add("roll", LongType)
 

@@ -55,6 +55,24 @@ class BlobLogFamilySpec extends SparkSpec {
     assert(live == Set("b", "c"), "the delete must evict key a")
   }
 
+  test("expirePeriods drops whole expired period directories, keeps the rest") {
+    val dir = Files.createTempDirectory("graft-blob-exp").toString
+    val fam = new BlobLogFamily(spark, s"$dir/blob", rollSpan = 1000L)
+    fam.append(Seq(el("a", 100, "p0"), el("b", 1500, "p1"),
+      el("c", 2500, "p2"), el("d", 2900, "p2b")))
+    // horizon 2100: periods ending <= 2100 ([0,1000) and [1000,2000)) go
+    val dropped = fam.expirePeriods(keepFromUs = 2100)
+    assert(dropped == Seq(0L, 1000L))
+    val left = fam.batchUpdates().collect().map(_.key).toSet
+    assert(left == Set("c", "d"))
+    // the surviving period keeps ALL its elements, pre-horizon included
+    // (whole-prefix granularity; boundary-exactness is the flat-log pass)
+    assert(fam.expirePeriods(keepFromUs = 2100).isEmpty) // idempotent
+    val root = new java.io.File(s"$dir/blob")
+    val rolls = root.listFiles().map(_.getName).filter(_.startsWith("roll="))
+    assert(rolls.toSeq == Seq("roll=2000"))
+  }
+
   test("blob:// scheme binds through the operator and serves reads/writes") {
     val repo = Repository.parse(
       """entities { doc { attributes { "body" { scheme: string } } } }
