@@ -40,6 +40,11 @@ object Tables {
     *    see the case branch for why cast/to_utc_timestamp/timestampdiff all
     *    fail that bar), matching DuckDB's epoch_us on the same naive value.
     */
+  // per-dir cache of the detected long-ts epoch unit (one tiny max()
+  // action on first touch; >0 = divisor to micros, <0 = −multiplier)
+  private val longTsUnit =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver's smoke check)
     // may lack the nanos-as-long setting GraftSession applies — without it
@@ -53,9 +58,25 @@ object Tables {
       val df = table(s, d, "events")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
+          // SELF-DETECT the epoch unit from magnitude (cached per dir):
+          // round 7 lost 30 queries to a silent vintage change, and a
+          // millis-as-long vintage fed through a nanos divisor would be
+          // silently wrong by 10^6 — loud beats lucky. 2024 epochs:
+          // nanos ~1.7e18, micros ~1.7e15, millis ~1.7e12.
+          val unitDiv = longTsUnit.getOrElseUpdate(d, {
+            val m = df.agg(max(col("ts"))).collect()(0).getLong(0)
+            if (m > 100000000000000000L) 1000L        // nanos  -> micros
+            else if (m > 100000000000000L) 1L         // micros -> micros
+            else if (m > 100000000000L) -1000L        // millis -> micros (mul)
+            else throw new IllegalStateException(
+              s"events.ts long value $m matches no known epoch unit")
+          })
           // integer `div`, not `/`: nanos exceed 2^53, double division would
           // lose microseconds
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          if (unitDiv > 0)
+            df.withColumn("ts", timestamp_micros(expr(s"ts div $unitDiv")))
+          else
+            df.withColumn("ts", timestamp_micros(expr(s"ts * ${-unitDiv}")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           // Pure field arithmetic — the ONLY total zone-free NTZ→micros
           // path (all probed under a Chicago session):
@@ -71,7 +92,10 @@ object Tables {
             """unix_date(cast(ts as date)) * 86400000000L
               | + hour(ts) * 3600000000L + minute(ts) * 60000000L
               | + cast(date_part('SECOND', ts) * 1000000 as long)""".stripMargin)))
-        case _ => df
+        case org.apache.spark.sql.types.TimestampType => df
+        case other => throw new IllegalStateException(
+          s"events.ts arrived as $other — unknown testdata vintage; " +
+            "extend Tables.events rather than letting queries fail one by one")
       }
     } finally prev match {
       case Some(v) => s.conf.set(Key, v)
