@@ -64,7 +64,12 @@ final case class AttributeFamilyDescriptor(
     attributes: Seq[String],   // declared names or "*"
     storageUri: String,
     familyType: String,        // primary | replica
-    access: Set[String]) {
+    access: Set[String],
+    // remaining scalar keys (e.g. `retention: 30d`,
+    // `compact-target-mb: 128`) — declared maintenance policies and
+    // binding tunables ride here, the reference's cfg-map pattern
+    // (AttributeFamilyDescriptor cfg / ConfigRepository family options)
+    options: Map[String, String] = Map.empty) {
   def canReadCommitLog: Boolean = access.contains(Access.CommitLog)
   def canReadBatchUpdates: Boolean = access.contains(Access.BatchUpdates)
   def canReadBatchSnapshot: Boolean = access.contains(Access.BatchSnapshot)
@@ -166,7 +171,13 @@ object Repository {
           },
           storageUri = m.get("storage").map(HoconLite.str).getOrElse(""),
           familyType = m.get("type").map(HoconLite.str).getOrElse("primary"),
-          access = access)
+          access = access,
+          options = m.view
+            .filterKeys(k => !Set("entity", "attributes", "storage",
+              "type", "access").contains(k))
+            .collect { case (k, v) if !v.isInstanceOf[Map[_, _]] &&
+              !v.isInstanceOf[List[_]] => k -> HoconLite.str(v) }
+            .toMap)
       }
     val transformations = HoconLite.obj(root.getOrElse("transformations", Map.empty))
       .map { case (tname, body) =>

@@ -275,6 +275,19 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // impulse → expand: the reference's synthetic-source idiom
+    // (BeamStream.impulse:254 — one element triggering a bounded
+    // generation). The single impulse element fans out deterministically
+    // and aggregates; the oracle replays the expansion from range()
+    "q_impulse_seed" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.Impulse.impulse(s).as[Long]
+        .flatMap(_ => 0L until 1000L)
+        .toDF("tick")
+        .groupBy((col("tick") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("tick")).as("sum_tick"))
+    }),
+
     // small-files maintenance (operators/FileCompaction): the changelog
     // lands as 24 tiny parquet commits (6 appends × 4 partitions — the
     // many-writers pattern), gets compacted to target-sized files under
@@ -642,6 +655,11 @@ object ChangelogQueries extends QuerySet {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_impulse_seed" ->
+      """SELECT range % 7 AS bucket, count(*) AS n,
+        |CAST(sum(range) AS BIGINT) AS sum_tick
+        |FROM range(1000) GROUP BY 1""".stripMargin,
 
     // compaction must be invisible to readers: the same full aggregate
     "q_file_compaction" ->
