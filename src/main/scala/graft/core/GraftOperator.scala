@@ -3,9 +3,9 @@ package graft.core
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.randomaccess.RandomAccessReader
-import graft.streaming.{AttributeLogFamily, BlobLogFamily, CachedView,
-  CommitLogFamily, EmbeddedKafka, EmbeddedWideRow, KafkaLogFamily,
-  WideRowFamily}
+import graft.streaming.{AttributeLogFamily, BlobLogFamily,
+  BucketedStoreFamily, CachedView, CommitLogFamily, EmbeddedKafka,
+  EmbeddedWideRow, KafkaLogFamily, WideRowFamily}
 
 /** Config-driven data operator: resolves entities/attributes to storage
   * families by required access pattern and hands out readers/writers — the
@@ -84,6 +84,21 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
         rollSpan match {
           case Some(r) => new BlobLogFamily(spark, resolvePath(innerUri), r)
           case None    => new BlobLogFamily(spark, resolvePath(innerUri))
+        }
+      // pre-compacted key-bucketed random-access store (the reference's
+      // Cassandra/HBase family role): bucketed://<inner-uri>[?buckets=N]
+      case "bucketed" =>
+        val (inner, query) = rest.indexOf('?') match {
+          case -1 => (rest, "")
+          case q  => (rest.substring(0, q), rest.substring(q + 1))
+        }
+        val buckets = query.split('&').collectFirst {
+          case kv if kv.startsWith("buckets=") => kv.drop(8).toInt
+        }
+        val innerUri = if (inner.contains("://")) inner else s"inmem://$inner"
+        buckets match {
+          case Some(b) => new BucketedStoreFamily(spark, resolvePath(innerUri), b)
+          case None    => new BucketedStoreFamily(spark, resolvePath(innerUri))
         }
       case _ => new CommitLogFamily(spark, resolvePath(storageUri))
     }

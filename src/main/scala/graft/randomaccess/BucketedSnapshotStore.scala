@@ -67,7 +67,15 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
       org.apache.spark.sql.types.StructField("kb",
         org.apache.spark.sql.types.LongType))
 
-  private def readDf: DataFrame = spark.read.schema(readSchema).parquet(path)
+  private def readDf: DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a store nothing was ever written to is a legitimately empty store
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+    else spark.read.schema(readSchema).parquet(path)
+  }
 
   /** The live snapshot view (all buckets, tombstones hidden). */
   def snapshot(): Dataset[StreamElement] =

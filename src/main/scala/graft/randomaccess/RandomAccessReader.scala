@@ -40,20 +40,42 @@ final class RandomAccessReader(family: AttributeLogFamily) {
         col("attribute") === attribute.substring(0, i + 1) + "*")
   }
 
+  /** A bucketed store family serves point reads from its pre-compacted
+    * bucket-pruned layout — no per-lookup compaction (the access-path
+    * routing the reference does per family type).
+    */
+  private def bucketed: Option[graft.randomaccess.BucketedSnapshotStore] =
+    family match {
+      case b: graft.streaming.BucketedStoreFamily => Some(b.store)
+      case _ => None
+    }
+
   /** Latest value at-or-before `stamp` (get:121). */
   def get(key: String, attribute: String,
       stamp: Long = Long.MaxValue): Option[StreamElement] =
-    compactFor(col("key") === key && attributeOrTombstone(attribute), stamp)
-      .filter(col("attribute") === attribute)
-      .collect().headOption
+    bucketed.filter(_ => stamp == Long.MaxValue) match {
+      case Some(store) =>
+        graft.core.Metrics.inc("graft.randomaccess.lookups")
+        store.get(key, attribute)
+      case None =>
+        compactFor(col("key") === key && attributeOrTombstone(attribute), stamp)
+          .filter(col("attribute") === attribute)
+          .collect().headOption
+    }
 
   /** Batched point lookups (multiFetch:181) — one scan, broadcast semi-join
     * on the key set.
     */
   def multiFetch(keys: Seq[String], attribute: String): Map[String, StreamElement] =
-    compactFor(col("key").isin(keys: _*) && attributeOrTombstone(attribute))
-      .filter(col("attribute") === attribute)
-      .collect().map(e => e.key -> e).toMap
+    bucketed match {
+      case Some(store) =>
+        graft.core.Metrics.inc("graft.randomaccess.lookups")
+        store.multiFetch(keys, attribute)
+      case None =>
+        compactFor(col("key").isin(keys: _*) && attributeOrTombstone(attribute))
+          .filter(col("attribute") === attribute)
+          .collect().map(e => e.key -> e).toMap
+    }
 
   /** Wildcard suffix listing with paging (scanWildcard:260). Admits covering
     * tombstones even when `wildcardPrefix` is deeper than the wildcard root
