@@ -56,6 +56,19 @@ class BucketedStoreFamilySpec extends SparkSpec {
     assert(snap == Map("a" -> "v1", "b" -> "v2"))
   }
 
+  test("the retrieve service routes point reads through the store path") {
+    val op = operator()
+    op.family("state-store").append(Seq(
+      up("k1", "status", 1, "hello"), del("k1", "status", 2),
+      up("k1", "status", 3, "resurrected"), up("k2", "status", 4, "x")))
+    val svc = new graft.service.RetrieveService(op)
+    assert(svc.get("user", "k1", "status").map(new String(_))
+      == Some("resurrected"))
+    assert(svc.multifetch("user", "status", Seq("k1", "k2", "nope"))
+      .view.mapValues(new String(_)).toMap ==
+      Map("k1" -> "resurrected", "k2" -> "x"))
+  }
+
   test("commit-log access is refused (state, not history)") {
     val op = operator()
     intercept[UnsupportedOperationException] {
