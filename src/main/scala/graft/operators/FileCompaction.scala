@@ -15,8 +15,15 @@ import graft.streaming.CommitLogFamily
   * directory into files of ~`targetBytes` WITHOUT changing a single
   * element: read → coalesce to ceil(bytes/target) partitions →
   * stamp-sorted rewrite (so stamp-range reads prune row groups) →
-  * atomic directory swap under the family's own commit lock, so
-  * concurrent appends serialize against the swap and none is lost.
+  * directory swap under the family's own commit lock, so concurrent
+  * APPENDS serialize against the swap and none is lost.
+  *
+  * Reader isolation contract: a reader whose scan races the swap can
+  * observe a partially-swapped directory — plain parquet directories
+  * have no manifest to version reads against (that transaction log is
+  * exactly what table formats add, and is out of scope per SURVEY §7).
+  * Run maintenance in the family's quiet window, as the reference's
+  * bulk compactions do; writers need no window (the lock covers them).
   */
 object FileCompaction {
 
