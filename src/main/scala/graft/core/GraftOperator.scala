@@ -73,35 +73,37 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
       // file:///x, s3a://bucket/x), elements roll into stamp-period
       // partition directories
       case "blob" =>
-        val (inner, query) = rest.indexOf('?') match {
-          case -1 => (rest, "")
-          case q  => (rest.substring(0, q), rest.substring(q + 1))
-        }
-        val rollSpan = query.split('&').collectFirst {
-          case kv if kv.startsWith("rollSpan=") => kv.drop(9).toLong
-        }
-        val innerUri = if (inner.contains("://")) inner else s"inmem://$inner"
-        rollSpan match {
-          case Some(r) => new BlobLogFamily(spark, resolvePath(innerUri), r)
-          case None    => new BlobLogFamily(spark, resolvePath(innerUri))
+        val (path, param) = wrappedUri(rest, "rollSpan")
+        param.map(_.toLong) match {
+          case Some(r) => new BlobLogFamily(spark, path, r)
+          case None    => new BlobLogFamily(spark, path)
         }
       // pre-compacted key-bucketed random-access store (the reference's
       // Cassandra/HBase family role): bucketed://<inner-uri>[?buckets=N]
       case "bucketed" =>
-        val (inner, query) = rest.indexOf('?') match {
-          case -1 => (rest, "")
-          case q  => (rest.substring(0, q), rest.substring(q + 1))
-        }
-        val buckets = query.split('&').collectFirst {
-          case kv if kv.startsWith("buckets=") => kv.drop(8).toInt
-        }
-        val innerUri = if (inner.contains("://")) inner else s"inmem://$inner"
-        buckets match {
-          case Some(b) => new BucketedStoreFamily(spark, resolvePath(innerUri), b)
-          case None    => new BucketedStoreFamily(spark, resolvePath(innerUri))
+        val (path, param) = wrappedUri(rest, "buckets")
+        param.map(_.toInt) match {
+          case Some(b) => new BucketedStoreFamily(spark, path, b)
+          case None    => new BucketedStoreFamily(spark, path)
         }
       case _ => new CommitLogFamily(spark, resolvePath(storageUri))
     }
+  }
+
+  /** Wrapper-scheme URI parsing: `<inner-uri>[?<param>=v]` → resolved
+    * inner path + the named query parameter (shared by every family
+    * binding that wraps a path storage).
+    */
+  private def wrappedUri(rest: String, param: String): (String, Option[String]) = {
+    val (inner, query) = rest.indexOf('?') match {
+      case -1 => (rest, "")
+      case q  => (rest.substring(0, q), rest.substring(q + 1))
+    }
+    val value = query.split('&').collectFirst {
+      case kv if kv.startsWith(param + "=") => kv.drop(param.length + 1)
+    }
+    val innerUri = if (inner.contains("://")) inner else s"inmem://$inner"
+    (resolvePath(innerUri), value)
   }
 
   def family(name: String): AttributeLogFamily = {

@@ -60,12 +60,15 @@ object Expectations {
         // distinct and non-null counts both needed; pack via struct-free
         // twin columns (the second lands after the fixed block below)
         countDistinct(col(c)).as(s"__m$i")
+      // coalesce: sum over ZERO rows is null, and the gate must report
+      // an empty input's failures, not NPE on them
       case (InRange(c, lo, hi, _), i) =>
-        sum(when(col(c).isNotNull &&
-          (col(c) < lo || col(c) > hi), 1L).otherwise(0L)).as(s"__m$i")
+        coalesce(sum(when(col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi), 1L).otherwise(0L)), lit(0L))
+          .as(s"__m$i")
       case (InSet(c, allowed, _), i) =>
-        sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
-          .otherwise(0L)).as(s"__m$i")
+        coalesce(sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
+          .otherwise(0L)), lit(0L)).as(s"__m$i")
       case (MinCount(_), i) => count(lit(1)).as(s"__m$i")
     }
     val extra: Seq[Column] = checks.zipWithIndex.collect {

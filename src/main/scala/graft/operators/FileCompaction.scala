@@ -68,22 +68,38 @@ object FileCompaction {
       val bytes = before.map(_._2).sum
       val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val staging = family.path + "_compacting"
+      val trash = family.path + "/_compact_trash"
+      val fs = new Path(family.path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // CRASH SAFETY: a previous run that died mid-swap leaves its bytes
+      // in staging/trash — refuse to run (and to overwrite them) until an
+      // operator resolves; silent data loss is the one unacceptable
+      // outcome of a maintenance job
+      require(!fs.exists(new Path(staging)) && !fs.exists(new Path(trash)),
+        s"interrupted compaction detected: resolve $staging / $trash " +
+          "before compacting again (all committed bytes are preserved there)")
       val kept = family.batchUpdates(from = keepFromUs)
       val rows = kept.count()
       kept
         .repartition(parts)
         .sortWithinPartitions("stamp", "key", "attribute")
         .write.mode("overwrite").parquet(staging)
-      val fs = new Path(family.path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      // swap: remove old data files, move staged ones in (metadata files
-      // like _commit.lock stay put — the lock we hold lives there)
-      before.foreach { case (f, _) => fs.delete(new Path(f), false) }
+      // swap, never destroying the only copy: old files MOVE to an
+      // underscore-prefixed trash dir (invisible to Spark's file index,
+      // atomic per file), staged files move in, trash deleted LAST —
+      // a crash at any point leaves every element on disk and the next
+      // run fails loudly via the guard above
+      fs.mkdirs(new Path(trash))
+      before.foreach { case (f, _) =>
+        val p = new Path(f)
+        fs.rename(p, new Path(trash, p.getName))
+      }
       listDataFiles(spark, staging).foreach { case (f, _) =>
         val src = new Path(f)
         fs.rename(src, new Path(family.path, src.getName))
       }
       fs.delete(new Path(staging), true)
+      fs.delete(new Path(trash), true)
       Stats(before.size, listDataFiles(spark, family.path).size, bytes, rows)
   }
 }

@@ -80,7 +80,11 @@ object LatestWithTombstones {
 
     def finish(a: Acc): Seq[StreamElement] =
       if (retainTombstones) a.latest.values.toSeq
-      else a.latest.values.filterNot(_.delete).toSeq
+      // isDelete, not delete: the retained wildcard tombstone entry may
+      // carry deleteWildcard=true with delete=false (the case class
+      // permits it even though the factory sets both) and must never
+      // surface as a live row
+      else a.latest.values.filterNot(_.isDelete).toSeq
 
     def bufferEncoder: Encoder[Acc] = Encoders.product[Acc]
     def outputEncoder: Encoder[Seq[StreamElement]] =

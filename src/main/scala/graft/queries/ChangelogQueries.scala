@@ -294,8 +294,7 @@ object ChangelogQueries extends QuerySet {
     // the family's commit lock, and must read back element-identical.
     // The in-query require makes a no-op compaction fail loudly; the
     // oracle proves data preservation
-    "q_file_compaction" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+    "q_file_compaction" -> ((s, d) => withScratch("graft-compact-q") { tmp =>
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
       val log = Tables.eventsAsChangelog(s, d).repartition(4)
       (0 until 6).foreach(i => fam.append(log.filter(col("seqId") % 6 === i)))
@@ -311,8 +310,7 @@ object ChangelogQueries extends QuerySet {
     // retention enforcement through the same maintenance pass: elements
     // before the horizon are dropped during the compaction rewrite and
     // the cutoff is visible atomically with the swap
-    "q_log_retention" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-retain-q").toString
+    "q_log_retention" -> ((s, d) => withScratch("graft-retain-q") { tmp =>
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
       fam.append(Tables.eventsAsChangelog(s, d))
       graft.operators.FileCompaction.compactRetaining(fam,
@@ -327,8 +325,7 @@ object ChangelogQueries extends QuerySet {
     // rewritten (the object-store aging model; element-precise retention
     // is q_log_retention's flat-log pass). The horizon sits on a period
     // boundary here, so the two retention forms agree exactly
-    "q_blob_retention" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-blobret-q").toString
+    "q_blob_retention" -> ((s, d) => withScratch("graft-blobret-q") { tmp =>
       val fam = new graft.streaming.BlobLogFamily(s, s"$tmp/blob")
       fam.append(Tables.eventsAsChangelog(s, d))
       val dropped = fam.expirePeriods(keepFromUs = RangeFromUs)

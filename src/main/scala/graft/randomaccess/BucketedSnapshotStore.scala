@@ -163,23 +163,33 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
 
   /** Stage `merged` (keys restricted to `affected` buckets) and swap each
     * affected directory; a bucket with no staged contents is legitimately
-    * empty and just gets removed.
+    * empty and just gets removed. Crash-safe: old bucket dirs MOVE into
+    * an underscore-prefixed trash dir (invisible to the reads, atomic
+    * per rename) and trash is deleted LAST, so an interruption at any
+    * point preserves every cell on disk and the next mutation refuses
+    * loudly until resolved.
     */
   private def swapBuckets(merged: Dataset[StreamElement],
       affected: Seq[Long]): Unit = {
     val staging = path + "_staging"
+    val trash = path + "/_swap_trash"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(staging)) && !fs.exists(new Path(trash)),
+      s"interrupted store swap detected: resolve $staging / $trash before " +
+        "mutating again (all cells are preserved there)")
     merged.toDF()
       .withColumn("kb", bucketCol(col("key")))
       .repartition(col("kb"))
       .sortWithinPartitions(col("kb"), col("key"), col("attribute"))
       .write.partitionBy("kb").mode("overwrite").parquet(staging)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(trash))
     affected.foreach { kb =>
       val live = new Path(s"$path/kb=$kb")
       val staged = new Path(s"$staging/kb=$kb")
-      fs.delete(live, true)
+      if (fs.exists(live)) fs.rename(live, new Path(s"$trash/kb=$kb"))
       if (fs.exists(staged)) fs.rename(staged, live)
     }
     fs.delete(new Path(staging), true)
+    fs.delete(new Path(trash), true)
   }
 }

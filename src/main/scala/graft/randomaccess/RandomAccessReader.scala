@@ -53,10 +53,17 @@ final class RandomAccessReader(family: AttributeLogFamily) {
   /** Latest value at-or-before `stamp` (get:121). */
   def get(key: String, attribute: String,
       stamp: Long = Long.MaxValue): Option[StreamElement] =
-    bucketed.filter(_ => stamp == Long.MaxValue) match {
-      case Some(store) =>
+    bucketed match {
+      case Some(store) if stamp == Long.MaxValue =>
         graft.core.Metrics.inc("graft.randomaccess.lookups")
         store.get(key, attribute)
+      case Some(_) =>
+        // falling back to compactFor would SILENTLY answer from
+        // latest-only state (overwritten history is gone) — refuse
+        throw new UnsupportedOperationException(
+          "stamped get over a bucketed store: the store holds only the " +
+            "latest element per cell; serve time travel from a " +
+            "batch-updates family")
       case None =>
         compactFor(col("key") === key && attributeOrTombstone(attribute), stamp)
           .filter(col("attribute") === attribute)
@@ -95,8 +102,13 @@ final class RandomAccessReader(family: AttributeLogFamily) {
   }
 
   /** All attributes of a key (scanWildcardAll:207). */
-  def scanWildcardAll(key: String, stamp: Long = Long.MaxValue): Seq[StreamElement] =
+  def scanWildcardAll(key: String, stamp: Long = Long.MaxValue): Seq[StreamElement] = {
+    if (stamp != Long.MaxValue && bucketed.isDefined)
+      throw new UnsupportedOperationException(
+        "stamped scan over a bucketed store holds only latest state; " +
+          "serve time travel from a batch-updates family")
     compactFor(col("key") === key, stamp).orderBy(col("attribute")).collect().toSeq
+  }
 
   /** Paged key listing (listEntities:325). */
   def listEntities(offset: Int, limit: Int): Seq[String] =

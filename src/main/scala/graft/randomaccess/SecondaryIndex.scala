@@ -40,7 +40,11 @@ object SecondaryIndex {
       lit("index").as("entity"),
       indexKey(attribute, col("value").cast("string")).as("key"),
       concat(lit("ref."), col("key")).as("attribute"),
-      concat(lit("ix-"), col("key"), lit("-"), stampCol).as("uuid"),
+      // identity must separate a retraction from an assertion at the
+      // same (entity key, stamp) — they live under DIFFERENT index keys,
+      // so the index key (attribute=value) goes into the uuid
+      concat(lit("ix-"), indexKey(attribute, col("value").cast("string")),
+        lit("@"), col("key"), lit("-"), stampCol).as("uuid"),
       lit(0L).as("seqId"),
       stampCol.as("stamp"),
       when(deleteCol, lit(null)).otherwise(encode(col("key"), "UTF-8"))

@@ -64,12 +64,14 @@ object Tables {
           // silently wrong by 10^6 — loud beats lucky. 2024 epochs:
           // nanos ~1.7e18, micros ~1.7e15, millis ~1.7e12.
           val unitDiv = longTsUnit.getOrElseUpdate(d, {
-            val m = df.agg(max(col("ts"))).collect()(0).getLong(0)
+            val row = df.agg(max(col("ts"))).collect()(0)
+            if (row.isNullAt(0)) 1L // empty table: any unit reads empty
+            else { val m = row.getLong(0)
             if (m > 100000000000000000L) 1000L        // nanos  -> micros
             else if (m > 100000000000000L) 1L         // micros -> micros
             else if (m > 100000000000L) -1000L        // millis -> micros (mul)
             else throw new IllegalStateException(
-              s"events.ts long value $m matches no known epoch unit")
+              s"events.ts long value $m matches no known epoch unit") }
           })
           // integer `div`, not `/`: nanos exceed 2^53, double division would
           // lose microseconds

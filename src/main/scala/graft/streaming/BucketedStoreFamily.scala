@@ -40,6 +40,12 @@ final class BucketedStoreFamily(val spark: SparkSession, path: String,
 
   override def commitLockToken: String = s"bucketed:${store.path}"
 
+  /** Cross-process arbitration marker (the CommitLogFamily pattern) —
+    * two JVMs racing the non-atomic bucket swap must serialize.
+    */
+  override def commitLockPath: Option[String] =
+    Some(s"${store.path}/_commit.lock")
+
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement] = {
     var ds = store.contents()
@@ -50,7 +56,10 @@ final class BucketedStoreFamily(val spark: SparkSession, path: String,
 
   override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
     if (asOf == Long.MaxValue) store.snapshot()
-    else graft.operators.LatestWithTombstones.snapshot(store.contents(), asOf)
+    else throw new UnsupportedOperationException(
+      "bucketed:// stores only the LATEST element per cell — an as-of " +
+        "snapshot over it would silently miss overwritten history; serve " +
+        "time travel from a batch-updates family")
 
   def streamFromOldest(): Dataset[StreamElement] =
     throw new UnsupportedOperationException(
