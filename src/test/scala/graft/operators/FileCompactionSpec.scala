@@ -64,6 +64,22 @@ class FileCompactionSpec extends SparkSpec {
     assert(back.length == 60 && back.forall(_.stamp >= 40))
   }
 
+  test("an interrupted previous swap is detected, not destroyed") {
+    val f = fam()
+    f.append(spark.createDataset((0 until 10).map(up))(StreamElement.encoder))
+    // simulate a crash that left staging behind
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(f.path + "_compacting"))
+    val e = intercept[IllegalArgumentException] {
+      FileCompaction.compact(f)
+    }
+    assert(e.getMessage.contains("interrupted compaction"))
+    // resolving the leftover lets maintenance proceed
+    new scala.reflect.io.Directory(new java.io.File(f.path + "_compacting"))
+      .deleteRecursively()
+    assert(FileCompaction.compact(f).rows == 10)
+  }
+
   test("empty family compacts to empty stats") {
     assert(FileCompaction.compact(fam()) ==
       FileCompaction.Stats(0, 0, 0, 0))

@@ -134,6 +134,21 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(s.get("k", "x").map(e => new String(e.value)) == Some("zombie"))
   }
 
+  test("an interrupted previous bucket swap is detected, not destroyed") {
+    val s = store()
+    s.write(LatestWithTombstones.snapshot(log(hist.take(5))))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s.path + "_staging"))
+    val e = intercept[IllegalArgumentException] {
+      s.refresh(log(Seq(up("k1", "status", 100, "x"))))
+    }
+    assert(e.getMessage.contains("interrupted store swap"))
+    new scala.reflect.io.Directory(new java.io.File(s.path + "_staging"))
+      .deleteRecursively()
+    s.refresh(log(Seq(up("k1", "status", 100, "x"))))
+    assert(s.get("k1", "status").map(e2 => new String(e2.value)) == Some("x"))
+  }
+
   test("replicate restart from checkpoint converges (idempotent refresh)") {
     implicit val sq = spark.sqlContext
     implicit val enc = StreamElement.encoder
