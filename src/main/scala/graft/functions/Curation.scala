@@ -121,6 +121,28 @@ object Curation {
       rateBp: Column): DataFrame =
     docs.filter(sampleBucket(id, salt) < rateBp)
 
+  /** Deterministic weighted sampling WITHOUT replacement, probability
+    * proportional to `weight` (Efraimidis–Spirakis, via the Gumbel-key
+    * identity [[Dsir.gumbelMicros]] already carries): per-row key =
+    * `round(ln(weight)·1e6) + gumbel_micros(id)`, take the top k.
+    * The hash-derived Gumbel makes the "random" sample a pure function
+    * of (id, salt) — re-runs, retries, and the DuckDB oracle draw the
+    * SAME k rows. Zero-or-negative weights are excluded (ln undefined —
+    * and a zero-weight row must never be drawn).
+    *
+    * Scale shape: map-only scoring; selection lowers to TakeOrdered
+    * (per-partition top-k + a k-row driver merge, no global sort —
+    * the DSIR plan gate covers the identical lowering).
+    */
+  def weightedSample(docs: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String): DataFrame =
+    docs.filter(weight > 0)
+      .withColumn("sample_key_micros",
+        round(log(weight.cast("double")) * 1e6).cast("long") +
+          Dsir.gumbelMicros(id, salt))
+      .orderBy(col("sample_key_micros").desc, id.asc)
+      .limit(k)
+
   /** Temperature-balanced domain resampling (the multilingual-pretraining
     * alpha-smoothing move, fixed at alpha = 0.5): per-domain keep rate
     * `keep_bp = floor(10000 · sqrt(n_min / n_d))` basis points — the

@@ -169,6 +169,17 @@ object CurationQueries extends QuerySet {
       graft.functions.Dsir.sample(Tables.documents(s, d), "text",
         col("lang") === "en")),
 
+    // deterministic weighted sampling without replacement (functions/
+    // Curation.weightedSample): probability ∝ n_chars via Gumbel keys —
+    // the generic Efraimidis–Spirakis primitive behind DSIR's selection,
+    // exposed for plain weight columns. Map-only scoring, TakeOrdered
+    // selection, hash-derived randomness the oracle replays exactly
+    "q_weighted_sample" -> ((s, d) =>
+      graft.functions.Curation.weightedSample(
+          Tables.documents(s, d), col("doc_id"), col("n_chars"),
+          k = 40, salt = "wsamp")
+        .select(col("doc_id"), col("n_chars"), col("sample_key_micros"))),
+
     // link-graph centrality (functions/Centrality): integer-micro
     // PageRank over a deterministic citation graph (intra-source doc
     // chains + to-hub edges), 3 unrolled power iterations — the Common-
@@ -530,6 +541,20 @@ object CurationQueries extends QuerySet {
          |QUALIFY row_number() OVER (ORDER BY key_micros DESC, doc_id) <=
          |  ((SELECT count(*) FROM documents WHERE lang <> 'en') * 2000 + 9999)
          |    // 10000""".stripMargin,
+
+    // ln(weight) and the Gumbel perturbation are QUANTIZED SEPARATELY
+    // (two rounds) before the integer sum — replaying both rounding
+    // points is what makes the drawn sample bit-identical
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, n_chars, sample_key_micros FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+         |    + CAST(round(-ln(-ln(
+         |        (CAST(${hash60("wsamp", "doc_id")} AS DOUBLE) + 0.5)
+         |          / 1152921504606846976.0)) * 1e6) AS BIGINT)
+         |      AS sample_key_micros
+         |  FROM documents WHERE n_chars > 0)
+         |ORDER BY sample_key_micros DESC, doc_id LIMIT 40""".stripMargin,
 
     // three power iterations unrolled (recursive CTEs cannot aggregate);
     // base = (10000-8500)*1e6//10000 = 150000 micro-units

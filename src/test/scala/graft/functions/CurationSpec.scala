@@ -290,4 +290,24 @@ class CurationSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(7)))
     assert(run(docs).nonEmpty)
   }
+
+  test("weightedSample: deterministic, weight-proportional, excludes w<=0") {
+    val docs = (1L to 400L).map(i =>
+      (i, if (i <= 20) 1000L else if (i <= 400) 1L else 1L))
+      .toDF("doc_id", "w")
+      .unionByName(Seq((999L, 0L), (998L, -5L)).toDF("doc_id", "w"))
+    def draw() = Curation.weightedSample(docs, col("doc_id"), col("w"),
+        k = 30, salt = "t").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = draw()
+    assert(a == draw(), "hash-derived sample must be identical across runs")
+    assert(!a.contains(999L) && !a.contains(998L))
+    // the 20 heavy docs (1000x weight) dominate a k=30 draw
+    assert(a.count(_ <= 20) >= 15, s"heavy docs drawn: ${a.count(_ <= 20)}")
+    // partitioning invariance
+    val b = Curation.weightedSample(docs.repartition(13), col("doc_id"),
+        col("w"), k = 30, salt = "t").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
