@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * exactly reference BPE's greedy non-overlapping application (a
   * space-padded string `replace` would NOT be: its match consumes the
   * delimiter, so runs like `a a a a` merge once instead of twice). The
-  * DuckDB oracle replays the identical fold via `list_reduce`. No
+  * DuckDB oracle replays the identical fold via a recursive CTE. No
   * end-of-word marker (merges stay within words); add one upstream as a
   * reserved symbol if cross-boundary merges must be blocked from a
   * downstream tokenizer's perspective.

@@ -18,44 +18,63 @@ import org.apache.spark.sql.functions._
   *     correct driver-side surface, like KMeans centroid updates);
   *   - the PROJECTION is a map-only scan against the broadcast basis.
   *
-  * Determinism: per-row products are quantized to integer micro-units
-  * BEFORE the sum (float×float is exact in double; the quantized sum is
-  * exact integer arithmetic), so the gram matrix — and therefore the
-  * fitted basis — is bit-identical at any partitioning. That is what
-  * makes [[gramMicros]] a hash-checkable oracle query AND makes two
-  * cluster runs of [[fit]] agree exactly.
+  * Determinism: each COMPONENT is quantized to an integer before any
+  * product (scale 2^20: the float→double cast is exact, multiplying by
+  * a power of two only shifts the exponent — exact, and adding 0.5 to a
+  * ≤24-bit-mantissa value is exact), so the per-row contribution is pure
+  * int64 arithmetic with NO floating-point rounding anywhere an engine
+  * could bend — immune to FMA contraction, evaluation-order, and
+  * round-half-mode differences across engine builds. The gram matrix —
+  * and therefore the fitted basis — is bit-identical at any
+  * partitioning and on any IEEE-754 engine. That is what makes
+  * [[gramQ]] a hash-checkable oracle query AND makes two cluster runs
+  * of [[fit]] agree exactly.
   */
 object Pca {
 
-  /** Upper-triangle Gram matrix in micro-units: (i, j, micros) with
-    * 1-based i ≤ j and micros = Σ_rows floor(v[i]·v[j]·1e6 + 0.5) — exact
-    * integer output, engine-replayable. `floor(x+0.5)`, not `round(x)`:
-    * both engines define double `floor` identically, while `round` at an
-    * exact .5 product is HALF_UP in Spark but banker's-adjacent in DuckDB
-    * (the round-7 driver hash-fail on q_embed_gram).
+  /** Component quantization scale: 2^20. A power of two, NOT 1e6 — the
+    * multiply is then exact in IEEE double (exponent shift), so
+    * `floor(v*2^20 + 0.5)` involves zero rounded float ops and every
+    * engine/compiler computes the identical integer. (The r7/r8 driver
+    * hash-fails came from quantizing the 3-op double chain
+    * `v_i·v_j·1e6` whose intermediate roundings an FMA-contracting
+    * build can legally change.)
     */
-  def gramMicros(df: DataFrame, vecCol: String): DataFrame =
-    df.select(col(vecCol).as("__v"))
+  val QScale = 1048576.0
+  private val QScale2 = QScale * QScale // one gram unit = 2^-40
+
+  /** Upper-triangle Gram matrix in quantized units: (i, j, gram_q) with
+    * 1-based i ≤ j and gram_q = Σ_rows q_i·q_j where
+    * q_k = floor(v[k]·2^20 + 0.5) — components quantized FIRST, then
+    * pure int64 products/sums. Exact integer output, engine-replayable
+    * bit-for-bit (see class scaladoc).
+    */
+  def gramQ(df: DataFrame, vecCol: String): DataFrame =
+    df.select(expr(
+        s"""transform(`$vecCol`, x ->
+           |  CAST(floor(CAST(x AS DOUBLE) * $QScale + 0.5) AS BIGINT))"""
+          .stripMargin).as("__q"))
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(__v)), i ->
-          |  transform(sequence(i, size(__v)), j ->
+        """flatten(transform(sequence(1, size(__q)), i ->
+          |  transform(sequence(i, size(__q)), j ->
           |    struct(i AS i, j AS j,
-          |      CAST(floor(CAST(element_at(__v, i) AS DOUBLE)
-          |                 * CAST(element_at(__v, j) AS DOUBLE)
-          |                 * 1000000.0 + 0.5) AS BIGINT) AS m))))""".stripMargin))
+          |      element_at(__q, i) * element_at(__q, j) AS m))))""".stripMargin))
         .as("__c"))
       .select(col("__c.i").cast("long").as("i"),
         col("__c.j").cast("long").as("j"), col("__c.m").as("m"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("m")).as("micros"))
+      .agg(sum(col("m")).as("gram_q"))
 
-  /** DuckDB replay of [[gramMicros]]. */
+  /** DuckDB replay of [[gramQ]] — the same quantize-components-first
+    * integer basis, so any IEEE engine reproduces it exactly.
+    */
   def gramOracleSql(table: String = "embeddings",
       vecCol: String = "embedding"): String =
     s"""WITH e AS (SELECT $vecCol AS v FROM $table)
        |SELECT i, j,
-       |       sum(CAST(floor(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE)
-       |                      * 1000000.0 + 0.5) AS BIGINT)) AS micros
+       |       sum(CAST(floor(CAST(v[i] AS DOUBLE) * $QScale + 0.5) AS BIGINT)
+       |           * CAST(floor(CAST(v[j] AS DOUBLE) * $QScale + 0.5) AS BIGINT))
+       |         AS gram_q
        |FROM e,
        |     unnest(generate_series(1, len(v))) u(i),
        |     unnest(generate_series(1, len(v))) w(j)
@@ -69,11 +88,11 @@ object Pca {
     def dim: Int = vectors.headOption.map(_.length).getOrElse(0)
   }
 
-  /** Fit the top-k PCA basis: one distributed gram pass ([[gramMicros]]),
+  /** Fit the top-k PCA basis: one distributed gram pass ([[gramQ]]),
     * then cyclic Jacobi on the driver-side d×d matrix. `k ≤ d`.
     */
   def fit(df: DataFrame, vecCol: String, k: Int): Basis = {
-    val cells = gramMicros(df, vecCol).collect()
+    val cells = gramQ(df, vecCol).collect()
     val n = df.count().toDouble
     require(cells.nonEmpty, "PCA needs a non-empty corpus")
     val d = cells.map(_.getLong(1)).max.toInt
@@ -81,7 +100,7 @@ object Pca {
     val a = Array.ofDim[Double](d, d)
     cells.foreach { r =>
       val i = r.getLong(0).toInt - 1; val j = r.getLong(1).toInt - 1
-      val v = r.getLong(2).toDouble / 1e6 / n
+      val v = r.getLong(2).toDouble / QScale2 / n
       a(i)(j) = v; a(j)(i) = v
     }
     val (values, vectors) = jacobiEigen(a)

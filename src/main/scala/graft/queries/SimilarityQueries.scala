@@ -175,7 +175,7 @@ object SimilarityQueries extends QuerySet {
     // upper-triangle products quantized to integer micros, map-side
     // partial aggregation, d(d+1)/2-row result regardless of corpus size
     "q_embed_gram" -> ((s, d) =>
-      graft.functions.Pca.gramMicros(Tables.embeddings(s, d), "embedding"))
+      graft.functions.Pca.gramQ(Tables.embeddings(s, d), "embedding"))
   )
 
   /** The exact-reconstruction corpus for the PQ queries: subspace j

@@ -219,21 +219,38 @@ object TextQueries extends QuerySet {
 
   /** The BPE training replay as SQL (the WITH block): w0 = the
     * char-spaced word-frequency table, then per round r an argmax CTE
-    * (m_r) and the merged table (w_r), chained [[BPE_ROUNDS]] times —
-    * the same deterministic rounds [[graft.functions.BpeTrain.train]]
-    * runs.
+    * (m_r), a recursive fold CTE (a_r), and the merged table (w_r),
+    * chained [[BPE_ROUNDS]] times — the same deterministic rounds
+    * [[graft.functions.BpeTrain.train]] runs.
+    *
+    * VERSION-ROBUSTNESS: the replay deliberately avoids every DuckDB
+    * construct whose semantics have shifted across releases — no
+    * `regexp_replace` char-splitting, no `list_transform`/`list_reduce`
+    * lambdas (the r7/r8 driver hash-fails tracked to this class of
+    * construct diverging between the local and driver DuckDB builds).
+    * Char-split = `substr` positions re-joined with an ordered
+    * `string_agg`; pair enumeration = `split_part` over
+    * `generate_series` positions; the greedy non-overlapping merge
+    * fold = a RECURSIVE CTE stepping one symbol per iteration with the
+    * rebuilt string as accumulator (recursive-CTE semantics are stable
+    * SQL). Verified locally to produce bit-identical merges, vocab and
+    * tokenize output to the previous lambda-based replay.
     */
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++=
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms, freq
-        |  FROM (
-        |    SELECT word, count(*) AS freq
-        |    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |          FROM documents)
-        |    WHERE length(word) > 0
-        |    GROUP BY word)
+      """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word
+        |),
+        |w0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |         string_agg(substr(word, CAST(u.i AS INT), 1), ' ' ORDER BY u.i) AS syms
+        |  FROM wf, unnest(generate_series(1, length(word))) u(i)
+        |  GROUP BY word, freq
         |)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
@@ -244,37 +261,46 @@ object TextQueries extends QuerySet {
         |  FROM (
         |    SELECT pair, sum(freq) AS f FROM (
         |      SELECT freq,
-        |             unnest(list_transform(
-        |               generate_series(1, len(string_split(syms, ' ')) - 1),
-        |               i -> string_split(syms, ' ')[i] || ' ' ||
-        |                    string_split(syms, ' ')[i + 1])) AS pair
-        |      FROM w${r - 1})
+        |             split_part(syms, ' ', CAST(u.i AS INT)) || ' ' ||
+        |             split_part(syms, ' ', CAST(u.i AS INT) + 1) AS pair
+        |      FROM w${r - 1},
+        |           unnest(generate_series(1, len(string_split(syms, ' ')) - 1)) u(i))
         |    GROUP BY pair ORDER BY f DESC, pair LIMIT 1)
         |)""".stripMargin
       // the merge application is the same greedy non-overlapping fold
       // the engine runs (BpeTrain.applyMerge): accumulator = rebuilt
       // string, last token = "previous symbol" (a space-padded replace
-      // would under-merge runs — its match consumes the delimiter).
-      // Emitted for the FINAL round too: w$rounds is the tokenizer
-      // vocabulary q_bpe_tokenize joins on. LEFT JOIN, not a cross
-      // join: when training exhausts early m$r is EMPTY, and the table
-      // must pass through unchanged (an inner/cross join would empty
-      // every later w and silently zero the tokenize oracle) — the
-      // engine keeps its last vocab on exhaustion, so the replay must
-      // too
+      // would under-merge runs — its match consumes the delimiter),
+      // stepped one input symbol per recursion level. Emitted for the
+      // FINAL round too: w$rounds is the tokenizer vocabulary
+      // q_bpe_tokenize joins on. LEFT JOIN, not a cross join: when
+      // training exhausts early m$r is EMPTY, and the table must pass
+      // through unchanged (an inner/cross join would empty every later
+      // w and silently zero the tokenize oracle) — the engine keeps
+      // its last vocab on exhaustion, so the replay must too (with m$r
+      // empty the NULL-guarded fuse branch never fires and the fold
+      // rebuilds syms verbatim)
       sb ++= s""",
+        |a$r AS (
+        |  SELECT word, freq, syms AS input,
+        |         len(string_split(syms, ' ')) AS n,
+        |         0 AS pos, '' AS acc
+        |  FROM w${r - 1}
+        |  UNION ALL
+        |  SELECT a.word, a.freq, a.input, a.n, a.pos + 1,
+        |    CASE
+        |      WHEN m.l IS NOT NULL
+        |           AND (a.acc = m.l OR right(a.acc, length(m.l) + 1) = ' ' || m.l)
+        |           AND split_part(a.input, ' ', a.pos + 1) = m.rr
+        |        THEN left(a.acc, length(a.acc) - length(m.l)) || m.merged
+        |      WHEN a.acc = '' THEN split_part(a.input, ' ', a.pos + 1)
+        |      ELSE a.acc || ' ' || split_part(a.input, ' ', a.pos + 1)
+        |    END
+        |  FROM a$r a LEFT JOIN m$r m ON true
+        |  WHERE a.pos < a.n
+        |),
         |w$r AS MATERIALIZED (
-        |  SELECT word,
-        |         CASE WHEN m.l IS NULL THEN syms ELSE
-        |           list_reduce(list_prepend('', string_split(syms, ' ')),
-        |             (s, x) -> CASE
-        |               WHEN (s = m.l OR right(s, length(m.l) + 1) = ' ' || m.l)
-        |                    AND x = m.rr
-        |                 THEN left(s, length(s) - length(m.l)) || m.merged
-        |               WHEN s = '' THEN x
-        |               ELSE s || ' ' || x END) END AS syms,
-        |         freq
-        |  FROM w${r - 1} LEFT JOIN m$r m ON true
+        |  SELECT word, acc AS syms, freq FROM a$r WHERE pos = n
         |)""".stripMargin
     }
     sb.result()

@@ -9,16 +9,18 @@ class PcaSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
-  test("gramMicros matches a driver-side exact computation") {
+  test("gramQ matches a driver-side exact integer computation") {
     val data = Seq(
       1L -> Array(1.0f, 2.0f, -1.5f),
       2L -> Array(0.5f, -1.0f, 3.0f),
       3L -> Array(2.0f, 0.25f, 0.125f))
-    val got = Pca.gramMicros(vecs(data: _*), "embedding").collect()
+    val got = Pca.gramQ(vecs(data: _*), "embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val exp = (for (i <- 0 until 3; j <- i until 3) yield {
       val s = data.map { case (_, v) =>
-        math.round(v(i).toDouble * v(j).toDouble * 1e6)
+        val qi = math.floor(v(i).toDouble * Pca.QScale + 0.5).toLong
+        val qj = math.floor(v(j).toDouble * Pca.QScale + 0.5).toLong
+        qi * qj
       }.sum
       (i + 1L, j + 1L) -> s
     }).toMap
@@ -29,9 +31,9 @@ class PcaSpec extends SparkSpec {
   test("gram is invariant under repartitioning (exact integer sums)") {
     val data = (1 to 200).map(i =>
       i.toLong -> Array.tabulate(8)(j => ((i * 31 + j * 17) % 100) / 50.0f - 1.0f))
-    val a = Pca.gramMicros(vecs(data: _*).repartition(1), "embedding")
+    val a = Pca.gramQ(vecs(data: _*).repartition(1), "embedding")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
-    val b = Pca.gramMicros(vecs(data: _*).repartition(13), "embedding")
+    val b = Pca.gramQ(vecs(data: _*).repartition(13), "embedding")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
     assert(a === b)
   }
