@@ -29,11 +29,21 @@ trait AttributeLogFamily {
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement]
 
-  /** Compacted snapshot: single-pass latest-with-tombstones reduce of the
-    * updates when the storage has no dedicated snapshot form.
+  /** Compacted snapshot: latest-with-tombstones reduce of the updates
+    * when the storage has no dedicated snapshot form.
+    *
+    * DEFAULT = the two-pass relational plan ([[graft.operators.SnapshotCompact]]):
+    * per-(key,attribute) max_by + a tombstone join, whose shuffle rows
+    * and aggregation state are per CELL. The one-shuffle typed
+    * aggregator ([[graft.operators.LatestWithTombstones]]) buffers ALL
+    * live suffixes of one (key, wildcard-prefix) in a single in-memory
+    * map — a key with millions of live `event.*` suffixes concentrates
+    * in one task's buffer. Skew-safety wins as the default; callers
+    * with narrow prefixes can still reach for the one-pass aggregator
+    * explicitly.
     */
   def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
-    graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
+    graft.operators.SnapshotCompact.snapshot(batchUpdates(), asOf)
 
   /** Streaming subscription replaying from the oldest retained element. */
   def streamFromOldest(): Dataset[StreamElement]

@@ -72,11 +72,13 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
 
   /** Compacted snapshot (batch-snapshot access): reduce of updates when no
     * dedicated snapshot family exists (BeamDataOperator.getBatchSnapshot:328
-    * fallback). Single-pass aggregator: one scan + one shuffle of combined
-    * per-key state (the two-pass variant scans the log twice).
+    * fallback). Two-pass relational plan — per-(key,attribute) state, no
+    * wide-wildcard-key buffer (see [[AttributeLogFamily.batchSnapshot]]);
+    * the second scan re-reads the same parquet with the deleteWildcard
+    * filter pushed down.
     */
   override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
-    graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
+    graft.operators.SnapshotCompact.snapshot(batchUpdates(), asOf)
 
   /** The file streaming source refuses a missing directory, but a freshly
     * deployed family legitimately has no writes yet (an ingest server

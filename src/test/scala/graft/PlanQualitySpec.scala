@@ -165,13 +165,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
-  test("snapshot compaction is one scan with partial aggregation") {
+  test("default snapshot compaction is the skew-safe relational two-pass plan") {
     val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
-    // single-pass aggregator: map-side partial agg before the shuffle
-    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
-      plan.contains("ObjectHashAggregate"), plan)
+    // per-(key,attribute) max_by + tombstone join: partial-aggregable
+    // relational aggregates, NOT the typed one-pass aggregator whose
+    // buffer holds every live wildcard suffix of a (key, prefix) in one
+    // in-memory map (the wide-hot-key risk the default must not carry)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("AppendColumns"),
+      s"default snapshot must not route through the typed aggregator:\n$plan")
+    // two scans are the deliberate trade: the second (tombstone) scan
+    // carries the deleteWildcard pushdown so it reads tombstones only
     val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"snapshot must read the log exactly once, saw $scans scans\n$plan")
+    assert(scans == 2, s"two-pass snapshot reads log + tombstones, saw $scans scans\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(deleteWildcard), EqualTo(deleteWildcard,true)]")
+      || plan.contains("EqualTo(deleteWildcard,true)"),
+      s"tombstone scan must push the deleteWildcard filter:\n$plan")
   }
 
   test("epoch-arithmetic tumbling window is one partial-agg pass, no expand") {

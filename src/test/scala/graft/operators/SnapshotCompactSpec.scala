@@ -116,6 +116,31 @@ class SnapshotCompactSpec extends SparkSpec {
     }
   }
 
+  test("hot wildcard key: 1e5 live suffixes compact through the default " +
+      "per-cell plan, no single-task suffix-count buffer") {
+    // One key holding 100k live `event.*` suffixes — the wide-row shape
+    // the one-pass typed aggregator would concentrate into a single Acc
+    // map on one task. The DEFAULT batchSnapshot must route through the
+    // relational two-pass plan (per-(key,attribute) aggregation state).
+    val n = 100000
+    val hot = spark.range(1, n.toLong + 1).selectExpr(
+      "'e' AS entity", "'hot' AS key",
+      "concat('event.', id) AS attribute",
+      "concat('u', id) AS uuid", "0L AS seqId", "id AS stamp",
+      "CAST(NULL AS BINARY) AS value",
+      "false AS delete", "false AS deleteWildcard")
+      .as[StreamElement](StreamElement.encoder)
+    val extra = spark.createDataset(Seq(
+      delWc("hot", "old.", 1), up("hot", "old.1", 0), // wiped
+      up("cold", "event.1", 5)))(StreamElement.encoder)
+    val fam = graft.streaming.AttributeLogFamily.batchView(hot.union(extra))
+    val snap = fam.batchSnapshot()
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(!plan.contains("AppendColumns"),
+      s"default snapshot must not use the wide-Acc typed aggregator:\n$plan")
+    assert(snap.count() === n + 1L) // 100k hot suffixes + cold's one
+  }
+
   test("mergeChecked accepts a watermark-clean split and matches full") {
     val all = Seq(up("k", "device.1", 1), up("k", "b", 2),
       delWc("k", "device.", 3),
