@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage truncation for iterative loops (connected components,
+  * PageRank, BPE rounds): each round MUST cut its logical plan back to
+  * a leaf or Catalyst analysis grows with the iteration count.
+  *
+  * Two cuts exist, and the difference only matters on a real cluster:
+  *
+  *  - `localCheckpoint` stores the materialized partitions in EXECUTOR
+  *    storage — fast, but the blocks die with an executor, and a
+  *    truncated plan has no lineage left to recompute them: an executor
+  *    loss mid-loop kills the job. Fine on local[*]; a liability on a
+  *    1000-executor run where losing one machine in an hour is routine.
+  *  - reliable `checkpoint()` writes partitions to the configured
+  *    fault-tolerant checkpoint directory (HDFS/object store) — an
+  *    executor loss re-reads the blocks from storage.
+  *
+  * [[cut]] picks per the `spark.graft.checkpoint.dir` conf: set it on a
+  * cluster (any Hadoop-FS path all executors can reach) to make every
+  * iterative loop in the engine fault-tolerant; leave it unset for the
+  * low-latency local default. One knob, applied at every loop site.
+  */
+object Lineage {
+
+  /** Conf key naming a fault-tolerant directory for reliable
+    * checkpoints; unset = executor-local checkpointing.
+    */
+  val ConfKey = "spark.graft.checkpoint.dir"
+
+  private def ensureCheckpointDir(spark: SparkSession, dir: String): Unit = {
+    // setCheckpointDir resolves to a per-app UUID subdirectory, so the
+    // raw conf value never equals getCheckpointDir — set only when none
+    // is configured yet (the first configured dir wins for the app's
+    // lifetime; call sc.setCheckpointDir directly to move it).
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+  }
+
+  /** Truncate `df`'s lineage: reliable [[DataFrame.checkpoint]] when
+    * [[ConfKey]] is set, `localCheckpoint` otherwise. `eager = false`
+    * defers materialization to the caller's next action (one job per
+    * loop round instead of two).
+    */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        ensureCheckpointDir(df.sparkSession, dir)
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+}

@@ -98,10 +98,11 @@ object BpeTrain {
         // the LOGICAL plan, which nests one applyMerge fold per round —
         // at a realistic merge count (thousands, not the bench's 8)
         // per-round Catalyst analysis would grow O(r) and the loop
-        // O(r²). A periodic localCheckpoint cuts the plan back to a
+        // O(r²). A periodic lineage cut (graft.core.Lineage.cut —
+        // reliable checkpoint on a cluster) brings the plan back to a
         // leaf, keeping every round O(1) in plan depth.
         val next =
-          if (r % LineageEvery == 0) applied.localCheckpoint(true)
+          if (r % LineageEvery == 0) graft.core.Lineage.cut(applied.toDF())
           else { val p = applied.persist(); p.count(); p }
         cur.unpersist()
         cur = next

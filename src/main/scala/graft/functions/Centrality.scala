@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one outdegree aggregate up front; each iteration is one
   * edges⋈ranks join (edges pre-partitioned by src once, persisted) plus
-  * one partial-aggregable groupBy(dst), with `localCheckpoint` cutting
-  * the lineage per round — the classic O(iters) join-agg plan, no
+  * one partial-aggregable groupBy(dst), with a lineage cut per round
+  * ([[graft.core.Lineage.cut]] — reliable checkpoint on a cluster,
+  * localCheckpoint otherwise) — the classic O(iters) join-agg plan, no
   * driver-side graph. Dangling mass leaks (documented classic
   * simplification — ranking order, not stochastic normalization, is the
   * product here).
@@ -48,13 +49,12 @@ object Centrality {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      ranks = nodes
+      ranks = graft.core.Lineage.cut(nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(
             s"$dampBp * coalesce(c, CAST(0 AS BIGINT)) div 10000"))
-            .as("r"))
-        .localCheckpoint(true)
+            .as("r")))
     }
     val out = ranks.select(col("id"), col("r").as("rank_micros"))
     e.unpersist()

@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage
+
 /** Connected components over a pair graph — the clustering step that
   * turns verified near-duplicate PAIRS into dedup GROUPS so a pipeline
   * can keep one representative per group (LLM-pipeline extension; the
@@ -45,13 +47,13 @@ object Clusters {
       .distinct()
       .persist()
     try {
-      // each round goes through localCheckpoint: without lineage
+      // each round goes through a lineage cut (Lineage.cut — reliable
+      // checkpoint on a cluster, localCheckpoint otherwise): without
       // truncation the logical plan DOUBLES per iteration (labels feeds
       // both the neighbor-min and the join) and analysis time explodes
       // exponentially even though the data is cached
-      var labels = edges.select(col("x").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
+      var labels = Lineage.cut(edges.select(col("x").as("node")).distinct()
+        .withColumn("label", col("node")))
       var converged = edges.isEmpty
       var i = 0
       while (!converged && i < maxIter) {
@@ -64,11 +66,11 @@ object Clusters {
         // so each round runs ONE job (compute + checkpoint + count) instead
         // of two — at tiny post-verification graph sizes the loop cost is
         // per-job scheduling latency, not data
-        val updated = labels
+        val updated = Lineage.cut(labels
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"), col("label"),
-            least(col("label"), coalesce(col("nlab"), col("label"))).as("nlabel"))
-          .localCheckpoint(eager = false)
+            least(col("label"), coalesce(col("nlab"), col("label"))).as("nlabel")),
+          eager = false)
         val changed = updated.filter(col("nlabel") < col("label")).count()
         labels = updated.select(col("node"), col("nlabel").as("label"))
         converged = changed == 0
@@ -109,16 +111,14 @@ object Clusters {
       b: String = "b_id", maxIter: Int = 50): DataFrame = {
     // canonical large→small edges, one pass over the input (see
     // connectedComponents on why not union), self-loops dropped
-    var edges = pairs
+    var edges = Lineage.cut(pairs
       .select(col(a).cast("long").as("p"), col(b).cast("long").as("q"))
       .filter(col("p") =!= col("q"))
       .select(greatest(col("p"), col("q")).as("u"),
         least(col("p"), col("q")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    val nodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
+      .distinct())
+    val nodes = Lineage.cut(edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct())
 
     // a star emission at node u needs only the MINIMUM of u's
     // neighborhood, never the member list: a partial-aggregable min()
@@ -169,10 +169,10 @@ object Clusters {
         .select(col("e.u").as("u"), col("e.v").as("v"))
       // lazy checkpoints: the fingerprint aggregation materializes both
       // (one job per round); lineage is still truncated for round i+1
-      val afterLarge = emitStars(bidirected, large = true)
-        .localCheckpoint(eager = false)
-      val afterSmall = emitStars(afterLarge, large = false)
-        .localCheckpoint(eager = false)
+      val afterLarge = Lineage.cut(emitStars(bidirected, large = true),
+        eager = false)
+      val afterSmall = Lineage.cut(emitStars(afterLarge, large = false),
+        eager = false)
       val nfp = fingerprint(afterSmall)
       converged = nfp == fp
       fp = nfp

@@ -1,0 +1,57 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class LineageSpec extends SparkSpec {
+
+  private def withConf[A](value: Option[String])(body: => A): A = {
+    val prev = spark.conf.getOption(Lineage.ConfKey)
+    value match {
+      case Some(v) => spark.conf.set(Lineage.ConfKey, v)
+      case None => spark.conf.unset(Lineage.ConfKey)
+    }
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(Lineage.ConfKey, v)
+      case None => spark.conf.unset(Lineage.ConfKey)
+    }
+  }
+
+  test("cut without the conf is a local checkpoint (no reliable files)") {
+    withConf(None) {
+      val cut = Lineage.cut(spark.range(10).toDF())
+      assert(cut.count() === 10)
+      assert(cut.rdd.isCheckpointed || cut.rdd.getNumPartitions >= 0)
+    }
+  }
+
+  test("cut with spark.graft.checkpoint.dir writes reliable checkpoints") {
+    val dir = Files.createTempDirectory("graft-ckpt-").toString
+    withConf(Some(dir)) {
+      val cut = Lineage.cut(spark.range(100).toDF())
+      assert(cut.count() === 100)
+      // reliable checkpoint files landed under the configured dir
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(dir)).exists(_.isFile),
+        s"no checkpoint files under $dir")
+    }
+  }
+
+  test("iterative loops survive and stay correct with the flag set") {
+    // the real consumer: connected components over a 2-component graph,
+    // every round cutting lineage through the reliable path
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt-cc-").toString
+    withConf(Some(dir)) {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+      val got = graft.functions.Clusters.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
+  }
+}
