@@ -35,10 +35,14 @@ import graft.core.StreamElement
   * newest element stamp — when the watermark passes (last event time +
   * cleanup), the ENTIRE cell is dropped (seq counter included,
   * RetractJoin.java:361-366) and a later element rebuilds it from empty.
-  * Coarser than the reference's per-entry horizon (an active key's stale
-  * entries survive until the key goes idle) but the same
-  * unbounded-cardinality guarantee: state is bounded by join keys active
-  * within the cleanup window. Elements within the horizon arriving after
+  * ACTIVE cells additionally evict per ENTRY on every update: entries
+  * whose stamp has fallen behind the horizon-lagged watermark are
+  * removed from both SideState maps even while the join key stays hot
+  * (the reference's entry-level horizon, RetractJoin.java:349-371) —
+  * eviction emits no retractions, and the seq counter survives (only
+  * the full-cell clear resets it). State per key is therefore bounded
+  * by entries live WITHIN the horizon, not by the key's lifetime.
+  * Elements within the horizon arriving after
   * their key was evicted join against an empty cell, and elements MORE
   * than a full horizon out of order are dropped before the operator
   * (Spark's event-time-timeout late-row filter; the attached watermark
@@ -119,6 +123,24 @@ object RetractJoin {
             var st = state.getOption.getOrElse(
               JoinState(SideState(Map.empty), SideState(Map.empty), 0L,
                 Long.MinValue))
+            if (cleanup.isDefined) {
+              // per-entry horizon BEFORE the fold (reference onTimer
+              // eviction, RetractJoin.java:349-371): even in a hot,
+              // never-idle cell, entries whose stamp lags the
+              // horizon-delayed watermark are dropped from both sides —
+              // silently (data beyond the horizon is no longer
+              // retractable), without touching the seq counter, and
+              // before this batch's elements can pair against them
+              StateOps.watermarkMs(state).foreach { wm =>
+                if (wm > Long.MinValue) {
+                  val keepL = st.left.entries.filter { case (_, (s, _, _)) => s / div >= wm }
+                  val keepR = st.right.entries.filter { case (_, (s, _, _)) => s / div >= wm }
+                  if (keepL.size != st.left.entries.size ||
+                      keepR.size != st.right.entries.size)
+                    st = st.copy(left = SideState(keepL), right = SideState(keepR))
+                }
+              }
+            }
             val out = collection.mutable.ArrayBuffer.empty[Change]
 
             def emit(add: Boolean, lk: String, rk: String,

@@ -88,6 +88,61 @@ class StateCleanupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retract join: hot join key evicts stale ENTRIES past the horizon " +
+      "while fresh entries and the seq counter survive") {
+    // the reference's entry-level horizon (RetractJoin.java:349-371): a
+    // never-idle join key must still drop individual entries older than
+    // the cleanup window — without the full-cell clear (seq keeps
+    // counting) and without retracting the expired pairs
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val left = MemoryStream[StreamElement]
+    val right = MemoryStream[StreamElement]
+    val changes = RetractJoin(
+      left.toDS(), _ => "J", right.toDS(), _ => "J",
+      cleanup = Some(5000.millis), stampUnit = "millis")
+    val q = changes.writeStream.format("memory").queryName("rj_entry_ttl")
+      .outputMode("update").start()
+    try {
+      def rows = spark.sql("SELECT * FROM rj_entry_ttl")
+        .as[RetractJoin.Change].collect().sortBy(_.seq)
+
+      left.addData(el("L1", 10000, "a")) // the entry that will go stale
+      q.processAllAvailable()
+      left.addData(el("L2", 14000, "b")) // stays fresh via updates
+      right.addData(el("R0", 14200, "r0"))
+      q.processAllAvailable()
+      // R0 paired with BOTH live left entries
+      assert(rows.length == 2 && rows.forall(_.isAddition))
+
+      left.addData(el("L2", 19000, "b2")) // keeps the cell hot
+      q.processAllAvailable()             // wm now 9200: L1 still in
+      assert(rows.length == 4)            // retract+add of (L2, R0)
+
+      // wm at next batch start = 14000: L1@10000 falls past the horizon
+      // and is evicted ON UPDATE (cell active, timer never fires);
+      // R0@14200 survives, so L2's refresh still retracts+adds against it
+      left.addData(el("L2", 24000, "b3"))
+      q.processAllAvailable()
+      assert(rows.length == 6, s"cell must stay live: ${rows.toList}")
+
+      // wm 19000 evicts R0; the new right element pairs ONLY with L2 —
+      // L1 is gone despite the key never idling
+      right.addData(el("R1", 24500, "r"))
+      q.processAllAvailable()
+      val all = rows
+      assert(all.length == 7, s"got ${all.toList}")
+      val last = all.last
+      assert(last.isAddition && last.leftKey == "L2" && last.rightKey == "R1"
+        && str(last.leftValue) == "b3")
+      assert(!all.exists(c => c.leftKey == "L1" && c.rightKey == "R1"),
+        "stale L1 must not pair after per-entry eviction")
+      // seq never reset: per-entry eviction is not the full-cell clear
+      assert(all.map(_.seq).toSeq == (0L to 6L),
+        s"seq must be continuous 0..6, got ${all.map(_.seq).toSeq}")
+    } finally q.stop()
+  }
+
   test("retract join without cleanup keeps idle state across watermark advance") {
     implicit val sq = spark.sqlContext
     implicit val enc = StreamElement.encoder
