@@ -79,7 +79,14 @@ object Expectations {
     val row = df.agg(aggs.head, (aggs.tail ++ extra): _*).collect()(0)
     def l(name: String): Long = row.getLong(row.fieldIndex(name))
     val n = l("__n")
+    // CONSISTENT vacuous semantics: share-of-good checks (Complete,
+    // Unique) read an empty denominator as fully satisfied (10000 bp —
+    // nothing violates), and share-of-VIOLATION checks (InRange, InSet)
+    // read it as zero violations (0 bp) — an all-null column passes an
+    // InRange instead of reporting a phantom 100% violation rate. Use
+    // MinCount to reject empty inputs outright.
     def bp(x: Long, of: Long): Long = if (of == 0) 10000L else x * 10000L / of
+    def violBp(x: Long, of: Long): Long = if (of == 0) 0L else x * 10000L / of
     val verdicts = checks.zipWithIndex.map { case (chk, i) =>
       chk match {
         case Complete(_, minBp) =>
@@ -89,10 +96,10 @@ object Expectations {
           val m = bp(l(s"__m$i"), l(s"__nn$i"))
           (chk.name, m, 10000L, m == 10000L)
         case InRange(_, _, _, maxBp) =>
-          val m = bp(l(s"__m$i"), l(s"__nn$i"))
+          val m = violBp(l(s"__m$i"), l(s"__nn$i"))
           (chk.name, m, maxBp, m <= maxBp)
         case InSet(_, _, maxBp) =>
-          val m = bp(l(s"__m$i"), l(s"__nn$i"))
+          val m = violBp(l(s"__m$i"), l(s"__nn$i"))
           (chk.name, m, maxBp, m <= maxBp)
         case MinCount(min) =>
           (chk.name, l(s"__m$i"), min, l(s"__m$i") >= min)

@@ -70,12 +70,24 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
   private def readDf: DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reads guard the swap invariant too: a crash inside swapBuckets
+    // (live bucket moved to trash, staged not yet moved in) must fail
+    // the NEXT READ loudly, not silently serve a store with whole
+    // buckets missing until some later mutation hits its own guard
+    requireNoInterruptedSwap(fs)
     // a store nothing was ever written to is a legitimately empty store
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     else spark.read.schema(readSchema).parquet(path)
   }
+
+  private def requireNoInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    require(!fs.exists(new Path(path + "_staging")) &&
+        !fs.exists(new Path(path + "/_swap_trash")),
+      s"interrupted store swap detected: resolve ${path}_staging / " +
+        s"$path/_swap_trash before using this store (all cells are " +
+        "preserved there)")
 
   /** The live snapshot view (all buckets, tombstones hidden). */
   def snapshot(): Dataset[StreamElement] =
@@ -174,9 +186,7 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     val staging = path + "_staging"
     val trash = path + "/_swap_trash"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new Path(staging)) && !fs.exists(new Path(trash)),
-      s"interrupted store swap detected: resolve $staging / $trash before " +
-        "mutating again (all cells are preserved there)")
+    requireNoInterruptedSwap(fs)
     merged.toDF()
       .withColumn("kb", bucketCol(col("key")))
       .repartition(col("kb"))

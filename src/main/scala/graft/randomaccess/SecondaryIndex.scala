@@ -42,10 +42,20 @@ object SecondaryIndex {
       concat(lit("ref."), col("key")).as("attribute"),
       // identity must separate a retraction from an assertion at the
       // same (entity key, stamp) — they live under DIFFERENT index keys,
-      // so the index key (attribute=value) goes into the uuid
+      // so the index key (attribute=value) goes into the uuid, plus an
+      // -r/-a discriminator: a retraction and a later re-assertion of
+      // the SAME (attribute=value, entity key) at an identical stamp
+      // (two diff calls given the same newStamp, replayed diffs) must
+      // not collide into one position with opposite delete flags, or
+      // compaction keeps whichever the fold meets first
       concat(lit("ix-"), indexKey(attribute, col("value").cast("string")),
-        lit("@"), col("key"), lit("-"), stampCol).as("uuid"),
-      lit(0L).as("seqId"),
+        lit("@"), col("key"), lit("-"), stampCol,
+        when(deleteCol, lit("-r")).otherwise(lit("-a"))).as("uuid"),
+      // ties at (stamp, uuid-prefix) resolve deterministically via seqId:
+      // the assertion (1) outranks the retraction (0) — a replayed
+      // retract+assert pair compacts to the asserted cell on any
+      // partition order
+      when(deleteCol, lit(0L)).otherwise(lit(1L)).as("seqId"),
       stampCol.as("stamp"),
       when(deleteCol, lit(null)).otherwise(encode(col("key"), "UTF-8"))
         .as("value"),

@@ -40,10 +40,26 @@ object Tables {
     *    see the case branch for why cast/to_utc_timestamp/timestampdiff all
     *    fail that bar), matching DuckDB's epoch_us on the same naive value.
     */
-  // per-dir cache of the detected long-ts epoch unit (one tiny max()
-  // action on first touch; >0 = divisor to micros, <0 = −multiplier)
+  // cache of the detected long-ts epoch unit, keyed by the table's FILE
+  // FINGERPRINT (path + lengths + mtimes), not the directory alone: a
+  // regenerated testdata dir with a different long-ts vintage in the
+  // same JVM — exactly the silent-vintage scenario this detection
+  // defends against — must re-detect, not reuse a stale divisor.
+  // (>0 = divisor to micros, <0 = −multiplier)
   private val longTsUnit =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def eventsFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val kids = fs.listStatus(p).map(k =>
+        s"${k.getPath.getName}:${k.getLen}:${k.getModificationTime}")
+        .sorted.mkString(",")
+      s"$d|$kids"
+    } else s"$d|${st.getLen}:${st.getModificationTime}"
+  }
 
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver's smoke check)
@@ -63,16 +79,21 @@ object Tables {
           // millis-as-long vintage fed through a nanos divisor would be
           // silently wrong by 10^6 — loud beats lucky. 2024 epochs:
           // nanos ~1.7e18, micros ~1.7e15, millis ~1.7e12.
-          val unitDiv = longTsUnit.getOrElseUpdate(d, {
+          val ck = eventsFingerprint(s, d)
+          val unitDiv = longTsUnit.get(ck).getOrElse {
             val row = df.agg(max(col("ts"))).collect()(0)
-            if (row.isNullAt(0)) 1L // empty table: any unit reads empty
+            // empty table: any unit reads empty — and is NOT cached, so
+            // a dir first touched while empty re-detects once populated
+            if (row.isNullAt(0)) 1L
             else { val m = row.getLong(0)
-            if (m > 100000000000000000L) 1000L        // nanos  -> micros
-            else if (m > 100000000000000L) 1L         // micros -> micros
-            else if (m > 100000000000L) -1000L        // millis -> micros (mul)
-            else throw new IllegalStateException(
-              s"events.ts long value $m matches no known epoch unit") }
-          })
+            val u =
+              if (m > 100000000000000000L) 1000L      // nanos  -> micros
+              else if (m > 100000000000000L) 1L       // micros -> micros
+              else if (m > 100000000000L) -1000L      // millis -> micros (mul)
+              else throw new IllegalStateException(
+                s"events.ts long value $m matches no known epoch unit")
+            longTsUnit.put(ck, u); u }
+          }
           // integer `div`, not `/`: nanos exceed 2^53, double division would
           // lose microseconds
           if (unitDiv > 0)

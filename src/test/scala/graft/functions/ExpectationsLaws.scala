@@ -36,10 +36,12 @@ object ExpectationsLaws extends Properties("Expectations") {
       val n = rows.size.toLong
       val langs = rows.flatMap(_._1)
       def bp(x: Long, of: Long) = if (of == 0) 10000L else x * 10000L / of
+      // violation ratios define the empty denominator as ZERO violations
+      def violBp(x: Long, of: Long) = if (of == 0) 0L else x * 10000L / of
       val completeBp = bp(langs.size.toLong, n)
-      val inSetViol = bp(langs.count(l => l != "en" && l != "de").toLong,
+      val inSetViol = violBp(langs.count(l => l != "en" && l != "de").toLong,
         langs.size.toLong)
-      val rangeViol = bp(rows.count(r => r._2 < 0 || r._2 > 100).toLong, n)
+      val rangeViol = violBp(rows.count(r => r._2 < 0 || r._2 > 100).toLong, n)
 
       got("complete(lang)>=8000") == ((completeBp, completeBp >= 8000)) &&
         got("in_set(lang)<=2500") == ((inSetViol, inSetViol <= 2500)) &&

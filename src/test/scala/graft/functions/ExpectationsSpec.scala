@@ -52,4 +52,22 @@ class ExpectationsSpec extends SparkSpec {
     assert(r("complete(text)>=10000")) // vacuously complete
     assert(!r("count>=1"))
   }
+
+  test("violation ratios are vacuously ZERO on empty / all-null columns") {
+    // no non-null values = no violations: InRange/InSet must report
+    // metric_bp 0 and pass, not a phantom 100% violation rate — use
+    // MinCount to reject empty inputs instead
+    val s = spark; import s.implicits._
+    val allNull = Seq((null: String, null: java.lang.Long),
+        (null: String, null: java.lang.Long))
+      .toDF("lang", "len")
+    for (df <- Seq(allNull, allNull.limit(0))) {
+      val r = report(df, Seq(
+          InRange("len", 0, 100, 0), InSet("lang", Seq("en"), 0)))
+        .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getBoolean(3))))
+        .toMap
+      assert(r("in_range(len,0,100)<=0") == ((0L, true)), r)
+      assert(r("in_set(lang)<=0") == ((0L, true)), r)
+    }
+  }
 }

@@ -149,6 +149,24 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(s.get("k1", "status").map(e2 => new String(e2.value)) == Some("x"))
   }
 
+  test("an interrupted swap fails READS loudly too, not just mutations") {
+    // crash inside swapBuckets = live bucket dir already in _swap_trash,
+    // staged dir not yet moved in: snapshot/get/multiFetch must refuse
+    // rather than silently serve a store with whole buckets missing
+    val s = store()
+    s.write(LatestWithTombstones.snapshot(log(hist.take(5))))
+    val trash = java.nio.file.Paths.get(s.path, "_swap_trash")
+    java.nio.file.Files.createDirectories(trash)
+    assert(intercept[IllegalArgumentException](s.snapshot())
+      .getMessage.contains("interrupted store swap"))
+    assert(intercept[IllegalArgumentException](s.get("k1", "status"))
+      .getMessage.contains("interrupted store swap"))
+    assert(intercept[IllegalArgumentException](s.multiFetch(Seq("k1"), "status"))
+      .getMessage.contains("interrupted store swap"))
+    java.nio.file.Files.delete(trash)
+    assert(s.get("k1", "status").isDefined) // resolved -> reads resume
+  }
+
   test("replicate restart from checkpoint converges (idempotent refresh)") {
     implicit val sq = spark.sqlContext
     implicit val enc = StreamElement.encoder
