@@ -77,6 +77,49 @@ object AccessQueries extends QuerySet {
         LatestWithTombstones.snapshot(index), "activity", "purchase")
     }),
 
+    // console put/delete (reference Console put:393 / delete:421 —
+    // interactive mutators through the data operator): a BOUNDED
+    // scripted session (event_id <= 24, 25 commands at any sf — the
+    // q_txn_commits bounding pattern; console input is inherently
+    // driver-side) derived from the events table drives the REAL shell
+    // (parse → StreamElement factory → GraftOperator.write → family
+    // append), then the compacted read-back through the same operator
+    // answers latest-per-user. The oracle replays that rule directly:
+    // each event is a put (or a delete for 'error'), stamped by its
+    // event_id, so the survivor per user is its max-id non-error event
+    "q_console_mutators" -> ((s, d) => {
+      val slice = Tables.events(s, d).filter(col("event_id") <= 24)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("event_type"))
+        .collect().sortBy(_.getLong(0))
+      val script = (slice.map { r =>
+        val (id, uid, et) = (r.getLong(0), r.getLong(1), r.getString(2))
+        if (et == "error") s"delete user user-$uid activity $id"
+        else s"put user user-$uid activity $id $et"
+      } :+ "exit").mkString("\n") + "\n"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-console-q").toString
+      val repo = graft.core.Repository.parse(
+        s"""entities { user { attributes { "activity" { scheme: string } } } }
+           |attributeFamilies { user-primary {
+           |  entity: user
+           |  attributes: [ "*" ]
+           |  storage: "file://$tmp/store"
+           |  type: primary
+           |  access: [ commit-log, batch-updates, batch-snapshot, random-access ]
+           |} }""".stripMargin)
+      val op = new graft.core.GraftOperator(s, repo)
+      val consoleOut = new java.io.ByteArrayOutputStream()
+      new graft.tools.GraftShell(op,
+        new java.io.ByteArrayInputStream(script.getBytes("UTF-8")),
+        new java.io.PrintStream(consoleOut, true, "UTF-8")).run()
+      val out = op.getBatchSnapshot("user").toDF()
+        .select(col("key"), col("stamp").as("event_id"),
+          decode(col("value"), "UTF-8").as("last_type"))
+        .localCheckpoint(true)
+      StagedLogs.deleteRecursively(tmp)
+      out
+    }),
+
     // scanWildcardAll(key): ALL live attributes of one key through the
     // REAL reader (tombstones + wildcard deletes honored by the
     // compaction, predicate pushed below it) — the changelog is the
@@ -108,6 +151,18 @@ object AccessQueries extends QuerySet {
         |           ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1 AND event_type = 'purchase'""".stripMargin,
+
+    // survivor per user = its max-id event among ids 0..24, alive iff
+    // not an error (errors were console deletes)
+    "q_console_mutators" ->
+      """SELECT 'user-' || CAST(user_id AS VARCHAR) AS key,
+        |CAST(event_id AS BIGINT) AS event_id,
+        |event_type AS last_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY event_id DESC) AS rn
+        |      FROM events WHERE event_id <= 24)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "q_get" ->
       """SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 424""",

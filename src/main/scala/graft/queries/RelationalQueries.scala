@@ -107,6 +107,26 @@ object RelationalQueries extends QuerySet {
         .distinct()
     }),
 
+    // reshuffle (Stream.reshuffle, Stream.java:552): explicit
+    // redistribution through the GStream operator. The projection pins
+    // BOTH laws a reshuffle must satisfy: every target partition is
+    // populated (count distinct spark_partition_id == 7 — AQE never
+    // coalesces a user-specified repartition) and the data survives
+    // bit-complete (row count + seqId checksum vs the source table)
+    "q_reshuffle" -> ((s, d) => {
+      val g = graft.api.GStream
+        .ofElements(Tables.eventsAsChangelog(s, d))
+        .reshuffle(7)
+      // partition id PROJECTED first (a nondeterministic expression may
+      // not sit inside an aggregate argument), then aggregated
+      g.ds.toDF()
+        .select(spark_partition_id().as("pid"), col("seqId"))
+        .agg(
+          countDistinct(col("pid")).as("n_partitions"),
+          count(lit(1)).as("n_rows"),
+          sum(col("seqId")).as("sum_seq"))
+    }),
+
     // countByKey (WindowedStream.countByKey, WindowedStream.java:236)
     "q_count_by_key" -> ((s, d) => {
       Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
@@ -330,6 +350,10 @@ object RelationalQueries extends QuerySet {
 
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+
+    "q_reshuffle" ->
+      """SELECT CAST(7 AS BIGINT) AS n_partitions, count(*) AS n_rows,
+        |CAST(sum(event_id) AS BIGINT) AS sum_seq FROM events""".stripMargin,
 
     "q_count_by_key" ->
       """SELECT user_id, count(*) AS n FROM events GROUP BY user_id""",

@@ -74,6 +74,19 @@ object StatefulQueries extends QuerySet {
       } finally elems.unpersist()
     }
 
+  /** Four seqId-sliced segments (`seqId % 4`) with ordered mtimes — the
+    * fixture for the throughput-limiting oracle: each slice is one log
+    * file, so `maxFilesPerTrigger = 1` must replay them as four
+    * single-slice micro-batches in staging order.
+    */
+  private def throttleLog(s: SparkSession, d: String): graft.streaming.CommitLogFamily =
+    StagedLogs.getOrStage(s, d, "throttle-q") { fam =>
+      val elems = Tables.eventsAsChangelog(s, d).persist()
+      try StagedLogs.appendOrdered(fam,
+        (0 until 4).map(i => elems.filter(col("seqId") % 4 === i)))
+      finally elems.unpersist()
+    }
+
   /** The events table staged for the EARLY-EMIT oracle: high-cardinality
     * keys (`user:event_id%7`, so per-batch absences — the "quiet key"
     * the timer exists for — actually occur), `event_id % 3` batch
@@ -302,6 +315,38 @@ object StatefulQueries extends QuerySet {
         .select(col("_1").as("event_id"), col("_2").as("stamp_us"))
     }),
 
+    // throughput limiting (ThroughputLimiter.java:27 →
+    // CommitLogFamily.streamFromOldestThrottled): the log staged as four
+    // seqId-sliced segments with ordered mtimes; maxFilesPerTrigger=1
+    // must admit exactly ONE segment per micro-batch, in mtime order.
+    // The in-query require rejects a trigger that mixed segments; the
+    // emitted (batch_id, slice, n_rows) rows then pin batch order ==
+    // staging order and row preservation against the oracle (batch_id
+    // == slice by construction)
+    "q_throttled_replay" -> ((s, d) => {
+      import s.implicits._
+      val fam = throttleLog(s, d)
+      val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch { (b: Dataset[StreamElement], id: Long) =>
+          val slices = b.toDF()
+            .groupBy((col("seqId") % 4).as("slice"))
+            .agg(count(lit(1)).as("n")).collect()
+          buf.synchronized {
+            slices.foreach(r => buf += ((id, r.getLong(0), r.getLong(1))))
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = buf.synchronized(buf.toVector)
+      require(rows.nonEmpty, "throttled replay produced no batches")
+      require(rows.groupBy(_._1).values.forall(_.size == 1),
+        s"a trigger admitted more than one segment: $rows")
+      rows.toDF("batch_id", "slice", "n_rows")
+    }),
+
     // watermark shift (WatermarkShift.java:43 / AssignEventTime.java:27):
     // every element's event time moved forward two minutes, id + shifted
     // stamp hash-matched
@@ -473,6 +518,14 @@ object StatefulQueries extends QuerySet {
     "q_stream_from_stamp" ->
       """SELECT event_id, epoch_us(ts) AS stamp_us FROM events
         |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - 3600000000""".stripMargin,
+
+    // batch_id == slice: segments staged in slice order, admitted one
+    // per trigger in mtime order
+    "q_throttled_replay" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS batch_id,
+        |CAST(event_id % 4 AS BIGINT) AS slice,
+        |count(*) AS n_rows
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_watermark_shift" ->
       """SELECT event_id, epoch_us(ts) + 120000000 AS stamp_us FROM events""".stripMargin,
