@@ -50,6 +50,46 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
   }
 
+  /** Per-query wall-clock ceilings, `name -> seconds` (+ optional
+    * "total"). `"sf1"` loads the shipped sf1 endurance budget
+    * (resources/graft/sf1_budgets.properties); anything else is a
+    * properties-file path.
+    */
+  def loadBudgets(spec: String): Map[String, Double] = {
+    val props = new java.util.Properties()
+    val in =
+      if (spec == "sf1")
+        getClass.getResourceAsStream("/graft/sf1_budgets.properties")
+      else new java.io.FileInputStream(spec)
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.asScala.map { case (k, v) => k -> v.trim.toDouble }.toMap
+  }
+
+  /** The endurance gate: every budgeted query (and the optional suite
+    * "total") must land under its ceiling — a scale regression fails
+    * LOUDLY here instead of drifting across rounds. A failed query
+    * (-1 s) violates its budget by definition; a budgeted query absent
+    * from the results is skipped (subset runs stay usable).
+    */
+  def checkBudgets(results: Seq[(String, Double, Option[String])],
+      budgets: Map[String, Double]): Seq[String] = {
+    val byName = results.map(r => r._1 -> r._2).toMap
+    val perQuery = budgets.toSeq.sorted.collect {
+      case (name, ceiling) if name != "total" && byName.contains(name) &&
+          (byName(name) < 0 || byName(name) > ceiling) =>
+        s"$name: ${byName(name)}s exceeds budget ${ceiling}s"
+    }
+    val total = budgets.get("total").toSeq.flatMap { ceiling =>
+      val sum = results.collect { case (_, v, None) => v }.sum
+      val failed = results.count(_._3.isDefined)
+      if (failed > 0) Seq(s"total: $failed queries failed")
+      else if (sum > ceiling) Seq(s"total: ${sum}s exceeds budget ${ceiling}s")
+      else Seq.empty
+    }
+    perQuery ++ total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -79,6 +119,15 @@ object Bench {
     }
     println(renderJson(results, sfDir))
     spark.stop()
+    // SPARK_GRAFT_BUDGETS=sf1 (or a properties path) arms the endurance
+    // gate: ceilings breached -> loud nonzero exit, never silent drift
+    sys.env.get("SPARK_GRAFT_BUDGETS").foreach { spec =>
+      val violations = checkBudgets(results, loadBudgets(spec))
+      if (violations.nonEmpty) {
+        violations.foreach(v => System.err.println(s"[budget] $v"))
+        sys.exit(3)
+      }
+    }
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }
 }

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   * one partial-aggregable groupBy(dst), with a lineage cut per round
   * ([[graft.core.Lineage.cut]] — reliable checkpoint on a cluster,
   * localCheckpoint otherwise) — the classic O(iters) join-agg plan, no
-  * driver-side graph. Dangling mass leaks (documented classic
+  * driver-side graph. By default dangling mass leaks (classic
   * simplification — ranking order, not stochastic normalization, is the
-  * product here).
+  * product here); `redistributeDangling = true` adds the stochastic
+  * completion: each round, the summed rank of out-degree-0 nodes is
+  * split equally over ALL nodes (`div` truncating, the sub-micro
+  * remainder still leaks — exactness over conservation) before damping.
+  * One extra 1-row aggregate per round, same integer determinism.
   */
 object Centrality {
 
@@ -32,7 +36,8 @@ object Centrality {
 
   /** (id, rank_micros) after `iters` rounds over `edges(src, dst)`. */
   def pageRankMicros(edges: DataFrame, iters: Int,
-      dampBp: Long = 8500L): DataFrame = {
+      dampBp: Long = 8500L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && dampBp >= 0 && dampBp <= 10000)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
@@ -41,6 +46,7 @@ object Centrality {
       .distinct().persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val base = (10000L - dampBp) * ScaleMicros / 10000L
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
 
     var ranks = nodes.withColumn("r", lit(ScaleMicros))
     (0 until iters).foreach { _ =>
@@ -49,11 +55,24 @@ object Centrality {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      // dangling completion: one tiny anti-join aggregate (rank mass of
+      // nodes with no out-edges), its per-node share folded into every
+      // node's contribution before damping. The 1-row collect per round
+      // is the same bounded driver traffic class as the loop's lineage
+      // cut — never data-sized.
+      val share =
+        if (!redistributeDangling) 0L
+        else {
+          val dSum = ranks
+            .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+          dSum / nNodes
+        }
       ranks = graft.core.Lineage.cut(nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(
-            s"$dampBp * coalesce(c, CAST(0 AS BIGINT)) div 10000"))
+            s"$dampBp * (coalesce(c, CAST(0 AS BIGINT)) + $share) div 10000"))
             .as("r")))
     }
     val out = ranks.select(col("id"), col("r").as("rank_micros"))

@@ -37,4 +37,30 @@ class BenchSpec extends SparkSpec {
     // the line must stay machine-parseable
     assert(json.startsWith("{") && json.endsWith("}"))
   }
+
+  test("the sf1 budget gate flags a deliberate 3x slowdown, and only it") {
+    val budgets = Bench.loadBudgets("sf1")
+    assert(budgets.contains("total") && budgets("q_semantic_dedup") > 0)
+    // r8-band timings pass clean
+    val healthy = Seq(
+      ("q_semantic_dedup", 10.7, Option.empty[String]),
+      ("q_multisignal_dedup", 21.2, None),
+      ("q_unrelated", 3.0, None)) // unbudgeted: never flagged
+    assert(Bench.checkBudgets(healthy, budgets).isEmpty)
+    // a 3x scale regression on one heavy query fails LOUDLY
+    val regressed = healthy.map {
+      case ("q_semantic_dedup", _, e) => ("q_semantic_dedup", 10.7 * 3, e)
+      case other => other
+    }
+    val v = Bench.checkBudgets(regressed, budgets)
+    assert(v.exists(_.startsWith("q_semantic_dedup:")), v)
+    assert(v.size == 1, v)
+    // a FAILED budgeted query (-1) can never sneak under its ceiling
+    val failed = Seq(("q_semantic_dedup", -1.0, Some("boom")))
+    assert(Bench.checkBudgets(failed, budgets)
+      .exists(_.startsWith("q_semantic_dedup:")))
+    // suite total breach is its own violation
+    val bloated = Seq(("q_anything", budgets("total") + 1, Option.empty[String]))
+    assert(Bench.checkBudgets(bloated, budgets).exists(_.startsWith("total:")))
+  }
 }
