@@ -1,0 +1,312 @@
+package graft.service
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInitializer,
+  ChannelInboundHandlerAdapter}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame,
+  DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame,
+  Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler,
+  Http2StreamChannelBootstrap}
+
+import graft.SparkSpec
+import graft.core.{GraftOperator, ProtoSchema, Repository}
+
+/** End-to-end exercise of the gRPC transport: a minimal hand-rolled
+  * netty HTTP/2 client (h2c prior knowledge) sends REAL gRPC frames —
+  * length-prefixed protobuf messages, `:path` routing, trailers with
+  * grpc-status — through a socket to [[GrpcServer]], covering every verb
+  * of the reference's rpc.proto (ingest/ingestSingle/ingestBulk/commit,
+  * get/listAttributes/multifetch/begin/scan).
+  */
+class GrpcServerSpec extends SparkSpec {
+  import GrpcService._
+
+  private def newOp(): GraftOperator = {
+    val repo = Repository.parse(
+      """entities { user { attributes {
+        |  "status" { scheme: string }
+        |  "device.*" { scheme: string }
+        |} } }
+        |attributeFamilies {
+        |  user-primary {
+        |    entity: user
+        |    attributes: [ "*" ]
+        |    storage: "inmem://grpc-spec"
+        |    type: primary
+        |    access: [ commit-log, batch-updates, batch-snapshot, random-access ]
+        |  }
+        |}""".stripMargin)
+    new GraftOperator(spark, repo)
+  }
+
+  /** One RPC over one HTTP/2 stream: returns (response messages,
+    * grpc-status, grpc-message).
+    */
+  private final class Client(port: Int) {
+    private val group = new NioEventLoopGroup(1)
+    private val ch: Channel = {
+      val b = new Bootstrap()
+      b.group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(c: Channel): Unit = {
+            c.pipeline.addLast(Http2FrameCodecBuilder.forClient().build())
+            c.pipeline.addLast(new Http2MultiplexHandler(
+              new ChannelInboundHandlerAdapter)) // no server-push streams
+            ()
+          }
+        })
+      b.connect("127.0.0.1", port).syncUninterruptibly().channel()
+    }
+
+    def call(path: String,
+        messages: Seq[Array[Byte]]): (Seq[Array[Byte]], Int, String) = {
+      val out = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      @volatile var status = -1
+      @volatile var statusMsg = ""
+      val done = new CountDownLatch(1)
+      val sb = new Http2StreamChannelBootstrap(ch)
+      sb.handler(new ChannelInitializer[Channel] {
+        override def initChannel(sc: Channel): Unit = {
+          sc.pipeline.addLast(new ChannelInboundHandlerAdapter {
+            private val reader = new GrpcWire.FrameReader()
+            override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
+              msg match {
+                case h: Http2HeadersFrame =>
+                  Option(h.headers.get("grpc-status")).foreach { s =>
+                    status = s.toString.toInt
+                    statusMsg = Option(h.headers.get("grpc-message"))
+                      .map(_.toString).getOrElse("")
+                  }
+                  if (h.isEndStream) done.countDown()
+                case d: Http2DataFrame =>
+                  val bytes = new Array[Byte](d.content.readableBytes())
+                  d.content.readBytes(bytes)
+                  val end = d.isEndStream
+                  d.release()
+                  out.synchronized { out ++= reader.feed(bytes) }
+                  if (end) done.countDown()
+                case other =>
+                  io.netty.util.ReferenceCountUtil.release(other)
+              }
+          })
+          ()
+        }
+      })
+      val sc = sb.open().syncUninterruptibly().getNow
+      val headers = new DefaultHttp2Headers()
+      headers.method("POST").scheme("http").path(path)
+        .authority(s"127.0.0.1:$port")
+      headers.set("content-type", "application/grpc")
+      headers.set("te", "trailers")
+      sc.write(new DefaultHttp2HeadersFrame(headers, false))
+      if (messages.isEmpty)
+        sc.write(new DefaultHttp2DataFrame(true))
+      else messages.zipWithIndex.foreach { case (m, i) =>
+        sc.write(new DefaultHttp2DataFrame(
+          io.netty.buffer.Unpooled.wrappedBuffer(GrpcWire.frame(m)),
+          i == messages.size - 1))
+      }
+      sc.flush()
+      assert(done.await(60, TimeUnit.SECONDS), s"rpc $path timed out")
+      (out.synchronized(out.toVector), status, statusMsg)
+    }
+
+    def close(): Unit = {
+      ch.close().syncUninterruptibly()
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS).syncUninterruptibly()
+      ()
+    }
+  }
+
+  private def withServer(body: (Client, GraftOperator) => Unit): Unit = {
+    val op = newOp()
+    val server = new GrpcServer(op, port = 0).start()
+    val client = new Client(server.boundPort)
+    try body(client, op)
+    finally { client.close(); server.stop() }
+  }
+
+  private def ingestMsg(key: String, attr: String, stamp: Long, v: String,
+      delete: Boolean = false, tx: String = ""): Array[Byte] =
+    ProtoSchema.encode(Ingest, Map(
+      "entity" -> "user", "key" -> key, "attribute" -> attr,
+      "stamp" -> stamp, "delete" -> delete, "transactionId" -> tx,
+      "value" -> (if (delete) Array.emptyByteArray else v.getBytes("UTF-8"))))
+
+  private def s2(b: Array[Byte]): String = new String(b, "UTF-8")
+
+  test("unary ingest + get + delete + listAttributes over the wire") {
+    withServer { (c, _) =>
+      val (st1, g1, _) = c.call("/IngestService/ingest",
+        Seq(ingestMsg("u1", "status", 10, "online")))
+      assert(g1 == 0)
+      val dec1 = ProtoSchema.decode(Status, st1.head)
+      assert(dec1("status") == 200L && dec1("uuid").toString.nonEmpty)
+
+      c.call("/IngestService/ingest", Seq(ingestMsg("u1", "device.a", 11, "phone")))
+      c.call("/IngestService/ingest", Seq(ingestMsg("u1", "device.b", 12, "tablet")))
+
+      val (got, g2, _) = c.call("/RetrieveService/get",
+        Seq(ProtoSchema.encode(GetRequest, Map(
+          "entity" -> "user", "key" -> "u1", "attribute" -> "status"))))
+      assert(g2 == 0)
+      val gd = ProtoSchema.decode(GetResponse, got.head)
+      assert(gd("status") == 200L)
+      assert(s2(gd("value").asInstanceOf[Array[Byte]]) == "online")
+      assert(gd("stamp") == 10L)
+
+      // wildcard listing with prefix + paging offset
+      val (lst, g3, _) = c.call("/RetrieveService/listAttributes",
+        Seq(ProtoSchema.encode(ListRequest, Map(
+          "entity" -> "user", "key" -> "u1", "wildcardPrefix" -> "device"))))
+      assert(g3 == 0)
+      val ld = ProtoSchema.decode(ListResponse, lst.head)
+      val attrs = ld("value").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      assert(attrs.map(_("attribute")) == Seq("device.a", "device.b"))
+      assert(s2(attrs.head("value").asInstanceOf[Array[Byte]]) == "phone")
+
+      // delete: newest tombstone wins, get answers 404 inside a 0-status rpc
+      c.call("/IngestService/ingest",
+        Seq(ingestMsg("u1", "status", 20, "", delete = true)))
+      val (got2, g4, _) = c.call("/RetrieveService/get",
+        Seq(ProtoSchema.encode(GetRequest, Map(
+          "entity" -> "user", "key" -> "u1", "attribute" -> "status"))))
+      assert(g4 == 0)
+      assert(ProtoSchema.decode(GetResponse, got2.head)("status") == 404L)
+    }
+  }
+
+  test("bidi ingestSingle answers per message; ingestBulk batches") {
+    withServer { (c, _) =>
+      val (sts, g, _) = c.call("/IngestService/ingestSingle", Seq(
+        ingestMsg("u1", "status", 1, "a"),
+        ingestMsg("u2", "status", 2, "b"),
+        ingestMsg("u3", "nope", 3, "c"))) // unknown attribute -> 404 status
+      assert(g == 0 && sts.size == 3)
+      val decoded = sts.map(b => ProtoSchema.decode(Status, b))
+      assert(decoded.take(2).forall(_("status") == 200L))
+      assert(decoded(2)("status") == 404L)
+
+      val bulk = ProtoSchema.encode(IngestBulk, Map("ingest" -> Seq(
+        Map("entity" -> "user", "key" -> "u4", "attribute" -> "status",
+          "stamp" -> 4L, "value" -> "d".getBytes("UTF-8")),
+        Map("entity" -> "user", "key" -> "u5", "attribute" -> "status",
+          "stamp" -> 5L, "value" -> "e".getBytes("UTF-8")))))
+      val (bsts, g2, _) = c.call("/IngestService/ingestBulk", Seq(bulk))
+      assert(g2 == 0)
+      val sb = ProtoSchema.decode(StatusBulk, bsts.head)("status")
+        .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+      assert(sb.size == 2 && sb.forall(_("status") == 200L))
+    }
+  }
+
+  test("multifetch preserves order; scan streams the whole snapshot") {
+    withServer { (c, _) =>
+      (1 to 5).foreach(i =>
+        c.call("/IngestService/ingest",
+          Seq(ingestMsg(s"u$i", "status", i.toLong, s"v$i"))))
+      val mf = ProtoSchema.encode(MultifetchRequest, Map(
+        "getRequest" -> Seq(
+          Map("entity" -> "user", "key" -> "u2", "attribute" -> "status"),
+          Map("entity" -> "user", "key" -> "zz", "attribute" -> "status"),
+          Map("entity" -> "user", "key" -> "u4", "attribute" -> "status")),
+        "listRequest" -> Seq(
+          Map("entity" -> "user", "key" -> "u2", "wildcardPrefix" -> "device"))))
+      val (mfr, g, _) = c.call("/RetrieveService/multifetch", Seq(mf))
+      assert(g == 0)
+      val md = ProtoSchema.decode(MultifetchResponse, mfr.head)
+      val gets = md("getResponse").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      assert(gets.map(_("status")) == Seq(200L, 404L, 200L))
+      assert(s2(gets(2)("value").asInstanceOf[Array[Byte]]) == "v4")
+      assert(md("listResponse").asInstanceOf[Seq[Any]].size == 1)
+
+      val (chunks, g2, _) = c.call("/RetrieveService/scan",
+        Seq(ProtoSchema.encode(ScanRequest, Map("entity" -> "user"))))
+      assert(g2 == 0)
+      val rows = chunks.flatMap(b =>
+        ProtoSchema.decode(ScanResult, b)("value").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]))
+      assert(rows.map(r => r("key").toString -> s2(
+        r("value").asInstanceOf[Array[Byte]])).toMap ==
+        (1 to 5).map(i => s"u$i" -> s"v$i").toMap)
+    }
+  }
+
+  test("transactions: begin -> transactional ingest -> commit; conflicts reject") {
+    withServer { (c, _) =>
+      def begin(): String = {
+        val (r, g, _) = c.call("/RetrieveService/begin",
+          Seq(ProtoSchema.encode(BeginRequest, Map("attributesInvolved" -> Seq(
+            Map("entity" -> "user", "key" -> "t1", "attribute" -> "status"))))))
+        assert(g == 0)
+        ProtoSchema.decode(BeginResponse, r.head)("transactionId").toString
+      }
+      def commit(tx: String): Long = {
+        val (r, g, _) = c.call("/IngestService/commit",
+          Seq(ProtoSchema.encode(CommitRequest, Map("transactionId" -> tx))))
+        assert(g == 0)
+        ProtoSchema.decode(CommitResponse, r.head)("status") match {
+          case i: Int => i.toLong; case l: Long => l; case o => o.toString.toLong
+        }
+      }
+      def readStatus(): Long = {
+        val (r, _, _) = c.call("/RetrieveService/get",
+          Seq(ProtoSchema.encode(GetRequest, Map(
+            "entity" -> "user", "key" -> "t1", "attribute" -> "status"))))
+        ProtoSchema.decode(GetResponse, r.head)("status") match {
+          case l: Long => l; case o => o.toString.toLong
+        }
+      }
+
+      val tx = begin()
+      val (st, g, _) = c.call("/IngestService/ingest",
+        Seq(ingestMsg("t1", "status", 100, "committed", tx = tx)))
+      assert(g == 0)
+      assert(ProtoSchema.decode(Status, st.head)("status") == 200L)
+      assert(readStatus() == 404L, "buffered tx write must be invisible")
+      assert(commit(tx) == GrpcService.TxCommitted.toLong)
+      assert(readStatus() == 200L, "committed write must be visible")
+      // double-commit of a closed tx fails deterministically
+      assert(commit(tx) == GrpcService.TxFailed.toLong)
+
+      // optimistic conflict: two txs touch the same cell; second rejects
+      val a = begin(); val b = begin()
+      c.call("/IngestService/ingest",
+        Seq(ingestMsg("t1", "status", 200, "A", tx = a)))
+      c.call("/IngestService/ingest",
+        Seq(ingestMsg("t1", "status", 201, "B", tx = b)))
+      assert(commit(a) == GrpcService.TxCommitted.toLong)
+      assert(commit(b) == GrpcService.TxRejected.toLong)
+    }
+  }
+
+  test("unknown method answers grpc-status UNIMPLEMENTED") {
+    withServer { (c, _) =>
+      val (msgs, g, m) = c.call("/IngestService/nope",
+        Seq(Array.emptyByteArray))
+      assert(msgs.isEmpty)
+      assert(g == GrpcWire.StatusUnimplemented, s"got $g $m")
+    }
+  }
+
+  test("frame reader survives arbitrary chunking and rejects compression") {
+    val msgs = Seq("a".getBytes, Array.emptyByteArray, ("x" * 1000).getBytes)
+    val wire = msgs.map(GrpcWire.frame).reduce(_ ++ _)
+    for (chunkSize <- Seq(1, 2, 3, 7, wire.length)) {
+      val r = new GrpcWire.FrameReader()
+      val out = wire.grouped(chunkSize).flatMap(r.feed).toSeq
+      assert(out.map(_.toSeq) == msgs.map(_.toSeq), s"chunk=$chunkSize")
+      assert(r.isClean)
+    }
+    val bad = GrpcWire.frame("y".getBytes).clone()
+    bad(0) = 1 // compressed flag without negotiated encoding
+    val e = intercept[GrpcWire.GrpcException](new GrpcWire.FrameReader().feed(bad))
+    assert(e.status == GrpcWire.StatusInternal)
+  }
+}
