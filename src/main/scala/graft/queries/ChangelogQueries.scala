@@ -389,6 +389,38 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // commit-log observe/ack (reference CommitLogReader.observe:37 +
+    // ObserveHandle commit semantics): a consumer group polls the log,
+    // acks HALF, "crashes", and a NEW consumer of the SAME group must
+    // replay exactly the unacked tail — at-least-once delivery off the
+    // committed offset. One-partition topic + a single ordered append
+    // task make the offset order the seqId order, so the phase split is
+    // SQL-replayable. Bounded slice (event_id < 4000, flat at any sf):
+    // observe/ack is a driver-facing consumer surface — poll returns
+    // driver-side records by contract, like the console
+    "q_observe_ack" -> ((s, d) => {
+      import s.implicits._
+      val topic = graft.streaming.EmbeddedKafka.topic("oracle-broker",
+        "t-" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        numPartitions = 1)
+      val fam = new graft.streaming.KafkaLogFamily(s, topic)
+      try {
+        fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") < 4000)
+          .orderBy(col("seqId")).coalesce(1))
+        val c1 = fam.consumer("g-ack")
+        val all = c1.pollUncommitted()
+        val (acked, rest) = all.splitAt(all.size / 2)
+        c1.ack(acked)
+        val replay = fam.consumer("g-ack").pollUncommitted()
+        require(replay.map(r => (r.partition, r.offset)) ==
+            rest.map(r => (r.partition, r.offset)),
+          "restart must replay exactly the unacked tail")
+        (acked.map(r => (1L, r.element.seqId)) ++
+          replay.map(r => (2L, r.element.seqId)))
+          .toDF("phase", "event_id")
+      } finally graft.streaming.EmbeddedKafka.drop(topic.broker, topic.name)
+    }),
+
     // the wide-row (cassandra://-shaped) binding: a random-access store
     // compacts at the storage layer — last writer per (key, attribute)
     // by (stamp, seqId) position wins, tombstones hide the cell — so
@@ -700,6 +732,17 @@ object ChangelogQueries extends QuerySet {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |  AND event_id % 10 = 0
         |GROUP BY event_type""".stripMargin,
+
+    // phase 1 = the acked first half (ids are dense from 0, so the
+    // first half of the single partition's offset order is ids < half),
+    // phase 2 = the replayed unacked tail
+    "q_observe_ack" ->
+      """WITH s AS (SELECT event_id FROM events WHERE event_id < 4000),
+        |h AS (SELECT count(*) // 2 AS half FROM s)
+        |SELECT CAST(CASE WHEN event_id < (SELECT half FROM h)
+        |            THEN 1 ELSE 2 END AS BIGINT) AS phase,
+        |CAST(event_id AS BIGINT) AS event_id
+        |FROM s""".stripMargin,
 
     // latest sampled event per user by (ts, event_id); the cell is live
     // iff that latest write is not a delete ('error'); range filter on

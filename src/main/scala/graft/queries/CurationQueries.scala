@@ -205,6 +205,26 @@ object CurationQueries extends QuerySet {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // the dangling-mass-redistributing PageRank variant over a graph
+    // that actually HAS dangling nodes (chain edges only — each
+    // source's last doc has no out-edge): per round the dangling rank
+    // sum splits equally over all nodes before damping, still in exact
+    // truncating-integer micros, so the unrolled SQL replays it
+    // bit-for-bit
+    "q_centrality_dangling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chainW = Window.partitionBy("source").orderBy("doc_id")
+      val chain = Tables.documents(s, d)
+        .select(lag("doc_id", 1).over(chainW).as("src"),
+          col("doc_id").as("dst"))
+        .filter(col("src").isNotNull)
+      graft.functions.Centrality
+        .pageRankMicros(chain, iters = 3, redistributeDangling = true)
+        .orderBy(col("rank_micros").desc, col("id"))
+        .limit(50)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // declarative data-quality expectations (functions/Expectations):
     // the whole constraint suite — completeness, uniqueness, range,
     // set membership, min count — evaluated in ONE aggregation pass
@@ -583,6 +603,41 @@ object CurationQueries extends QuerySet {
         |c3 AS (SELECT e.dst, CAST(sum(r2.r // od.d) AS BIGINT) AS c
         |       FROM e JOIN od USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
         |r3 AS (SELECT n.id, CAST(150000 + 8500 * coalesce(c3.c, 0) // 10000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c3 ON c3.dst = n.id)
+        |SELECT id AS doc_id, r AS rank_micros FROM r3
+        |ORDER BY r DESC, id LIMIT 50""".stripMargin,
+
+    // chain-only graph (dangling tails), three unrolled iterations with
+    // the per-round dangling share: share_r = (Σ rank of out-degree-0
+    // nodes) // |nodes|, folded into every contribution before damping
+    "q_centrality_dangling" ->
+      """WITH e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS src,
+        |           doc_id AS dst FROM documents) WHERE src IS NOT NULL
+        |), n AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        |), nn AS (SELECT count(*) AS cnt FROM n),
+        |od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+        |d1 AS (SELECT CAST(coalesce(sum(r0.r), 0) // (SELECT cnt FROM nn) AS BIGINT) AS sh
+        |       FROM r0 LEFT JOIN od ON od.src = r0.id WHERE od.src IS NULL),
+        |c1 AS (SELECT e.dst, CAST(sum(r0.r // od.d) AS BIGINT) AS c
+        |       FROM e JOIN od USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, CAST(150000 + 8500 * (coalesce(c1.c, 0) + (SELECT sh FROM d1)) // 10000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c1 ON c1.dst = n.id),
+        |d2 AS (SELECT CAST(coalesce(sum(r1.r), 0) // (SELECT cnt FROM nn) AS BIGINT) AS sh
+        |       FROM r1 LEFT JOIN od ON od.src = r1.id WHERE od.src IS NULL),
+        |c2 AS (SELECT e.dst, CAST(sum(r1.r // od.d) AS BIGINT) AS c
+        |       FROM e JOIN od USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, CAST(150000 + 8500 * (coalesce(c2.c, 0) + (SELECT sh FROM d2)) // 10000 AS BIGINT) AS r
+        |       FROM n LEFT JOIN c2 ON c2.dst = n.id),
+        |d3 AS (SELECT CAST(coalesce(sum(r2.r), 0) // (SELECT cnt FROM nn) AS BIGINT) AS sh
+        |       FROM r2 LEFT JOIN od ON od.src = r2.id WHERE od.src IS NULL),
+        |c3 AS (SELECT e.dst, CAST(sum(r2.r // od.d) AS BIGINT) AS c
+        |       FROM e JOIN od USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, CAST(150000 + 8500 * (coalesce(c3.c, 0) + (SELECT sh FROM d3)) // 10000 AS BIGINT) AS r
         |       FROM n LEFT JOIN c3 ON c3.dst = n.id)
         |SELECT id AS doc_id, r AS rank_micros FROM r3
         |ORDER BY r DESC, id LIMIT 50""".stripMargin,

@@ -107,6 +107,24 @@ object RelationalQueries extends QuerySet {
         .distinct()
     }),
 
+    // the scripted-closure / UDF surface (reference Console.java:44
+    // Groovy closures; tools/ShellExpr scala()): a REAL runtime-compiled
+    // Scala closure — the same ShellCompiler path the console's
+    // transform(scala("df => ...")) command uses — drives a whole
+    // DataFrame => DataFrame pipeline. Compiled ONCE on the driver into
+    // a pure Catalyst plan (nothing runtime-compiled ships to
+    // executors), which is exactly why the oracle can replay it as
+    // plain SQL
+    "q_shell_closure" -> ((s, d) => {
+      val fn = graft.tools.ShellCompiler.dfClosure(
+        """df => df.filter(col("l_quantity") > 45)
+          |  .groupBy(col("l_returnflag"))
+          |  .agg(count(lit(1)).as("n"),
+          |    sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          |      .as("sum_cents"))""".stripMargin)
+      fn(Tables.lineitem(s, d))
+    }),
+
     // reshuffle (Stream.reshuffle, Stream.java:552): explicit
     // redistribution through the GStream operator. The projection pins
     // BOTH laws a reshuffle must satisfy: every target partition is
@@ -350,6 +368,13 @@ object RelationalQueries extends QuerySet {
 
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+
+    "q_shell_closure" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |  AS sum_cents
+        |FROM lineitem WHERE l_quantity > 45
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_reshuffle" ->
       """SELECT CAST(7 AS BIGINT) AS n_partitions, count(*) AS n_rows,
