@@ -32,28 +32,37 @@ import graft.core.{GraftOperator, Repository}
   */
 object IngestServer {
 
-  /** A running server: HTTP gateway + transformation queries. */
+  /** A running server: HTTP gateway + gRPC front door + transformation
+    * queries.
+    */
   final case class Handle(op: GraftOperator, gateway: HttpGateway,
-      transformations: Seq[StreamingQuery]) {
+      grpc: GrpcServer, transformations: Seq[StreamingQuery]) {
     def port: Int = gateway.boundPort
+    def grpcPort: Int = grpc.boundPort
     def stop(): Unit = {
       transformations.foreach(q =>
         try q.stop() catch { case _: Exception => () })
       gateway.stop()
+      grpc.stop()
     }
   }
 
   /** Boot from config text: parse the repository, start the declared
-    * transformations, open the gateway (port 0 = ephemeral).
+    * transformations, open the HTTP gateway and the gRPC server
+    * (port 0 = ephemeral; gRPC listens on `grpcPort`, by convention
+    * HTTP port + 1 when a fixed port is given).
     */
   def boot(spark: SparkSession, configText: String, port: Int = 0,
       checkpointRoot: String =
-        Files.createTempDirectory("graft-ingest-ckpt-").toString): Handle = {
+        Files.createTempDirectory("graft-ingest-ckpt-").toString,
+      grpcPort: Int = 0): Handle = {
     val repo = Repository.parse(configText)
     val op = new GraftOperator(spark, repo)
     val queries = op.startTransformations(checkpointRoot)
     val gateway = new HttpGateway(op, port).start()
-    Handle(op, gateway, queries)
+    val grpc = new GrpcServer(op,
+      if (grpcPort == 0 && port != 0) port + 1 else grpcPort).start()
+    Handle(op, gateway, grpc, queries)
   }
 
   /** Boot from a config file path (the process form). */
@@ -74,6 +83,7 @@ object IngestServer {
       else Files.createTempDirectory("graft-ingest-ckpt-").toString)
     // one machine-readable boot line, then serve until the process dies
     println(s"""{"service":"graft-ingest","port":${handle.port},""" +
+      s""""grpcPort":${handle.grpcPort},""" +
       s""""transformations":${handle.transformations.size}}""")
     val forever = new CountDownLatch(1)
     sys.addShutdownHook { handle.stop(); forever.countDown() }

@@ -84,6 +84,21 @@ class IngestServerSpec extends SparkSpec {
       val listed = post(port, "/list",
         """{"entity":"user","key":"user-e2","prefix":"event."}""")
       assert(listed.contains("event.200"), listed)
+
+      // the same boot also opens the gRPC front door: read the
+      // transformed cell back over real gRPC frames
+      val grpc = new GrpcTestClient(h.grpcPort)
+      try {
+        val (resp, g, _) = grpc.call("/RetrieveService/get",
+          Seq(graft.core.ProtoSchema.encode(GrpcService.GetRequest, Map(
+            "entity" -> "user", "key" -> "user-e1",
+            "attribute" -> "event.100"))))
+        assert(g == 0)
+        val gd = graft.core.ProtoSchema.decode(GrpcService.GetResponse, resp.head)
+        assert(gd("status") == 200L, gd)
+        assert(new String(gd("value").asInstanceOf[Array[Byte]], "UTF-8")
+          == "click")
+      } finally grpc.close()
     } finally h.stop()
   }
 }
