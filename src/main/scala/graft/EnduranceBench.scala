@@ -110,6 +110,20 @@ object EnduranceBench {
       s""""gen_sec":${JsonLine.num(genSec, 1)},"failures":$failures,"order_seed":$seed,""" +
       s""""queries":$qs,"sf":"sf1 (10x sf0.1)"}""")
     spark.stop()
+    // the sf1 endurance BUDGET GATE (on unless explicitly disabled —
+    // this main exists to catch scale regressions): heavy-block
+    // ceilings + suite total from resources/graft/sf1_budgets.properties
+    val budgetSpec = sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "sf1")
+    if (budgetSpec.nonEmpty && budgetSpec != "off") {
+      val violations = Bench.checkBudgets(
+        results.map { case (k, v) =>
+          (k, v, if (v < 0) Some("failed") else None) },
+        Bench.loadBudgets(budgetSpec))
+      if (violations.nonEmpty) {
+        violations.foreach(v => System.err.println(s"[budget] $v"))
+        sys.exit(3)
+      }
+    }
     if (failures > 0) sys.exit(1)
   }
 }

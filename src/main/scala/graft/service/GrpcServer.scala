@@ -99,7 +99,11 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
             d.content.readBytes(bytes)
             val end = d.isEndStream
             d.release()
-            if (!done) reader.feed(bytes).foreach(m => dispatch(ctx, m))
+            // the done-guard inside the loop matters: an error finishing
+            // the stream mid-chunk must not let later messages of the
+            // same DATA frame write after the trailers
+            if (!done) reader.feed(bytes).foreach(m =>
+              if (!done) dispatch(ctx, m))
             ctx.flush()
             if (end) endOfRequests(ctx)
           } catch {
