@@ -41,13 +41,31 @@ object Lineage {
   /** Truncate `df`'s lineage: reliable [[DataFrame.checkpoint]] when
     * [[ConfKey]] is set, `localCheckpoint` otherwise. `eager = false`
     * defers materialization to the caller's next action (one job per
-    * loop round instead of two).
+    * loop round instead of two) — local path only; the reliable path is
+    * always eager (below).
+    *
+    * Reliable-path shape: persist → eager checkpoint → unpersist.
+    * A bare `checkpoint()` COMPUTES THE PLAN TWICE (Spark writes the
+    * checkpoint in a second job; without a persist that job recomputes
+    * from scratch — the RDD.checkpoint scaladoc's own warning), which
+    * would double every loop round's cost on a cluster. The persist
+    * bounds it: one compute into executor cache, one cache-read write
+    * job, cache released. Always eager so the unpersist can land
+    * deterministically.
+    *
+    * Cleanup: each cut leaves its files under the checkpoint dir for
+    * the application's lifetime (Spark only reaps them with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, a
+    * context-start setting). Point [[ConfKey]] at a per-run directory
+    * and remove it when the job ends.
     */
   def cut(df: DataFrame, eager: Boolean = true): DataFrame =
     df.sparkSession.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
         ensureCheckpointDir(df.sparkSession, dir)
-        df.checkpoint(eager)
+        val pinned = df.persist()
+        try pinned.checkpoint(true)
+        finally { pinned.unpersist(); () }
       case _ => df.localCheckpoint(eager)
     }
 }

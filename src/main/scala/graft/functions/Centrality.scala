@@ -61,7 +61,7 @@ object Centrality {
       // is the same bounded driver traffic class as the loop's lineage
       // cut — never data-sized.
       val share =
-        if (!redistributeDangling) 0L
+        if (!redistributeDangling || nNodes == 0) 0L // empty graph: no mass
         else {
           val dSum = ranks
             .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")

@@ -98,26 +98,26 @@ object AccessQueries extends QuerySet {
         else s"put user user-$uid activity $id $et"
       } :+ "exit").mkString("\n") + "\n"
       val tmp = java.nio.file.Files.createTempDirectory("graft-console-q").toString
-      val repo = graft.core.Repository.parse(
-        s"""entities { user { attributes { "activity" { scheme: string } } } }
-           |attributeFamilies { user-primary {
-           |  entity: user
-           |  attributes: [ "*" ]
-           |  storage: "file://$tmp/store"
-           |  type: primary
-           |  access: [ commit-log, batch-updates, batch-snapshot, random-access ]
-           |} }""".stripMargin)
-      val op = new graft.core.GraftOperator(s, repo)
-      val consoleOut = new java.io.ByteArrayOutputStream()
-      new graft.tools.GraftShell(op,
-        new java.io.ByteArrayInputStream(script.getBytes("UTF-8")),
-        new java.io.PrintStream(consoleOut, true, "UTF-8")).run()
-      val out = op.getBatchSnapshot("user").toDF()
-        .select(col("key"), col("stamp").as("event_id"),
-          decode(col("value"), "UTF-8").as("last_type"))
-        .localCheckpoint(true)
-      StagedLogs.deleteRecursively(tmp)
-      out
+      try {
+        val repo = graft.core.Repository.parse(
+          s"""entities { user { attributes { "activity" { scheme: string } } } }
+             |attributeFamilies { user-primary {
+             |  entity: user
+             |  attributes: [ "*" ]
+             |  storage: "file://$tmp/store"
+             |  type: primary
+             |  access: [ commit-log, batch-updates, batch-snapshot, random-access ]
+             |} }""".stripMargin)
+        val op = new graft.core.GraftOperator(s, repo)
+        val consoleOut = new java.io.ByteArrayOutputStream()
+        new graft.tools.GraftShell(op,
+          new java.io.ByteArrayInputStream(script.getBytes("UTF-8")),
+          new java.io.PrintStream(consoleOut, true, "UTF-8")).run()
+        op.getBatchSnapshot("user").toDF()
+          .select(col("key"), col("stamp").as("event_id"),
+            decode(col("value"), "UTF-8").as("last_type"))
+          .localCheckpoint(true) // detach from the scratch store pre-delete
+      } finally StagedLogs.deleteRecursively(tmp)
     }),
 
     // scanWildcardAll(key): ALL live attributes of one key through the

@@ -73,8 +73,14 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     // reads guard the swap invariant too: a crash inside swapBuckets
     // (live bucket moved to trash, staged not yet moved in) must fail
     // the NEXT READ loudly, not silently serve a store with whole
-    // buckets missing until some later mutation hits its own guard
-    requireNoInterruptedSwap(fs)
+    // buckets missing until some later mutation hits its own guard.
+    // Synchronized against swapBuckets: a SAME-PROCESS read racing a
+    // healthy in-flight swap (the replicate() flow) waits for the swap
+    // instead of spuriously reporting it interrupted; only a CRASHED
+    // swap's leftover markers — no monitor holder — trip the guard.
+    // (A reader in a DIFFERENT process can still observe a healthy
+    // swap's transient markers; treat that error as retryable there.)
+    this.synchronized(requireNoInterruptedSwap(fs))
     // a store nothing was ever written to is a legitimately empty store
     if (!fs.exists(p))
       spark.createDataFrame(
@@ -182,7 +188,7 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * loudly until resolved.
     */
   private def swapBuckets(merged: Dataset[StreamElement],
-      affected: Seq[Long]): Unit = {
+      affected: Seq[Long]): Unit = this.synchronized {
     val staging = path + "_staging"
     val trash = path + "/_swap_trash"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -28,15 +28,19 @@ import graft.service.GrpcWire.GrpcException
   * field numbers, same status codes.
   *
   * Streaming: bidi ingest streams answer message-at-a-time (each request
-  * frame's response flushes as it is processed); `scan` writes its
-  * server-stream chunks as they pull from `toLocalIterator`, so a
-  * snapshot never materializes on the driver.
+  * frame's response flushes as it is processed); `scan` runs on a worker
+  * thread and writes its server-stream chunks with write-future
+  * backpressure — each chunk's write syncs against the HTTP/2
+  * flow-control window before the next pulls from `toLocalIterator`, so
+  * a slow client stalls the iterator instead of buffering the snapshot
+  * in the outbound queue, and the snapshot never materializes on the
+  * driver.
   *
-  * Dispatch runs on the stream's event-loop thread — per-stream ordering
-  * for free, at the price of a Spark-action-latency stall for other
-  * streams on the same loop (the group is sized `2×cores`); a
-  * production deployment would hand dispatch to a bounded worker pool
-  * exactly like [[HttpGateway]]'s.
+  * Unary/per-message dispatch runs on the stream's event-loop thread —
+  * per-stream ordering for free, at the price of a Spark-action-latency
+  * stall for other streams on the same loop (the group is sized
+  * `2×cores`); a production deployment would hand that dispatch to a
+  * bounded worker pool exactly like [[HttpGateway]]'s.
   */
 final class GrpcServer(op: GraftOperator, port: Int = 0,
     bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1"),
@@ -44,12 +48,21 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
 
   private val svc = new GrpcService(op, txTtlMs)
   private val group = new NioEventLoopGroup()
+  // server-streaming rpcs run here, NOT on the event loop: their
+  // backpressure wait (write-future sync against the HTTP/2 flow-control
+  // window) would deadlock the loop that must service the window updates
+  private val streamPool = java.util.concurrent.Executors.newCachedThreadPool(
+    r => { val t = new Thread(r, "grpc-stream"); t.setDaemon(true); t })
   @volatile private var channel: Channel = _
 
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private var rpc: Option[GrpcService.Rpc] = None
     private var badPath: String = ""
+    private var sawHeaders = false
+    private var streaming = false // a ServerStream worker owns termination
     private val reader = new GrpcWire.FrameReader()
+    // write-side state is shared between the event loop and a streaming
+    // worker — every mutation happens under the handler monitor
     private var headersSent = false
     private var done = false
 
@@ -60,14 +73,37 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       new DefaultHttp2HeadersFrame(h)
     }
 
-    private def writeMsg(ctx: ChannelHandlerContext, payload: Array[Byte]): Unit = {
+    private def writeMsg(ctx: ChannelHandlerContext,
+        payload: Array[Byte]): Unit = this.synchronized {
+      if (done) return
       if (!headersSent) { ctx.write(respHeaders()); headersSent = true }
       ctx.write(new DefaultHttp2DataFrame(
         Unpooled.wrappedBuffer(GrpcWire.frame(payload))))
+      ()
+    }
+
+    /** Off-loop message write with REAL backpressure: returns once the
+      * frame cleared the local flow-control window (write future), so a
+      * slow scan client stalls the producing iterator instead of
+      * buffering the whole snapshot in the outbound queue. The sync
+      * happens OFF the handler monitor — the event loop must stay free
+      * to process the client's window updates.
+      */
+    private def writeMsgSync(ctx: ChannelHandlerContext,
+        payload: Array[Byte]): Unit = {
+      val fut = this.synchronized {
+        if (done) null
+        else {
+          if (!headersSent) { ctx.write(respHeaders()); headersSent = true }
+          ctx.writeAndFlush(new DefaultHttp2DataFrame(
+            Unpooled.wrappedBuffer(GrpcWire.frame(payload))))
+        }
+      }
+      if (fut != null) { fut.sync(); () }
     }
 
     private def finish(ctx: ChannelHandlerContext, status: Int,
-        message: String = ""): Unit = {
+        message: String = ""): Unit = this.synchronized {
       if (done) return
       done = true
       val trailers = new DefaultHttp2Headers()
@@ -86,12 +122,20 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       ctx.flush()
     }
 
+    private def isDone: Boolean = this.synchronized(done)
+
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
       msg match {
         case h: Http2HeadersFrame =>
-          val path = Option(h.headers.path).map(_.toString).getOrElse("")
-          rpc = svc.method(path)
-          if (rpc.isEmpty) badPath = path
+          // only the FIRST headers frame carries the method — a later
+          // trailers frame (a legal way to end the request stream) must
+          // not clobber the resolved rpc into UNIMPLEMENTED
+          if (!sawHeaders) {
+            sawHeaders = true
+            val path = Option(h.headers.path).map(_.toString).getOrElse("")
+            rpc = svc.method(path)
+            if (rpc.isEmpty) badPath = path
+          }
           if (h.isEndStream) endOfRequests(ctx)
         case d: Http2DataFrame =>
           try {
@@ -102,8 +146,8 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
             // the done-guard inside the loop matters: an error finishing
             // the stream mid-chunk must not let later messages of the
             // same DATA frame write after the trailers
-            if (!done) reader.feed(bytes).foreach(m =>
-              if (!done) dispatch(ctx, m))
+            if (!isDone) reader.feed(bytes).foreach(m =>
+              if (!isDone) dispatch(ctx, m))
             ctx.flush()
             if (end) endOfRequests(ctx)
           } catch {
@@ -122,11 +166,24 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
         case Some(GrpcService.PerMessage(f)) =>
           writeMsg(ctx, f(reqMsg))
         case Some(GrpcService.ServerStream(f)) =>
-          f(reqMsg).foreach { chunk => writeMsg(ctx, chunk); ctx.flush() }
+          if (!streaming) { // a second request message is protocol misuse
+            streaming = true
+            streamPool.execute { () =>
+              try {
+                f(reqMsg).foreach(chunk => writeMsgSync(ctx, chunk))
+                finish(ctx, GrpcWire.StatusOk)
+              } catch {
+                case g: GrpcException => finish(ctx, g.status, g.msg)
+                case e: Throwable => finish(ctx, GrpcWire.StatusInternal,
+                  Option(e.getMessage).getOrElse(e.getClass.getName))
+              }
+            }
+          }
       }
 
     private def endOfRequests(ctx: ChannelHandlerContext): Unit =
-      if (!done) {
+      if (streaming) () // the worker writes the trailers when drained
+      else if (!isDone) {
         if (rpc.isEmpty)
           finish(ctx, GrpcWire.StatusUnimplemented, s"unknown method $badPath")
         else if (!reader.isClean)
@@ -169,6 +226,7 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
 
   def stop(): Unit = {
     if (channel != null) channel.close().syncUninterruptibly()
+    streamPool.shutdownNow()
     group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
       .syncUninterruptibly()
     ()

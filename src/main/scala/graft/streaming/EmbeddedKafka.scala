@@ -154,6 +154,20 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
       .option("broker", topic.broker).option("topic", topic.name)
       .mode("append").save()
 
+  /** ONE-pass snapshot for the live broker: the skew-safe two-pass
+    * default references the log twice, and a kafka batch scan resolves
+    * its offset range PER SCAN at planning time — a concurrent append
+    * landing between the two resolutions would tear the snapshot (the
+    * tombstone pass seeing data the latest pass does not). The typed
+    * one-pass aggregator reads the topic exactly once, so the snapshot
+    * is always a point-in-time state of the log; for a mutable live
+    * source that consistency outranks the wide-wildcard-key buffer
+    * trade (a topic hot-key compaction is bounded by its retained
+    * segment anyway).
+    */
+  override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
+    graft.operators.LatestWithTombstones.snapshot(batchUpdates(), asOf)
+
   override def append(elems: Seq[StreamElement]): Unit = {
     graft.core.Metrics.inc("graft.elements.appended", elems.size.toLong)
     elems.foreach(topic.append)

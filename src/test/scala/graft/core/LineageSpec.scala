@@ -19,11 +19,15 @@ class LineageSpec extends SparkSpec {
     }
   }
 
-  test("cut without the conf is a local checkpoint (no reliable files)") {
+  test("cut without the conf is a local checkpoint (lineage truncated)") {
     withConf(None) {
-      val cut = Lineage.cut(spark.range(10).toDF())
+      val cut = Lineage.cut(spark.range(10).toDF().filter("id >= 0"))
+      // the returned plan must be a materialized leaf (LogicalRDD), not
+      // the original filter lineage — this is what would regress if cut
+      // silently stopped checkpointing
+      assert(cut.queryExecution.analyzed.getClass.getSimpleName
+        == "LogicalRDD", cut.queryExecution.analyzed)
       assert(cut.count() === 10)
-      assert(cut.rdd.isCheckpointed || cut.rdd.getNumPartitions >= 0)
     }
   }
 

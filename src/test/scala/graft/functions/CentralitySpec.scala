@@ -85,6 +85,12 @@ class CentralitySpec extends SparkSpec {
     assert(full.values.sum > leaky.values.sum)
   }
 
+  test("dangling variant on an empty edge set returns empty, no 0/0") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Centrality.pageRankMicros(empty, 2, redistributeDangling = true)
+      .collect().isEmpty)
+  }
+
   test("dangling variant stays partitioning-invariant") {
     val edges = (1L to 40L).map(i => (i, i * 11 % 45 + 1)) // some dangling dsts
     val a = rankDangling(edges, 3)
