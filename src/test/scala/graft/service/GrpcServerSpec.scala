@@ -147,6 +147,28 @@ class GrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("server-streaming scan spans multiple chunks through the worker path") {
+    // > scanChunk (256) elements: the scan must emit several ScanResult
+    // frames through the backpressured worker and close with OK trailers
+    val op = newOp()
+    val server = new GrpcServer(op, port = 0).start()
+    val client = new GrpcTestClient(server.boundPort)
+    try {
+      val elems = (1 to 600).map(i => graft.core.StreamElement(
+        "user", s"k$i", "status", s"u$i", 0L, i.toLong,
+        s"v$i".getBytes("UTF-8"), delete = false, deleteWildcard = false))
+      op.writeBatch(spark.createDataset(elems)(graft.core.StreamElement.encoder))
+      val (chunks, g, m) = client.call("/RetrieveService/scan",
+        Seq(ProtoSchema.encode(ScanRequest, Map("entity" -> "user"))))
+      assert(g == 0, s"$g $m")
+      assert(chunks.size >= 3, s"expected >=3 ScanResult frames, got ${chunks.size}")
+      val keys = chunks.flatMap(b =>
+        ProtoSchema.decode(ScanResult, b)("value").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]("key").toString))
+      assert(keys.size == 600 && keys.toSet.size == 600)
+    } finally { client.close(); server.stop() }
+  }
+
   test("transactions: begin -> transactional ingest -> commit; conflicts reject") {
     withServer { (c, _) =>
       def begin(): String = {
