@@ -36,11 +36,11 @@ import graft.service.GrpcWire.GrpcException
   * in the outbound queue, and the snapshot never materializes on the
   * driver.
   *
-  * Unary/per-message dispatch runs on the stream's event-loop thread —
-  * per-stream ordering for free, at the price of a Spark-action-latency
-  * stall for other streams on the same loop (the group is sized
-  * `2×cores`); a production deployment would hand that dispatch to a
-  * bounded worker pool exactly like [[HttpGateway]]'s.
+  * Unary/per-message dispatch ALSO runs off the event loop: each stream
+  * owns a serial task queue drained on the shared worker pool, so a
+  * Spark-action-latency handler never stalls other streams on the same
+  * loop while responses (and the closing trailers) still leave in
+  * strict per-stream FIFO order.
   */
 final class GrpcServer(op: GraftOperator, port: Int = 0,
     bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1"),
@@ -55,14 +55,43 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
     r => { val t = new Thread(r, "grpc-stream"); t.setDaemon(true); t })
   @volatile private var channel: Channel = _
 
+  /** Per-stream serial executor: tasks run on [[streamPool]] one at a
+    * time in submission order — per-stream FIFO without pinning a
+    * thread per stream, and without blocking the event loop on a
+    * Spark-action-latency handler.
+    */
+  private final class SerialExecutor {
+    private val queue = new java.util.ArrayDeque[Runnable]()
+    private var active = false
+    def submit(task: Runnable): Unit = {
+      val start = synchronized {
+        queue.addLast(task)
+        if (active) false else { active = true; true }
+      }
+      if (start) streamPool.execute(() => drain())
+    }
+    private def drain(): Unit = {
+      var next = synchronized(queue.pollFirst())
+      while (next != null) {
+        try next.run() catch { case _: Throwable => () } // tasks self-report
+        next = synchronized {
+          val n = queue.pollFirst()
+          if (n == null) active = false
+          n
+        }
+      }
+    }
+  }
+
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private var rpc: Option[GrpcService.Rpc] = None
     private var badPath: String = ""
     private var sawHeaders = false
     private var streaming = false // a ServerStream worker owns termination
     private val reader = new GrpcWire.FrameReader()
-    // write-side state is shared between the event loop and a streaming
-    // worker — every mutation happens under the handler monitor
+    private val serial = new SerialExecutor
+    // write-side state is shared between the event loop and the workers
+    // — every mutation happens under the handler monitor
     private var headersSent = false
     private var done = false
 
@@ -159,36 +188,50 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
           io.netty.util.ReferenceCountUtil.release(other)
       }
 
+    private def failWith(ctx: ChannelHandlerContext, e: Throwable): Unit =
+      e match {
+        case g: GrpcException => finish(ctx, g.status, g.msg)
+        case _ => finish(ctx, GrpcWire.StatusInternal,
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+
     private def dispatch(ctx: ChannelHandlerContext, reqMsg: Array[Byte]): Unit =
       rpc match {
         case None =>
-          finish(ctx, GrpcWire.StatusUnimplemented, s"unknown method $badPath")
+          serial.submit(() =>
+            finish(ctx, GrpcWire.StatusUnimplemented, s"unknown method $badPath"))
         case Some(GrpcService.PerMessage(f)) =>
-          writeMsg(ctx, f(reqMsg))
+          // off the event loop, per-stream FIFO via the serial queue;
+          // each response flushes as its handler completes
+          serial.submit { () =>
+            try { writeMsg(ctx, f(reqMsg)); ctx.flush(); () }
+            catch { case e: Throwable => failWith(ctx, e) }
+          }
         case Some(GrpcService.ServerStream(f)) =>
           if (!streaming) { // a second request message is protocol misuse
             streaming = true
-            streamPool.execute { () =>
+            serial.submit { () =>
               try {
                 f(reqMsg).foreach(chunk => writeMsgSync(ctx, chunk))
                 finish(ctx, GrpcWire.StatusOk)
-              } catch {
-                case g: GrpcException => finish(ctx, g.status, g.msg)
-                case e: Throwable => finish(ctx, GrpcWire.StatusInternal,
-                  Option(e.getMessage).getOrElse(e.getClass.getName))
-              }
+              } catch { case e: Throwable => failWith(ctx, e) }
             }
           }
       }
 
     private def endOfRequests(ctx: ChannelHandlerContext): Unit =
-      if (streaming) () // the worker writes the trailers when drained
+      if (streaming) () // the stream worker writes the trailers when drained
       else if (!isDone) {
-        if (rpc.isEmpty)
-          finish(ctx, GrpcWire.StatusUnimplemented, s"unknown method $badPath")
-        else if (!reader.isClean)
-          finish(ctx, GrpcWire.StatusInternal, "stream ended mid-message")
-        else finish(ctx, GrpcWire.StatusOk)
+        val unknown = rpc.isEmpty
+        val clean = reader.isClean // read on the event loop, not the worker
+        // the trailers task queues BEHIND every pending response task
+        serial.submit { () =>
+          if (unknown)
+            finish(ctx, GrpcWire.StatusUnimplemented, s"unknown method $badPath")
+          else if (!clean)
+            finish(ctx, GrpcWire.StatusInternal, "stream ended mid-message")
+          else finish(ctx, GrpcWire.StatusOk)
+        }
       }
 
     override def exceptionCaught(ctx: ChannelHandlerContext, e: Throwable): Unit = {
