@@ -44,9 +44,17 @@ import graft.service.GrpcWire.GrpcException
   */
 final class GrpcServer(op: GraftOperator, port: Int = 0,
     bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1"),
-    txTtlMs: Long = sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong) {
+    txTtlMs: Long = sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong,
+    maxConcurrentScans: Int =
+      sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt) {
 
   private val svc = new GrpcService(op, txTtlMs)
+  // same load-shedding contract as HttpGateway /scan: each streaming
+  // scan pins a worker thread plus a toLocalIterator-driven Spark job
+  // for the client's whole read — cap them, answer RESOURCE_EXHAUSTED
+  // (the gRPC analog of 429) over the cap
+  private val scanPermits =
+    new java.util.concurrent.Semaphore(math.max(0, maxConcurrentScans))
   private val group = new NioEventLoopGroup()
   // server-streaming rpcs run here, NOT on the event loop: their
   // backpressure wait (write-future sync against the HTTP/2 flow-control
@@ -210,11 +218,15 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
         case Some(GrpcService.ServerStream(f)) =>
           if (!streaming) { // a second request message is protocol misuse
             streaming = true
-            serial.submit { () =>
+            if (!scanPermits.tryAcquire())
+              serial.submit(() => finish(ctx, GrpcWire.StatusResourceExhausted,
+                s"too many concurrent scans (max $maxConcurrentScans)"))
+            else serial.submit { () =>
               try {
                 f(reqMsg).foreach(chunk => writeMsgSync(ctx, chunk))
                 finish(ctx, GrpcWire.StatusOk)
               } catch { case e: Throwable => failWith(ctx, e) }
+              finally scanPermits.release()
             }
           }
       }

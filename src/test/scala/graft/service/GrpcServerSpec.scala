@@ -169,6 +169,19 @@ class GrpcServerSpec extends SparkSpec {
     } finally { client.close(); server.stop() }
   }
 
+  test("scan load shedding: over the cap answers RESOURCE_EXHAUSTED") {
+    val op = newOp()
+    val server = new GrpcServer(op, port = 0, maxConcurrentScans = 0).start()
+    val client = new GrpcTestClient(server.boundPort)
+    try {
+      val (msgs, g, m) = client.call("/RetrieveService/scan",
+        Seq(ProtoSchema.encode(ScanRequest, Map("entity" -> "user"))))
+      assert(msgs.isEmpty)
+      assert(g == GrpcWire.StatusResourceExhausted, s"$g $m")
+      assert(m.contains("concurrent scans"))
+    } finally { client.close(); server.stop() }
+  }
+
   test("transactions: begin -> transactional ingest -> commit; conflicts reject") {
     withServer { (c, _) =>
       def begin(): String = {
