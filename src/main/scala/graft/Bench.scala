@@ -59,7 +59,10 @@ object Bench {
     val props = new java.util.Properties()
     val in =
       if (spec == "sf1")
-        getClass.getResourceAsStream("/graft/sf1_budgets.properties")
+        Option(getClass.getResourceAsStream("/graft/sf1_budgets.properties"))
+          .getOrElse(throw new IllegalStateException(
+            "budget resource /graft/sf1_budgets.properties not on the " +
+              "classpath — packaging problem, not a budget pass"))
       else new java.io.FileInputStream(spec)
     try props.load(in) finally in.close()
     import scala.jdk.CollectionConverters._

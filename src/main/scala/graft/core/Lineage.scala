@@ -63,9 +63,14 @@ object Lineage {
     df.sparkSession.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
         ensureCheckpointDir(df.sparkSession, dir)
-        val pinned = df.persist()
+        // a caller-persisted frame keeps ITS cache: persisting again is
+        // a no-op and our unpersist would silently evict the caller's
+        // entry — only pin/release when we created the pin
+        val callerPinned =
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        val pinned = if (callerPinned) df else df.persist()
         try pinned.checkpoint(true)
-        finally { pinned.unpersist(); () }
+        finally { if (!callerPinned) { pinned.unpersist(); () } }
       case _ => df.localCheckpoint(eager)
     }
 }

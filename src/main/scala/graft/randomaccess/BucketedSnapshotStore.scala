@@ -74,12 +74,19 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     // (live bucket moved to trash, staged not yet moved in) must fail
     // the NEXT READ loudly, not silently serve a store with whole
     // buckets missing until some later mutation hits its own guard.
-    // Synchronized against swapBuckets: a SAME-PROCESS read racing a
-    // healthy in-flight swap (the replicate() flow) waits for the swap
-    // instead of spuriously reporting it interrupted; only a CRASHED
-    // swap's leftover markers — no monitor holder — trip the guard.
-    // (A reader in a DIFFERENT process can still observe a healthy
-    // swap's transient markers; treat that error as retryable there.)
+    // The monitor's scope is EXACTLY the marker check: a same-process
+    // guard racing a healthy in-flight swap (the replicate() flow)
+    // waits for the swap instead of spuriously reporting it
+    // interrupted; only a CRASHED swap's leftover markers — no monitor
+    // holder — trip it. It does NOT serialize the lazy scan itself: a
+    // DataFrame built before a swap and materialized during it can
+    // still observe the mid-swap layout (the store's pre-existing
+    // contract is per-BUCKET atomicity, not whole-store isolation —
+    // quiesce reads across refresh, as replicate's serial foreachBatch
+    // does, when whole-store consistency matters). A reader in a
+    // DIFFERENT process (or a second store instance on the same path)
+    // shares no monitor and can see a healthy swap's transient
+    // markers; treat the error as retryable there.
     this.synchronized(requireNoInterruptedSwap(fs))
     // a store nothing was ever written to is a legitimately empty store
     if (!fs.exists(p))

@@ -46,15 +46,18 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
     bindAddress: String = sys.env.getOrElse("GRAFT_BIND", "127.0.0.1"),
     txTtlMs: Long = sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong,
     maxConcurrentScans: Int =
-      sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt) {
+      sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt,
+    txRegistry: Option[TxRegistry] = None) {
 
-  private val svc = new GrpcService(op, txTtlMs)
+  private val svc = new GrpcService(op, txTtlMs, txRegistry = txRegistry)
   // same load-shedding contract as HttpGateway /scan: each streaming
   // scan pins a worker thread plus a toLocalIterator-driven Spark job
   // for the client's whole read — cap them, answer RESOURCE_EXHAUSTED
   // (the gRPC analog of 429) over the cap
   private val scanPermits =
     new java.util.concurrent.Semaphore(math.max(0, maxConcurrentScans))
+  private val writeTimeoutMs =
+    sys.env.getOrElse("GRAFT_GRPC_WRITE_TIMEOUT_MS", "60000").toLong
   private val group = new NioEventLoopGroup()
   // server-streaming rpcs run here, NOT on the event loop: their
   // backpressure wait (write-future sync against the HTTP/2 flow-control
@@ -78,6 +81,8 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       }
       if (start) streamPool.execute(() => drain())
     }
+    /** Pending tasks incl. the running one (the read-throttle signal). */
+    def depth: Int = synchronized(queue.size + (if (active) 1 else 0))
     private def drain(): Unit = {
       var next = synchronized(queue.pollFirst())
       while (next != null) {
@@ -98,6 +103,9 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
     private var streaming = false // a ServerStream worker owns termination
     private val reader = new GrpcWire.FrameReader()
     private val serial = new SerialExecutor
+    // read-throttle water marks on the serial queue depth
+    private val HighWater = 64
+    private val LowWater = 16
     // write-side state is shared between the event loop and the workers
     // — every mutation happens under the handler monitor
     private var headersSent = false
@@ -136,7 +144,17 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
             Unpooled.wrappedBuffer(GrpcWire.frame(payload))))
         }
       }
-      if (fut != null) { fut.sync(); () }
+      if (fut != null) {
+        // bounded wait: a connected-but-not-reading client must not pin
+        // this worker (and its scan permit) forever — past the deadline
+        // the stream dies with DEADLINE_EXCEEDED and the channel closes
+        if (!fut.await(writeTimeoutMs)) {
+          ctx.close()
+          throw GrpcWire.GrpcException(GrpcWire.StatusDeadlineExceeded,
+            s"client did not consume the response within ${writeTimeoutMs}ms")
+        }
+        if (!fut.isSuccess) throw fut.cause()
+      }
     }
 
     private def finish(ctx: ChannelHandlerContext, status: Int,
@@ -196,6 +214,12 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
           io.netty.util.ReferenceCountUtil.release(other)
       }
 
+    private def maybeResumeReads(ctx: ChannelHandlerContext): Unit =
+      if (serial.depth <= LowWater && !ctx.channel.config.isAutoRead) {
+        val ch = ctx.channel
+        ch.eventLoop.execute(() => { ch.config.setAutoRead(true); () })
+      }
+
     private def failWith(ctx: ChannelHandlerContext, e: Throwable): Unit =
       e match {
         case g: GrpcException => finish(ctx, g.status, g.msg)
@@ -210,11 +234,19 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
             finish(ctx, GrpcWire.StatusUnimplemented, s"unknown method $badPath"))
         case Some(GrpcService.PerMessage(f)) =>
           // off the event loop, per-stream FIFO via the serial queue;
-          // each response flushes as its handler completes
+          // each response flushes as its handler completes. Inbound
+          // BACKPRESSURE: when the queue outruns the worker (a client
+          // streaming ingest at line rate vs Spark-write latency), the
+          // stream's autoRead pauses — netty stops replenishing the
+          // HTTP/2 flow-control window, the client stalls, and the
+          // queue (each entry pinning a request payload) stays bounded
           serial.submit { () =>
             try { writeMsg(ctx, f(reqMsg)); ctx.flush(); () }
             catch { case e: Throwable => failWith(ctx, e) }
+            finally maybeResumeReads(ctx)
           }
+          if (serial.depth > HighWater)
+            ctx.channel.config.setAutoRead(false)
         case Some(GrpcService.ServerStream(f)) =>
           if (!streaming) { // a second request message is protocol misuse
             streaming = true

@@ -1,7 +1,6 @@
 package graft.service
 
-import graft.core.{Access, GraftOperator, ProtoSchema, StreamElement,
-  TransactionCoordinator, TransactionMode}
+import graft.core.{GraftOperator, ProtoSchema, StreamElement}
 import graft.core.ProtoSchema.PMessage
 import graft.service.GrpcWire.GrpcException
 
@@ -112,10 +111,14 @@ object GrpcService {
   */
 final class GrpcService(op: GraftOperator,
     txTtlMs: Long = sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong,
-    scanChunk: Int = 256) {
+    scanChunk: Int = 256,
+    txRegistry: Option[TxRegistry] = None) {
   import GrpcService._
 
   private val ingestSvc = new IngestService(op)
+  // shared with the HTTP transport when the server passes one registry
+  // to both — see TxRegistry
+  private val txs = txRegistry.getOrElse(new TxRegistry(op, txTtlMs))
 
   private def str(m: Map[String, Any], k: String): String = m(k).toString
   private def lng(m: Map[String, Any], k: String): Long = m(k) match {
@@ -124,58 +127,49 @@ final class GrpcService(op: GraftOperator,
   private def reps(m: Map[String, Any], k: String): Seq[Map[String, Any]] =
     m(k).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
 
-  // ---- transactions (mirrors HttpGateway's registry; one per family) ----
+  // ---- transactions (shared TxRegistry, see that class) ----
 
-  private final class TxHandle(val t: TransactionCoordinator#Transaction,
-      val family: String, val lastUsed: java.util.concurrent.atomic.AtomicLong)
-  private val openTxs =
-    new java.util.concurrent.ConcurrentHashMap[String, TxHandle]()
-  private val coordinators = new java.util.concurrent.ConcurrentHashMap[
-    (String, TransactionMode), TransactionCoordinator]()
-
-  private def sweepExpiredTxs(): Unit = {
-    val cutoff = System.currentTimeMillis() - txTtlMs
-    openTxs.entrySet().removeIf(e => e.getValue.lastUsed.get() < cutoff)
-  }
-
-  private def txFamilyName(entity: String, attribute: String): String =
-    op.repo.familyFor(entity, attribute, Access.BatchUpdates)
-      .getOrElse(throw GrpcException(GrpcWire.StatusInvalidArgument,
-        s"no batch-updates family for $entity.$attribute"))
-      .name
+  private def invalid(msg: String): Nothing =
+    throw GrpcException(GrpcWire.StatusInvalidArgument, msg)
 
   private def begin(m: Map[String, Any]): Map[String, Any] = {
-    sweepExpiredTxs()
     val involved = reps(m, "attributesInvolved")
     if (involved.isEmpty)
-      throw GrpcException(GrpcWire.StatusInvalidArgument,
-        "global transactions (empty attributesInvolved) are not supported; " +
-          "name at least the output attributes")
-    val fams = involved
-      .map(ka => txFamilyName(str(ka, "entity"), str(ka, "attribute")))
-      .distinct
+      invalid("global transactions (empty attributesInvolved) are not " +
+        "supported; name at least the output attributes")
+    val fams =
+      try involved
+        .map(ka => txs.familyNameFor(str(ka, "entity"), str(ka, "attribute")))
+        .distinct
+      catch { case e: IllegalArgumentException => invalid(e.getMessage) }
     if (fams.size > 1)
-      throw GrpcException(GrpcWire.StatusInvalidArgument,
-        s"attributes span families ${fams.mkString(", ")} — open one " +
-          "transaction per family")
-    val coord = coordinators.computeIfAbsent((fams.head, TransactionMode.Attribute),
-      _ => new TransactionCoordinator(op.family(fams.head), TransactionMode.Attribute))
-    val id = Option(str(m, "transactionId")).filter(_.nonEmpty)
-      .getOrElse(java.util.UUID.randomUUID().toString)
-    openTxs.put(id, new TxHandle(coord.begin(), fams.head,
-      new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())))
+      invalid(s"attributes span families ${fams.mkString(", ")} — open one " +
+        "transaction per family")
+    // a client-supplied id never hijacks an OPEN transaction (its
+    // buffered writes would vanish without an error) — duplicates reject
+    val id =
+      try txs.begin(fams.head,
+        requestedId = Some(str(m, "transactionId")))
+      catch { case e: IllegalArgumentException => invalid(e.getMessage) }
     Map("transactionId" -> id)
   }
 
-  private def commit(m: Map[String, Any]): Map[String, Any] = {
-    sweepExpiredTxs()
-    Option(openTxs.remove(str(m, "transactionId"))) match {
+  private def commit(m: Map[String, Any]): Map[String, Any] =
+    (try Some(txs.take(str(m, "transactionId")))
+    catch { case _: IllegalArgumentException => None }) match {
       case None => Map("status" -> TxFailed)
       case Some(h) =>
         try { h.t.commit(); Map("status" -> TxCommitted) }
-        catch { case _: RuntimeException => Map("status" -> TxRejected) }
+        catch {
+          // REJECTED strictly means an optimistic-concurrency conflict
+          // (writes not applied, retry may succeed); anything else is
+          // FAILED — a client retry loop must be able to tell a
+          // conflict from broken infrastructure
+          case _: graft.core.TransactionCoordinator#TransactionRejectedException =>
+            Map("status" -> TxRejected)
+          case _: RuntimeException => Map("status" -> TxFailed)
+        }
     }
-  }
 
   // ---- ingest ----
 
@@ -187,16 +181,17 @@ final class GrpcService(op: GraftOperator,
     if (txId.nonEmpty) {
       // transactional ingest: buffered in the open transaction, visible
       // only after commit (rpc.proto Ingest.transactionId:52)
-      sweepExpiredTxs()
-      val h = Option(openTxs.get(txId)).getOrElse(
+      val h =
+        try txs.open(txId)
+        catch { case e: IllegalArgumentException =>
+          return Map("uuid" -> uuid, "status" -> 400L,
+            "statusMessage" -> e.getMessage)
+        }
+      try txs.requireSameFamily(h, entity, attr)
+      catch { case e: IllegalArgumentException =>
         return Map("uuid" -> uuid, "status" -> 400L,
-          "statusMessage" -> "unknown, expired or closed transaction"))
-      h.lastUsed.set(System.currentTimeMillis())
-      val fam = txFamilyName(entity, attr)
-      if (fam != h.family)
-        return Map("uuid" -> uuid, "status" -> 400L, "statusMessage" ->
-          (s"$entity.$attr routes to family '$fam' but the transaction " +
-            s"was begun on '${h.family}'"))
+          "statusMessage" -> e.getMessage)
+      }
       h.t.update(StreamElement(entity, str(m, "key"), attr,
         Option(uuid).filter(_.nonEmpty)
           .getOrElse(java.util.UUID.randomUUID().toString),
@@ -222,10 +217,14 @@ final class GrpcService(op: GraftOperator,
     try {
       val found =
         if (txId.nonEmpty) {
-          sweepExpiredTxs()
-          val h = Option(openTxs.get(txId)).getOrElse(throw GrpcException(
-            GrpcWire.StatusInvalidArgument, "unknown, expired or closed transaction"))
-          h.lastUsed.set(System.currentTimeMillis())
+          val h =
+            try txs.open(txId)
+            catch { case e: IllegalArgumentException => invalid(e.getMessage) }
+          // same guard as /tx/get: a read routed to a DIFFERENT family
+          // than the tx was begun on would silently answer not-found
+          // while still adding the cell to the conflict scope
+          try txs.requireSameFamily(h, entity, attr)
+          catch { case e: IllegalArgumentException => invalid(e.getMessage) }
           h.t.get(key, attr)
         } else op.getRandomAccess(entity, attr).get(key, attr)
       found match {

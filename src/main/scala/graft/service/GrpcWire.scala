@@ -16,6 +16,7 @@ object GrpcWire {
   val StatusOk = 0
   val StatusUnknown = 2
   val StatusInvalidArgument = 3
+  val StatusDeadlineExceeded = 4
   val StatusNotFound = 5
   val StatusResourceExhausted = 8
   val StatusUnimplemented = 12

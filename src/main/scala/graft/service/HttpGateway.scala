@@ -58,7 +58,12 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     maxConcurrentScans: Int =
       sys.env.getOrElse("GRAFT_GATEWAY_MAX_SCANS", "4").toInt,
     txTtlMs: Long =
-      sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong) {
+      sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong,
+    txRegistry: Option[TxRegistry] = None) {
+
+  // shared with the gRPC transport when the server passes one registry
+  // to both — a tx begun over HTTP is then committable over gRPC
+  private val txs = txRegistry.getOrElse(new TxRegistry(op, txTtlMs))
 
   private val ingest = new IngestService(op)
   private val retrieve = new RetrieveService(op)
@@ -261,55 +266,8 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   })
 
   // ---- transactions over the wire (rpc.proto begin:405) ----
-
-  private val coordinators =
-    new java.util.concurrent.ConcurrentHashMap[(String, TransactionMode), TransactionCoordinator]()
-
-  /** An open wire transaction: the handle, the family it was begun on
-    * (updates must route to the SAME family — the coordinator validates
-    * and appends there), and a last-touched stamp refreshed by every
-    * get/update so only genuinely ABANDONED transactions expire.
-    */
-  // a plain class, not a case class: the path-dependent Transaction type
-  // would give the synthetic case-class equality an outer-reference check
-  // scalac cannot verify (the handle is an identity-keyed map value, so
-  // structural equality is unwanted anyway)
-  private final class TxHandle(val t: TransactionCoordinator#Transaction,
-      val family: String, val lastUsed: java.util.concurrent.atomic.AtomicLong)
-
-  private val openTxs =
-    new java.util.concurrent.ConcurrentHashMap[String, TxHandle]()
-
-  private def sweepExpiredTxs(): Unit = {
-    val cutoff = System.currentTimeMillis() - txTtlMs
-    openTxs.entrySet().removeIf(e => e.getValue.lastUsed.get() < cutoff)
-  }
-
-  private def openTx(m: Map[String, Any]): TxHandle = {
-    // abandoned transactions must expire even when no new /tx/begin ever
-    // arrives — every tx endpoint sweeps, not just begin
-    sweepExpiredTxs()
-    val h = Option(openTxs.get(str(m, "tx"))).getOrElse(
-      throw new IllegalArgumentException("unknown, expired or closed tx"))
-    h.lastUsed.set(System.currentTimeMillis())
-    h
-  }
-
-  /** Atomically claim-and-close a tx for commit/rollback: concurrent
-    * commits of the same id cannot both reach `commit()` (the second
-    * gets a 400, never a double append).
-    */
-  private def takeTx(m: Map[String, Any]): TxHandle = {
-    sweepExpiredTxs()
-    Option(openTxs.remove(str(m, "tx"))).getOrElse(
-      throw new IllegalArgumentException("unknown, expired or closed tx"))
-  }
-
-  private def txFamilyName(entity: String, attribute: String): String =
-    op.repo.familyFor(entity, attribute, Access.BatchUpdates)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no batch-updates family for $entity.$attribute"))
-      .name
+  // handles/TTL/coordinators live in the shared TxRegistry so the HTTP
+  // and gRPC transports of one server see the SAME transactions
 
   server.createContext("/tx/begin", handler { m =>
     val mode = m.get("mode").map(_.toString).getOrElse("attribute") match {
@@ -318,27 +276,17 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
       case "all"       => TransactionMode.All
       case other => throw new IllegalArgumentException(s"unknown mode '$other'")
     }
-    val famName = txFamilyName(str(m, "entity"), str(m, "attribute"))
-    val coord = coordinators.computeIfAbsent((famName, mode),
-      _ => new TransactionCoordinator(op.family(famName), mode))
-    sweepExpiredTxs()
-    val id = java.util.UUID.randomUUID().toString
-    openTxs.put(id, new TxHandle(coord.begin(), famName,
-      new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())))
-    Json.obj("tx" -> id)
+    val famName = txs.familyNameFor(str(m, "entity"), str(m, "attribute"))
+    Json.obj("tx" -> txs.begin(famName, mode))
   })
 
   server.createContext("/tx/get", handler { m =>
-    val h = openTx(m)
+    val h = txs.open(str(m, "tx"))
     val attr = str(m, "attribute")
     // like /tx/update: a read routed to a DIFFERENT family than the tx
     // was begun on would silently answer found=false while still adding
     // the cell to the conflict scope — reject it instead
-    val fam = txFamilyName(str(m, "entity"), attr)
-    require(fam == h.family,
-      s"${str(m, "entity")}.$attr routes to family '$fam' but the " +
-        s"transaction was begun on '${h.family}' — open one transaction " +
-        "per family")
+    txs.requireSameFamily(h, str(m, "entity"), attr)
     h.t.get(str(m, "key"), attr) match {
       case Some(e) if e.value != null => Json.obj("found" -> true,
         "value" -> Base64.getEncoder.encodeToString(e.value))
@@ -352,14 +300,11 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
     val e = op.repo.entities.getOrElse(entity,
       throw new IllegalArgumentException(s"Unknown entity $entity"))
     require(e.resolve(attr).isDefined, s"Unknown attribute $entity.$attr")
-    val h = openTx(m)
+    val h = txs.open(str(m, "tx"))
     // the coordinator appends into the family the tx was BEGUN on — an
     // element routed elsewhere would land in the wrong commit log and be
     // invisible to its own entity's readers
-    val fam = txFamilyName(entity, attr)
-    require(fam == h.family,
-      s"$entity.$attr routes to family '$fam' but the transaction was " +
-        s"begun on '${h.family}' — open one transaction per family")
+    txs.requireSameFamily(h, entity, attr)
     val delete = m.get("delete").exists(_ == true)
     h.t.update(StreamElement(entity, str(m, "key"), attr,
       java.util.UUID.randomUUID().toString, 0L, lng(m, "stamp"),
@@ -370,7 +315,7 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   })
 
   server.createContext("/tx/commit", handler { m =>
-    val h = takeTx(m)
+    val h = txs.take(str(m, "tx"))
     try Json.obj("ok" -> true, "seq" -> h.t.commit())
     catch {
       case e: RuntimeException => Json.obj("ok" -> false,
@@ -379,7 +324,7 @@ final class HttpGateway(op: GraftOperator, port: Int = 0,
   })
 
   server.createContext("/tx/rollback", handler { m =>
-    takeTx(m) // 400 on unknown id rather than a silent ok
+    txs.take(str(m, "tx")) // 400 on unknown id rather than a silent ok
     Json.obj("ok" -> true)
   })
 

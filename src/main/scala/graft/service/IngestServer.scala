@@ -59,9 +59,13 @@ object IngestServer {
     val repo = Repository.parse(configText)
     val op = new GraftOperator(spark, repo)
     val queries = op.startTransformations(checkpointRoot)
-    val gateway = new HttpGateway(op, port).start()
+    // ONE transaction registry across both transports: a tx begun over
+    // HTTP is committable over gRPC and vice versa
+    val txs = new TxRegistry(op)
+    val gateway = new HttpGateway(op, port, txRegistry = Some(txs)).start()
     val grpc = new GrpcServer(op,
-      if (grpcPort == 0 && port != 0) port + 1 else grpcPort).start()
+      if (grpcPort == 0 && port != 0) port + 1 else grpcPort,
+      txRegistry = Some(txs)).start()
     Handle(op, gateway, grpc, queries)
   }
 

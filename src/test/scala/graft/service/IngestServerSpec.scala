@@ -98,6 +98,24 @@ class IngestServerSpec extends SparkSpec {
         assert(gd("status") == 200L, gd)
         assert(new String(gd("value").asInstanceOf[Array[Byte]], "UTF-8")
           == "click")
+
+        // ONE TxRegistry across transports: a transaction begun and
+        // written over HTTP commits over gRPC, and the write is then
+        // visible to both
+        val tx = Json.parseObject(post(port, "/tx/begin",
+          """{"entity":"user","attribute":"event.1"}"""))("tx").toString
+        val upd = Json.parseObject(post(port, "/tx/update",
+          s"""{"tx":"$tx","entity":"user","key":"user-tx","attribute":"event.7","stamp":7,"value":"${b64("cross")}"}"""))
+        assert(upd("ok") == true, upd)
+        val (cr, cg, _) = grpc.call("/IngestService/commit",
+          Seq(graft.core.ProtoSchema.encode(GrpcService.CommitRequest,
+            Map("transactionId" -> tx))))
+        assert(cg == 0)
+        assert(graft.core.ProtoSchema.decode(GrpcService.CommitResponse,
+          cr.head)("status") == GrpcService.TxCommitted)
+        val got2 = Json.parseObject(post(port, "/get",
+          """{"entity":"user","key":"user-tx","attribute":"event.7"}"""))
+        assert(got2("found") == true, got2)
       } finally grpc.close()
     } finally h.stop()
   }
