@@ -189,20 +189,11 @@ object CurationQueries extends QuerySet {
     "q_centrality" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val chainW = Window.partitionBy("source").orderBy("doc_id")
-      val chain = docs
-        .select(lag("doc_id", 1).over(chainW).as("src"),
-          col("doc_id").as("dst"))
-        .filter(col("src").isNotNull)
       val hub = docs
         .select(col("doc_id").as("src"),
           min("doc_id").over(Window.partitionBy("source")).as("dst"))
         .filter(col("src") =!= col("dst"))
-      graft.functions.Centrality
-        .pageRankMicros(chain.unionByName(hub), iters = 3)
-        .orderBy(col("rank_micros").desc, col("id"))
-        .limit(50)
-        .withColumnRenamed("id", "doc_id")
+      rankTop50(docChainEdges(docs).unionByName(hub), dangling = false)
     }),
 
     // the dangling-mass-redistributing PageRank variant over a graph
@@ -211,19 +202,8 @@ object CurationQueries extends QuerySet {
     // sum splits equally over all nodes before damping, still in exact
     // truncating-integer micros, so the unrolled SQL replays it
     // bit-for-bit
-    "q_centrality_dangling" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val chainW = Window.partitionBy("source").orderBy("doc_id")
-      val chain = Tables.documents(s, d)
-        .select(lag("doc_id", 1).over(chainW).as("src"),
-          col("doc_id").as("dst"))
-        .filter(col("src").isNotNull)
-      graft.functions.Centrality
-        .pageRankMicros(chain, iters = 3, redistributeDangling = true)
-        .orderBy(col("rank_micros").desc, col("id"))
-        .limit(50)
-        .withColumnRenamed("id", "doc_id")
-    }),
+    "q_centrality_dangling" -> ((s, d) =>
+      rankTop50(docChainEdges(Tables.documents(s, d)), dangling = true)),
 
     // declarative data-quality expectations (functions/Expectations):
     // the whole constraint suite — completeness, uniqueness, range,
@@ -281,6 +261,24 @@ object CurationQueries extends QuerySet {
   // ---- DuckDB replays ----
 
   /** n-token shingles, 1-based positions: i ranges over [1, len-(n-1)). */
+  /** Per-source doc-id chain edges (each doc links to its successor) —
+    * the citation-graph base shared by both centrality queries.
+    */
+  private def docChainEdges(docs: org.apache.spark.sql.DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs.select(lag("doc_id", 1).over(w).as("src"), col("doc_id").as("dst"))
+      .filter(col("src").isNotNull)
+  }
+
+  private def rankTop50(edges: org.apache.spark.sql.DataFrame,
+      dangling: Boolean) =
+    graft.functions.Centrality
+      .pageRankMicros(edges, iters = 3, redistributeDangling = dangling)
+      .orderBy(col("rank_micros").desc, col("id"))
+      .limit(50)
+      .withColumnRenamed("id", "doc_id")
+
   private def shingleSql(n: Int, distinct: Boolean, from: String = "documents") = {
     val gram = (0 until n).map(o => s"t.toks[t.i + $o]").mkString(" || ' ' || ")
     val sel = if (distinct) "SELECT DISTINCT" else "SELECT"

@@ -279,11 +279,7 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       }
 
     override def exceptionCaught(ctx: ChannelHandlerContext, e: Throwable): Unit = {
-      e match {
-        case g: GrpcException => finish(ctx, g.status, g.msg)
-        case _ => finish(ctx, GrpcWire.StatusInternal,
-          Option(e.getMessage).getOrElse(e.getClass.getName))
-      }
+      failWith(ctx, e)
       ctx.close(); ()
     }
   }
