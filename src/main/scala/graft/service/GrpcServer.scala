@@ -110,6 +110,7 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
     // — every mutation happens under the handler monitor
     private var headersSent = false
     private var done = false
+    private var deadlineTask: java.util.concurrent.Future[_] = null
 
     private def respHeaders(): DefaultHttp2HeadersFrame = {
       val h = new DefaultHttp2Headers()
@@ -175,6 +176,7 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
           message.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A"))
       ctx.write(new DefaultHttp2HeadersFrame(trailers, true))
       ctx.flush()
+      if (deadlineTask != null) { deadlineTask.cancel(false); deadlineTask = null }
     }
 
     private def isDone: Boolean = this.synchronized(done)
@@ -190,6 +192,21 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
             val path = Option(h.headers.path).map(_.toString).getOrElse("")
             rpc = svc.method(path)
             if (rpc.isEmpty) badPath = path
+            // deadline propagation (gRPC grpc-timeout header, e.g. "250m"):
+            // when the client's deadline passes, the stream closes with
+            // DEADLINE_EXCEEDED — late responses are suppressed by the
+            // done-guard and the scan loop stops at its next chunk
+            Option(h.headers.get("grpc-timeout"))
+              .flatMap(v => parseGrpcTimeoutNanos(v.toString)).foreach { ns =>
+                val task = ctx.channel.eventLoop.schedule(
+                  new Runnable {
+                    override def run(): Unit =
+                      finish(ctx, GrpcWire.StatusDeadlineExceeded,
+                        "deadline exceeded")
+                  },
+                  ns, java.util.concurrent.TimeUnit.NANOSECONDS)
+                this.synchronized { deadlineTask = task }
+              }
           }
           if (h.isEndStream) endOfRequests(ctx)
         case d: Http2DataFrame =>
@@ -212,6 +229,23 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
           }
         case other =>
           io.netty.util.ReferenceCountUtil.release(other)
+      }
+
+    /** gRPC timeout header value: digits then a unit (H M S m u n). */
+    private def parseGrpcTimeoutNanos(v: String): Option[Long] =
+      if (v.length < 2 || !v.init.forall(_.isDigit)) None
+      else {
+        val n = v.init.toLong
+        val unit = v.last match {
+          case 'H' => Some(3600e9.toLong)
+          case 'M' => Some(60e9.toLong)
+          case 'S' => Some(1e9.toLong)
+          case 'm' => Some(1000000L)
+          case 'u' => Some(1000L)
+          case 'n' => Some(1L)
+          case _ => None
+        }
+        unit.map(_ * n)
       }
 
     private def maybeResumeReads(ctx: ChannelHandlerContext): Unit =
@@ -255,7 +289,10 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
                 s"too many concurrent scans (max $maxConcurrentScans)"))
             else serial.submit { () =>
               try {
-                f(reqMsg).foreach(chunk => writeMsgSync(ctx, chunk))
+                // takeWhile: a fired deadline (or any finished stream)
+                // stops pulling chunks instead of scanning to the end
+                f(reqMsg).takeWhile(_ => !isDone)
+                  .foreach(chunk => writeMsgSync(ctx, chunk))
                 finish(ctx, GrpcWire.StatusOk)
               } catch { case e: Throwable => failWith(ctx, e) }
               finally scanPermits.release()

@@ -230,6 +230,22 @@ class GrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("grpc-timeout deadline fires as DEADLINE_EXCEEDED") {
+    withServer { (c, _) =>
+      // 1 nanosecond: expired before the Spark-backed handler can answer
+      val (msgs, g, m) = c.call("/IngestService/ingest",
+        Seq(ingestMsg("u1", "status", 1, "late")),
+        extraHeaders = Map("grpc-timeout" -> "1n"))
+      assert(msgs.isEmpty, s"late response must be suppressed: ${msgs.size}")
+      assert(g == GrpcWire.StatusDeadlineExceeded, s"$g $m")
+      // and a generous deadline does not interfere
+      val (ok, g2, _) = c.call("/IngestService/ingest",
+        Seq(ingestMsg("u2", "status", 2, "fast")),
+        extraHeaders = Map("grpc-timeout" -> "30S"))
+      assert(g2 == 0 && ok.size == 1)
+    }
+  }
+
   test("unknown method answers grpc-status UNIMPLEMENTED") {
     withServer { (c, _) =>
       val (msgs, g, m) = c.call("/IngestService/nope",

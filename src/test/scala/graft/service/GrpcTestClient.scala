@@ -32,8 +32,8 @@ final class GrpcTestClient(port: Int) {
   }
 
   /** One RPC: returns (response messages, grpc-status, grpc-message). */
-  def call(path: String,
-      messages: Seq[Array[Byte]]): (Seq[Array[Byte]], Int, String) = {
+  def call(path: String, messages: Seq[Array[Byte]],
+      extraHeaders: Map[String, String] = Map.empty): (Seq[Array[Byte]], Int, String) = {
     val out = collection.mutable.ArrayBuffer.empty[Array[Byte]]
     @volatile var status = -1
     @volatile var statusMsg = ""
@@ -72,6 +72,7 @@ final class GrpcTestClient(port: Int) {
       .authority(s"127.0.0.1:$port")
     headers.set("content-type", "application/grpc")
     headers.set("te", "trailers")
+    extraHeaders.foreach { case (k, v) => headers.set(k, v) }
     sc.write(new DefaultHttp2HeadersFrame(headers, false))
     if (messages.isEmpty)
       sc.write(new DefaultHttp2DataFrame(true))
