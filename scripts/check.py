@@ -49,6 +49,23 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # TYPE GATE: an oracle column outside this allowlist (HUGEINT,
+        # UBIGINT, DECIMAL, ...) materializes differently across DuckDB
+        # fetch paths/releases — exact int via fetchall here, float64 or
+        # object via Arrow/pandas in the driver's comparator. The r7-r9
+        # q_embed_gram/q_bpe_merges local-green/driver-red split was
+        # exactly an uncast sum(BIGINT) -> HUGEINT. Fail loudly even
+        # when the VALUES match locally.
+        SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+                "TIMESTAMP WITH TIME ZONE", "BLOB"}
+        bad = {c: str(t) for c, t in zip(exp.columns, exp.types)
+               if str(t) not in SAFE}
+        if bad:
+            print(f"FAIL {name}: oracle emits fetch-path-fragile types {bad} "
+                  "— CAST them (see scripts/check.py type gate)")
+            n_fail += 1
+            continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1

@@ -63,6 +63,24 @@ object BpeTrain {
     def unpersist(): Unit = { vocab.unpersist(); () }
   }
 
+  /** Corpus-weighted adjacent-pair counts over a word table — the
+    * partial-aggregable per-round statistic [[train]] argmaxes over
+    * (adjacent pairs of each word's symbol list, weighted by freq; the
+    * empty case is an explicit CASE — `sequence(1, 0)` descends).
+    * Public so a round boundary can be oracle-probed in isolation
+    * (`q_bpe_pairs1` bisects a merge-table divergence into "round-1
+    * statistics" vs "argmax/fold replay").
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("l", split(col("syms"), " "))
+      .select(col("freq"), explode(expr(
+        """case when size(l) >= 2 then
+          |  transform(sequence(1, size(l) - 1),
+          |    i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
+          |else cast(array() as array<string>) end""".stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+
   /** Learn `rounds` merges. Each round's argmax is the ONLY driver
     * traffic (one row per round).
     */
@@ -72,16 +90,7 @@ object BpeTrain {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      // adjacent pairs of each word's symbol list, weighted by freq;
-      // the empty case is an explicit CASE (sequence(1, 0) descends)
-      val pairs = cur
-        .withColumn("l", split(col("syms"), " "))
-        .select(col("freq"), explode(expr(
-          """case when size(l) >= 2 then
-            |  transform(sequence(1, size(l) - 1),
-            |    i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))
-            |else cast(array() as array<string>) end""".stripMargin)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+      val pairs = pairCounts(cur)
         .orderBy(col("f").desc, col("pair").asc)
         .limit(1)
         .collect()

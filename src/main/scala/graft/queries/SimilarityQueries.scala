@@ -175,7 +175,15 @@ object SimilarityQueries extends QuerySet {
     // upper-triangle products quantized to integer micros, map-side
     // partial aggregation, d(d+1)/2-row result regardless of corpus size
     "q_embed_gram" -> ((s, d) =>
-      graft.functions.Pca.gramQ(Tables.embeddings(s, d), "embedding"))
+      graft.functions.Pca.gramQ(Tables.embeddings(s, d), "embedding")),
+
+    // DECOMPOSITION PROBE for q_embed_gram (judge r9 "Next round" #1):
+    // the quantized components themselves for the first 8 vectors —
+    // bisects a gram divergence into parquet-read/quantization vs pair
+    // aggregation (see Pca.quantProbe)
+    "q_embed_quant" -> ((s, d) =>
+      graft.functions.Pca.quantProbe(Tables.embeddings(s, d), "vec_id",
+        "embedding"))
   )
 
   /** The exact-reconstruction corpus for the PQ queries: subspace j
@@ -254,6 +262,8 @@ object SimilarityQueries extends QuerySet {
     "q_ivf_pq_topk" -> pqTopkSql,
 
     "q_embed_gram" -> graft.functions.Pca.gramOracleSql(),
+
+    "q_embed_quant" -> graft.functions.Pca.quantProbeOracleSql(),
 
     "q_ann_topk" ->
       s"""WITH scored AS (
