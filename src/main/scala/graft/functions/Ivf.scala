@@ -26,25 +26,17 @@ object Ivf {
 
   import Similarity.Vec
 
-  private def toVecs(emb: DataFrame): Dataset[Vec] = {
-    import emb.sparkSession.implicits._
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        var i = 0; var n = 0.0
-        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
-        Vec(id, v, math.sqrt(n))
-      }
-  }
+  private def toVecs(emb: DataFrame): Dataset[Vec] = Similarity.toVecs(emb)
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var s = 0.0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  private def sqDist(a: Array[Double], b: Array[Float]): Double = {
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var s = 0.0
-    while (i < b.length) { val d = a(i) - b(i).toDouble; s += d * d; i += 1 }
+    while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
@@ -55,9 +47,12 @@ object Ivf {
       maxIter: Int = 20): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-    val toFeature = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val df = emb.select(toFeature(col("embedding")).as("features"))
+    // explicit array<double> cast: exact for the FLOAT[] vintage, and a
+    // Seq[Float] udf here would have let Spark SILENTLY downcast a
+    // DOUBLE[] vintage at the coercion boundary
+    val toFeature = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val df = emb.select(
+      toFeature(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(maxIter).fit(df)
     model.clusterCenters.map(_.toArray)

@@ -22,15 +22,15 @@ import org.apache.spark.sql.functions._
 object IvfStore {
   // static kernels: executor closures must not capture the (non-
   // serializable) store instance
-  private def sqDist(a: Array[Double], b: Array[Float]): Double = {
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var s = 0.0
-    while (i < b.length) { val d = a(i) - b(i).toDouble; s += d * d; i += 1 }
+    while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var s = 0.0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 }
@@ -48,7 +48,7 @@ final class IvfStore(spark: SparkSession, val path: String,
     */
   def write(emb: DataFrame): Unit = {
     val cb = spark.sparkContext.broadcast(centroids)
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    Similarity.vecRows(emb)
       .map { case (id, v) =>
         val cs = cb.value
         var best = 0; var bestD = Double.MaxValue
@@ -77,11 +77,10 @@ final class IvfStore(spark: SparkSession, val path: String,
     * driver (query batches are small; the corpus never is).
     */
   def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val qVecs = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
+    val qVecs = Similarity.vecRows(queries).collect()
       .map { case (id, v) =>
         var i = 0; var n = 0.0
-        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+        while (i < v.length) { val x = v(i); n += x * x; i += 1 }
         Vec(id, v, math.sqrt(n))
       }
     val probes: Map[Long, Set[Int]] = qVecs.map { q =>
@@ -95,7 +94,7 @@ final class IvfStore(spark: SparkSession, val path: String,
     val scored = probedCorpus(allCells)
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("cell").cast("int"))
-      .as[(Long, Array[Float], Double, Int)]
+      .as[(Long, Array[Double], Double, Int)]
       .mapPartitions { it =>
         val qs = qb.value
         val pr = pb.value

@@ -51,7 +51,7 @@ object Pq {
     def k: Int = centroids.map(_.length).max
 
     /** Nearest-centroid index of `v`'s j-th subvector. */
-    def encodeSub(v: Array[Float], j: Int): Int = {
+    def encodeSub(v: Array[Double], j: Int): Int = {
       val cs = centroids(j)
       val off = j * dsub
       var best = 0; var bestD = Double.MaxValue
@@ -59,7 +59,7 @@ object Pq {
       while (c < cs.length) {
         var i = 0; var d = 0.0
         while (i < dsub) {
-          val x = cs(c)(i) - v(off + i).toDouble; d += x * x; i += 1
+          val x = cs(c)(i) - v(off + i); d += x * x; i += 1
         }
         if (d < bestD) { bestD = d; best = c }
         c += 1
@@ -79,15 +79,7 @@ object Pq {
     }
   }
 
-  private def toVecs(emb: DataFrame): Dataset[Vec] = {
-    import emb.sparkSession.implicits._
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        var i = 0; var n = 0.0
-        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
-        Vec(id, v, math.sqrt(n))
-      }
-  }
+  private def toVecs(emb: DataFrame): Dataset[Vec] = Similarity.toVecs(emb)
 
   /** Train per-subspace codebooks: m seeded KMeans fits over the
     * subvector slices. `trainSample` (basis points) optionally trains on
@@ -103,9 +95,13 @@ object Pq {
     val dim = base.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val sliceUdf = udf((a: Seq[Float], off: Int) =>
-      Vectors.dense(a.slice(off, off + dsub).map(_.toDouble).toArray))
-    val cached = base.select(col("embedding")).persist()
+    // explicit array<double> cast: exact for FLOAT[], and a Seq[Float]
+    // udf would let Spark silently downcast a DOUBLE[] vintage
+    val sliceUdf = udf((a: Seq[Double], off: Int) =>
+      Vectors.dense(a.slice(off, off + dsub).toArray))
+    val cached = base
+      .select(col("embedding").cast("array<double>").as("embedding"))
+      .persist()
     try {
       val cbs = (0 until m).map { j =>
         val df = cached.select(sliceUdf(col("embedding"), lit(j * dsub)).as("features"))
@@ -148,7 +144,7 @@ object Pq {
         val off = j * cb.dsub
         cb.centroids(j).map { cent =>
           var i = 0; var s = 0.0
-          while (i < cb.dsub) { s += cent(i) * q.v(off + i).toDouble; i += 1 }
+          while (i < cb.dsub) { s += cent(i) * q.v(off + i); i += 1 }
           s
         }
       }

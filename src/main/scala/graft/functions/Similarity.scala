@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * vector surface — capability superset per BASELINE.json north star).
   *
   * Scale design: the dominant cost is pairwise scoring. The kernels below
-  * broadcast one side as primitive `Array[Float]` blocks and scan the other
+  * broadcast one side as primitive `Array[Double]` blocks and scan the other
   * side with `mapPartitions` — a cache-friendly double-precision loop with
   * zero per-pair allocation (the naive `zip_with`+`aggregate` column path
   * allocates two boxed arrays per pair; ~20x slower at 4M pairs). At 100 TB
@@ -21,21 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  final case class Vec(id: Long, v: Array[Float], norm: Double)
+  final case class Vec(id: Long, v: Array[Double], norm: Double)
 
-  private def toVecs(emb: DataFrame): Dataset[Vec] = {
+  /** Vintage-agnostic typed read of (vec_id, embedding): a FLOAT[]
+    * element widens EXACTLY to DOUBLE[], a DOUBLE[] passes through — both
+    * yield the same doubles DuckDB's `CAST(x AS DOUBLE)` sees, so every
+    * kernel downstream is independent of the testdata's physical element
+    * type (Tables.embeddings gates which types can arrive at all).
+    */
+  private[graft] def vecRows(emb: DataFrame): Dataset[(Long, Array[Double])] = {
     import emb.sparkSession.implicits._
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+  }
+
+  private[graft] def toVecs(emb: DataFrame): Dataset[Vec] = {
+    import emb.sparkSession.implicits._
+    vecRows(emb)
       .map { case (id, v) =>
         var i = 0; var n = 0.0
-        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
+        while (i < v.length) { val x = v(i); n += x * x; i += 1 }
         Vec(id, v, math.sqrt(n))
       }
   }
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var s = 0.0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 

@@ -195,13 +195,13 @@ object SimilarityQueries extends QuerySet {
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val anchors = emb.filter(col("vec_id") < 4)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val anchors = graft.functions.Similarity
+      .vecRows(emb.filter(col("vec_id") < 4))
       .collect().sortBy(_._1).map(_._2)
     val bc = s.sparkContext.broadcast(anchors)
     emb.select(col("vec_id")).as[Long].map { i =>
       val a = bc.value
-      val out = new Array[Float](64)
+      val out = new Array[Double](64)
       var j = 0
       while (j < 4) {
         val p = ((i >> (2 * j)) & 3L).toInt

@@ -126,8 +126,50 @@ object Tables {
     }
     raw
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Vintage gates for the two LLM-pipeline tables: the driver's testdata
+    * can be regenerated with a different physical encoding between rounds
+    * (`events.ts` did exactly that in round 7, silently), and these two
+    * tables feed the text/embedding query families. Accept the encodings
+    * whose engine-vs-oracle semantics are verified — STRING `text` with an
+    * integral `doc_id`; FLOAT[]/DOUBLE[] `embedding` (every consumer casts
+    * components to DOUBLE before arithmetic, the same exact widening
+    * DuckDB applies on read, so both element types replay bit-identically)
+    * — and REFUSE anything else loudly at the one read point instead of
+    * letting dozens of queries fail analysis one by one.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = table(s, d, "documents")
+    def vintage(c: String, t: DataType): Nothing = throw new IllegalStateException(
+      s"documents.$c arrived as $t — unknown testdata vintage; " +
+        "extend Tables.documents rather than letting queries fail one by one")
+    df.schema("text").dataType match {
+      case StringType => ()
+      case other      => vintage("text", other)
+    }
+    df.schema("doc_id").dataType match {
+      case LongType | IntegerType | ShortType => ()
+      case other                              => vintage("doc_id", other)
+    }
+    df
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = table(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding arrived as $other — unknown testdata vintage; " +
+          "extend Tables.embeddings rather than letting queries fail one by one")
+    }
+    df.schema("vec_id").dataType match {
+      case LongType | IntegerType | ShortType => ()
+      case other => throw new IllegalStateException(
+        s"embeddings.vec_id arrived as $other — unknown testdata vintage; " +
+          "extend Tables.embeddings rather than letting queries fail one by one")
+    }
+    df
+  }
 
   /** Exact money arithmetic at scale: doubles summed in nondeterministic
     * partition order drift in the last bits; integer cents are associative.
