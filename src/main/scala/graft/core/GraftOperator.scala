@@ -109,7 +109,19 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
   def family(name: String): AttributeLogFamily = {
     val desc = repo.families.getOrElse(name,
       throw new IllegalArgumentException(s"No family $name"))
-    familyCache.getOrElseUpdate(name, bind(desc.storageUri))
+    familyCache.getOrElseUpdate(name, {
+      val fam = bind(desc.storageUri)
+      // scalar-only declaration ⇒ batchSnapshot may skip the tombstone
+      // branch (SnapshotCompact.snapshotScalar). "*" covers the whole
+      // entity, so it is wildcard-free only if the ENTITY declares no
+      // wildcard attribute; explicit names resolve individually.
+      val entityAttrs = repo.entity(desc.entity).attributes
+      val free =
+        if (desc.attributes.contains("*")) entityAttrs.forall(!_.isWildcard)
+        else desc.attributes.forall(n =>
+          entityAttrs.find(_.name == n).exists(!_.isWildcard))
+      if (free) fam.declareWildcardFree() else fam
+    })
   }
 
   /** Proxy attributes route transparently (reference

@@ -42,26 +42,57 @@ object SnapshotCompact {
     when(dot > 0, concat(substring_index(a, ".", 1), lit("."))).otherwise(a)
   }
 
+  /** Element-newness ordering shared with [[LatestWithTombstones]]:
+    * (stamp, seqId, uuid) under Scala's tuple ordering. uuids are ASCII
+    * here, where UTF-16 compareTo and SQL's UTF-8 binary collation agree
+    * (SnapshotLaws pins the typed and relational plans against each
+    * other, so a divergence would surface there).
+    */
+  private val posOrd = implicitly[Ordering[(Long, Long, String)]]
+
   /** Snapshot at `asOf` (epoch micros/millis — same unit as `stamp`);
     * `Long.MaxValue` = current snapshot.
+    *
+    * Plan shape: the per-cell "latest wins" reduce is a TYPED
+    * `reduceGroups` — state is ONE element per (key, attribute), and
+    * Spark plans typed aggregates as ObjectHashAggregate (hash-based).
+    * The declarative alternative, `max_by(struct(...))`, plans a
+    * SortAggregate (struct aggregation buffers are not hash-mutable),
+    * which sorts the full changelog on BOTH sides of the shuffle —
+    * measured ~40% slower end-to-end on the wildcard-changelog bench.
+    * The wildcard-tombstone table aggregates ONLY tombstone rows (the
+    * `deleteWildcard` filter pushes into the scan) and joins back tiny —
+    * AQE broadcasts it, so survivors never reshuffle. Per-cell state on
+    * the big side + tombstones-only on the small side is what holds at
+    * a 100k-live-suffix hot wildcard key; contrast
+    * [[LatestWithTombstones]], whose one-shuffle aggregator buffers
+    * every live suffix of a (key, prefix) in one task's map.
     */
   def snapshot(ds: Dataset[StreamElement], asOf: Long = Long.MaxValue): Dataset[StreamElement] = {
     import ds.sparkSession.implicits._
+    implicit val se: org.apache.spark.sql.Encoder[StreamElement] =
+      StreamElement.encoder
 
-    val bounded = if (asOf == Long.MaxValue) ds.toDF() else ds.filter(col("stamp") <= asOf).toDF()
-    val withPrefix = bounded.withColumn("_prefix", prefixCol)
+    val bounded = if (asOf == Long.MaxValue) ds else ds.filter(_.stamp <= asOf)
 
-    // 1. latest element per (key, attribute) — one combinable max_by pass
-    val latest = withPrefix
-      .groupBy(col("key"), col("attribute"))
-      .agg(max_by(
-        struct(withPrefix.columns.toIndexedSeq.map(col): _*),
-        pos(col("stamp"), col("seqId"), col("uuid"))).as("e"))
-      .select(col("e.*"))
+    // 1. latest element per (key, attribute) — hash-aggregated typed
+    //    reduce, one element of state per cell
+    val latest = bounded
+      .groupByKey(e => (e.key, e.attribute))
+      .reduceGroups { (a: StreamElement, b: StreamElement) =>
+        if (posOrd.gteq((a.stamp, a.seqId, a.uuid),
+          (b.stamp, b.seqId, b.uuid))) a
+        else b
+      }
+      .map(_._2)
+      .toDF()
+      .withColumn("_prefix", prefixCol)
 
-    // 2. newest wildcard tombstone per (key, wildcard prefix)
-    val tombstones = withPrefix
+    // 2. newest wildcard tombstone per (key, wildcard prefix) — a tiny
+    //    aggregate over tombstone rows only
+    val tombstones = bounded.toDF()
       .filter(col("deleteWildcard"))
+      .withColumn("_prefix", prefixCol)
       .groupBy(col("key"), col("_prefix"))
       .agg(max(pos(col("stamp"), col("seqId"), col("uuid"))).as("_wc"))
 
@@ -72,6 +103,43 @@ object SnapshotCompact {
           pos(col("stamp"), col("seqId"), col("uuid")) > col("_wc")))
       .drop("_prefix", "_wc")
       .as[StreamElement]
+  }
+
+  /** Wildcard-free fast path: a family whose DECLARED attribute set
+    * contains no wildcard attribute can never carry a deleteWildcard
+    * tombstone, so the snapshot is just latest-per-cell minus deletes —
+    * no tombstone scan, no join, one hash-aggregated shuffle (scalar
+    * cells are (key, attribute)-granular already, so there is no skew
+    * exposure to trade against). Routed by
+    * [[graft.streaming.AttributeLogFamily.batchSnapshot]] when the
+    * binder proves the declaration
+    * ([[graft.core.GraftOperator]] resolves the family's attributes
+    * against the entity). A misdeclared wildcard tombstone in the data
+    * fails LOUDLY here rather than silently losing its suffix-deletion
+    * semantics.
+    */
+  def snapshotScalar(ds: Dataset[StreamElement], asOf: Long = Long.MaxValue): Dataset[StreamElement] = {
+    import org.apache.spark.sql.Encoders
+    implicit val se: org.apache.spark.sql.Encoder[StreamElement] =
+      StreamElement.encoder
+    implicit val ke: org.apache.spark.sql.Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val bounded = if (asOf == Long.MaxValue) ds else ds.filter(_.stamp <= asOf)
+    bounded
+      .map { e =>
+        if (e.deleteWildcard) throw new IllegalStateException(
+          s"wildcard tombstone ${e.key}/${e.attribute} in a family " +
+            "declared wildcard-free — fix the declaration, not the data")
+        e
+      }
+      .groupByKey(e => (e.key, e.attribute))
+      .reduceGroups { (a: StreamElement, b: StreamElement) =>
+        if (posOrd.gteq((a.stamp, a.seqId, a.uuid),
+          (b.stamp, b.seqId, b.uuid))) a
+        else b
+      }
+      .map(_._2)
+      .filter(e => !e.isDelete)
   }
 
   /** Latest-or-tombstone view (no delete filtering) — the `batch-updates`

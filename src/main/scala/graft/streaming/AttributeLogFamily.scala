@@ -29,21 +29,37 @@ trait AttributeLogFamily {
   def batchUpdates(from: Long = Long.MinValue,
       until: Long = Long.MaxValue): Dataset[StreamElement]
 
+  /** Declared-attribute hint set by the binder
+    * ([[graft.core.GraftOperator.family]]): true when every attribute
+    * this family can ever hold resolves to a SCALAR declaration, so no
+    * deleteWildcard tombstone is possible and [[batchSnapshot]] may skip
+    * the tombstone branch. Declaration-time-only mutation; families
+    * bound outside the repository keep the safe `false`.
+    */
+  final def wildcardFree: Boolean = _wildcardFree
+  private[this] var _wildcardFree = false
+  final def declareWildcardFree(): this.type = { _wildcardFree = true; this }
+
   /** Compacted snapshot: latest-with-tombstones reduce of the updates
     * when the storage has no dedicated snapshot form.
     *
-    * DEFAULT = the two-pass relational plan ([[graft.operators.SnapshotCompact]]):
-    * per-(key,attribute) max_by + a tombstone join, whose shuffle rows
-    * and aggregation state are per CELL. The one-shuffle typed
+    * DEFAULT = the per-cell plan ([[graft.operators.SnapshotCompact]]):
+    * typed per-(key,attribute) reduce + a tombstone join, whose shuffle
+    * rows and aggregation state are per CELL. The one-shuffle typed
     * aggregator ([[graft.operators.LatestWithTombstones]]) buffers ALL
     * live suffixes of one (key, wildcard-prefix) in a single in-memory
     * map — a key with millions of live `event.*` suffixes concentrates
     * in one task's buffer. Skew-safety wins as the default; callers
     * with narrow prefixes can still reach for the one-pass aggregator
-    * explicitly.
+    * explicitly. A family PROVABLY wildcard-free (declared scalar
+    * attributes only — see [[wildcardFree]]) drops the tombstone branch
+    * entirely: latest-per-cell minus deletes, one shuffle, no join.
     */
   def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
-    graft.operators.SnapshotCompact.snapshot(batchUpdates(), asOf)
+    if (wildcardFree)
+      graft.operators.SnapshotCompact.snapshotScalar(batchUpdates(), asOf)
+    else
+      graft.operators.SnapshotCompact.snapshot(batchUpdates(), asOf)
 
   /** Streaming subscription replaying from the oldest retained element. */
   def streamFromOldest(): Dataset[StreamElement]

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.core.StreamElement
-import graft.operators.SnapshotCompact
 
 /** File-backed commit-log attribute family: an append-only parquet directory
   * of StreamElements serving every access pattern of the reference's family
@@ -70,15 +69,11 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
     }
   }
 
-  /** Compacted snapshot (batch-snapshot access): reduce of updates when no
-    * dedicated snapshot family exists (BeamDataOperator.getBatchSnapshot:328
-    * fallback). Two-pass relational plan — per-(key,attribute) state, no
-    * wide-wildcard-key buffer (see [[AttributeLogFamily.batchSnapshot]]);
-    * the second scan re-reads the same parquet with the deleteWildcard
-    * filter pushed down.
-    */
-  override def batchSnapshot(asOf: Long = Long.MaxValue): Dataset[StreamElement] =
-    graft.operators.SnapshotCompact.snapshot(batchUpdates(), asOf)
+  // batch-snapshot access (BeamDataOperator.getBatchSnapshot:328
+  // fallback) uses the trait default: per-(key,attribute)-state
+  // compaction, tombstone scan with deleteWildcard pushdown, and the
+  // scalar fast path when the binder declared the family wildcard-free
+  // (see AttributeLogFamily.batchSnapshot)
 
   /** The file streaming source refuses a missing directory, but a freshly
     * deployed family legitimately has no writes yet (an ingest server

@@ -165,15 +165,18 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
-  test("default snapshot compaction is the skew-safe relational two-pass plan") {
+  test("default snapshot compaction is the skew-safe per-cell plan") {
     val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
-    // per-(key,attribute) max_by + tombstone join: partial-aggregable
-    // relational aggregates, NOT the typed one-pass aggregator whose
-    // buffer holds every live wildcard suffix of a (key, prefix) in one
-    // in-memory map (the wide-hot-key risk the default must not carry)
-    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
-    assert(!plan.contains("AppendColumns"),
-      s"default snapshot must not route through the typed aggregator:\n$plan")
+    // per-(key,attribute) typed reduce (hash-aggregated, ONE element of
+    // state per cell) + tombstone join — NOT the one-pass aggregator
+    // whose buffer holds every live wildcard suffix of a (key, prefix)
+    // in one in-memory map (the wide-hot-key risk the default must not
+    // carry), and NOT a sort-based aggregation of the full changelog
+    // (max_by over a struct plans SortAggregate on both shuffle sides)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"per-cell reduce must plan as a hash aggregate:\n$plan")
+    assert(!plan.contains("LatestWithTombstones"),
+      s"default snapshot must not route through the wide-Acc aggregator:\n$plan")
     // two scans are the deliberate trade: the second (tombstone) scan
     // carries the deleteWildcard pushdown so it reads tombstones only
     val scans = "FileScan parquet".r.findAllIn(plan).size

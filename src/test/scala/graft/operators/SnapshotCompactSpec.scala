@@ -136,9 +136,95 @@ class SnapshotCompactSpec extends SparkSpec {
     val fam = graft.streaming.AttributeLogFamily.batchView(hot.union(extra))
     val snap = fam.batchSnapshot()
     val plan = snap.queryExecution.executedPlan.toString
-    assert(!plan.contains("AppendColumns"),
-      s"default snapshot must not use the wide-Acc typed aggregator:\n$plan")
+    // the hazard is PER-GROUP STATE WIDTH, not typed aggregation per se:
+    // LatestWithTombstones' Acc buffers every live suffix of a
+    // (key, prefix) in one task's map, while the default plan's typed
+    // reduce groups by (key, attribute) with one element of state. Gate
+    // on the wide-Acc buffer class and on the big side staying
+    // hash-aggregated (a SortAggregate here would mean the compaction
+    // sorts the full changelog both sides of the shuffle)
+    assert(!plan.contains("LatestWithTombstones"),
+      s"default snapshot must not route to the wide-Acc aggregator:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"per-cell reduce must plan as a hash aggregate:\n$plan")
     assert(snap.count() === n + 1L) // 100k hot suffixes + cold's one
+  }
+
+  test("scalar fast path: snapshotScalar == snapshot on wildcard-free data") {
+    val xs = Seq(
+      up("k", "a", 1), up("k", "a", 5), up("k", "b", 2), del("k", "b", 3),
+      del("k2", "a", 1), up("k2", "a", 4), up("k3", "c", 7, seq = 1),
+      up("k3", "c", 7, seq = 2), del("k3", "d", 9))
+    val ds = spark.createDataset(xs)(StreamElement.encoder)
+    val fast = SnapshotCompact.snapshotScalar(ds).collect()
+      .map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
+    val full = SnapshotCompact.snapshot(ds).collect()
+      .map(e => (e.key, e.attribute, e.stamp, e.seqId)).toSet
+    assert(fast == full)
+    assert(fast == Set(("k", "a", 5L, 0L), ("k2", "a", 4L, 0L),
+      ("k3", "c", 7L, 2L)))
+    // no tombstone branch: single aggregation, no join in the plan
+    val plan = SnapshotCompact.snapshotScalar(ds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scalar path must not join:\n$plan")
+  }
+
+  test("scalar fast path refuses a misdeclared wildcard tombstone loudly") {
+    val ds = spark.createDataset(Seq(
+      up("k", "device.1", 1), delWc("k", "device.", 5)))(StreamElement.encoder)
+    val e = intercept[org.apache.spark.SparkException] {
+      SnapshotCompact.snapshotScalar(ds).collect()
+    }
+    assert(e.getMessage.contains("wildcard-free") ||
+      Option(e.getCause).exists(_.getMessage.contains("wildcard-free")))
+  }
+
+  test("repository binder declares wildcard-free from scalar attribute " +
+    "declarations, and only then") {
+    import graft.core.{GraftOperator, Repository}
+    val repo = Repository.parse(
+      """entities {
+        |  gw {
+        |    attributes {
+        |      "status" { scheme: string }
+        |      "device.*" { scheme: string }
+        |    }
+        |  }
+        |}
+        |attributeFamilies {
+        |  gw-scalar {
+        |    entity: gw
+        |    attributes: [ "status" ]
+        |    storage: "inmem://snapfast-scalar"
+        |    type: primary
+        |    access: [ commit-log, batch-updates, batch-snapshot ]
+        |  }
+        |  gw-wild {
+        |    entity: gw
+        |    attributes: [ "device.*" ]
+        |    storage: "inmem://snapfast-wild"
+        |    type: primary
+        |    access: [ commit-log, batch-updates, batch-snapshot ]
+        |  }
+        |  gw-star {
+        |    entity: gw
+        |    attributes: [ "*" ]
+        |    storage: "inmem://snapfast-star"
+        |    type: replica
+        |    access: [ batch-updates, batch-snapshot ]
+        |  }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, repo)
+    assert(op.family("gw-scalar").wildcardFree,
+      "scalar-only declaration must enable the fast path")
+    assert(!op.family("gw-wild").wildcardFree,
+      "a wildcard declaration must keep the tombstone branch")
+    assert(!op.family("gw-star").wildcardFree,
+      "'*' over an entity WITH a wildcard attribute is not wildcard-free")
+    val plan = op.family("gw-scalar").batchSnapshot()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"wildcard-free batchSnapshot must skip the tombstone join:\n$plan")
   }
 
   test("mergeChecked accepts a watermark-clean split and matches full") {
