@@ -233,20 +233,7 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
 
     /** gRPC timeout header value: digits then a unit (H M S m u n). */
     private def parseGrpcTimeoutNanos(v: String): Option[Long] =
-      if (v.length < 2 || !v.init.forall(_.isDigit)) None
-      else {
-        val n = v.init.toLong
-        val unit = v.last match {
-          case 'H' => Some(3600e9.toLong)
-          case 'M' => Some(60e9.toLong)
-          case 'S' => Some(1e9.toLong)
-          case 'm' => Some(1000000L)
-          case 'u' => Some(1000L)
-          case 'n' => Some(1L)
-          case _ => None
-        }
-        unit.map(_ * n)
-      }
+      GrpcWire.parseGrpcTimeoutNanos(v)
 
     private def maybeResumeReads(ctx: ChannelHandlerContext): Unit =
       if (serial.depth <= LowWater && !ctx.channel.config.isAutoRead) {

@@ -105,9 +105,13 @@ object GrpcService {
 /** The dispatch logic behind [[GrpcServer]]: decodes requests with the
   * descriptors above, answers through the same [[IngestService]] /
   * [[RetrieveService]] / [[graft.core.TransactionCoordinator]] logic the
-  * HTTP gateway serves, encodes responses. Stamps travel in the engine's
-  * native unit (micros in the fixtures) — the proto comments say ms, but
-  * unit fidelity to the stored elements wins over the comment.
+  * HTTP gateway serves, encodes responses. Stamps CONVERT at the wire
+  * boundary: rpc.proto documents its stamp fields in MILLISECONDS
+  * (GetResponse.stamp, Ingest.stamp), while engine-native stamps are
+  * micros — a stock reference client reads and writes wall-clock-correct
+  * values, at the cost of sub-millisecond truncation on reads (the
+  * reference stores micros and serves ms over this API too). The HTTP
+  * gateway is our own surface and stays micros end-to-end.
   */
 final class GrpcService(op: GraftOperator,
     txTtlMs: Long = sys.env.getOrElse("GRAFT_TX_TTL_MS", "600000").toLong,
@@ -124,6 +128,15 @@ final class GrpcService(op: GraftOperator,
   private def lng(m: Map[String, Any], k: String): Long = m(k) match {
     case l: Long => l; case i: Int => i.toLong; case o => o.toString.toLong
   }
+
+  // rpc.proto stamp fields are ms; engine stamps are micros (see class
+  // scaladoc). Saturating multiply: a hostile 2^63-scale ms value must
+  // clamp, not wrap into the past.
+  private def wireMsToMicros(ms: Long): Long =
+    if (ms > Long.MaxValue / 1000L) Long.MaxValue
+    else if (ms < Long.MinValue / 1000L) Long.MinValue
+    else ms * 1000L
+  private def microsToWireMs(us: Long): Long = Math.floorDiv(us, 1000L)
   private def reps(m: Map[String, Any], k: String): Seq[Map[String, Any]] =
     m(k).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
 
@@ -195,12 +208,13 @@ final class GrpcService(op: GraftOperator,
       h.t.update(StreamElement(entity, str(m, "key"), attr,
         Option(uuid).filter(_.nonEmpty)
           .getOrElse(java.util.UUID.randomUUID().toString),
-        0L, lng(m, "stamp"),
+        0L, wireMsToMicros(lng(m, "stamp")),
         if (delete) null else m("value").asInstanceOf[Array[Byte]],
         delete, delete && attr.endsWith(".*")))
       Map("uuid" -> uuid, "status" -> 200L)
     } else {
-      val st = ingestSvc.ingest(entity, str(m, "key"), attr, lng(m, "stamp"),
+      val st = ingestSvc.ingest(entity, str(m, "key"), attr,
+        wireMsToMicros(lng(m, "stamp")),
         m("value").asInstanceOf[Array[Byte]], delete,
         clientUuid = Option(uuid).filter(_.nonEmpty))
       Map("uuid" -> st.uuid,
@@ -229,7 +243,8 @@ final class GrpcService(op: GraftOperator,
         } else op.getRandomAccess(entity, attr).get(key, attr)
       found match {
         case Some(e) if e.value != null =>
-          Map("status" -> 200L, "value" -> e.value, "stamp" -> e.stamp)
+          Map("status" -> 200L, "value" -> e.value,
+            "stamp" -> microsToWireMs(e.stamp))
         case _ => Map("status" -> 404L, "statusMessage" -> "not found")
       }
     } catch {
@@ -254,7 +269,8 @@ final class GrpcService(op: GraftOperator,
         .sortBy(_.attribute)
       val page = if (limit > 0) all.take(limit.toInt) else all
       Map("status" -> 200L, "value" -> page.map(e => Map(
-        "attribute" -> e.attribute, "value" -> e.value, "stamp" -> e.stamp)))
+        "attribute" -> e.attribute, "value" -> e.value,
+        "stamp" -> microsToWireMs(e.stamp))))
     } catch {
       case e: Exception => Map("status" -> 404L,
         "statusMessage" -> Option(e.getMessage).getOrElse("not found"))
@@ -282,7 +298,7 @@ final class GrpcService(op: GraftOperator,
     it.grouped(scanChunk).map { chunk =>
       ProtoSchema.encode(ScanResult, Map("value" -> chunk.map(e => Map(
         "key" -> e.key, "attribute" -> e.attribute,
-        "value" -> e.value, "stamp" -> e.stamp))))
+        "value" -> e.value, "stamp" -> microsToWireMs(e.stamp)))))
     }
   }
 

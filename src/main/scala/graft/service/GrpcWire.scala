@@ -26,6 +26,28 @@ object GrpcWire {
   final case class GrpcException(status: Int, msg: String)
       extends RuntimeException(msg)
 
+  /** `grpc-timeout` header value → nanos (PROTOCOL-HTTP2: 1-8 digits +
+    * unit H/M/S/m/u/n). Saturating multiply: a spec-legal 8-digit hours
+    * value (`99999999H`) would overflow to a NEGATIVE delay, firing the
+    * deadline immediately and spuriously DEADLINE_EXCEEDED-ing the rpc.
+    */
+  def parseGrpcTimeoutNanos(v: String): Option[Long] =
+    // 1-8 digits per spec; the bound also keeps `toLong` total
+    if (v.length < 2 || v.length > 9 || !v.init.forall(_.isDigit)) None
+    else {
+      val n = v.init.toLong
+      val unit = v.last match {
+        case 'H' => Some(3600e9.toLong)
+        case 'M' => Some(60e9.toLong)
+        case 'S' => Some(1e9.toLong)
+        case 'm' => Some(1000000L)
+        case 'u' => Some(1000L)
+        case 'n' => Some(1L)
+        case _ => None
+      }
+      unit.map(u => if (n > Long.MaxValue / u) Long.MaxValue else n * u)
+    }
+
   /** One Length-Prefixed-Message, uncompressed. */
   def frame(payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](5 + payload.length)

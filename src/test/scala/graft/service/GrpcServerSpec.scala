@@ -49,7 +49,7 @@ class GrpcServerSpec extends SparkSpec {
   private def s2(b: Array[Byte]): String = new String(b, "UTF-8")
 
   test("unary ingest + get + delete + listAttributes over the wire") {
-    withServer { (c, _) =>
+    withServer { (c, op) =>
       val (st1, g1, _) = c.call("/IngestService/ingest",
         Seq(ingestMsg("u1", "status", 10, "online")))
       assert(g1 == 0)
@@ -67,6 +67,12 @@ class GrpcServerSpec extends SparkSpec {
       assert(gd("status") == 200L)
       assert(s2(gd("value").asInstanceOf[Array[Byte]]) == "online")
       assert(gd("stamp") == 10L)
+      // wire stamps are MILLISECONDS (rpc.proto GetResponse.stamp docs);
+      // engine-native stamps are micros — the boundary must convert both
+      // directions, so the stored element is stamp*1000
+      assert(op.getRandomAccess("user", "status").get("u1", "status")
+        .exists(_.stamp == 10000L),
+        "wire ms must land as engine micros")
 
       // wildcard listing with prefix + paging offset
       val (lst, g3, _) = c.call("/RetrieveService/listAttributes",
