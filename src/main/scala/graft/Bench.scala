@@ -37,9 +37,13 @@ object Bench {
 
   /** The driver-contract JSON line. `value` sums only SUCCESSFUL queries —
     * failures contribute -1 entries plus `failed`/`errors`, never time.
+    * `batches` (micro-batches a query's streaming replays executed, from
+    * the StreamingQueryListener) attributes a slow streaming row to the
+    * operator vs the replay harness without re-deriving it: seconds up
+    * with batches flat = the operator; both up = the harness grew.
     */
   def renderJson(results: Seq[(String, Double, Option[String])],
-      sfDir: String): String = {
+      sfDir: String, batches: Map[String, Long] = Map.empty): String = {
     import JsonLine.{num, str => jstr}
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
@@ -47,7 +51,9 @@ object Bench {
       jstr(k) + ":" + jstr(m.take(300)) }.mkString("{", ",", "}")
     val nFail = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
+    val nb = results.collect { case (k, _, _) if batches.getOrElse(k, 0L) > 0 =>
+      jstr(k) + ":" + batches(k) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_batches":$nb,"failed":$nFail,"errors":$errs,"sf":"$sfDir"}"""
   }
 
   /** Per-query wall-clock ceilings, `name -> seconds` (+ optional
@@ -114,13 +120,33 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
+    // micro-batch counter: queries run one at a time, so the delta of a
+    // global progress count over a query's window is its batch count
+    val batchCount = new java.util.concurrent.atomic.AtomicLong
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          batchCount.incrementAndGet(); ()
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    val batches = collection.mutable.Map.empty[String, Long]
     val results = names.map { name =>
       System.gc()
+      val b0 = batchCount.get()
       val (sec, err) = runOne(spark, SparkEntry.queries(name), sfDir)
+      // listener events are async: let the bus settle before reading the
+      // counter so a final batch is not attributed to the NEXT query
+      Thread.sleep(20)
+      batches(name) = batchCount.get() - b0
       spark.catalog.clearCache()
       (name, sec, err)
     }
-    println(renderJson(results, sfDir))
+    println(renderJson(results, sfDir, batches.toMap))
     spark.stop()
     // SPARK_GRAFT_BUDGETS=sf1 (or a properties path) arms the endurance
     // gate: ceilings breached -> loud nonzero exit, never silent drift

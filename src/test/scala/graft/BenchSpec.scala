@@ -38,6 +38,13 @@ class BenchSpec extends SparkSpec {
     assert(json.startsWith("{") && json.endsWith("}"))
   }
 
+  test("renderJson: n_batches carries only queries that ran micro-batches") {
+    val json = Bench.renderJson(
+      Seq(("q_stream", 2.0, None), ("q_batchy", 1.0, None)), "/sf",
+      batches = Map("q_stream" -> 7L, "q_batchy" -> 0L))
+    assert(json.contains(""""n_batches":{"q_stream":7}"""), json)
+  }
+
   test("the sf1 budget gate flags a deliberate 3x slowdown, and only it") {
     val budgets = Bench.loadBudgets("sf1")
     assert(budgets.contains("total") && budgets("q_semantic_dedup") > 0)
