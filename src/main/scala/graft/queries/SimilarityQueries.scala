@@ -154,6 +154,26 @@ object SimilarityQueries extends QuerySet {
       graft.functions.Jaccard.pairs(Tables.documents(s, d), "text", 3,
         thresholdNum = 5, thresholdDen = 10)),
 
+    // CONTAINMENT near-superset pairs: |A∩B|/min(|A|,|B|) >= 0.6 — the
+    // asymmetric dedup signal (excerpts/quotes/boilerplate-wrapped
+    // copies) a symmetric Jaccard threshold misses; contained_id names
+    // the (near-)contained side. The corpus is documents PLUS a derived
+    // excerpt per low-id doc (its 15-token prefix, id+10000): every
+    // excerpt's shingle set is fully contained in its source (C = 1.0)
+    // while the pair's Jaccard is ~13/|source| ≈ 0.25 — below
+    // q_jaccard_pairs' 0.5 gate — so the oracle proves the asymmetric
+    // catch, not just a rescaled Jaccard
+    "q_containment_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ")
+            .as("text"))
+      graft.functions.Jaccard.containmentPairs(docs.unionByName(excerpts),
+        "text", 3, thresholdNum = 6, thresholdDen = 10,
+        maxBucket = Int.MaxValue).pairs
+    }),
+
     // multi-signal dedup: one pair table carrying BOTH evidence channels —
     // text (exact n-gram Jaccard >= 0.5) and embedding (cosine >= 0.5) —
     // the cross-modal review table a training-data pipeline dedups from
@@ -426,6 +446,34 @@ object SimilarityQueries extends QuerySet {
         |JOIN sz sa ON i.a_id = sa.doc_id
         |JOIN sz sb ON i.b_id = sb.doc_id
         |WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5""".stripMargin,
+
+    "q_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15], ' ') AS text
+        |  FROM documents WHERE doc_id < 20
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS shingle
+        |  FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |           unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS i
+        |    FROM corpus) t
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id, i.b_id, i.inter, sa.sz AS a_sz, sb.sz AS b_sz,
+        |       CASE WHEN sa.sz <= sb.sz THEN i.a_id ELSE i.b_id END AS contained_id
+        |FROM inter i
+        |JOIN sz sa ON i.a_id = sa.doc_id
+        |JOIN sz sb ON i.b_id = sb.doc_id
+        |WHERE i.inter * 10 >= least(sa.sz, sb.sz) * 6""".stripMargin,
 
     "q_multisignal_dedup" ->
       s"""WITH sh AS (

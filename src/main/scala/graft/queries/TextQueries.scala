@@ -205,6 +205,30 @@ object TextQueries extends QuerySet {
         .limit(100)
     }),
 
+    // boundary-respecting chunking: split each document into
+    // ~CHUNK_CHARS-character windows that never cut a token — the
+    // embedding/RAG context-window prep pass. chunk_id =
+    // floor(chars-before-this-token / budget): monotone per doc, tokens
+    // stay whole, an over-long token just owns its chunk. 100 TB shape:
+    // prefix sums computed IN-ROW (token counts are tens, the O(t²)
+    // fold is nothing) so NO per-token shuffle exists — the only
+    // exchange carries per-(doc, chunk) summaries, pre-collapsed by
+    // map-side partial aggregation
+    "q_chunk_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(
+          """transform(split(trim(text), '\\s+'), x -> length(x))""")
+          .as("lens"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(lens)), i -> struct(
+             |  CAST(aggregate(slice(lens, 1, i - 1), 0, (a, x) -> a + x)
+             |       div $CHUNK_CHARS AS BIGINT) AS chunk_id,
+             |  CAST(element_at(lens, i) AS BIGINT) AS n))""".stripMargin))
+          .as("c"))
+        .groupBy(col("doc_id"), col("c.chunk_id").as("chunk_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("c.n")).as("n_chars"))
+    }),
+
     // language-ID: deterministic marker-count heuristic (the reference has
     // no NLP surface; this is the LLM-pipeline extension — n-gram/stopword
     // scoring per language, highest marker count wins, ties by fixed order)
@@ -231,6 +255,7 @@ object TextQueries extends QuerySet {
   private val BPE_ROUNDS = 8
   private val WINNOW_K = 20
   private val WINNOW_W = 8
+  private val CHUNK_CHARS = 120
 
   /** The BPE training replay as SQL (the WITH block): w0 = the
     * char-spaced word-frequency table, then per round r an argmax CTE
@@ -399,6 +424,26 @@ object TextQueries extends QuerySet {
 
     "q_bpe_w0" ->
       (bpeCtes(0) + "\nSELECT word, syms, freq FROM w0"),
+
+    // identical split + prefix-sum + floor-division formula; both engines
+    // keep trailing empties from the split, so edge cases agree
+    "q_chunk_tokens" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |         length(toks[CAST(u.i AS INT)]) AS chars
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents),
+         |       unnest(generate_series(1, len(toks))) u(i)
+         |), cum AS (
+         |  SELECT doc_id, pos, chars,
+         |         sum(chars) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) - chars AS cum_before
+         |  FROM tok
+         |)
+         |SELECT doc_id, CAST(cum_before // $CHUNK_CHARS AS BIGINT) AS chunk_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(chars) AS BIGINT) AS n_chars
+         |FROM cum GROUP BY 1, 2""".stripMargin,
 
     "q_bpe_pairs1" ->
       (bpeCtes(0) +
