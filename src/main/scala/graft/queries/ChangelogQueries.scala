@@ -122,6 +122,16 @@ object ChangelogQueries extends QuerySet {
           col("value").cast("string").as("last_type"))
     }),
 
+    // snapshot DIFF between two as-of horizons: the change set an
+    // incremental consumer applies to move snapshot(t1) to snapshot(t2)
+    // (added / removed / updated per cell, tombstone semantics evaluated
+    // at each horizon; history restricted to delta-touched keys before
+    // either compaction — see operators/SnapshotDiff)
+    "q_snapshot_diff" -> ((s, d) => {
+      graft.operators.SnapshotDiff.diff(
+        Tables.eventsAsWildcardChangelog(s, d), RangeFromUs, RangeUntilUs)
+    }),
+
     // bucketed random-access store end-to-end: materialize the pre-
     // watermark snapshot hive-partitioned by key bucket, fold the delta
     // via refresh (rewrites ONLY touched buckets — the
@@ -620,6 +630,28 @@ object ChangelogQueries extends QuerySet {
     // derived from the ONE compaction oracle, not a parallel copy
     "q_snapshot_asof" -> WildcardSnapshotSql.replace("FROM events",
       s"FROM events WHERE epoch_us(ts) <= $RangeFromUs"),
+
+    // both horizons derived from the ONE compaction oracle, full-outer
+    // joined; unchanged cells (same winning event) drop out — cells of
+    // untouched keys are identical at both horizons, which is exactly
+    // why the engine may restrict history to delta-touched keys first
+    "q_snapshot_diff" -> {
+      def snapAt(t: Long) = WildcardSnapshotSql.replace("FROM events",
+        s"FROM events WHERE epoch_us(ts) <= $t")
+      s"""WITH s1 AS (SELECT * FROM (${snapAt(RangeFromUs)}) x1),
+         |s2 AS (SELECT * FROM (${snapAt(RangeUntilUs)}) x2)
+         |SELECT coalesce(s1.key, s2.key) AS key,
+         |       coalesce(s1.attribute, s2.attribute) AS attribute,
+         |       CASE WHEN s1.key IS NULL THEN 'added'
+         |            WHEN s2.key IS NULL THEN 'removed'
+         |            ELSE 'updated' END AS change,
+         |       s1.last_event_id AS old_event_id,
+         |       s2.last_event_id AS new_event_id
+         |FROM s1 FULL OUTER JOIN s2
+         |  ON s1.key = s2.key AND s1.attribute = s2.attribute
+         |WHERE s1.key IS NULL OR s2.key IS NULL
+         |   OR s1.last_event_id <> s2.last_event_id""".stripMargin
+    },
 
     // the wildcard-delete compaction in the PROXY namespace: identical to
     // q_snapshot_wildcard_delete's replay with raw 'device.' names renamed
