@@ -215,18 +215,8 @@ object TextQueries extends QuerySet {
     // exchange carries per-(doc, chunk) summaries, pre-collapsed by
     // map-side partial aggregation
     "q_chunk_tokens" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), expr(
-          """transform(split(trim(text), '\\s+'), x -> length(x))""")
-          .as("lens"))
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(1, size(lens)), i -> struct(
-             |  CAST(aggregate(slice(lens, 1, i - 1), 0, (a, x) -> a + x)
-             |       div $CHUNK_CHARS AS BIGINT) AS chunk_id,
-             |  CAST(element_at(lens, i) AS BIGINT) AS n))""".stripMargin))
-          .as("c"))
-        .groupBy(col("doc_id"), col("c.chunk_id").as("chunk_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("c.n")).as("n_chars"))
+      graft.functions.Chunk.byCharBudget(Tables.documents(s, d),
+        "doc_id", "text", budget = CHUNK_CHARS)
     }),
 
     // language-ID: deterministic marker-count heuristic (the reference has
