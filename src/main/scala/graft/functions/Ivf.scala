@@ -40,22 +40,153 @@ object Ivf {
     s
   }
 
+  /** Training-set ceiling for the driver-local Lloyd path: up to this
+    * many vectors, quantizer training runs as plain seeded k-means++ +
+    * Lloyd on the COLLECTED sample — the faiss-style design. A coarse
+    * quantizer or PQ codebook trains on a bounded sample even at 100 TB
+    * (the caller samples; [[Pq.train]] has `trainSampleBp`), and running
+    * a DISTRIBUTED KMeans there costs ~maxIter scheduled Spark jobs for
+    * work one core finishes in milliseconds — measured seconds of pure
+    * scheduling overhead per training call on the bench. Above the
+    * ceiling, distributed MLlib KMeans takes over unchanged.
+    */
+  private[functions] val LocalTrainMax = 131072
+
   /** Train the coarse quantizer: seeded KMeans over the embeddings.
     * Returns the centroid matrix (nCentroids × dim).
     */
   def train(emb: DataFrame, nCentroids: Int, seed: Long = 42L,
       maxIter: Int = 20): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    // explicit array<double> cast: exact for the FLOAT[] vintage, and a
-    // Seq[Float] udf here would have let Spark SILENTLY downcast a
-    // DOUBLE[] vintage at the coercion boundary
-    val toFeature = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val df = emb.select(
-      toFeature(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(maxIter).fit(df)
-    model.clusterCenters.map(_.toArray)
+    // one job either way: pull at most ceiling+1 rows; overflow ⇒ the
+    // distributed path (which re-plans the full scan)
+    val sample = Similarity.vecRows(emb).limit(LocalTrainMax + 1).collect()
+    if (sample.length <= LocalTrainMax)
+      // sorted by id: collect order is partition-dependent, the sort
+      // makes training bit-reproducible across runs/cluster layouts
+      localLloyd(sample.sortBy(_._1).map(_._2), nCentroids, seed, maxIter)
+    else {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.linalg.Vectors
+      // explicit array<double> cast: exact for the FLOAT[] vintage, and a
+      // Seq[Double] udf would have let Spark SILENTLY downcast a
+      // DOUBLE[] vintage at the coercion boundary with Seq[Float]
+      val toFeature = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+      val df = emb.select(
+        toFeature(col("embedding").cast("array<double>")).as("features"))
+      val model = new KMeans().setK(nCentroids).setSeed(seed)
+        .setMaxIter(maxIter).fit(df)
+      model.clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** Seeded k-means++ init + `maxIter` Lloyd rounds on a local sample,
+    * best of [[LocalRestarts]] seeded restarts by final quantization
+    * cost (a single restart's local optimum measurably hurts recall on
+    * tightly-blobbed data; restarts are trivial at sample scale).
+    * Deterministic for a fixed input order; returns FEWER than k centers
+    * when the data has fewer distinct points (matching MLlib's
+    * contract). Empty clusters keep their previous center.
+    */
+  private[functions] def localLloyd(data: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
+    var best: Array[Array[Double]] = null
+    var bestCost = Double.MaxValue
+    var r = 0
+    while (r < LocalRestarts) {
+      val c = localLloydOnce(data, k, seed + r * 1000003L, maxIter)
+      var cost = 0.0
+      var i = 0
+      while (i < data.length) {
+        var bd = Double.MaxValue
+        var ci = 0
+        while (ci < c.length) {
+          val d = sqDist(c(ci), data(i)); if (d < bd) bd = d; ci += 1
+        }
+        cost += bd; i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; best = c }
+      r += 1
+    }
+    best
+  }
+
+  private val LocalRestarts = 10
+
+  private def localLloydOnce(data: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
+    require(data.nonEmpty, "k-means needs a non-empty training set")
+    val n = data.length
+    val dim = data(0).length
+    val rng = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    centers += data(rng.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var exhausted = false
+    while (centers.size < k && !exhausted) {
+      val c = centers.last
+      var tot = 0.0
+      var i = 0
+      while (i < n) {
+        val dist = sqDist(c, data(i))
+        if (dist < d2(i)) d2(i) = dist
+        tot += d2(i); i += 1
+      }
+      if (tot == 0.0) exhausted = true // every point is a center already
+      else {
+        // GREEDY k-means++ (the sklearn refinement): draw several
+        // D²-weighted candidates, keep the one minimizing the resulting
+        // total cost — plain single-draw init lands in measurably worse
+        // local optima (recall 0.72 vs 0.9+ on the clustered-data spec)
+        val tries = 4 + 2 * (32 - Integer.numberOfLeadingZeros(math.max(k - 1, 1)))
+        var bestJ = -1
+        var bestCost = Double.MaxValue
+        var t = 0
+        while (t < tries) {
+          var r = rng.nextDouble() * tot
+          var j = 0
+          while (j < n - 1 && r >= d2(j)) { r -= d2(j); j += 1 }
+          // land on a positive-weight point (r can stop on a duplicate)
+          while (d2(j) == 0.0) j = (j + 1) % n
+          var cost = 0.0
+          var i = 0
+          while (i < n) {
+            cost += math.min(d2(i), sqDist(data(j), data(i))); i += 1
+          }
+          if (cost < bestCost) { bestCost = cost; bestJ = j }
+          t += 1
+        }
+        centers += data(bestJ).clone()
+      }
+    }
+    val cArr = centers.toArray
+    var it = 0
+    while (it < maxIter) {
+      val sums = Array.ofDim[Double](cArr.length, dim)
+      val cnt = new Array[Long](cArr.length)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cArr.length) {
+          val dd = sqDist(cArr(c), data(i))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var x = 0
+        while (x < dim) { sums(best)(x) += data(i)(x); x += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < cArr.length) {
+        if (cnt(c) > 0) {
+          var x = 0
+          while (x < dim) { cArr(c)(x) = sums(c)(x) / cnt(c); x += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cArr
   }
 
   /** Nearest-centroid cell per vector: one broadcast + one map-only scan.

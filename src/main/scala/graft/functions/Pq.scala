@@ -87,30 +87,48 @@ object Pq {
     */
   def train(emb: DataFrame, m: Int, k: Int, seed: Long = 42L,
       maxIter: Int = 20, trainSampleBp: Int = 10000): Codebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
     require(k <= 256, s"PQ codes are one byte per subspace: k=$k > 256")
     val base = if (trainSampleBp >= 10000) emb
       else Curation.hashSample(emb, col("vec_id"), "pqtrain", lit(trainSampleBp))
-    val dim = base.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    // explicit array<double> cast: exact for FLOAT[], and a Seq[Float]
-    // udf would let Spark silently downcast a DOUBLE[] vintage
-    val sliceUdf = udf((a: Seq[Double], off: Int) =>
-      Vectors.dense(a.slice(off, off + dsub).toArray))
-    val cached = base
-      .select(col("embedding").cast("array<double>").as("embedding"))
-      .persist()
-    try {
+    // sample-train path (see Ivf.LocalTrainMax): the m per-subspace
+    // codebooks train on ONE collected sample, sliced locally — m
+    // distributed KMeans fits over a bounded sample were pure
+    // job-scheduling overhead
+    val sample = Similarity.vecRows(base).limit(Ivf.LocalTrainMax + 1).collect()
+    if (sample.length > 0 && sample.length <= Ivf.LocalTrainMax) {
+      val vecs = sample.sortBy(_._1).map(_._2)
+      val dim = vecs(0).length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
       val cbs = (0 until m).map { j =>
-        val df = cached.select(sliceUdf(col("embedding"), lit(j * dsub)).as("features"))
-        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-          .fit(df)
-        model.clusterCenters.map(_.toArray)
+        val slice = vecs.map(v =>
+          java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        Ivf.localLloyd(slice, k, seed + j, maxIter)
       }.toArray
       Codebooks(m, dsub, cbs)
-    } finally cached.unpersist()
+    } else {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.linalg.Vectors
+      val dim = base.select(size(col("embedding"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      // explicit array<double> cast: exact for FLOAT[], and a Seq[Float]
+      // udf would let Spark silently downcast a DOUBLE[] vintage
+      val sliceUdf = udf((a: Seq[Double], off: Int) =>
+        Vectors.dense(a.slice(off, off + dsub).toArray))
+      val cached = base
+        .select(col("embedding").cast("array<double>").as("embedding"))
+        .persist()
+      try {
+        val cbs = (0 until m).map { j =>
+          val df = cached.select(sliceUdf(col("embedding"), lit(j * dsub)).as("features"))
+          val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+            .fit(df)
+          model.clusterCenters.map(_.toArray)
+        }.toArray
+        Codebooks(m, dsub, cbs)
+      } finally cached.unpersist()
+    }
   }
 
   /** Map-only encode behind one codebook broadcast:
