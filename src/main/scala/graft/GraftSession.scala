@@ -18,6 +18,12 @@ object GraftSession {
       .withExtensions(graft.functions.GraftExtensions.install)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      // streaming STATE width (scoped over query starts by
+      // streaming.StreamConf): per-batch overhead is O(state
+      // partitions), so small local micro-batches want few partitions
+      // — 8 here; a production deployment sizes this to ~2x executor
+      // cores or unsets it to inherit the batch width
+      .config(graft.streaming.StreamConf.Key, "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -371,14 +371,16 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
       val transform = Class.forName(t.transformClass)
         .getDeclaredConstructor().newInstance()
         .asInstanceOf[graft.streaming.Transformations.ElementWise]
-      getStream(t.entity, t.attributes: _*)
-        .flatMap(transform(_))
-        .writeStream
-        .option("checkpointLocation", s"$checkpointRoot/${t.name}")
-        .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
-          writeBatch(batch)
-        }
-        .start()
+      graft.streaming.StreamConf.scoped(spark) {
+        getStream(t.entity, t.attributes: _*)
+          .flatMap(transform(_))
+          .writeStream
+          .option("checkpointLocation", s"$checkpointRoot/${t.name}")
+          .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
+            writeBatch(batch)
+          }
+          .start()
+      }
     }
   }
 }

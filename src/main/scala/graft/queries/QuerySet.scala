@@ -35,8 +35,10 @@ private[queries] object StreamSupport {
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val sink = "q_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
+    val q = graft.streaming.StreamConf.scoped(s) {
+      stream.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+    }
     try drive(q) finally q.stop()
     val out = s.table(sink).localCheckpoint(true)
     s.catalog.dropTempView(sink)

@@ -327,7 +327,8 @@ object StatefulQueries extends QuerySet {
       import s.implicits._
       val fam = throttleLog(s, d)
       val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      val q = fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+      val q = graft.streaming.StreamConf.scoped(s) {
+        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
         .writeStream
         .foreachBatch { (b: Dataset[StreamElement], id: Long) =>
           val slices = b.toDF()
@@ -339,6 +340,7 @@ object StatefulQueries extends QuerySet {
           ()
         }
         .start()
+      }
       try q.processAllAvailable() finally q.stop()
       val rows = buf.synchronized(buf.toVector)
       require(rows.nonEmpty, "throttled replay produced no batches")

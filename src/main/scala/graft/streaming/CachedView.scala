@@ -107,7 +107,7 @@ final class CachedView(family: AttributeLogFamily,
     val updates = StateOps.snapshotUpdates(
       family.streamFromOldest().filter(keyPredicate),
       cleanup = cleanup, stampUnit = "millis")
-    val q = updates.writeStream
+    val q = StreamConf.scoped(family.spark) { updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
@@ -115,6 +115,7 @@ final class CachedView(family: AttributeLogFamily,
         evictAged()
       }
       .start()
+    }
     query = Some(q)
     this
   }

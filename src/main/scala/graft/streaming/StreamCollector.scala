@@ -20,8 +20,10 @@ object StreamCollector {
   private def drain(stream: DataFrame, limit: Long, timeoutMs: Long): String = {
     val name = s"collector_${n.incrementAndGet()}"
     val spark = stream.sparkSession
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    val q = StreamConf.scoped(spark) {
+      stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
     try {
       val deadline = System.currentTimeMillis() + timeoutMs
       var done = false

@@ -34,14 +34,16 @@ object Transformations {
   def run(source: AttributeLogFamily, target: AttributeLogFamily,
       transform: ElementWise, checkpoint: String): StreamingQuery = {
     implicit val enc = StreamElement.encoder
-    source.streamFromOldest()
-      .flatMap(transform(_))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
-        target.appendIdempotent(batch)
-      }
-      .start()
+    StreamConf.scoped(source.spark) {
+      source.streamFromOldest()
+        .flatMap(transform(_))
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
+          target.appendIdempotent(batch)
+        }
+        .start()
+    }
   }
 
   /** Batch backfill of the same transformation. */
