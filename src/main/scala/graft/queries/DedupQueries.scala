@@ -101,6 +101,33 @@ object DedupQueries extends QuerySet {
       cc
     }),
 
+    // quality-aware canonical selection: within each near-dup cluster
+    // keep the HIGHEST-QUALITY member (token count desc, doc_id tiebreak)
+    // — the real pipeline policy, vs q_dedup_clusters' min-id canonical.
+    // The cluster table is dup docs only (tiny next to the corpus), so
+    // the score join + per-component argmax cost O(dups), and the
+    // argmax is a row_number window over that small table
+    "q_dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val res = graft.functions.DedupPipeline
+        .nearDuplicates(docs, maxBucket = Int.MaxValue)
+      val cc = graft.functions.Clusters
+        .connectedComponents(res.pairs.select(col("a_id"), col("b_id")))
+      res.unpersist()
+      val scored = cc.join(docs.select(col("doc_id"),
+        graft.functions.TokenCount.column(col("text")).cast("long").as("nt")),
+        "doc_id")
+      val best = scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("nt").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"))
+      scored.join(best, "component")
+        .select(col("doc_id"), col("component"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+    }),
+
     // the INGESTION-TIME near-dup gate through the real streaming path:
     // documents replayed from a commit log in three id-ordered
     // micro-batches, per-row minhash signatures (no shuffle), ONE
@@ -159,6 +186,54 @@ object DedupQueries extends QuerySet {
        |SELECT doc_id, ${(0 until K).map(affineSql).mkString(", ")}
        |FROM hv GROUP BY doc_id""".stripMargin
 
+  /** The full LSH → verify → transitive-closure replay as CTEs ending at
+    * `cl(doc_id, component)` — shared by q_dedup_clusters and the
+    * quality-canonical q_dedup_keep_best (one definition, not copies).
+    */
+  private lazy val dedupClustersCtes: String = {
+    val bands = (0 until K / BAND_ROWS).map { bnd =>
+      val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+      s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE sig AS ($sigSql),
+       |banded AS (
+       |$bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |),
+       |sh2 AS ($shinglesSql),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh2 a ON a.doc_id = c.a_id
+       |  JOIN sh2 b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT i.a_id, i.b_id FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.a_id
+       |  JOIN sz sb ON sb.doc_id = i.b_id
+       |  WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5
+       |),
+       |edges AS (
+       |  SELECT a_id AS x, b_id AS y FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+       |),
+       |cl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS component
+       |  FROM reach GROUP BY x
+       |)""".stripMargin
+  }
+
   private val simhashSql =
     """WITH tok AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
@@ -181,47 +256,31 @@ object DedupQueries extends QuerySet {
 
     // the pipeline's pair set + recursive transitive closure: component
     // of a node = the smallest node it can reach in the undirected graph
-    "q_dedup_clusters" -> {
-      val bands = (0 until K / BAND_ROWS).map { bnd =>
-        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
-        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE sig AS ($sigSql),
-         |banded AS (
-         |$bands
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-         |),
-         |sh2 AS ($shinglesSql),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
-         |inter AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh2 a ON a.doc_id = c.a_id
-         |  JOIN sh2 b ON b.doc_id = c.b_id AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT i.a_id, i.b_id FROM inter i
-         |  JOIN sz sa ON sa.doc_id = i.a_id
-         |  JOIN sz sb ON sb.doc_id = i.b_id
-         |  WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 5
-         |),
-         |edges AS (
-         |  SELECT a_id AS x, b_id AS y FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs
-         |),
-         |reach(x, y) AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
-         |)
-         |SELECT x AS doc_id, least(x, min(y)) AS component
-         |FROM reach GROUP BY x""".stripMargin
-    },
+    "q_dedup_clusters" ->
+      (dedupClustersCtes + "\nSELECT doc_id, component FROM cl"),
+
+    // the SAME cluster CTE + a quality argmax per component
+    // (row_number window — version-stable, unlike arg_max); nt is the
+    // hash-proven q_token_count formula
+    "q_dedup_keep_best" ->
+      (dedupClustersCtes +
+        """,
+          |score AS (
+          |  SELECT doc_id,
+          |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+          |  FROM documents
+          |),
+          |best AS (
+          |  SELECT component, doc_id AS keep_id FROM (
+          |    SELECT cl.component, cl.doc_id,
+          |           row_number() OVER (PARTITION BY cl.component
+          |             ORDER BY s.nt DESC, cl.doc_id) AS rn
+          |    FROM cl JOIN score s ON s.doc_id = cl.doc_id) t
+          |  WHERE rn = 1
+          |)
+          |SELECT cl.doc_id, cl.component, b.keep_id,
+          |       cl.doc_id = b.keep_id AS keep
+          |FROM cl JOIN best b USING (component)""".stripMargin),
 
     "q_lsh_dropped_buckets" -> {
       val bands = (0 until K / BAND_ROWS).map { bnd =>
