@@ -306,10 +306,14 @@ object ChangelogQueries extends QuerySet {
     // oracle proves data preservation
     "q_file_compaction" -> ((s, d) => withScratch("graft-compact-q") { tmp =>
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
-      val log = Tables.eventsAsChangelog(s, d).repartition(4)
-      (0 until 6).foreach(i => fam.append(log.filter(col("seqId") % 6 === i)))
-      val stats = graft.operators.FileCompaction.compact(fam,
-        targetBytes = 64L << 20)
+      // persist: the six staged appends share ONE scan+shuffle of the
+      // derived changelog instead of re-running it per slice — the
+      // operator under test is the compaction, not the staging
+      val log = Tables.eventsAsChangelog(s, d).repartition(4).persist()
+      val stats = try {
+        (0 until 6).foreach(i => fam.append(log.filter(col("seqId") % 6 === i)))
+        graft.operators.FileCompaction.compact(fam, targetBytes = 64L << 20)
+      } finally log.unpersist()
       require(stats.filesAfter < stats.filesBefore,
         s"compaction must reduce files: $stats")
       materialized(eventTypeAgg(fam.batchUpdates().toDF())) {
