@@ -41,6 +41,20 @@ def main():
         got = con.sql(f"SELECT * FROM '{res_path}/*.parquet'")
         got_cols = [d[0] for d in got.description]
         got_rows = got.fetchall()
+        # symmetric type gate for the ENGINE side: a FLOAT/DECIMAL/etc
+        # parquet column would stringify differently across the driver's
+        # fetch paths just like an oracle HUGEINT (audited clean at r10;
+        # keep it that way structurally)
+        SAFE_GOT = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+                    "TIMESTAMP WITH TIME ZONE", "BLOB"}
+        bad_got = {c: str(t) for c, t in zip(got.columns, got.types)
+                   if str(t) not in SAFE_GOT}
+        if bad_got:
+            print(f"FAIL {name}: engine output carries fetch-path-fragile "
+                  f"types {bad_got}")
+            n_fail += 1
+            continue
         try:
             exp = con.sql(sql)
             exp_cols = [d[0] for d in exp.description]

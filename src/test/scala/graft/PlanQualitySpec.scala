@@ -165,6 +165,33 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("chunking shuffles chunk summaries, never tokens") {
+    // the prefix sums are in-row: the ONLY exchange in the plan is the
+    // per-(doc, chunk) summary aggregation — a per-token exchange would
+    // mean the fold regressed to a window function
+    val docs = (1 to 50).map(i =>
+      (i.toLong, (1 to 80).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = graft.functions.Chunk.byCharBudget(docs, "doc_id", "text", 100)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"exactly one exchange (the summary agg):\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("snapshot diff restricts history to delta-touched keys (semi join " +
+    "below the compactions)") {
+    val f = fam()
+    val plan = graft.operators.SnapshotDiff.diff(f.batchUpdates(), 10, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"history must semi-join against the delta key set:\n$plan")
+    // the delta key set itself comes from a stamp-range-pruned scan
+    assert(plan.contains("GreaterThan(stamp,10)") ||
+      plan.contains("GreaterThan(stamp,10)".replace(" ", "")),
+      s"delta scan must push the stamp range:\n$plan")
+  }
+
   test("default snapshot compaction is the skew-safe per-cell plan") {
     val plan = fam().batchSnapshot().queryExecution.executedPlan.toString
     // per-(key,attribute) typed reduce (hash-aggregated, ONE element of
