@@ -115,6 +115,7 @@ object Ivf {
   private def localLloydOnce(data: Array[Array[Double]], k: Int,
       seed: Long, maxIter: Int): Array[Array[Double]] = {
     require(data.nonEmpty, "k-means needs a non-empty training set")
+    require(k >= 1, s"k-means needs k >= 1, got $k")
     val n = data.length
     val dim = data(0).length
     val rng = new scala.util.Random(seed)

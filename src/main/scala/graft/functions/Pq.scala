@@ -95,7 +95,8 @@ object Pq {
     // distributed KMeans fits over a bounded sample were pure
     // job-scheduling overhead
     val sample = Similarity.vecRows(base).limit(Ivf.LocalTrainMax + 1).collect()
-    if (sample.length > 0 && sample.length <= Ivf.LocalTrainMax) {
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    if (sample.length <= Ivf.LocalTrainMax) {
       val vecs = sample.sortBy(_._1).map(_._2)
       val dim = vecs(0).length
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
