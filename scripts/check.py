@@ -45,6 +45,9 @@ def main():
         # parquet column would stringify differently across the driver's
         # fetch paths just like an oracle HUGEINT (audited clean at r10;
         # keep it that way structurally)
+        # NOTE: FLOAT deliberately absent on BOTH sides — float32
+        # materializes as float32 via Arrow but widens to float64 via
+        # fetchall, the same fetch-path fragility as HUGEINT
         SAFE_GOT = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
                     "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
                     "TIMESTAMP WITH TIME ZONE", "BLOB"}
@@ -70,8 +73,10 @@ def main():
         # q_embed_gram/q_bpe_merges local-green/driver-red split was
         # exactly an uncast sum(BIGINT) -> HUGEINT. Fail loudly even
         # when the VALUES match locally.
+        # FLOAT excluded for the same fetch-path reason as HUGEINT
+        # (see SAFE_GOT below)
         SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
-                "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+                "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
                 "TIMESTAMP WITH TIME ZONE", "BLOB"}
         bad = {c: str(t) for c, t in zip(exp.columns, exp.types)
                if str(t) not in SAFE}

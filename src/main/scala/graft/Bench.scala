@@ -120,33 +120,46 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
-    // micro-batch counter: queries run one at a time, so the delta of a
-    // global progress count over a query's window is its batch count
-    val batchCount = new java.util.concurrent.atomic.AtomicLong
+    // micro-batch attribution: the listener bus is async, so counting by
+    // time window would bleed a query's LAST batch into the next row
+    // under delivery lag. Instead each streaming run is OWNED by the
+    // bench query current at its start event (the bus is FIFO per query:
+    // start precedes every progress event), and progress events count
+    // against the owner no matter when they arrive.
+    val currentName = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val runOwner = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+    val byName = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
+          runOwner.put(e.runId, currentName.get()); ()
+        }
         override def onQueryProgress(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-          batchCount.incrementAndGet(); ()
+          val owner = runOwner.get(e.progress.runId)
+          if (owner != null && owner.nonEmpty)
+            byName.computeIfAbsent(owner,
+              _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+          ()
         }
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
-    val batches = collection.mutable.Map.empty[String, Long]
     val results = names.map { name =>
       System.gc()
-      val b0 = batchCount.get()
+      currentName.set(name)
       val (sec, err) = runOne(spark, SparkEntry.queries(name), sfDir)
-      // listener events are async: let the bus settle before reading the
-      // counter so a final batch is not attributed to the NEXT query
-      Thread.sleep(20)
-      batches(name) = batchCount.get() - b0
       spark.catalog.clearCache()
       (name, sec, err)
     }
-    println(renderJson(results, sfDir, batches.toMap))
+    currentName.set("")
+    // drain stragglers once, after the whole run (attribution no longer
+    // depends on this — late events still land on their owner)
+    Thread.sleep(200)
+    import scala.jdk.CollectionConverters._
+    val batches = byName.asScala.map { case (k, v) => k -> v.get() }.toMap
+    println(renderJson(results, sfDir, batches))
     spark.stop()
     // SPARK_GRAFT_BUDGETS=sf1 (or a properties path) arms the endurance
     // gate: ceilings breached -> loud nonzero exit, never silent drift

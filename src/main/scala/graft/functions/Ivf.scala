@@ -89,10 +89,18 @@ object Ivf {
     */
   private[functions] def localLloyd(data: Array[Array[Double]], k: Int,
       seed: Long, maxIter: Int): Array[Array[Double]] = {
+    require(data.nonEmpty, "k-means needs a non-empty training set")
+    // one restart costs ~n·k·dim·maxIter mul-adds; bound TOTAL restart
+    // work so the local path stays sub-second right up to the collect
+    // ceiling instead of hitting a serial-driver latency cliff (131k
+    // vectors × k=256 × dim=64 × 20 iters ≈ 4e10 per restart)
+    val work = data.length.toDouble * k * data(0).length * math.max(maxIter, 1)
+    val restarts = math.max(1,
+      math.min(LocalRestarts, (RestartWorkBudget / math.max(work, 1.0)).toInt))
     var best: Array[Array[Double]] = null
     var bestCost = Double.MaxValue
     var r = 0
-    while (r < LocalRestarts) {
+    while (r < restarts) {
       val c = localLloydOnce(data, k, seed + r * 1000003L, maxIter)
       var cost = 0.0
       var i = 0
@@ -111,6 +119,7 @@ object Ivf {
   }
 
   private val LocalRestarts = 10
+  private val RestartWorkBudget = 2e9
 
   private def localLloydOnce(data: Array[Array[Double]], k: Int,
       seed: Long, maxIter: Int): Array[Array[Double]] = {
@@ -156,6 +165,11 @@ object Ivf {
           if (cost < bestCost) { bestCost = cost; bestJ = j }
           t += 1
         }
+        // bestJ survives -1 only when every candidate cost was
+        // non-finite — NaN/Inf components; fail with a diagnosis, not
+        // an ArrayIndexOutOfBounds deep inside training
+        require(bestJ >= 0,
+          "k-means cost is non-finite — embedding components must be finite")
         centers += data(bestJ).clone()
       }
     }

@@ -48,20 +48,31 @@ final class IvfStore(spark: SparkSession, val path: String,
     */
   def write(emb: DataFrame): Unit = {
     val cb = spark.sparkContext.broadcast(centroids)
-    Similarity.vecRows(emb)
-      .map { case (id, v) =>
-        val cs = cb.value
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          val d = sqDist(cs(c), v)
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        var i = 0; var n = 0.0
-        while (i < v.length) { val x = v(i).toDouble; n += x * x; i += 1 }
-        (id, v, math.sqrt(n), best)
-      }.toDF("vec_id", "embedding", "norm", "cell")
+    // cell/norm computed on exact double widenings, but the STORED
+    // embedding keeps the source's element type — persisting the cast
+    // would double the index's footprint and every probed scan's bytes
+    // for a FLOAT[] corpus, for identical search results (the score
+    // path widens on read)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val cs = cb.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = sqDist(cs(c), a)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val normUdf = udf { (v: Seq[Double]) =>
+      var n = 0.0
+      v.foreach(x => n += x * x)
+      math.sqrt(n)
+    }
+    val d = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), col("embedding"),
+        normUdf(d).as("norm"), cellUdf(d).as("cell"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
@@ -92,8 +103,8 @@ final class IvfStore(spark: SparkSession, val path: String,
     val qb = spark.sparkContext.broadcast(qVecs)
     val pb = spark.sparkContext.broadcast(probes)
     val scored = probedCorpus(allCells)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("cell").cast("int"))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("norm"), col("cell").cast("int"))
       .as[(Long, Array[Double], Double, Int)]
       .mapPartitions { it =>
         val qs = qb.value

@@ -73,7 +73,13 @@ object SnapshotCompact {
     implicit val se: org.apache.spark.sql.Encoder[StreamElement] =
       StreamElement.encoder
 
-    val bounded = if (asOf == Long.MaxValue) ds else ds.filter(_.stamp <= asOf)
+    // relational bound, not a typed lambda: col("stamp") <= asOf pushes
+    // into the parquet scan (row-group pruning); a TypedFilter is an
+    // object barrier Catalyst cannot push through, so a bounded
+    // snapshot would deserialize the FULL post-horizon history
+    val bounded =
+      if (asOf == Long.MaxValue) ds
+      else ds.toDF().filter(col("stamp") <= asOf).as[StreamElement]
 
     // 1. latest element per (key, attribute) — hash-aggregated typed
     //    reduce, one element of state per cell
@@ -124,7 +130,13 @@ object SnapshotCompact {
       StreamElement.encoder
     implicit val ke: org.apache.spark.sql.Encoder[(String, String)] =
       Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    val bounded = if (asOf == Long.MaxValue) ds else ds.filter(_.stamp <= asOf)
+    // relational bound, not a typed lambda: col("stamp") <= asOf pushes
+    // into the parquet scan (row-group pruning); a TypedFilter is an
+    // object barrier Catalyst cannot push through, so a bounded
+    // snapshot would deserialize the FULL post-horizon history
+    val bounded =
+      if (asOf == Long.MaxValue) ds
+      else ds.toDF().filter(col("stamp") <= asOf).as[StreamElement]
     bounded
       .map { e =>
         if (e.deleteWildcard) throw new IllegalStateException(

@@ -165,6 +165,16 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("bounded (as-of) snapshot pushes the horizon into the parquet scan") {
+    // the asOf bound must stay a RELATIONAL filter: a typed lambda is an
+    // object barrier that would force deserializing the full
+    // post-horizon history on both compaction branches
+    val plan = fam().batchSnapshot(asOf = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(stamp,50)"),
+      s"asOf must reach PushedFilters:\n$plan")
+  }
+
   test("chunking shuffles chunk summaries, never tokens") {
     // the prefix sums are in-row: the ONLY exchange in the plan is the
     // per-(doc, chunk) summary aggregation — a per-token exchange would
