@@ -211,9 +211,14 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
   def getRandomAccess(entity: String, attr: String): RandomAccessReader =
     new RandomAccessReader(route(entity, attr, Access.RandomAccess))
 
-  /** Continuously-maintained local view (getCachedView:435). */
-  def getCachedView(entity: String, attr: String): CachedView =
-    new CachedView(route(entity, attr, Access.CachedView))
+  /** Continuously-maintained local view (getCachedView:435). Repo
+    * families stamp in micros, so the view's keep-duration clock must
+    * too.
+    */
+  def getCachedView(entity: String, attr: String, maxVersions: Int = 1,
+      keepDurationMs: Long = Long.MaxValue): CachedView =
+    new CachedView(route(entity, attr, Access.CachedView), maxVersions,
+      keepDurationMs, stampUnit = "micros")
 
   /** Write an element through its attribute's primary family
     * (DirectDataOperator.getWriter:300).

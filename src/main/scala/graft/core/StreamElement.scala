@@ -42,13 +42,33 @@ final case class StreamElement(
   /** Wildcard prefix of the attribute (text before the first '.'), or the
     * whole attribute for scalar attributes.
     */
-  def attributePrefix: String = {
-    val i = attribute.indexOf('.')
-    if (i < 0) attribute else attribute.substring(0, i + 1)
-  }
+  def attributePrefix: String = StreamElement.prefixOf(attribute)
+
+  /** Last-writer-wins ordering position (reference orders replays by
+    * stamp with sequential-id tiebreak, StreamElement.java:44; uuid
+    * breaks exact ties deterministically). THE one definition — every
+    * storage and compaction ranks winners with this tuple under
+    * [[StreamElement.positionOrdering]]; a second copy that drifts makes
+    * storages disagree on winners.
+    */
+  def position: (Long, Long, String) = (stamp, seqId, uuid)
 }
 
 object StreamElement {
+  /** Wildcard prefix of an attribute NAME (text up to and including the
+    * first '.', the whole name for scalars) — the one rule every storage
+    * routes tombstone coverage through (instance form:
+    * [[StreamElement.attributePrefix]]).
+    */
+  def prefixOf(attribute: String): String = {
+    val i = attribute.indexOf('.')
+    if (i < 0) attribute else attribute.substring(0, i + 1)
+  }
+
+  /** Ordering companion of [[StreamElement.position]]. */
+  val positionOrdering: Ordering[(Long, Long, String)] =
+    implicitly[Ordering[(Long, Long, String)]]
+
   implicit val encoder: Encoder[StreamElement] = Encoders.product[StreamElement]
 
   /** Upsert factory (reference StreamElement.upsert, StreamElement.java:52). */

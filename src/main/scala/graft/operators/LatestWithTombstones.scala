@@ -29,9 +29,8 @@ object LatestWithTombstones {
       hasWc: Boolean, wcStamp: Long, wcSeq: Long, wcUuid: String,
       latest: Map[String, StreamElement])
 
-  private val posOrd = implicitly[Ordering[(Long, Long, String)]]
-  private def pos(e: StreamElement): (Long, Long, String) =
-    (e.stamp, e.seqId, e.uuid)
+  private val posOrd = StreamElement.positionOrdering
+  private def pos(e: StreamElement): (Long, Long, String) = e.position
 
   /** `retainTombstones = false` is the classic snapshot (tombstones
     * resolved then DROPPED). `true` keeps the newest tombstone per cell —

@@ -48,7 +48,7 @@ object SnapshotCompact {
     * (SnapshotLaws pins the typed and relational plans against each
     * other, so a divergence would surface there).
     */
-  private val posOrd = implicitly[Ordering[(Long, Long, String)]]
+  private val posOrd = StreamElement.positionOrdering
 
   /** Snapshot at `asOf` (epoch micros/millis — same unit as `stamp`);
     * `Long.MaxValue` = current snapshot.

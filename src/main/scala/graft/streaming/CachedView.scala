@@ -29,9 +29,23 @@ import graft.core.StreamElement
   */
 final class CachedView(family: AttributeLogFamily,
     maxVersions: Int = 1,
-    keepDurationMs: Long = Long.MaxValue) {
+    keepDurationMs: Long = Long.MaxValue,
+    stampUnit: String = "millis") {
 
   require(maxVersions >= 1, "maxVersions must be >= 1")
+  // keepDurationMs is WALL-CLOCK milliseconds; stamps may be on a
+  // different clock (this repo's events-derived changelogs stamp in
+  // MICROS — pass stampUnit="micros" there, or a 1h keep becomes 3.6
+  // real seconds). The conversion happens once, here.
+  private val keepDurationStamps: Long = stampUnit match {
+    case "millis" => keepDurationMs
+    case "micros" =>
+      if (keepDurationMs == Long.MaxValue) Long.MaxValue
+      else if (keepDurationMs > Long.MaxValue / 1000L) Long.MaxValue
+      else keepDurationMs * 1000L
+    case u => throw new IllegalArgumentException(
+      s"stampUnit must be millis or micros, got $u")
+  }
 
   // versions newest-first by (stamp, seqId, uuid); tombstones are versions
   // too so as-of reads below a delete stay correct until they age out
@@ -39,12 +53,12 @@ final class CachedView(family: AttributeLogFamily,
   @volatile private var maxStampSeen: Long = Long.MinValue
   private var query: Option[StreamingQuery] = None
 
-  private def pos(e: StreamElement) = (e.stamp, e.seqId, e.uuid)
+  private def pos(e: StreamElement) = e.position
 
   private def evictionFloor: Long =
-    if (keepDurationMs == Long.MaxValue || maxStampSeen == Long.MinValue)
+    if (keepDurationStamps == Long.MaxValue || maxStampSeen == Long.MinValue)
       Long.MinValue
-    else maxStampSeen - keepDurationMs
+    else maxStampSeen - keepDurationStamps
 
   private def fold(e: StreamElement): Unit = {
     if (e.stamp > maxStampSeen) maxStampSeen = e.stamp
@@ -96,9 +110,9 @@ final class CachedView(family: AttributeLogFamily,
     // UPSTREAM snapshot state ages out in lockstep: idle keys are evicted
     // from the flatMapGroupsWithState store on the same horizon, keeping
     // the maintenance query's state bounded by keys active within the keep
-    // window instead of every key ever seen. Stamps are treated on the
-    // millisecond clock, matching keepDurationMs; a stale re-emit after an
-    // upstream eviction is harmless because fold() ranks versions by
+    // window instead of every key ever seen. Both sides interpret stamps
+    // through the SAME `stampUnit`; a stale re-emit after an upstream
+    // eviction is harmless because fold() ranks versions by
     // (stamp, seqId, uuid) and the local evictAged drops it anyway.
     val cleanup =
       if (keepDurationMs == Long.MaxValue) None
@@ -106,7 +120,12 @@ final class CachedView(family: AttributeLogFamily,
         java.util.concurrent.TimeUnit.MILLISECONDS))
     val updates = StateOps.snapshotUpdates(
       family.streamFromOldest().filter(keyPredicate),
-      cleanup = cleanup, stampUnit = "millis")
+      cleanup = cleanup, stampUnit = stampUnit)
+    // a RE-assign must not orphan the previous maintenance query: stop
+    // it first, or two queries fold into one cache forever (the old one
+    // maintaining ranges this process no longer owns, unstoppable once
+    // its handle is overwritten)
+    query.foreach(_.stop())
     val q = StreamConf.scoped(family.spark) { updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)

@@ -50,9 +50,13 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
   override def commitLockPath: Option[String] = Some(s"$path/_commit.lock")
 
   private def nonEmpty: Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // resolve from the PATH's scheme, not the default FS (same Wrong FS
+    // hazard ensureDir already guards: an s3a:// family on an
+    // hdfs-default cluster)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
       spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(path))
+    fs.exists(p)
   }
 
   /** Full update history (batch-updates access), optional stamp range
@@ -120,10 +124,14 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
 
   /** Attach a watermark for event-time windowed consumption: bounded
     * out-of-orderness, the reference's default estimator
-    * (BoundedOutOfOrdernessWatermarkEstimator.java:38).
+    * (BoundedOutOfOrdernessWatermarkEstimator.java:38). Returns the
+    * element columns PLUS the watermark-annotated `eventTime` column —
+    * group on THAT column (`window(col("eventTime"), ...)`); dropping it
+    * would discard the only column carrying the watermark metadata and
+    * fail any downstream append-mode aggregation's analysis.
     */
   def streamWithWatermark(maxOutOfOrdernessMs: Long,
-      stampUnit: String = "micros"): Dataset[StreamElement] = {
+      stampUnit: String = "micros"): org.apache.spark.sql.DataFrame = {
     val ts = stampUnit match {
       case "micros" => timestamp_micros(col("stamp"))
       case "millis" => timestamp_millis(col("stamp"))
@@ -132,8 +140,6 @@ final class CommitLogFamily(val spark: SparkSession, val path: String)
     streamFromOldest()
       .withColumn("eventTime", ts)
       .withWatermark("eventTime", s"$maxOutOfOrdernessMs milliseconds")
-      .drop("eventTime")
-      .as[StreamElement]
   }
 
   /** Exactly-once-ish sink: idempotent-by-uuid append ([[appendIdempotent]],

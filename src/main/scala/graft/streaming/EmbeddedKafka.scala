@@ -81,9 +81,14 @@ object EmbeddedKafka {
       }
     }
 
+    // monotone per-partition: a commit can only ADVANCE the group
+    // position (Kafka semantics); a plain overwrite would let a slower
+    // consumer's stale ack REGRESS a concurrent consumer's committed
+    // offset and re-deliver acknowledged records
     def commit(group: String, offsets: Map[Int, Long]): Unit =
       groupOffsets.updateWith(group) {
-        case Some(cur) => Some(cur ++ offsets)
+        case Some(cur) => Some(cur ++ offsets.map { case (p, o) =>
+          p -> math.max(o, cur.getOrElse(p, Long.MinValue)) })
         case None      => Some(offsets)
       }
 

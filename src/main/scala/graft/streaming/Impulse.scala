@@ -12,10 +12,18 @@ object Impulse {
     spark.range(1).as(org.apache.spark.sql.Encoders.LONG)
 
   /** Periodic tick stream (periodicImpulse) — Spark's rate source; columns
-    * `timestamp`, `value`.
+    * `timestamp`, `value`. The rate source only speaks WHOLE rows per
+    * second, so fractional rates are refused loudly rather than silently
+    * rounded (0.5/s would have become 1/s — double the requested rate;
+    * 2.7/s would have truncated to 2/s). A sub-1/s impulse belongs on a
+    * trigger interval, not the rate source.
     */
-  def periodicImpulse(spark: SparkSession, ticksPerSecond: Double): DataFrame =
+  def periodicImpulse(spark: SparkSession, ticksPerSecond: Double): DataFrame = {
+    require(ticksPerSecond >= 1 && ticksPerSecond == math.floor(ticksPerSecond),
+      s"rate source speaks whole rows/second; got $ticksPerSecond — use a " +
+        "processing-time trigger for fractional cadences")
     spark.readStream.format("rate")
-      .option("rowsPerSecond", math.max(1, ticksPerSecond).toLong)
+      .option("rowsPerSecond", ticksPerSecond.toLong)
       .load()
+  }
 }

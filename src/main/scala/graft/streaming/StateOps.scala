@@ -126,10 +126,9 @@ object StateOps {
   /** Ordering position of an element (stamp, seqId, uuid) — ties resolved
     * exactly like SnapshotCompact.
     */
-  private def pos(e: StreamElement): (Long, Long, String) =
-    (e.stamp, e.seqId, e.uuid)
+  private def pos(e: StreamElement): (Long, Long, String) = e.position
 
-  private val posOrd = implicitly[Ordering[(Long, Long, String)]]
+  private val posOrd = StreamElement.positionOrdering
 
   /** Per-prefix snapshot state: newest wildcard tombstone position and the
     * latest element per concrete attribute. `lastEventMs` = the cell's
@@ -360,11 +359,14 @@ object StateOps {
           } else {
             var st = state.getOption.map(_._1._1).getOrElse(initialState)
             var lastEventMs = state.getOption.map(_._1._2).getOrElse(Long.MinValue)
-            val out = elems.toSeq.sortBy(e => (e.stamp, e.seqId)).map { e =>
+            // flatMap + Option: a null OUTPUT is discarded (the
+            // documented Stream.java:409 contract) on the ELEMENT path
+            // exactly as the timer path above discards it
+            val out = elems.toSeq.sortBy(e => (e.stamp, e.seqId)).flatMap { e =>
               val o = output(st, e)
               st = update(st, e)
               lastEventMs = math.max(lastEventMs, e.stamp / div)
-              (key, o)
+              Option(o).map(v => (key, v))
             }
             // an arrival restarts the emission cadence from the newest
             // element (the reference arms its early timer per element)

@@ -36,16 +36,24 @@ object StreamCollector {
     name
   }
 
+  // drop the sink view after reading: each drain registers a global
+  // memory-sink table holding every drained row on the driver, and an
+  // interactive session (GraftShell runs one collect per command) would
+  // otherwise accumulate them until OOM
   def collectRows(stream: DataFrame, limit: Long,
       timeoutMs: Long = 30000): Seq[Row] = {
+    val spark = stream.sparkSession
     val name = drain(stream, limit, timeoutMs)
-    stream.sparkSession.table(name).limit(limit.toInt).collect().toSeq
+    try spark.table(name).limit(limit.toInt).collect().toSeq
+    finally spark.catalog.dropTempView(name)
   }
 
   def collect[T](stream: Dataset[T], limit: Long,
       timeoutMs: Long = 30000): Seq[T] = {
+    val spark = stream.sparkSession
     val name = drain(stream.toDF(), limit, timeoutMs)
-    stream.sparkSession.table(name).as[T](stream.encoder)
+    try spark.table(name).as[T](stream.encoder)
       .limit(limit.toInt).collect().toSeq
+    finally spark.catalog.dropTempView(name)
   }
 }

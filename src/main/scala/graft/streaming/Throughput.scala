@@ -27,14 +27,19 @@ object Throughput {
   final class RateLimiter(permitsPerSecond: Double, clock: () => Long) {
     require(permitsPerSecond > 0, "permitsPerSecond must be positive")
     private val nanosPerPermit = (1e9 / permitsPerSecond).toLong
-    private var available = permitsPerSecond // start with a full second's burst
+    // burst cap: a second's permits, but never below ONE — a sub-1/s
+    // rate (e.g. 0.5 = one element per 2 s) must still let the bucket
+    // accumulate to a whole permit, else tryAcquire's >= 1.0 threshold
+    // is unreachable and acquire() spins forever
+    private val burstCap = math.max(permitsPerSecond, 1.0)
+    private var available = math.min(permitsPerSecond, burstCap)
     private var lastRefill = clock()
 
     private def refill(): Unit = {
       val now = clock()
       val gained = (now - lastRefill).toDouble / nanosPerPermit
       if (gained > 0) {
-        available = math.min(permitsPerSecond, available + gained)
+        available = math.min(burstCap, available + gained)
         lastRefill = now
       }
     }

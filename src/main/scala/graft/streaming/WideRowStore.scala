@@ -44,24 +44,19 @@ object EmbeddedWideRow {
   }
 
   private type Pos = (Long, Long, String)
-  private def pos(e: StreamElement): Pos = (e.stamp, e.seqId, e.uuid)
-  private val posOrd = implicitly[Ordering[Pos]]
+  private def pos(e: StreamElement): Pos = e.position
+  private val posOrd = StreamElement.positionOrdering
 
   final class Store {
     private val cells = TrieMap.empty[(String, String), StreamElement]
     private val wcFloor = TrieMap.empty[(String, String), Pos]
 
-    private def prefixOf(attribute: String): String = {
-      val i = attribute.indexOf('.')
-      if (i < 0) attribute else attribute.substring(0, i + 1)
-    }
-
     private def floorOf(key: String, attribute: String): Option[Pos] =
-      wcFloor.get((key, prefixOf(attribute)))
+      wcFloor.get((key, StreamElement.prefixOf(attribute)))
 
     def put(e: StreamElement): Unit = synchronized {
       if (e.deleteWildcard) {
-        val prefix = prefixOf(e.attribute)
+        val prefix = e.attributePrefix
         val p = pos(e)
         wcFloor.updateWith((e.key, prefix)) {
           case Some(old) if posOrd.gteq(old, p) => Some(old)
