@@ -51,6 +51,9 @@ object Bm25 {
       terms: Seq[String], k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    // documents tokenize through lower(); an uppercase query term would
+    // otherwise match NOTHING (tf = df = 0, every score 0.0, no error)
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val tok = docs.select(col(idCol),
       split(trim(lower(col(textCol))), "\\s+").as("__ts"))
 
@@ -58,7 +61,7 @@ object Bm25 {
     val statAggs =
       count(lit(1)).as("__n") +:
       sum(size(col("__ts")).cast("long")).as("__sumdl") +:
-      terms.zipWithIndex.map { case (t, i) =>
+      qTerms.zipWithIndex.map { case (t, i) =>
         sum(when(array_contains(col("__ts"), t), 1L).otherwise(0L))
           .as(s"__df$i")
       }
@@ -68,7 +71,7 @@ object Bm25 {
     val scored = tok.crossJoin(broadcast(stats))
     val dl = size(col("__ts")).cast("double")
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val termScores: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+    val termScores: Seq[Column] = qTerms.zipWithIndex.map { case (t, i) =>
       val tf = size(filter(col("__ts"), x => x === lit(t))).cast("double")
       val df = col(s"__df$i").cast("double")
       // idf is the +1 ("BM25+") form: always positive, so a term in >half
@@ -90,9 +93,11 @@ object Bm25 {
     * expression in the same association order, constants embedded as
     * exact decimal expansions.
     */
-  def oracleSql(idCol: String, terms: Seq[String], k: Int,
+  def oracleSql(idCol: String, rawTerms: Seq[String], k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB,
       table: String = "documents", textCol: String = "text"): String = {
+    // mirror topK's query-term normalization so both sides match
+    val terms = rawTerms.map(_.toLowerCase(java.util.Locale.ROOT))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df$i"
     }.mkString(",\n         ")

@@ -105,7 +105,11 @@ object Cms {
     // the grid knows the corpus size: every occurrence lands once per
     // row, so row 0 sums to the total token count — no extra pass
     val total = grid.iterator.take(w).sum
-    val threshold = total / denom
+    // floored total/denom truncates to 0 when the corpus has fewer than
+    // `denom` occurrences — est >= 0 then keeps EVERY distinct token and
+    // marks it heavy, degrading the recount to a full distinct aggregate.
+    // Floor at 1: a heavy hitter must occur at least once.
+    val threshold = math.max(1L, total / denom)
     tokens
       .withColumn("est", estimate(col("token"), grid, d, w))
       .filter(col("est") >= threshold)

@@ -66,20 +66,26 @@ object Curation {
       n: Int, fpp: Double = 0.01): DataFrame = {
     def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
       .select(col("doc_id"), col("h").as("g"))
-    val evalGrams = grams(eval).select(col("g")).distinct().persist()
-    try {
-      val nEval = math.max(evalGrams.count(), 1L)
-      val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      // no broadcast hint here (unlike the exact path): the variant
-      // exists for eval sets too big to broadcast — AQE picks the join
-      grams(train)
-        .filter(MightContain.column(bos.toByteArray, col("g")))
-        .join(evalGrams, "g")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_hits"))
-    } finally evalGrams.unpersist(blocking = false)
+    // swap-pinned, NOT unpersisted here: the pin serves the eager
+    // count()/bloomFilter() below AND the lazy join in the returned
+    // frame — a finally-unpersist would drop the cache before the
+    // caller's first action and re-run the eval shingle pipeline (a
+    // full explode + shuffle over a set explicitly too big to
+    // broadcast) on EVERY downstream action. CachePins bounds the
+    // residue to one live eval-gram set per session.
+    val evalGrams = graft.core.CachePins.swap("curation.decontaminateBloom",
+      grams(eval).select(col("g")).distinct())
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // no broadcast hint here (unlike the exact path): the variant
+    // exists for eval sets too big to broadcast — AQE picks the join
+    grams(train)
+      .filter(MightContain.column(bos.toByteArray, col("g")))
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** Gopher-style repetition statistics per document: token totals,
@@ -215,6 +221,8 @@ object Curation {
     */
   def packSequences(docs: DataFrame, textCol: String, ctx: Int,
       nShards: Int): DataFrame = {
+    require(ctx >= 1, s"ctx must be >= 1, got $ctx")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
     val nTok = TokenCount.column(col(textCol)).cast("long")
     val shard = MinHashLsh.hash60(
@@ -321,6 +329,27 @@ object Curation {
     * occurrence key into one long (`doc_id · 2^20 + seg_idx`) keeps the
     * min engine-replayable (struct mins order-compare engine-privately).
     */
+  /** Packing capacity of the (doc_id, seg_idx) occurrence key: seg_idx
+    * gets the low 20 bits, so documents are bounded at 2^20 segments
+    * (~10.5M tokens at the default segTokens = 10) and doc_id at
+    * 2^43 — enforced, not assumed: an out-of-range row would silently
+    * bleed into a NEIGHBORING doc's key space and corrupt which
+    * occurrence `min(pk)` picks, so the packing raises instead.
+    */
+  private val SegCap = 1048576L // 2^20
+  private val DocCap = Long.MaxValue / SegCap // 2^43
+
+  /** The guarded packed key; codegen'd branch, no extra pass. */
+  private def segmentPk: Column =
+    when(col("seg_idx") < lit(SegCap) &&
+        col("doc_id").between(lit(0L), lit(DocCap - 1)),
+      col("doc_id") * lit(SegCap) + col("seg_idx"))
+    .otherwise(raise_error(concat(
+      lit(s"segmentDedup: (doc_id, seg_idx) outside packing range " +
+        s"[0, $DocCap) x [0, $SegCap): ("),
+      col("doc_id").cast("string"), lit(", "),
+      col("seg_idx").cast("string"), lit(")"))))
+
   def segmentDedup(docs: DataFrame, textCol: String,
       segTokens: Int = 10): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
@@ -332,8 +361,7 @@ object Curation {
       .select(col("doc_id"), posexplode(
         ShingleHash60.segmentColumn(col(textCol), segTokens, "seg:"))
         .as(Seq("seg_idx", "h")))
-      .select(col("doc_id"), col("seg_idx"), col("h"),
-        (col("doc_id") * lit(1048576L) + col("seg_idx")).as("pk"))
+      .select(col("doc_id"), col("seg_idx"), col("h"), segmentPk.as("pk"))
     val first = segs.groupBy(col("h")).agg(min(col("pk")).as("min_pk"))
     segs.join(first, "h")
       .groupBy(col("doc_id"))

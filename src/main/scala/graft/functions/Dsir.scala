@@ -144,7 +144,12 @@ object Dsir {
       .withColumn("key_micros",
         col("logw_micros") + gumbelMicros(col("doc_id"), "gum"))
     val n = docs.filter(!isTarget).count()
-    val k = ((n * fracBp + 9999) / 10000).toInt
+    // ceil(n·frac), clamped: limit() takes an Int, and an unclamped
+    // .toInt wraps NEGATIVE past ~10.7B candidates at fracBp = 2000
+    // (limit then throws, or silently truncates for other wrap values).
+    // A >2B-row SELECTION should go through hashSample rates, not a
+    // global top-k — the clamp keeps this entry point honest about it.
+    val k = math.min((n * fracBp + 9999) / 10000, Int.MaxValue.toLong).toInt
     scored.orderBy(col("key_micros").desc, col("doc_id").asc).limit(k)
   }
 }

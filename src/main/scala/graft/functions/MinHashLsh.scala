@@ -101,6 +101,12 @@ object MinHashLsh {
     */
   def lshCandidatesWithDrops(sig: DataFrame, k: Int, rows: Int,
       maxBucket: Int = BucketedPairs.DefaultMaxBucket): CandidatePairs = {
+    // rows > k yields ZERO bands (silently no candidates — the pipeline
+    // would report a clean corpus); a non-dividing rows silently drops
+    // the trailing minhashes from banding. Both are caller bugs — fail
+    // loudly at plan time.
+    require(rows >= 1 && rows <= k && k % rows == 0,
+      s"banding needs 1 <= rows <= k and rows | k, got k=$k rows=$rows")
     import sig.sparkSession.implicits._
     val nBands = k / rows
     val banded = sig.select(col("doc_id"), explode(array(

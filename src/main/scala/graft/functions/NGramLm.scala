@@ -54,12 +54,13 @@ object NGramLm {
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), toks(textCol).as("__ts"))
     val bg = bigrams(docs, idCol, textCol)
-    // persisted: bc feeds both the scoring join and the hist roll-up —
-    // without it Spark re-runs the whole bigram-count corpus scan for
-    // hist (no subtree sharing). The table is vocab²-bounded, not
-    // corpus-sized, so it always fits.
-    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
-      .persist()
+    // swap-pinned (CachePins): bc feeds both the scoring join and the
+    // hist roll-up — without it Spark re-runs the whole bigram-count
+    // corpus scan for hist (no subtree sharing). The table is
+    // vocab²-bounded, not corpus-sized, so it always fits; the registry
+    // bounds a per-batch caller to ONE live pin instead of one per call.
+    val bc = graft.core.CachePins.swap("ngramlm.score.bc",
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2")))
     val hist = bc.groupBy(col("w1")).agg(sum(col("__c2")).as("__ch"))
     val vocab = tok.select(explode(col("__ts")).as("__w"))
       .agg(countDistinct(col("__w")).as("__vs"))
@@ -92,11 +93,13 @@ object NGramLm {
     * the corpus. Output: (idCol, avg_logp, bucket).
     */
   def buckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // persisted: the score table feeds both the quantile-boundary branch
-    // and the bucketing scan; recomputing it would run the whole LM
-    // pipeline twice. Per-doc rows (id, n, score) — disk-spillable.
-    val s = score(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // swap-pinned (CachePins): the score table feeds both the
+    // quantile-boundary branch and the bucketing scan; recomputing it
+    // would run the whole LM pipeline twice. Per-doc rows (id, n,
+    // score) — disk-spillable.
+    val s = graft.core.CachePins.swap("ngramlm.buckets.s",
+      score(docs, idCol, textCol),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = Curation.exactQuantiles(
       s.withColumn("__g", lit(1)), "__g", "avg_logp", Seq(33, 66))
     s.crossJoin(broadcast(q.select(col("p33"), col("p66"))))

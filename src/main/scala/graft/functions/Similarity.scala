@@ -169,45 +169,59 @@ object Similarity {
   def lshCells(emb: DataFrame, nPlanes: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = 64
-    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeCoord(p, d))
+    val planes = planesFor(emb, nPlanes)
     val pb = spark.sparkContext.broadcast(planes)
     toVecs(emb).map { v =>
       val ps = pb.value
-      var sig = 0L
-      var p = 0
-      while (p < ps.length) {
-        var s = 0.0; var i = 0
-        while (i < v.v.length) { s += ps(p)(i) * v.v(i); i += 1 }
-        if (s >= 0) sig |= (1L << p)
-        p += 1
-      }
+      val sig = signatureOf(ps, v.v)
       (v.id, sig)
     }.toDF("vec_id", "cell")
+  }
+
+  /** Hyperplanes sized to the CORPUS's dimension (hardcoding 64 indexed
+    * past the plane rows on wider embeddings and silently truncated
+    * narrower ones), capped at 60 planes so the signature fits a Long
+    * without sign games.
+    */
+  private def planesFor(emb: DataFrame, nPlanes: Int): Array[Array[Double]] = {
+    require(nPlanes >= 1 && nPlanes <= 60,
+      s"nPlanes must be in [1, 60] (Long signature), got $nPlanes")
+    val first = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .limit(1).collect()
+    require(first.nonEmpty, "lsh planes: empty embedding corpus")
+    val dim = first(0).getInt(0)
+    require(dim >= 1, s"lsh planes: embedding dimension must be >= 1, got $dim")
+    Array.tabulate(nPlanes, dim)((p, d) => planeCoord(p, d))
+  }
+
+  /** The sign-bit signature under `ps` — ONE definition, so the surfaced
+    * [[lshCells]] key and [[lshBucketPairs]]'s grouping key can never
+    * diverge (an Int accumulator here once aliased plane p with p-32).
+    */
+  private def signatureOf(ps: Array[Array[Double]], v: Array[Double]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < ps.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += ps(p)(i) * v(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
   }
 
   def lshBucketPairs(emb: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val corpus = toVecs(emb)
-    val dim = 64
     // deterministic pseudo-random hyperplanes from md5 — the same scheme
     // every other sketch uses, so a SQL oracle can regenerate them
     // bit-exactly: 60-bit md5 prefix >> 8 is a 52-bit integer (exact in
     // double), scaled to [-1, 1)
-    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeCoord(p, d))
+    val planes = planesFor(emb, nPlanes)
     val pb = spark.sparkContext.broadcast(planes)
     val bucketed = corpus.map { v =>
-      val ps = pb.value
-      var sig = 0
-      var p = 0
-      while (p < ps.length) {
-        var s = 0.0; var i = 0
-        while (i < v.v.length) { s += ps(p)(i) * v.v(i); i += 1 }
-        if (s >= 0) sig |= (1 << p)
-        p += 1
-      }
-      (sig, v)
+      (signatureOf(pb.value, v.v), v)
     }
     bucketed.groupByKey(_._1).flatMapGroups { (_, it) =>
       val vs = it.map(_._2).toArray

@@ -86,10 +86,11 @@ object Winnow {
     * The fingerprint index appears three times in the plan (the cap
     * aggregate and both join sides), so it is persisted — one
     * gram-explode + window pass, not three (same policy as
-    * [[DedupPipeline]]'s shared shingle pass). The persist is lazy and
-    * the pin is released by the caller/harness (`Verify`/`Bench` run
-    * `clearCache()` per query); a long-lived application should
-    * `unpersist` the input it passed once the pairs are materialized.
+    * [[DedupPipeline]]'s shared shingle pass). The pin is on a DERIVED
+    * frame the caller never holds, so it is registered with
+    * [[graft.core.CachePins]]: each call releases the previous call's
+    * index (bounding a per-batch caller to one live pin), and
+    * `CachePins.release("winnow.substringPairs")` frees it explicitly.
     */
   def substringPairs(fps: DataFrame, idCol: String,
       minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
@@ -99,7 +100,8 @@ object Winnow {
     // unioned/raw index would otherwise over-count buckets past the cap
     // and inflate n_shared. One aggregation-shaped shuffle, collapsed
     // into work the pairing pipeline does anyway.
-    val pinned = fps.dropDuplicates(idCol, "fp").persist()
+    val pinned = graft.core.CachePins.swap("winnow.substringPairs",
+      fps.dropDuplicates(idCol, "fp"))
     val perFp = pinned.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBucket)

@@ -743,7 +743,7 @@ object CurationQueries extends QuerySet {
          |      ('0x' || substr(md5('cms' || j.range || ':' || tc.g), 1, 15))::UBIGINT
          |        % 1024
          |  GROUP BY 1, 2
-         |), th AS (SELECT (SELECT sum(c) FROM tc) // 800 AS t)
+         |), th AS (SELECT greatest(1, (SELECT sum(c) FROM tc) // 800) AS t)
          |SELECT g AS token, CAST(est AS BIGINT) AS est, CAST(c AS BIGINT) AS cnt,
          |       (c >= (SELECT t FROM th)) AS is_heavy
          |FROM est WHERE est >= (SELECT t FROM th)""".stripMargin,
