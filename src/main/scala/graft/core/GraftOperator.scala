@@ -166,12 +166,41 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     }
   }
 
-  /** Commit-log subscription for attributes (BeamDataOperator.getStream:160). */
-  def getStream(entity: String, attrs: String*): Dataset[StreamElement] =
-    attrs.distinct.map(a => route(entity, a, Access.CommitLog)).distinct
-      .map(_.streamFromOldest())
+  /** Route each attribute and group by the family INSTANCE serving it,
+    * preserving first-seen order. Filtering must then be PER GROUP on the
+    * attributes routed there — filtering the union by ALL requested
+    * attributes returns duplicates when two requested attributes route to
+    * different but overlapping families (a scalar family and a "*" family
+    * both store the scalar's rows; each read must keep only ITS
+    * attributes). Cached families unify repeated attrs by reference;
+    * proxy views are per-attribute instances and stay separate — each
+    * already scopes its read to its own namespace below the rename.
+    */
+  private def routeGroups(entity: String, attrs: Seq[String],
+      need: String): Seq[(AttributeLogFamily, Seq[String])] = {
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[AttributeLogFamily, scala.collection.mutable.ArrayBuffer[String]]
+    attrs.foreach { a =>
+      grouped.getOrElseUpdate(route(entity, a, need),
+        scala.collection.mutable.ArrayBuffer.empty[String]) += a
+    }
+    grouped.toSeq.map { case (f, as) => (f, as.toSeq) }
+  }
+
+  /** Commit-log subscription for attributes (BeamDataOperator.getStream:160).
+    * Zero attributes means the whole entity (every stored attribute) —
+    * the same default the batch reads apply.
+    */
+  def getStream(entity: String, attrs: String*): Dataset[StreamElement] = {
+    val as = (if (attrs.isEmpty) storedAttrs(entity) else attrs.toSeq).distinct
+    require(as.nonEmpty,
+      s"getStream($entity): no attributes requested and none stored")
+    routeGroups(entity, as, Access.CommitLog)
+      .map { case (f, groupAttrs) =>
+        f.streamFromOldest().transform(filterAttrs(_, entity, groupAttrs))
+      }
       .reduce(_ union _)
-      .transform(filterAttrs(_, entity, attrs.distinct))
+  }
 
   /** All STORED attributes of an entity — the "whole entity" default for
     * reads. Proxy attributes are virtual views over these; including them
@@ -188,10 +217,11 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     // twice-requested proxy attribute twice
     val as = (if (attrs.isEmpty) storedAttrs(entity) else attrs).distinct
     if (as.isEmpty) StreamElement.emptyDs(spark)
-    else as.map(a => route(entity, a, Access.BatchUpdates)).distinct
-      .map(_.batchUpdates(from, until))
+    else routeGroups(entity, as, Access.BatchUpdates)
+      .map { case (f, groupAttrs) =>
+        f.batchUpdates(from, until).transform(filterAttrs(_, entity, groupAttrs))
+      }
       .reduce(_ union _)
-      .transform(filterAttrs(_, entity, as))
   }
 
   /** Compacted snapshot (getBatchSnapshot:328): prefer a dedicated
@@ -201,10 +231,11 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
       attrs: Seq[String] = Seq.empty): Dataset[StreamElement] = {
     val as = (if (attrs.isEmpty) storedAttrs(entity) else attrs).distinct
     if (as.isEmpty) StreamElement.emptyDs(spark)
-    else as.map(a => route(entity, a, Access.BatchSnapshot)).distinct
-      .map(_.batchSnapshot(asOf))
+    else routeGroups(entity, as, Access.BatchSnapshot)
+      .map { case (f, groupAttrs) =>
+        f.batchSnapshot(asOf).transform(filterAttrs(_, entity, groupAttrs))
+      }
       .reduce(_ union _)
-      .transform(filterAttrs(_, entity, as))
   }
 
   /** Random access over a family able to serve it (getRandomAccess:464). */
@@ -347,18 +378,43 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
     import org.apache.spark.sql.functions.col
     implicit val se = StreamElement.encoder
     implicit val stringEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val intEnc = org.apache.spark.sql.Encoders.scalaInt
     val entities = batch.select(col("entity")).distinct().as[String].collect()
     entities.foreach { ename =>
       val e = repo.entity(ename)
-      val eBatch = unproxy(e, batch.filter(el => el.entity == ename))
-      val fams = repo.families.values
-        .filter(f => f.entity == ename && f.familyType == "primary").toSeq
-        .sortBy(_.name)
-      require(fams.nonEmpty, s"No primary family for entity $ename")
-      fams.foreach { f =>
-        val covered = eBatch.filter(el => f.coversAttribute(e, el.attribute))
-        family(f.name).append(covered)
-      }
+      // pinned: the unproxied slice is re-read once per covering family
+      // below — without the pin each append would re-run the unproxy map
+      // (and the upstream batch plan) over the whole batch
+      val eBatch = unproxy(e, batch.filter(el => el.entity == ename)).persist()
+      try {
+        val fams = repo.families.values
+          .filter(f => f.entity == ename && f.familyType == "primary").toSeq
+          .sortBy(_.name)
+        require(fams.nonEmpty, s"No primary family for entity $ename")
+        // one pass: per-family coverage counts, with -1 marking elements
+        // NO family covers. Those must throw like the singular write()
+        // does — a transformation emitting an unroutable attribute would
+        // otherwise lose acknowledged elements silently.
+        val famSeq = fams
+        val coverage: Map[Int, Long] = eBatch.flatMap { el =>
+          val idxs = famSeq.indices.filter(i =>
+            famSeq(i).coversAttribute(e, el.attribute))
+          if (idxs.isEmpty) Seq(-1) else idxs
+        }.groupByKey(identity).count().collect().toMap
+          .map { case (k, v) => (k: Int, v) }
+        require(!coverage.contains(-1),
+          s"writeBatch: ${coverage(-1)} element(s) of entity $ename have " +
+            "an attribute no primary family covers — fix the family " +
+            "declarations or the transformation's output")
+        fams.zipWithIndex.foreach { case (f, i) =>
+          // skip empty slices: an append is an atomic commit under the
+          // family's lock — zero-row commits just churn the log
+          if (coverage.getOrElse(i, 0L) > 0L) {
+            val covered = eBatch.filter(el => f.coversAttribute(e, el.attribute))
+            family(f.name).append(covered)
+          }
+        }
+      } finally { eBatch.unpersist(); () }
     }
   }
 

@@ -79,11 +79,15 @@ object FileCompaction {
         s"interrupted compaction detected: resolve $staging / $trash " +
           "before compacting again (all committed bytes are preserved there)")
       val kept = family.batchUpdates(from = keepFromUs)
-      val rows = kept.count()
       kept
         .repartition(parts)
         .sortWithinPartitions("stamp", "key", "attribute")
         .write.mode("overwrite").parquet(staging)
+      // row count from the STAGED files, not a second full-log scan: a
+      // count() on freshly-written parquet reads zero columns (row-group
+      // metadata speed), while counting `kept` re-ran the whole read +
+      // shuffle with the commit lock held, doubling every maintenance run
+      val rows = spark.read.parquet(staging).count()
       // swap, never destroying the only copy: old files MOVE to an
       // underscore-prefixed trash dir (invisible to Spark's file index,
       // atomic per file), staged files move in, trash deleted LAST —

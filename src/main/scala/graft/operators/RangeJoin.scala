@@ -44,6 +44,17 @@ object RangeJoin {
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
       start: String, end: String, grain: Long): DataFrame = {
     require(grain > 0, "grain must be positive")
+    // reserved-name + ambiguity guards (same policy as AsOfJoin's
+    // requireNoReserved): a caller `_g` would be silently overwritten by
+    // withColumn and dropped from the output; any other column present on
+    // BOTH sides makes the containment filter's col(ts)/col(start)
+    // references ambiguous and fails analysis with an unhelpful message.
+    require(!left.columns.contains("_g") && !right.columns.contains("_g"),
+      "RangeJoin reserves the column name _g; rename it on the input")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(shared.isEmpty,
+      s"RangeJoin: columns ${shared.toSeq.sorted.mkString(", ")} exist on " +
+        s"both sides — only the join key '$key' may be shared; rename the rest")
     val lb = left.withColumn("_g", floorDivCol(col(ts), grain))
     val rb = right
       .filter(col(end) > col(start))

@@ -98,7 +98,11 @@ final class RandomAccessReader(family: AttributeLogFamily) {
     compactFor(col("key") === key && pred)
       .filter(col("attribute").startsWith(wildcardPrefix))
       .orderBy(col("attribute"))
-      .collect().toSeq.slice(offset, if (limit == Int.MaxValue) Int.MaxValue else offset + limit)
+      .collect().toSeq.slice(offset,
+        // Long-safe page end: offset + limit overflows Int for large
+        // non-MaxValue limits (slice(offset, negative) returned an EMPTY
+        // page for a key with live suffixes) — saturate instead
+        math.min(offset.toLong + limit.toLong, Int.MaxValue.toLong).toInt)
   }
 
   /** All attributes of a key (scanWildcardAll:207). */

@@ -162,6 +162,57 @@ class OperatorSpec extends SparkSpec {
       Map("u1" -> "1.5", "u2" -> "2.5"))
   }
 
+  test("overlapping families: per-family attr filtering, no duplicate reads") {
+    // status is covered by BOTH families (write() appends to every
+    // covering primary), so a read requesting attrs that route to the
+    // two different families must filter each family's rows by the attrs
+    // routed THERE — filtering the union by all requested attrs returned
+    // the status element once per family.
+    val repo = Repository.parse(
+      """entities { user2 { attributes {
+        |  status: { scheme: bytes }
+        |  "device.*": { scheme: bytes }
+        |} } }
+        |attributeFamilies {
+        |  u2-status { entity: user2, attributes: ["status"],
+        |    storage: "inmem:///u2_status", type: primary,
+        |    access: [commit-log, batch-updates, batch-snapshot] }
+        |  u2-all { entity: user2, attributes: ["*"],
+        |    storage: "inmem:///u2_all", type: primary,
+        |    access: [commit-log, batch-updates, batch-snapshot] }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, repo,
+      Files.createTempDirectory("graft-opspec-").toString)
+    op.write(up("user2", "k1", "status", 1, "s"))
+    op.write(up("user2", "k1", "device.1", 2, "d"))
+    // sanity: the scalar landed in both storages
+    assert(op.family("u2-status").batchUpdates().count() == 1)
+    assert(op.family("u2-all").batchUpdates().count() == 2)
+
+    val upd = op.getBatchUpdates("user2", attrs = Seq("status", "device.*"))
+      .collect().map(_.attribute).sorted.toSeq
+    assert(upd == Seq("device.1", "status"), upd.toString)
+    val snap = op.getBatchSnapshot("user2", attrs = Seq("status", "device.*"))
+      .collect().map(_.attribute).sorted.toSeq
+    assert(snap == Seq("device.1", "status"), snap.toString)
+  }
+
+  test("writeBatch: an element no primary family covers throws, not vanishes") {
+    val op = newOperator()
+    val ok = StreamElement.upsert("product", "p1", "price", "w1", 1L,
+      "1.0".getBytes("UTF-8"))
+    val ghost = StreamElement.upsert("product", "p2", "ghost", "w2", 2L,
+      Array[Byte](1))
+    val ex = intercept[IllegalArgumentException](
+      op.writeBatch(spark.createDataset(Seq(ok, ghost))(StreamElement.encoder)))
+    assert(ex.getMessage.contains("no primary family"), ex.getMessage)
+    // nothing from the failed batch may have been half-committed is NOT
+    // promised (appends are per-family); what IS promised: the valid-only
+    // batch still works
+    op.writeBatch(spark.createDataset(Seq(ok))(StreamElement.encoder))
+    assert(op.getBatchUpdates("product").count() >= 1)
+  }
+
   test("splitLate and shiftEventTime") {
     val ds = spark.createDataset(Seq(
       up("e", "k", "a", 1000, "old"), up("e", "k", "a", 9000, "new")))(
