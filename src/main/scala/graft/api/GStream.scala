@@ -52,9 +52,14 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
     new GStream(ds.map(t => (t, et(t))), Some((p: (T, Long)) => p._2))
   }
 
-  /** union (Stream.union, Stream.java:337). */
+  /** union (Stream.union, Stream.java:337). Event time survives only when
+    * BOTH sides agree (same extractor instance, or neither assigned) —
+    * silently applying the left side's extractor to right-side elements
+    * windowed them by the wrong field with no error.
+    */
   def union(other: GStream[T]): GStream[T] =
-    new GStream(ds.union(other.ds), eventTime)
+    new GStream(ds.union(other.ds),
+      GStream.unionEventTime(eventTime, other.eventTime))
 
   /** Break lineage fusion / redistribute (Stream.reshuffle, Stream.java:552). */
   def reshuffle(partitions: Int): GStream[T] =
@@ -74,8 +79,13 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
   def sessionWindow(gapMs: Long): GWindowedStream[T] =
     windowed(SessionWindows(gapMs))
 
-  def calendarWindow(unit: String, count: Int, tz: String): GWindowedStream[T] =
-    windowed(CalendarWindows(unit, count, tz))
+  /** Calendar windows are unit-bound (unlike the proportional windowings):
+    * pass stampUnit = "micros" when the assigned event time is the engine's
+    * micros stamps (e.g. [[GStream.ofElements]]).
+    */
+  def calendarWindow(unit: String, count: Int, tz: String,
+      stampUnit: String = "millis"): GWindowedStream[T] =
+    windowed(CalendarWindows(unit, count, tz, stampUnit))
 
   def windowAll(): GWindowedStream[T] = windowed(GlobalWindowing)
 
@@ -106,7 +116,12 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
         var curKey: Option[K] = None
         var acc: V = initial
         it.map { case (k, _, v) =>
-          if (!curKey.contains(k)) { curKey = Some(k); acc = initial }
+          // deepEquals, not ==: Array keys compare by REFERENCE under ==,
+          // and each deserialized row yields a fresh array — the
+          // accumulator would silently reset on every element
+          if (!curKey.exists(ck => java.util.Objects.deepEquals(ck, k))) {
+            curKey = Some(k); acc = initial
+          }
           acc = combine(acc, v)
           (k, acc)
         }
@@ -138,7 +153,10 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
       var curKey: Option[K] = None
       var state: S = initialState
       it.map { case (k, _, v) =>
-        if (!curKey.contains(k)) { curKey = Some(k); state = initialState }
+        // deepEquals: see integratePerKey — Array keys reset per row under ==
+        if (!curKey.exists(ck => java.util.Objects.deepEquals(ck, k))) {
+          curKey = Some(k); state = initialState
+        }
         val o = output(state, v)
         state = update(state, v)
         (k, o)
@@ -194,4 +212,17 @@ object GStream {
   def fromSeq[T: Encoder](spark: org.apache.spark.sql.SparkSession,
       data: Seq[T]): GStream[T] =
     new GStream(spark.createDataset(data), None)
+
+  /** Shared union rule for both stream surfaces: keep the extractor only
+    * when the two sides provably agree; any other combination throws so
+    * the caller re-assigns on the union result.
+    */
+  private[api] def unionEventTime[T](l: Option[T => Long],
+      r: Option[T => Long]): Option[T => Long] = (l, r) match {
+    case (None, None) => None
+    case (Some(f), Some(g)) if f eq g => Some(f)
+    case _ => throw new IllegalArgumentException(
+      "union sides carry different event-time assignments — call " +
+        "assignEventTime on the union result instead")
+  }
 }

@@ -45,7 +45,8 @@ final class GUnboundedStream[T](val ds: Dataset[T],
     new GUnboundedStream(ds, Some(f))
 
   def union(other: GUnboundedStream[T]): GUnboundedStream[T] =
-    new GUnboundedStream(ds.union(other.ds), eventTime)
+    new GUnboundedStream(ds.union(other.ds),
+      GStream.unionEventTime(eventTime, other.eventTime))
 
   // ---- windowed aggregations (streaming lowering) ----
 

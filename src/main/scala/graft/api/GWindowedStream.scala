@@ -24,32 +24,66 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
 
   private def ds: Dataset[T] = stream.ds
 
-  /** Assign windows per (key, element); sessions merge per key. */
+  /** Assign windows per (key, element); sessions merge per key.
+    *
+    * Session lowering: repartition by key + sortWithinPartitions(key, time)
+    * + a partition gap-merge scan — the same spill-safe shape as
+    * [[GStream.integratePerKey]]. Memory is bounded by the largest single
+    * SESSION (elements buffer only until their session's gap closes), not
+    * by the largest key, unlike a groupByKey materialization. The event
+    * time rides pre-shuffle in TimeWindow.start so the scan reuses the
+    * (TimeWindow, K, T) encoder every aggregation already carries.
+    */
   private def assigned[K](keyFn: T => K)(implicit
       ke: Encoder[K], we: Encoder[(TimeWindow, K, T)]): Dataset[(TimeWindow, K, T)] =
     windowing match {
       case SessionWindows(gap) =>
         val et = eventTimeFn
-        ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
-          val elems = it.toSeq.sortBy(et)
-          val out = collection.mutable.ArrayBuffer.empty[(TimeWindow, K, T)]
-          var sessStart = Long.MinValue
-          var sessEnd = Long.MinValue
-          var sess = collection.mutable.ArrayBuffer.empty[T]
-          def flush(): Unit = if (sess.nonEmpty) {
-            val w = TimeWindow(sessStart, sessEnd)
-            sess.foreach(t => out += ((w, k, t)))
-            sess.clear()
+        val keyed = ds.map(t => (TimeWindow(et(t), 0L), keyFn(t), t))
+        keyed
+          .repartition(keyed.col("_2"))
+          .sortWithinPartitions(keyed.col("_2"), keyed.col("_1.start"))
+          .mapPartitions { it =>
+            new Iterator[(TimeWindow, K, T)] {
+              private var pending: Iterator[(TimeWindow, K, T)] = Iterator.empty
+              private var curKey: Option[K] = None
+              private var sessStart = Long.MinValue
+              private var sessEnd = Long.MinValue
+              private val buf =
+                collection.mutable.ArrayBuffer.empty[T]
+              private def flush(): Iterator[(TimeWindow, K, T)] =
+                if (buf.isEmpty) Iterator.empty
+                else {
+                  val w = TimeWindow(sessStart, sessEnd)
+                  val k = curKey.get
+                  val snap = buf.toVector
+                  buf.clear()
+                  snap.iterator.map(t => (w, k, t))
+                }
+              def hasNext: Boolean = {
+                while (!pending.hasNext && it.hasNext) {
+                  val (tw, k, t) = it.next()
+                  val s = tw.start
+                  val newKey = !curKey.exists(ck =>
+                    java.util.Objects.deepEquals(ck, k))
+                  if (newKey || s >= sessEnd) {
+                    pending = flush()
+                    curKey = Some(k)
+                    sessStart = s
+                  }
+                  sessEnd = s + gap
+                  buf += t
+                }
+                if (!pending.hasNext && !it.hasNext && buf.nonEmpty)
+                  pending = flush()
+                pending.hasNext
+              }
+              def next(): (TimeWindow, K, T) = {
+                if (!hasNext) throw new NoSuchElementException
+                pending.next()
+              }
+            }
           }
-          elems.foreach { t =>
-            val s = et(t)
-            if (s >= sessEnd) { flush(); sessStart = s }
-            sessEnd = s + gap
-            sess += t
-          }
-          flush()
-          out.iterator
-        }
       case w =>
         val et =
           if (w == GlobalWindowing) stream.eventTime.getOrElse((_: T) => 0L)
@@ -221,30 +255,47 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
   /** Windowed inner equi-join; right side re-windowed to this stream's
     * windowing (WindowedStream.join, WindowedStream.java:316; Beam
     * CoGroupByKey BeamWindowedStream.java:371).
+    *
+    * Session windows join on MERGED sessions across both inputs (Beam's
+    * Sessions WindowFn merges at the CoGBK over the union of both sides'
+    * timestamps): assigning sessions per side independently and joining on
+    * exact window equality would almost never match — a left element at
+    * t=0 and a right at t=100 sit in the same conceptual session but in
+    * different per-side windows (0, gap) vs (100, 100 + gap).
     */
   def join[U, K](right: GStream[U], leftKey: T => K, rightKey: U => K)(implicit
       ke: Encoder[K], wet: Encoder[(TimeWindow, K, T)],
       weu: Encoder[(TimeWindow, K, U)],
-      oe: Encoder[(K, T, U)]): GStream[(K, T, U)] = {
-    val (lw, rw) = windowedSides(right, leftKey, rightKey)
-    val joined = lw.joinWith(rw,
-      lw("_1") === rw("_1") && lw("_2") === rw("_2"), "inner")
-    new GStream(joined.map { case (l, r) => (l._2, l._3, r._3) }, None)
+      oe: Encoder[(K, T, U)]): GStream[(K, T, U)] = windowing match {
+    case SessionWindows(gap) =>
+      new GStream(sessionCoGrouped[U, K, (K, T, U)](right, leftKey, rightKey,
+        gap, (k, ls, rs) => for { t <- ls; u <- rs } yield (k, t, u)), None)
+    case _ =>
+      val (lw, rw) = windowedSides(right, leftKey, rightKey)
+      val joined = lw.joinWith(rw,
+        lw("_1") === rw("_1") && lw("_2") === rw("_2"), "inner")
+      new GStream(joined.map { case (l, r) => (l._2, l._3, r._3) }, None)
   }
 
   /** Windowed left outer equi-join (WindowedStream.leftJoin,
-    * WindowedStream.java:351).
+    * WindowedStream.java:351). Sessions merge across inputs — see [[join]].
     */
   def leftJoin[U, K](right: GStream[U], leftKey: T => K, rightKey: U => K)(
       implicit ke: Encoder[K], wet: Encoder[(TimeWindow, K, T)],
       weu: Encoder[(TimeWindow, K, U)],
-      oe: Encoder[(K, T, Option[U])]): GStream[(K, T, Option[U])] = {
-    val (lw, rw) = windowedSides(right, leftKey, rightKey)
-    val joined = lw.joinWith(rw,
-      lw("_1") === rw("_1") && lw("_2") === rw("_2"), "left_outer")
-    new GStream(joined.map { case (l, r) =>
-      (l._2, l._3, Option(r).map(_._3))
-    }, None)
+      oe: Encoder[(K, T, Option[U])]): GStream[(K, T, Option[U])] = windowing match {
+    case SessionWindows(gap) =>
+      new GStream(sessionCoGrouped[U, K, (K, T, Option[U])](right, leftKey,
+        rightKey, gap, (k, ls, rs) =>
+          if (rs.isEmpty) ls.map(t => (k, t, None))
+          else for { t <- ls; u <- rs } yield (k, t, Some(u))), None)
+    case _ =>
+      val (lw, rw) = windowedSides(right, leftKey, rightKey)
+      val joined = lw.joinWith(rw,
+        lw("_1") === rw("_1") && lw("_2") === rw("_2"), "left_outer")
+      new GStream(joined.map { case (l, r) =>
+        (l._2, l._3, Option(r).map(_._3))
+      }, None)
   }
 
   private def windowedSides[U, K](right: GStream[U], leftKey: T => K,
@@ -252,5 +303,48 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
       ke: Encoder[K], wet: Encoder[(TimeWindow, K, T)],
       weu: Encoder[(TimeWindow, K, U)]) = {
     (assigned(leftKey), new GWindowedStream(right, windowing).assigned(rightKey))
+  }
+
+  /** Per-key cogroup with gap sessions merged over the UNION of both
+    * sides' event times; `emit` receives each merged session's left and
+    * right slices. Memory bounds per (key): both side groups materialize —
+    * inherent to a per-session cross product, same contract as the
+    * reference's CoGBK path.
+    */
+  private def sessionCoGrouped[U, K, R](right: GStream[U], leftKey: T => K,
+      rightKey: U => K, gap: Long,
+      emit: (K, Seq[T], Seq[U]) => IterableOnce[R])(implicit
+      ke: Encoder[K], re: Encoder[R]): Dataset[R] = {
+    val let = eventTimeFn
+    val ret = right.eventTime.getOrElse(throw new IllegalStateException(
+      "session-windowed join requires event time on BOTH sides; " +
+        "call assignEventTime on the right stream"))
+    ds.groupByKey(leftKey).cogroup(right.ds.groupByKey(rightKey)) {
+      (k: K, li: Iterator[T], ri: Iterator[U]) =>
+        val ls = li.toVector.sortBy(let)
+        val rs = ri.toVector.sortBy(ret)
+        val out = collection.mutable.ArrayBuffer.empty[R]
+        val lbuf = collection.mutable.ArrayBuffer.empty[T]
+        val rbuf = collection.mutable.ArrayBuffer.empty[U]
+        var sessEnd = Long.MinValue
+        def flush(): Unit = if (lbuf.nonEmpty || rbuf.nonEmpty) {
+          out ++= emit(k, lbuf.toSeq, rbuf.toSeq)
+          lbuf.clear(); rbuf.clear()
+        }
+        // two-pointer sweep over the merged time-sorted stamp sequence
+        var i = 0
+        var j = 0
+        while (i < ls.length || j < rs.length) {
+          val takeLeft = j >= rs.length ||
+            (i < ls.length && let(ls(i)) <= ret(rs(j)))
+          val s = if (takeLeft) let(ls(i)) else ret(rs(j))
+          if (s >= sessEnd) flush()
+          sessEnd = s + gap
+          if (takeLeft) { lbuf += ls(i); i += 1 }
+          else { rbuf += rs(j); j += 1 }
+        }
+        flush()
+        out.iterator
+    }
   }
 }

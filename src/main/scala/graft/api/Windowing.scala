@@ -3,7 +3,12 @@ package graft.api
 import java.time.{Instant, LocalDate, ZoneId, ZonedDateTime}
 import java.time.temporal.ChronoUnit
 
-/** Event-time window bounds in epoch millis, end exclusive. */
+/** Event-time window bounds, end exclusive, in the STREAM's event-time
+  * unit: fixed/sliding/session windowing is proportional (floor-divide
+  * arithmetic), so millis event times yield millis bounds and micros yield
+  * micros — pass durations in the same unit as the event time. Only
+  * [[CalendarWindows]] is unit-bound (see its stampUnit).
+  */
 final case class TimeWindow(start: Long, end: Long) {
   def maxTimestamp: Long = end - 1
 }
@@ -56,13 +61,32 @@ final case class SessionWindows(gapMs: Long) extends Windowing {
 /** Calendar-aligned windows: days/weeks/months/years × count, in a timezone.
   * Month/year windows are variable-length — computed with java.time, same
   * rules as the reference's CalendarWindows WindowFn.
+  *
+  * Unlike the proportional windowings (fixed/sliding/session, which work in
+  * whatever unit the stream's event time uses), calendar arithmetic must
+  * know the epoch unit: `stampUnit` is "millis" (default) or "micros".
+  * Window bounds are always returned in the INPUT unit. A stamp whose
+  * magnitude contradicts the declared unit throws instead of silently
+  * bucketing into year ~56,000 (the engine's StreamElement stamps are
+  * micros — pass stampUnit = "micros" when windowing those directly).
   */
-final case class CalendarWindows(unit: String, count: Int, tz: String)
-    extends Windowing {
+final case class CalendarWindows(unit: String, count: Int, tz: String,
+    stampUnit: String = "millis") extends Windowing {
+  require(stampUnit == "millis" || stampUnit == "micros",
+    s"stampUnit must be 'millis' or 'micros', got $stampUnit")
   private def zone = ZoneId.of(tz)
 
+  // year ~4000 in the unit: anything beyond is a unit mistake, not data
+  private def magnitudeCap: Long =
+    if (stampUnit == "millis") 64000000000000L else 64000000000000000L
+
   def assign(stamp: Long): Seq[TimeWindow] = {
-    val zdt = ZonedDateTime.ofInstant(Instant.ofEpochMilli(stamp), zone)
+    require(math.abs(stamp) < magnitudeCap,
+      s"calendar window stamp $stamp is implausible for unit '$stampUnit' " +
+        "(looks like a finer unit — declare stampUnit = \"micros\" or convert)")
+    val stampMs =
+      if (stampUnit == "millis") stamp else Math.floorDiv(stamp, 1000L)
+    val zdt = ZonedDateTime.ofInstant(Instant.ofEpochMilli(stampMs), zone)
     val (start, end) = unit match {
       case "days" =>
         val d0 = zdt.truncatedTo(ChronoUnit.DAYS)
@@ -91,6 +115,8 @@ final case class CalendarWindows(unit: String, count: Int, tz: String)
       case other =>
         throw new IllegalArgumentException(s"Unknown calendar unit: $other")
     }
-    Seq(TimeWindow(start.toInstant.toEpochMilli, end.toInstant.toEpochMilli))
+    val (s, e) = (start.toInstant.toEpochMilli, end.toInstant.toEpochMilli)
+    if (stampUnit == "millis") Seq(TimeWindow(s, e))
+    else Seq(TimeWindow(Math.multiplyExact(s, 1000L), Math.multiplyExact(e, 1000L)))
   }
 }

@@ -83,41 +83,50 @@ object ModelGenerator {
   def generate(repo: Repository, className: String, pkg: String = ""): String = {
     val header =
       if (pkg.isEmpty) "" else s"package $pkg\n\n"
-    val entities = repo.entities.values.toSeq.sortBy(_.name).map { e =>
-      // distinct attribute names can mangle to one identifier
-      // ("my-attr" and "myAttr" both camel to myAttr) — disambiguate
-      // with a numeric suffix. Binding must stay FAITHFUL, not merely
-      // compilable: an attribute whose raw name IS already a legal
-      // identifier (mangling changed nothing) owns that identifier
-      // outright, reserved in a first pass — otherwise "my-attr" could
-      // take `myAttr2` and silently shadow the literal attribute
-      // "myAttr2", so model.myAttr2 would read the wrong attribute.
-      // Mangled names then bump a numeric suffix past every reserved or
-      // assigned identifier (backticks stripped — `x` and x are the same
-      // Scala name), so the generated object always compiles AND every
-      // literal name resolves to its own attribute
-      def bare(s: String) = s.stripPrefix("`").stripSuffix("`")
-      def rawOf(a: graft.core.AttributeDescriptor) = if (a.isWildcard) a.prefix else a.name
-      val sorted = e.attributes.sortBy(_.name)
-      val used = scala.collection.mutable.Set.empty[String]
-      sorted.foreach { a =>
-        val base = ident(rawOf(a))
-        if (bare(base) == rawOf(a)) used += bare(base)
+    def bare(s: String) = s.stripPrefix("`").stripSuffix("`")
+    // distinct names can mangle to one identifier ("my-entity" and
+    // "myEntity" both camel to myEntity; same for attributes) —
+    // disambiguate with a numeric suffix. Binding must stay FAITHFUL,
+    // not merely compilable: a name that IS already a legal identifier
+    // (mangling changed nothing) owns that identifier outright, reserved
+    // in a first pass — otherwise "my-attr" could take `myAttr2` and
+    // silently shadow the literal attribute "myAttr2". Members the model
+    // itself emits (`operator` on the class, `descriptor` per entity
+    // object) are seeded as reserved, so a config naming an attribute
+    // literally "descriptor" gets `descriptor2` instead of a
+    // duplicate-definition compile error.
+    def assign(names: Seq[String], reserved: Set[String]): Seq[String] = {
+      val used = scala.collection.mutable.Set.empty[String] ++ reserved
+      names.foreach { raw =>
+        val b = bare(ident(raw))
+        if (b == raw && !reserved.contains(b)) used += b
       }
-      val attrs = sorted.map { a =>
-        val base = ident(rawOf(a))
+      val assigned = scala.collection.mutable.Set.empty[String] ++ reserved
+      names.map { raw =>
+        val base = ident(raw)
         var name = base
-        if (bare(base) != rawOf(a)) {
+        if (bare(base) != raw || reserved.contains(bare(base)) ||
+            assigned.contains(bare(base))) {
           var n = 1
-          while (used.contains(bare(name))) {
+          while (used.contains(bare(name)) || assigned.contains(bare(name))) {
             n += 1
             name = "`" + bare(base) + n + "`"
           }
         }
-        used += bare(name)
-        accessor(e.name, a, name)
-      }.mkString("\n")
-      s"""  object ${ident(e.name)} {
+        assigned += bare(name)
+        name
+      }
+    }
+    val sortedEntities = repo.entities.values.toSeq.sortBy(_.name)
+    val entityNames = assign(sortedEntities.map(_.name), Set("operator"))
+    val entities = sortedEntities.zip(entityNames).map { case (e, eName) =>
+      def rawOf(a: graft.core.AttributeDescriptor) = if (a.isWildcard) a.prefix else a.name
+      val sorted = e.attributes.sortBy(_.name)
+      val attrNames = assign(sorted.map(rawOf), Set("descriptor"))
+      val attrs = sorted.zip(attrNames)
+        .map { case (a, name) => accessor(e.name, a, name) }
+        .mkString("\n")
+      s"""  object $eName {
          |    val descriptor: graft.core.EntityDescriptor =
          |      operator.repo.entity(${quote(e.name)})
          |$attrs

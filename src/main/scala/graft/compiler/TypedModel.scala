@@ -20,14 +20,12 @@ final class TypedAttribute[T](op: GraftOperator, val entityName: String,
       throw new IllegalStateException(s"$entityName.$attrName vanished from config"))
 
   def upsert(key: String, stamp: Long, value: T): Unit =
-    op.write(StreamElement(entityName, key, attrName,
-      java.util.UUID.randomUUID().toString, 0L, stamp, ser.serialize(value),
-      delete = false, deleteWildcard = false))
+    op.write(StreamElement.upsert(entityName, key, attrName,
+      java.util.UUID.randomUUID().toString, stamp, ser.serialize(value)))
 
   def delete(key: String, stamp: Long): Unit =
-    op.write(StreamElement(entityName, key, attrName,
-      java.util.UUID.randomUUID().toString, 0L, stamp, null,
-      delete = true, deleteWildcard = false))
+    op.write(StreamElement.delete(entityName, key, attrName,
+      java.util.UUID.randomUUID().toString, stamp))
 
   def get(key: String, asOf: Long = Long.MaxValue): Option[T] =
     op.getRandomAccess(entityName, attrName).get(key, attrName, asOf)
@@ -45,19 +43,16 @@ final class TypedWildcardAttribute[T](op: GraftOperator, val entityName: String,
   private def wildcardName: String = prefix + "*"
 
   def upsert(key: String, suffix: String, stamp: Long, value: T): Unit =
-    op.write(StreamElement(entityName, key, attr(suffix),
-      java.util.UUID.randomUUID().toString, 0L, stamp, ser.serialize(value),
-      delete = false, deleteWildcard = false))
+    op.write(StreamElement.upsert(entityName, key, attr(suffix),
+      java.util.UUID.randomUUID().toString, stamp, ser.serialize(value)))
 
   def delete(key: String, suffix: String, stamp: Long): Unit =
-    op.write(StreamElement(entityName, key, attr(suffix),
-      java.util.UUID.randomUUID().toString, 0L, stamp, null,
-      delete = true, deleteWildcard = false))
+    op.write(StreamElement.delete(entityName, key, attr(suffix),
+      java.util.UUID.randomUUID().toString, stamp))
 
   def deleteWildcard(key: String, stamp: Long): Unit =
-    op.write(StreamElement(entityName, key, wildcardName,
-      java.util.UUID.randomUUID().toString, 0L, stamp, null,
-      delete = true, deleteWildcard = true))
+    op.write(StreamElement.deleteWildcard(entityName, key, prefix,
+      java.util.UUID.randomUUID().toString, stamp))
 
   def get(key: String, suffix: String, asOf: Long = Long.MaxValue): Option[T] =
     op.getRandomAccess(entityName, wildcardName).get(key, attr(suffix), asOf)

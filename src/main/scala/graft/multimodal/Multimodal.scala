@@ -107,6 +107,10 @@ object Multimodal {
     * every `stride`-th frame kept — the explode-shaped stage.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    // validate eagerly: frameBytes=0 throws Range's "step cannot be 0" and
+    // stride=0 an ArithmeticException, both deep inside an executor task
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("payload"))

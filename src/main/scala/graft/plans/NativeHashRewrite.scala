@@ -68,7 +68,10 @@ object NativeHashRewrite extends Rule[LogicalPlan] {
     */
   private object TokenCountFormula {
     def unapply(e: Expression): Option[Expression] = e match {
-      case Size(StringSplit(StringTrim(x, None), Literal(re, StringType), limit), _)
+      // legacySizeOfNull must be FALSE: under the legacy flag size(NULL)
+      // is -1 while TokenCountExpr null-propagates — rewriting would
+      // change a null row's result from -1 to NULL
+      case Size(StringSplit(StringTrim(x, None), Literal(re, StringType), limit), false)
           if re != null && re.toString == "\\s+" &&
             (limit match {
               case Literal(l: Int, IntegerType) => l == -1

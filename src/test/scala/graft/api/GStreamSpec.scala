@@ -109,6 +109,63 @@ class GStreamSpec extends SparkSpec {
     assert(r.map(x => (x._2._3, x._3._3)).toSet == Set((1, 10)))
   }
 
+  test("session join merges sessions ACROSS inputs (Beam Sessions at CoGBK)") {
+    // left t=0, right t=100, gap 1000: same merged session — per-side
+    // assignment would put them in (0,1000) vs (100,1100) and never match
+    val left = stream((0L, "k", 1), (5000L, "k", 2)).assignEventTime(_._1)
+    val right = stream((100L, "k", 10)).assignEventTime(_._1)
+    val j = left.sessionWindow(1000)
+      .join(right, (l: (Long, String, Int)) => l._2, (r: (Long, String, Int)) => r._2)
+      .collect()
+    assert(j.map(x => (x._2._3, x._3._3)).toSet == Set((1, 10)))
+    // leftJoin: the t=5000 session has no right element -> None
+    val lj = left.sessionWindow(1000)
+      .leftJoin(right, (l: (Long, String, Int)) => l._2, (r: (Long, String, Int)) => r._2)
+      .collect()
+    assert(lj.map(x => (x._2._3, x._3.map(_._3))).toSet ==
+      Set((1, Some(10)), (2, None)))
+    // a RIGHT element can bridge two left elements into one session:
+    // left at 0 and 1500 with gap 1000 are separate alone, but a right
+    // at 800 extends the session to 1800 and merges them
+    val lbridge = stream((0L, "k", 1), (1500L, "k", 2)).assignEventTime(_._1)
+    val rbridge = stream((800L, "k", 10)).assignEventTime(_._1)
+    val bj = lbridge.sessionWindow(1000)
+      .join(rbridge, (l: (Long, String, Int)) => l._2, (r: (Long, String, Int)) => r._2)
+      .collect()
+    assert(bj.map(x => (x._2._3, x._3._3)).toSet == Set((1, 10), (2, 10)))
+  }
+
+  test("union with differing event-time assignments throws") {
+    val a = stream((1L, 1)).assignEventTime(_._1)
+    val b = stream((2L, 2)).assignEventTime(_._2.toLong)
+    intercept[IllegalArgumentException](a.union(b))
+    intercept[IllegalArgumentException](a.union(stream((3L, 3))))
+    // agreeing sides survive: same extractor instance
+    val f = (x: (Long, Int)) => x._1
+    assert(stream((1L, 1)).assignEventTime(f)
+      .union(stream((2L, 2)).assignEventTime(f))
+      .timeWindow(10).count().collect().head._2 == 2L)
+  }
+
+  test("integratePerKey with Array[Byte] keys uses value equality") {
+    // fresh array per deserialized row: reference == would reset the
+    // accumulator every element
+    implicit val ke = org.apache.spark.sql.Encoders.BINARY
+    implicit val te = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.BINARY,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    implicit val oe = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.BINARY,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val s = stream((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 4.0))
+      .assignEventTime(_._1)
+    val r = s.integratePerKey[Array[Byte], Double](
+      _._2.getBytes("UTF-8"), _._3, 0.0, _ + _)(ke, te, oe)
+      .collect().map(_._2).sorted.toSeq
+    assert(r == Seq(1.0, 3.0, 7.0), r.toString)
+  }
+
   test("integratePerKey running sums in event-time order (testIntegratePerKey:598)") {
     val s = stream((1L, "a", 1.0), (3L, "a", 2.0), (2L, "a", 10.0), (1L, "b", 5.0))
       .assignEventTime(_._1)

@@ -47,6 +47,21 @@ class WindowingSpec extends AnyFunSuite {
     assert(w2.start == 3L * 86400000)
   }
 
+  test("calendar windows declare their stamp unit; micros in = micros out") {
+    val feb10ms = 1707523200000L
+    // a micros stamp fed to a millis-declared calendar window throws
+    // loudly instead of bucketing into year ~56,000
+    val ms = CalendarWindows("months", 1, "UTC")
+    val ex = intercept[IllegalArgumentException](ms.assign(feb10ms * 1000))
+    assert(ex.getMessage.contains("micros"), ex.getMessage)
+    // stampUnit = micros: same calendar bucket, bounds in micros
+    val us = CalendarWindows("months", 1, "UTC", stampUnit = "micros")
+    val Seq(w) = us.assign(feb10ms * 1000)
+    assert(w.start == 1706745600000000L) // 2024-02-01 in micros
+    assert(w.end == 1709251200000000L)   // 2024-03-01 in micros
+    intercept[IllegalArgumentException](CalendarWindows("months", 1, "UTC", "nanos"))
+  }
+
   test("global window spans everything") {
     assert(GlobalWindowing.assign(123).head.start == Long.MinValue)
   }

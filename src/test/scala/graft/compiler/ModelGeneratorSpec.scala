@@ -146,6 +146,41 @@ class ModelGeneratorSpec extends SparkSpec {
     assert(model != null)
   }
 
+  test("reserved members and colliding entity names disambiguate") {
+    // an attribute literally named "descriptor" must not duplicate the
+    // emitted `val descriptor: EntityDescriptor`; entity names mangling
+    // to one identifier ("my-entity" vs "myEntity") must not emit two
+    // `object myEntity`; an entity named "operator" must not shadow the
+    // constructor param
+    val repo = Repository.parse(
+      """entities {
+        |  "my-entity" { attributes { a { scheme: string } } }
+        |  "myEntity"  { attributes { descriptor { scheme: string } } }
+        |  "operator"  { attributes { b { scheme: string } } }
+        |}
+        |attributeFamilies {
+        |  f1 { entity: "my-entity", attributes: [ "*" ],
+        |       storage: "inmem://model-res1", type: primary,
+        |       access: [ commit-log, batch-updates, random-access ] }
+        |  f2 { entity: "myEntity", attributes: [ "*" ],
+        |       storage: "inmem://model-res2", type: primary,
+        |       access: [ commit-log, batch-updates, random-access ] }
+        |  f3 { entity: "operator", attributes: [ "*" ],
+        |       storage: "inmem://model-res3", type: primary,
+        |       access: [ commit-log, batch-updates, random-access ] }
+        |}""".stripMargin)
+    val src = ModelGenerator.generate(repo, "ReservedModel")
+    val objNames = "object `?([A-Za-z0-9]+)`?".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    assert(objNames.distinct.size == objNames.size, objNames.toString)
+    assert(!objNames.contains("operator"), objNames.toString)
+    // the attribute named "descriptor" binds under a suffixed identifier
+    assert(src.contains("`descriptor2`"), src)
+    // the real proof: the toolbox compiles it
+    val op = new GraftOperator(spark, repo)
+    assert(ModelGenerator.compile(repo, "ReservedModel", op) != null)
+  }
+
   test("complex schemes stay byte-typed through the RAW codec, not a bad cast") {
     // the avro serializer is ValueSerializer[GenericRecord]; the generated
     // byte-typed surface must use BytesSerializer, or upsert/get would
