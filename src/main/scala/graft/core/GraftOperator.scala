@@ -242,6 +242,59 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
   def getRandomAccess(entity: String, attr: String): RandomAccessReader =
     new RandomAccessReader(route(entity, attr, Access.RandomAccess))
 
+  /** Routed groups over the entity's random-access-served attributes,
+    * TOLERANT of attributes with no random-access family (they are not
+    * randomly accessible and simply do not appear in listings — the same
+    * contract as get()). Throws only when NOTHING is servable.
+    */
+  private def randomAccessGroups(entity: String)
+      : Seq[(AttributeLogFamily, Seq[String])] = {
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[AttributeLogFamily, scala.collection.mutable.ArrayBuffer[String]]
+    storedAttrs(entity).foreach { a =>
+      try grouped.getOrElseUpdate(route(entity, a, Access.RandomAccess),
+        scala.collection.mutable.ArrayBuffer.empty[String]) += a
+      catch { case _: IllegalStateException => () }
+    }
+    require(grouped.nonEmpty,
+      s"No family with access '${Access.RandomAccess}' for any attribute of $entity")
+    grouped.toSeq.map { case (f, as) => (f, as.toSeq) }
+  }
+
+  /** All live attribute cells of a key across EVERY random-access family
+    * serving the entity. The listing surfaces (HTTP /list, gRPC
+    * listAttributes, shell list) previously scanned only the family of
+    * `attributes.head`, silently omitting a multi-family entity's other
+    * attributes; per-family results here filter to the attributes routed
+    * THERE, so overlapping families do not double-report shared cells.
+    */
+  def scanAllAttributes(entity: String, key: String): Seq[StreamElement] = {
+    val e = repo.entity(entity)
+    randomAccessGroups(entity).flatMap { case (fam, groupAttrs) =>
+      val descs = groupAttrs.flatMap(a => e.attribute(a))
+      val scalars = descs.filterNot(_.isWildcard).map(_.name).toSet
+      val prefixes = descs.filter(_.isWildcard).map(_.prefix)
+      new RandomAccessReader(fam).scanWildcardAll(key).filter(el =>
+        scalars.contains(el.attribute) || prefixes.exists(p =>
+          el.attribute.startsWith(p) && el.attribute.length > p.length))
+    }.sortBy(_.attribute)
+  }
+
+  /** Paged key listing across every random-access family of the entity —
+    * the multi-family-safe sibling of [[RandomAccessReader.listEntities]]
+    * (a key whose attributes all live in the second family was invisible
+    * to a head-family-only listing). Distinct + order + page in Spark;
+    * nothing unbounded reaches the driver.
+    */
+  def listAllEntityKeys(entity: String, offset: Int, limit: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    randomAccessGroups(entity)
+      .map { case (fam, _) => fam.batchUpdates().select(col("key")).toDF() }
+      .reduce(_ union _)
+      .distinct().orderBy(col("key")).offset(offset).limit(limit)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+  }
+
   /** Continuously-maintained local view (getCachedView:435). Repo
     * families stamp in micros, so the view's keep-duration clock must
     * too.

@@ -67,11 +67,26 @@ final class TransactionCoordinator(family: AttributeLogFamily,
     private val writes = collection.mutable.ArrayBuffer.empty[StreamElement]
 
     /** Transactional read: latest value of a cell, adding it to the
-      * conflict scope validated at commit.
+      * conflict scope validated at commit. READ-YOUR-WRITES: the
+      * transaction's own latest buffered write to the cell wins over
+      * committed storage (a buffered delete — exact or covering wildcard
+      * tombstone — reads as absent); without this a client that updates
+      * then gets the same cell inside one transaction saw the
+      * PRE-transaction value. The cell still joins the conflict scope —
+      * serving from the buffer must not narrow commit validation.
       */
     def get(key: String, attribute: String): Option[StreamElement] = {
       touched += ((key, attribute))
-      new graft.randomaccess.RandomAccessReader(family).get(key, attribute)
+      val own = writes.reverseIterator.find { e =>
+        e.key == key && (e.attribute == attribute ||
+          (e.deleteWildcard &&
+            attribute.startsWith(e.attribute.stripSuffix("*"))))
+      }
+      own match {
+        case Some(e) => if (e.delete) None else Some(e)
+        case None =>
+          new graft.randomaccess.RandomAccessReader(family).get(key, attribute)
+      }
     }
 
     def update(e: StreamElement): Unit = writes += e

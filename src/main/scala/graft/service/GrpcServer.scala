@@ -119,15 +119,6 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       new DefaultHttp2HeadersFrame(h)
     }
 
-    private def writeMsg(ctx: ChannelHandlerContext,
-        payload: Array[Byte]): Unit = this.synchronized {
-      if (done) return
-      if (!headersSent) { ctx.write(respHeaders()); headersSent = true }
-      ctx.write(new DefaultHttp2DataFrame(
-        Unpooled.wrappedBuffer(GrpcWire.frame(payload))))
-      ()
-    }
-
     /** Off-loop message write with REAL backpressure: returns once the
       * frame cleared the local flow-control window (write future), so a
       * slow scan client stalls the producing iterator instead of
@@ -262,7 +253,16 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
           // HTTP/2 flow-control window, the client stalls, and the
           // queue (each entry pinning a request payload) stays bounded
           serial.submit { () =>
-            try { writeMsg(ctx, f(reqMsg)); ctx.flush(); () }
+            // writeMsgSync, not fire-and-forget: the inbound watermark
+            // bounds PENDING requests only — a client that streams
+            // requests but never reads responses would otherwise
+            // accumulate every response in the outbound buffer
+            // (HighWater-sized slugs per autoRead cycle, unbounded in
+            // total) until the heap dies. Awaiting the write future
+            // means a response must clear HTTP/2 flow control before
+            // the next request is processed; a non-reading client
+            // trips the bounded deadline instead.
+            try { writeMsgSync(ctx, f(reqMsg)); () }
             catch { case e: Throwable => failWith(ctx, e) }
             finally maybeResumeReads(ctx)
           }

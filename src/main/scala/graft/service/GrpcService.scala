@@ -205,13 +205,17 @@ final class GrpcService(op: GraftOperator,
         return Map("uuid" -> uuid, "status" -> 400L,
           "statusMessage" -> e.getMessage)
       }
-      h.t.update(StreamElement(entity, str(m, "key"), attr,
-        Option(uuid).filter(_.nonEmpty)
-          .getOrElse(java.util.UUID.randomUUID().toString),
+      // echo the element's ACTUAL uuid: a client that omitted it must
+      // learn the generated write identity, or a timed-out retry creates
+      // a second element under a fresh uuid (duplicate after commit) —
+      // same contract as the non-transactional path's st.uuid
+      val elUuid = Option(uuid).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID().toString)
+      h.t.update(StreamElement(entity, str(m, "key"), attr, elUuid,
         0L, wireMsToMicros(lng(m, "stamp")),
         if (delete) null else m("value").asInstanceOf[Array[Byte]],
         delete, delete && attr.endsWith(".*")))
-      Map("uuid" -> uuid, "status" -> 200L)
+      Map("uuid" -> elUuid, "status" -> 200L)
     } else {
       val st = ingestSvc.ingest(entity, str(m, "key"), attr,
         wireMsToMicros(lng(m, "stamp")),
@@ -260,14 +264,16 @@ final class GrpcService(op: GraftOperator,
       val prefix = str(m, "wildcardPrefix")
       val offset = str(m, "offset")
       val limit = lng(m, "limit")
-      val anyAttr = op.repo.entity(entity).attributes.head.name
-      val all = op.getRandomAccess(entity, anyAttr)
-        .scanWildcardAll(str(m, "key"))
+      val all = op.scanAllAttributes(entity, str(m, "key"))
         .filter(e => prefix.isEmpty ||
           e.attribute.startsWith(if (prefix.endsWith(".")) prefix else prefix + "."))
         .filter(e => offset.isEmpty || e.attribute > offset)
         .sortBy(_.attribute)
-      val page = if (limit > 0) all.take(limit.toInt) else all
+      // clamp, don't truncate: a uint32 limit >= 2^31 decoded as Long
+      // passed `limit > 0` but take(limit.toInt) took a NEGATIVE count
+      val page =
+        if (limit > 0) all.take(math.min(limit, Int.MaxValue.toLong).toInt)
+        else all
       Map("status" -> 200L, "value" -> page.map(e => Map(
         "attribute" -> e.attribute, "value" -> e.value,
         "stamp" -> microsToWireMs(e.stamp))))
@@ -282,8 +288,39 @@ final class GrpcService(op: GraftOperator,
       if (txId.nonEmpty && str(r, "transactionId").isEmpty)
         r.updated("transactionId", txId)
       else r
+    val gets = reps(m, "getRequest").map(withTx)
+    // batch the NON-transactional point reads by (entity, attribute):
+    // RandomAccessReader.multiFetch serves each group with one scan +
+    // broadcast semi-join instead of one sequential Spark compaction job
+    // per sub-request — the whole point of the endpoint. Transactional
+    // reads stay sequential (they consult the tx's write buffer).
+    val nonTx = gets.zipWithIndex
+      .filter { case (r, _) => str(r, "transactionId").isEmpty }
+    val batched: Map[Int, Map[String, Any]] = nonTx
+      .groupBy { case (r, _) => (str(r, "entity"), str(r, "attribute")) }
+      .flatMap { case ((entity, attr), rs) =>
+        try {
+          val keys = rs.map { case (r, _) => str(r, "key") }.distinct
+          val found = op.getRandomAccess(entity, attr).multiFetch(keys, attr)
+          rs.map { case (r, i) =>
+            i -> (found.get(str(r, "key")) match {
+              case Some(e) if e.value != null =>
+                Map[String, Any]("status" -> 200L, "value" -> e.value,
+                  "stamp" -> microsToWireMs(e.stamp))
+              case _ => Map[String, Any]("status" -> 404L,
+                "statusMessage" -> "not found")
+            })
+          }
+        } catch {
+          case e: Exception =>
+            val err = Map[String, Any]("status" -> 404L,
+              "statusMessage" -> Option(e.getMessage).getOrElse("not found"))
+            rs.map { case (_, i) => i -> err }
+        }
+      }
     Map(
-      "getResponse" -> reps(m, "getRequest").map(r => getOne(withTx(r))),
+      "getResponse" -> gets.zipWithIndex.map { case (r, i) =>
+        batched.getOrElse(i, getOne(r)) },
       "listResponse" -> reps(m, "listRequest").map(r => listOne(withTx(r))))
   }
 

@@ -63,11 +63,14 @@ final class RetrieveService(op: GraftOperator) {
     */
   def listAttributes(entity: String, key: String, prefix: String = "",
       offset: Int = 0, limit: Int = Int.MaxValue): Seq[String] = {
-    val anyAttr = op.repo.entity(entity).attributes.head.name
-    op.getRandomAccess(entity, anyAttr)
-      .scanWildcardAll(key)
+    // scanAllAttributes: every random-access family, not just the family
+    // of attributes.head — a multi-family entity's other attributes were
+    // silently absent. Long-safe page end: offset + limit overflows Int
+    // for large non-MaxValue limits and returned an empty page.
+    op.scanAllAttributes(entity, key)
       .map(_.attribute).filter(_.startsWith(prefix))
-      .slice(offset, if (limit == Int.MaxValue) Int.MaxValue else offset + limit)
+      .slice(offset,
+        math.min(offset.toLong + limit.toLong, Int.MaxValue.toLong).toInt)
   }
 
   /** Batched point reads (multifetch:399). */

@@ -74,7 +74,7 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
       "commands: put delete deleteWildcard get list entities snapshot stream " +
         "eval help exit\n" +
         "eval: <entity>[.updates()].filter(...).map(...).take(n)|.count()|.sum(...)\n" +
-        "      windowed/grouped: .timeWindow(ms).groupBy(key, window)" +
+        "      windowed/grouped: .timeWindow(stampUnits — engine stamps are micros).groupBy(key, window)" +
         ".reduce(init, accExpr)|.count()|.sum(e)|.min(e)|.max(e)|.avg(e)\n" +
         "      closures: filter(scala('value.rlike(\"x.*\")')) | " +
         "transform(scala('df => ...')) | filter(sql(\"...\"))")
@@ -107,10 +107,15 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
     case Seq("entities", entity, offset, limit) =>
       Right(entitiesOf(entity, offset.toInt, limit.toInt))
     case Seq("snapshot", entity) =>
+      // bounded driver memory: count + a 20-row sorted page — collecting
+      // the whole snapshot to print 20 rows OOMed the shell on any
+      // sizable family
       val snap = op.getBatchSnapshot(entity)
-      val rows = snap.collect()
-      Right(s"${rows.length} row(s)\n" +
-        rows.sortBy(e => (e.key, e.attribute)).take(20).map(render).mkString("\n"))
+      val n = snap.count()
+      val page = snap
+        .orderBy(snap.col("key"), snap.col("attribute"))
+        .limit(20).collect()
+      Right(s"$n row(s)\n" + page.map(render).mkString("\n"))
     case Seq("stream", entity, attr, n) =>
       val elems = StreamCollector.collect(op.getStream(entity, attr), n.toInt)
       Right(elems.map(render).mkString("\n"))
@@ -119,15 +124,15 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
   }
 
   private def listOf(entity: String, key: String, prefix: String): String = {
-    val anyAttr = op.repo.entity(entity).attributes.head.name
-    val attrs = op.getRandomAccess(entity, anyAttr).scanWildcardAll(key)
+    // every random-access family, not attributes.head's — a multi-family
+    // entity's other attributes were silently absent
+    val attrs = op.scanAllAttributes(entity, key)
       .filter(_.attribute.startsWith(prefix))
     if (attrs.isEmpty) "(none)" else attrs.map(render).mkString("\n")
   }
 
   private def entitiesOf(entity: String, offset: Int, limit: Int): String = {
-    val anyAttr = op.repo.entity(entity).attributes.head.name
-    val keys = op.getRandomAccess(entity, anyAttr).listEntities(offset, limit)
+    val keys = op.listAllEntityKeys(entity, offset, limit)
     if (keys.isEmpty) "(none)" else keys.mkString("\n")
   }
 }

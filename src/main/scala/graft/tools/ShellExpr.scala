@@ -385,15 +385,22 @@ object ShellExpr {
           case "distinct" => DfSt(df.distinct())
           case "count" if args.isEmpty => DoneSt(df.count().toString)
           case "sum" =>
-            DoneSt(df.agg(sum(toColumn(args.head))).head().get(0).toString)
-          // event-time bucketing: window = start of the stamp's bucket.
-          // stamp - pmod(stamp, ms) FLOORS for pre-epoch stamps too
+            // sum over zero rows is SQL NULL — render it as such instead
+            // of NPEing on null.toString
+            DoneSt(Option(df.agg(sum(toColumn(args.head))).head().get(0))
+              .map(_.toString).getOrElse("null"))
+          // event-time bucketing: window = start of the stamp's bucket,
+          // in the STAMP's unit (engine stamps are MICROSECONDS — the
+          // old help text said ms, silently making windows 1000x
+          // smaller than a user following it expected).
+          // stamp - pmod(stamp, size) FLOORS for pre-epoch stamps too
           // (truncating division would put stamp -5 into window 0)
           case "timeWindow" => args.head match {
-            case Lit(ms: Long) if ms > 0 =>
-              DfSt(df.withColumn("window", expr(s"stamp - pmod(stamp, $ms)")))
+            case Lit(size: Long) if size > 0 =>
+              DfSt(df.withColumn("window", expr(s"stamp - pmod(stamp, $size)")))
             case other => throw new IllegalArgumentException(
-              s"timeWindow needs a positive millisecond literal, got $other")
+              "timeWindow needs a positive stamp-unit literal " +
+                s"(engine stamps are micros), got $other")
           }
           case "groupBy" =>
             require(args.nonEmpty, "groupBy needs at least one key expression")

@@ -197,6 +197,55 @@ class OperatorSpec extends SparkSpec {
     assert(snap == Seq("device.1", "status"), snap.toString)
   }
 
+  test("listing surfaces cover every random-access family of the entity") {
+    // attributes split across two DISJOINT families: a head-family-only
+    // scan listed just one of them
+    val repo = Repository.parse(
+      """entities { split { attributes {
+        |  a1: { scheme: bytes }
+        |  a2: { scheme: bytes }
+        |} } }
+        |attributeFamilies {
+        |  sp-a1 { entity: split, attributes: ["a1"],
+        |    storage: "inmem:///sp_a1", type: primary,
+        |    access: [commit-log, batch-updates, random-access] }
+        |  sp-a2 { entity: split, attributes: ["a2"],
+        |    storage: "inmem:///sp_a2", type: primary,
+        |    access: [commit-log, batch-updates, random-access] }
+        |}""".stripMargin)
+    val op = new GraftOperator(spark, repo,
+      Files.createTempDirectory("graft-opspec-").toString)
+    op.write(up("split", "k1", "a1", 1, "x"))
+    op.write(up("split", "k1", "a2", 2, "y"))
+    op.write(up("split", "k2", "a2", 3, "z")) // key living ONLY in family 2
+    assert(op.scanAllAttributes("split", "k1").map(_.attribute).toSeq ==
+      Seq("a1", "a2"))
+    assert(op.listAllEntityKeys("split", 0, 10) == Seq("k1", "k2"))
+    assert(op.listAllEntityKeys("split", 1, 10) == Seq("k2"))
+    // overlapping families (scalar + "*") must not double-report a cell
+    val op2 = {
+      val r2 = Repository.parse(
+        """entities { user3 { attributes {
+          |  status: { scheme: bytes }
+          |  "device.*": { scheme: bytes }
+          |} } }
+          |attributeFamilies {
+          |  u3-status { entity: user3, attributes: ["status"],
+          |    storage: "inmem:///u3_status", type: primary,
+          |    access: [commit-log, batch-updates, random-access] }
+          |  u3-all { entity: user3, attributes: ["*"],
+          |    storage: "inmem:///u3_all", type: primary,
+          |    access: [commit-log, batch-updates, random-access] }
+          |}""".stripMargin)
+      new GraftOperator(spark, r2,
+        Files.createTempDirectory("graft-opspec-").toString)
+    }
+    op2.write(up("user3", "k", "status", 1, "s"))
+    op2.write(up("user3", "k", "device.1", 2, "d"))
+    assert(op2.scanAllAttributes("user3", "k").map(_.attribute).toSeq ==
+      Seq("device.1", "status"))
+  }
+
   test("writeBatch: an element no primary family covers throws, not vanishes") {
     val op = newOperator()
     val ok = StreamElement.upsert("product", "p1", "price", "w1", 1L,

@@ -19,6 +19,35 @@ class TransactionModesSpec extends SparkSpec {
     StreamElement("user", key, attr, s"u-$key-$attr-$stamp", 0, stamp,
       v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
 
+  test("read-your-writes: a tx get sees its own buffered writes pre-commit") {
+    val f = fam()
+    f.append(Seq(up("k", "a", 1, "committed")))
+    val coord = new TransactionCoordinator(f)
+    val tx = coord.begin()
+    // before any buffered write: committed value
+    assert(tx.get("k", "a").map(e => new String(e.value, "UTF-8"))
+      .contains("committed"))
+    // own write wins over committed storage
+    tx.update(up("k", "a", 10, "mine"))
+    assert(tx.get("k", "a").map(e => new String(e.value, "UTF-8"))
+      .contains("mine"))
+    // latest buffered write wins among several
+    tx.update(up("k", "a", 11, "mine2"))
+    assert(tx.get("k", "a").map(e => new String(e.value, "UTF-8"))
+      .contains("mine2"))
+    // buffered delete reads as absent
+    tx.update(StreamElement("user", "k", "a", "d-1", 0, 12, null,
+      delete = true, deleteWildcard = false))
+    assert(tx.get("k", "a").isEmpty)
+    // a buffered wildcard tombstone covers the whole prefix
+    tx.update(StreamElement("user", "k", "dev.*", "d-2", 0, 13, null,
+      delete = true, deleteWildcard = true))
+    assert(tx.get("k", "dev.1").isEmpty)
+    tx.commit()
+    // and the committed state agrees with what the tx read
+    assert(new graft.randomaccess.RandomAccessReader(f).get("k", "a").isEmpty)
+  }
+
   test("ATTRIBUTE mode: conflicts only on the same cell") {
     val f = fam()
     val coord = new TransactionCoordinator(f, TransactionMode.Attribute)
