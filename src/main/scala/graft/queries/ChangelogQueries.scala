@@ -274,8 +274,7 @@ object ChangelogQueries extends QuerySet {
     // stamp range (the 100 TB shape: the dedup scan touches only the
     // range pushdown's slice, never the whole family). A failed dedup
     // doubles every count below.
-    "q_idempotent_sink" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-idem-q").toString
+    "q_idempotent_sink" -> ((s, d) => withScratch("graft-idem-q") { tmp =>
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
       val log = Tables.eventsAsChangelog(s, d)
       fam.appendIdempotent(log)
@@ -355,8 +354,7 @@ object ChangelogQueries extends QuerySet {
     // prefix listing; BlobLogFamilySpec gates the pruning) — results
     // must equal the plain-table range scan, so q_batch_updates_range's
     // oracle replays it
-    "q_blob_updates_range" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-blob-q").toString
+    "q_blob_updates_range" -> ((s, d) => withScratch("graft-blob-q") { tmp =>
       val fam = new graft.streaming.BlobLogFamily(s, s"$tmp/blob")
       fam.append(Tables.eventsAsChangelog(s, d))
       materialized(
@@ -370,19 +368,25 @@ object ChangelogQueries extends QuerySet {
     // WHERE pushdown): a 10%-of-events changelog round-trips through the
     // database and the range aggregate must equal the plain-table scan
     // (reference io-jdbc JdbcStorageDescriptor.java:29)
-    "q_jdbc_updates_range" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc-q").toString
-      val fam = new graft.sources.JdbcFamily(s,
-        s"jdbc:derby:$tmp/db;create=true", "events_log")
-      fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
-      materialized(
-        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
-        // embedded Derby holds the db open until told to shut down;
-        // success surfaces as SQLException 08006 by contract
-        try java.sql.DriverManager.getConnection(s"jdbc:derby:$tmp/db;shutdown=true")
+    "q_jdbc_updates_range" -> ((s, d) => withScratch("graft-jdbc-q") { tmp =>
+      // embedded Derby holds the db open until told to shut down;
+      // success surfaces as SQLException 08006 by contract — run it on
+      // BOTH exit paths (withScratch deletes the dir on throw, but a
+      // still-booted Derby would pin the next run's boot)
+      def shutdownDerby(): Unit =
+        try { java.sql.DriverManager
+          .getConnection(s"jdbc:derby:$tmp/db;shutdown=true"); () }
         catch { case _: java.sql.SQLException => () }
-        deleteRecursively(tmp)
-      }
+      try {
+        val fam = new graft.sources.JdbcFamily(s,
+          s"jdbc:derby:$tmp/db;create=true", "events_log")
+        fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+        materialized(
+          eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+          shutdownDerby()
+          deleteRecursively(tmp)
+        }
+      } catch { case e: Throwable => shutdownDerby(); throw e }
     }),
 
     // stamp-range read through the kafka:// commit-log binding: the
@@ -395,11 +399,18 @@ object ChangelogQueries extends QuerySet {
     "q_kafka_updates_range" -> ((s, d) => {
       val topic = graft.streaming.EmbeddedKafka.topic("oracle-broker",
         "t-" + java.util.UUID.randomUUID().toString.replace("-", ""), 4)
-      val fam = new graft.streaming.KafkaLogFamily(s, topic)
-      fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
-      materialized(
-        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+      try {
+        val fam = new graft.streaming.KafkaLogFamily(s, topic)
+        fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+        materialized(
+          eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+          graft.streaming.EmbeddedKafka.drop(topic.broker, topic.name)
+        }
+      } catch { case e: Throwable =>
+        // failure path drops the topic too — a long-lived session would
+        // otherwise accumulate one orphan topic per failed run
         graft.streaming.EmbeddedKafka.drop(topic.broker, topic.name)
+        throw e
       }
     }),
 
@@ -443,12 +454,17 @@ object ChangelogQueries extends QuerySet {
     // CassandraStorageDescriptor semantics on the in-process double)
     "q_widerow_latest_range" -> ((s, d) => {
       val table = "t-" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val store = graft.streaming.EmbeddedWideRow.store("oracle-cluster", table)
-      val fam = new graft.streaming.WideRowFamily(s, store)
-      fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
-      materialized(
-        eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+      try {
+        val store = graft.streaming.EmbeddedWideRow.store("oracle-cluster", table)
+        val fam = new graft.streaming.WideRowFamily(s, store)
+        fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+        materialized(
+          eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+          graft.streaming.EmbeddedWideRow.drop("oracle-cluster", table)
+        }
+      } catch { case e: Throwable =>
         graft.streaming.EmbeddedWideRow.drop("oracle-cluster", table)
+        throw e
       }
     }),
 
@@ -458,8 +474,7 @@ object ChangelogQueries extends QuerySet {
     // dropped; the target's content is then aggregated and must equal
     // the source-side replay — the backfill path of the replication
     // controller under the oracle
-    "q_transformation_backfill" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tf-q").toString
+    "q_transformation_backfill" -> ((s, d) => withScratch("graft-tf-q") { tmp =>
       val source = new graft.streaming.CommitLogFamily(s, s"$tmp/src")
       val target = new graft.streaming.CommitLogFamily(s, s"$tmp/dst")
       source.append(Tables.eventsAsChangelog(s, d))

@@ -186,15 +186,22 @@ object DedupQueries extends QuerySet {
        |SELECT doc_id, ${(0 until K).map(affineSql).mkString(", ")}
        |FROM hv GROUP BY doc_id""".stripMargin
 
+  /** The band-explosion SQL over `sig` — ONE definition (it appears in
+    * five oracles; a retune of K/BAND_ROWS or the '|' separator applied
+    * to four of five copies would silently desync the fifth).
+    */
+  private lazy val bandsSql: String =
+    (0 until K / BAND_ROWS).map { bnd =>
+      val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+      s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
+    }.mkString("\nUNION ALL\n")
+
   /** The full LSH → verify → transitive-closure replay as CTEs ending at
     * `cl(doc_id, component)` — shared by q_dedup_clusters and the
     * quality-canonical q_dedup_keep_best (one definition, not copies).
     */
   private lazy val dedupClustersCtes: String = {
-    val bands = (0 until K / BAND_ROWS).map { bnd =>
-      val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
-      s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
-    }.mkString("\nUNION ALL\n")
+    val bands = bandsSql
     s"""WITH RECURSIVE sig AS ($sigSql),
        |banded AS (
        |$bands
@@ -283,10 +290,7 @@ object DedupQueries extends QuerySet {
           |FROM cl JOIN best b USING (component)""".stripMargin),
 
     "q_lsh_dropped_buckets" -> {
-      val bands = (0 until K / BAND_ROWS).map { bnd =>
-        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
-        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
-      }.mkString("\nUNION ALL\n")
+      val bands = bandsSql
       s"""WITH sig AS ($sigSql),
          |banded AS (
          |$bands
@@ -296,10 +300,7 @@ object DedupQueries extends QuerySet {
     },
 
     "q_lsh_candidates" -> {
-      val bands = (0 until K / BAND_ROWS).map { bnd =>
-        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
-        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
-      }.mkString("\nUNION ALL\n")
+      val bands = bandsSql
       s"""WITH sig AS ($sigSql),
          |banded AS (
          |$bands
@@ -312,10 +313,7 @@ object DedupQueries extends QuerySet {
     // streaming gate replay: with id-ordered arrival, a bucket's first
     // occupant is its smallest doc_id; every other member points at it
     "q_dedup_stream" -> {
-      val bands = (0 until K / BAND_ROWS).map { bnd =>
-        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
-        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
-      }.mkString("\nUNION ALL\n")
+      val bands = bandsSql
       s"""WITH sig AS ($sigSql),
          |banded AS (
          |$bands
@@ -340,10 +338,7 @@ object DedupQueries extends QuerySet {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
 
     "q_dedup_pipeline" -> {
-      val bands = (0 until K / BAND_ROWS).map { bnd =>
-        val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
-        s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
-      }.mkString("\nUNION ALL\n")
+      val bands = bandsSql
       s"""WITH sig AS ($sigSql),
          |banded AS (
          |$bands

@@ -39,10 +39,14 @@ private[queries] object StreamSupport {
       stream.writeStream.format("memory").queryName(sink)
         .outputMode("update").start()
     }
-    try drive(q) finally q.stop()
-    val out = s.table(sink).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    out
+    // the sink view MUST drop on every exit path: a drive() failure that
+    // skipped the drop would leave the q_sink_* table registered with all
+    // received rows pinned on the driver — the exact accumulation this
+    // helper exists to prevent
+    try {
+      try drive(q) finally q.stop()
+      s.table(sink).localCheckpoint(true)
+    } finally { s.catalog.dropTempView(sink); () }
   }
 }
 
@@ -56,32 +60,48 @@ private[queries] object StreamSupport {
   */
 private[queries] object StagedLogs {
 
+  /** Per-key build cell: the lazy val gives one-build-wins semantics
+    * with a PER-KEY monitor — a global lock would serialize staging of
+    * unrelated logs across query sets for the full duration of their
+    * Spark jobs.
+    */
+  private final class Holder(build: () => graft.streaming.CommitLogFamily) {
+    lazy val fam: graft.streaming.CommitLogFamily = build()
+  }
+
   private val logs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Holder]
+  // successfully-built families only — the shutdown hook must never
+  // FORCE an unbuilt holder (that would stage a log during shutdown)
+  private val built = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), graft.streaming.CommitLogFamily]
 
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      logs.values.foreach(f =>
+      built.values.foreach(f =>
         deleteRecursively(new java.io.File(f.path).getParent))))
   }
 
   /** The staged log for (s, d, name), building it on first use: `stage`
     * receives a fresh empty family and appends its segments. A failed
-    * staging deletes its scratch dir before rethrowing — an orphaned
-    * half-written log would never be seen by the shutdown hook (the
-    * entry is only registered on success) and a retry restages fresh.
+    * staging deletes its scratch dir and DEREGISTERS the holder before
+    * rethrowing — an orphaned half-written log would never be seen by
+    * the shutdown hook (only successful builds register there) and a
+    * retry restages fresh.
     */
   def getOrStage(s: SparkSession, d: String, name: String)(
-      stage: graft.streaming.CommitLogFamily => Unit): graft.streaming.CommitLogFamily =
-    logs.synchronized {
-      logs.getOrElseUpdate((s, d, name), {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
-        val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
-        try stage(fam)
-        catch { case e: Throwable => deleteRecursively(tmp); throw e }
-        fam
-      })
-    }
+      stage: graft.streaming.CommitLogFamily => Unit): graft.streaming.CommitLogFamily = {
+    val key = (s, d, name)
+    val h = logs.getOrElseUpdate(key, new Holder(() => {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+      val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
+      try stage(fam)
+      catch { case e: Throwable => deleteRecursively(tmp); throw e }
+      fam
+    }))
+    try { val f = h.fam; built.putIfAbsent(key, f); f }
+    catch { case e: Throwable => logs.remove(key, h); throw e }
+  }
 
   /** Append each slice as ONE log segment (coalesced to a single file)
     * and stamp every segment's files with strictly increasing
@@ -118,4 +138,31 @@ private[queries] object StagedLogs {
         .forEach(p => { Files.deleteIfExists(p); () })
     }
   }
+}
+
+/** Text-metric building blocks shared by TextQueries and RankingQueries —
+  * one definition per formula on BOTH sides of the oracle compare (the
+  * stopword-ratio arithmetic feeds q_quality_score's hash-verified result
+  * AND q_token_budget's selection; copies kept in sync by hand desync
+  * silently).
+  */
+private[queries] object TextMetrics {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{concat, length, lit, regexp_replace}
+
+  /** Occurrences of `marker` in text, counted via length arithmetic (same
+    * formula as the DuckDB oracle — no regex semantics to disagree on).
+    */
+  def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length)
+      .cast("long")
+
+  def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+
+  // the DuckDB mirrors of the same three formulas
+  val tokCountSql = "len(regexp_split_to_array(trim(text), '\\s+'))"
+  val padSql = "' ' || text || ' '"
+  def occSql(expr: String, marker: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$marker', ''))) / ${marker.length} AS BIGINT)"
 }

@@ -20,21 +20,15 @@ object RankingQueries extends QuerySet {
   private val K = 20
   private val BudgetPct = 40
 
-  // same quality signal as q_quality_score (stopword ratio), same
-  // engine-identical length-arithmetic formula
-  private def occurrences(c: Column, marker: String): Column =
-    ((length(c) - length(regexp_replace(c,
-      java.util.regex.Pattern.quote(marker), ""))) / marker.length)
-      .cast("long")
-
+  // same quality signal as q_quality_score (stopword ratio) — literally
+  // the SAME definition ([[TextMetrics]]), not a formula kept in sync
   private def qualityRanked(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val t = col("text")
-    val padded = concat(lit(" "), t, lit(" "))
     val nTok = graft.functions.TokenCount.column(t).cast("long")
     Tables.documents(s, d).select(col("doc_id"),
-      round(occurrences(padded, " the ").cast("double") / nTok, 4)
-        .as("score"),
+      round(TextMetrics.occurrences(TextMetrics.padded(t), " the ")
+        .cast("double") / nTok, 4).as("score"),
       nTok.as("n_tokens"))
   }
 
@@ -62,10 +56,10 @@ object RankingQueries extends QuerySet {
         "n_tokens", BudgetPct))
   )
 
-  private val tokCount = "len(regexp_split_to_array(trim(text), '\\s+'))"
-  private val pad = "' ' || text || ' '"
+  private val tokCount = TextMetrics.tokCountSql
+  private val pad = TextMetrics.padSql
   private def occSql(expr: String, marker: String) =
-    s"CAST((length($expr) - length(replace($expr, '$marker', ''))) / ${marker.length} AS BIGINT)"
+    TextMetrics.occSql(expr, marker)
 
   val oracles: Map[String, String] = Map(
     "q_bm25_topk" -> Bm25.oracleSql("doc_id", Terms, K),

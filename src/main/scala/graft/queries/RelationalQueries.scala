@@ -16,19 +16,57 @@ import graft.sources.Tables.cents
   */
 object RelationalQueries extends QuerySet {
 
+  /** The (errors, clicks) as-of sides — ONE definition for q_asof_join
+    * and q_asof_join_bucketed (the bucketing is an execution detail; the
+    * inputs and the oracle must be the same object, not copies kept in
+    * sync).
+    */
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("click_id"),
+        cents(col("value")).as("click_cents"))
+    (errors, clicks)
+  }
+
+  /** Shared as-of oracle (union + window lowering, identical tie
+    * semantics: right rows before left at equal ts, highest click_id
+    * within a tie).
+    */
+  private val asofOracleSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, ts_us, 1 AS side,
+      |         CAST(9223372036854775807 AS BIGINT) AS tie,
+      |         event_id, CAST(NULL AS BIGINT) AS click_cents,
+      |         CAST(NULL AS BIGINT) AS click_id
+      |  FROM ev WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, ts_us, 0, event_id, NULL,
+      |         CAST(round(value * 100, 0) AS BIGINT), event_id
+      |  FROM ev WHERE event_type = 'click'
+      |)
+      |SELECT event_id, asof_click_cents, asof_click_id FROM (
+      |  SELECT side, event_id,
+      |    last_value(click_cents IGNORE NULLS) OVER w AS asof_click_cents,
+      |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) WHERE side = 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // AS-OF join (custom operator Spark lacks): every error event gains
     // the user's most recent at-or-before click — one union + one shuffle
     // via graft.operators.AsOfJoin, never an |L|x|R| range explosion
     "q_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("click_id"),
-          cents(col("value")).as("click_cents"))
+      val (errors, clicks) = asofSides(s, d)
       graft.operators.AsOfJoin.join(errors, clicks, "user_id", "ts_us",
           valueCols = Seq("click_cents", "click_id"), tiebreak = "click_id")
         .select(col("event_id"), col("asof_click_cents"), col("asof_click_id"))
@@ -38,14 +76,7 @@ object RelationalQueries extends QuerySet {
     // partitions by (key, hour-bucket) with carried boundary state, so a
     // hot key parallelizes instead of sorting its history in one task
     "q_asof_join_bucketed" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"),
-          col("event_id").as("click_id"),
-          cents(col("value")).as("click_cents"))
+      val (errors, clicks) = asofSides(s, d)
       graft.operators.AsOfJoin.joinBucketed(errors, clicks, "user_id", "ts_us",
           valueCols = Seq("click_cents", "click_id"), tiebreak = "click_id",
           grain = 3600000000L)
@@ -284,55 +315,11 @@ object RelationalQueries extends QuerySet {
   val oracles: Map[String, String] = Map(
     // replays the union+window lowering verbatim (identical tie semantics:
     // right rows before left at equal ts, highest click_id within a tie)
-    "q_asof_join" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
-        |  FROM events
-        |), u AS (
-        |  SELECT user_id, ts_us, 1 AS side,
-        |         CAST(9223372036854775807 AS BIGINT) AS tie,
-        |         event_id, CAST(NULL AS BIGINT) AS click_cents,
-        |         CAST(NULL AS BIGINT) AS click_id
-        |  FROM ev WHERE event_type = 'error'
-        |  UNION ALL
-        |  SELECT user_id, ts_us, 0, event_id, NULL,
-        |         CAST(round(value * 100, 0) AS BIGINT), event_id
-        |  FROM ev WHERE event_type = 'click'
-        |)
-        |SELECT event_id, asof_click_cents, asof_click_id FROM (
-        |  SELECT side, event_id,
-        |    last_value(click_cents IGNORE NULLS) OVER w AS asof_click_cents,
-        |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
-        |  FROM u
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |) WHERE side = 1""".stripMargin,
+    "q_asof_join" -> asofOracleSql,
 
     // identical answer to q_asof_join by construction — the bucketing is
     // an execution detail, so the oracle is the same lowering
-    "q_asof_join_bucketed" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
-        |  FROM events
-        |), u AS (
-        |  SELECT user_id, ts_us, 1 AS side,
-        |         CAST(9223372036854775807 AS BIGINT) AS tie,
-        |         event_id, CAST(NULL AS BIGINT) AS click_cents,
-        |         CAST(NULL AS BIGINT) AS click_id
-        |  FROM ev WHERE event_type = 'error'
-        |  UNION ALL
-        |  SELECT user_id, ts_us, 0, event_id, NULL,
-        |         CAST(round(value * 100, 0) AS BIGINT), event_id
-        |  FROM ev WHERE event_type = 'click'
-        |)
-        |SELECT event_id, asof_click_cents, asof_click_id FROM (
-        |  SELECT side, event_id,
-        |    last_value(click_cents IGNORE NULLS) OVER w AS asof_click_cents,
-        |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id
-        |  FROM u
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, tie
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |) WHERE side = 1""".stripMargin,
+    "q_asof_join_bucketed" -> asofOracleSql,
 
     "q_range_join" ->
       """WITH ev AS (

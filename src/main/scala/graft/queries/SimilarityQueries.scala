@@ -265,6 +265,46 @@ object SimilarityQueries extends QuerySet {
        |           ORDER BY cos DESC, neighbor_id) AS rk
        |  FROM scored) WHERE rk <= 5""".stripMargin
 
+  /** Brute-force cosine top-5 for queries vec_id < 10 — ONE definition
+    * shared by q_ann_topk / q_ivf_store_topk / q_ivf_topk (a rank-tiebreak
+    * fix applied to two of three copies would silently desync the third).
+    */
+  private lazy val bruteTopkSql =
+    s"""WITH scored AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
+       |  FROM embeddings a CROSS JOIN embeddings b
+       |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+       |)
+       |SELECT q_id, rk, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin
+
+  /** md5-hyperplane sign signatures as CTEs ending at `sigs(vec_id, sig)`
+    * — the exact [[graft.functions.Similarity.lshCells]] replay, shared
+    * by q_cluster_sample / q_ann_lsh_pairs / q_semantic_dedup. The sum is
+    * cast back to BIGINT (sum(BIGINT) widens to HUGEINT — the r10
+    * fetch-path lesson).
+    */
+  private val planeSigsSql =
+    """planes AS (
+      |  SELECT p, d,
+      |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
+      |      / 2251799813685248.0 - 1.0) AS w
+      |  FROM range(4) tp(p), range(64) td(d)
+      |), dots AS (
+      |  SELECT e.vec_id, pl.p,
+      |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
+      |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+      |  GROUP BY 1, 2
+      |), sigs AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+      |           AS BIGINT) AS sig
+      |  FROM dots GROUP BY 1
+      |)""".stripMargin
+
   // DuckDB lacks a deterministic double-sequential list_sum, so oracles
   // recompute cosine via list_zip/list_transform in double; outputs compare
   // ids/ranks only (see scaladoc).
@@ -285,42 +325,10 @@ object SimilarityQueries extends QuerySet {
 
     "q_embed_quant" -> graft.functions.Pca.quantProbeOracleSql(),
 
-    "q_ann_topk" ->
-      s"""WITH scored AS (
-         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
-         |  FROM embeddings a CROSS JOIN embeddings b
-         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
-         |)
-         |SELECT q_id, rk, neighbor_id FROM (
-         |  SELECT q_id, neighbor_id,
-         |         row_number() OVER (PARTITION BY q_id
-         |           ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM scored) WHERE rk <= 5""".stripMargin,
-
+    "q_ann_topk" -> bruteTopkSql,
     // identical answer to q_ann_topk by construction (full probe)
-    "q_ivf_store_topk" ->
-      s"""WITH scored AS (
-         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
-         |  FROM embeddings a CROSS JOIN embeddings b
-         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
-         |)
-         |SELECT q_id, rk, neighbor_id FROM (
-         |  SELECT q_id, neighbor_id,
-         |         row_number() OVER (PARTITION BY q_id
-         |           ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM scored) WHERE rk <= 5""".stripMargin,
-
-    "q_ivf_topk" ->
-      s"""WITH scored AS (
-         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
-         |  FROM embeddings a CROSS JOIN embeddings b
-         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
-         |)
-         |SELECT q_id, rk, neighbor_id FROM (
-         |  SELECT q_id, neighbor_id,
-         |         row_number() OVER (PARTITION BY q_id
-         |           ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q_ivf_store_topk" -> bruteTopkSql,
+    "q_ivf_topk" -> bruteTopkSql,
 
     "q_near_dup_cosine" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
@@ -334,22 +342,8 @@ object SimilarityQueries extends QuerySet {
     // q_temperature_sample rate formula, keep decided by the salted
     // hash bucket
     "q_cluster_sample" ->
-      s"""WITH planes AS (
-         |  SELECT p, d,
-         |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
-         |      / 2251799813685248.0 - 1.0) AS w
-         |  FROM range(4) tp(p), range(64) td(d)
-         |), dots AS (
-         |  SELECT e.vec_id, pl.p,
-         |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
-         |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
-         |  GROUP BY 1, 2
-         |), sigs AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END)
-         |           AS BIGINT) AS cell
-         |  FROM dots GROUP BY 1
-         |), c AS (SELECT cell, count(*) AS n_d FROM sigs GROUP BY 1),
+      s"""WITH $planeSigsSql,
+         |c AS (SELECT sig AS cell, count(*) AS n_d FROM sigs GROUP BY 1),
          |r AS (
          |  SELECT cell,
          |         CAST(floor(10000.0 * sqrt(
@@ -357,27 +351,14 @@ object SimilarityQueries extends QuerySet {
          |             / CAST(n_d AS DOUBLE))) AS BIGINT) AS keep_bp
          |  FROM c
          |)
-         |SELECT s.vec_id, s.cell, r.keep_bp
-         |FROM sigs s JOIN r USING (cell)
+         |SELECT s.vec_id, s.sig AS cell, r.keep_bp
+         |FROM sigs s JOIN r ON r.cell = s.sig
          |WHERE ('0x' || substr(md5('cellt:' || s.vec_id), 1, 15))::UBIGINT
          |        % 10000 < r.keep_bp""".stripMargin,
 
     "q_ann_lsh_pairs" ->
-      s"""WITH planes AS (
-         |  SELECT p, d,
-         |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
-         |      / 2251799813685248.0 - 1.0) AS w
-         |  FROM range(4) tp(p), range(64) td(d)
-         |), dots AS (
-         |  SELECT e.vec_id, pl.p,
-         |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
-         |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
-         |  GROUP BY 1, 2
-         |), sigs AS (
-         |  SELECT vec_id,
-         |         sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
-         |  FROM dots GROUP BY 1
-         |), cand AS (
+      s"""WITH $planeSigsSql,
+         |cand AS (
          |  SELECT s1.vec_id AS a_id, s2.vec_id AS b_id
          |  FROM sigs s1 JOIN sigs s2 ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id
          |)
@@ -391,21 +372,8 @@ object SimilarityQueries extends QuerySet {
     // transitive closure (same replay pattern as q_dedup_clusters);
     // canonical = min id reachable, keep = is-own-canonical
     "q_semantic_dedup" ->
-      s"""WITH RECURSIVE planes AS (
-         |  SELECT p, d,
-         |    ((('0x'||substr(md5('plane:'||p||':'||d),1,15))::UBIGINT >> 8)::DOUBLE
-         |      / 2251799813685248.0 - 1.0) AS w
-         |  FROM range(4) tp(p), range(64) td(d)
-         |), dots AS (
-         |  SELECT e.vec_id, pl.p,
-         |         sum(pl.w * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS dp
-         |  FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
-         |  GROUP BY 1, 2
-         |), sigs AS (
-         |  SELECT vec_id,
-         |         sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
-         |  FROM dots GROUP BY 1
-         |), cand AS (
+      s"""WITH RECURSIVE $planeSigsSql,
+         |cand AS (
          |  SELECT s1.vec_id AS a_id, s2.vec_id AS b_id
          |  FROM sigs s1 JOIN sigs s2 ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id
          |), pairs AS (

@@ -15,14 +15,11 @@ object TextQueries extends QuerySet {
 
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Occurrences of `marker` in text, counted via length arithmetic (same
-    * formula as the DuckDB oracle — no regex semantics to disagree on).
-    */
+  // shared with RankingQueries — one definition ([[TextMetrics]])
   private def occurrences(c: Column, marker: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
-      marker.length).cast("long")
+    TextMetrics.occurrences(c, marker)
 
-  private def padded(c: Column): Column = concat(lit(" "), c, lit(" "))
+  private def padded(c: Column): Column = TextMetrics.padded(c)
 
   val queries: Map[String, QFn] = Map(
     // token counting (whitespace tokenizer)
@@ -237,10 +234,10 @@ object TextQueries extends QuerySet {
     })
   )
 
-  private val tokCount = "len(regexp_split_to_array(trim(text), '\\s+'))"
+  private val tokCount = TextMetrics.tokCountSql
   private def occ(expr: String, marker: String) =
-    s"CAST((length($expr) - length(replace($expr, '$marker', ''))) / ${marker.length} AS BIGINT)"
-  private val pad = "' ' || text || ' '"
+    TextMetrics.occSql(expr, marker)
+  private val pad = TextMetrics.padSql
 
   private val BPE_ROUNDS = 8
   private val WINNOW_K = 20
