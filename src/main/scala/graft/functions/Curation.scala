@@ -294,6 +294,47 @@ object Curation {
     * One tiny aggregate (ndomains rows) — broadcast it back onto the
     * corpus and pass the joined column to [[hashSample]].
     */
+  /** Per-domain unigram KL divergence from the corpus distribution —
+    * KL(P_domain || P_corpus) in nats, the standard mix diagnostic for
+    * "how far does this source's token distribution sit from the blend"
+    * (feeds reweighting decisions the way [[domainMixRates]] feeds
+    * uniform rebalancing). Output: (domain, n_tokens, kl[4dp]).
+    *
+    * Cross-engine determinism: the per-token log ratio
+    * ln((c_dw·N)/(n_d·c_w)) quantizes to micro-nats (the [[NGramLm]]
+    * pattern), the per-domain accumulation is then pure int64
+    * (c_dw·lnq_w), and only the final ratio rounds to 4 decimals. The
+    * ratio's products are computed in DOUBLE — exact while c_dw·N stays
+    * under 2^53 (~9e15; a corpus-scale run past that should shift the
+    * products to ln subtraction form on BOTH sides).
+    *
+    * Scale shape: the only corpus-sized pass is the token explode into
+    * the (domain, token) partial-aggregable count; c_w / n_d / N derive
+    * from that vocab×domains-bounded table (no second corpus scan), and
+    * the per-domain totals broadcast back onto it.
+    */
+  def domainKlDivergence(docs: DataFrame, domainCol: String,
+      textCol: String): DataFrame = {
+    val cdw = docs
+      .select(col(domainCol).as("domain"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("domain"), col("w")).agg(count(lit(1)).as("c_dw"))
+    val cw = cdw.groupBy(col("w")).agg(sum(col("c_dw")).as("c_w"))
+    val nd = cdw.groupBy(col("domain")).agg(sum(col("c_dw")).as("n_d"))
+    val tot = nd.agg(sum(col("n_d")).as("n_total"))
+    cdw.join(cw, "w").join(broadcast(nd), "domain").crossJoin(broadcast(tot))
+      .withColumn("lnq",
+        round(log((col("c_dw").cast("double") * col("n_total").cast("double")) /
+          (col("n_d").cast("double") * col("c_w").cast("double"))) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("domain"))
+      .agg(max(col("n_d")).as("n_tokens"),
+        sum(col("c_dw") * col("lnq")).as("__s"))
+      .select(col("domain"), col("n_tokens"),
+        round(col("__s").cast("double") / lit(1000000.0) /
+          col("n_tokens").cast("double"), 4).as("kl"))
+  }
+
   def domainMixRates(docs: DataFrame, domainCol: String,
       weightCol: String): DataFrame = {
     val per = docs.groupBy(col(domainCol))

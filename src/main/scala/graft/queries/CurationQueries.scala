@@ -255,7 +255,12 @@ object CurationQueries extends QuerySet {
       docs.join(broadcast(rates), "source")
         .filter(Curation.sampleBucket(col("doc_id"), "mix") < col("rate_bp"))
         .select(col("doc_id"), col("source"), col("rate_bp"))
-    })
+    }),
+
+    // per-domain unigram KL from the corpus blend — the mix diagnostic
+    // feeding reweighting decisions; micro-nat quantized, integer sums
+    "q_domain_kl" -> ((s, d) =>
+      Curation.domainKlDivergence(Tables.documents(s, d), "source", "text"))
   )
 
   // ---- DuckDB replays ----
@@ -849,6 +854,31 @@ object CurationQueries extends QuerySet {
          |)
          |SELECT d.doc_id, d.source, CAST(r.rate_bp AS BIGINT) AS rate_bp
          |FROM documents d JOIN rates r USING (source)
-         |WHERE ${bucket("mix", "d.doc_id")} < r.rate_bp""".stripMargin
+         |WHERE ${bucket("mix", "d.doc_id")} < r.rate_bp""".stripMargin,
+
+    // same micro-nat quantization as the engine: lnq per (domain, token)
+    // rounds ln((c_dw·N)/(n_d·c_w))·1e6 to BIGINT, the domain sum is
+    // integer, only the final ratio rounds (4dp)
+    "q_domain_kl" ->
+      """WITH tok AS (
+        |  SELECT source AS domain,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), cdw AS (
+        |  SELECT domain, w, count(*) AS c_dw FROM tok GROUP BY 1, 2
+        |), cw AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w FROM cdw GROUP BY 1),
+        |nd AS (SELECT domain, CAST(sum(c_dw) AS BIGINT) AS n_d FROM cdw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_total FROM nd)
+        |SELECT c.domain, nd.n_d AS n_tokens,
+        |       round(CAST(sum(c.c_dw *
+        |         CAST(round(ln((CAST(c.c_dw AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+        |           / (CAST(nd.n_d AS DOUBLE) * CAST(cw.c_w AS DOUBLE))) * 1000000.0)
+        |           AS BIGINT)) AS BIGINT) / 1000000.0 / CAST(nd.n_d AS DOUBLE), 4)
+        |         AS kl
+        |FROM cdw c
+        |JOIN cw USING (w)
+        |JOIN nd ON nd.domain = c.domain
+        |CROSS JOIN tot t
+        |GROUP BY c.domain, nd.n_d""".stripMargin
   )
 }

@@ -291,6 +291,30 @@ class CurationSpec extends SparkSpec {
     assert(run(docs).nonEmpty)
   }
 
+  test("domainKlDivergence: zero for identical distributions, positive for skew") {
+    // two domains with IDENTICAL token distributions: every per-token log
+    // ratio is ln(1) = 0, so KL is exactly 0.0 for both
+    val same = Seq(
+      (1L, "a", "x y x"), (2L, "a", "y x y"),
+      (3L, "b", "x y x"), (4L, "b", "y x y")
+    ).toDF("doc_id", "dom", "text")
+    val klSame = Curation.domainKlDivergence(same, "dom", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(klSame.toSet == Set(("a", 6L, 0.0), ("b", 6L, 0.0)), klSame.toSeq)
+
+    // a domain holding an exclusive token diverges positively; the other
+    // is also nonzero (its distribution over {x} != the blend's {x, z})
+    val skew = Seq(
+      (1L, "a", "x x x"), (2L, "b", "x z z")
+    ).toDF("doc_id", "dom", "text")
+    val klSkew = Curation.domainKlDivergence(skew, "dom", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(klSkew("a") > 0.0 && klSkew("b") > 0.0, klSkew.toString)
+    // hand value for a: 3 tokens all "x"; P_a(x)=1, P_c(x)=4/6 ->
+    // KL = ln(6/4) = 0.4055 (4dp, micro-nat quantized)
+    assert(math.abs(klSkew("a") - 0.4055) < 1e-9, klSkew.toString)
+  }
+
   test("weightedSample: deterministic, weight-proportional, excludes w<=0") {
     val docs = (1L to 400L).map(i =>
       (i, if (i <= 20) 1000L else if (i <= 400) 1L else 1L))
