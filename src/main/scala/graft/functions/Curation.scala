@@ -386,10 +386,69 @@ object Curation {
         col("doc_id").between(lit(0L), lit(DocCap - 1)),
       col("doc_id") * lit(SegCap) + col("seg_idx"))
     .otherwise(raise_error(concat(
-      lit(s"segmentDedup: (doc_id, seg_idx) outside packing range " +
+      lit(s"occurrence packing: (doc_id, seg_idx) outside packing range " +
         s"[0, $DocCap) x [0, $SegCap): ("),
       col("doc_id").cast("string"), lit(", "),
       col("seg_idx").cast("string"), lit(")"))))
+
+  /** Exact substring deduplication with SPAN REMOVAL — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * move: every duplicated span of at least `k` tokens keeps its FIRST
+    * corpus occurrence (by (doc_id, position) order) and is cut from
+    * every later one. Complements [[segmentDedup]] (which only scores
+    * fixed segments) and [[Winnow]] (which only detects overlap pairs):
+    * this produces the deduplicated corpus itself.
+    *
+    * Semantics: a token position is removed iff it is covered by some
+    * k-token window whose 60-bit gram hash first occurs at an EARLIER
+    * packed (doc_id, position) — so within-doc repeats are cut too, and
+    * a duplicated run of length L ≥ k is removed in full from the later
+    * occurrence (all of its L − k + 1 windows are duplicates and their
+    * union covers the run). Output per input doc: `n_tokens`,
+    * `n_removed`, and `text_dedup` (retained tokens joined by a single
+    * space — the tokenization is the engine-pinned `\s+` split, so
+    * original whitespace is normalized, same as every token op here).
+    *
+    * Scale shape: the gram pass is the [[ShingleHash60]] in-row kernel
+    * (one byte scan per doc, no token strings) exploded to corpus-sized
+    * (hash, packed-position) rows — unavoidable for a GLOBAL
+    * first-occurrence decision, but the `min(pk)` aggregate is
+    * partial-aggregable (map-side combine) and the join back is
+    * hash-co-partitioned, so the shuffle carries 16-byte rows. The
+    * duplicated-start lists regroup per doc (sparse — only docs with
+    * removals shuffle anything) and the span-union removal is pure
+    * in-row array work. The in-row coverage test is O(tokens ×
+    * dup-starts) per doc — bounded by document length squared in the
+    * worst (fully-duplicated) case, never by corpus size.
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), posexplode(
+        ShingleHash60.column(col(textCol), k)).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("seg_idx"),
+        col("h"))
+      .select(col("doc_id"), col("seg_idx"), col("h"), segmentPk.as("pk"))
+    val first = grams.groupBy(col("h")).agg(min(col("pk")).as("min_pk"))
+    val dupStarts = grams.join(first, "h")
+      .filter(col("pk") =!= col("min_pk"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_idx"))).as("__dups"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__toks", split(trim(col("__text")), "\\s+"))
+      .withColumn("__dupz",
+        coalesce(col("__dups"), array().cast("array<long>")))
+      .withColumn("__kept", expr(
+        s"filter(sequence(1, size(__toks)), p -> NOT exists(__dupz, i -> p >= i AND p < i + $k))"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(expr("transform(__kept, p -> element_at(__toks, p))"),
+          " ").as("text_dedup"))
+  }
 
   def segmentDedup(docs: DataFrame, textCol: String,
       segTokens: Int = 10): DataFrame = {

@@ -16,6 +16,7 @@ object CurationQueries extends QuerySet {
   // doc_id % 50 == 0 stands in for the held-out benchmark set the corpus
   // must be decontaminated against
   private val EvalMod = 50
+  private val SubstrK = 8
 
   val queries: Map[String, QFn] = Map(
     // benchmark decontamination: training docs sharing >= 1 four-token
@@ -260,7 +261,16 @@ object CurationQueries extends QuerySet {
     // per-domain unigram KL from the corpus blend — the mix diagnostic
     // feeding reweighting decisions; micro-nat quantized, integer sums
     "q_domain_kl" -> ((s, d) =>
-      Curation.domainKlDivergence(Tables.documents(s, d), "source", "text"))
+      Curation.domainKlDivergence(Tables.documents(s, d), "source", "text")),
+
+    // Lee et al. 2022 exact substring dedup: duplicated >= 8-token spans
+    // cut from every occurrence after the first; the retained text rides
+    // as an md5 fingerprint so the output stays ndocs-bounded at any sf
+    "q_exact_substring_dedup" -> ((s, d) =>
+      Curation.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text",
+          k = SubstrK)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text_dedup")).as("retained_fp")))
   )
 
   // ---- DuckDB replays ----
@@ -879,6 +889,40 @@ object CurationQueries extends QuerySet {
         |JOIN cw USING (w)
         |JOIN nd ON nd.domain = c.domain
         |CROSS JOIN tot t
-        |GROUP BY c.domain, nd.n_d""".stripMargin
+        |GROUP BY c.domain, nd.n_d""".stripMargin,
+
+    // same 60-bit gram hash (md5 of space-joined tokens), same
+    // doc_id*2^20+pos occurrence packing, same keep-first + span-union
+    // removal; only the retained text's md5 crosses the compare
+    "q_exact_substring_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         |         CAST(('0x' || substr(md5(array_to_string(
+         |           toks[CAST(u.i AS INT):CAST(u.i AS INT) + $SubstrK - 1],
+         |           ' ')), 1, 15))::UBIGINT AS BIGINT) AS h,
+         |         doc_id * 1048576 + CAST(u.i AS BIGINT) AS pk
+         |  FROM tok, unnest(generate_series(1, len(toks) - $SubstrK + 1)) u(i)
+         |), fst AS (SELECT h, min(pk) AS min_pk FROM g GROUP BY h),
+         |dup AS (
+         |  SELECT g.doc_id, g.i FROM g JOIN fst USING (h)
+         |  WHERE g.pk <> fst.min_pk
+         |), pos AS (
+         |  SELECT t.doc_id, CAST(u.p AS BIGINT) AS p, toks[CAST(u.p AS INT)] AS w
+         |  FROM tok t, unnest(generate_series(1, len(toks))) u(p)
+         |), kept AS (
+         |  SELECT pos.doc_id, p, w FROM pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+         |                    WHERE d.doc_id = pos.doc_id
+         |                      AND pos.p >= d.i AND pos.p < d.i + $SubstrK)
+         |)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(t.toks) - count(k.p) AS BIGINT) AS n_removed,
+         |       md5(coalesce(string_agg(k.w, ' ' ORDER BY k.p), ''))
+         |         AS retained_fp
+         |FROM tok t LEFT JOIN kept k USING (doc_id)
+         |GROUP BY t.doc_id, len(t.toks)""".stripMargin
   )
 }

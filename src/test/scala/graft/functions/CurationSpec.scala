@@ -315,6 +315,37 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(klSkew("a") - 0.4055) < 1e-9, klSkew.toString)
   }
 
+  test("exactSubstringDedup: keep-first span removal, within-doc repeats, span union") {
+    // doc 1 owns the 4-token span "a b c d"; doc 2 repeats it verbatim
+    // inside other text; doc 3 repeats it TWICE (cross-doc + within-doc)
+    val docs = Seq(
+      (1L, "a b c d x y"),
+      (2L, "p q a b c d r"),
+      (3L, "a b c d m a b c d"),
+      (4L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = Curation.exactSubstringDedup(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // doc 1 is the first occurrence — untouched; doc 2 loses exactly the
+    // 4 duplicated tokens; doc 3 loses both copies (positions 1-4 and
+    // 6-9, the 'm' survives); doc 4 is shorter than k — untouched
+    assert(got(0) == ((1L, 6L, 0L, "a b c d x y")), got(0))
+    assert(got(1) == ((2L, 7L, 4L, "p q r")), got(1))
+    assert(got(2) == ((3L, 9L, 8L, "m")), got(2))
+    assert(got(3) == ((4L, 3L, 0L, "u v w")), got(3))
+
+    // span-union law: a duplicated RUN longer than k is removed in full,
+    // because consecutive duplicate windows overlap-cover the whole run
+    val run = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6"),          // owns the 6-token run
+      (11L, "zz t1 t2 t3 t4 t5 t6 qq")     // repeats it -> loses all 6
+    ).toDF("doc_id", "text")
+    val r11 = Curation.exactSubstringDedup(run, "doc_id", "text", k = 4)
+      .filter($"doc_id" === 11L).collect().head
+    assert(r11.getLong(2) == 6L && r11.getString(3) == "zz qq", r11)
+  }
+
   test("weightedSample: deterministic, weight-proportional, excludes w<=0") {
     val docs = (1L to 400L).map(i =>
       (i, if (i <= 20) 1000L else if (i <= 400) 1L else 1L))
