@@ -311,4 +311,33 @@ class PlanQualitySpec extends SparkSpec {
       !planStr.substring(probePos, scanPos).contains("Exchange"),
       s"bloom probe must run in the scan stage (map-side):\n$planStr")
   }
+
+  test("exact substring dedup: first-occurrence min is partial-aggregable") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, (1 to 40).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val planStr = graft.functions.Curation
+      .exactSubstringDedup(docs, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized gram stream must combine map-side before the
+    // only corpus-wide shuffle (partial_min over the packed occurrence
+    // key), and nothing in the pipeline may degrade to a sort-based
+    // aggregate (the skew hazard at 100 TB: a hot gram hash sorting a
+    // whole partition)
+    assert(planStr.contains("partial_min"), planStr.take(1500))
+    assert(!planStr.contains("SortAggregate"), planStr.take(1500))
+  }
+
+  test("domain KL: one corpus token pass, reused for the marginals") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val df = graft.functions.Curation.domainKlDivergence(docs, "source", "text")
+    df.collect() // AQE finalizes reuse decisions at execution
+    val planStr = df.queryExecution.executedPlan.toString
+    // c_w / n_d / the total all derive from the (domain, token) count —
+    // the plan must reuse that aggregate's exchange, not re-explode the
+    // corpus once per marginal
+    assert(planStr.contains("ReusedExchange"), planStr.take(2000))
+  }
 }
