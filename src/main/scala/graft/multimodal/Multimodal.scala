@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real: schemas, batch-iterator processing
   * (`mapPartitions` over typed rows — the JVM analog of `mapInPandas` Arrow
   * batches: one partition = a stream of batched records, constant memory),
-  * partition-count preservation, and codegen'd metadata projections. The
-  * actual media codecs are STUBBED with deterministic byte-derived fakes —
-  * this container has no image/audio libraries — behind `MediaCodec`, the
-  * single seam a real build would swap for JNI/FFI codecs.
+  * partition-count preservation, and codegen'd metadata projections.
+  *
+  * Codecs: UNCOMPRESSED containers decode for REAL — [[MediaCodecs]]
+  * implements BMP (24bpp) and RIFF/WAVE (PCM16) parse/encode/resample from
+  * the public specs, and [[SniffCodec]] routes payloads by magic bytes.
+  * Compressed codecs (JPEG/MP3/H.264) remain STUBBED with deterministic
+  * byte-derived fakes — those decoders are native libraries this container
+  * doesn't have — behind `MediaCodec`, the single seam a real build would
+  * swap for JNI/FFI codecs.
   */
 object Multimodal {
 
@@ -121,6 +126,148 @@ object Multimodal {
             MediaFrame(id, idx, p.slice(off, math.min(off + frameBytes, p.length)))
           }
       }
+  }
+
+  /** Container-sniffing codec: REAL parse for uncompressed containers
+    * ([[MediaCodecs]] — BMP 24bpp, RIFF/WAVE PCM16), stub fallback for
+    * anything else (compressed codecs are native libraries; see the
+    * class doc). This is the production default — the stub is only ever
+    * reached for payloads whose formats need out-of-scope decoders.
+    */
+  object SniffCodec extends MediaCodec {
+    def decodeMeta(kind: String, payload: Array[Byte]): (Int, Int, Long, Int) =
+      MediaCodecs.sniff(payload) match {
+        case "bmp" =>
+          val b = MediaCodecs.decodeBmp(payload)
+          (b.width, b.height, 0L, 3)
+        case "wav" =>
+          val w = MediaCodecs.decodeWav(payload)
+          (0, 0, w.durationMs, w.channels)
+        case _ => StubCodec.decodeMeta(kind, payload)
+      }
+    def feature(payload: Array[Byte], dim: Int): Array[Float] =
+      StubCodec.feature(payload, dim)
+  }
+
+  final case class ImageStats(mediaId: Long, width: Int, height: Int,
+      nPx: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  final case class AudioStats(mediaId: Long, channels: Int, nSamples: Long,
+      sumAbs: Long, peakAbs: Long)
+
+  /** Decode every BMP payload and aggregate exact per-channel sums —
+    * real pixel decode in the executor, map-only, constant memory per
+    * row. Non-BMP rows are skipped (they belong to other stages).
+    */
+  def imageStats(media: DataFrame): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "bmp") Iterator.empty
+        else {
+          val b = MediaCodecs.decodeBmp(p)
+          var r = 0L; var g = 0L; var bl = 0L
+          var i = 0
+          while (i < b.pixels.length) {
+            val px = b.pixels(i)
+            r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; bl += px & 0xff
+            i += 1
+          }
+          Iterator.single(ImageStats(id, b.width, b.height,
+            b.pixels.length.toLong, r, g, bl))
+        }
+      })
+  }
+
+  /** Decode every WAV payload: exact |sample| sum and peak. */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "wav") Iterator.empty
+        else {
+          val w = MediaCodecs.decodeWav(p)
+          var sum = 0L; var peak = 0L
+          var i = 0
+          while (i < w.samples.length) {
+            val a = math.abs(w.samples(i).toLong)
+            sum += a; if (a > peak) peak = a
+            i += 1
+          }
+          Iterator.single(AudioStats(id, w.channels,
+            w.samples.length.toLong, sum, peak))
+        }
+      })
+  }
+
+  /** REAL image resize: decode BMP → nearest-neighbor resample to
+    * (w·num div den, h·num div den) (floored, min 1) → re-encode BMP.
+    * Non-BMP payloads pass through untouched (the byte-budget
+    * [[resize]] covers opaque formats).
+    */
+  def resizeImages(media: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= 1, s"scale must be positive: $num/$den")
+    val spark0 = media.sparkSession
+    import spark0.implicits._
+    val scaled = udf { (p: Array[Byte]) =>
+      if (MediaCodecs.sniff(p) != "bmp") p
+      else {
+        val b = MediaCodecs.decodeBmp(p)
+        val ow = math.max(1, b.width * num / den)
+        val oh = math.max(1, b.height * num / den)
+        val out = MediaCodecs.resizeBmpNearest(b, ow, oh)
+        MediaCodecs.encodeBmp(ow, oh, (x, y) => out(x, y))
+      }
+    }
+    media.withColumn("payload", scaled(col("payload")))
+  }
+
+  /** Deterministic REAL-container media table derived from the documents
+    * fixture: `doc_id % 3 == 0` → an actual 24bpp BMP whose pixel (x, y)
+    * is a closed-form function of (x, y, id); `% 3 == 1` → an actual
+    * RIFF PCM16 WAV with closed-form samples; `% 3 == 2` → the opaque
+    * text-bytes payload (the stub seam's territory). The closed forms
+    * are integer-exact, so an oracle can replay the CONTENT while the
+    * engine must earn it by parsing the real container bytes.
+    */
+  def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, tb) =>
+        (id % 3) match {
+          case 0 =>
+            val w = (8 + (id * 5) % 9).toInt
+            val h = (8 + (id * 3) % 9).toInt
+            val payload = MediaCodecs.encodeBmp(w, h, (x, y) => {
+              val r = ((x * 7 + y * 13 + id) % 256).toInt
+              val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+              val b = ((x + y + id * 9) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+            (id, "image", payload)
+          case 1 =>
+            val ch = (1 + id % 2).toInt
+            val frames = (64 + id % 64).toInt
+            val samples = new Array[Short](frames * ch)
+            var f = 0
+            while (f < frames) {
+              var c = 0
+              while (c < ch) {
+                samples(f * ch + c) =
+                  ((f * 2654435761L + c * 97L + id * 31L) % 65536L - 32768L).toShort
+                c += 1
+              }
+              f += 1
+            }
+            (id, "audio", MediaCodecs.encodeWav(ch, 8000, samples))
+          case _ => (id, "video", tb)
+        }
+      })
+      .toDF("media_id", "kind", "payload")
   }
 
   /** Derive a media table from the documents fixture (payload = UTF-8

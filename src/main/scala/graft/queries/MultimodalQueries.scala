@@ -4,12 +4,19 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal column plumbing over driver data (documents' text bytes as
-  * opaque payloads). The decode stage is a deterministic STUB
-  * ([[Multimodal.StubCodec]] — no media libs in this container), which is
-  * exactly what lets the DuckDB oracle replay it: metadata is pure byte
-  * arithmetic, so schema/partitioning/batch plumbing get full hash-match
-  * coverage.
+/** Multimodal column plumbing over driver data.
+  *
+  * Two tiers, both oracle-checked:
+  *  - `q_multimodal_*`: opaque payloads (documents' text bytes) through the
+  *    documented STUB codec — metadata is pure byte arithmetic, so the
+  *    schema/partitioning/batch plumbing gets full hash-match coverage.
+  *  - `q_media_*`: REAL containers. [[Multimodal.syntheticMedia]] encodes
+  *    actual 24bpp BMPs and RIFF PCM16 WAVs whose CONTENT is a closed-form
+  *    function of the id; the engine must parse the real bytes
+  *    ([[graft.multimodal.MediaCodecs]]) to reproduce what the oracle
+  *    computes from the formulas — header fields, encoded byte sizes,
+  *    exact pixel-channel sums, PCM amplitude stats, and a decode →
+  *    nearest-neighbor resample → re-encode → re-decode round trip.
   */
 object MultimodalQueries extends QuerySet {
 
@@ -35,11 +42,51 @@ object MultimodalQueries extends QuerySet {
       Multimodal.resize(Multimodal.mediaFromDocuments(s, d), 128)
         .select(col("media_id"), length(col("payload")).cast("long")
           .as("bytes"))
-    })
+    }),
+
+    // REAL container decode: header fields + encoded byte size parsed
+    // from actual BMP/WAV bytes (video rows are the stub seam, covered
+    // by q_multimodal_meta — excluded here)
+    "q_media_decode" -> ((s, d) => {
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(s, d),
+          Multimodal.SniffCodec)
+        .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms",
+          "channels")
+        .filter(col("kind") =!= "video")
+    }),
+
+    // real pixel decode: exact per-channel sums over every decoded pixel
+    "q_media_image_stats" -> ((s, d) =>
+      Multimodal.imageStats(Multimodal.syntheticMedia(s, d))
+        .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
+          "sum_b")),
+
+    // real PCM decode: |sample| sum and peak over the interleaved stream
+    "q_media_audio_stats" -> ((s, d) =>
+      Multimodal.audioStats(Multimodal.syntheticMedia(s, d))
+        .toDF("media_id", "channels", "n_samples", "sum_abs", "peak_abs")),
+
+    // decode -> NN half-resample -> re-encode -> re-decode: the resized
+    // stats must equal NN sampling of the closed-form source
+    "q_media_resize" -> ((s, d) =>
+      Multimodal.imageStats(Multimodal.resizeImages(
+          Multimodal.syntheticMedia(s, d), 1, 2))
+        .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
+          "sum_b"))
   )
 
   private val kindSql =
     "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]"
+
+  // real-container generators (mirror Multimodal.syntheticMedia)
+  private val imgSql =
+    """SELECT doc_id AS media_id,
+      |       8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+  private val audSql =
+    """SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
+      |       64 + doc_id % 64 AS frames
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -80,6 +127,74 @@ object MultimodalQueries extends QuerySet {
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the engine reads these from parsed BMP/WAV headers; the oracle
+    // derives them from the generator formulas — incl. the exact encoded
+    // file sizes (54-byte BMP headers + 4-byte-aligned rows; 44-byte
+    // canonical WAV header + 2 bytes/sample)
+    "q_media_decode" ->
+      s"""WITH img AS ($imgSql), aud AS ($audSql)
+         |SELECT media_id, 'image' AS kind,
+         |       CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS bytes,
+         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       CAST(0 AS BIGINT) AS duration_ms, 3 AS channels
+         |FROM img
+         |UNION ALL
+         |SELECT media_id, 'audio', CAST(44 + frames * ch * 2 AS BIGINT),
+         |       0, 0, CAST(frames * 1000 // 8000 AS BIGINT),
+         |       CAST(ch AS INT)
+         |FROM aud""".stripMargin,
+
+    "q_media_image_stats" ->
+      s"""WITH img AS ($imgSql), px AS (
+         |  SELECT media_id, w, h, CAST(ux.x AS BIGINT) AS x,
+         |         CAST(uy.y AS BIGINT) AS y
+         |  FROM img,
+         |       unnest(generate_series(0, CAST(w AS INT) - 1)) ux(x),
+         |       unnest(generate_series(0, CAST(h AS INT) - 1)) uy(y)
+         |)
+         |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       CAST(count(*) AS BIGINT) AS n_px,
+         |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+         |       CAST(sum((x * 11 + y * 3 + media_id * 5) % 256) AS BIGINT) AS sum_g,
+         |       CAST(sum((x + y + media_id * 9) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    "q_media_audio_stats" ->
+      s"""WITH aud AS ($audSql), smp AS (
+         |  SELECT media_id, ch,
+         |         abs((CAST(uf.f AS BIGINT) * 2654435761 +
+         |              CAST(uc.c AS BIGINT) * 97 + media_id * 31) % 65536
+         |             - 32768) AS a
+         |  FROM aud,
+         |       unnest(generate_series(0, CAST(frames AS INT) - 1)) uf(f),
+         |       unnest(generate_series(0, CAST(ch AS INT) - 1)) uc(c)
+         |)
+         |SELECT media_id, CAST(ch AS INT) AS channels,
+         |       CAST(count(*) AS BIGINT) AS n_samples,
+         |       CAST(sum(a) AS BIGINT) AS sum_abs,
+         |       CAST(max(a) AS BIGINT) AS peak_abs
+         |FROM smp GROUP BY media_id, ch""".stripMargin,
+
+    // NN half-resample law: out(x, y) = src((x*w) div ow, (y*h) div oh);
+    // w, h >= 8 so ow = w div 2 >= 4 (no max(1, _) clamp fires)
+    "q_media_resize" ->
+      s"""WITH img AS ($imgSql), dims AS (
+         |  SELECT media_id, w, h, w // 2 AS ow, h // 2 AS oh FROM img
+         |), px AS (
+         |  SELECT media_id, ow, oh,
+         |         (CAST(ux.x AS BIGINT) * w) // ow AS sx,
+         |         (CAST(uy.y AS BIGINT) * h) // oh AS sy
+         |  FROM dims,
+         |       unnest(generate_series(0, CAST(ow AS INT) - 1)) ux(x),
+         |       unnest(generate_series(0, CAST(oh AS INT) - 1)) uy(y)
+         |)
+         |SELECT media_id, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+         |       CAST(count(*) AS BIGINT) AS n_px,
+         |       CAST(sum((sx * 7 + sy * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+         |       CAST(sum((sx * 11 + sy * 3 + media_id * 5) % 256) AS BIGINT) AS sum_g,
+         |       CAST(sum((sx + sy + media_id * 9) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY media_id, ow, oh""".stripMargin
   )
 }

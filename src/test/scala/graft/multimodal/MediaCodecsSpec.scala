@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.multimodal.MediaCodecs._
+
+/** Laws for the real uncompressed-container codecs: byte-exact
+  * round-trips (including the BMP row-padding widths), loud rejection of
+  * corrupt payloads, the nearest-neighbor sampling law, and the sniffing
+  * dispatch the Spark stages rely on.
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  private def pix(x: Int, y: Int): Int =
+    (((x * 7 + y * 13) % 256) << 16) | (((x * 11 + y * 3) % 256) << 8) |
+      ((x + y) % 256)
+
+  test("bmp round-trip is pixel-exact for every padding class of width") {
+    for (w <- Seq(1, 2, 3, 4, 5, 8, 13); h <- Seq(1, 3, 7)) {
+      val bytes = encodeBmp(w, h, pix)
+      // stride is 4-byte aligned: file size pins the padding arithmetic
+      assert(bytes.length == 54 + ((w * 3 + 3) / 4 * 4) * h, s"$w x $h")
+      val got = decodeBmp(bytes)
+      assert(got.width == w && got.height == h, s"$w x $h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(x, y) == pix(x, y), s"($x, $y) of $w x $h")
+    }
+  }
+
+  test("bmp decoder rejects corrupt payloads loudly") {
+    val ok = encodeBmp(5, 4, pix)
+    def err(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](decodeBmp(b)).getMessage
+    assert(err(ok.take(10)).contains("bytes"))
+    assert(err("XX".getBytes ++ ok.drop(2)).contains("magic"))
+    assert(err(ok.dropRight(3)).contains("outside")) // truncated pixel data
+    val badBpp = ok.clone(); badBpp(28) = 8 // bpp field
+    assert(err(badBpp).contains("bpp"))
+  }
+
+  test("wav round-trip preserves samples, channels, rate, duration math") {
+    for (ch <- Seq(1, 2); frames <- Seq(1, 64, 101)) {
+      val samples = Array.tabulate(frames * ch)(i => (i * 317 - 9000).toShort)
+      val w = decodeWav(encodeWav(ch, 8000, samples))
+      assert(w.channels == ch && w.sampleRate == 8000)
+      assert(w.samples.toSeq == samples.toSeq)
+      assert(w.nFrames == frames && w.durationMs == frames * 1000L / 8000)
+    }
+  }
+
+  test("wav decoder walks auxiliary chunks and rejects corrupt payloads") {
+    val base = encodeWav(2, 8000, Array.tabulate(8)(_.toShort))
+    // splice a LIST chunk (odd size — exercises word-alignment skip)
+    // between WAVE and fmt; the decoder must walk over it
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    val w = decodeWav(spliced)
+    assert(w.channels == 2 && w.samples.length == 8)
+    def err(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](decodeWav(b)).getMessage
+    assert(err(base.take(8)).contains("RIFF"))
+    assert(err(base.dropRight(4)).contains("overruns"))
+    val badFmt = base.clone(); badFmt(20) = 7 // audio format field
+    assert(err(badFmt).contains("format"))
+  }
+
+  test("nearest-neighbor resize samples src(x*sw div ow, y*sh div oh)") {
+    val src = decodeBmp(encodeBmp(9, 7, pix))
+    val out = resizeBmpNearest(src, 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(out(x, y) == src(x * 9 / 4, y * 7 / 3), s"($x, $y)")
+  }
+
+  test("sniff routes by magic; SniffCodec decodes real containers") {
+    val bmp = encodeBmp(6, 5, pix)
+    val wav = encodeWav(2, 8000, Array.tabulate(32)(_.toShort))
+    assert(sniff(bmp) == "bmp" && sniff(wav) == "wav")
+    assert(sniff("plain text".getBytes) == "unknown")
+    assert(Multimodal.SniffCodec.decodeMeta("image", bmp) == ((6, 5, 0L, 3)))
+    assert(Multimodal.SniffCodec.decodeMeta("audio", wav) == ((0, 0, 2L, 2)))
+    // unknown falls through to the documented stub
+    val p = "zz".getBytes
+    assert(Multimodal.SniffCodec.decodeMeta("image", p) ==
+      Multimodal.StubCodec.decodeMeta("image", p))
+  }
+
+  test("synthetic media pipeline: real decode matches the closed forms") {
+    val spark = SparkSpec.spark
+    val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    val img = Multimodal.imageStats(media).collect()
+      .map(s => s.mediaId -> s).toMap
+    assert(img.nonEmpty)
+    img.values.foreach { s =>
+      val id = s.mediaId
+      assert(id % 3 == 0 && s.width == (8 + (id * 5) % 9).toInt &&
+        s.height == (8 + (id * 3) % 9).toInt, s.toString)
+      // closed-form check of one channel sum
+      var r = 0L
+      for (y <- 0 until s.height; x <- 0 until s.width)
+        r += (x * 7 + y * 13 + id) % 256
+      assert(s.sumR == r, s.toString)
+    }
+    val aud = Multimodal.audioStats(media).collect()
+    assert(aud.nonEmpty)
+    aud.foreach { a =>
+      val id = a.mediaId
+      val ch = (1 + id % 2).toInt
+      val frames = (64 + id % 64).toInt
+      assert(id % 3 == 1 && a.channels == ch &&
+        a.nSamples == frames.toLong * ch, a.toString)
+    }
+    // real resize halves dims; re-decoded stats match NN sampling of src
+    val resized = Multimodal.imageStats(
+      Multimodal.resizeImages(media, 1, 2)).collect()
+    resized.foreach { s =>
+      val id = s.mediaId
+      val sw = (8 + (id * 5) % 9).toInt
+      val sh = (8 + (id * 3) % 9).toInt
+      assert(s.width == sw / 2 && s.height == sh / 2, s.toString)
+      var r = 0L
+      for (y <- 0 until s.height; x <- 0 until s.width) {
+        val sx = x * sw / s.width; val sy = y * sh / s.height
+        r += (sx * 7 + sy * 13 + id) % 256
+      }
+      assert(s.sumR == r, s.toString)
+    }
+  }
+}
