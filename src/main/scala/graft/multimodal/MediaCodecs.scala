@@ -210,13 +210,98 @@ object MediaCodecs {
     Wav(channels, sampleRate, samples)
   }
 
-  /** Container sniff by magic bytes: "bmp", "wav", or "unknown" (the
-    * stub seam's territory — compressed codecs).
+  /** Decoded uncompressed video (YUV4MPEG2, C444): one w·h byte plane
+    * per component per frame, frame-major Y,U,V order.
+    */
+  final case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Array[Array[Byte]]) {
+    def nFrames: Int = frames.length
+    def durationMs: Long = nFrames * 1000L * fpsDen / fpsNum
+  }
+
+  /** Encode YUV4MPEG2 (C444 chroma): `plane(f, p, i)` returns byte
+    * 0-255 for frame f, plane p (0 = Y, 1 = U, 2 = V), linear pixel i.
+    */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      nFrames: Int, plane: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"y4m dims must be >= 1: $width x $height")
+    require(fpsNum >= 1 && fpsDen >= 1, s"fps must be positive: $fpsNum:$fpsDen")
+    require(nFrames >= 0, s"nFrames must be >= 0, got $nFrames")
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C444\n"
+        .getBytes("US-ASCII")
+    val wh = width * height
+    val frameBytes = 6 + 3 * wh // "FRAME\n" + 3 full planes at C444
+    val out = ByteBuffer.allocate(header.length + nFrames * frameBytes)
+    out.put(header)
+    val frameMagic = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < nFrames) {
+      out.put(frameMagic)
+      var p = 0
+      while (p < 3) {
+        var i = 0
+        while (i < wh) { out.put((plane(f, p, i) & 0xff).toByte); i += 1 }
+        p += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  def decodeY4m(bytes: Array[Byte]): Y4m = {
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"malformed Y4M: $what")
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      if (pos >= bytes.length) fail("unterminated header line")
+      pos += 1
+      new String(bytes, start, pos - 1 - start, "US-ASCII")
+    }
+    val header = readLine()
+    val parts = header.split(" ")
+    if (parts.head != "YUV4MPEG2") fail("bad magic")
+    var w = -1; var h = -1; var num = -1; var den = -1; var chroma = "420"
+    parts.tail.foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toInt
+        case 'H' => h = p.drop(1).toInt
+        case 'F' => p.drop(1).split(":") match {
+          case Array(n, d) => num = n.toInt; den = d.toInt
+          case _ => fail(s"bad frame rate '$p'")
+        }
+        case 'C' => chroma = p.drop(1)
+        case _ => () // Ip / A / X params: legal, irrelevant here
+      }
+    }
+    if (w < 1 || h < 1) fail(s"dims $w x $h")
+    if (num < 1 || den < 1) fail(s"frame rate $num:$den")
+    if (chroma != "444") fail(s"chroma C$chroma (only C444 supported)")
+    val wh = w * h
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (pos < bytes.length) {
+      val line = readLine()
+      if (!(line == "FRAME" || line.startsWith("FRAME "))) fail(
+        s"expected FRAME marker at byte $pos, got '${line.take(16)}'")
+      if (pos + 3 * wh > bytes.length) fail(
+        s"frame ${frames.length} data overruns ${bytes.length}-byte payload")
+      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * wh)
+      pos += 3 * wh
+    }
+    Y4m(w, h, num, den, frames.toArray)
+  }
+
+  /** Container sniff by magic bytes: "bmp", "wav", "y4m", or "unknown"
+    * (the stub seam's territory — compressed codecs).
     */
   def sniff(payload: Array[Byte]): String =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
     else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
       payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
+    else if (payload.length >= 9 &&
+      new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
     else "unknown"
 }

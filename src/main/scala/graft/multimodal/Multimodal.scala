@@ -143,6 +143,9 @@ object Multimodal {
         case "wav" =>
           val w = MediaCodecs.decodeWav(payload)
           (0, 0, w.durationMs, w.channels)
+        case "y4m" =>
+          val v = MediaCodecs.decodeY4m(payload)
+          (v.width, v.height, v.durationMs, 3)
         case _ => StubCodec.decodeMeta(kind, payload)
       }
     def feature(payload: Array[Byte], dim: Int): Array[Float] =
@@ -202,6 +205,39 @@ object Multimodal {
       })
   }
 
+  final case class FrameStats(mediaId: Long, frameIdx: Int, sumY: Long,
+      sumU: Long, sumV: Long)
+
+  /** REAL video frame sampling: parse the Y4M container, keep every
+    * `stride`-th frame, exact per-plane byte sums — the flatMap-shaped
+    * stage over actual frame data. Non-Y4M rows are skipped.
+    */
+  def videoFrameStats(media: DataFrame, stride: Int): Dataset[FrameStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "y4m") Iterator.empty
+        else {
+          val v = MediaCodecs.decodeY4m(p)
+          val wh = v.width * v.height
+          Iterator.range(0, v.nFrames, stride).map { f =>
+            val fr = v.frames(f)
+            var y = 0L; var u = 0L; var vv = 0L
+            var i = 0
+            while (i < wh) {
+              y += fr(i) & 0xff
+              u += fr(wh + i) & 0xff
+              vv += fr(2 * wh + i) & 0xff
+              i += 1
+            }
+            FrameStats(id, f, y, u, vv)
+          }
+        }
+      })
+  }
+
   /** REAL image resize: decode BMP → nearest-neighbor resample to
     * (w·num div den, h·num div den) (floored, min 1) → re-encode BMP.
     * Non-BMP payloads pass through untouched (the byte-budget
@@ -227,10 +263,10 @@ object Multimodal {
   /** Deterministic REAL-container media table derived from the documents
     * fixture: `doc_id % 3 == 0` → an actual 24bpp BMP whose pixel (x, y)
     * is a closed-form function of (x, y, id); `% 3 == 1` → an actual
-    * RIFF PCM16 WAV with closed-form samples; `% 3 == 2` → the opaque
-    * text-bytes payload (the stub seam's territory). The closed forms
-    * are integer-exact, so an oracle can replay the CONTENT while the
-    * engine must earn it by parsing the real container bytes.
+    * RIFF PCM16 WAV with closed-form samples; `% 3 == 2` → an actual
+    * YUV4MPEG2 (C444) video with closed-form plane bytes. The closed
+    * forms are integer-exact, so an oracle can replay the CONTENT while
+    * the engine must earn it by parsing the real container bytes.
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -264,7 +300,13 @@ object Multimodal {
               f += 1
             }
             (id, "audio", MediaCodecs.encodeWav(ch, 8000, samples))
-          case _ => (id, "video", tb)
+          case _ =>
+            val w = (4 + id % 5).toInt
+            val h = (4 + (id * 7) % 5).toInt
+            val nf = (6 + id % 10).toInt
+            val payload = MediaCodecs.encodeY4m(w, h, 25, 1, nf,
+              (f, p, i) => ((p * 97L + i * 7L + f * 11L + id) % 256L).toInt)
+            (id, "video", payload)
         }
       })
       .toDF("media_id", "kind", "payload")

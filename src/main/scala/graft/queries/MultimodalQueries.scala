@@ -11,8 +11,9 @@ import graft.multimodal.Multimodal
   *    documented STUB codec — metadata is pure byte arithmetic, so the
   *    schema/partitioning/batch plumbing gets full hash-match coverage.
   *  - `q_media_*`: REAL containers. [[Multimodal.syntheticMedia]] encodes
-  *    actual 24bpp BMPs and RIFF PCM16 WAVs whose CONTENT is a closed-form
-  *    function of the id; the engine must parse the real bytes
+  *    actual 24bpp BMPs, RIFF PCM16 WAVs and YUV4MPEG2 (C444) videos whose
+  *    CONTENT is a closed-form function of the id; the engine must parse
+  *    the real bytes
   *    ([[graft.multimodal.MediaCodecs]]) to reproduce what the oracle
   *    computes from the formulas — header fields, encoded byte sizes,
   *    exact pixel-channel sums, PCM amplitude stats, and a decode →
@@ -45,15 +46,19 @@ object MultimodalQueries extends QuerySet {
     }),
 
     // REAL container decode: header fields + encoded byte size parsed
-    // from actual BMP/WAV bytes (video rows are the stub seam, covered
-    // by q_multimodal_meta — excluded here)
+    // from actual BMP/WAV/Y4M bytes
     "q_media_decode" -> ((s, d) => {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, d),
           Multimodal.SniffCodec)
         .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms",
           "channels")
-        .filter(col("kind") =!= "video")
     }),
+
+    // real frame sampling: parse the Y4M container, every 2nd frame,
+    // exact per-plane byte sums
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.videoFrameStats(Multimodal.syntheticMedia(s, d), stride = 2)
+        .toDF("media_id", "frame_idx", "sum_y", "sum_u", "sum_v")),
 
     // real pixel decode: exact per-channel sums over every decoded pixel
     "q_media_image_stats" -> ((s, d) =>
@@ -87,6 +92,10 @@ object MultimodalQueries extends QuerySet {
     """SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
       |       64 + doc_id % 64 AS frames
       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+  private val vidSql =
+    """SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+      |       4 + (doc_id * 7) % 5 AS h, 6 + doc_id % 10 AS nf
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -134,7 +143,7 @@ object MultimodalQueries extends QuerySet {
     // file sizes (54-byte BMP headers + 4-byte-aligned rows; 44-byte
     // canonical WAV header + 2 bytes/sample)
     "q_media_decode" ->
-      s"""WITH img AS ($imgSql), aud AS ($audSql)
+      s"""WITH img AS ($imgSql), aud AS ($audSql), vid AS ($vidSql)
          |SELECT media_id, 'image' AS kind,
          |       CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS bytes,
          |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -144,7 +153,31 @@ object MultimodalQueries extends QuerySet {
          |SELECT media_id, 'audio', CAST(44 + frames * ch * 2 AS BIGINT),
          |       0, 0, CAST(frames * 1000 // 8000 AS BIGINT),
          |       CAST(ch AS INT)
-         |FROM aud""".stripMargin,
+         |FROM aud
+         |UNION ALL
+         |SELECT media_id, 'video',
+         |       CAST(length('YUV4MPEG2 W' || w || ' H' || h ||
+         |              ' F25:1 Ip A1:1 C444') + 1
+         |            + nf * (6 + 3 * w * h) AS BIGINT),
+         |       CAST(w AS INT), CAST(h AS INT),
+         |       CAST(nf * 1000 // 25 AS BIGINT), 3
+         |FROM vid""".stripMargin,
+
+    // every 2nd frame; plane byte (p, i, f) = (p*97 + i*7 + f*11 + id) % 256
+    "q_media_frames" ->
+      s"""WITH vid AS ($vidSql), fr AS (
+         |  SELECT media_id, w, h, CAST(uf.f AS BIGINT) AS f
+         |  FROM vid, unnest(generate_series(0, CAST(nf AS INT) - 1)) uf(f)
+         |  WHERE uf.f % 2 = 0
+         |), px AS (
+         |  SELECT media_id, f, CAST(ui.i AS BIGINT) AS i
+         |  FROM fr, unnest(generate_series(0, CAST(w * h AS INT) - 1)) ui(i)
+         |)
+         |SELECT media_id, CAST(f AS INT) AS frame_idx,
+         |       CAST(sum((i * 7 + f * 11 + media_id) % 256) AS BIGINT) AS sum_y,
+         |       CAST(sum((97 + i * 7 + f * 11 + media_id) % 256) AS BIGINT) AS sum_u,
+         |       CAST(sum((194 + i * 7 + f * 11 + media_id) % 256) AS BIGINT) AS sum_v
+         |FROM px GROUP BY media_id, f""".stripMargin,
 
     "q_media_image_stats" ->
       s"""WITH img AS ($imgSql), px AS (

@@ -65,6 +65,35 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(err(badFmt).contains("format"))
   }
 
+  test("y4m round-trip preserves dims, fps, every plane byte") {
+    def plane(f: Int, p: Int, i: Int): Int = (f * 11 + p * 97 + i * 7) % 256
+    for (nf <- Seq(0, 1, 5)) {
+      val v = decodeY4m(encodeY4m(5, 3, 25, 1, nf, plane))
+      assert(v.width == 5 && v.height == 3 && v.fpsNum == 25 && v.fpsDen == 1)
+      assert(v.nFrames == nf && v.durationMs == nf * 40L)
+      for (f <- 0 until nf; p <- 0 until 3; i <- 0 until 15)
+        assert((v.frames(f)(p * 15 + i) & 0xff) == plane(f, p, i),
+          s"frame $f plane $p pixel $i")
+    }
+  }
+
+  test("y4m decoder tolerates FRAME params, rejects corrupt payloads") {
+    val base = encodeY4m(4, 4, 30, 1, 2, (f, p, i) => (f + p + i) % 256)
+    // splice params onto the first FRAME marker — spec-legal, must skip
+    val hdrEnd = base.indexOf('\n'.toByte) + 1
+    val withParams = base.take(hdrEnd) ++ "FRAME Xinterlace\n".getBytes ++
+      base.drop(hdrEnd + 6)
+    val v = decodeY4m(withParams)
+    assert(v.nFrames == 2 && v.fpsNum == 30)
+    def err(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](decodeY4m(b)).getMessage
+    assert(err("JUNKHEADER\n".getBytes).contains("magic"))
+    assert(err(base.dropRight(5)).contains("overruns"))
+    assert(err("YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n".getBytes)
+      .contains("C420"))
+    assert(err("YUV4MPEG2 W4 F25:1 C444\nFRAME\n".getBytes).contains("dims"))
+  }
+
   test("nearest-neighbor resize samples src(x*sw div ow, y*sh div oh)") {
     val src = decodeBmp(encodeBmp(9, 7, pix))
     val out = resizeBmpNearest(src, 4, 3)
@@ -75,8 +104,10 @@ class MediaCodecsSpec extends AnyFunSuite {
   test("sniff routes by magic; SniffCodec decodes real containers") {
     val bmp = encodeBmp(6, 5, pix)
     val wav = encodeWav(2, 8000, Array.tabulate(32)(_.toShort))
-    assert(sniff(bmp) == "bmp" && sniff(wav) == "wav")
+    val y4m = encodeY4m(4, 4, 25, 1, 2, (_, _, _) => 7)
+    assert(sniff(bmp) == "bmp" && sniff(wav) == "wav" && sniff(y4m) == "y4m")
     assert(sniff("plain text".getBytes) == "unknown")
+    assert(Multimodal.SniffCodec.decodeMeta("video", y4m) == ((4, 4, 80L, 3)))
     assert(Multimodal.SniffCodec.decodeMeta("image", bmp) == ((6, 5, 0L, 3)))
     assert(Multimodal.SniffCodec.decodeMeta("audio", wav) == ((0, 0, 2L, 2)))
     // unknown falls through to the documented stub
@@ -110,6 +141,18 @@ class MediaCodecsSpec extends AnyFunSuite {
       assert(id % 3 == 1 && a.channels == ch &&
         a.nSamples == frames.toLong * ch, a.toString)
     }
+    // real frame sampling over the Y4M tier: closed-form plane sums
+    val frames = Multimodal.videoFrameStats(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fs =>
+      val id = fs.mediaId
+      val wh = (4 + id % 5).toInt * (4 + (id * 7) % 5).toInt
+      assert(id % 3 == 2 && fs.frameIdx % 2 == 0, fs.toString)
+      var y = 0L
+      for (i <- 0 until wh) y += (i * 7 + fs.frameIdx * 11 + id) % 256
+      assert(fs.sumY == y, fs.toString)
+    }
+
     // real resize halves dims; re-decoded stats match NN sampling of src
     val resized = Multimodal.imageStats(
       Multimodal.resizeImages(media, 1, 2)).collect()
