@@ -328,6 +328,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!planStr.contains("SortAggregate"), planStr.take(1500))
   }
 
+  test("media decode stages are map-only: no exchange, no driver hop") {
+    val media = graft.multimodal.Multimodal
+      .syntheticMedia(spark, "/root/testdata/sf0.001")
+    // real container parse + stats happen inside the scan's partition:
+    // a shuffle here would mean the decode stage re-keyed corpus-sized
+    // binary payloads for no reason
+    Seq(
+      graft.multimodal.Multimodal.imageStats(media).queryExecution,
+      graft.multimodal.Multimodal.audioStats(media).queryExecution,
+      graft.multimodal.Multimodal.videoFrameStats(media, 2).queryExecution
+    ).foreach { qe =>
+      val planStr = qe.executedPlan.toString
+      assert(!planStr.contains("Exchange"), planStr.take(1200))
+    }
+  }
+
   test("domain KL: one corpus token pass, reused for the marginals") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))
