@@ -88,6 +88,72 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: for each
+    * eval doc with at least one n-token shingle, the fraction of its
+    * DISTINCT shingles absent from the reference — the continuous
+    * counterpart of [[decontaminate]]'s binary hit list, used to score
+    * how much genuinely new text a crawl increment adds (or, inverted,
+    * as a soft contamination signal). Output: (doc_id, n_grams, n_novel,
+    * novelty) with novelty = round(n_novel / n_grams, 6); the counts are
+    * exact integers, the ratio the established cross-engine-safe rounded
+    * form. Docs shorter than n tokens have no shingles and no row.
+    *
+    * Scale shape — the Bloom two-phase of [[decontaminateBloom]], with
+    * the asymmetry inverted to the novelty direction: a Bloom filter of
+    * the reference grams classifies every eval gram map-side.
+    * Bloom-NEGATIVE grams are PROVABLY novel (Bloom has no false
+    * negatives) and are counted without ever reaching a join;
+    * only the bloom-positive minority crosses the exchange into the
+    * exact semi-join that cancels false positives. The result is exactly
+    * the all-exact-join answer — spec-enforced — while the shuffle
+    * carries ~(seen + fpp·novel) grams instead of every gram.
+    */
+  def noveltyRate(evalDocs: DataFrame, refDocs: DataFrame, textCol: String,
+      n: Int, fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
+      .select(col("doc_id"), col("h").as("g"))
+    val refGrams = graft.core.CachePins.swap("curation.noveltyRate",
+      grams(refDocs).select(col("g")).distinct())
+    val nRef = math.max(refGrams.count(), 1L)
+    val bf = refGrams.stat.bloomFilter("g", nRef, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val evalGrams = grams(evalDocs)
+    val totals = evalGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    // only maybe-seen grams shuffle; the semi-join kills Bloom FPs
+    val seen = evalGrams
+      .filter(MightContain.column(bos.toByteArray, col("g")))
+      .join(refGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__seen"))
+    totals.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("__seen"), lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  /** All-exact-join reference implementation of [[noveltyRate]] — the
+    * spec's equivalence anchor (and the shape the DuckDB oracle mirrors).
+    */
+  def noveltyRateExact(evalDocs: DataFrame, refDocs: DataFrame,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
+      .select(col("doc_id"), col("h").as("g"))
+    val refGrams = grams(refDocs).select(col("g")).distinct()
+    val evalGrams = grams(evalDocs)
+    val totals = evalGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val seen = evalGrams.join(refGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__seen"))
+    totals.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("__seen"), lit(0L))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Gopher-style repetition statistics per document: token totals,
     * distinct counts, the hottest token/bigram, and the derived fractions
     * used as filter thresholds (duplicate-token fraction, top-bigram

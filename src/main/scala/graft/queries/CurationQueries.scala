@@ -16,6 +16,8 @@ object CurationQueries extends QuerySet {
   // doc_id % 50 == 0 stands in for the held-out benchmark set the corpus
   // must be decontaminated against
   private val EvalMod = 50
+  private val ReservoirN = 20
+  private val NoveltyRefN = 100
   private val SubstrK = 8
 
   val queries: Map[String, QFn] = Map(
@@ -270,7 +272,27 @@ object CurationQueries extends QuerySet {
       Curation.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text",
           k = SubstrK)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-          md5(col("text_dedup")).as("retained_fp")))
+          md5(col("text_dedup")).as("retained_fp"))),
+
+    // fixed-n per-stratum uniform sample (exactly 20 docs per language)
+    // via the bounded-buffer Aggregator — the map side reduces each
+    // partition to ≤ n candidates per key BEFORE the exchange (the
+    // window spelling would shuffle the whole corpus into 5 tasks)
+    "q_reservoir_sample" -> ((s, d) =>
+      graft.functions.Reservoir.sampleByKey(Tables.documents(s, d),
+        "lang", "doc_id", n = ReservoirN, salt = "res")),
+
+    // n-gram novelty of the crawl tail (doc_id >= 100) vs the reference
+    // head: Bloom-prefiltered exact membership — bloom-negative grams
+    // are provably novel and never shuffle; the exact semi-join cancels
+    // the false positives (spec-pinned equal to the all-exact answer)
+    "q_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.noveltyRate(
+        docs.filter(col("doc_id") >= NoveltyRefN),
+        docs.filter(col("doc_id") < NoveltyRefN),
+        "text", n = 4)
+    })
   )
 
   // ---- DuckDB replays ----
@@ -419,6 +441,28 @@ object CurationQueries extends QuerySet {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_reservoir_sample" ->
+      graft.functions.Reservoir.oracleSql("lang", "doc_id", ReservoirN, "res"),
+
+    // same shingle replay as q_decontaminate; membership via IN (exact),
+    // matching the engine's bloom-prefilter + exact-semi-join two-phase
+    "q_ngram_novelty" ->
+      s"""WITH sh AS (${shingleSql(4, distinct = true)}),
+         |ref AS (SELECT DISTINCT g FROM sh WHERE doc_id < $NoveltyRefN),
+         |ev AS (SELECT doc_id, g FROM sh WHERE doc_id >= $NoveltyRefN),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM ev GROUP BY 1
+         |), seen AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+         |  FROM ev WHERE g IN (SELECT g FROM ref) GROUP BY 1
+         |)
+         |SELECT t.doc_id, t.n_grams,
+         |       t.n_grams - COALESCE(s.ns, CAST(0 AS BIGINT)) AS n_novel,
+         |       round(CAST(t.n_grams - COALESCE(s.ns, CAST(0 AS BIGINT)) AS DOUBLE)
+         |             / CAST(t.n_grams AS DOUBLE), 6) AS novelty
+         |FROM tot t LEFT JOIN seen s ON s.doc_id = t.doc_id""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH sh AS (${shingleSql(4, distinct = true)}),
          |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % $EvalMod = 0)

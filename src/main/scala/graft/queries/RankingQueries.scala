@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Bm25, BudgetSelect, NGramLm}
+import graft.functions.{Bm25, BudgetSelect, NGramLm, Rrf, Similarity}
 import graft.sources.Tables
 
 /** Ranking + selection queries over `documents`: BM25 keyword search, the
@@ -19,6 +19,9 @@ object RankingQueries extends QuerySet {
   private val Terms = Seq("dup", "vector", "scan")
   private val K = 20
   private val BudgetPct = 40
+  // fusion: depth of each input list / of the fused output
+  private val FuseK = 50
+  private val FusedK = 20
 
   // same quality signal as q_quality_score (stopword ratio) — literally
   // the SAME definition ([[TextMetrics]]), not a formula kept in sync
@@ -53,7 +56,24 @@ object RankingQueries extends QuerySet {
     // window over the boundary score only
     "q_token_budget" -> ((s, d) =>
       BudgetSelect.select(qualityRanked(s, d), "doc_id", "score",
-        "n_tokens", BudgetPct))
+        "n_tokens", BudgetPct)),
+
+    // hybrid retrieval: BM25 keyword top-50 ⊕ cosine top-50 for query
+    // vector 0 (vec_id aligns with doc_id in the corpus), fused by
+    // integer reciprocal-rank — see [[graft.functions.Rrf]]. Both legs
+    // are the ALREADY-VERIFIED producers (q_bm25_topk / q_ann_topk
+    // machinery); the window re-rank runs over 50 rows, not the corpus
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val kw = Bm25.topK(Tables.documents(s, d), "doc_id", "text", Terms, FuseK)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rk"))
+      val vs = Similarity
+        .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") === 0, FuseK)
+        .select(col("neighbor_id").as("doc_id"), col("rk"))
+      Rrf.fuse(Seq("kw" -> kw, "vec" -> vs), "doc_id", FusedK)
+    })
   )
 
   private val tokCount = TextMetrics.tokCountSql
@@ -72,6 +92,27 @@ object RankingQueries extends QuerySet {
           |         CAST($tokCount AS BIGINT) AS w
           |  FROM documents
           |)""".stripMargin +
-        BudgetSelect.oracleSqlTail("doc_id", BudgetPct, "n_tokens"))
+        BudgetSelect.oracleSqlTail("doc_id", BudgetPct, "n_tokens")),
+
+    // both legs are the EXACT oracle bodies of q_bm25_topk and q_ann_topk
+    // (nested-CTE subqueries), so a fusion mismatch can only come from
+    // the fusion arithmetic itself
+    "q_rrf_fusion" ->
+      s"""WITH kw AS (${Bm25.oracleSql("doc_id", Terms, FuseK)}),
+         |kwr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rk
+         |  FROM kw
+         |), vs AS (${SimilarityQueries.bruteTopkSqlFor("b.vec_id = 0", FuseK)}),
+         |u AS (
+         |  SELECT COALESCE(kwr.doc_id, vs.neighbor_id) AS doc_id,
+         |         COALESCE(kwr.rk, CAST(0 AS BIGINT)) AS kw_rk,
+         |         COALESCE(CAST(vs.rk AS BIGINT), CAST(0 AS BIGINT)) AS vec_rk
+         |  FROM kwr FULL OUTER JOIN vs ON vs.neighbor_id = kwr.doc_id
+         |)
+         |SELECT doc_id, kw_rk, vec_rk, rrf_q FROM (
+         |  SELECT doc_id, kw_rk, vec_rk,
+         |         ${Rrf.scoreSql("kw_rk")} + ${Rrf.scoreSql("vec_rk")} AS rrf_q
+         |  FROM u ORDER BY rrf_q DESC, doc_id LIMIT $FusedK)""".stripMargin
   )
 }

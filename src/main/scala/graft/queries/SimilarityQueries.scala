@@ -265,21 +265,24 @@ object SimilarityQueries extends QuerySet {
        |           ORDER BY cos DESC, neighbor_id) AS rk
        |  FROM scored) WHERE rk <= 5""".stripMargin
 
-  /** Brute-force cosine top-5 for queries vec_id < 10 — ONE definition
+  /** Brute-force cosine top-k for the query predicate — ONE definition
     * shared by q_ann_topk / q_ivf_store_topk / q_ivf_topk (a rank-tiebreak
-    * fix applied to two of three copies would silently desync the third).
+    * fix applied to two of three copies would silently desync the third)
+    * and composed as the vector leg of q_rrf_fusion (RankingQueries).
     */
-  private lazy val bruteTopkSql =
+  private[queries] def bruteTopkSqlFor(qPred: String, k: Int): String =
     s"""WITH scored AS (
        |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
        |  FROM embeddings a CROSS JOIN embeddings b
-       |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  WHERE $qPred AND a.vec_id <> b.vec_id
        |)
        |SELECT q_id, rk, neighbor_id FROM (
        |  SELECT q_id, neighbor_id,
        |         row_number() OVER (PARTITION BY q_id
        |           ORDER BY cos DESC, neighbor_id) AS rk
-       |  FROM scored) WHERE rk <= 5""".stripMargin
+       |  FROM scored) WHERE rk <= $k""".stripMargin
+
+  private lazy val bruteTopkSql = bruteTopkSqlFor("b.vec_id < 10", 5)
 
   /** md5-hyperplane sign signatures as CTEs ending at `sigs(vec_id, sig)`
     * — the exact [[graft.functions.Similarity.lshCells]] replay, shared

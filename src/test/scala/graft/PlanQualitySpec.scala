@@ -344,6 +344,55 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("reservoir sample: bounded partial aggregation below the exchange") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"l${i % 5}"))
+      .toDF("doc_id", "lang")
+    val planStr = graft.functions.Reservoir
+      .sampleByKey(docs, "lang", "doc_id", 20, "res")
+      .queryExecution.executedPlan.toString
+    // the whole point vs the window spelling: each partition reduces to
+    // ≤ n candidates per key BEFORE the exchange (partial ObjectHashAgg
+    // of the bounded Agg), and no corpus-wide window/sort appears
+    assert(planStr.contains("ObjectHashAggregate"), planStr.take(1500))
+    assert(planStr.contains("partial_"), planStr.take(1500))
+    assert(!planStr.contains("Window"),
+      s"reservoir must not degrade to the corpus-shuffling window plan:\n" +
+        planStr.take(1500))
+  }
+
+  test("rrf fusion: fused top-k lowers to TakeOrdered over k-row legs") {
+    val kw = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("doc_id", "rk")
+    val vec = (30 to 79).map(i => (i.toLong, (i - 29).toLong)).toDF("doc_id", "rk")
+    val planStr = graft.functions.Rrf
+      .fuse(Seq("kw" -> kw, "vec" -> vec), "doc_id", 20)
+      .queryExecution.executedPlan.toString
+    // the final selection is TakeOrderedAndProject (per-partition top-k
+    // + driver merge of k rows), never a global Sort behind an Exchange
+    assert(planStr.contains("TakeOrderedAndProject"), planStr.take(1500))
+  }
+
+  test("ngram novelty: bloom probe drops definitely-novel grams in the " +
+      "scan stage") {
+    val dir = Files.createTempDirectory("graft-novel-").toString
+    (1 to 300).map(i =>
+      (i.toLong, (1 to 30).map(j => s"d${i % 40}w$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(dir + "/docs")
+    val docs = spark.read.parquet(dir + "/docs")
+    val planStr = graft.functions.Curation
+      .noveltyRate(docs.filter(col("doc_id") >= 40),
+        docs.filter(col("doc_id") < 40), "text", n = 4)
+      .queryExecution.executedPlan.toString
+    // the membership classification must be map-side: no Exchange
+    // between the might_contain Filter and the eval-side scan it guards
+    // — bloom-negative (provably novel) grams never shuffle
+    val probePos = planStr.indexOf("might_contain")
+    assert(probePos >= 0, planStr.take(1500))
+    val scanPos = planStr.indexOf("FileScan", probePos)
+    assert(scanPos > probePos &&
+      !planStr.substring(probePos, scanPos).contains("Exchange"),
+      s"novelty bloom probe must run in the scan stage:\n${planStr.take(2000)}")
+  }
+
   test("domain KL: one corpus token pass, reused for the marginals") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))

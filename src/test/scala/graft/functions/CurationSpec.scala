@@ -169,6 +169,33 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("UDF"), "bloom probe must not be a Scala UDF")
   }
 
+  test("noveltyRate: hand corpus fractions; bloom path equals exact") {
+    // ref doc: tokens a..f → 3-gram shingles {abc,bcd,cde,def}
+    val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // eval 10: b..g → {bcd,cde,def,efg}: 3 seen, 1 novel → 0.25
+    // eval 11: all fresh → 1.0; eval 12: a..d → {abc,bcd}: all seen → 0.0
+    val eval = Seq(
+      (10L, "b c d e f g"),
+      (11L, "p q r s t"),
+      (12L, "a b c d")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = asMap(Curation.noveltyRateExact(eval, ref, "text", n = 3))
+    assert(exact == Map(
+      10L -> (4L, 1L, 0.25),
+      11L -> (3L, 3L, 1.0),
+      12L -> (2L, 0L, 0.0)))
+    // a high-fpp filter forces false positives through the prefilter;
+    // the exact semi-join must cancel every one
+    val bloom = asMap(Curation.noveltyRate(eval, ref, "text", n = 3, fpp = 0.5))
+    assert(bloom == exact)
+    val plan = Curation.noveltyRate(eval, ref, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(!plan.contains("UDF"), "bloom probe must not be a Scala UDF")
+  }
+
   test("redactPii scrubs planted email/ip/phone and counts each") {
     val docs = Seq(
       (1L, "write me at bob.smith+x@sub.example.org today"),
