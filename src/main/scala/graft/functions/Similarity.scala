@@ -178,6 +178,61 @@ object Similarity {
     }.toDF("vec_id", "cell")
   }
 
+  /** LSH-cell-restricted ANN top-k: for each query, rank only the corpus
+    * vectors sharing its [[lshCells]] signature — the recall/cost dial an
+    * index-free 100 TB ANN turns (brute force scores every vector; this
+    * scores one cell). One shuffle keyed by the cell signature (the same
+    * key [[lshBucketPairs]] uses), cosine scored stream-side against the
+    * materialized per-cell query set.
+    */
+  def lshCellTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nPlanes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = planesFor(emb, nPlanes)
+    val pb = spark.sparkContext.broadcast(planes)
+    val corpus = toVecs(emb).map(v => (signatureOf(pb.value, v.v), v))
+    val queries = toVecs(emb.filter(queryPred))
+      .map(v => (signatureOf(pb.value, v.v), v))
+    val scored = corpus.groupByKey(_._1)
+      .cogroup(queries.groupByKey(_._1)) { (_, cs, qs) =>
+        // queries per cell are few (the predicate bounds them) and
+        // materialize; the cell's corpus side streams
+        val qarr = qs.map(_._2).toArray
+        if (qarr.isEmpty) Iterator.empty
+        else cs.flatMap { case (_, c) =>
+          qarr.iterator.filter(_.id != c.id).map { q =>
+            (q.id, c.id, cosine(dot(q.v, c.v), q.norm, c.norm))
+          }
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor_id"))
+  }
+
+  /** Recall@k of [[lshCellTopK]] against the exact [[bruteForceTopK]]
+    * ground truth — the evaluation loop every ANN deployment runs before
+    * trading recall for cost. Output per query: (q_id, hits, recall_bp)
+    * with recall_bp = hits·10000 div k (exact integers end to end).
+    * Queries whose cell captured NO true neighbor still appear (hits 0).
+    */
+  def lshRecall(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nPlanes: Int): DataFrame = {
+    val truth = bruteForceTopK(emb, queryPred, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lshCellTopK(emb, queryPred, k, nPlanes)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("__hits"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(__hits, 0L) * 10000L div ${k}L").as("recall_bp"))
+  }
+
   /** Hyperplanes sized to the CORPUS's dimension (hardcoding 64 indexed
     * past the plane rows on wider embeddings and silently truncated
     * narrower ones), capped at 60 planes so the signature fits a Long

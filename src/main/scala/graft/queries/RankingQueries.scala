@@ -73,7 +73,14 @@ object RankingQueries extends QuerySet {
         .bruteForceTopK(Tables.embeddings(s, d), col("vec_id") === 0, FuseK)
         .select(col("neighbor_id").as("doc_id"), col("rk"))
       Rrf.fuse(Seq("kw" -> kw, "vec" -> vs), "doc_id", FusedK)
-    })
+    }),
+
+    // inverted-index postings for the query vocabulary: (term, doc_id,
+    // tf, first_pos) — in-row positional explode, literal in-set filter
+    // in the scan stage, partial-aggregable count/min (plan-gated)
+    "q_inverted_index" -> ((s, d) =>
+      graft.functions.Postings.forTerms(Tables.documents(s, d), "doc_id",
+        "text", Terms))
   )
 
   private val tokCount = TextMetrics.tokCountSql
@@ -113,6 +120,9 @@ object RankingQueries extends QuerySet {
          |SELECT doc_id, kw_rk, vec_rk, rrf_q FROM (
          |  SELECT doc_id, kw_rk, vec_rk,
          |         ${Rrf.scoreSql("kw_rk")} + ${Rrf.scoreSql("vec_rk")} AS rrf_q
-         |  FROM u ORDER BY rrf_q DESC, doc_id LIMIT $FusedK)""".stripMargin
+         |  FROM u ORDER BY rrf_q DESC, doc_id LIMIT $FusedK)""".stripMargin,
+
+    "q_inverted_index" ->
+      graft.functions.Postings.oracleSql("doc_id", Terms)
   )
 }

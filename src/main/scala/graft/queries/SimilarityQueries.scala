@@ -203,7 +203,19 @@ object SimilarityQueries extends QuerySet {
     // aggregation (see Pca.quantProbe)
     "q_embed_quant" -> ((s, d) =>
       graft.functions.Pca.quantProbe(Tables.embeddings(s, d), "vec_id",
-        "embedding"))
+        "embedding")),
+
+    // symmetric per-vector int8 quantization (ANN memory compression):
+    // pure map, integer output boundary — see functions/EmbedQuant
+    "q_embed_int8" -> ((s, d) =>
+      graft.functions.EmbedQuant.quantizeRows(Tables.embeddings(s, d),
+        "vec_id", "embedding", maxId = 8)),
+
+    // recall@5 of the LSH-cell-restricted ANN vs the brute-force ground
+    // truth — the recall/cost evaluation loop; exact integers out
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.lshRecall(Tables.embeddings(s, d), col("vec_id") < 10,
+        k = 5, nPlanes = 4))
   )
 
   /** The exact-reconstruction corpus for the PQ queries: subspace j
@@ -327,6 +339,38 @@ object SimilarityQueries extends QuerySet {
     "q_embed_gram" -> graft.functions.Pca.gramOracleSql(),
 
     "q_embed_quant" -> graft.functions.Pca.quantProbeOracleSql(),
+
+    "q_embed_int8" -> graft.functions.EmbedQuant.oracleSql(maxId = 8),
+
+    // the approximate leg replays the lshCells signatures (planeSigsSql)
+    // and restricts candidates to signature-equal pairs; the truth leg is
+    // the shared brute top-k body; recall in exact integer basis points
+    "q_ann_recall" ->
+      s"""WITH $planeSigsSql,
+         |cand AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
+         |  FROM embeddings a
+         |  JOIN sigs sa ON sa.vec_id = a.vec_id
+         |  CROSS JOIN embeddings b
+         |  JOIN sigs sb ON sb.vec_id = b.vec_id
+         |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id AND sa.sig = sb.sig
+         |), appr AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM cand) WHERE rk <= 5
+         |), tru AS (${bruteTopkSqlFor("b.vec_id < 10", 5)}),
+         |hit AS (
+         |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM tru t JOIN appr a
+         |    ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY 1
+         |)
+         |SELECT q.q_id, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |       COALESCE(h.hits, CAST(0 AS BIGINT)) * 10000 // 5 AS recall_bp
+         |FROM (SELECT DISTINCT q_id FROM tru) q
+         |LEFT JOIN hit h ON h.q_id = q.q_id""".stripMargin,
 
     "q_ann_topk" -> bruteTopkSql,
     // identical answer to q_ann_topk by construction (full probe)

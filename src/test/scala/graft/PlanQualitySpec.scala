@@ -393,6 +393,30 @@ class PlanQualitySpec extends SparkSpec {
       s"novelty bloom probe must run in the scan stage:\n${planStr.take(2000)}")
   }
 
+  test("inverted-index postings: vocabulary filter in the scan stage, " +
+      "partial-aggregable tf/first_pos") {
+    val dir = Files.createTempDirectory("graft-post-").toString
+    (1 to 500).map(i => (i.toLong, s"dup w$i vector other$i"))
+      .toDF("doc_id", "text").write.parquet(dir + "/docs")
+    val docs = spark.read.parquet(dir + "/docs")
+    val planStr = graft.functions.Postings
+      .forTerms(docs, "doc_id", "text", Seq("dup", "vector", "scan"))
+      .queryExecution.executedPlan.toString
+    // the in-set vocabulary filter must run between the positional
+    // explode and the exchange (map-side): only requested-term postings
+    // shuffle, never the corpus token stream
+    val filterPos = planStr.indexOf(" IN (")
+    assert(filterPos >= 0, planStr.take(1500))
+    val scanPos = planStr.indexOf("FileScan", filterPos)
+    assert(scanPos > filterPos &&
+      !planStr.substring(filterPos, scanPos).contains("Exchange"),
+      s"vocab filter must run map-side:\n${planStr.take(2000)}")
+    // and both aggregates combine before the shuffle
+    assert(planStr.contains("partial_count") ||
+      planStr.contains("partial_min") || planStr.contains("partial"),
+      planStr.take(1500))
+  }
+
   test("domain KL: one corpus token pass, reused for the marginals") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))
