@@ -84,6 +84,143 @@ object NGramLm {
           col("n_bigrams").cast("double"), 4).as("avg_logp"))
   }
 
+  /** (idCol, w1, w2, w3) — one row per adjacent token triple. */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), toks(textCol).as("__ts"))
+      .where(size(col("__ts")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ts) - 2), " +
+          "i -> struct(element_at(__ts, i) AS w1, " +
+          "element_at(__ts, i + 1) AS w2, " +
+          "element_at(__ts, i + 2) AS w3))")).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+
+  /** Held-out trigram scoring with STUPID BACKOFF (Brants et al. 2007):
+    * score `eval` docs under counts trained on `train` —
+    *
+    *   p = c3(w1w2w3)/c2(w1w2)            if the trigram was seen,
+    *     = 0.5 · c2(w2w3)/c1(w2)          else if the bigram was seen,
+    *     = 0.25 · (c1(w3)+1)/(N+V)        else (add-one unigram floor).
+    *
+    * α = 0.5 (not the folk 0.4): halving is an EXACT exponent shift, so
+    * every branch is exactly ONE correctly rounded IEEE division — the
+    * [[Pca]] power-of-two discipline — and the micro-nat quantization
+    * before the per-doc sum keeps the aggregate pure int64. Output per
+    * eval doc: (idCol, n_trigrams, n_tri, n_bo2, n_bo1, avg_logp) — the
+    * backoff-level counts are the model-coverage diagnostic a corpus
+    * shift shows up in first.
+    *
+    * Plan shape: count tables are vocab-bounded partial aggregates; the
+    * eval trigram stream left-joins them (AQE broadcasts closed-domain
+    * models; an open-vocabulary web model shuffles, correctly); the
+    * (N, V) scalars broadcast as a 1-row cross join; the per-doc
+    * reduction is one partial-aggregable groupBy.
+    */
+  def backoffScore(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val c3 = trigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val c2 = bigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val uni = train.select(explode(toks(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c1"))
+    val nv = train.select(explode(toks(textCol)).as("w"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("w")).as("__vs"))
+
+    val scored = trigrams(eval, idCol, textCol)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("__c2").as("__c2b")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("__c1").as("__c1h")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("__c1").as("__c1w")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+    val p = when(col("__c3").isNotNull,
+        col("__c3").cast("double") / col("__c2").cast("double"))
+      .when(col("__c2b").isNotNull,
+        lit(0.5) * col("__c2b").cast("double") / col("__c1h").cast("double"))
+      .otherwise(lit(0.25) * (coalesce(col("__c1w"), lit(0L)) + lit(1L))
+        .cast("double") / (col("__n") + col("__vs")).cast("double"))
+    val level = when(col("__c3").isNotNull, 3)
+      .when(col("__c2b").isNotNull, 2).otherwise(1)
+    scored.select(col(idCol),
+        round(log(p) * lit(1000000.0)).cast("long").as("__m"),
+        level.as("__lvl"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("__lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("__lvl") === 2, 1L).otherwise(0L)).as("n_bo2"),
+        sum(when(col("__lvl") === 1, 1L).otherwise(0L)).as("n_bo1"),
+        sum(col("__m")).as("__sm"))
+      .select(col(idCol), col("n_trigrams"), col("n_tri"), col("n_bo2"),
+        col("n_bo1"),
+        round(col("__sm").cast("double") / lit(1000000.0) /
+          col("n_trigrams").cast("double"), 4).as("avg_logp"))
+  }
+
+  /** DuckDB replay of [[backoffScore]] with train = `$table` restricted
+    * by `trainPred`, eval by `evalPred` — branch structure, α constants
+    * and quantization identical op-for-op.
+    */
+  def backoffOracleSql(idCol: String, trainPred: String, evalPred: String,
+      table: String = "documents", textCol: String = "text"): String =
+    s"""WITH tokall AS MATERIALIZED (
+       |  SELECT $idCol, regexp_split_to_array(trim(lower($textCol)), '\\s+') AS ts
+       |  FROM $table
+       |), tg AS MATERIALIZED (
+       |  SELECT $idCol, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |  FROM tokall, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+       |  WHERE len(ts) >= 3
+       |), c3 AS (
+       |  SELECT w1, w2, w3, count(*) AS c3 FROM tg
+       |  WHERE $trainPred GROUP BY 1, 2, 3
+       |), bgt AS (
+       |  SELECT $idCol, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM tokall, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+       |  WHERE len(ts) >= 2
+       |), c2 AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM bgt WHERE $trainPred GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT w, count(*) AS c1
+       |  FROM (SELECT $idCol, unnest(ts) AS w FROM tokall)
+       |  WHERE $trainPred GROUP BY 1
+       |), nv AS (
+       |  SELECT count(*) AS n, count(DISTINCT w) AS vs
+       |  FROM (SELECT $idCol, unnest(ts) AS w FROM tokall)
+       |  WHERE $trainPred
+       |), sc AS (
+       |  SELECT e.$idCol,
+       |    CASE WHEN c3.c3 IS NOT NULL THEN 3
+       |         WHEN cb.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+       |    CAST(round(ln(
+       |      CASE WHEN c3.c3 IS NOT NULL
+       |             THEN CAST(c3.c3 AS DOUBLE) / CAST(c2.c2 AS DOUBLE)
+       |           WHEN cb.c2 IS NOT NULL
+       |             THEN 0.5 * CAST(cb.c2 AS DOUBLE) / CAST(uh.c1 AS DOUBLE)
+       |           ELSE 0.25 * CAST(coalesce(uw.c1, 0) + 1 AS DOUBLE)
+       |                / CAST(nv.n + nv.vs AS DOUBLE) END) * 1000000.0)
+       |      AS BIGINT) AS m
+       |  FROM tg e
+       |  LEFT JOIN c3 ON c3.w1 = e.w1 AND c3.w2 = e.w2 AND c3.w3 = e.w3
+       |  LEFT JOIN c2 ON c2.w1 = e.w1 AND c2.w2 = e.w2
+       |  LEFT JOIN c2 cb ON cb.w1 = e.w2 AND cb.w2 = e.w3
+       |  LEFT JOIN uni uh ON uh.w = e.w2
+       |  LEFT JOIN uni uw ON uw.w = e.w3
+       |  CROSS JOIN nv
+       |  WHERE $evalPred
+       |)
+       |SELECT $idCol, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       |       CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+       |       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+       |       round(CAST(sum(m) AS DOUBLE) / 1000000.0
+       |             / CAST(count(*) AS DOUBLE), 4) AS avg_logp
+       |FROM sc GROUP BY 1""".stripMargin
+
   /** CCNet-style tertile bucketing of [[score]]: head = most-likely third
     * of documents, tail = least. Boundaries come from the exact histogram
     * quantile (smallest value whose cumulative count reaches ⌈p·N/100⌉ —

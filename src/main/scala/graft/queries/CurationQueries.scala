@@ -292,6 +292,24 @@ object CurationQueries extends QuerySet {
         docs.filter(col("doc_id") >= NoveltyRefN),
         docs.filter(col("doc_id") < NoveltyRefN),
         "text", n = 4)
+    }),
+
+    // per-source boilerplate strip: the corpus carries no boilerplate,
+    // so the query plants a deterministic 5-token banner on 90% of each
+    // source's docs (pure function of (source, doc_id) — both engines
+    // build the identical string); the operator must detect the
+    // dominant prefix per source and strip exactly it
+    "q_boilerplate_strip" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 10 =!= 0,
+          concat(lit("start "), col("source"),
+            lit("_promo official header notice "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.Boilerplate
+        .stripCommonPrefix(planted, "doc_id", "source", "text", k = 5)
+        .select(col("doc_id"), col("source"), col("stripped"),
+          col("n_tokens"), md5(col("text_stripped")).as("retained_fp"))
     })
   )
 
@@ -462,6 +480,45 @@ object CurationQueries extends QuerySet {
          |       round(CAST(t.n_grams - COALESCE(s.ns, CAST(0 AS BIGINT)) AS DOUBLE)
          |             / CAST(t.n_grams AS DOUBLE), 6) AS novelty
          |FROM tot t LEFT JOIN seen s ON s.doc_id = t.doc_id""".stripMargin,
+
+    // identical banner planting, detection threshold and tie-break as
+    // the engine; md5 fingerprints compare the stripped text exactly
+    "q_boilerplate_strip" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 10 <> 0
+         |           THEN 'start ' || source || '_promo official header notice ' || text
+         |           ELSE text END AS text
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |  FROM planted
+         |), pfx AS (
+         |  SELECT doc_id, source, ts,
+         |         CASE WHEN len(ts) >= 5
+         |           THEN array_to_string(ts[1:5], ' ') END AS p
+         |  FROM tok
+         |), cnt AS (
+         |  SELECT source, p, count(*) AS c
+         |  FROM pfx WHERE p IS NOT NULL GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT source, count(*) AS n FROM tok GROUP BY 1
+         |), boil AS (
+         |  SELECT source, p FROM (
+         |    SELECT c.source, c.p, c.c, t.n,
+         |           row_number() OVER (PARTITION BY c.source
+         |             ORDER BY c.c DESC, c.p) AS rk
+         |    FROM cnt c JOIN tot t USING (source))
+         |  WHERE rk = 1 AND c * 10000 >= n * 5000
+         |)
+         |SELECT f.doc_id, f.source,
+         |       COALESCE(f.p = b.p, FALSE) AS stripped,
+         |       CAST(CASE WHEN COALESCE(f.p = b.p, FALSE)
+         |         THEN len(f.ts) - 5 ELSE len(f.ts) END AS BIGINT) AS n_tokens,
+         |       md5(CASE WHEN COALESCE(f.p = b.p, FALSE)
+         |         THEN array_to_string(f.ts[6:], ' ')
+         |         ELSE array_to_string(f.ts, ' ') END) AS retained_fp
+         |FROM pfx f LEFT JOIN boil b ON b.source = f.source""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH sh AS (${shingleSql(4, distinct = true)}),

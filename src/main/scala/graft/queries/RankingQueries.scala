@@ -80,7 +80,19 @@ object RankingQueries extends QuerySet {
     // in the scan stage, partial-aggregable count/min (plan-gated)
     "q_inverted_index" -> ((s, d) =>
       graft.functions.Postings.forTerms(Tables.documents(s, d), "doc_id",
-        "text", Terms))
+        "text", Terms)),
+
+    // held-out trigram scoring with stupid backoff: model trained on the
+    // even half, odd half scored — unseen trigrams actually exercise the
+    // backoff chain (the level counts prove it); α = 0.5 keeps every
+    // branch one exact IEEE division
+    "q_lm_heldout" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NGramLm.backoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    })
   )
 
   private val tokCount = TextMetrics.tokCountSql
@@ -123,6 +135,9 @@ object RankingQueries extends QuerySet {
          |  FROM u ORDER BY rrf_q DESC, doc_id LIMIT $FusedK)""".stripMargin,
 
     "q_inverted_index" ->
-      graft.functions.Postings.oracleSql("doc_id", Terms)
+      graft.functions.Postings.oracleSql("doc_id", Terms),
+
+    "q_lm_heldout" ->
+      NGramLm.backoffOracleSql("doc_id", "doc_id % 2 = 0", "doc_id % 2 = 1")
   )
 }

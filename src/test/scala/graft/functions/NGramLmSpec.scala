@@ -87,4 +87,30 @@ class NGramLmSpec extends SparkSpec {
     val minHead = rows.filter(_._2 == "head").map(_._1).min
     assert(middle.forall(s => s > maxTail && s < minHead))
   }
+
+  test("backoffScore: hand-traced levels and micro-nat arithmetic") {
+    // train "a b c a b d": trigrams {abc,bca,cab,abd}, bigrams ab:2
+    // bc/ca/bd:1, unigrams a:2 b:2 c:1 d:1, N=6, V=4
+    val train = docs(1L -> "a b c a b d")
+    val eval = docs(11L -> "a b c x", 13L -> "x b c")
+    val out = NGramLm.backoffScore(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // doc 11: (a,b,c) seen → p = 1/2; (b,c,x) unseen trigram AND unseen
+    // bigram (c,x) → unigram floor p = 0.25·(0+1)/(6+4) = 0.025
+    //   m = round(ln(0.5)e6) + round(ln(0.025)e6) = -693147 + -3688879
+    assert(out(11L) == (2L, 1L, 0L, 1L, -2.191))
+    // doc 13: (x,b,c): trigram unseen, bigram (b,c) seen →
+    //   p = 0.5·1/c1(b)=2 → 0.25 → avg -1.3863
+    assert(out(13L) == (1L, 0L, 1L, 0L, -1.3863))
+  }
+
+  test("backoffScore on training text itself never backs off") {
+    val train = docs(1L -> "a b c d e f g")
+    val out = NGramLm.backoffScore(train, train, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((5L, 5L, 0L, 0L)))
+  }
 }
