@@ -310,6 +310,25 @@ object CurationQueries extends QuerySet {
         .stripCommonPrefix(planted, "doc_id", "source", "text", k = 5)
         .select(col("doc_id"), col("source"), col("stripped"),
           col("n_tokens"), md5(col("text_stripped")).as("retained_fp"))
+    }),
+
+    // URL canonicalization + canonical dedup: the corpus carries no
+    // URLs, so each doc plants one (pure function of doc_id) exercising
+    // every rule — uppercase scheme/host, default vs explicit port,
+    // tracking params, unsorted params, fragments; %3=0 and %3=1 docs
+    // with the same host/path must collide after the utm-strip + sort
+    "q_url_dedup" -> ((s, d) => {
+      val url = concat(lit("HTTP://WWW.Site"),
+        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 4 === 0, ":80")
+          .when(col("doc_id") % 4 === 1, ":8080").otherwise(""),
+        lit("/Path/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, "?utm_source=x&b=2&a=1")
+          .when(col("doc_id") % 3 === 1, "?a=1&b=2").otherwise(""),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+      graft.functions.UrlCanon.dedup(
+        Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
     })
   )
 
@@ -480,6 +499,28 @@ object CurationQueries extends QuerySet {
          |       round(CAST(t.n_grams - COALESCE(s.ns, CAST(0 AS BIGINT)) AS DOUBLE)
          |             / CAST(t.n_grams AS DOUBLE), 6) AS novelty
          |FROM tot t LEFT JOIN seen s ON s.doc_id = t.doc_id""".stripMargin,
+
+    // identical URL planting; canonical form replayed by the shared
+    // regex/sort rules (UrlCanon.canonSql)
+    "q_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+         |         || CASE WHEN doc_id % 4 = 0 THEN ':80'
+         |                 WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+         |         || '/Path/' || CAST(doc_id % 50 AS VARCHAR)
+         |         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+         |                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END
+         |         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ${graft.functions.UrlCanon.canonSql("url")} AS canon
+         |  FROM u
+         |), f AS (
+         |  SELECT canon, min(doc_id) AS dup_of FROM c GROUP BY 1
+         |)
+         |SELECT c.doc_id, c.canon, f.dup_of
+         |FROM c JOIN f USING (canon)""".stripMargin,
 
     // identical banner planting, detection threshold and tie-break as
     // the engine; md5 fingerprints compare the stripped text exactly
