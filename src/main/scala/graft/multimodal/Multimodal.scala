@@ -158,6 +158,54 @@ object Multimodal {
   final case class AudioStats(mediaId: Long, channels: Int, nSamples: Long,
       sumAbs: Long, peakAbs: Long)
 
+  final case class AHash(mediaId: Long, ahashHi: Long, ahashLo: Long)
+
+  /** 64-bit AVERAGE HASH per BMP — the classic perceptual-dedup
+    * primitive (near-identical images collide; a hamming band over the
+    * hash finds re-encodes/resizes the byte-exact dedup misses):
+    * nearest-neighbor downsample to 8×8 (source pixel (x·w div 8,
+    * y·h div 8)), integer luma (299r + 587g + 114b) div 1000, mean =
+    * Σluma div 64, bit (y·8 + x) set iff luma > mean. All integer
+    * arithmetic — engine-replayable bit-for-bit — and emitted as two
+    * unsigned 32-bit halves so no value touches the BIGINT sign (the
+    * lshCells "no sign games" discipline). Map-only: real container
+    * parse + hash inside the scan's partition.
+    */
+  def imageAHash(media: DataFrame): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "bmp") Iterator.empty
+        else {
+          val b = MediaCodecs.decodeBmp(p)
+          val luma = new Array[Long](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val sx = (i % 8) * b.width / 8
+            val sy = (i / 8) * b.height / 8
+            val px = b.pixels(sy * b.width + sx)
+            val l = (299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+              114L * (px & 0xff)) / 1000L
+            luma(i) = l; sum += l
+            i += 1
+          }
+          val mean = sum / 64L
+          var lo = 0L; var hi = 0L
+          i = 0
+          while (i < 64) {
+            if (luma(i) > mean) {
+              // bit index = y*8 + x = i (luma is laid out row-major)
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Iterator.single(AHash(id, hi, lo))
+        }
+      })
+  }
+
   /** Decode every BMP payload and aggregate exact per-channel sums —
     * real pixel decode in the executor, map-only, constant memory per
     * row. Non-BMP rows are skipped (they belong to other stages).

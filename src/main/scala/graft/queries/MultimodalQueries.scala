@@ -66,6 +66,13 @@ object MultimodalQueries extends QuerySet {
         .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
           "sum_b")),
 
+    // perceptual dedup primitive: 64-bit average hash per decoded BMP
+    // (8x8 NN downsample, integer luma, mean threshold) as two unsigned
+    // 32-bit halves — all integer, oracle replays the closed-form pixels
+    "q_media_ahash" -> ((s, d) =>
+      Multimodal.imageAHash(Multimodal.syntheticMedia(s, d))
+        .toDF("media_id", "ahash_hi", "ahash_lo")),
+
     // real PCM decode: |sample| sum and peak over the interleaved stream
     "q_media_audio_stats" -> ((s, d) =>
       Multimodal.audioStats(Multimodal.syntheticMedia(s, d))
@@ -193,6 +200,31 @@ object MultimodalQueries extends QuerySet {
          |       CAST(sum((x * 11 + y * 3 + media_id * 5) % 256) AS BIGINT) AS sum_g,
          |       CAST(sum((x + y + media_id * 9) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    "q_media_ahash" ->
+      s"""WITH img AS ($imgSql), cell AS (
+         |  SELECT media_id, CAST(u.i AS BIGINT) AS i,
+         |         ((CAST(u.i AS BIGINT) % 8) * w) // 8 AS sx,
+         |         ((CAST(u.i AS BIGINT) // 8) * h) // 8 AS sy
+         |  FROM img, unnest(generate_series(0, 63)) u(i)
+         |), lum AS (
+         |  SELECT media_id, i,
+         |         (299 * ((sx * 7 + sy * 13 + media_id) % 256)
+         |          + 587 * ((sx * 11 + sy * 3 + media_id * 5) % 256)
+         |          + 114 * ((sx + sy + media_id * 9) % 256)) // 1000 AS l
+         |  FROM cell
+         |), m AS (
+         |  SELECT media_id, sum(l) // 64 AS mean FROM lum GROUP BY 1
+         |)
+         |SELECT l.media_id,
+         |       CAST(sum(CASE WHEN l.l > m.mean AND l.i >= 32
+         |         THEN (CAST(1 AS BIGINT) << CAST(l.i - 32 AS INT))
+         |         ELSE 0 END) AS BIGINT) AS ahash_hi,
+         |       CAST(sum(CASE WHEN l.l > m.mean AND l.i < 32
+         |         THEN (CAST(1 AS BIGINT) << CAST(l.i AS INT))
+         |         ELSE 0 END) AS BIGINT) AS ahash_lo
+         |FROM lum l JOIN m USING (media_id)
+         |GROUP BY 1""".stripMargin,
 
     "q_media_audio_stats" ->
       s"""WITH aud AS ($audSql), smp AS (

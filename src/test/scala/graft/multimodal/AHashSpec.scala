@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Average-hash laws: hand-computed bits on a half/half image, the
+  * perceptual invariance that motivates the hash (NN-resized image
+  * hashes identically), and byte-different-but-visually-identical
+  * payloads colliding.
+  */
+class AHashSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def media(rows: (Long, Array[Byte])*) =
+    rows.toSeq.toDF("media_id", "payload")
+
+  // gray pixel: r=g=b=v → integer luma exactly v
+  private def gray(v: Int): Int = (v << 16) | (v << 8) | v
+
+  test("hand-computed bits: bright right half sets x>=4 columns") {
+    val bmp = MediaCodecs.encodeBmp(8, 8,
+      (x, _) => gray(if (x < 4) 10 else 200))
+    val out = Multimodal.imageAHash(media(1L -> bmp)).collect()
+    assert(out.length == 1)
+    // mean = (4·10 + 4·200)·8 / 64 = 105; bits set where luma 200 > 105:
+    // per row 0xF0, rows 0–3 in lo, 4–7 in hi
+    val expected = 0xF0F0F0F0L
+    assert(out(0).ahashLo == expected, s"lo=${out(0).ahashLo.toHexString}")
+    assert(out(0).ahashHi == expected, s"hi=${out(0).ahashHi.toHexString}")
+  }
+
+  test("flat image hashes to zero (nothing exceeds the mean)") {
+    val bmp = MediaCodecs.encodeBmp(8, 8, (_, _) => gray(77))
+    val out = Multimodal.imageAHash(media(1L -> bmp)).collect()(0)
+    assert(out.ahashHi == 0L && out.ahashLo == 0L)
+  }
+
+  test("NN-resized image hashes identically (perceptual invariance)") {
+    val bmp = MediaCodecs.encodeBmp(8, 8,
+      (x, y) => gray(((x * 31 + y * 17) % 200) + 20))
+    val base = Multimodal.imageAHash(media(5L -> bmp)).collect()(0)
+    val up = Multimodal.imageAHash(
+      Multimodal.resizeImages(media(5L -> bmp), num = 2, den = 1))
+      .collect()(0)
+    assert((up.ahashHi, up.ahashLo) == (base.ahashHi, base.ahashLo),
+      "2x NN upscale must not change the average hash")
+  }
+
+  test("halves stay in unsigned 32-bit range") {
+    val bmp = MediaCodecs.encodeBmp(9, 11,
+      (x, y) => gray((x * 23 + y * 29) % 256))
+    val out = Multimodal.imageAHash(media(2L -> bmp)).collect()(0)
+    assert(out.ahashHi >= 0L && out.ahashHi < (1L << 32))
+    assert(out.ahashLo >= 0L && out.ahashLo < (1L << 32))
+  }
+}
