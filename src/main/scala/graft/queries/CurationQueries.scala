@@ -329,6 +329,23 @@ object CurationQueries extends QuerySet {
       graft.functions.UrlCanon.dedup(
         Tables.documents(s, d).select(col("doc_id"), url.as("url")),
         "doc_id", "url")
+    }),
+
+    // HTML -> text extraction: each doc wrapped in a deterministic page
+    // shell (script + style with droppable CONTENT, entities incl. the
+    // encoded-tag and double-encoding traps); the operator must recover
+    // exactly the visible text
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><script type=\"x\">var hidden = "),
+        col("doc_id").cast("string"), lit(";</script>"),
+        lit("<style>p{color:red}</style><p>Header &amp; intro&nbsp;"),
+        col("doc_id").cast("string"), lit("</p><b>"), col("text"),
+        lit("</b><a href=\"http://x.com/?q=1\">&lt;link&gt;</a></html>"))
+      val clean = graft.functions.HtmlExtract.extract(col("html"))
+      Tables.documents(s, d).select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), length(clean).cast("long").as("n_chars"),
+          md5(clean).as("clean_fp"))
     })
   )
 
@@ -499,6 +516,23 @@ object CurationQueries extends QuerySet {
          |       round(CAST(t.n_grams - COALESCE(s.ns, CAST(0 AS BIGINT)) AS DOUBLE)
          |             / CAST(t.n_grams AS DOUBLE), 6) AS novelty
          |FROM tot t LEFT JOIN seen s ON s.doc_id = t.doc_id""".stripMargin,
+
+    // identical page-shell planting; extraction replayed by the shared
+    // pattern chain (HtmlExtract.extractSql)
+    "q_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         '<html><script type="x">var hidden = '
+         |         || CAST(doc_id AS VARCHAR) || ';</script>'
+         |         || '<style>p{color:red}</style><p>Header &amp; intro&nbsp;'
+         |         || CAST(doc_id AS VARCHAR) || '</p><b>' || text
+         |         || '</b><a href="http://x.com/?q=1">&lt;link&gt;</a></html>' AS html
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(length(${graft.functions.HtmlExtract.extractSql("html")}) AS BIGINT) AS n_chars,
+         |       md5(${graft.functions.HtmlExtract.extractSql("html")}) AS clean_fp
+         |FROM h""".stripMargin,
 
     // identical URL planting; canonical form replayed by the shared
     // regex/sort rules (UrlCanon.canonSql)
