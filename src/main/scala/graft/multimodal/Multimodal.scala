@@ -206,6 +206,31 @@ object Multimodal {
       })
   }
 
+  /** Perceptual duplicate pairs: images whose [[imageAHash]] collides
+    * exactly — stage 1 of image dedup (an NN re-render/resize of a page
+    * image hashes IDENTICALLY by the floor-nesting identity
+    * `(x·2w div 8) div 2 = x·w div 8`, so byte-different copies land in
+    * the same group; a hamming band over the halves is the stage-2
+    * extension, same discipline as simhashNearDups). One shuffle keyed
+    * by the 64-bit hash; within-group pair expansion is group-bounded
+    * (a production corpus caps groups via BucketedPairs — uncapped here
+    * for oracle exactness, the q_simhash precedent).
+    */
+  def perceptualDupPairs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    imageAHash(media)
+      .groupByKey(h => (h.ahashHi, h.ahashLo))
+      .flatMapGroups { (k: (Long, Long), it: Iterator[AHash]) =>
+        val ids = it.map(_.mediaId).toArray.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- (i + 1) until ids.length
+        } yield (ids(i), ids(j), k._1, k._2)
+      }
+      .toDF("a_id", "b_id", "ahash_hi", "ahash_lo")
+  }
+
   /** Decode every BMP payload and aggregate exact per-channel sums —
     * real pixel decode in the executor, map-only, constant memory per
     * row. Non-BMP rows are skipped (they belong to other stages).

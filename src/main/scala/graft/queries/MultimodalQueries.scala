@@ -73,6 +73,19 @@ object MultimodalQueries extends QuerySet {
       Multimodal.imageAHash(Multimodal.syntheticMedia(s, d))
         .toDF("media_id", "ahash_hi", "ahash_lo")),
 
+    // perceptual near-dup detection: every 30th image gains a 2x
+    // NN-resized byte-DIFFERENT copy (media_id + 100000); exact-hash
+    // grouping must pair each copy with its source (plus any organic
+    // collisions — the oracle replays both)
+    "q_media_near_dup" -> ((s, d) => {
+      val base = Multimodal.syntheticMedia(s, d)
+      val copies = Multimodal.resizeImages(
+        base.filter(col("kind") === "image" && col("media_id") % 30 === 0),
+        num = 2, den = 1)
+        .withColumn("media_id", col("media_id") + 100000L)
+      Multimodal.perceptualDupPairs(base.unionByName(copies))
+    }),
+
     // real PCM decode: |sample| sum and peak over the interleaved stream
     "q_media_audio_stats" -> ((s, d) =>
       Multimodal.audioStats(Multimodal.syntheticMedia(s, d))
@@ -95,6 +108,36 @@ object MultimodalQueries extends QuerySet {
     """SELECT doc_id AS media_id,
       |       8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+  /** The average-hash replay over `img(media_id, w, h)` — CTE chain
+    * ending at `hsrc(media_id, ahash_hi, ahash_lo)`, shared by
+    * q_media_ahash / q_media_near_dup.
+    */
+  private val ahashCtes =
+    """cell AS (
+      |  SELECT media_id, CAST(u.i AS BIGINT) AS i,
+      |         ((CAST(u.i AS BIGINT) % 8) * w) // 8 AS sx,
+      |         ((CAST(u.i AS BIGINT) // 8) * h) // 8 AS sy
+      |  FROM img, unnest(generate_series(0, 63)) u(i)
+      |), lum AS (
+      |  SELECT media_id, i,
+      |         (299 * ((sx * 7 + sy * 13 + media_id) % 256)
+      |          + 587 * ((sx * 11 + sy * 3 + media_id * 5) % 256)
+      |          + 114 * ((sx + sy + media_id * 9) % 256)) // 1000 AS l
+      |  FROM cell
+      |), m AS (
+      |  SELECT media_id, sum(l) // 64 AS mean FROM lum GROUP BY 1
+      |), hsrc AS (
+      |  SELECT l.media_id,
+      |         CAST(sum(CASE WHEN l.l > m.mean AND l.i >= 32
+      |           THEN (CAST(1 AS BIGINT) << CAST(l.i - 32 AS INT))
+      |           ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |         CAST(sum(CASE WHEN l.l > m.mean AND l.i < 32
+      |           THEN (CAST(1 AS BIGINT) << CAST(l.i AS INT))
+      |           ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM lum l JOIN m USING (media_id)
+      |  GROUP BY 1
+      |)""".stripMargin
+
   private val audSql =
     """SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
       |       64 + doc_id % 64 AS frames
@@ -202,29 +245,23 @@ object MultimodalQueries extends QuerySet {
          |FROM px GROUP BY media_id, w, h""".stripMargin,
 
     "q_media_ahash" ->
-      s"""WITH img AS ($imgSql), cell AS (
-         |  SELECT media_id, CAST(u.i AS BIGINT) AS i,
-         |         ((CAST(u.i AS BIGINT) % 8) * w) // 8 AS sx,
-         |         ((CAST(u.i AS BIGINT) // 8) * h) // 8 AS sy
-         |  FROM img, unnest(generate_series(0, 63)) u(i)
-         |), lum AS (
-         |  SELECT media_id, i,
-         |         (299 * ((sx * 7 + sy * 13 + media_id) % 256)
-         |          + 587 * ((sx * 11 + sy * 3 + media_id * 5) % 256)
-         |          + 114 * ((sx + sy + media_id * 9) % 256)) // 1000 AS l
-         |  FROM cell
-         |), m AS (
-         |  SELECT media_id, sum(l) // 64 AS mean FROM lum GROUP BY 1
+      s"""WITH img AS ($imgSql), $ahashCtes
+         |SELECT media_id, ahash_hi, ahash_lo FROM hsrc""".stripMargin,
+
+    // a 2x NN resize preserves the hash exactly ((x·2w div 8) div 2 =
+    // x·w div 8), so the copy rows reuse the SOURCE's hash formula
+    "q_media_near_dup" ->
+      s"""WITH img AS ($imgSql), $ahashCtes, hall AS (
+         |  SELECT media_id, ahash_hi, ahash_lo FROM hsrc
+         |  UNION ALL
+         |  SELECT media_id + 100000, ahash_hi, ahash_lo FROM hsrc
+         |  WHERE media_id % 30 = 0
          |)
-         |SELECT l.media_id,
-         |       CAST(sum(CASE WHEN l.l > m.mean AND l.i >= 32
-         |         THEN (CAST(1 AS BIGINT) << CAST(l.i - 32 AS INT))
-         |         ELSE 0 END) AS BIGINT) AS ahash_hi,
-         |       CAST(sum(CASE WHEN l.l > m.mean AND l.i < 32
-         |         THEN (CAST(1 AS BIGINT) << CAST(l.i AS INT))
-         |         ELSE 0 END) AS BIGINT) AS ahash_lo
-         |FROM lum l JOIN m USING (media_id)
-         |GROUP BY 1""".stripMargin,
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |       a.ahash_hi, a.ahash_lo
+         |FROM hall a JOIN hall b
+         |  ON a.ahash_hi = b.ahash_hi AND a.ahash_lo = b.ahash_lo
+         | AND a.media_id < b.media_id""".stripMargin,
 
     "q_media_audio_stats" ->
       s"""WITH aud AS ($audSql), smp AS (

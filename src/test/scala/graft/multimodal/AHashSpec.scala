@@ -45,6 +45,22 @@ class AHashSpec extends SparkSpec {
       "2x NN upscale must not change the average hash")
   }
 
+  test("perceptualDupPairs: resized copy pairs with its source; " +
+      "triple groups expand to all sorted pairs") {
+    val a = MediaCodecs.encodeBmp(8, 8, (x, y) => gray((x * 31 + y) % 250))
+    val aCopy = MediaCodecs.encodeBmp(16, 16,
+      (x, y) => gray(((x / 2) * 31 + (y / 2)) % 250)) // NN 2x of a
+    // row gradient: bright BOTTOM half → row-wise bit layout, distinct
+    // from the group's column-wise one (a column gradient would
+    // organically collide — same x>=4 pattern)
+    val other = MediaCodecs.encodeBmp(8, 8, (_, y) => gray(y * 30))
+    val out = Multimodal.perceptualDupPairs(
+      media(1L -> a, 7L -> aCopy, 3L -> a, 9L -> other))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1, 3, 7 share the hash → pairs (1,3) (1,7) (3,7); 9 is alone
+    assert(out == Set((1L, 3L), (1L, 7L), (3L, 7L)))
+  }
+
   test("halves stay in unsigned 32-bit range") {
     val bmp = MediaCodecs.encodeBmp(9, 11,
       (x, y) => gray((x * 23 + y * 29) % 256))
