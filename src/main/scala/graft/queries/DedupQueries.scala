@@ -157,6 +157,29 @@ object DedupQueries extends QuerySet {
       val sig = MinHashLsh.signature(Tables.documents(s, d), "text", 3, K)
       MinHashLsh.lshCandidatesWithDrops(sig, K, BAND_ROWS, maxBucket = 2)
         .droppedBuckets
+    }),
+
+    // the dedup-quality EVALUATION loop: recall/precision of the banded
+    // LSH candidate set against the exact-Jaccard ground truth (the
+    // number a band/row retune is judged by before it ships). Exact
+    // integer basis points; both legs are the already-verified producers
+    "q_dedup_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = graft.functions.Jaccard
+        .pairs(docs, "text", SHINGLE_N, 5, 10)
+        .select(col("a_id"), col("b_id"))
+      val sig = MinHashLsh.signature(docs, "text", SHINGLE_N, K)
+      val cand = MinHashLsh.lshCandidates(sig, K, BAND_ROWS)
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") === 0, 0L)
+            .otherwise(expr("n_hit * 10000L div n_truth")).as("recall_bp"),
+          when(col("n_cand") === 0, 0L)
+            .otherwise(expr("n_hit * 10000L div n_cand")).as("precision_bp"))
     })
   )
 
@@ -308,6 +331,36 @@ object DedupQueries extends QuerySet {
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    // both legs are the EXACT oracle bodies of q_jaccard_pairs and
+    // q_lsh_candidates; a mismatch can only be the recall arithmetic
+    "q_dedup_recall" -> {
+      val bands = bandsSql
+      s"""WITH tru AS (
+         |SELECT a_id, b_id FROM (
+         |${SimilarityQueries.oracles("q_jaccard_pairs")})
+         |), sig AS ($sigSql),
+         |banded AS (
+         |$bands
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |), n AS (
+         |  SELECT (SELECT count(*) FROM tru) AS n_truth,
+         |         (SELECT count(*) FROM cand) AS n_cand,
+         |         (SELECT count(*) FROM tru t JOIN cand c
+         |            ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_hit
+         |)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |       CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(n_hit * 10000 // n_truth AS BIGINT) END AS recall_bp,
+         |       CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(n_hit * 10000 // n_cand AS BIGINT) END AS precision_bp
+         |FROM n""".stripMargin
     },
 
     // streaming gate replay: with id-ordered arrival, a bucket's first

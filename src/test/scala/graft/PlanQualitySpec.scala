@@ -337,7 +337,8 @@ class PlanQualitySpec extends SparkSpec {
     Seq(
       graft.multimodal.Multimodal.imageStats(media).queryExecution,
       graft.multimodal.Multimodal.audioStats(media).queryExecution,
-      graft.multimodal.Multimodal.videoFrameStats(media, 2).queryExecution
+      graft.multimodal.Multimodal.videoFrameStats(media, 2).queryExecution,
+      graft.multimodal.Multimodal.imageAHash(media).queryExecution
     ).foreach { qe =>
       val planStr = qe.executedPlan.toString
       assert(!planStr.contains("Exchange"), planStr.take(1200))
