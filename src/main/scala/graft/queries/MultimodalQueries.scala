@@ -73,6 +73,24 @@ object MultimodalQueries extends QuerySet {
       Multimodal.imageAHash(Multimodal.syntheticMedia(s, d))
         .toDF("media_id", "ahash_hi", "ahash_lo")),
 
+    // multimodal training-example assembly: one manifest row per doc
+    // joining text metadata, the REAL-container media kind, and the
+    // embedding's int8 scale — three same-keyed tables, co-partitioned
+    // equi-joins (at 100 TB these bucket on the shared id; no broadcast
+    // side exists, which is the point of the co-location story)
+    "q_modal_manifest" -> ((s, d) => {
+      val docs = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val media = Multimodal.syntheticMedia(s, d)
+        .select(col("media_id").as("doc_id"), col("kind"))
+      val emb = graft.functions.EmbedQuant
+        .quantize(graft.sources.Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id").as("doc_id"), col("scale_micro"))
+      docs.join(media, "doc_id").join(emb, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("kind"),
+          col("scale_micro"))
+    }),
+
     // perceptual near-dup detection: every 30th image gains a 2x
     // NN-resized byte-DIFFERENT copy (media_id + 100000); exact-hash
     // grouping must pair each copy with its source (plus any organic
@@ -247,6 +265,15 @@ object MultimodalQueries extends QuerySet {
     "q_media_ahash" ->
       s"""WITH img AS ($imgSql), $ahashCtes
          |SELECT media_id, ahash_hi, ahash_lo FROM hsrc""".stripMargin,
+
+    "q_modal_manifest" ->
+      s"""SELECT d.doc_id, d.lang, d.n_chars,
+         |       CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |       CAST(floor(list_max(list_transform(e.embedding,
+         |              x -> abs(CAST(x AS DOUBLE)))) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS scale_micro
+         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin,
 
     // a 2x NN resize preserves the hash exactly ((x·2w div 8) div 2 =
     // x·w div 8), so the copy rows reuse the SOURCE's hash formula
