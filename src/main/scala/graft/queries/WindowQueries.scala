@@ -182,6 +182,25 @@ object WindowQueries extends QuerySet {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
     }),
 
+    // burst/anomaly detection over tumbling windows: flag the hourly
+    // windows where a user's count exceeds 2x their own per-active-window
+    // average — integer CROSS-MULTIPLY (n·n_windows > 2·total), no
+    // division, no floats. Two partial-agg passes + one user-keyed join;
+    // the ops-telemetry capability a monitoring pipeline runs on streams
+    "q_burst_windows" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val sizeUs = 3600L * 1000000L
+      val w = Tables.events(s, d)
+        .groupBy(col("user_id"), (us - pmod(us, lit(sizeUs))).as("w_start_us"))
+        .agg(count(lit(1)).as("n"))
+      val tot = w.groupBy(col("user_id"))
+        .agg(sum(col("n")).as("total_n"), count(lit(1)).as("n_windows"))
+      w.join(tot, "user_id")
+        .filter(col("n") * col("n_windows") > lit(2L) * col("total_n"))
+        .select(col("user_id"), col("w_start_us"), col("n"),
+          col("total_n"), col("n_windows"))
+    }),
+
     // timeSlidingWindow (SlidingWindows): 1h window, 30m slide — each
     // element expands to its size/slide covering windows via `sequence`
     // (epoch-aligned, session-zone-free; see q_window_tumbling)
@@ -312,6 +331,21 @@ object WindowQueries extends QuerySet {
         |epoch_us(ts) < (SELECT max(epoch_us(ts)) FROM events) - 3600000000
         |  AS is_late
         |FROM events""".stripMargin,
+
+    "q_burst_windows" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, CAST(sum(n) AS BIGINT) AS total_n,
+        |         CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM w GROUP BY 1
+        |)
+        |SELECT w.user_id, w.w_start_us, w.n, t.total_n, t.n_windows
+        |FROM w JOIN t USING (user_id)
+        |WHERE w.n * t.n_windows > 2 * t.total_n""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
