@@ -43,6 +43,37 @@ class UrlCanonSpec extends SparkSpec {
       "http://a.com/x"))
   }
 
+  test("canonicalization is idempotent over a structured URL space") {
+    // 384 seeded combinations of case, port, params (incl. utm and
+    // unsorted), fragments — canon(canon(u)) must equal canon(u), the
+    // law that makes re-processing already-clean crawl data safe
+    val rng = new scala.util.Random(42)
+    val urls = (1 to 384).map { i =>
+      val scheme = if (i % 2 == 0) "http" else "HTTPS"
+      val host = if (i % 3 == 0) s"WWW.Host$i.COM" else s"host$i.org"
+      val port = i % 4 match {
+        case 0 => ":80"
+        case 1 => ":443"
+        case 2 => s":${8000 + rng.nextInt(100)}"
+        case _ => ""
+      }
+      val path = if (i % 5 == 0) "" else s"/P${rng.nextInt(10)}/x"
+      val q = i % 6 match {
+        case 0 => "?utm_source=a&z=9&a=1"
+        case 1 => "?b=2&a=1"
+        case 2 => "?utm_campaign=c"
+        case _ => ""
+      }
+      val frag = if (i % 7 == 0) "#sec" else ""
+      (i.toLong, s"$scheme://$host$port$path$q$frag")
+    }
+    val df = urls.toDF("id", "url")
+      .select(UrlCanon.canonicalize(col("url")).as("c1"))
+      .select(col("c1"), UrlCanon.canonicalize(col("c1")).as("c2"))
+    assert(df.filter(col("c1") =!= col("c2")).count() == 0,
+      df.filter(col("c1") =!= col("c2")).take(3).mkString("; "))
+  }
+
   test("dedup assigns the smallest id per canonical form") {
     val df = Seq(
       (5L, "HTTP://A.com/x?b=2&a=1#f"),
