@@ -178,6 +178,40 @@ object TextQueries extends QuerySet {
       mins.select(col("lang") +: graft.functions.Kmv.estimate(col("mins"), K): _*)
     }),
 
+    // cross-corpus overlap at SKETCH cost — "how much of the new crawl
+    // (de) is already in the corpus (en)": KMV estimates of A, B and
+    // A∪B (sketches merge; no join ever touches the gram streams), then
+    // inclusion-exclusion for the intersection. The 100 TB diligence
+    // pass a dataset team runs before paying for a full dedup
+    "q_corpus_overlap" -> ((s, d) => {
+      val K = 64
+      val hs = graft.core.CachePins.swap("text.corpusOverlap",
+        Tables.documents(s, d)
+          .filter(col("lang").isin("en", "de"))
+          .withColumn("toks", tokens(col("text")))
+          .select(when(col("lang") === "en", "a").otherwise("b").as("side"),
+            explode(expr(
+              """case when size(toks) >= 3 then
+                |  transform(sequence(1, size(toks) - 2), i ->
+                |    concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                |              element_at(toks, i + 2)))
+                |else cast(array() as array<string>) end""".stripMargin)).as("g"))
+          .select(col("side"), graft.functions.MinHashLsh
+            .hash60(concat(lit("kmv:"), col("g"))).as("h")))
+      def est(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(graft.functions.Kmv.sketch(K)(col("h")).as("mins"))
+          .select(graft.functions.Kmv.estimate(col("mins"), K).last.as(as))
+      est(hs.filter(col("side") === "a"), "est_a")
+        .crossJoin(est(hs.filter(col("side") === "b"), "est_b"))
+        .crossJoin(est(hs, "est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+            .as("est_inter"))
+        .withColumn("overlap_bp",
+          when(col("est_b") === 0, 0L)
+            .otherwise(expr("est_inter * 10000L div est_b")))
+    }),
+
     // text normalization: whitespace collapse + trim + lowercase — the
     // canonical pre-dedup canonicalization pass; output the normalized
     // form's hash so near-identical whitespace variants collapse
@@ -504,6 +538,46 @@ object TextQueries extends QuerySet {
     // KMV replay: rank the distinct hashes per language, keep the k
     // smallest; kth = the rank-64 hash (null when under-full), estimate
     // identical IEEE arithmetic to the engine's
+    // same KMV replay as q_kmv_distinct, per side + over the union;
+    // inclusion-exclusion in exact integers
+    "q_corpus_overlap" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS side,
+        |    ('0x' || substr(md5('kmv:' || g), 1, 15))::UBIGINT AS h
+        |  FROM (SELECT lang,
+        |          t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS g
+        |        FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |                unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS i
+        |              FROM documents WHERE lang IN ('en', 'de')) t)
+        |), side_est AS (
+        |  SELECT side,
+        |    CAST(CASE WHEN max(n) < 64 THEN max(n)
+        |         ELSE floor(CAST(63 AS DOUBLE) * 1152921504606846976.0
+        |                    / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE))
+        |         END AS BIGINT) AS est
+        |  FROM (SELECT side, h,
+        |          row_number() OVER (PARTITION BY side ORDER BY h) AS rn,
+        |          count(*) OVER (PARTITION BY side) AS n
+        |        FROM tok)
+        |  GROUP BY side
+        |), u_est AS (
+        |  SELECT CAST(CASE WHEN max(n) < 64 THEN max(n)
+        |         ELSE floor(CAST(63 AS DOUBLE) * 1152921504606846976.0
+        |                    / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE))
+        |         END AS BIGINT) AS est
+        |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+        |          count(*) OVER () AS n
+        |        FROM (SELECT DISTINCT h FROM tok))
+        |)
+        |SELECT ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+        |       GREATEST(CAST(0 AS BIGINT), ea.est + eb.est - u.est) AS est_inter,
+        |       CASE WHEN eb.est = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(GREATEST(CAST(0 AS BIGINT),
+        |                   ea.est + eb.est - u.est) * 10000 // eb.est AS BIGINT)
+        |       END AS overlap_bp
+        |FROM (SELECT est FROM side_est WHERE side = 'a') ea,
+        |     (SELECT est FROM side_est WHERE side = 'b') eb, u_est u""".stripMargin,
+
     "q_kmv_distinct" ->
       """WITH tok AS (
         |  SELECT DISTINCT lang,
