@@ -317,19 +317,11 @@ object CurationQueries extends QuerySet {
     // every rule — uppercase scheme/host, default vs explicit port,
     // tracking params, unsorted params, fragments; %3=0 and %3=1 docs
     // with the same host/path must collide after the utm-strip + sort
-    "q_url_dedup" -> ((s, d) => {
-      val url = concat(lit("HTTP://WWW.Site"),
-        (col("doc_id") % 7).cast("string"), lit(".COM"),
-        when(col("doc_id") % 4 === 0, ":80")
-          .when(col("doc_id") % 4 === 1, ":8080").otherwise(""),
-        lit("/Path/"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 3 === 0, "?utm_source=x&b=2&a=1")
-          .when(col("doc_id") % 3 === 1, "?a=1&b=2").otherwise(""),
-        when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+    "q_url_dedup" -> ((s, d) =>
       graft.functions.UrlCanon.dedup(
-        Tables.documents(s, d).select(col("doc_id"), url.as("url")),
-        "doc_id", "url")
-    }),
+        Tables.documents(s, d).select(col("doc_id"),
+          CurationQueries.plantedUrl(col("doc_id")).as("url")),
+        "doc_id", "url")),
 
     // HTML -> text extraction: each doc wrapped in a deterministic page
     // shell (script + style with droppable CONTENT, entities incl. the
@@ -385,6 +377,29 @@ object CurationQueries extends QuerySet {
 
   private def hash60(salt: String, id: String) =
     s"('0x' || substr(md5('$salt:' || $id), 1, 15))::UBIGINT"
+
+  /** The planted per-doc URL fixture — ONE definition shared by
+    * q_url_dedup and the streaming q_url_dedup_stream (DedupQueries);
+    * the SQL twin lives in [[plantedUrlSql]].
+    */
+  private[queries] def plantedUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("HTTP://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+      when(id % 4 === 0, ":80").when(id % 4 === 1, ":8080").otherwise(""),
+      lit("/Path/"), (id % 50).cast("string"),
+      when(id % 3 === 0, "?utm_source=x&b=2&a=1")
+        .when(id % 3 === 1, "?a=1&b=2").otherwise(""),
+      when(id % 5 === 0, "#frag").otherwise(""))
+
+  /** DuckDB twin of [[plantedUrl]] over the SQL id expression. */
+  private[queries] def plantedUrlSql(id: String): String =
+    s"'HTTP://WWW.Site' || CAST($id % 7 AS VARCHAR) || '.COM'" +
+      s" || CASE WHEN $id % 4 = 0 THEN ':80'" +
+      s" WHEN $id % 4 = 1 THEN ':8080' ELSE '' END" +
+      s" || '/Path/' || CAST($id % 50 AS VARCHAR)" +
+      s" || CASE WHEN $id % 3 = 0 THEN '?utm_source=x&b=2&a=1'" +
+      s" WHEN $id % 3 = 1 THEN '?a=1&b=2' ELSE '' END" +
+      s" || CASE WHEN $id % 5 = 0 THEN '#frag' ELSE '' END"
 
   private val langRateSql =
     """CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
@@ -538,14 +553,7 @@ object CurationQueries extends QuerySet {
     // regex/sort rules (UrlCanon.canonSql)
     "q_url_dedup" ->
       s"""WITH u AS (
-         |  SELECT doc_id,
-         |         'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
-         |         || CASE WHEN doc_id % 4 = 0 THEN ':80'
-         |                 WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
-         |         || '/Path/' || CAST(doc_id % 50 AS VARCHAR)
-         |         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
-         |                 WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END
-         |         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+         |  SELECT doc_id, ${plantedUrlSql("doc_id")} AS url
          |  FROM documents
          |), c AS (
          |  SELECT doc_id, ${graft.functions.UrlCanon.canonSql("url")} AS canon

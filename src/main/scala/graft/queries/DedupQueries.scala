@@ -159,6 +159,29 @@ object DedupQueries extends QuerySet {
         .droppedBuckets
     }),
 
+    // streaming crawl-frontier dedup: each arriving page's CANONICAL URL
+    // (planted fixture, canonicalized map-side via UrlCanon, keyed by
+    // its 60-bit hash) claims-or-defers against the frontier seen so
+    // far — one stateful operator, one Long of state per distinct URL;
+    // id-ordered micro-batch replay makes the claimant the global min
+    "q_url_dedup_stream" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val le = Encoders.scalaLong
+      implicit val te = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      val fam = sharedDocLog(s, d)
+      val ids = fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
+        .map(e => e.seqId)
+      val keyed = ids.toDF("doc_id")
+        .select(col("doc_id"), MinHashLsh.hash60(concat(lit("url:"),
+          graft.functions.UrlCanon.canonicalize(
+            CurationQueries.plantedUrl(col("doc_id"))))).as("canon_h"))
+        .as[(Long, Long)]
+      StreamSupport.runToMemorySink(s,
+        graft.streaming.StreamingDedup.firstClaim(keyed)
+      )(q => q.processAllAvailable())
+        .select(col("doc_id"), col("key_h"), col("dup_of"))
+    }),
+
     // the dedup-quality EVALUATION loop: recall/precision of the banded
     // LSH candidate set against the exact-Jaccard ground truth (the
     // number a band/row retune is judged by before it ships). Exact
@@ -332,6 +355,28 @@ object DedupQueries extends QuerySet {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id""".stripMargin
     },
+
+    // id-ordered arrival ⇒ every canonical URL's claimant is the global
+    // min doc_id of its group; canon + planting replayed from the
+    // shared definitions (CurationQueries.plantedUrlSql, UrlCanon)
+    "q_url_dedup_stream" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, ${CurationQueries.plantedUrlSql("doc_id")} AS url
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ${graft.functions.UrlCanon.canonSql("url")} AS canon
+         |  FROM u
+         |), k AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('url:' || canon), 1, 15))::UBIGINT
+         |           AS BIGINT) AS key_h
+         |  FROM c
+         |), f AS (
+         |  SELECT key_h, min(doc_id) AS first FROM k GROUP BY 1
+         |)
+         |SELECT k.doc_id, k.key_h,
+         |       CASE WHEN k.doc_id = f.first THEN NULL ELSE f.first END AS dup_of
+         |FROM k JOIN f USING (key_h)""".stripMargin,
 
     // both legs are the EXACT oracle bodies of q_jaccard_pairs and
     // q_lsh_candidates; a mismatch can only be the recall arithmetic

@@ -109,6 +109,43 @@ object StreamingDedup {
       }
   }
 
+  /** One first-claim result: `dup_of` names the key's first document
+    * (None when this document IS the claimant).
+    */
+  final case class KeyClaim(doc_id: Long, key_h: Long, dup_of: Option[Long])
+
+  /** Generic EXACT first-claim gate over a 60-bit key — the streaming
+    * counterpart of "group by key, min(doc_id) wins", used as the
+    * crawl-frontier canonical-URL dedup (key = hash of the canonical
+    * form, computed map-side upstream via [[graft.functions.UrlCanon]]).
+    * ONE stateful operator, state = a single Long per distinct key —
+    * at 100 TB the state store shards keys across executors; bound a
+    * perpetual frontier by recency the same way [[bandHitsWithHorizon]]
+    * bounds band buckets.
+    */
+  def firstClaim(rows: Dataset[(Long, Long)]): Dataset[KeyClaim] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val ids = it.map(_._1).toSeq.sorted
+          var first = state.getOption
+          val out = ids.map { id =>
+            first match {
+              case None =>
+                first = Some(id)
+                KeyClaim(id, key, None)
+              case Some(f) =>
+                KeyClaim(id, key, if (f == id) None else Some(f))
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Banded row for the horizon gate (a named class, not a tuple: the
     * internally-attached watermark column rides alongside, and tuple
     * deserializers are positional — they reject extra columns — while

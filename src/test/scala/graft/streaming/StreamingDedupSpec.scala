@@ -54,6 +54,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstClaim: cross-batch claims by key, within-batch min wins") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (doc_id, key_h)
+    val q = StreamingDedup.firstClaim(in.toDS())
+      .writeStream.format("memory").queryName("url_gate")
+      .outputMode("update").start()
+    try {
+      // batch 1: key 100 arrives twice OUT OF ORDER — the smaller id
+      // must claim; key 200 is unique
+      in.addData((7L, 100L), (3L, 100L), (5L, 200L))
+      q.processAllAvailable()
+      def claims(): Map[Long, Option[Long]] = spark.table("url_gate")
+        .collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(2)).map(_.toString.toLong)).toMap
+      val c1 = claims()
+      assert(c1(3L).isEmpty, "smaller id claims the key")
+      assert(c1(7L) == Some(3L))
+      assert(c1(5L).isEmpty)
+      // batch 2: key 100 again (defers to stored claimant), key 300 fresh
+      in.addData((1L, 100L), (9L, 300L))
+      q.processAllAvailable()
+      val c2 = claims()
+      assert(c2(1L) == Some(3L),
+        "a later-batch smaller id still defers to the stored claimant")
+      assert(c2(9L).isEmpty)
+    } finally q.stop()
+  }
+
   test("horizon gate: an idle bucket is evicted and its next occupant claims it fresh") {
     import scala.concurrent.duration._
     implicit val sq = spark.sqlContext
