@@ -118,11 +118,18 @@ object Curation {
     val bf = refGrams.stat.bloomFilter("g", nRef, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val evalGrams = grams(evalDocs)
-    val totals = evalGrams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
+    // per-doc totals are computable IN-ROW (distinct shingle-hash array
+    // size): no eval gram shuffles for the denominator, and the eval
+    // corpus is not re-derived through a second explode+distinct
+    // exchange (review finding: the two eval subplans differ once the
+    // bloom filter pushes to the scan, so ReuseExchange cannot dedup
+    // them)
+    val totals = evalDocs.select(col("doc_id"),
+        size(array_distinct(ShingleHash60.column(col(textCol), n)))
+          .cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
     // only maybe-seen grams shuffle; the semi-join kills Bloom FPs
-    val seen = evalGrams
+    val seen = grams(evalDocs)
       .filter(MightContain.column(bos.toByteArray, col("g")))
       .join(refGrams, Seq("g"), "left_semi")
       .groupBy(col("doc_id"))

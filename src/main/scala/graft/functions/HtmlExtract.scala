@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
-  private val ScriptRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  // two SEPARATE per-element passes, each case-insensitive: a combined
+  // </(script|style)> alternation would let an embedded '</style>'
+  // terminate a <script> block and leak the rest of the script body,
+  // and HTML tag names are case-insensitive (an uppercase <SCRIPT>
+  // must drop its content too)
+  private val BlockRes = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>")
   private val TagRe = "<[^>]*>"
 
   /** The extracted plain text of an HTML column. */
   def extract(html: Column): Column = {
-    val noBlocks = regexp_replace(html, ScriptRe, " ")
+    val noBlocks = BlockRes.foldLeft(html)((c, re) => regexp_replace(c, re, " "))
     val noTags = regexp_replace(noBlocks, TagRe, " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -48,7 +55,8 @@ object HtmlExtract {
     * by default.
     */
   def extractSql(htmlExpr: String): String = {
-    val noBlocks = s"regexp_replace($htmlExpr, '$ScriptRe', ' ', 'g')"
+    val noBlocks = BlockRes.foldLeft(htmlExpr)((e, re) =>
+      s"regexp_replace($e, '$re', ' ', 'g')")
     val noTags = s"regexp_replace($noBlocks, '$TagRe', ' ', 'g')"
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

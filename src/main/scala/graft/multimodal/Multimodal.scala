@@ -222,7 +222,9 @@ object Multimodal {
     imageAHash(media)
       .groupByKey(h => (h.ahashHi, h.ahashLo))
       .flatMapGroups { (k: (Long, Long), it: Iterator[AHash]) =>
-        val ids = it.map(_.mediaId).toArray.sorted
+        // distinct: a duplicated input id must never surface as a
+        // degenerate (x, x) pair
+        val ids = it.map(_.mediaId).toArray.distinct.sorted
         for {
           i <- ids.indices.iterator
           j <- (i + 1) until ids.length

@@ -92,15 +92,17 @@ object MultimodalQueries extends QuerySet {
     }),
 
     // perceptual near-dup detection: every 30th image gains a 2x
-    // NN-resized byte-DIFFERENT copy (media_id + 100000); exact-hash
-    // grouping must pair each copy with its source (plus any organic
-    // collisions — the oracle replays both)
+    // NN-resized byte-DIFFERENT copy under the NEGATIVE mirror id
+    // -(media_id + 1) — real ids are >= 0, so the copy space cannot
+    // collide at ANY corpus vintage (an additive offset would, once the
+    // corpus outgrows it); exact-hash grouping must pair each copy with
+    // its source (plus any organic collisions — the oracle replays both)
     "q_media_near_dup" -> ((s, d) => {
       val base = Multimodal.syntheticMedia(s, d)
       val copies = Multimodal.resizeImages(
         base.filter(col("kind") === "image" && col("media_id") % 30 === 0),
         num = 2, den = 1)
-        .withColumn("media_id", col("media_id") + 100000L)
+        .withColumn("media_id", -col("media_id") - 1L)
       Multimodal.perceptualDupPairs(base.unionByName(copies))
     }),
 
@@ -277,11 +279,12 @@ object MultimodalQueries extends QuerySet {
 
     // a 2x NN resize preserves the hash exactly ((x·2w div 8) div 2 =
     // x·w div 8), so the copy rows reuse the SOURCE's hash formula
+    // under the negative mirror id
     "q_media_near_dup" ->
       s"""WITH img AS ($imgSql), $ahashCtes, hall AS (
          |  SELECT media_id, ahash_hi, ahash_lo FROM hsrc
          |  UNION ALL
-         |  SELECT media_id + 100000, ahash_hi, ahash_lo FROM hsrc
+         |  SELECT -media_id - 1, ahash_hi, ahash_lo FROM hsrc
          |  WHERE media_id % 30 = 0
          |)
          |SELECT a.media_id AS a_id, b.media_id AS b_id,

@@ -569,14 +569,24 @@ object TextQueries extends QuerySet {
         |          count(*) OVER () AS n
         |        FROM (SELECT DISTINCT h FROM tok))
         |)
-        |SELECT ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
-        |       GREATEST(CAST(0 AS BIGINT), ea.est + eb.est - u.est) AS est_inter,
-        |       CASE WHEN eb.est = 0 THEN CAST(0 AS BIGINT)
+        |SELECT s.est_a, s.est_b, u.est_union,
+        |       GREATEST(CAST(0 AS BIGINT), s.est_a + s.est_b - u.est_union)
+        |         AS est_inter,
+        |       CASE WHEN s.est_b = 0 THEN CAST(0 AS BIGINT)
         |            ELSE CAST(GREATEST(CAST(0 AS BIGINT),
-        |                   ea.est + eb.est - u.est) * 10000 // eb.est AS BIGINT)
+        |                   s.est_a + s.est_b - u.est_union) * 10000 // s.est_b
+        |              AS BIGINT)
         |       END AS overlap_bp
-        |FROM (SELECT est FROM side_est WHERE side = 'a') ea,
-        |     (SELECT est FROM side_est WHERE side = 'b') eb, u_est u""".stripMargin,
+        |-- conditional aggregates + coalesce, NOT per-side subqueries: an
+        |-- empty side must yield est 0 in ONE row (the engine's global
+        |-- aggregation always returns a row), never an empty result
+        |FROM (SELECT CAST(coalesce(max(CASE WHEN side = 'a' THEN est END), 0)
+        |               AS BIGINT) AS est_a,
+        |             CAST(coalesce(max(CASE WHEN side = 'b' THEN est END), 0)
+        |               AS BIGINT) AS est_b
+        |      FROM side_est) s,
+        |     (SELECT CAST(coalesce(est, 0) AS BIGINT) AS est_union
+        |      FROM u_est) u""".stripMargin,
 
     "q_kmv_distinct" ->
       """WITH tok AS (

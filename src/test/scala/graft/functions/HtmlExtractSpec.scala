@@ -22,6 +22,15 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<script src='x'>\nmulti\nline\n</script>ok") == "ok")
   }
 
+  test("uppercase/mixed-case script tags drop their content too") {
+    assert(extract("<SCRIPT>alert(1)</SCRIPT>hi") == "hi")
+    assert(extract("<Style>p{}</Style>ok") == "ok")
+  }
+
+  test("an embedded </style> cannot terminate a <script> block") {
+    assert(extract("<script>a();</style>b();</script>c") == "c")
+  }
+
   test("tags become word boundaries") {
     assert(extract("one<br>two<p class='x'>three</p>") == "one two three")
   }
