@@ -22,6 +22,10 @@ object RankingQueries extends QuerySet {
   // fusion: depth of each input list / of the fused output
   private val FuseK = 50
   private val FusedK = 20
+  // diversified re-rank: candidate depth, per-source cap, final k
+  private val DiverseCand = 100
+  private val DiversePerSrc = 2
+  private val DiverseK = 20
 
   // same quality signal as q_quality_score (stopword ratio) — literally
   // the SAME definition ([[TextMetrics]]), not a formula kept in sync
@@ -82,6 +86,26 @@ object RankingQueries extends QuerySet {
       graft.functions.Postings.forTerms(Tables.documents(s, d), "doc_id",
         "text", Terms)),
 
+    // diversified retrieval re-rank: BM25 top-100 candidates, at most 2
+    // results per source domain, global top-20 — the standard
+    // search-results diversification. Candidate generation is the
+    // TakeOrdered top-k; every window below it runs over <= 100 rows,
+    // never the corpus (the 100-row side broadcasts into the source join)
+    "q_bm25_diverse" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val cand = Bm25.topK(docs, "doc_id", "text", Terms, DiverseCand)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      cand.withColumn("sr", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("sr") <= DiversePerSrc)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= DiverseK)
+        .select(col("doc_id"), col("source"), col("score"), col("rk"))
+    }),
+
     // held-out trigram scoring with stupid backoff: model trained on the
     // even half, odd half scored — unseen trigrams actually exercise the
     // backoff chain (the level counts prove it); α = 0.5 keeps every
@@ -138,6 +162,25 @@ object RankingQueries extends QuerySet {
       graft.functions.Postings.oracleSql("doc_id", Terms),
 
     "q_lm_heldout" ->
-      NGramLm.backoffOracleSql("doc_id", "doc_id % 2 = 0", "doc_id % 2 = 1")
+      NGramLm.backoffOracleSql("doc_id", "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // candidate leg is the exact q_bm25_topk oracle body at depth 100
+    "q_bm25_diverse" ->
+      s"""WITH kw AS (${Bm25.oracleSql("doc_id", Terms, DiverseCand)}),
+         |j AS (
+         |  SELECT kw.doc_id, d.source, kw.score
+         |  FROM kw JOIN documents d USING (doc_id)
+         |), dv AS (
+         |  SELECT doc_id, source, score,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY score DESC, doc_id) AS sr
+         |  FROM j
+         |)
+         |SELECT doc_id, source, score, rk FROM (
+         |  SELECT doc_id, source, score,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |           AS BIGINT) AS rk
+         |  FROM dv WHERE sr <= $DiversePerSrc)
+         |WHERE rk <= $DiverseK""".stripMargin
   )
 }
