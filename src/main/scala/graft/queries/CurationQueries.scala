@@ -142,6 +142,18 @@ object CurationQueries extends QuerySet {
           .as("split"))
     }),
 
+    // LEAKAGE-SAFE split: hash the GROUP key (source domain), not the
+    // doc — every doc of a domain lands in the same split, so near-dup
+    // pages within a site can never straddle train/test (the eval-
+    // hygiene rule doc-level splitting silently violates). Same pure
+    // map-side bucketing as q_train_split, different hashed key
+    "q_group_split" -> ((s, d) => {
+      val b = Curation.sampleBucket(col("source"), "gsplit")
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+          .as("split"))
+    }),
+
     // segment-level exact dedup (CCNet-style paragraph dedup with fixed
     // 10-token segments standing in for paragraphs): repeated segments
     // keep only their first (doc_id, seg_idx) occurrence; per-doc
@@ -663,6 +675,13 @@ object CurationQueries extends QuerySet {
       s"""SELECT doc_id, lang,
          |  CASE WHEN ${bucket("split", "doc_id")} < 8000 THEN 'train'
          |       WHEN ${bucket("split", "doc_id")} < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "q_group_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN ${bucket("gsplit", "source")} < 8000 THEN 'train'
+         |       WHEN ${bucket("gsplit", "source")} < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
 
