@@ -106,6 +106,52 @@ object RankingQueries extends QuerySet {
         .select(col("doc_id"), col("source"), col("score"), col("rk"))
     }),
 
+    // classic TF-IDF weights for the query vocabulary: idf quantized to
+    // integer micro-nats from ONE ln, then tf·idf is pure int64 — the
+    // postings scan + a vocab-sized df table + a 1-row doc count, all
+    // broadcast back over the postings
+    "q_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val post = graft.functions.Postings
+        .forTerms(docs, "doc_id", "text", Terms)
+        .select(col("term"), col("doc_id"), col("tf"))
+      val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      post.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+        .select(col("term"), col("doc_id"), col("tf"),
+          round(log(col("n").cast("double") / col("df").cast("double"))
+            * lit(1000000.0)).cast("long").as("idf_micro"))
+        .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
+    }),
+
+    // term co-occurrence + PMI over the query vocabulary (the GloVe-/
+    // collocation-style signal): per-doc presence flags are MAP-SIDE
+    // bits, ONE partial-aggregable pass sums them — no explode, no join;
+    // pmi quantized to micro-nats from one ln per pair
+    "q_term_pmi" -> ((s, d) => {
+      val toksArr = split(trim(lower(col("text"))), "\\s+")
+      val flagged = Tables.documents(s, d).select(
+        Terms.map(t =>
+          when(array_contains(toksArr, t), 1L).otherwise(0L).as(s"__$t"))
+          :+ lit(1L).as("__one"): _*)
+      val sums = flagged.agg(
+        sum(col("__one")).as("n"),
+        Terms.map(t => sum(col(s"__$t")).as(s"c_$t")) ++
+          Terms.combinations(2).map { case Seq(a, b) =>
+            sum(col(s"__$a") * col(s"__$b")).as(s"c_${a}_$b")
+          }.toSeq: _*)
+      val pairs = Terms.combinations(2).toSeq.map { case Seq(a, b) =>
+        sums.select(lit(a).as("t1"), lit(b).as("t2"),
+          col(s"c_${a}_$b").as("n_both"),
+          when(col(s"c_${a}_$b") === 0, lit(null).cast("long"))
+            .otherwise(round(log(
+              col("n").cast("double") * col(s"c_${a}_$b").cast("double") /
+                (col(s"c_$a").cast("double") * col(s"c_$b").cast("double")))
+              * lit(1000000.0)).cast("long")).as("pmi_micro"))
+      }
+      pairs.reduce(_ unionByName _)
+    }),
+
     // held-out trigram scoring with stupid backoff: model trained on the
     // even half, odd half scored — unseen trigrams actually exercise the
     // backoff chain (the level counts prove it); α = 0.5 keeps every
@@ -160,6 +206,41 @@ object RankingQueries extends QuerySet {
 
     "q_inverted_index" ->
       graft.functions.Postings.oracleSql("doc_id", Terms),
+
+    // postings oracle body reused as the tf leg; idf from ONE ln,
+    // micro-quantized; tf*idf pure int64 (outputs all CAST — the
+    // HUGEINT lesson)
+    "q_tfidf" ->
+      s"""WITH p AS (${graft.functions.Postings.oracleSql("doc_id", Terms)}),
+         |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT p.term, p.doc_id, p.tf,
+         |       CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(dfT.df AS DOUBLE))
+         |         * 1000000.0) AS BIGINT) AS idf_micro,
+         |       p.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(dfT.df AS DOUBLE))
+         |         * 1000000.0) AS BIGINT) AS tfidf_micro
+         |FROM p JOIN dfT USING (term) CROSS JOIN n""".stripMargin,
+
+    "q_term_pmi" -> {
+      val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+      val flags = Terms.map(t =>
+        s"CASE WHEN list_contains($toks, '$t') THEN 1 ELSE 0 END AS f_$t")
+        .mkString(", ")
+      val sums = (Seq("count(*) AS n") ++
+        Terms.map(t => s"sum(f_$t) AS c_$t") ++
+        Terms.combinations(2).map { case Seq(a, b) =>
+          s"sum(f_$a * f_$b) AS c_${a}_$b"
+        }).mkString(", ")
+      val rows = Terms.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"""SELECT '$a' AS t1, '$b' AS t2, CAST(c_${a}_$b AS BIGINT) AS n_both,
+           |  CASE WHEN c_${a}_$b = 0 THEN NULL
+           |       ELSE CAST(round(ln(CAST(n AS DOUBLE) * CAST(c_${a}_$b AS DOUBLE)
+           |            / (CAST(c_$a AS DOUBLE) * CAST(c_$b AS DOUBLE)))
+           |            * 1000000.0) AS BIGINT) END AS pmi_micro
+           |FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH f AS (SELECT $flags FROM documents), s AS (SELECT $sums FROM f)\n$rows"
+    },
 
     "q_lm_heldout" ->
       NGramLm.backoffOracleSql("doc_id", "doc_id % 2 = 0", "doc_id % 2 = 1"),
