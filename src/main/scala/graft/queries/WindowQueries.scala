@@ -201,6 +201,30 @@ object WindowQueries extends QuerySet {
           col("total_n"), col("n_windows"))
     }),
 
+    // ordered funnel (view → click → purchase, each step within 24h of
+    // the previous): the product-analytics sequence query. Step k is one
+    // user-keyed partial-agg min over events gated by step k-1's time —
+    // three passes, each shuffle user-keyed and co-partitioned, the
+    // per-step gate table user-sized (AQE broadcasts it). sf0.01 funnel:
+    // 150 → 60 → 25
+    "q_funnel" -> ((s, d) => {
+      val stepUs = 24L * 3600L * 1000000L
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1_us"))
+      val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+        .filter(col("us") > col("t1_us") &&
+          col("us") <= col("t1_us") + stepUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2_us"))
+      val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+        .filter(col("us") > col("t2_us") &&
+          col("us") <= col("t2_us") + stepUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3_us"))
+      a.join(b, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+    }),
+
     // timeSlidingWindow (SlidingWindows): 1h window, 30m slide — each
     // element expands to its size/slide covering windows via `sequence`
     // (epoch-aligned, session-zone-free; see q_window_tumbling)
@@ -346,6 +370,26 @@ object WindowQueries extends QuerySet {
         |SELECT w.user_id, w.w_start_us, w.n, t.total_n, t.n_windows
         |FROM w JOIN t USING (user_id)
         |WHERE w.n * t.n_windows > 2 * t.total_n""".stripMargin,
+
+    "q_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), b AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+        |  FROM events e JOIN a ON a.user_id = e.user_id
+        |   AND epoch_us(e.ts) > a.t1_us
+        |   AND epoch_us(e.ts) <= a.t1_us + 86400000000
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+        |  FROM events e JOIN b ON b.user_id = e.user_id
+        |   AND epoch_us(e.ts) > b.t2_us
+        |   AND epoch_us(e.ts) <= b.t2_us + 86400000000
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT a.user_id, a.t1_us, b.t2_us, c.t3_us
+        |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
