@@ -225,6 +225,29 @@ object WindowQueries extends QuerySet {
         .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
     }),
 
+    // cohort retention: users bucketed by first-activity week, fraction
+    // still active k weeks later — integer epoch-week arithmetic,
+    // retention in basis points. Two user-keyed partial-agg passes + one
+    // cohort-keyed agg; the cohort-size table is week-bounded (broadcast)
+    "q_retention_cohorts" -> ((s, d) => {
+      val weekUs = 7L * 24L * 3600L * 1000000L
+      val us = unix_micros(col("ts"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), (us - pmod(us, lit(weekUs))).as("w"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      val act = ev.distinct()
+      val sizes = first.groupBy(col("cw"))
+        .agg(count(lit(1)).as("n_cohort"))
+      act.join(first, "user_id")
+        .select(col("cw"), expr(s"(w - cw) div $weekUs").as("week_offset"))
+        .groupBy(col("cw"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week_us"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          expr("n_active * 10000L div n_cohort").as("retention_bp"))
+    }),
+
     // timeSlidingWindow (SlidingWindows): 1h window, 30m slide — each
     // element expands to its size/slide covering windows via `sequence`
     // (epoch-aligned, session-zone-free; see q_window_tumbling)
@@ -370,6 +393,28 @@ object WindowQueries extends QuerySet {
         |SELECT w.user_id, w.w_start_us, w.n, t.total_n, t.n_windows
         |FROM w JOIN t USING (user_id)
         |WHERE w.n * t.n_windows > 2 * t.total_n""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT)
+        |           * 604800000000 AS w
+        |  FROM events
+        |), first AS (
+        |  SELECT user_id, min(w) AS cw FROM ev GROUP BY 1
+        |), sizes AS (
+        |  SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM first GROUP BY 1
+        |), act AS (
+        |  SELECT f.cw, (e.w - f.cw) // 604800000000 AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM ev e JOIN first f ON f.user_id = e.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.cw AS cohort_week_us, a.week_offset, a.n_active,
+        |       s.n_cohort,
+        |       CAST(a.n_active * 10000 // s.n_cohort AS BIGINT) AS retention_bp
+        |FROM act a JOIN sizes s USING (cw)""".stripMargin,
 
     "q_funnel" ->
       """WITH a AS (
