@@ -225,6 +225,55 @@ object WindowQueries extends QuerySet {
         .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
     }),
 
+    // last-touch attribution: each purchase attributed to the LATEST
+    // preceding non-purchase event of the same user. The candidate is a
+    // running window max over a PACKED integer (us·10 + type_code —
+    // micros fit int64 with an order of magnitude to spare), so the
+    // tie-break is part of the value and both engines agree; the window
+    // partitions by user (user-bounded, never corpus-wide)
+    "q_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      val code = when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "signup", 3L)
+        .when(col("event_type") === "error", 4L).otherwise(0L)
+      val packed = when(col("event_type") =!= "purchase", us * 10L + code)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), us.as("us"),
+          col("event_type"), packed.as("__p"))
+        .withColumn("__attr", max(col("__p")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("__attr").isNull, lit(null).cast("string"))
+            .otherwise(element_at(
+              lit(Array("none", "view", "click", "signup", "error")),
+              (col("__attr") % 10).cast("int") + 1)).as("attributed_type"),
+          when(col("__attr").isNull, lit(null).cast("long"))
+            .otherwise(col("us") - expr("__attr div 10")).as("gap_us"))
+    }),
+
+    // inter-event gap quantiles per event type (telemetry latency
+    // profile): gaps from a USER-bounded lag window (deterministic
+    // (us, event_id) order), quantiles via the exact histogram selection
+    // — no per-type row sort ever touches the corpus
+    "q_gap_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          us.as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+      graft.functions.Curation
+        .exactQuantiles(gaps, "event_type", "gap_us", Seq(50, 90, 99))
+    }),
+
     // cohort retention: users bucketed by first-activity week, fraction
     // still active k weeks later — integer epoch-week arithmetic,
     // retention in basis points. Two user-keyed partial-agg passes + one
@@ -393,6 +442,52 @@ object WindowQueries extends QuerySet {
         |SELECT w.user_id, w.w_start_us, w.n, t.total_n, t.n_windows
         |FROM w JOIN t USING (user_id)
         |WHERE w.n * t.n_windows > 2 * t.total_n""".stripMargin,
+
+    "q_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events
+        |), gg AS (
+        |  SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, count(*) AS n FROM gg GROUP BY 1
+        |), r AS (
+        |  SELECT event_type, gap_us,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY gap_us) AS rn
+        |  FROM gg
+        |)
+        |SELECT r.event_type,
+        |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap_us END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN gap_us END) AS BIGINT) AS p90,
+        |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN gap_us END) AS BIGINT) AS p99
+        |FROM r JOIN c USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |         CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) * 10 +
+        |           CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |                WHEN 'signup' THEN 3 WHEN 'error' THEN 4
+        |                ELSE 0 END
+        |         END AS p
+        |  FROM events
+        |), m AS (
+        |  SELECT event_id, user_id, us, event_type,
+        |         max(p) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       CASE WHEN attr IS NULL THEN NULL
+        |            ELSE (['none', 'view', 'click', 'signup', 'error'])
+        |                   [CAST(attr % 10 AS INT) + 1] END AS attributed_type,
+        |       CASE WHEN attr IS NULL THEN NULL
+        |            ELSE us - attr // 10 END AS gap_us
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH ev AS (
