@@ -182,6 +182,37 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id"), col("key_h"), col("dup_of"))
     }),
 
+    // the full LSH TUNING CURVE: recall/precision at band_rows ∈
+    // {1, 2, 4} (8, 4, 2 bands over the same K=8 signature) against ONE
+    // exact-Jaccard truth set — the table a dedup config review reads.
+    // Signature and truth are each computed once (CachePins) and reused
+    // by every configuration; candidate generation per config is the
+    // bucketed band join, never all-pairs
+    "q_lsh_tuning" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = graft.core.CachePins.swap("dedup.tuning.truth",
+        graft.functions.Jaccard.pairs(docs, "text", SHINGLE_N, 5, 10)
+          .select(col("a_id"), col("b_id")))
+      val sig = graft.core.CachePins.swap("dedup.tuning.sig",
+        MinHashLsh.signature(docs, "text", SHINGLE_N, K))
+      val rows = Seq(1, 2, 4).map { r =>
+        val cand = MinHashLsh.lshCandidates(sig, K, r)
+          .select(col("a_id"), col("b_id"))
+        val hit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(r.toLong).as("band_rows"),
+            lit((K / r).toLong).as("n_bands"),
+            col("n_truth"), col("n_cand"), col("n_hit"),
+            when(col("n_truth") === 0, 0L)
+              .otherwise(expr("n_hit * 10000L div n_truth")).as("recall_bp"),
+            when(col("n_cand") === 0, 0L)
+              .otherwise(expr("n_hit * 10000L div n_cand")).as("precision_bp"))
+      }
+      rows.reduce(_ unionByName _)
+    }),
+
     // the dedup-quality EVALUATION loop: recall/precision of the banded
     // LSH candidate set against the exact-Jaccard ground truth (the
     // number a band/row retune is judged by before it ships). Exact
@@ -236,11 +267,13 @@ object DedupQueries extends QuerySet {
     * five oracles; a retune of K/BAND_ROWS or the '|' separator applied
     * to four of five copies would silently desync the fifth).
     */
-  private lazy val bandsSql: String =
-    (0 until K / BAND_ROWS).map { bnd =>
-      val cols = (0 until BAND_ROWS).map(r => s"CAST(mh_${bnd * BAND_ROWS + r} AS VARCHAR)")
+  private def bandsSqlFor(rows: Int): String =
+    (0 until K / rows).map { bnd =>
+      val cols = (0 until rows).map(r => s"CAST(mh_${bnd * rows + r} AS VARCHAR)")
       s"SELECT doc_id, $bnd AS band, ${cols.mkString(" || '|' || ")} AS bval FROM sig"
     }.mkString("\nUNION ALL\n")
+
+  private lazy val bandsSql: String = bandsSqlFor(BAND_ROWS)
 
   /** The full LSH → verify → transitive-closure replay as CTEs ending at
     * `cl(doc_id, component)` — shared by q_dedup_clusters and the
@@ -377,6 +410,41 @@ object DedupQueries extends QuerySet {
          |SELECT k.doc_id, k.key_h,
          |       CASE WHEN k.doc_id = f.first THEN NULL ELSE f.first END AS dup_of
          |FROM k JOIN f USING (key_h)""".stripMargin,
+
+    // one truth CTE, one signature CTE, a banded-join CTE per config —
+    // the exact per-config replay of the engine's tuning sweep
+    "q_lsh_tuning" -> {
+      val cfgs = Seq(1, 2, 4)
+      val ctes = cfgs.map { r =>
+        s"""b$r AS (
+           |${bandsSqlFor(r)}
+           |), c$r AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM b$r a JOIN b$r b
+           |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = cfgs.map { r =>
+        s"""SELECT band_rows, n_bands, n_truth, n_cand, n_hit,
+           |  CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(n_hit * 10000 // n_truth AS BIGINT) END AS recall_bp,
+           |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(n_hit * 10000 // n_cand AS BIGINT) END AS precision_bp
+           |FROM (
+           |  SELECT CAST($r AS BIGINT) AS band_rows,
+           |         CAST(${K / r} AS BIGINT) AS n_bands,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_truth,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS n_cand,
+           |         (SELECT CAST(count(*) AS BIGINT) FROM tru t JOIN c$r c
+           |            ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_hit)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tru AS (
+         |SELECT a_id, b_id FROM (
+         |${SimilarityQueries.oracles("q_jaccard_pairs")})
+         |), sig AS ($sigSql),
+         |$ctes
+         |$rows""".stripMargin
+    },
 
     // both legs are the EXACT oracle bodies of q_jaccard_pairs and
     // q_lsh_candidates; a mismatch can only be the recall arithmetic
