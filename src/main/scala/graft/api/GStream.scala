@@ -107,26 +107,47 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
       combine: (V, V) => V)(implicit
       ke: Encoder[K], tupe: Encoder[(K, Long, V)],
       oute: Encoder[(K, V)]): GStream[(K, V)] = {
-    val et = requireTime
-    val keyed = ds.map(t => (keyFn(t), et(t), valueFn(t)))
-    val out = keyed
-      .repartition(keyed.col("_1"))
-      .sortWithinPartitions(keyed.col("_1"), keyed.col("_2"))
-      .mapPartitions { it =>
-        var curKey: Option[K] = None
-        var acc: V = initial
-        it.map { case (k, _, v) =>
-          // deepEquals, not ==: Array keys compare by REFERENCE under ==,
-          // and each deserialized row yields a fresh array — the
-          // accumulator would silently reset on every element
-          if (!curKey.exists(ck => java.util.Objects.deepEquals(ck, k))) {
-            curKey = Some(k); acc = initial
-          }
-          acc = combine(acc, v)
-          (k, acc)
+    val out = timeSortedScan[K, V, (K, V)](keyFn, valueFn, sortByStamp = true) { it =>
+      var curKey: Option[K] = None
+      var acc: V = initial
+      it.map { case (k, _, v) =>
+        // deepEquals, not ==: Array keys compare by REFERENCE under ==,
+        // and each deserialized row yields a fresh array — the
+        // accumulator would silently reset on every element
+        if (!curKey.exists(ck => java.util.Objects.deepEquals(ck, k))) {
+          curKey = Some(k); acc = initial
         }
+        acc = combine(acc, v)
+        (k, acc)
       }
+    }
     new GStream(out, None)
+  }
+
+  /** [[integratePerKey]] carrying each element's event time through to the
+    * output (key, runningValue, stamp), with the result stream's event time
+    * pre-assigned to that stamp. The reference keeps timestamps implicitly
+    * on every element (Beam), so its stateful ops CHAIN — GroovyEnvTest
+    * .testReduceValueWithIntegratePerKey:749 pipes reduceValueStateByKey
+    * into integratePerKey into withTimestamp; this is the engine's explicit
+    * form of that timestamp propagation.
+    */
+  def integratePerKeyTimed[K, V](keyFn: T => K, valueFn: T => V, initial: V,
+      combine: (V, V) => V)(implicit
+      ke: Encoder[K], tupe: Encoder[(K, Long, V)],
+      oute: Encoder[(K, V, Long)]): GStream[(K, V, Long)] = {
+    val out = timeSortedScan[K, V, (K, V, Long)](keyFn, valueFn, sortByStamp = true) { it =>
+      var curKey: Option[K] = None
+      var acc: V = initial
+      it.map { case (k, stamp, v) =>
+        if (!curKey.exists(ck => java.util.Objects.deepEquals(ck, k))) {
+          curKey = Some(k); acc = initial
+        }
+        acc = combine(acc, v)
+        (k, acc, stamp)
+      }
+    }
+    new GStream(out, Some((x: (K, V, Long)) => x._3))
   }
 
   /** General keyed state machine: per element emit `output(state, v)` then
@@ -140,16 +161,7 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
       sorted: Boolean = true)(implicit
       ke: Encoder[K], tupe: Encoder[(K, Long, V)],
       oute: Encoder[(K, O)]): GStream[(K, O)] = {
-    val et: T => Long = if (sorted) requireTime else eventTime.getOrElse(_ => 0L)
-    val keyed = ds.map(t => (keyFn(t), et(t), valueFn(t)))
-    val sortedDs =
-      if (sorted)
-        keyed.repartition(keyed.col("_1"))
-          .sortWithinPartitions(keyed.col("_1"), keyed.col("_2"))
-      else
-        keyed.repartition(keyed.col("_1"))
-          .sortWithinPartitions(keyed.col("_1"))
-    val out = sortedDs.mapPartitions { it =>
+    val out = timeSortedScan[K, V, (K, O)](keyFn, valueFn, sortByStamp = sorted) { it =>
       var curKey: Option[K] = None
       var state: S = initialState
       it.map { case (k, _, v) =>
@@ -163,6 +175,51 @@ final class GStream[T](val ds: Dataset[T], val eventTime: Option[T => Long])
       }
     }
     new GStream(out, None)
+  }
+
+  /** [[reduceValueStateByKey]] (sorted form) carrying each element's event
+    * time through to the output (key, output, stamp) — see
+    * [[integratePerKeyTimed]] for why timestamp propagation matters when
+    * chaining stateful ops (GroovyEnvTest:749, :910).
+    */
+  def reduceValueStateByKeyTimed[K, V, S, O](keyFn: T => K, valueFn: T => V,
+      initialState: S, output: (S, V) => O, update: (S, V) => S)(implicit
+      ke: Encoder[K], tupe: Encoder[(K, Long, V)],
+      oute: Encoder[(K, O, Long)]): GStream[(K, O, Long)] = {
+    val out = timeSortedScan[K, V, (K, O, Long)](keyFn, valueFn, sortByStamp = true) { it =>
+      var curKey: Option[K] = None
+      var state: S = initialState
+      it.map { case (k, stamp, v) =>
+        if (!curKey.exists(ck => java.util.Objects.deepEquals(ck, k))) {
+          curKey = Some(k); state = initialState
+        }
+        val o = output(state, v)
+        state = update(state, v)
+        (k, o, stamp)
+      }
+    }
+    new GStream(out, Some((x: (K, O, Long)) => x._3))
+  }
+
+  /** Shared lowering for the keyed-state scans: one shuffle on the key,
+    * spill-safe external sort within partitions on (key[, stamp]), then a
+    * sequential partition scan — the distributed analog of time-sorted
+    * keyed state with NO per-key buffering.
+    */
+  private def timeSortedScan[K, V, R](keyFn: T => K, valueFn: T => V,
+      sortByStamp: Boolean)(scan: Iterator[(K, Long, V)] => Iterator[R])(
+      implicit tupe: Encoder[(K, Long, V)], re: Encoder[R]): Dataset[R] = {
+    val et: T => Long =
+      if (sortByStamp) requireTime else eventTime.getOrElse(_ => 0L)
+    val keyed = ds.map(t => (keyFn(t), et(t), valueFn(t)))
+    val sortedDs =
+      if (sortByStamp)
+        keyed.repartition(keyed.col("_1"))
+          .sortWithinPartitions(keyed.col("_1"), keyed.col("_2"))
+      else
+        keyed.repartition(keyed.col("_1"))
+          .sortWithinPartitions(keyed.col("_1"))
+    sortedDs.mapPartitions(scan)
   }
 
   def reduceValueStateByKeyUnsorted[K, V, S, O](keyFn: T => K, valueFn: T => V,

@@ -104,6 +104,26 @@ final class GWindowedStream[T](stream: GStream[T], windowing: Windowing)
     throw new IllegalStateException(
       "Windowed aggregation requires event time; call assignEventTime"))
 
+  /** Allowed-lateness marker (WindowedStream.withAllowedLateness:539). On
+    * this BOUNDED lowering the watermark conceptually jumps past every
+    * element only after all input is read, so nothing is ever late and the
+    * op is the identity — exactly Beam's batch-mode behavior the reference
+    * inherits (GroovyEnvTest:910 composes it in batch). The STREAMING
+    * lowering enforces lateness for real via
+    * [[graft.streaming.EventTimeWindows]] (q_late_drop / q_late_split).
+    */
+  def withAllowedLateness(ms: Long): GWindowedStream[T] = {
+    require(ms >= 0, s"allowed lateness must be >= 0, got $ms")
+    this
+  }
+
+  /** The underlying element stream — for chaining the window-agnostic
+    * keyed-state ops after a windowing declaration, as the reference's
+    * WindowedStream allows directly (GroovyEnvTest:910 chains
+    * windowAll().withAllowedLateness(..).reduceValueStateByKey(..)).
+    */
+  def unwindowed: GStream[T] = stream
+
   // ---- aggregations (WindowedStream.java:40-523) ----
 
   /** Keyed fold per window; non-commutative accumulators allowed

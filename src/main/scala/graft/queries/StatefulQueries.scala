@@ -162,6 +162,29 @@ object StatefulQueries extends QuerySet {
         .select(col("event_id"), col("user_id"), col("run_cents"))
     }),
 
+    // CHAINED stateful ops — reduceValueStateByKey piped into
+    // integratePerKey with a re-key between them (GroovyEnvTest
+    // .testReduceValueWithIntegratePerKey:749: per-key "changes only"
+    // state machine, then a running aggregate of those changes in global
+    // event-time order). Stage 1: per-user value diff (state = previous
+    // cents, output = v - s, update s = v). Stage 2: running sum of the
+    // diffs per event_type in event-time order — the timestamp propagates
+    // across the chain exactly as the reference's Beam elements carry
+    // theirs. Both stages are window functions: one shuffle each,
+    // spill-safe sort, full codegen; ties broken by event_id.
+    "q_integrate_after_reduce_state" -> ((s, d) => {
+      val v = cents(col("value"))
+      val diffed = Tables.events(s, d)
+        .withColumn("diff",
+          v - lag(v, 1, 0L).over(byUserTime))
+      diffed
+        .withColumn("run_diff",
+          sum(col("diff")).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("event_type"), col("run_diff"))
+    }),
+
     // reduceValueStateByKey (sorted): state = previous event_type; per
     // element emit output(state, v) then update state (Stream.java:386).
     // The "emit previous" shape is exactly event-time lag.
@@ -414,6 +437,23 @@ object StatefulQueries extends QuerySet {
         |coalesce(lag(event_type) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id), 'none') AS prev_type
         |FROM events""".stripMargin,
+
+    "q_integrate_after_reduce_state" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT event_id, event_type, ts,
+        |         v - coalesce(lag(v) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id), 0) AS diff
+        |  FROM e
+        |)
+        |SELECT event_id, event_type,
+        |       CAST(sum(diff) OVER (
+        |         PARTITION BY event_type ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_diff
+        |FROM d""".stripMargin,
 
     // closed-form replay of the early-emit timer machine over the
     // 4-segment log (3 data batches by event_id % 3 + the max-stamp
