@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.SparkSpec.spark.implicits._
+
+/** Adversarial-skew fixture for the LSH/dedup cap machinery: ONE hot
+  * bucket of 10,000 near-identical documents (the pathological boilerplate
+  * domain every web corpus contains) driven through the REAL pipeline
+  * entry points. The 100 TB contract under test:
+  *
+  *  - the per-bucket cap triggers on the hot bucket (no O(N²) task);
+  *  - quarantined buckets are EMITTED on the side channel with their
+  *    member counts — dropped, never silently lost;
+  *  - genuine small near-dup groups sharing the corpus still come out
+  *    exactly;
+  *  - candidate volume respects the cap bound (<= bands * cap²/2);
+  *  - the connected-components stage converges on the surviving pairs;
+  *  - the documented quarantine ROUTING works: dropped bucket keys
+  *    semi-join back to their members, which an exact-dedup pass folds.
+  *
+  * PairScaleSpec pins the cap mechanics at toy size; this spec is the
+  * skew-at-scale behavior the VERDICT r10 asked for (hot bucket ~10k).
+  */
+class SkewCapSpec extends SparkSpec {
+
+  private val HotN = 10000
+  private val Groups = 40
+  private val GroupSz = 3
+  private val UniqueN = 200
+
+  private val boiler =
+    "subscribe to our newsletter for updates terms of service apply contact support today"
+
+  // deterministic token soup — no Math.random (resume-safe, seed-free)
+  private def uniqueText(i: Int): String =
+    (0 until 12).map(j => s"tok${(i * 131 + j * 17) % 9973}x$j").mkString(" ")
+
+  private def groupText(g: Int): String =
+    (0 until 12).map(j => s"grp${g}w${(g * 31 + j * 7) % 997}n$j").mkString(" ")
+
+  /** ids: hot domain 1..10000; groups 20000+g*10+m; uniques 40000+i. */
+  private def fixture() = {
+    val hot = (1 to HotN).map(i => (i.toLong, boiler))
+    val grouped = for {
+      g <- 0 until Groups
+      m <- 0 until GroupSz
+    } yield ((20000 + g * 10 + m).toLong, groupText(g))
+    val uniq = (0 until UniqueN).map(i => ((40000 + i).toLong, uniqueText(i)))
+    (hot ++ grouped ++ uniq).toDF("doc_id", "text").repartition(8)
+  }
+
+  test("hot bucket: cap triggers, quarantine emitted, planted groups survive, CC converges") {
+    val docs = fixture().persist()
+    val t0 = System.nanoTime()
+    val res = DedupPipeline.nearDuplicates(docs, k = 8, bandRows = 2,
+      thresholdNum = 8, thresholdDen = 10)
+    val pairs = res.pairs.persist()
+    val nPairs = pairs.count()
+    val drops = res.droppedBuckets.collect()
+    val cappedSec = (System.nanoTime() - t0) / 1e9
+
+    // 1. the cap triggered: identical text -> identical signature -> the
+    // hot domain lands in ONE bucket per band (4 bands at k=8, rows=2),
+    // each with all 10k members, all over the 2048 default cap
+    assert(drops.length == 4, s"expected 4 over-cap band buckets, got ${drops.length}")
+    assert(drops.forall(_.getAs[Long]("members") == HotN.toLong),
+      drops.map(_.getAs[Long]("members")).mkString(","))
+
+    // 2. candidate volume respects the bound: bands * cap*(cap-1)/2 is the
+    // worst case; the actual surviving pairs are ONLY the planted groups
+    val cap = BucketedPairs.DefaultMaxBucket.toLong
+    assert(nPairs <= 4L * cap * (cap - 1) / 2)
+    assert(nPairs == Groups.toLong * GroupSz * (GroupSz - 1) / 2,
+      s"expected exactly the planted pairs, got $nPairs")
+
+    // 3. no hot-domain id leaked into the pair output, no unique id either
+    val leaked = pairs.filter(col("a_id") <= HotN || col("b_id") <= HotN ||
+      col("a_id") >= 40000 || col("b_id") >= 40000).count()
+    assert(leaked == 0, s"$leaked pairs escaped the cap/verification")
+
+    // 4. CC converges on the surviving graph: 40 components of size 3,
+    // labeled by their min id (non-convergence would throw)
+    val comps = Clusters.connectedComponents(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .collect()
+    assert(comps.length == Groups)
+    assert(comps.forall(_.getAs[Long]("sz") == GroupSz.toLong))
+
+    // 5. quarantine ROUTING: dropped (band, bval) keys semi-join back to
+    // the banded signatures to recover member doc ids; the exact-dedup
+    // pass (hash-groupBy on the text) folds them into ONE group of 10k —
+    // the "boilerplate cluster routed to exact dedup" the scaladoc
+    // promises, exercised end to end
+    val sig = MinHashLsh.signature(docs, "text", 3, 8)
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", col(s"mh_${b * 2}"), col(s"mh_${b * 2 + 1}")).as("bval"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+    val dropKeys = res.droppedBuckets.select(col("band"), col("bval"))
+    val quarantined = banded.join(dropKeys, Seq("band", "bval"), "left_semi")
+      .select(col("doc_id")).distinct()
+    assert(quarantined.count() == HotN.toLong)
+    val exactGroups = docs.join(quarantined, "doc_id")
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(exactGroups.length == 1 && exactGroups.head.getAs[Long]("n") == HotN.toLong)
+
+    // 6. bounded wall: the capped 10k-hot-bucket pipeline is a small job,
+    // not an O(N²) straggler (uncapped would emit ~50M in-task pairs in
+    // ONE task; see the extrapolation test). Generous bound — this guards
+    // against a regression to quadratic behavior, not CI noise.
+    info(f"capped pipeline over ${HotN + Groups * GroupSz + UniqueN} docs: $cappedSec%.1f s")
+    assert(cappedSec < 120.0, f"capped run took $cappedSec%.1f s — cap regression?")
+
+    pairs.unpersist()
+    res.unpersist()
+    docs.unpersist()
+    ()
+  }
+
+  test("uncapped extrapolation probe: 1k hot bucket measures the quadratic path") {
+    // the uncapped cost the cap exists to avoid, measured at 1/10 scale:
+    // 1000 identical docs -> 499,500 pairs emitted inside one task per
+    // band. Pairs scale n², so x100 extrapolates the 10k hot bucket.
+    val docs = (1 to 1000).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val sig = MinHashLsh.signature(docs, "text", 3, 8).persist()
+    sig.count()
+    val t0 = System.nanoTime()
+    val n = MinHashLsh.lshCandidates(sig, 8, 2, maxBucket = Int.MaxValue).count()
+    val uncappedSec = (System.nanoTime() - t0) / 1e9
+    assert(n == 1000L * 999 / 2)
+    info(f"uncapped 1k hot bucket: $uncappedSec%.1f s for $n pairs; " +
+      f"x100 pair-volume extrapolation to 10k: ~${uncappedSec * 100}%.0f s in ONE task")
+    sig.unpersist()
+    ()
+  }
+}
