@@ -150,6 +150,7 @@ object Bench {
       System.gc()
       currentName.set(name)
       val (sec, err) = runOne(spark, SparkEntry.queries(name), sfDir)
+      graft.core.CachePins.releaseAll()
       spark.catalog.clearCache()
       (name, sec, err)
     }

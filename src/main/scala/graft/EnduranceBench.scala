@@ -98,6 +98,7 @@ object EnduranceBench {
         failures += 1
         System.err.println(s"[endurance] $name failed: $m")
       }
+      graft.core.CachePins.releaseAll()
       spark.catalog.clearCache()
       name -> sec
     }

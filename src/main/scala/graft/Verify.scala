@@ -41,7 +41,9 @@ object Verify {
       }
       // per-query isolation: a query's persist() (e.g. the dedup
       // pipeline's shared shingle pass) must not occupy storage memory
-      // for every query after it
+      // for every query after it. releaseAll keeps the CachePins
+      // registry in step — clearCache alone would orphan its handles
+      graft.core.CachePins.releaseAll()
       spark.catalog.clearCache()
     }
     val json = SparkEntry.oracleSql

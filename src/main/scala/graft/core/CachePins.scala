@@ -22,20 +22,31 @@ import org.apache.spark.sql.DataFrame
   * ever ran the plan) and is released on the next call or an explicit
   * [[release]]/[[releaseAll]].
   *
-  * Concurrency note: two corpora scored concurrently through the same
-  * call-site share a key, so the second swap releases the first corpus's
-  * pin mid-flight — the plan still computes correctly (Spark recomputes
+  * Concurrency note: keys are scoped PER SESSION (the pinned frame's
+  * SparkSession identity joins the map key), so two sessions scoring
+  * through the same call-site never release each other's pins. Two
+  * corpora scored concurrently through the same call-site IN ONE session
+  * still share a key, so the second swap releases the first corpus's pin
+  * mid-flight — the plan still computes correctly (Spark recomputes
   * evicted cache from lineage), it just loses the reuse. Sequential
   * per-batch use — the shape the leak finding targeted — is the design
-  * point.
+  * point. Harnesses that call `spark.catalog.clearCache()` should call
+  * [[releaseAll]] alongside it, or the registry retains handles to
+  * frames whose cache was dropped behind its back (harmless — the next
+  * swap releases them — but the plans stay referenced until then).
   */
 object CachePins {
-  private val pins = new ConcurrentHashMap[String, DataFrame]()
+  private val pins = new ConcurrentHashMap[(Int, String), DataFrame]()
 
-  /** Persist `df` under `key`, releasing the key's previous pin. */
+  private def scoped(key: String, df: DataFrame): (Int, String) =
+    (System.identityHashCode(df.sparkSession), key)
+
+  /** Persist `df` under `key`, releasing the key's previous pin (within
+    * `df`'s session only).
+    */
   def swap(key: String, df: DataFrame): DataFrame = {
     val pinned = df.persist()
-    val prev = pins.put(key, pinned)
+    val prev = pins.put(scoped(key, df), pinned)
     if (prev != null && (prev ne pinned)) prev.unpersist(blocking = false)
     pinned
   }
@@ -44,20 +55,31 @@ object CachePins {
   def swap(key: String, df: DataFrame,
       level: org.apache.spark.storage.StorageLevel): DataFrame = {
     val pinned = df.persist(level)
-    val prev = pins.put(key, pinned)
+    val prev = pins.put(scoped(key, df), pinned)
     if (prev != null && (prev ne pinned)) prev.unpersist(blocking = false)
     pinned
   }
 
-  /** Release the pin under `key`, if any. */
+  /** Release the pin under `key` in every session holding one. */
   def release(key: String): Unit = {
-    val prev = pins.remove(key)
-    if (prev != null) { prev.unpersist(blocking = false); () }
+    val it = pins.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._2 == key) {
+        val prev = pins.remove(k)
+        if (prev != null) { prev.unpersist(blocking = false); () }
+      }
+    }
   }
 
-  /** Release every registered pin (harness/shutdown hook). */
+  /** Release every registered pin (harness/shutdown hook — Verify and
+    * Bench call this at teardown; pair with any `clearCache()`).
+    */
   def releaseAll(): Unit = {
     val it = pins.keySet().iterator()
-    while (it.hasNext) { release(it.next()) }
+    while (it.hasNext) {
+      val prev = pins.remove(it.next())
+      if (prev != null) { prev.unpersist(blocking = false); () }
+    }
   }
 }

@@ -485,10 +485,9 @@ final class GraftOperator(val spark: SparkSession, val repo: Repository,
       val transform = Class.forName(t.transformClass)
         .getDeclaredConstructor().newInstance()
         .asInstanceOf[graft.streaming.Transformations.ElementWise]
-      graft.streaming.StreamConf.scoped(spark) {
-        getStream(t.entity, t.attributes: _*)
-          .flatMap(transform(_))
-          .writeStream
+      graft.streaming.StreamConf.scoped(
+          getStream(t.entity, t.attributes: _*).flatMap(transform(_))) { ds =>
+        ds.writeStream
           .option("checkpointLocation", s"$checkpointRoot/${t.name}")
           .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
             writeBatch(batch)

@@ -35,9 +35,12 @@ private[queries] object StreamSupport {
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val sink = "q_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.StreamConf.scoped(s) {
-      stream.writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
+    // the memory-sink view registers in the session that STARTS the query
+    // — under StreamConf scoping that is the per-start clone, so the
+    // read-back and the drop both go through `qs`, never `s`
+    val (q, qs) = graft.streaming.StreamConf.scoped(stream) { ds =>
+      (ds.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start(), ds.sparkSession)
     }
     // the sink view MUST drop on every exit path: a drive() failure that
     // skipped the drop would leave the q_sink_* table registered with all
@@ -45,8 +48,8 @@ private[queries] object StreamSupport {
     // helper exists to prevent
     try {
       try drive(q) finally q.stop()
-      s.table(sink).localCheckpoint(true)
-    } finally { s.catalog.dropTempView(sink); () }
+      qs.table(sink).localCheckpoint(true)
+    } finally { qs.catalog.dropTempView(sink); () }
   }
 }
 

@@ -350,9 +350,9 @@ object StatefulQueries extends QuerySet {
       import s.implicits._
       val fam = throttleLog(s, d)
       val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      val q = graft.streaming.StreamConf.scoped(s) {
-        fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)
-        .writeStream
+      val q = graft.streaming.StreamConf.scoped(
+          fam.streamFromOldestThrottled(maxFilesPerTrigger = 1)) { ds =>
+        ds.writeStream
         .foreachBatch { (b: Dataset[StreamElement], id: Long) =>
           val slices = b.toDF()
             .groupBy((col("seqId") % 4).as("slice"))

@@ -64,26 +64,22 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session (e.g. the driver's smoke check)
     // may lack the nanos-as-long setting GraftSession applies — without it
-    // the TIMESTAMP(NANOS) column fails the whole read. Set-and-restore
-    // where possible so the read does not silently change parquet
-    // timestamp semantics for unrelated reads in the caller's session —
-    // except for the vintage that NEEDS the conf at action time (below).
+    // the TIMESTAMP(NANOS) column fails the whole read. The conf is set
+    // for the duration of THIS call (schema inference consults the
+    // session conf) and ALWAYS restored: the key also rides on the
+    // returned frame as a per-RELATION read option, and Spark re-derives
+    // each action's scan hadoopConf from the session conf MERGED WITH the
+    // relation's options (options win) — so a nanos-vintage frame stays
+    // readable after the restore while unrelated parquet reads in the
+    // caller's session never see the flag. (Until r10 the nanos vintage
+    // left the conf set in the session permanently — the r11 ADVICE
+    // finding; EventsVintageSpec pins the restored-conf collect() on a
+    // real TIMESTAMP(NANOS) file.)
     val Key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(Key)
     s.conf.set(Key, "true")
-    // restore-on-exit is only safe when the returned frame does NOT
-    // depend on the conf: Spark re-derives the scan's hadoopConf from the
-    // CURRENT session conf at each action's physical planning, so a
-    // nanos-vintage frame executed after a restore-to-unset would fail
-    // footer conversion on its first collect(). The LongType branch is
-    // the one that may owe its readability to the conf (a TIMESTAMP(NANOS)
-    // column surfaces as LongType only while the conf is set) — leave the
-    // conf set for that vintage and restore for all others.
-    var restore = true
     val raw = try {
-      val df = table(s, d, "events")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        restore = false
+      val df = s.read.option(Key, "true").parquet(s"$d/events.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           // SELF-DETECT the epoch unit from magnitude (cached per dir):
@@ -132,7 +128,7 @@ object Tables {
           s"events.ts arrived as $other — unknown testdata vintage; " +
             "extend Tables.events rather than letting queries fail one by one")
       }
-    } finally if (restore) prev match {
+    } finally prev match {
       case Some(v) => s.conf.set(Key, v)
       case None    => s.conf.unset(Key)
     }

@@ -126,14 +126,15 @@ final class CachedView(family: AttributeLogFamily,
     // maintaining ranges this process no longer owns, unstoppable once
     // its handle is overwritten)
     query.foreach(_.stop())
-    val q = StreamConf.scoped(family.spark) { updates.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
-        batch.collect().foreach(fold)
-        evictAged()
-      }
-      .start()
+    val q = StreamConf.scoped(updates) { ds =>
+      ds.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
+          batch.collect().foreach(fold)
+          evictAged()
+        }
+        .start()
     }
     query = Some(q)
     this

@@ -17,23 +17,26 @@ object StreamCollector {
 
   private val n = new AtomicLong()
 
-  private def drain(stream: DataFrame, limit: Long, timeoutMs: Long): String = {
+  // the memory-sink view registers in the session that STARTS the query —
+  // under StreamConf scoping that is the per-start clone, so all reads
+  // (and the drop) go through the returned session, never the original
+  private def drain(stream: DataFrame, limit: Long,
+      timeoutMs: Long): (org.apache.spark.sql.SparkSession, String) = {
     val name = s"collector_${n.incrementAndGet()}"
-    val spark = stream.sparkSession
-    val q = StreamConf.scoped(spark) {
-      stream.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+    val (q, qs) = StreamConf.scoped(stream) { ds =>
+      (ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start(), ds.sparkSession)
     }
     try {
       val deadline = System.currentTimeMillis() + timeoutMs
       var done = false
       while (!done && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
-        if (spark.table(name).count() >= limit) done = true
+        if (qs.table(name).count() >= limit) done = true
         else Thread.sleep(50)
       }
     } finally q.stop()
-    name
+    (qs, name)
   }
 
   // drop the sink view after reading: each drain registers a global
@@ -42,18 +45,16 @@ object StreamCollector {
   // otherwise accumulate them until OOM
   def collectRows(stream: DataFrame, limit: Long,
       timeoutMs: Long = 30000): Seq[Row] = {
-    val spark = stream.sparkSession
-    val name = drain(stream, limit, timeoutMs)
-    try spark.table(name).limit(limit.toInt).collect().toSeq
-    finally spark.catalog.dropTempView(name)
+    val (qs, name) = drain(stream, limit, timeoutMs)
+    try qs.table(name).limit(limit.toInt).collect().toSeq
+    finally qs.catalog.dropTempView(name)
   }
 
   def collect[T](stream: Dataset[T], limit: Long,
       timeoutMs: Long = 30000): Seq[T] = {
-    val spark = stream.sparkSession
-    val name = drain(stream.toDF(), limit, timeoutMs)
-    try spark.table(name).as[T](stream.encoder)
+    val (qs, name) = drain(stream.toDF(), limit, timeoutMs)
+    try qs.table(name).as[T](stream.encoder)
       .limit(limit.toInt).collect().toSeq
-    finally spark.catalog.dropTempView(name)
+    finally qs.catalog.dropTempView(name)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, GraftSqlBridge}
 
 /** Streaming state-partition sizing. A stateful streaming query fixes its
   * state partitioning from `spark.sql.shuffle.partitions` at FIRST batch,
@@ -12,9 +12,15 @@ import org.apache.spark.sql.SparkSession
   * harnesses, low-volume topics), where 32 partitions of per-batch
   * store-commit overhead dominated measured query time by ~30%.
   *
-  * `spark.graft.streaming.shufflePartitions`, when set, is scoped over
-  * streaming query STARTS only — batch plans in the same session keep
-  * the session's shuffle width. Unset ⇒ no behavior change.
+  * `spark.graft.streaming.shufflePartitions`, when set, applies to
+  * streaming query STARTS only — via a CLONED SparkSession per start
+  * (shared SparkContext and shared state, copied session conf) that owns
+  * the streaming width, so batch plans in the caller's session can NEVER
+  * observe it: the caller's conf is not touched at any point. (Until r10
+  * this was a set/restore on the caller's conf under a global lock, with
+  * a documented residual window for concurrently-planned batch queries;
+  * the clone removes both the window and the lock.) Unset ⇒ no behavior
+  * change and no clone.
   *
   * Which starts need it: only queries with STATEFUL operators
   * (aggregations, [de]dup state, flatMapGroupsWithState) materialize
@@ -25,35 +31,33 @@ import org.apache.spark.sql.SparkSession
   * lambda, so the streaming width never applies and their callers need
   * no scoping (the wraps on `Transformations.run` and GraftOperator's
   * observers are defensive no-ops for the same reason).
+  *
+  * NOTE for memory-sink callers: the sink's temp view registers in the
+  * session that STARTS the query — when scoping applied, that is the
+  * clone, so read the table back through `query.sparkSession`, not the
+  * original session (StreamSupport.runToMemorySink and StreamCollector
+  * do).
   */
 object StreamConf {
 
   val Key = "spark.graft.streaming.shufflePartitions"
   private val ShuffleKey = "spark.sql.shuffle.partitions"
 
-  // serializes every scoped start: two unsynchronized set/restore pairs
-  // interleaving (A reads 32, sets 8; B reads 8; A restores 32; B
-  // "restores" 8) would leave the SESSION's batch width permanently
-  // shrunk. One global lock — streaming query STARTS are rare and fast
-  private val lock = new Object
-
-  /** Run `start` (which must START the streaming query — the conf is
-    * read at query planning) under the streaming shuffle width, then
-    * restore the session's batch width. Starts are serialized on a
-    * process-wide lock so concurrent scoped starts cannot corrupt the
-    * restored value. Residual window: a BATCH query planned by another
-    * thread during a start observes the streaming width — acceptable
-    * for the short planning window (AQE re-coalesces partitions at
-    * runtime); a deployment that plans heavy batch queries concurrently
-    * with streaming starts should unset [[Key]] instead.
+  /** Run `start` on `stream` rebound (when [[Key]] is set) to a cloned
+    * session whose `spark.sql.shuffle.partitions` is the streaming
+    * width. The query started inside `start` captures its state-store
+    * partitioning from the clone's conf; the original session's conf is
+    * never mutated, so concurrent batch planning keeps the batch width
+    * unconditionally.
     */
-  def scoped[A](s: SparkSession)(start: => A): A =
+  def scoped[T, A](stream: Dataset[T])(start: Dataset[T] => A): A = {
+    val s = stream.sparkSession
     s.conf.getOption(Key) match {
-      case None => start
-      case Some(n) => lock.synchronized {
-        val prev = s.conf.get(ShuffleKey)
-        s.conf.set(ShuffleKey, n)
-        try start finally s.conf.set(ShuffleKey, prev)
-      }
+      case None => start(stream)
+      case Some(n) =>
+        val child = GraftSqlBridge.cloneSession(s)
+        child.conf.set(ShuffleKey, n)
+        start(GraftSqlBridge.rebind(stream, child))
     }
+  }
 }

@@ -34,10 +34,8 @@ object Transformations {
   def run(source: AttributeLogFamily, target: AttributeLogFamily,
       transform: ElementWise, checkpoint: String): StreamingQuery = {
     implicit val enc = StreamElement.encoder
-    StreamConf.scoped(source.spark) {
-      source.streamFromOldest()
-        .flatMap(transform(_))
-        .writeStream
+    StreamConf.scoped(source.streamFromOldest().flatMap(transform(_))) { ds =>
+      ds.writeStream
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
           target.appendIdempotent(batch)

@@ -53,6 +53,38 @@ class EventsVintageSpec extends SparkSpec {
     assert(millis == stampsUs)
   }
 
+  test("real TIMESTAMP(NANOS) vintage: conf restored, frame stays readable") {
+    // a genuine timestamp[ns] parquet file (pyarrow-written test resource
+    // — Spark cannot write one), read on a session that does NOT carry
+    // nanosAsLong: events() must succeed, must RESTORE the caller's conf
+    // (the r11 ADVICE finding: the nanos vintage used to leave the flag
+    // set in the session permanently), and the returned frame must still
+    // collect() AFTER the restore (the per-relation read option carries
+    // the flag into every action's scan)
+    val res = getClass.getResource("/vintage-nanos/events.parquet")
+    assume(res != null, "vintage-nanos fixture missing")
+    val dir = new java.io.File(res.toURI).getParentFile.getAbsolutePath
+    val Key = "spark.sql.legacy.parquet.nanosAsLong"
+    val vanilla = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    vanilla.conf.unset(Key)
+    val df = Tables.events(vanilla, dir)
+    // getOption surfaces the registered DEFAULT ("false") rather than
+    // None — the restore is correct as long as the flag is not left true
+    assert(!vanilla.conf.getOption(Key).contains("true"),
+      "events() must not leave nanosAsLong set in the caller's session")
+    val got = df.select(unix_micros(col("ts"))).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+    assert(got == stampsUs, s"${got.take(3)}... vs ${stampsUs.take(3)}...")
+    // and an UNRELATED raw parquet read in the caller's session does NOT
+    // inherit the flag: without it, Spark refuses TIMESTAMP(NANOS)
+    // (under the leaked flag it would silently arrive as LongType)
+    val unrelated = scala.util.Try(
+      vanilla.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+    assert(unrelated.isFailure ||
+      unrelated.get != org.apache.spark.sql.types.LongType,
+      s"unrelated reads must not inherit nanosAsLong: $unrelated")
+  }
+
   test("an unknown ts type fails loudly at the normalization point") {
     val dir = Files.createTempDirectory("graft-vintage-").toString + "/sf"
     stampsUs.zipWithIndex
