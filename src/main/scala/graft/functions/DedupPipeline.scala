@@ -22,12 +22,16 @@ object DedupPipeline {
 
   /** `pairs`: verified near-dup pairs (a_id, b_id, inter, uni).
     * `droppedBuckets`: over-cap LSH buckets (band, bval, members).
+    * `quarantinedDocs`: distinct doc_id of every document in an over-cap
+    * bucket — the first-class form of the quarantine ROUTE the scaladoc
+    * promises (feed these to an exact-dedup pass, e.g. groupBy a content
+    * hash); lazily composed, so an all-kept run prices nothing.
     * Call [[Result.unpersist]] when done — the pipeline pins its shared
     * hashed-shingle pass in storage memory; long-lived sessions should
     * release it once the outputs are consumed.
     */
   final case class Result(pairs: DataFrame, droppedBuckets: DataFrame,
-      private val shared: DataFrame) {
+      quarantinedDocs: DataFrame, private val shared: DataFrame) {
     def unpersist(): Unit = { shared.unpersist(); () }
   }
 
@@ -55,6 +59,14 @@ object DedupPipeline {
         (col("a_sz") + col("b_sz") - col("inter")) * thresholdNum)
       .select(col("a_id"), col("b_id"), col("inter"),
         (col("a_sz") + col("b_sz") - col("inter")).as("uni"))
-    Result(pairs, cw.droppedBuckets, sh60)
+    // quarantine members: the dropped (band, bval) keys name their docs
+    // via a semi-join back onto the banding — rides the SAME persisted
+    // shingle pass (sig derives from sh60), one extra shuffle only when
+    // the route is actually taken
+    val quarantined = MinHashLsh.banded(sig, k, bandRows)
+      .join(cw.droppedBuckets.select(col("band"), col("bval")),
+        Seq("band", "bval"), "left_semi")
+      .select(col("doc_id")).distinct()
+    Result(pairs, cw.droppedBuckets, quarantined, sh60)
   }
 }

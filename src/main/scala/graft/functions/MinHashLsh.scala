@@ -101,26 +101,13 @@ object MinHashLsh {
     */
   def lshCandidatesWithDrops(sig: DataFrame, k: Int, rows: Int,
       maxBucket: Int = BucketedPairs.DefaultMaxBucket): CandidatePairs = {
-    // rows > k yields ZERO bands (silently no candidates — the pipeline
-    // would report a clean corpus); a non-dividing rows silently drops
-    // the trailing minhashes from banding. Both are caller bugs — fail
-    // loudly at plan time.
-    require(rows >= 1 && rows <= k && k % rows == 0,
-      s"banding needs 1 <= rows <= k and rows | k, got k=$k rows=$rows")
     import sig.sparkSession.implicits._
-    val nBands = k / rows
-    val banded = sig.select(col("doc_id"), explode(array(
-      (0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-            .as("bval"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.bval"))
+    val bandedSig = banded(sig, k, rows) // arg sanity checked there
     // bucket-collect + in-bucket pair emission: ONE pass over the signature
     // (a self-join would recompute the whole minhash pipeline for each side)
     // and one shuffle on the band value; LSH buckets are near-dup clusters,
     // so they stay small by construction
-    val sp = BucketedPairs.split(banded, Seq("band", "bval"), maxBucket)
+    val sp = BucketedPairs.split(bandedSig, Seq("band", "bval"), maxBucket)
     val pairs = sp.kept
       .groupBy(col("band"), col("bval"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -140,6 +127,28 @@ object MinHashLsh {
 
   /** Pair output plus the quarantine side channel of over-cap buckets. */
   final case class CandidatePairs(pairs: DataFrame, droppedBuckets: DataFrame)
+
+  /** (doc_id, band, bval) band assignments for a signature frame — the
+    * shared banding used by candidate generation and by quarantine-member
+    * resolution (a dropped bucket's (band, bval) key semi-joins back here
+    * to name its documents).
+    */
+  def banded(sig: DataFrame, k: Int, rows: Int): DataFrame = {
+    // rows > k yields ZERO bands (silently no candidates — the pipeline
+    // would report a clean corpus); a non-dividing rows silently drops
+    // the trailing minhashes from banding. Both are caller bugs — fail
+    // loudly at plan time.
+    require(rows >= 1 && rows <= k && k % rows == 0,
+      s"banding needs 1 <= rows <= k and rows | k, got k=$k rows=$rows")
+    val nBands = k / rows
+    sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
+            .as("bval"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.bval"))
+  }
 
   /** 60-bit SimHash over whitespace tokens (with multiplicity): bit i set
     * iff tokens with bit i set outnumber those without.

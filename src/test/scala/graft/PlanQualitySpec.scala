@@ -418,6 +418,24 @@ class PlanQualitySpec extends SparkSpec {
       planStr.take(1500))
   }
 
+  test("chained stateful composite: exactly two exchanges, both windows " +
+      "sort-based (no group materialization)") {
+    // q_integrate_after_reduce_state = per-user diff window chained into a
+    // per-type running-sum window. The 100 TB shape: ONE shuffle per
+    // re-key (user, then type), each followed by a spill-safe sort +
+    // streaming window frame — never a groupBy collect, never a third
+    // exchange for the chain itself
+    val df = graft.queries.StatefulQueries
+      .queries("q_integrate_after_reduce_state")(spark, "/root/testdata/sf0.001")
+    val planStr = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n" +
+      planStr.take(2000))
+    assert("RunningWindowFunction|Window".r.findAllIn(planStr).nonEmpty, planStr.take(1000))
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("ObjectHashAggregate"), planStr.take(1500))
+  }
+
   test("domain KL: one corpus token pass, reused for the marginals") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))

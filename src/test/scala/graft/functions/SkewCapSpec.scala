@@ -88,23 +88,13 @@ class SkewCapSpec extends SparkSpec {
     assert(comps.length == Groups)
     assert(comps.forall(_.getAs[Long]("sz") == GroupSz.toLong))
 
-    // 5. quarantine ROUTING: dropped (band, bval) keys semi-join back to
-    // the banded signatures to recover member doc ids; the exact-dedup
+    // 5. quarantine ROUTING — the first-class pipeline output: dropped
+    // bucket keys resolve to their member doc ids, and the exact-dedup
     // pass (hash-groupBy on the text) folds them into ONE group of 10k —
     // the "boilerplate cluster routed to exact dedup" the scaladoc
     // promises, exercised end to end
-    val sig = MinHashLsh.signature(docs, "text", 3, 8)
-    val banded = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", col(s"mh_${b * 2}"), col(s"mh_${b * 2 + 1}")).as("bval"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bval").as("bval"))
-    val dropKeys = res.droppedBuckets.select(col("band"), col("bval"))
-    val quarantined = banded.join(dropKeys, Seq("band", "bval"), "left_semi")
-      .select(col("doc_id")).distinct()
-    assert(quarantined.count() == HotN.toLong)
-    val exactGroups = docs.join(quarantined, "doc_id")
+    assert(res.quarantinedDocs.count() == HotN.toLong)
+    val exactGroups = docs.join(res.quarantinedDocs, "doc_id")
       .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
       .collect()
     assert(exactGroups.length == 1 && exactGroups.head.getAs[Long]("n") == HotN.toLong)
