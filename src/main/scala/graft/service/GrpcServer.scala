@@ -116,6 +116,13 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       val h = new DefaultHttp2Headers()
       h.status("200")
       h.set("content-type", "application/grpc")
+      // wire-protocol self-description (custom metadata is legal gRPC and
+      // invisible to stock clients): v2 = stamps in MILLISECONDS per
+      // rpc.proto's documented unit (v1, rounds <10, sent micros). Lets a
+      // client of the old surface detect the unit change at the wire
+      // instead of by misdated data — see README "Protocol & API change
+      // notes".
+      h.set(GrpcServer.WireVersionKey, GrpcServer.WireVersion)
       new DefaultHttp2HeadersFrame(h)
     }
 
@@ -338,4 +345,15 @@ final class GrpcServer(op: GraftOperator, port: Int = 0,
       .syncUninterruptibly()
     ()
   }
+}
+
+object GrpcServer {
+  /** Custom response-metadata key advertising the wire protocol version. */
+  val WireVersionKey = "graft-wire-version"
+
+  /** v2: stamps on the wire are MILLISECONDS (rpc.proto's documented
+    * unit); v1 (rounds <10) sent engine-native microseconds. Bump on any
+    * further wire-visible change.
+    */
+  val WireVersion = "2"
 }

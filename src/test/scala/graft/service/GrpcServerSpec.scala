@@ -252,6 +252,19 @@ class GrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("responses advertise the wire protocol version (graft-wire-version: 2)") {
+    withServer { (c, _) =>
+      val (_, g, _) = c.call("/IngestService/ingest",
+        Seq(ingestMsg("u1", "status", 10, "on")))
+      assert(g == 0)
+      // v2 = wire stamps in ms (rpc.proto unit); a v1 client (micros on
+      // the wire, rounds <10) detects the break here instead of by
+      // misdated data
+      assert(c.lastWireVersion == GrpcServer.WireVersion &&
+        GrpcServer.WireVersion == "2", c.lastWireVersion)
+    }
+  }
+
   test("unknown method answers grpc-status UNIMPLEMENTED") {
     withServer { (c, _) =>
       val (msgs, g, m) = c.call("/IngestService/nope",

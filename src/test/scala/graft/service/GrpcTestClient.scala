@@ -31,6 +31,9 @@ final class GrpcTestClient(port: Int) {
     b.connect("127.0.0.1", port).syncUninterruptibly().channel()
   }
 
+  /** The graft-wire-version response metadata of the latest call. */
+  @volatile var lastWireVersion: String = ""
+
   /** One RPC: returns (response messages, grpc-status, grpc-message). */
   def call(path: String, messages: Seq[Array[Byte]],
       extraHeaders: Map[String, String] = Map.empty): (Seq[Array[Byte]], Int, String) = {
@@ -46,6 +49,8 @@ final class GrpcTestClient(port: Int) {
           override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
             msg match {
               case h: Http2HeadersFrame =>
+                Option(h.headers.get("graft-wire-version"))
+                  .foreach(v => lastWireVersion = v.toString)
                 Option(h.headers.get("grpc-status")).foreach { s =>
                   status = s.toString.toInt
                   statusMsg = Option(h.headers.get("grpc-message"))
