@@ -182,6 +182,23 @@ object WindowQueries extends QuerySet {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
     }),
 
+    // union of DIFFERENTLY-windowed aggregates over one source — the
+    // GroovyEnvTest.testUnionOnDifferentWindows:965 composite at data
+    // scale: hourly tumbling counts unioned with the global-window count
+    // (sentinel w_start_us = -1). One scan feeds both legs; the union is
+    // plan-level (no shuffle of its own)
+    "q_window_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val us = unix_micros(col("ts"))
+      val sizeUs = 3600L * 1000000L
+      val tumbling = ev
+        .groupBy((us - pmod(us, lit(sizeUs))).as("w_start_us"))
+        .agg(count(lit(1)).as("n"))
+      val global = ev.agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("w_start_us"), col("n"))
+      tumbling.union(global)
+    }),
+
     // burst/anomaly detection over tumbling windows: flag the hourly
     // windows where a user's count exceeds 2x their own per-active-window
     // average — integer CROSS-MULTIPLY (n·n_windows > 2·total), no
@@ -536,6 +553,12 @@ object WindowQueries extends QuerySet {
         |event_type, count(*) AS n,
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_window_union" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000 AS w_start_us,
+        |count(*) AS n FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS w_start_us, count(*) AS n FROM events""".stripMargin,
 
     // every event belongs to exactly two 1h/30m sliding windows:
     // starts floor(e/30m)*30m and that minus 30m

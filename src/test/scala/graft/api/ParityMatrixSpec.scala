@@ -92,7 +92,7 @@ class ParityMatrixSpec extends SparkSpec {
     ("testReduceValueStateWithLatenessAndSlidingWindow", 910,
       "HERE:lateness + reduceValueState + sliding window composition"),
     ("testUnionOnDifferentWindows", 965,
-      "HERE:union of differently-windowed aggregates"),
+      "HERE:union of differently-windowed aggregates; q_window_union oracle"),
     ("testUnionOnDifferentWindowsDifferentTrigger", 994,
       "HERE:union of two global-window aggregates"),
     ("testIntegratePerKeyAfterWindowing", 1017,
