@@ -293,8 +293,198 @@ object MediaCodecs {
     Y4m(w, h, num, den, frames.toArray)
   }
 
-  /** Container sniff by magic bytes: "bmp", "wav", "y4m", or "unknown"
-    * (the stub seam's territory — compressed codecs).
+  // ---- PNG (ISO/IEC 15948): a REAL compressed still-image codec, pure
+  // JDK — zlib via java.util.zip.{Deflater, Inflater}, CRC32 from the
+  // same package. Supported: bit depth 8, color types 2 (RGB) and
+  // 6 (RGBA, alpha dropped on decode), all five row filters, multiple
+  // IDAT chunks, non-interlaced. Adam7 interlace and palette/gray types
+  // throw loudly (extend rather than decode garbage).
+
+  private val PngSig: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crcChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    out.putInt(data.length)
+    out.put(typ.getBytes("US-ASCII"))
+    out.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII"))
+    crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Encode an 8-bit RGB PNG; `rgb(x, y)` returns packed 0xRRGGBB.
+    * `filterType` (0-4) is applied to EVERY row — the spec-legal way to
+    * exercise each defilter path with a payload any stock viewer opens.
+    */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int,
+      filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+    val stride = width * 3
+    val raw = new Array[Byte](height * (1 + stride))
+    val prev = new Array[Int](stride) // previous row, unfiltered, 0..255
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val px = rgb(x, y)
+        cur(x * 3) = (px >> 16) & 0xff
+        cur(x * 3 + 1) = (px >> 8) & 0xff
+        cur(x * 3 + 2) = px & 0xff
+        x += 1
+      }
+      val base = y * (1 + stride)
+      raw(base) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = if (y > 0) prev(i) else 0
+        val c = if (i >= 3 && y > 0) prev(i - 3) else 0
+        val f = filterType match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - (a + b) / 2
+          case 4 => cur(i) - paeth(a, b, c)
+        }
+        raw(base + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(crcChunk("IHDR", ihdr.array()))
+    out.write(crcChunk("IDAT", zOut.toByteArray))
+    out.write(crcChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Decode a PNG into the engine's packed-RGB image (RGBA alpha is
+    * dropped). CRCs are verified per chunk; unsupported shapes throw.
+    */
+  def decodePng(bytes: Array[Byte]): Bmp = {
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"malformed PNG: $what")
+    if (bytes.length < 8 + 25 || !PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+      fail("bad signature")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    bb.position(8)
+    var width = 0; var height = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      if (bb.remaining() < 12) fail("truncated chunk")
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining() - 8) fail(s"bad chunk length $len")
+      val typBytes = new Array[Byte](4); bb.get(typBytes)
+      val typ = new String(typBytes, "US-ASCII")
+      val data = new Array[Byte](len); bb.get(data)
+      val crcWant = bb.getInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(typBytes); crc.update(data)
+      if (crc.getValue.toInt != crcWant) fail(s"CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          if (len != 13) fail("IHDR length")
+          val h = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+          width = h.getInt; height = h.getInt
+          val bitDepth = h.get(); colorType = h.get()
+          val compression = h.get(); val filterM = h.get(); val interlace = h.get()
+          if (width <= 0 || height <= 0) fail(s"bad dims ${width}x$height")
+          if (bitDepth != 8) fail(s"unsupported bit depth $bitDepth (only 8)")
+          if (colorType != 2 && colorType != 6)
+            fail(s"unsupported color type $colorType (only RGB/RGBA)")
+          if (compression != 0 || filterM != 0) fail("bad compression/filter method")
+          if (interlace != 0) fail("Adam7 interlace unsupported")
+        case "IDAT" => idat.write(data)
+        case "IEND" => sawEnd = true
+        case _      => () // ancillary chunks skipped
+      }
+    }
+    if (colorType < 0) fail("missing IHDR")
+    if (idat.size() == 0) fail("missing IDAT")
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = width * bpp
+    val rawLen = height * (1 + stride)
+    val raw = new Array[Byte](rawLen)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < rawLen && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, rawLen - off)
+        if (n == 0 && inflater.needsInput()) fail("truncated IDAT stream")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException => fail(s"zlib: ${e.getMessage}")
+    } finally inflater.end()
+    if (off != rawLen) fail(s"decompressed $off bytes, expected $rawLen")
+    val pixels = new Array[Int](width * height)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      if (ft > 4) fail(s"bad row filter $ft")
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = if (y > 0) prev(i) else 0
+        val c = if (i >= bpp && y > 0) prev(i - bpp) else 0
+        cur(i) = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + b) & 0xff
+          case 3 => (x + (a + b) / 2) & 0xff
+          case 4 => (x + paeth(a, b, c)) & 0xff
+        }
+        i += 1
+      }
+      var px = 0
+      while (px < width) {
+        pixels(y * width + px) =
+          (cur(px * bpp) << 16) | (cur(px * bpp + 1) << 8) | cur(px * bpp + 2)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Bmp(width, height, pixels)
+  }
+
+  /** Decode any supported still-image container to packed RGB. */
+  def decodeImage(payload: Array[Byte]): Option[Bmp] = sniff(payload) match {
+    case "bmp" => Some(decodeBmp(payload))
+    case "png" => Some(decodePng(payload))
+    case _     => None
+  }
+
+  /** Container sniff by magic bytes: "bmp", "wav", "y4m", "png", or
+    * "unknown" (the stub seam's territory — compressed A/V codecs).
     */
   def sniff(payload: Array[Byte]): String =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
@@ -303,5 +493,7 @@ object MediaCodecs {
       payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
     else if (payload.length >= 9 &&
       new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
+    else if (payload.length >= 8 && PngSig.indices.forall(i => payload(i) == PngSig(i)))
+      "png"
     else "unknown"
 }

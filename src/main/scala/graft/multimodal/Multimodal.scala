@@ -14,13 +14,13 @@ import org.apache.spark.sql.types._
   * batches: one partition = a stream of batched records, constant memory),
   * partition-count preservation, and codegen'd metadata projections.
   *
-  * Codecs: UNCOMPRESSED containers decode for REAL — [[MediaCodecs]]
-  * implements BMP (24bpp) and RIFF/WAVE (PCM16) parse/encode/resample from
+  * Codecs: real containers decode for REAL — [[MediaCodecs]] implements
+  * BMP (24bpp), RIFF/WAVE (PCM16), YUV4MPEG2, and PNG (a genuinely
+  * COMPRESSED format: zlib inflate + all five row filters, pure JDK) from
   * the public specs, and [[SniffCodec]] routes payloads by magic bytes.
-  * Compressed codecs (JPEG/MP3/H.264) remain STUBBED with deterministic
-  * byte-derived fakes — those decoders are native libraries this container
-  * doesn't have — behind `MediaCodec`, the single seam a real build would
-  * swap for JNI/FFI codecs.
+  * Codecs needing native libraries (JPEG/MP3/H.264) remain STUBBED with
+  * deterministic byte-derived fakes behind `MediaCodec`, the single seam
+  * a real build would swap for JNI/FFI codecs.
   */
 object Multimodal {
 
@@ -128,17 +128,22 @@ object Multimodal {
       }
   }
 
-  /** Container-sniffing codec: REAL parse for uncompressed containers
-    * ([[MediaCodecs]] — BMP 24bpp, RIFF/WAVE PCM16), stub fallback for
-    * anything else (compressed codecs are native libraries; see the
-    * class doc). This is the production default — the stub is only ever
-    * reached for payloads whose formats need out-of-scope decoders.
+  /** Container-sniffing codec: REAL parse for the implemented containers
+    * ([[MediaCodecs]] — BMP 24bpp, PNG, RIFF/WAVE PCM16, YUV4MPEG2), stub
+    * fallback for anything else (native-library codecs; see the class
+    * doc). This is the production default — the stub is only ever reached
+    * for payloads whose formats need out-of-scope decoders.
     */
   object SniffCodec extends MediaCodec {
     def decodeMeta(kind: String, payload: Array[Byte]): (Int, Int, Long, Int) =
       MediaCodecs.sniff(payload) match {
         case "bmp" =>
           val b = MediaCodecs.decodeBmp(payload)
+          (b.width, b.height, 0L, 3)
+        case "png" =>
+          // REAL compressed still-image decode (pure-JDK zlib; see
+          // MediaCodecs.decodePng)
+          val b = MediaCodecs.decodePng(payload)
           (b.width, b.height, 0L, 3)
         case "wav" =>
           val w = MediaCodecs.decodeWav(payload)
@@ -160,7 +165,7 @@ object Multimodal {
 
   final case class AHash(mediaId: Long, ahashHi: Long, ahashLo: Long)
 
-  /** 64-bit AVERAGE HASH per BMP — the classic perceptual-dedup
+  /** 64-bit AVERAGE HASH per still image (BMP or PNG) — the classic perceptual-dedup
     * primitive (near-identical images collide; a hamming band over the
     * hash finds re-encodes/resizes the byte-exact dedup misses):
     * nearest-neighbor downsample to 8×8 (source pixel (x·w div 8,
@@ -176,9 +181,7 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        if (MediaCodecs.sniff(p) != "bmp") Iterator.empty
-        else {
-          val b = MediaCodecs.decodeBmp(p)
+        MediaCodecs.decodeImage(p).iterator.map { b =>
           val luma = new Array[Long](64)
           var sum = 0L
           var i = 0
@@ -201,7 +204,7 @@ object Multimodal {
             }
             i += 1
           }
-          Iterator.single(AHash(id, hi, lo))
+          AHash(id, hi, lo)
         }
       })
   }
@@ -233,18 +236,17 @@ object Multimodal {
       .toDF("a_id", "b_id", "ahash_hi", "ahash_lo")
   }
 
-  /** Decode every BMP payload and aggregate exact per-channel sums —
-    * real pixel decode in the executor, map-only, constant memory per
-    * row. Non-BMP rows are skipped (they belong to other stages).
+  /** Decode every still-image payload (BMP or PNG) and aggregate exact
+    * per-channel sums — real pixel decode in the executor, map-only,
+    * constant memory per row. Non-image rows are skipped (they belong to
+    * other stages).
     */
   def imageStats(media: DataFrame): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        if (MediaCodecs.sniff(p) != "bmp") Iterator.empty
-        else {
-          val b = MediaCodecs.decodeBmp(p)
+        MediaCodecs.decodeImage(p).iterator.map { b =>
           var r = 0L; var g = 0L; var bl = 0L
           var i = 0
           while (i < b.pixels.length) {
@@ -252,8 +254,8 @@ object Multimodal {
             r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; bl += px & 0xff
             i += 1
           }
-          Iterator.single(ImageStats(id, b.width, b.height,
-            b.pixels.length.toLong, r, g, bl))
+          ImageStats(id, b.width, b.height,
+            b.pixels.length.toLong, r, g, bl)
         }
       })
   }
@@ -315,21 +317,26 @@ object Multimodal {
 
   /** REAL image resize: decode BMP → nearest-neighbor resample to
     * (w·num div den, h·num div den) (floored, min 1) → re-encode BMP.
-    * Non-BMP payloads pass through untouched (the byte-budget
-    * [[resize]] covers opaque formats).
+    * Non-image payloads pass through untouched (the byte-budget
+    * [[resize]] covers opaque formats); BMP and PNG resize for real,
+    * each keeping its container.
     */
   def resizeImages(media: DataFrame, num: Int, den: Int): DataFrame = {
     require(num >= 1 && den >= 1, s"scale must be positive: $num/$den")
     val spark0 = media.sparkSession
     import spark0.implicits._
     val scaled = udf { (p: Array[Byte]) =>
-      if (MediaCodecs.sniff(p) != "bmp") p
+      val kind = MediaCodecs.sniff(p)
+      if (kind != "bmp" && kind != "png") p
       else {
-        val b = MediaCodecs.decodeBmp(p)
+        val b = if (kind == "bmp") MediaCodecs.decodeBmp(p)
+        else MediaCodecs.decodePng(p)
         val ow = math.max(1, b.width * num / den)
         val oh = math.max(1, b.height * num / den)
         val out = MediaCodecs.resizeBmpNearest(b, ow, oh)
-        MediaCodecs.encodeBmp(ow, oh, (x, y) => out(x, y))
+        // the payload keeps its container: a PNG resizes to a PNG
+        if (kind == "bmp") MediaCodecs.encodeBmp(ow, oh, (x, y) => out(x, y))
+        else MediaCodecs.encodePng(ow, oh, (x, y) => out(x, y))
       }
     }
     media.withColumn("payload", scaled(col("payload")))

@@ -66,6 +66,33 @@ object MultimodalQueries extends QuerySet {
         .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
           "sum_b")),
 
+    // REAL COMPRESSED decode: the same closed-form pixels shipped as PNG
+    // — zlib-deflated IDAT with the row filter VARYING by id (doc_id % 5
+    // covers None/Sub/Up/Average/Paeth), so matching the oracle's
+    // pixel-formula sums requires an actual inflate + per-filter
+    // reconstruction (MediaCodecs.decodePng, pure-JDK zlib). Encoding
+    // happens executor-side per row (map-only); the decode rides the
+    // same imageStats pipeline as the BMP row
+    "q_media_png" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + (id * 5) % 9).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          val payload = graft.multimodal.MediaCodecs.encodePng(w, h, (x, y) => {
+            val r = ((x * 7 + y * 13 + id) % 256).toInt
+            val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+            val b = ((x + y + id * 9) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }, filterType = (id % 5).toInt)
+          (id, "image", payload)
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.imageStats(media)
+        .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
+          "sum_b")
+    }),
+
     // perceptual dedup primitive: 64-bit average hash per decoded BMP
     // (8x8 NN downsample, integer luma, mean threshold) as two unsigned
     // 32-bit halves — all integer, oracle replays the closed-form pixels
@@ -248,6 +275,28 @@ object MultimodalQueries extends QuerySet {
          |       CAST(sum((97 + i * 7 + f * 11 + media_id) % 256) AS BIGINT) AS sum_u,
          |       CAST(sum((194 + i * 7 + f * 11 + media_id) % 256) AS BIGINT) AS sum_v
          |FROM px GROUP BY media_id, f""".stripMargin,
+
+    // the PNG leg replays the SAME pixel formulas over EVERY doc id (the
+    // BMP row is the doc_id % 3 = 0 subset) — what the engine must earn
+    // by inflating the deflated, per-id-filtered IDAT stream
+    "q_media_png" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id,
+         |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+         |  FROM documents
+         |), px AS (
+         |  SELECT media_id, w, h, CAST(ux.x AS BIGINT) AS x,
+         |         CAST(uy.y AS BIGINT) AS y
+         |  FROM img,
+         |       unnest(generate_series(0, CAST(w AS INT) - 1)) ux(x),
+         |       unnest(generate_series(0, CAST(h AS INT) - 1)) uy(y)
+         |)
+         |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       CAST(count(*) AS BIGINT) AS n_px,
+         |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+         |       CAST(sum((x * 11 + y * 3 + media_id * 5) % 256) AS BIGINT) AS sum_g,
+         |       CAST(sum((x + y + media_id * 9) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY media_id, w, h""".stripMargin,
 
     "q_media_image_stats" ->
       s"""WITH img AS ($imgSql), px AS (
