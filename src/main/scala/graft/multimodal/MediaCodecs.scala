@@ -476,11 +476,97 @@ object MediaCodecs {
     Bmp(width, height, pixels)
   }
 
+  // ---- JPEG / GIF via the JDK's bundled ImageIO plugins (part of every
+  // JDK install — not an external native library): REAL decodes for the
+  // two remaining common image containers. JPEG is LOSSY, so only its
+  // HEADER fields (dims) are cross-engine-exact; GIF is palette-coded —
+  // lossless whenever the image has <= 256 distinct colors (the gray
+  // fixture encoder below guarantees it), so decoded pixels are exact.
+
+  private lazy val headless: Unit = {
+    // executors have no display; ImageIO's readers are headless-safe but
+    // AWT color models initialize the toolkit lazily
+    System.setProperty("java.awt.headless", "true")
+  }
+
+  /** Decode a JPEG or GIF payload via ImageIO into packed RGB. */
+  def decodeImageIo(bytes: Array[Byte]): Bmp = {
+    headless
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"malformed ${sniff(bytes)}: ${e.getMessage}")
+    }
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"malformed ${sniff(bytes)}: no ImageIO reader decoded it")
+    val w = img.getWidth; val h = img.getHeight
+    val pixels = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, pixels, 0, w)
+    var i = 0
+    while (i < pixels.length) { pixels(i) &= 0xffffff; i += 1 }
+    Bmp(w, h, pixels)
+  }
+
+  /** Encode a GRAYSCALE GIF — <= 256 distinct colors by construction, so
+    * the palette round trip is LOSSLESS (fixture encoder for the oracle
+    * rows; arbitrary-RGB GIF writes quantize and are NOT exact).
+    */
+  def encodeGifGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    headless
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    // NON-interlaced explicitly: the JDK GIF writer defaults to
+    // interlaced, and the JDK GIF READER mis-places interlace passes for
+    // heights < 8 (row scramble + a zero row at h=4 — observed, JDK 17)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Encode a JPEG (REAL lossy DCT container; decoded pixels are
+    * decoder-approximate — only header fields are cross-engine-exact).
+    */
+  def encodeJpeg(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    headless
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpeg", out), "no JPEG writer")
+    out.toByteArray
+  }
+
   /** Decode any supported still-image container to packed RGB. */
   def decodeImage(payload: Array[Byte]): Option[Bmp] = sniff(payload) match {
-    case "bmp" => Some(decodeBmp(payload))
-    case "png" => Some(decodePng(payload))
-    case _     => None
+    case "bmp"          => Some(decodeBmp(payload))
+    case "png"          => Some(decodePng(payload))
+    case "jpeg" | "gif" => Some(decodeImageIo(payload))
+    case _              => None
   }
 
   /** Container sniff by magic bytes: "bmp", "wav", "y4m", "png", or
@@ -495,5 +581,9 @@ object MediaCodecs {
       new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
     else if (payload.length >= 8 && PngSig.indices.forall(i => payload(i) == PngSig(i)))
       "png"
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8') "gif"
     else "unknown"
 }

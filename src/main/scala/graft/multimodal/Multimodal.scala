@@ -145,6 +145,10 @@ object Multimodal {
           // MediaCodecs.decodePng)
           val b = MediaCodecs.decodePng(payload)
           (b.width, b.height, 0L, 3)
+        case "jpeg" | "gif" =>
+          // REAL decode via the JDK's bundled ImageIO plugins
+          val b = MediaCodecs.decodeImageIo(payload)
+          (b.width, b.height, 0L, 3)
         case "wav" =>
           val w = MediaCodecs.decodeWav(payload)
           (0, 0, w.durationMs, w.channels)

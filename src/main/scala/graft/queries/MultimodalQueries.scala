@@ -93,6 +93,51 @@ object MultimodalQueries extends QuerySet {
           "sum_b")
     }),
 
+    // REAL GIF decode (JDK-bundled ImageIO plugin): closed-form GRAY
+    // pixels — <= 256 distinct colors, so the palette round trip is
+    // LOSSLESS and the decoded sums are oracle-exact. The engine must
+    // LZW-decode the actual GIF stream to match
+    "q_media_gif" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + (id * 5) % 9).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          val payload = graft.multimodal.MediaCodecs.encodeGifGray(w, h,
+            (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+          (id, "image", payload)
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.imageStats(media)
+        .toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
+          "sum_b")
+    }),
+
+    // REAL JPEG decode (JDK-bundled ImageIO): JPEG is lossy, so the
+    // oracle checks the HEADER truth — dimensions recovered by actually
+    // parsing the DCT container — plus the byte size being container-real
+    // (> the raw header floor)
+    "q_media_jpeg" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + (id * 5) % 9).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          val payload = graft.multimodal.MediaCodecs.encodeJpeg(w, h,
+            (x, y) => {
+              val r = ((x * 7 + y * 13 + id) % 256).toInt
+              val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+              val b = ((x + y + id * 9) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+          (id, "image", payload)
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.decodeMeta(media, Multimodal.SniffCodec)
+        .toDF().select(col("mediaId").as("media_id"),
+          col("width"), col("height"), col("channels"))
+    }),
+
     // perceptual dedup primitive: 64-bit average hash per decoded BMP
     // (8x8 NN downsample, integer luma, mean threshold) as two unsigned
     // 32-bit halves — all integer, oracle replays the closed-form pixels
@@ -297,6 +342,33 @@ object MultimodalQueries extends QuerySet {
          |       CAST(sum((x * 11 + y * 3 + media_id * 5) % 256) AS BIGINT) AS sum_g,
          |       CAST(sum((x + y + media_id * 9) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    // gray pixels: every channel sums the same formula
+    "q_media_gif" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id,
+         |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+         |  FROM documents
+         |), px AS (
+         |  SELECT media_id, w, h, CAST(ux.x AS BIGINT) AS x,
+         |         CAST(uy.y AS BIGINT) AS y
+         |  FROM img,
+         |       unnest(generate_series(0, CAST(w AS INT) - 1)) ux(x),
+         |       unnest(generate_series(0, CAST(h AS INT) - 1)) uy(y)
+         |)
+         |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       CAST(count(*) AS BIGINT) AS n_px,
+         |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+         |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_g,
+         |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    "q_media_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8 + (doc_id * 5) % 9 AS INT) AS width,
+        |       CAST(8 + (doc_id * 3) % 9 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels
+        |FROM documents""".stripMargin,
 
     "q_media_image_stats" ->
       s"""WITH img AS ($imgSql), px AS (
