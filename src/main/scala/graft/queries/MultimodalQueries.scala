@@ -93,6 +93,37 @@ object MultimodalQueries extends QuerySet {
           "sum_b")
     }),
 
+    // CROSS-FORMAT perceptual dedup: the same closed-form pixels encoded
+    // as a BMP (id) and as a PNG under a mirror id (-id - 1). The average
+    // hash is computed from DECODED pixels, so the pair (-id-1, id) must
+    // collide — format-independent near-dup detection, the property that
+    // makes perceptual dedup useful on a mixed-format web corpus. The
+    // oracle replays ALL hash-equal pairs over the doubled id space, so
+    // incidental same-hash collisions between different images are
+    // matched too, not assumed away
+    "q_media_cross_format" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 3 == 0)
+        .mapPartitions(_.flatMap { id =>
+          val w = (8 + (id * 5) % 9).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          val px = (x: Int, y: Int) => {
+            val r = ((x * 7 + y * 13 + id) % 256).toInt
+            val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+            val b = ((x + y + id * 9) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          Iterator(
+            (id, "image", graft.multimodal.MediaCodecs.encodeBmp(w, h, px)),
+            (-id - 1, "image",
+              graft.multimodal.MediaCodecs.encodePng(w, h, px,
+                filterType = (id % 5).toInt)))
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.perceptualDupPairs(media)
+    }),
+
     // REAL GIF decode (JDK-bundled ImageIO plugin): closed-form GRAY
     // pixels — <= 256 distinct colors, so the palette round trip is
     // LOSSLESS and the decoded sums are oracle-exact. The engine must
@@ -342,6 +373,21 @@ object MultimodalQueries extends QuerySet {
          |       CAST(sum((x * 11 + y * 3 + media_id * 5) % 256) AS BIGINT) AS sum_g,
          |       CAST(sum((x + y + media_id * 9) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    // the PNG mirror decodes to the SAME pixels, so its hash equals the
+    // BMP's; all hash-equal pairs over the doubled id space replay any
+    // incidental collisions too
+    "q_media_cross_format" ->
+      s"""WITH img AS ($imgSql), $ahashCtes, hall AS (
+         |  SELECT media_id, ahash_hi, ahash_lo FROM hsrc
+         |  UNION ALL
+         |  SELECT -media_id - 1, ahash_hi, ahash_lo FROM hsrc
+         |)
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |       a.ahash_hi, a.ahash_lo
+         |FROM hall a JOIN hall b
+         |  ON a.ahash_hi = b.ahash_hi AND a.ahash_lo = b.ahash_lo
+         | AND a.media_id < b.media_id""".stripMargin,
 
     // gray pixels: every channel sums the same formula
     "q_media_gif" ->
