@@ -561,6 +561,75 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Encode an ANIMATED grayscale GIF (lossless: <= 256 colors per
+    * frame); `gray(frame, x, y)` returns 0..255. Non-interlaced — see
+    * [[encodeGifGray]].
+    */
+  def encodeGifAnim(width: Int, height: Int, nFrames: Int,
+      gray: (Int, Int, Int) => Int): Array[Byte] = {
+    headless
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val g = gray(f, x, y) & 0xff
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF via the JDK's
+    * bundled reader.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Array[Bmp] = {
+    headless
+    if (sniff(bytes) != "gif")
+      throw new IllegalArgumentException("malformed GIF: bad magic")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = try reader.getNumImages(true) catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"malformed GIF: ${e.getMessage}")
+      }
+      if (n < 1) throw new IllegalArgumentException("malformed GIF: no frames")
+      Array.tabulate(n) { f =>
+        val img = try reader.read(f) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"malformed GIF frame $f: ${e.getMessage}")
+        }
+        val w = img.getWidth; val h = img.getHeight
+        val pixels = new Array[Int](w * h)
+        img.getRGB(0, 0, w, h, pixels, 0, w)
+        var i = 0
+        while (i < pixels.length) { pixels(i) &= 0xffffff; i += 1 }
+        Bmp(w, h, pixels)
+      }
+    } finally reader.dispose()
+  }
+
   /** Decode any supported still-image container to packed RGB. */
   def decodeImage(payload: Array[Byte]): Option[Bmp] = sniff(payload) match {
     case "bmp"          => Some(decodeBmp(payload))

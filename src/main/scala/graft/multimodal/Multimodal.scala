@@ -293,6 +293,34 @@ object Multimodal {
     * `stride`-th frame, exact per-plane byte sums — the flatMap-shaped
     * stage over actual frame data. Non-Y4M rows are skipped.
     */
+  final case class GifFrameStats(mediaId: Long, frameIdx: Int,
+      width: Int, height: Int, sumGray: Long)
+
+  /** Frame sampling over a COMPRESSED container: decode every `stride`-th
+    * frame of an animated GIF (JDK-bundled LZW reader) and aggregate its
+    * exact gray sum — the real-codec counterpart of [[videoFrameStats]]'s
+    * uncompressed Y4M path. Map-only; non-GIF rows skip.
+    */
+  def gifFrameStats(media: DataFrame, stride: Int): Dataset[GifFrameStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "gif") Iterator.empty
+        else {
+          val frames = MediaCodecs.decodeGifFrames(p)
+          Iterator.range(0, frames.length, stride).map { f =>
+            val b = frames(f)
+            var s = 0L
+            var i = 0
+            while (i < b.pixels.length) { s += b.pixels(i) & 0xff; i += 1 }
+            GifFrameStats(id, f, b.width, b.height, s)
+          }
+        }
+      })
+  }
+
   def videoFrameStats(media: DataFrame, stride: Int): Dataset[FrameStats] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._

@@ -144,6 +144,27 @@ object MultimodalQueries extends QuerySet {
           "sum_b")
     }),
 
+    // frame sampling over a COMPRESSED container: animated gray GIFs
+    // (closed-form pixels per frame, lossless palette) decoded by the
+    // JDK's LZW reader, every 2nd frame's exact gray sum — the real-codec
+    // counterpart of q_media_frames' uncompressed Y4M path
+    "q_media_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 3 == 2)
+        .mapPartitions(_.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (4 + (id * 7) % 5).toInt
+          val nf = (3 + id % 4).toInt
+          val payload = graft.multimodal.MediaCodecs.encodeGifAnim(w, h, nf,
+            (f, x, y) => ((x * 7 + y * 13 + f * 31 + id) % 256).toInt)
+          (id, "video", payload)
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.gifFrameStats(media, stride = 2)
+        .toDF("media_id", "frame_idx", "width", "height", "sum_gray")
+    }),
+
     // REAL JPEG decode (JDK-bundled ImageIO): JPEG is lossy, so the
     // oracle checks the HEADER truth — dimensions recovered by actually
     // parsing the DCT container — plus the byte size being container-real
@@ -408,6 +429,28 @@ object MultimodalQueries extends QuerySet {
          |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_g,
          |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    "q_media_gif_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+        |         4 + (doc_id * 7) % 5 AS h, 3 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), fr AS (
+        |  SELECT media_id, w, h, CAST(uf.f AS BIGINT) AS f
+        |  FROM g, unnest(generate_series(0, CAST(nf AS INT) - 1)) uf(f)
+        |  WHERE uf.f % 2 = 0
+        |), px AS (
+        |  SELECT media_id, w, h, f, CAST(ux.x AS BIGINT) AS x,
+        |         CAST(uy.y AS BIGINT) AS y
+        |  FROM fr,
+        |       unnest(generate_series(0, CAST(w AS INT) - 1)) ux(x),
+        |       unnest(generate_series(0, CAST(h AS INT) - 1)) uy(y)
+        |)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum((x * 7 + y * 13 + f * 31 + media_id) % 256) AS BIGINT)
+        |         AS sum_gray
+        |FROM px GROUP BY media_id, f, w, h""".stripMargin,
 
     "q_media_jpeg" ->
       """SELECT doc_id AS media_id,

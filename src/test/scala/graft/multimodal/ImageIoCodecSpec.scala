@@ -51,6 +51,23 @@ class ImageIoCodecSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("animated gray GIF: every frame round-trips exactly; frame sampling decodes the compressed stream") {
+    val bytes = MediaCodecs.encodeGifAnim(6, 5, 4,
+      (f, x, y) => (x * 7 + y * 13 + f * 31) % 256)
+    val frames = MediaCodecs.decodeGifFrames(bytes)
+    assert(frames.length == 4)
+    for (f <- 0 until 4; y <- 0 until 5; x <- 0 until 6) {
+      val g = (x * 7 + y * 13 + f * 31) % 256
+      assert(frames(f).pixels(y * 6 + x) == ((g << 16) | (g << 8) | g),
+        s"frame $f ($x,$y)")
+    }
+    // a single-frame gif decodes through the same path
+    assert(MediaCodecs.decodeGifFrames(
+      MediaCodecs.encodeGifGray(3, 3, (x, y) => x + y)).length == 1)
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodeGifFrames("nope".getBytes("UTF-8")))
+  }
+
   test("corrupt JPEG/GIF payloads refuse loudly") {
     val j = MediaCodecs.encodeJpeg(8, 8, rgb)
     intercept[IllegalArgumentException](
