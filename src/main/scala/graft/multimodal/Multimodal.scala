@@ -296,6 +296,66 @@ object Multimodal {
   final case class GifFrameStats(mediaId: Long, frameIdx: Int,
       width: Int, height: Int, sumGray: Long)
 
+  /** Perceptual NEAR-dup pairs: images whose 64-bit average hashes are
+    * within `maxDist` Hamming bits — stage 2 of image dedup (stage 1,
+    * [[perceptualDupPairs]], catches exact-hash collisions only; a
+    * re-encode that shifts a couple of luma cells needs the band). Same
+    * exact pigeonhole plan as [[graft.functions.MinHashLsh
+    * .simhashNearDups]], lifted to the (hi, lo) half pair: the 64 bits
+    * split into `maxDist + 1` bands, qualifying pairs share at least one
+    * identical band (pigeonhole — exact, not approximate), full distance
+    * verified in-bucket as bitCount(hi xor hi') + bitCount(lo xor lo')
+    * (the halves stay separate — no sign games packing 64 bits into one
+    * BIGINT). One shuffle on band bits; per-bucket cap with the usual
+    * quarantine discipline.
+    */
+  def perceptualNearDupPairs(media: DataFrame, maxDist: Int,
+      maxBucket: Int = graft.functions.BucketedPairs.DefaultMaxBucket): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val nBands = maxDist + 1
+    val banded = imageAHash(media).flatMap { h =>
+      (0 until nBands).map { b =>
+        val lo64 = 64 * b / nBands
+        val w = 64 * (b + 1) / nBands - lo64
+        // band bits out of the conceptual hi:lo 64-bit word, kept sign-free
+        // by extracting per half
+        var bits = 0L
+        var j = 0
+        while (j < w) {
+          val bit = lo64 + j
+          val set =
+            if (bit < 32) (h.ahashLo >>> bit) & 1L
+            else (h.ahashHi >>> (bit - 32)) & 1L
+          bits |= set << j
+          j += 1
+        }
+        (b, bits, h.mediaId, h.ahashHi, h.ahashLo)
+      }
+    }.toDF("band", "bits", "media_id", "hi", "lo")
+    val kept = graft.functions.BucketedPairs.prune(banded,
+      Seq("band", "bits"), maxBucket)
+    kept
+      .groupBy(col("band"), col("bits"))
+      .agg(collect_list(struct(col("media_id"), col("hi"), col("lo"))).as("items"))
+      .select(col("items"))
+      .as[Seq[(Long, Long, Long)]]
+      .flatMap { items =>
+        val arr = items.toArray
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1) until arr.length
+          (id, hi, lo) = arr(i)
+          (oid, ohi, olo) = arr(j)
+          d = java.lang.Long.bitCount(hi ^ ohi) + java.lang.Long.bitCount(lo ^ olo)
+          if d <= maxDist
+        } yield (math.min(id, oid), math.max(id, oid), d)
+      }
+      .toDF("a_id", "b_id", "dist")
+      .distinct()
+  }
+
   /** Frame sampling over a COMPRESSED container: decode every `stride`-th
     * frame of an animated GIF (JDK-bundled LZW reader) and aggregate its
     * exact gray sum — the real-codec counterpart of [[videoFrameStats]]'s

@@ -144,6 +144,35 @@ object MultimodalQueries extends QuerySet {
           "sum_b")
     }),
 
+    // perceptual NEAR-dup (stage 2): a twin image differing in ONE pixel
+    // region hashes a few Hamming bits away from its source — exact-hash
+    // stage-1 dedup misses it, the 64-bit pigeonhole band join finds it.
+    // Pairs are EXACT (pigeonhole argument), so the oracle replays the
+    // closed-form hashes and all pairs within the distance — incidental
+    // cross-image near-collisions included
+    "q_media_hamming_dup" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 3 == 0)
+        .mapPartitions(_.flatMap { id =>
+          val w = (8 + (id * 5) % 9).toInt
+          val h = (8 + (id * 3) % 9).toInt
+          def px(bump: Int)(x: Int, y: Int): Int = {
+            val r = ((x * 7 + y * 13 + id +
+              (if (bump != 0 && x == 0 && y == 0) bump else 0)) % 256).toInt
+            val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+            val b = ((x + y + id * 9) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          Iterator(
+            (id, "image", graft.multimodal.MediaCodecs.encodeBmp(w, h, px(0))),
+            (-id - 1, "image",
+              graft.multimodal.MediaCodecs.encodeBmp(w, h, px(96))))
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.perceptualNearDupPairs(media, maxDist = 8)
+    }),
+
     // frame sampling over a COMPRESSED container: animated gray GIFs
     // (closed-form pixels per frame, lossless palette) decoded by the
     // JDK's LZW reader, every 2nd frame's exact gray sum — the real-codec
@@ -429,6 +458,54 @@ object MultimodalQueries extends QuerySet {
          |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_g,
          |       CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY media_id, w, h""".stripMargin,
+
+    // hashes replayed per (image, variant); twin differs only where the
+    // bumped pixel's sample cell (sx=0, sy=0) changes the red channel —
+    // the sf0.01 oracle can afford the all-pairs distance scan (engine
+    // side stays banded at every sf)
+    "q_media_hamming_dup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), var AS (
+        |  SELECT media_id, w, h, CAST(uv.v AS BIGINT) AS v
+        |  FROM img, unnest([0, 1]) uv(v)
+        |), cell AS (
+        |  SELECT media_id, v, CAST(u.i AS BIGINT) AS i,
+        |         ((CAST(u.i AS BIGINT) % 8) * w) // 8 AS sx,
+        |         ((CAST(u.i AS BIGINT) // 8) * h) // 8 AS sy
+        |  FROM var, unnest(generate_series(0, 63)) u(i)
+        |), lum AS (
+        |  SELECT media_id, v, i,
+        |         (299 * ((sx * 7 + sy * 13 + media_id
+        |                  + CASE WHEN v = 1 AND sx = 0 AND sy = 0
+        |                         THEN 96 ELSE 0 END) % 256)
+        |          + 587 * ((sx * 11 + sy * 3 + media_id * 5) % 256)
+        |          + 114 * ((sx + sy + media_id * 9) % 256)) // 1000 AS l
+        |  FROM cell
+        |), m AS (
+        |  SELECT media_id, v, sum(l) // 64 AS mean FROM lum GROUP BY 1, 2
+        |), hsrc AS (
+        |  SELECT l.media_id, l.v,
+        |         CAST(sum(CASE WHEN l.l > m.mean AND l.i >= 32
+        |           THEN (CAST(1 AS BIGINT) << CAST(l.i - 32 AS INT))
+        |           ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(sum(CASE WHEN l.l > m.mean AND l.i < 32
+        |           THEN (CAST(1 AS BIGINT) << CAST(l.i AS INT))
+        |           ELSE 0 END) AS BIGINT) AS lo
+        |  FROM lum l JOIN m USING (media_id, v)
+        |  GROUP BY 1, 2
+        |), hall AS (
+        |  SELECT CASE WHEN v = 0 THEN media_id ELSE -media_id - 1 END AS id,
+        |         hi, lo
+        |  FROM hsrc
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(bit_count(xor(a.hi, b.hi))
+        |            + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+        |FROM hall a JOIN hall b ON a.id < b.id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8""".stripMargin,
 
     "q_media_gif_frames" ->
       """WITH g AS (

@@ -61,6 +61,36 @@ class AHashSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (1L, 7L), (3L, 7L)))
   }
 
+  test("perceptualNearDupPairs: pigeonhole band finds every pair within " +
+      "the Hamming budget, exactly (brute-force cross-check)") {
+    // 6 images: a base, a near-twin (one pixel region bumped), a far
+    // image, plus three gradient variants — compare the banded plan's
+    // pairs against brute-force distances over the hashes
+    def img(bump: Int, seed: Int) = MediaCodecs.encodeBmp(8, 8,
+      (x, y) => gray((x * 31 + y * 7 + seed +
+        (if (bump != 0 && x == 0 && y == 0) bump else 0)) % 250))
+    val payloads = Map(
+      1L -> img(0, 0), 2L -> img(96, 0), 3L -> img(0, 120),
+      4L -> img(0, 40), 5L -> img(96, 40), 6L -> img(0, 200))
+    val m = media(payloads.toSeq: _*)
+    val maxDist = 6
+    val got = Multimodal.perceptualNearDupPairs(m, maxDist,
+      maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = Multimodal.imageAHash(m).collect()
+      .map(h => h.mediaId -> (h.ahashHi, h.ahashLo)).toMap
+    val want = (for {
+      a <- hashes.keys; b <- hashes.keys; if a < b
+      d = java.lang.Long.bitCount(hashes(a)._1 ^ hashes(b)._1) +
+        java.lang.Long.bitCount(hashes(a)._2 ^ hashes(b)._2)
+      if d <= maxDist
+    } yield (a, b, d)).toSet
+    assert(got == want, s"banded=$got brute=$want")
+    // the planted twin must be among them (a one-cell bump is a few bits)
+    assert(want.exists(p => p._1 == 1L && p._2 == 2L),
+      "twin (1,2) must be within the Hamming budget")
+  }
+
   test("halves stay in unsigned 32-bit range") {
     val bmp = MediaCodecs.encodeBmp(9, 11,
       (x, y) => gray((x * 23 + y * 29) % 256))
