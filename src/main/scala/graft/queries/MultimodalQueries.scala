@@ -152,9 +152,15 @@ object MultimodalQueries extends QuerySet {
     // cross-image near-collisions included
     "q_media_hamming_dup" -> ((s, d) => {
       import s.implicits._
+      // id % 6 subset: the synthetic formulas make sequential ids hash a
+      // few bits apart, so the full corpus is an artificially DENSE
+      // near-dup graph (real corpora concentrate that density in
+      // boilerplate, which the caps quarantine) — half the images keeps
+      // the twin gate and the incidental-collision coverage without the
+      // artifact's quadratic pair volume
       val media = graft.sources.Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
-        .filter((id: Long) => id % 3 == 0)
+        .filter((id: Long) => id % 6 == 0)
         .mapPartitions(_.flatMap { id =>
           val w = (8 + (id * 5) % 9).toInt
           val h = (8 + (id * 3) % 9).toInt
@@ -170,7 +176,7 @@ object MultimodalQueries extends QuerySet {
             (-id - 1, "image",
               graft.multimodal.MediaCodecs.encodeBmp(w, h, px(96))))
         }).toDF("media_id", "kind", "payload")
-      Multimodal.perceptualNearDupPairs(media, maxDist = 8)
+      Multimodal.perceptualNearDupPairs(media, maxDist = 4)
     }),
 
     // frame sampling over a COMPRESSED container: animated gray GIFs
@@ -467,7 +473,7 @@ object MultimodalQueries extends QuerySet {
       """WITH img AS (
         |  SELECT doc_id AS media_id,
         |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
-        |  FROM documents WHERE doc_id % 3 = 0
+        |  FROM documents WHERE doc_id % 6 = 0
         |), var AS (
         |  SELECT media_id, w, h, CAST(uv.v AS BIGINT) AS v
         |  FROM img, unnest([0, 1]) uv(v)
@@ -505,7 +511,7 @@ object MultimodalQueries extends QuerySet {
         |       CAST(bit_count(xor(a.hi, b.hi))
         |            + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
         |FROM hall a JOIN hall b ON a.id < b.id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8""".stripMargin,
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4""".stripMargin,
 
     "q_media_gif_frames" ->
       """WITH g AS (
