@@ -23,7 +23,7 @@ import org.apache.spark.sql.DataFrame
   * [[release]]/[[releaseAll]].
   *
   * Concurrency note: keys are scoped PER SESSION (the pinned frame's
-  * SparkSession identity joins the map key), so two sessions scoring
+  * session UUID joins the map key), so two sessions scoring
   * through the same call-site never release each other's pins. Two
   * corpora scored concurrently through the same call-site IN ONE session
   * still share a key, so the second swap releases the first corpus's pin
@@ -36,10 +36,26 @@ import org.apache.spark.sql.DataFrame
   * swap releases them — but the plans stay referenced until then).
   */
 object CachePins {
-  private val pins = new ConcurrentHashMap[(Int, String), DataFrame]()
 
-  private def scoped(key: String, df: DataFrame): (Int, String) =
-    (System.identityHashCode(df.sparkSession), key)
+  /** Identity-equality session token. A bare `identityHashCode` is NOT
+    * unique (two live sessions can collide, re-enabling exactly the
+    * cross-session release the scoping exists to prevent); `eq`-based
+    * equality is. Holding the session reference here retains nothing the
+    * map's DataFrame values don't already retain through their own
+    * `sparkSession` field.
+    */
+  private final class SessionRef(val session: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(session)
+    override def equals(o: Any): Boolean = o match {
+      case r: SessionRef => r.session eq session
+      case _             => false
+    }
+  }
+
+  private val pins = new ConcurrentHashMap[(SessionRef, String), DataFrame]()
+
+  private def scoped(key: String, df: DataFrame): (SessionRef, String) =
+    (new SessionRef(df.sparkSession), key)
 
   /** Persist `df` under `key`, releasing the key's previous pin (within
     * `df`'s session only).

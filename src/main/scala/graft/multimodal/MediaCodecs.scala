@@ -32,6 +32,11 @@ object MediaCodecs {
   private val FileHeaderBytes = 14
   private val InfoHeaderBytes = 40
 
+  /** Hard ceiling on decoded pixel count (≈268 MB of packed ints) — rejects
+    * hostile IHDR/header dims before any allocation happens.
+    */
+  private val MaxPixels = 1L << 26
+
   private def rowStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
 
   /** Encode a 24bpp uncompressed BMP; `rgb(x, y)` returns packed
@@ -425,8 +430,19 @@ object MediaCodecs {
     if (colorType < 0) fail("missing IHDR")
     if (idat.size() == 0) fail("missing IDAT")
     val bpp = if (colorType == 2) 3 else 4
-    val stride = width * bpp
-    val rawLen = height * (1 + stride)
+    // IHDR dims are untrusted: without Long math a hostile width (~2^29)
+    // overflows stride/rawLen to a negative array size, and a tiny payload
+    // claiming huge dims would allocate GBs before the inflate fails. Bound
+    // the claimed raw size by pixel cap AND by what the IDAT stream could
+    // possibly inflate to (deflate's max expansion is ~1032:1).
+    val strideL = width.toLong * bpp
+    val rawLenL = height.toLong * (1L + strideL)
+    if (width.toLong * height > MaxPixels)
+      fail(s"dims ${width}x$height exceed $MaxPixels-pixel cap")
+    if (rawLenL > idat.size().toLong * 1032L + 64L)
+      fail(s"claimed raw size $rawLenL not producible from ${idat.size()}-byte IDAT")
+    val stride = strideL.toInt
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)

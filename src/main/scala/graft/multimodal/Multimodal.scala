@@ -244,6 +244,15 @@ object Multimodal {
     * per-channel sums — real pixel decode in the executor, map-only,
     * constant memory per row. Non-image rows are skipped (they belong to
     * other stages).
+    *
+    * JPEG caveat: `decodeImage` also accepts JPEG (via ImageIO), but JPEG
+    * pixel output is decoder/JDK-version dependent — JPEG rows flowing
+    * through this exact-sum aggregate are decoder-APPROXIMATE and must not
+    * be oracle-matched bit-for-bit (MediaCodecs.scala:~560; the live
+    * oracle query q_media_jpeg checks header truth only). Same applies to
+    * [[imageAHash]]: a JPEG aHash is perceptually stable but not
+    * cross-decoder replayable, so use it behind a Hamming band
+    * ([[perceptualNearDupPairs]]), never an exact-collision gate.
     */
   def imageStats(media: DataFrame): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
@@ -310,7 +319,19 @@ object Multimodal {
     * quarantine discipline.
     */
   def perceptualNearDupPairs(media: DataFrame, maxDist: Int,
-      maxBucket: Int = graft.functions.BucketedPairs.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = graft.functions.BucketedPairs.DefaultMaxBucket): DataFrame =
+    perceptualNearDupPairsWithDrops(media, maxDist, maxBucket).pairs
+
+  /** Pair output plus the quarantine side channel (one row per over-cap
+    * band bucket: band, bits, members) — same discipline as
+    * [[graft.functions.MinHashLsh.lshCandidatesWithDrops]]: a dense band
+    * bucket is ROUTED, not silently discarded, so callers at corpus scale
+    * can fall back to exact-hash dedup for its members.
+    */
+  final case class PerceptualPairs(pairs: DataFrame, droppedBuckets: DataFrame)
+
+  def perceptualNearDupPairsWithDrops(media: DataFrame, maxDist: Int,
+      maxBucket: Int = graft.functions.BucketedPairs.DefaultMaxBucket): PerceptualPairs = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
     val spark = media.sparkSession
     import spark.implicits._
@@ -334,9 +355,9 @@ object Multimodal {
         (b, bits, h.mediaId, h.ahashHi, h.ahashLo)
       }
     }.toDF("band", "bits", "media_id", "hi", "lo")
-    val kept = graft.functions.BucketedPairs.prune(banded,
+    val sp = graft.functions.BucketedPairs.split(banded,
       Seq("band", "bits"), maxBucket)
-    kept
+    val pairs = sp.kept
       .groupBy(col("band"), col("bits"))
       .agg(collect_list(struct(col("media_id"), col("hi"), col("lo"))).as("items"))
       .select(col("items"))
@@ -354,6 +375,7 @@ object Multimodal {
       }
       .toDF("a_id", "b_id", "dist")
       .distinct()
+    PerceptualPairs(pairs, sp.dropped)
   }
 
   /** Frame sampling over a COMPRESSED container: decode every `stride`-th

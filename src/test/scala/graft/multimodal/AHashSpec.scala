@@ -91,6 +91,35 @@ class AHashSpec extends SparkSpec {
       "twin (1,2) must be within the Hamming budget")
   }
 
+  test("perceptualNearDupPairsWithDrops: over-cap band buckets are " +
+      "quarantined, not silently discarded") {
+    // 8 byte-distinct encodings of the SAME pixels: every band bucket has
+    // 8 members, so a cap of 4 must route all of them to the drop side
+    def img(f: Int) = MediaCodecs.encodePng(8, 8,
+      (x, y) => gray((x * 31 + y * 7) % 250), filterType = f % 5)
+    val rows = (1L to 8L).map(i =>
+      i -> (if (i <= 5) img(i.toInt - 1)
+            else MediaCodecs.encodeBmp(8, 8,
+              (x, y) => gray((x * 31 + y * 7) % 250))))
+    val m = media(rows: _*)
+    val maxDist = 2
+    val sp = Multimodal.perceptualNearDupPairsWithDrops(m, maxDist,
+      maxBucket = 4)
+    assert(sp.pairs.count() == 0L, "capped buckets must emit no pairs")
+    val dropped = sp.droppedBuckets.collect()
+    assert(dropped.nonEmpty, "over-cap buckets must surface on the drop side")
+    // every dropped bucket reports its full membership
+    assert(dropped.forall(_.getAs[Long]("members") == 8L),
+      dropped.mkString(","))
+    // all maxDist+1 bands of the single hash value are over-cap
+    assert(dropped.length == maxDist + 1, dropped.mkString(","))
+    // uncapped, the same corpus yields all 28 pairs at distance 0
+    val full = Multimodal.perceptualNearDupPairsWithDrops(m, maxDist,
+      maxBucket = Int.MaxValue)
+    assert(full.pairs.count() == 28L)
+    assert(full.droppedBuckets.count() == 0L)
+  }
+
   test("halves stay in unsigned 32-bit range") {
     val bmp = MediaCodecs.encodeBmp(9, 11,
       (x, y) => gray((x * 23 + y * 29) % 256))

@@ -132,4 +132,34 @@ class PngCodecSpec extends AnyFunSuite {
       (10 << 16) | (20 << 8) | 30, (40 << 16) | (50 << 8) | 60,
       (70 << 16) | (80 << 8) | 90, (1 << 16) | (2 << 8) | 3))
   }
+
+  test("hostile IHDR dims are refused before any allocation") {
+    // re-patch a valid PNG's IHDR dims (and fix the chunk CRC so the
+    // refusal under test is the bounds check, not the CRC check)
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val bytes = MediaCodecs.encodePng(4, 4, px, 0).clone()
+      val ihdrData = 8 + 8 // sig + len/type
+      val bb = java.nio.ByteBuffer.wrap(bytes, ihdrData, 8)
+      bb.putInt(w).putInt(h)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, 8 + 4, 4 + 13)
+      val cb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      System.arraycopy(cb, 0, bytes, ihdrData + 13, 4)
+      bytes
+    }
+    // width ~2^29: stride/rawLen would overflow Int to a negative array
+    // size without the Long-math guard
+    val e1 = intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(withDims(1 << 29, 1 << 20)))
+    assert(e1.getMessage.contains("pixel cap"), e1.getMessage)
+    // 20000x20000 from a tiny payload: would allocate ~1.2GB pre-guard
+    val e2 = intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(withDims(20000, 20000)))
+    assert(e2.getMessage.contains("pixel cap"), e2.getMessage)
+    // dims under the pixel cap but unproducible from the small IDAT:
+    // 5000x5000 -> 75MB raw, far beyond deflate's ~1032:1 max expansion
+    val e3 = intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(withDims(5000, 5000)))
+    assert(e3.getMessage.contains("not producible"), e3.getMessage)
+  }
 }
