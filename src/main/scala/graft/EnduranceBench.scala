@@ -89,6 +89,18 @@ object EnduranceBench {
     val seed = sys.env.getOrElse("SPARK_GRAFT_ENDURANCE_SEED", "6").toLong
     val names = new scala.util.Random(seed)
       .shuffle(SparkEntry.queries.keys.toSeq.sorted)
+    // untimed JVM/codegen warm-up (same discipline as Bench): the seeded
+    // shuffle decorrelates position from identity, but whatever ran at
+    // positions 0-3 still absorbed first-query warmup and read as a fake
+    // sf1/sf0.1 ratio outlier (q_ann_lsh_pairs 13.1x under seed 6 in r11).
+    // Warming every query at sf0.001 makes per-query ratios interpretable
+    // AND matches Bench's warmup, so ratios compare warmed-to-warmed.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+    graft.core.CachePins.releaseAll()
+    spark.catalog.clearCache()
     var failures = 0
     val results = names.map { name =>
       System.gc()
