@@ -503,6 +503,14 @@ object MediaCodecs {
     // executors have no display; ImageIO's readers are headless-safe but
     // AWT color models initialize the toolkit lazily
     System.setProperty("java.awt.headless", "true")
+    // ImageIO's DEFAULT stream cache is DISK-backed: every
+    // read(InputStream) wraps in a FileCacheImageInputStream that creates
+    // and deletes a temp FILE per image. Our payloads are already byte
+    // arrays, so that is a pure tax — thousands of tmp-file round trips
+    // per task at sf1, and the measured source of 2-4x order-dependent
+    // swings on the JPEG/GIF bench rows (filesystem contention varies
+    // with neighbors). Memory-backed caching decodes from the heap.
+    javax.imageio.ImageIO.setUseCache(false)
   }
 
   /** Decode a JPEG or GIF payload via ImageIO into packed RGB. */

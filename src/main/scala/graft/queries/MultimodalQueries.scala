@@ -21,6 +21,38 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries extends QuerySet {
 
+  /** Shared fixture for the Hamming-band queries: real BMP encodes whose
+    * pixels are a closed-form function of the id, one near-twin (single
+    * bumped pixel region) per source image. id % 6 subset: the synthetic
+    * formulas make sequential ids hash a few bits apart, so the full
+    * corpus is an artificially DENSE near-dup graph (real corpora
+    * concentrate that density in boilerplate, which the caps quarantine)
+    * — half the images keeps the twin gate and the incidental-collision
+    * coverage without the artifact's quadratic pair volume.
+    */
+  private def hammingMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 6 == 0)
+      .mapPartitions(_.flatMap { id =>
+        val w = (8 + (id * 5) % 9).toInt
+        val h = (8 + (id * 3) % 9).toInt
+        def px(bump: Int)(x: Int, y: Int): Int = {
+          val r = ((x * 7 + y * 13 + id +
+            (if (bump != 0 && x == 0 && y == 0) bump else 0)) % 256).toInt
+          val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+          val b = ((x + y + id * 9) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        Iterator(
+          (id, "image", graft.multimodal.MediaCodecs.encodeBmp(w, h, px(0))),
+          (-id - 1, "image",
+            graft.multimodal.MediaCodecs.encodeBmp(w, h, px(96))))
+      }).toDF("media_id", "kind", "payload")
+  }
+
   val queries: Map[String, QFn] = Map(
     // decode: binary payload -> typed metadata (batch-iterator stage)
     "q_multimodal_meta" -> ((s, d) => {
@@ -150,34 +182,21 @@ object MultimodalQueries extends QuerySet {
     // Pairs are EXACT (pigeonhole argument), so the oracle replays the
     // closed-form hashes and all pairs within the distance — incidental
     // cross-image near-collisions included
-    "q_media_hamming_dup" -> ((s, d) => {
-      import s.implicits._
-      // id % 6 subset: the synthetic formulas make sequential ids hash a
-      // few bits apart, so the full corpus is an artificially DENSE
-      // near-dup graph (real corpora concentrate that density in
-      // boilerplate, which the caps quarantine) — half the images keeps
-      // the twin gate and the incidental-collision coverage without the
-      // artifact's quadratic pair volume
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
-        .filter((id: Long) => id % 6 == 0)
-        .mapPartitions(_.flatMap { id =>
-          val w = (8 + (id * 5) % 9).toInt
-          val h = (8 + (id * 3) % 9).toInt
-          def px(bump: Int)(x: Int, y: Int): Int = {
-            val r = ((x * 7 + y * 13 + id +
-              (if (bump != 0 && x == 0 && y == 0) bump else 0)) % 256).toInt
-            val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
-            val b = ((x + y + id * 9) % 256).toInt
-            (r << 16) | (g << 8) | b
-          }
-          Iterator(
-            (id, "image", graft.multimodal.MediaCodecs.encodeBmp(w, h, px(0))),
-            (-id - 1, "image",
-              graft.multimodal.MediaCodecs.encodeBmp(w, h, px(96))))
-        }).toDF("media_id", "kind", "payload")
-      Multimodal.perceptualNearDupPairs(media, maxDist = 4)
-    }),
+    "q_media_hamming_dup" -> ((s, d) =>
+      Multimodal.perceptualNearDupPairs(hammingMedia(s, d), maxDist = 4)),
+
+    // the QUARANTINE side of the same band join: run with a tiny cap so
+    // the fixture's dense band buckets overflow it, and surface the
+    // over-cap (band, bits) keys with their member counts — the output a
+    // 100 TB deployment routes to exact dedup. The band split is
+    // deterministic bit arithmetic, so the oracle replays hash + banding
+    // closed-form and re-derives the same over-cap histogram
+    "q_media_hamming_quarantine" -> ((s, d) =>
+      Multimodal.perceptualNearDupPairsWithDrops(hammingMedia(s, d),
+        maxDist = 4, maxBucket = 8)
+        .droppedBuckets
+        .select(col("band").cast("long").as("band"), col("bits"),
+          col("members"))),
 
     // frame sampling over a COMPRESSED container: animated gray GIFs
     // (closed-form pixels per frame, lossless palette) decoded by the
@@ -512,6 +531,65 @@ object MultimodalQueries extends QuerySet {
         |            + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
         |FROM hall a JOIN hall b ON a.id < b.id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4""".stripMargin,
+
+    // same closed-form hashes, then the engine's exact band split (maxDist
+    // 4 -> 5 bands over the conceptual hi:lo word, lo64 = 64*b//5, width =
+    // 64*(b+1)//5 - lo64, band value = those bits packed from bit 0) and
+    // the over-cap histogram at cap 8
+    "q_media_hamming_quarantine" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), var AS (
+        |  SELECT media_id, w, h, CAST(uv.v AS BIGINT) AS v
+        |  FROM img, unnest([0, 1]) uv(v)
+        |), cell AS (
+        |  SELECT media_id, v, CAST(u.i AS BIGINT) AS i,
+        |         ((CAST(u.i AS BIGINT) % 8) * w) // 8 AS sx,
+        |         ((CAST(u.i AS BIGINT) // 8) * h) // 8 AS sy
+        |  FROM var, unnest(generate_series(0, 63)) u(i)
+        |), lum AS (
+        |  SELECT media_id, v, i,
+        |         (299 * ((sx * 7 + sy * 13 + media_id
+        |                  + CASE WHEN v = 1 AND sx = 0 AND sy = 0
+        |                         THEN 96 ELSE 0 END) % 256)
+        |          + 587 * ((sx * 11 + sy * 3 + media_id * 5) % 256)
+        |          + 114 * ((sx + sy + media_id * 9) % 256)) // 1000 AS l
+        |  FROM cell
+        |), m AS (
+        |  SELECT media_id, v, sum(l) // 64 AS mean FROM lum GROUP BY 1, 2
+        |), hsrc AS (
+        |  SELECT l.media_id, l.v,
+        |         CAST(sum(CASE WHEN l.l > m.mean AND l.i >= 32
+        |           THEN (CAST(1 AS BIGINT) << CAST(l.i - 32 AS INT))
+        |           ELSE 0 END) AS BIGINT) AS hi,
+        |         CAST(sum(CASE WHEN l.l > m.mean AND l.i < 32
+        |           THEN (CAST(1 AS BIGINT) << CAST(l.i AS INT))
+        |           ELSE 0 END) AS BIGINT) AS lo
+        |  FROM lum l JOIN m USING (media_id, v)
+        |  GROUP BY 1, 2
+        |), banddef AS (
+        |  SELECT CAST(b.band AS BIGINT) AS band,
+        |         (64 * CAST(b.band AS BIGINT)) // 5 AS lo64,
+        |         (64 * (CAST(b.band AS BIGINT) + 1)) // 5
+        |           - (64 * CAST(b.band AS BIGINT)) // 5 AS wdt
+        |  FROM unnest(generate_series(0, 4)) b(band)
+        |), bbits AS (
+        |  SELECT h.media_id, h.v, d.band,
+        |         CAST(sum(CASE WHEN
+        |             (CASE WHEN d.lo64 + j.j < 32
+        |                   THEN (h.lo >> CAST(d.lo64 + j.j AS INT))
+        |                   ELSE (h.hi >> CAST(d.lo64 + j.j - 32 AS INT)) END)
+        |               % 2 = 1
+        |           THEN (CAST(1 AS BIGINT) << CAST(j.j AS INT)) ELSE 0 END)
+        |           AS BIGINT) AS bits
+        |  FROM hsrc h, banddef d, unnest(generate_series(0, 12)) j(j)
+        |  WHERE CAST(j.j AS BIGINT) < d.wdt
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT band, bits, count(*) AS members
+        |FROM bbits GROUP BY 1, 2 HAVING count(*) > 8""".stripMargin,
 
     "q_media_gif_frames" ->
       """WITH g AS (
