@@ -436,6 +436,24 @@ class PlanQualitySpec extends SparkSpec {
       !planStr.contains("ObjectHashAggregate"), planStr.take(1500))
   }
 
+  test("hamming quarantine side: one partial-aggregable count over the " +
+      "banded hashes, no join, no second corpus pass") {
+    // the drop side of perceptualNearDupPairsWithDrops is counts > cap —
+    // a map-side-combinable groupBy(band, bits).count with ONE exchange;
+    // a join (the semi join belongs to the KEPT side only) or a second
+    // aggregation pass here would double the corpus cost of quarantining
+    val media = graft.queries.MultimodalQueries
+      .queries("q_media_hamming_quarantine")(spark, "/root/testdata/sf0.001")
+    val planStr = media.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n" +
+      planStr.take(2000))
+    assert("partial_count|partial count".r.findAllIn(planStr.toLowerCase)
+      .nonEmpty || planStr.contains("HashAggregate"), planStr.take(1500))
+    assert(!planStr.contains("Join") && !planStr.contains("CartesianProduct"),
+      planStr.take(1500))
+  }
+
   test("domain KL: one corpus token pass, reused for the marginals") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))

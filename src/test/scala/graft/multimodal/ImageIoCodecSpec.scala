@@ -68,6 +68,15 @@ class ImageIoCodecSpec extends AnyFunSuite {
       MediaCodecs.decodeGifFrames("nope".getBytes("UTF-8")))
   }
 
+  test("ImageIO stream cache stays memory-backed (no temp file per decode)") {
+    // the default FileCacheImageInputStream creates+deletes a temp FILE
+    // per decoded image — a pure tax on in-memory payloads and a measured
+    // source of 2-4x order-dependent bench swings (BENCH_NOTES_r12)
+    MediaCodecs.decodeImageIo(MediaCodecs.encodeJpeg(4, 4, rgb))
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "decode path must run with ImageIO.setUseCache(false)")
+  }
+
   test("corrupt JPEG/GIF payloads refuse loudly") {
     val j = MediaCodecs.encodeJpeg(8, 8, rgb)
     intercept[IllegalArgumentException](
