@@ -168,6 +168,104 @@ object MediaCodecs {
     b.array()
   }
 
+  // ---- G.711 companded audio (μ-law fmt 7 / A-law fmt 6): REAL
+  // COMPRESSED telephony audio, 2:1, pure integer arithmetic (the classic
+  // Sun reference algorithm), so unlike DCT codecs the quantization is
+  // EXACTLY replayable cross-engine — encode∘decode is a closed-form
+  // integer quantizer an oracle can re-derive per sample.
+
+  private val MuBias = 0x84
+  private val MuClip = 32635
+
+  /** 16-bit PCM -> μ-law byte (0..255). */
+  def muLawEncode(pcm: Int): Int = {
+    var m = pcm
+    val sign = if (m < 0) { m = -m; 0x80 } else 0
+    if (m > MuClip) m = MuClip
+    m += MuBias
+    var e = 7
+    var probe = 0x4000
+    while (e > 0 && (m & probe) == 0) { e -= 1; probe >>= 1 }
+    val mant = (m >> (e + 3)) & 0x0F
+    ~(sign | (e << 4) | mant) & 0xFF
+  }
+
+  /** μ-law byte -> 16-bit PCM (exact inverse of the quantizer). */
+  val muLawDecodeTable: Array[Short] = Array.tabulate(256) { b =>
+    val u = ~b & 0xFF
+    val sign = u & 0x80
+    val e = (u >> 4) & 7
+    val mant = u & 0x0F
+    val mag = (((mant << 3) + MuBias) << e) - MuBias
+    (if (sign != 0) -mag else mag).toShort
+  }
+
+  private val ALawClip = 32635
+
+  /** 16-bit PCM -> A-law byte (0..255). Sun variant: negatives map to
+    * magnitude -pcm - 8 (so -8..7 and 0 share the first step); MSB set
+    * for POSITIVE values per the standard.
+    */
+  def aLawEncode(pcm: Int): Int = {
+    var m = pcm
+    val mask = if (m >= 0) 0xD5 else { m = -m - 8; 0x55 }
+    if (m < 0) m = 0 // -1..-8 -> magnitude 0 under the Sun variant
+    if (m > ALawClip) m = ALawClip
+    val aval =
+      if (m < 256) m >> 4
+      else {
+        var seg = 7
+        var probe = 0x4000
+        while (seg > 1 && (m & probe) == 0) { seg -= 1; probe >>= 1 }
+        (seg << 4) | ((m >> (seg + 3)) & 0x0F)
+      }
+    (aval ^ mask) & 0xFF
+  }
+
+  /** A-law byte -> 16-bit PCM. Known anchors: 0xD5 -> +8, 0x55 -> -8. */
+  val aLawDecodeTable: Array[Short] = Array.tabulate(256) { b =>
+    val u = b ^ 0x55
+    var t = (u & 0x0F) << 4
+    val seg = (u >> 4) & 7
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    (if ((b & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Encode 16-bit PCM as a companded G.711 WAV: fmt tag 7 (μ-law) or 6
+    * (A-law), 8 bits per sample — half the bytes of [[encodeWav]].
+    */
+  def encodeWavG711(channels: Int, sampleRate: Int, samples: Array[Short],
+      aLaw: Boolean): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val dataBytes = samples.length
+    val b = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(16)
+    b.putShort(if (aLaw) 6 else 7)
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels)    // byte rate: 1 byte/sample
+    b.putShort(channels.toShort)       // block align
+    b.putShort(8)                      // bits per sample
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(dataBytes)
+    var i = 0
+    while (i < samples.length) {
+      b.put((if (aLaw) aLawEncode(samples(i).toInt)
+             else muLawEncode(samples(i).toInt)).toByte)
+      i += 1
+    }
+    b.array()
+  }
+
   def decodeWav(bytes: Array[Byte]): Wav = {
     def fail(what: String): Nothing =
       throw new IllegalArgumentException(s"malformed WAV: $what")
@@ -179,10 +277,13 @@ object MediaCodecs {
     if (fourcc() != "RIFF") fail("bad RIFF magic")
     b.getInt()
     if (fourcc() != "WAVE") fail("bad WAVE magic")
-    // chunk walk: fmt may precede or follow auxiliary chunks (LIST, fact)
-    var channels = -1; var sampleRate = -1
+    // chunk walk: fmt may precede or follow auxiliary chunks (LIST, fact).
+    // NOTE the fmt tag steers how a later data chunk is expanded, so a
+    // data chunk BEFORE fmt is kept raw and expanded at the end.
+    var channels = -1; var sampleRate = -1; var format = -1
+    var data: Array[Byte] = null
     var samples: Array[Short] = null
-    while (b.remaining() >= 8 && (channels < 0 || samples == null)) {
+    while (b.remaining() >= 8 && (channels < 0 || data == null)) {
       val id = fourcc()
       val size = b.getInt()
       if (size < 0 || size > b.remaining()) fail(s"chunk '$id' size $size overruns payload")
@@ -190,22 +291,39 @@ object MediaCodecs {
         case "fmt " =>
           if (size < 16) fail(s"fmt chunk size $size < 16")
           val fmt = b.getShort()
-          if (fmt != 1) fail(s"audio format $fmt (only PCM supported)")
+          if (fmt != 1 && fmt != 6 && fmt != 7) fail(
+            s"audio format $fmt (PCM, A-law and mu-law supported)")
+          format = fmt
           channels = b.getShort().toInt
           sampleRate = b.getInt()
           b.getInt(); b.getShort()
           val bits = b.getShort()
-          if (bits != 16) fail(s"$bits bits/sample (only 16 supported)")
+          if (fmt == 1 && bits != 16) fail(s"$bits bits/sample (PCM needs 16)")
+          if (fmt != 1 && bits != 8) fail(s"$bits bits/sample (G.711 needs 8)")
           if (channels < 1 || sampleRate < 1) fail(
             s"channels=$channels rate=$sampleRate")
           b.position(b.position() + size - 16)
         case "data" =>
-          if (size % 2 != 0) fail(s"odd data chunk size $size")
-          samples = new Array[Short](size / 2)
-          var i = 0
-          while (i < samples.length) { samples(i) = b.getShort(); i += 1 }
+          data = new Array[Byte](size)
+          b.get(data)
+          if ((size & 1) == 1 && b.remaining() >= 1) b.get() // word pad
         case _ =>
           b.position(b.position() + size + (size & 1)) // chunks are word-aligned
+      }
+    }
+    if (data != null && format > 0) {
+      format match {
+        case 1 =>
+          if (data.length % 2 != 0) fail(s"odd PCM data chunk size ${data.length}")
+          samples = new Array[Short](data.length / 2)
+          val db = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < samples.length) { samples(i) = db.getShort(); i += 1 }
+        case 6 | 7 =>
+          val table = if (format == 6) aLawDecodeTable else muLawDecodeTable
+          samples = new Array[Short](data.length)
+          var i = 0
+          while (i < samples.length) { samples(i) = table(data(i) & 0xFF); i += 1 }
       }
     }
     if (channels < 0) fail("no fmt chunk")
@@ -654,6 +772,135 @@ object MediaCodecs {
     } finally reader.dispose()
   }
 
+  // ---- Motion-JPEG in AVI: REAL COMPRESSED video — a RIFF AVI container
+  // (hand-rolled: hdrl with avih/strh/strf, movi with one '00dc' chunk per
+  // frame) whose frames are real JPEGs (JDK ImageIO). Header truth (dims,
+  // frame count, timing) is container-exact; frame PIXELS are
+  // decoder-approximate like all JPEG output (see the imageStats caveat),
+  // so oracles check header truth and specs bound the pixel error.
+
+  /** AVI main-header truth: dims, per-frame micros, total frames. */
+  final case class AviMeta(width: Int, height: Int, usPerFrame: Int,
+      nFrames: Int)
+
+  /** Encode an MJPEG AVI; `px(f)(x, y)` gives frame f's packed 0xRRGGBB. */
+  def encodeAviMjpeg(width: Int, height: Int, nFrames: Int, usPerFrame: Int,
+      px: Int => (Int, Int) => Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"dims ${width}x$height")
+    require(nFrames >= 1, s"nFrames $nFrames")
+    val frames = Array.tabulate(nFrames)(f => encodeJpeg(width, height, px(f)))
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def le16(v: Int): Array[Byte] = ByteBuffer.allocate(2)
+      .order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII")); b.write(le32(data.length))
+      b.write(data)
+      if ((data.length & 1) == 1) b.write(0) // RIFF chunks are word-aligned
+      b.toByteArray
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10 /* HASINDEX off */)
+      b.putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      b.putInt(width).putInt(height)
+      b.array()
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+      b.putInt(usPerFrame) // scale
+      b.putInt(1000000)    // rate: frames/sec = rate/scale
+      b.putInt(0).putInt(nFrames)
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+      b.put(le16(1)).put(le16(24))
+      b.put("MJPG".getBytes("US-ASCII"))
+      b.putInt(width * height * 3)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Parse the avih main header — container-exact truth, no frame decode. */
+  def decodeAviMeta(bytes: Array[Byte]): AviMeta = {
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"malformed AVI: $what")
+    if (sniff(bytes) != "avi") fail("bad RIFF/AVI magic")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(12)
+    while (b.remaining() >= 8) {
+      val id = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+      val size = b.getInt()
+      if (size < 0 || size > b.remaining()) fail(s"chunk '$id' size $size overruns payload")
+      if (id == "LIST") {
+        val typ = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+        if (typ == "hdrl") {
+          val cid = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+          val csize = b.getInt()
+          if (cid != "avih" || csize < 40) fail(s"hdrl starts with '$cid' ($csize B), expected avih")
+          val usPerFrame = b.getInt(); b.getInt(); b.getInt(); b.getInt()
+          val nFrames = b.getInt(); b.getInt(); b.getInt(); b.getInt()
+          val w = b.getInt(); val h = b.getInt()
+          if (w < 1 || h < 1 || nFrames < 1) fail(s"dims ${w}x$h frames $nFrames")
+          return AviMeta(w, h, usPerFrame, nFrames)
+        } else b.position(b.position() + size - 4 + (size & 1))
+      } else b.position(b.position() + size + (size & 1))
+    }
+    fail("no hdrl LIST")
+  }
+
+  /** Decode every `stride`-th MJPEG frame (real per-frame JPEG decode). */
+  def decodeAviFrames(bytes: Array[Byte], stride: Int): Array[(Int, Bmp)] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(s"malformed AVI: $what")
+    if (sniff(bytes) != "avi") fail("bad RIFF/AVI magic")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(12)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Bmp)]
+    var frameIdx = 0
+    def walk(end: Int): Unit = {
+      while (b.position() + 8 <= end) {
+        val id = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+        val size = b.getInt()
+        if (size < 0 || b.position() + size > end) fail(s"chunk '$id' size $size overruns payload")
+        if (id == "LIST") {
+          val typ = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
+          if (typ == "movi") {
+            val listEnd = b.position() + size - 4
+            walk(listEnd)
+            b.position(listEnd + (size & 1)) // skip sub-8-byte slack + pad
+          } else b.position(b.position() + size - 4 + (size & 1))
+        } else if (id == "00dc") {
+          if (frameIdx % stride == 0) {
+            val data = new Array[Byte](size); b.get(data)
+            out += ((frameIdx, decodeImageIo(data)))
+          } else b.position(b.position() + size)
+          if ((size & 1) == 1) b.position(b.position() + 1)
+          frameIdx += 1
+        } else b.position(b.position() + size + (size & 1))
+      }
+    }
+    walk(bytes.length)
+    if (frameIdx == 0) fail("no 00dc frames")
+    out.toArray
+  }
+
   /** Decode any supported still-image container to packed RGB. */
   def decodeImage(payload: Array[Byte]): Option[Bmp] = sniff(payload) match {
     case "bmp"          => Some(decodeBmp(payload))
@@ -662,14 +909,18 @@ object MediaCodecs {
     case _              => None
   }
 
-  /** Container sniff by magic bytes: "bmp", "wav", "y4m", "png", or
-    * "unknown" (the stub seam's territory — compressed A/V codecs).
+  /** Container sniff by magic bytes: "bmp", "wav", "avi", "y4m", "png",
+    * "jpeg", "gif", or "unknown" (the stub seam's territory — the
+    * remaining native-library codecs, MP3/H.264).
     */
   def sniff(payload: Array[Byte]): String =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
     else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
       payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'A' &&
+      payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ') "avi"
     else if (payload.length >= 9 &&
       new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
     else if (payload.length >= 8 && PngSig.indices.forall(i => payload(i) == PngSig(i)))

@@ -305,6 +305,36 @@ object Multimodal {
   final case class GifFrameStats(mediaId: Long, frameIdx: Int,
       width: Int, height: Int, sumGray: Long)
 
+  final case class AviStats(mediaId: Long, width: Int, height: Int,
+      usPerFrame: Int, nFrames: Int, nDecoded: Int)
+
+  /** COMPRESSED video frame sampling: parse the RIFF/AVI container
+    * (header truth: dims, frame timing, frame count) and REALLY decode
+    * every `stride`-th MJPEG frame. `nDecoded` counts sampled frames
+    * that decoded successfully AT the header dims — ties the figure to
+    * actual JPEG decodes, while keeping every output column
+    * container-exact (JPEG pixels are decoder-approximate and never
+    * surface here; pixel plausibility is spec-bounded, the imageStats
+    * JPEG caveat). Map-only; non-AVI rows skip.
+    */
+  def aviStats(media: DataFrame, stride: Int): Dataset[AviStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "avi") Iterator.empty
+        else {
+          val m = MediaCodecs.decodeAviMeta(p)
+          val ok = MediaCodecs.decodeAviFrames(p, stride).count {
+            case (_, bmp) => bmp.width == m.width && bmp.height == m.height
+          }
+          Iterator.single(
+            AviStats(id, m.width, m.height, m.usPerFrame, m.nFrames, ok))
+        }
+      })
+  }
+
   /** Perceptual NEAR-dup pairs: images whose 64-bit average hashes are
     * within `maxDist` Hamming bits — stage 2 of image dedup (stage 1,
     * [[perceptualDupPairs]], catches exact-hash collisions only; a

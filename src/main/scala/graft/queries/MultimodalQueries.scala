@@ -185,6 +185,33 @@ object MultimodalQueries extends QuerySet {
     "q_media_hamming_dup" -> ((s, d) =>
       Multimodal.perceptualNearDupPairs(hammingMedia(s, d), maxDist = 4)),
 
+    // REAL COMPRESSED video: Motion-JPEG frames in a hand-rolled RIFF/AVI
+    // container. Header truth (dims, per-frame micros, frame count) is
+    // container-exact and oracle-matched; n_decoded requires every
+    // sampled frame to ACTUALLY decode (real per-frame JPEG decode) at
+    // the header dims — pixel truth stays spec-side (JPEG is lossy)
+    "q_media_avi_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 7 == 3)
+        .mapPartitions(_.map { id =>
+          val w = (8 + (id * 3) % 9).toInt
+          val h = (8 + (id * 5) % 9).toInt
+          val nf = (2 + id % 4).toInt
+          val usf = (10000 + (id % 50) * 100).toInt
+          def px(f: Int)(x: Int, y: Int): Int = {
+            val v = ((x * 7 + y * 13 + f * 41 + id) % 200 + 28).toInt
+            (v << 16) | (v << 8) | v
+          }
+          (id, "video",
+            graft.multimodal.MediaCodecs.encodeAviMjpeg(w, h, nf, usf, px))
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.aviStats(media, stride = 2)
+        .toDF("media_id", "width", "height", "us_per_frame", "n_frames",
+          "n_decoded")
+    }),
+
     // the QUARANTINE side of the same band join: run with a tiny cap so
     // the fixture's dense band buckets overflow it, and surface the
     // over-cap (band, bits) keys with their member counts — the output a
@@ -288,6 +315,38 @@ object MultimodalQueries extends QuerySet {
     "q_media_audio_stats" -> ((s, d) =>
       Multimodal.audioStats(Multimodal.syntheticMedia(s, d))
         .toDF("media_id", "channels", "n_samples", "sum_abs", "peak_abs")),
+
+    // REAL COMPRESSED audio: G.711 companded WAVs (mu-law fmt 7 / A-law
+    // fmt 6, 2:1) — unlike DCT codecs the quantization is exact integer
+    // arithmetic, so the oracle replays encode-then-decode closed-form
+    // per sample and the decoded aggregates hash-match cross-engine
+    "q_media_g711" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 4 == 1)
+        .mapPartitions(_.map { id =>
+          val ch = (1 + id % 2).toInt
+          val frames = (100 + (id * 7) % 150).toInt
+          val pcm = new Array[Short](frames * ch)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              pcm(f * ch + c) =
+                ((f * 2654435761L + c * 97L + id * 31L) % 65536L - 32768L).toShort
+              c += 1
+            }
+            f += 1
+          }
+          (id, "audio", graft.multimodal.MediaCodecs
+            .encodeWavG711(ch, 8000, pcm, aLaw = id % 8 >= 4))
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.audioStats(media)
+        .toDF("media_id", "channels", "n_samples", "sum_abs", "peak_abs")
+        .withColumn("law",
+          when(col("media_id") % 8 >= 4, lit("alaw")).otherwise(lit("mulaw")))
+    }),
 
     // decode -> NN half-resample -> re-encode -> re-decode: the resized
     // stats must equal NN sampling of the closed-form source
@@ -531,6 +590,79 @@ object MultimodalQueries extends QuerySet {
         |            + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
         |FROM hall a JOIN hall b ON a.id < b.id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4""".stripMargin,
+
+    // container-exact AVI truth: every column closed-form; n_decoded =
+    // ceil(n_frames / 2) presumes (and the engine asserts) every sampled
+    // frame really decodes at the header dims
+    "q_media_avi_frames" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8 + (doc_id * 3) % 9 AS INT) AS width,
+        |       CAST(8 + (doc_id * 5) % 9 AS INT) AS height,
+        |       CAST(10000 + (doc_id % 50) * 100 AS INT) AS us_per_frame,
+        |       CAST(2 + doc_id % 4 AS INT) AS n_frames,
+        |       CAST((2 + doc_id % 4 + 1) // 2 AS INT) AS n_decoded
+        |FROM documents WHERE doc_id % 7 = 3""".stripMargin,
+
+    // G.711 quantizer replayed closed-form per sample: mu-law (biased
+    // segment/mantissa) for doc_id % 8 < 4, A-law (Sun variant) above —
+    // exactly the integer law G711Spec pins exhaustively on the engine
+    "q_media_g711" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
+        |         100 + (doc_id * 7) % 150 AS frames,
+        |         CASE WHEN doc_id % 8 >= 4 THEN 1 ELSE 0 END AS alaw
+        |  FROM documents WHERE doc_id % 4 = 1
+        |), smp AS (
+        |  SELECT media_id, ch, alaw,
+        |         CAST((CAST(uf.f AS BIGINT) * 2654435761
+        |               + CAST(uc.c AS BIGINT) * 97
+        |               + media_id * 31) % 65536 - 32768 AS BIGINT) AS p
+        |  FROM aud,
+        |       unnest(generate_series(0, CAST(frames AS INT) - 1)) uf(f),
+        |       unnest(generate_series(0, CAST(ch AS INT) - 1)) uc(c)
+        |), mue AS (
+        |  SELECT media_id, ch, p,
+        |         least(CASE WHEN p < 0 THEN -p ELSE p END, 32635) + 132 AS v
+        |  FROM smp WHERE alaw = 0
+        |), muq AS (
+        |  SELECT media_id, ch,
+        |         (CASE WHEN p < 0 THEN -1 ELSE 1 END) *
+        |         (((((v >> CAST(e + 3 AS INT)) & 15) * 8 + 132)
+        |           << CAST(e AS INT)) - 132) AS q
+        |  FROM (SELECT media_id, ch, p, v,
+        |          CASE WHEN v < 256 THEN 0 WHEN v < 512 THEN 1
+        |               WHEN v < 1024 THEN 2 WHEN v < 2048 THEN 3
+        |               WHEN v < 4096 THEN 4 WHEN v < 8192 THEN 5
+        |               WHEN v < 16384 THEN 6 ELSE 7 END AS e
+        |        FROM mue)
+        |), ae AS (
+        |  SELECT media_id, ch, p,
+        |         least(greatest(CASE WHEN p >= 0 THEN p ELSE -p - 8 END, 0),
+        |               32635) AS m
+        |  FROM smp WHERE alaw = 1
+        |), aq AS (
+        |  SELECT media_id, ch,
+        |         (CASE WHEN p >= 0 THEN 1 ELSE -1 END) *
+        |         (CASE WHEN seg = 0 THEN ((m >> 4) & 15) * 16 + 8
+        |               WHEN seg = 1 THEN ((m >> 4) & 15) * 16 + 264
+        |               ELSE ((((m >> CAST(seg + 3 AS INT)) & 15) * 16 + 264)
+        |                     << CAST(seg - 1 AS INT)) END) AS q
+        |  FROM (SELECT media_id, ch, p, m,
+        |          CASE WHEN m < 256 THEN 0 WHEN m < 512 THEN 1
+        |               WHEN m < 1024 THEN 2 WHEN m < 2048 THEN 3
+        |               WHEN m < 4096 THEN 4 WHEN m < 8192 THEN 5
+        |               WHEN m < 16384 THEN 6 ELSE 7 END AS seg
+        |        FROM ae)
+        |), allq AS (
+        |  SELECT media_id, ch, q FROM muq
+        |  UNION ALL SELECT media_id, ch, q FROM aq
+        |)
+        |SELECT media_id, CAST(ch AS INT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(q)) AS BIGINT) AS sum_abs,
+        |       CAST(max(abs(q)) AS BIGINT) AS peak_abs,
+        |       CASE WHEN media_id % 8 >= 4 THEN 'alaw' ELSE 'mulaw' END AS law
+        |FROM allq GROUP BY 1, 2""".stripMargin,
 
     // same closed-form hashes, then the engine's exact band split (maxDist
     // 4 -> 5 bands over the conceptual hi:lo word, lo64 = 64*b//5, width =

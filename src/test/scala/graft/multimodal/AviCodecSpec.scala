@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Motion-JPEG AVI: a REAL compressed-video container (RIFF hdrl/movi,
+  * one '00dc' JPEG per frame) with container-exact header truth and
+  * bounded-error frame pixels (JPEG is lossy — same discipline as
+  * ImageIoCodecSpec's JPEG gate).
+  */
+class AviCodecSpec extends AnyFunSuite {
+
+  private def px(f: Int)(x: Int, y: Int): Int = {
+    val v = (x * 7 + y * 13 + f * 41) % 200 + 28
+    (v << 16) | (v << 8) | v
+  }
+
+  test("header truth round-trips exactly: dims, timing, frame count") {
+    val avi = MediaCodecs.encodeAviMjpeg(16, 12, 5, 33333, px)
+    assert(MediaCodecs.sniff(avi) == "avi")
+    val m = MediaCodecs.decodeAviMeta(avi)
+    assert(m == MediaCodecs.AviMeta(16, 12, 33333, 5))
+  }
+
+  test("stride sampling decodes the right frames at the right dims") {
+    val avi = MediaCodecs.encodeAviMjpeg(16, 12, 7, 40000, px)
+    val frames = MediaCodecs.decodeAviFrames(avi, stride = 2)
+    assert(frames.map(_._1).toSeq == Seq(0, 2, 4, 6))
+    assert(frames.forall { case (_, b) => b.width == 16 && b.height == 12 })
+    // stride 1 decodes every frame
+    assert(MediaCodecs.decodeAviFrames(avi, 1).length == 7)
+  }
+
+  test("sampled frame pixels stay within a bounded lossy error of the source") {
+    val avi = MediaCodecs.encodeAviMjpeg(16, 16, 3, 33333, px)
+    val frames = MediaCodecs.decodeAviFrames(avi, 1)
+    var worst = 0
+    frames.foreach { case (f, b) =>
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val want = px(f)(x, y) & 0xff
+        val got = b(x, y) & 0xff
+        worst = math.max(worst, math.abs(want - got))
+      }
+    }
+    assert(worst <= 160, s"per-channel error $worst implausible for a real decode")
+    assert(worst > 0, "a bit-exact MJPEG round trip of this pattern is implausible")
+  }
+
+  test("corrupt and truncated AVIs refuse loudly") {
+    val avi = MediaCodecs.encodeAviMjpeg(8, 8, 2, 33333, px)
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodeAviMeta("RIFFxxxxAVI ".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodeAviFrames(avi.take(40), 1)) // header only, no movi
+    intercept[IllegalArgumentException](
+      MediaCodecs.decodeAviMeta(avi.take(11))) // not even the magic
+    // a chunk size overrunning the payload must refuse, not overread
+    val bad = avi.clone()
+    val lb = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lb.putInt(16, Int.MaxValue) // first LIST's size field
+    intercept[IllegalArgumentException](MediaCodecs.decodeAviMeta(bad))
+  }
+}
