@@ -61,8 +61,12 @@ class MediaCodecsSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](decodeWav(b)).getMessage
     assert(err(base.take(8)).contains("RIFF"))
     assert(err(base.dropRight(4)).contains("overruns"))
-    val badFmt = base.clone(); badFmt(20) = 7 // audio format field
+    val badFmt = base.clone(); badFmt(20) = 2 // ADPCM: genuinely unsupported
     assert(err(badFmt).contains("format"))
+    // fmt 7 (mu-law) is now a REAL codec — a PCM16 payload relabeled 7
+    // must refuse on the bits/sample contract, not decode garbage
+    val muBits = base.clone(); muBits(20) = 7
+    assert(err(muBits).contains("bits/sample"))
   }
 
   test("y4m round-trip preserves dims, fps, every plane byte") {
