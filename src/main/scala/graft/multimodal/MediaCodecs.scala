@@ -848,11 +848,14 @@ object MediaCodecs {
       val size = b.getInt()
       if (size < 0 || size > b.remaining()) fail(s"chunk '$id' size $size overruns payload")
       if (id == "LIST") {
+        if (size < 4) fail(s"LIST size $size cannot hold a list type")
         val typ = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
         if (typ == "hdrl") {
+          if (size < 4 + 8 + 40) fail(s"hdrl LIST size $size cannot hold avih")
           val cid = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
           val csize = b.getInt()
           if (cid != "avih" || csize < 40) fail(s"hdrl starts with '$cid' ($csize B), expected avih")
+          if (csize > size - 12) fail(s"avih size $csize overruns its hdrl LIST ($size)")
           val usPerFrame = b.getInt(); b.getInt(); b.getInt(); b.getInt()
           val nFrames = b.getInt(); b.getInt(); b.getInt(); b.getInt()
           val w = b.getInt(); val h = b.getInt()
@@ -880,6 +883,7 @@ object MediaCodecs {
         val size = b.getInt()
         if (size < 0 || b.position() + size > end) fail(s"chunk '$id' size $size overruns payload")
         if (id == "LIST") {
+          if (size < 4) fail(s"LIST size $size cannot hold a list type")
           val typ = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
           if (typ == "movi") {
             val listEnd = b.position() + size - 4

@@ -59,4 +59,24 @@ class AviCodecSpec extends AnyFunSuite {
     lb.putInt(16, Int.MaxValue) // first LIST's size field
     intercept[IllegalArgumentException](MediaCodecs.decodeAviMeta(bad))
   }
+
+  test("LIST too small for its list type refuses, never underflows " +
+      "(CodecFuzzLaws regression)") {
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    val body = "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(2) ++ Array[Byte](1, 2)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val e1 = intercept[IllegalArgumentException](MediaCodecs.decodeAviMeta(avi))
+    assert(e1.getMessage.contains("LIST size"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.decodeAviFrames(avi, 1))
+    assert(e2.getMessage.contains("LIST size"), e2.getMessage)
+    // an hdrl LIST too small for the avih it promises also refuses
+    val tiny = "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(8) ++ "hdrl".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0)
+    val avi2 = "RIFF".getBytes("US-ASCII") ++ le32(tiny.length) ++ tiny
+    val e3 = intercept[IllegalArgumentException](MediaCodecs.decodeAviMeta(avi2))
+    assert(e3.getMessage.contains("cannot hold avih"), e3.getMessage)
+  }
 }
