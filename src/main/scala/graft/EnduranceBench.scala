@@ -99,8 +99,13 @@ object EnduranceBench {
     // timed loop measures warm steady state — the 100 TB-relevant number
     // — and per-query ratios are order-independent.
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, out).count()
-      catch { case _: Throwable => }
+      // NonFatal only, and loudly: a swallowed OOM/linkage error would
+      // leave the timed loop measuring a silently degraded JVM
+      try { SparkEntry.queries(n)(spark, out).count(); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[endurance] warmup $n failed: ${e.getMessage}")
+      }
     }
     graft.core.CachePins.releaseAll()
     spark.catalog.clearCache()

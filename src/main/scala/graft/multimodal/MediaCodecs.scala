@@ -805,7 +805,8 @@ object MediaCodecs {
       chunk("LIST", typ.getBytes("US-ASCII") ++ body)
     val avih = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10 /* HASINDEX off */)
+      b.putInt(usPerFrame).putInt(0).putInt(0)
+        .putInt(0) // flags: no AVIF_HASINDEX — we write no idx1 chunk
       b.putInt(nFrames).putInt(0).putInt(1).putInt(0)
       b.putInt(width).putInt(height)
       b.array()
@@ -881,7 +882,11 @@ object MediaCodecs {
       while (b.position() + 8 <= end) {
         val id = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
         val size = b.getInt()
-        if (size < 0 || b.position() + size > end) fail(s"chunk '$id' size $size overruns payload")
+        // subtraction form: `position + size` overflows Int for hostile
+        // sizes near MaxValue and would BYPASS the guard (then allocate
+        // unboundedly below) — decodeAviMeta's remaining()-based idiom
+        // is safe for the same reason
+        if (size < 0 || size > end - b.position()) fail(s"chunk '$id' size $size overruns payload")
         if (id == "LIST") {
           if (size < 4) fail(s"LIST size $size cannot hold a list type")
           val typ = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }

@@ -78,5 +78,14 @@ class AviCodecSpec extends AnyFunSuite {
     val avi2 = "RIFF".getBytes("US-ASCII") ++ le32(tiny.length) ++ tiny
     val e3 = intercept[IllegalArgumentException](MediaCodecs.decodeAviMeta(avi2))
     assert(e3.getMessage.contains("cannot hold avih"), e3.getMessage)
+    // a frame chunk size near Int.MaxValue must hit the overrun guard,
+    // not wrap `position + size` negative and allocate unboundedly
+    val huge = "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(4 + 8) ++
+      "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(Int.MaxValue - 15)
+    val avi3 = "RIFF".getBytes("US-ASCII") ++ le32(huge.length) ++ huge
+    val e4 = intercept[IllegalArgumentException](MediaCodecs.decodeAviFrames(avi3, 1))
+    assert(e4.getMessage.contains("overruns"), e4.getMessage)
   }
 }
