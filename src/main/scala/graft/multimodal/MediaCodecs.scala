@@ -400,6 +400,10 @@ object MediaCodecs {
       }
     }
     if (w < 1 || h < 1) fail(s"dims $w x $h")
+    // hostile header dims: without the cap, 3*w*h wraps Int — a
+    // wrapped-NEGATIVE size trips copyOfRange, but a wrapped-POSITIVE
+    // one silently accepts a frame with the wrong byte count
+    if (w.toLong * h > MaxPixels) fail(s"dims $w x $h exceed $MaxPixels-pixel cap")
     if (num < 1 || den < 1) fail(s"frame rate $num:$den")
     if (chroma != "444") fail(s"chroma C$chroma (only C444 supported)")
     val wh = w * h
@@ -631,19 +635,30 @@ object MediaCodecs {
     javax.imageio.ImageIO.setUseCache(false)
   }
 
-  /** Decode a JPEG or GIF payload via ImageIO into packed RGB. */
+  /** Decode a JPEG or GIF payload via ImageIO into packed RGB. The
+    * header dims are capped BEFORE `read` — they're untrusted, and the
+    * JDK reader would otherwise allocate rasters for whatever the header
+    * claims (an OutOfMemoryError, which no Exception handler catches).
+    */
   def decodeImageIo(bytes: Array[Byte]): Bmp = {
     headless
-    val img = try javax.imageio.ImageIO.read(
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"malformed ${sniff(bytes)}: $what")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    catch {
-      case e: Exception =>
-        throw new IllegalArgumentException(
-          s"malformed ${sniff(bytes)}: ${e.getMessage}")
-    }
-    if (img == null)
-      throw new IllegalArgumentException(
-        s"malformed ${sniff(bytes)}: no ImageIO reader decoded it")
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) fail("no ImageIO reader recognized it")
+    val reader = readers.next()
+    val img = try {
+      reader.setInput(iis)
+      val w = reader.getWidth(0); val h = reader.getHeight(0)
+      if (w < 1 || h < 1 || w.toLong * h > MaxPixels)
+        fail(s"dims ${w}x$h exceed $MaxPixels-pixel cap")
+      reader.read(0)
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => fail(String.valueOf(e.getMessage))
+    } finally reader.dispose()
     val w = img.getWidth; val h = img.getHeight
     val pixels = new Array[Int](w * h)
     img.getRGB(0, 0, w, h, pixels, 0, w)
@@ -758,6 +773,15 @@ object MediaCodecs {
       }
       if (n < 1) throw new IllegalArgumentException("malformed GIF: no frames")
       Array.tabulate(n) { f =>
+        val (fw, fh) = try (reader.getWidth(f), reader.getHeight(f)) catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"malformed GIF frame $f header: ${e.getMessage}")
+        }
+        // untrusted frame dims: cap before the reader allocates rasters
+        // for whatever the header claims (OOM is an Error, not Exception)
+        if (fw < 1 || fh < 1 || fw.toLong * fh > MaxPixels)
+          throw new IllegalArgumentException(
+            s"malformed GIF frame $f: dims ${fw}x$fh exceed $MaxPixels-pixel cap")
         val img = try reader.read(f) catch {
           case e: Exception => throw new IllegalArgumentException(
             s"malformed GIF frame $f: ${e.getMessage}")

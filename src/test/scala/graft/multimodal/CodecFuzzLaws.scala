@@ -55,7 +55,9 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     nChunks <- Gen.choose(0, 4)
     chunks <- Gen.listOfN(nChunks, for {
       id <- Gen.oneOf("LIST", "fmt ", "data", "avih", "00dc", "JUNK")
-      declared <- Gen.choose(-8, 64)
+      // near-MaxValue sizes probe the Int-overflow class of bounds bugs
+      declared <- Gen.frequency(8 -> Gen.choose(-8, 64),
+        1 -> Gen.oneOf(Int.MaxValue, Int.MaxValue - 15, 1 << 30))
       actual <- Gen.choose(0, 16)
       body <- Gen.listOfN(actual, Gen.choose(Byte.MinValue, Byte.MaxValue))
     } yield {

@@ -69,6 +69,15 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(err(muBits).contains("bits/sample"))
   }
 
+  test("y4m refuses hostile header dims before allocating (3*w*h wraps Int)") {
+    // 46341^2 > 2^31/3: a wrapped-positive frame size would silently
+    // accept a frame with the wrong byte count; the cap refuses first
+    val hostile = ("YUV4MPEG2 W46341 H46341 F25:1 C444\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII")
+    val e = intercept[IllegalArgumentException](decodeY4m(hostile))
+    assert(e.getMessage.contains("pixel cap"), e.getMessage)
+  }
+
   test("y4m round-trip preserves dims, fps, every plane byte") {
     def plane(f: Int, p: Int, i: Int): Int = (f * 11 + p * 97 + i * 7) % 256
     for (nf <- Seq(0, 1, 5)) {
