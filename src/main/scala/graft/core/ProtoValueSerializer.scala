@@ -264,6 +264,7 @@ object ProtoSchema {
     def readVarint(): Long = {
       var shift = 0; var res = 0L
       while (true) {
+        require(pos < end, "truncated varint")
         val x = b(pos); pos += 1
         res |= (x & 0x7FL) << shift
         if ((x & 0x80) == 0) return res
@@ -273,18 +274,26 @@ object ProtoSchema {
       res
     }
     def readLe(bytes: Int): Long = {
+      require(bytes <= end - pos, s"truncated $bytes-byte field")
       var v = 0L; var i = 0
       while (i < bytes) { v |= (b(pos + i).toLong & 0xFF) << (8 * i); i += 1 }
       pos += bytes
       v
     }
     def readBytes(n: Int): Array[Byte] = {
+      // subtraction form (pos + n overflows for hostile lengths), and a
+      // hard bound BEFORE copyOfRange — which would otherwise ZERO-PAD
+      // past the payload, i.e. allocate whatever a corrupt varint claims
+      require(n >= 0 && n <= end - pos, s"length $n overruns ${end - pos}-byte remainder")
       val r = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; r
     }
     def skip(wt: Int): Unit = wt match {
       case 0 => readVarint()
       case 1 => pos += 8
-      case 2 => val n = readVarint().toInt; pos += n
+      case 2 =>
+        val n = readVarint().toInt
+        require(n >= 0 && n <= end - pos, s"skip length $n overruns ${end - pos}-byte remainder")
+        pos += n
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
@@ -352,6 +361,8 @@ object ProtoSchema {
                 case PScalar(kind) if wt == 2 =>
                   // packed numeric
                   val len = r.readVarint().toInt
+                  require(len >= 0 && len <= r.end - r.pos,
+                    s"packed length $len overruns ${r.end - r.pos}-byte remainder")
                   val stop = r.pos + len
                   var items = cur
                   while (r.pos < stop) {
@@ -367,6 +378,8 @@ object ProtoSchema {
                     case 0 => scalarFromBits(kind, r.readVarint())
                     case 1 => scalarFromBits(kind, r.readLe(8))
                     case 5 => scalarFromBits(kind, r.readLe(4))
+                    case other => throw new IllegalArgumentException(
+                      s"wire type $other for repeated scalar $kind")
                   })
                 case PRepeated(_) =>
                   throw new IllegalArgumentException("repeated repeated is not valid proto")
