@@ -36,7 +36,7 @@ final class AvroValueSerializer(schemaJson: String)
   }
 
   def deserialize(bytes: Array[Byte]): Option[GenericRecord] =
-    Option(bytes).map { b =>
+    parsed(bytes) { b =>
       val dec = DecoderFactory.get().binaryDecoder(b, null)
       new GenericDatumReader[GenericRecord](schema).read(null, dec)
     }

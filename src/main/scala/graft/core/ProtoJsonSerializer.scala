@@ -157,7 +157,7 @@ final class ProtoJsonValueSerializer(descriptor: String)
     ProtoJson.render(message, t).getBytes(StandardCharsets.UTF_8)
 
   def deserialize(bytes: Array[Byte]): Option[Map[String, Any]] =
-    Option(bytes).map { b =>
+    parsed(bytes) { b =>
       val s = new String(b, StandardCharsets.UTF_8).trim
       ProtoJson.absorb(message,
         if (s.isEmpty) Map.empty else Json.parseObject(s))

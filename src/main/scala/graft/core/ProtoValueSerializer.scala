@@ -421,7 +421,7 @@ final class ProtoValueSerializer(descriptor: String)
     ProtoSchema.encode(message, t)
 
   def deserialize(bytes: Array[Byte]): Option[Map[String, Any]] =
-    Option(bytes).map(ProtoSchema.decode(message, _))
+    parsed(bytes)(ProtoSchema.decode(message, _))
 
   def defaultValue: Map[String, Any] =
     ProtoSchema.decode(message, Array.emptyByteArray)

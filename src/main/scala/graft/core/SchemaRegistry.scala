@@ -97,7 +97,7 @@ final class SchemaRegistryValueSerializer(locator: String)
     * records survive subject evolution.
     */
   def deserialize(bytes: Array[Byte]): Option[GenericRecord] =
-    Option(bytes).map { b =>
+    parsed(bytes) { b =>
       require(b.length >= 5 && b(0) == 0,
         s"not a schema-registry frame (need magic 0 + 4-byte id, got ${b.length} bytes)")
       val id = ByteBuffer.wrap(b, 1, 4).getInt

@@ -23,7 +23,19 @@ trait ValueSerializer[T] extends Serializable {
   def scheme: String
   def sparkType: DataType
   def serialize(t: T): Array[Byte]
+
+  /** Reference contract (core ValueSerializer.java:40-46): "If the
+    * deserialization fails the returned value is empty" — corrupt bytes
+    * yield None, never an exception. Implementations route through
+    * [[parsed]].
+    */
   def deserialize(bytes: Array[Byte]): Option[T]
+
+  /** None on null input OR any non-fatal parse failure. */
+  protected final def parsed[A](bytes: Array[Byte])(f: Array[Byte] => A): Option[A] =
+    try Option(bytes).map(f)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   def defaultValue: T
 
   /** Columnar decode of a BINARY column into `sparkType`. */
@@ -92,7 +104,7 @@ object ValueSerializer {
     val scheme = "long"
     val sparkType: DataType = LongType
     def serialize(t: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(t).array()
-    def deserialize(b: Array[Byte]): Option[Long] = Option(b).map(longFromBytes)
+    def deserialize(b: Array[Byte]): Option[Long] = parsed(b)(longFromBytes)
     def defaultValue: Long = 0L
     def decodeColumn(c: Column): Column = decodeBigEndianSigned(c, 8)
     def encodeColumn(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
@@ -102,7 +114,7 @@ object ValueSerializer {
     val scheme = "integer"
     val sparkType: DataType = IntegerType
     def serialize(t: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(t).array()
-    def deserialize(b: Array[Byte]): Option[Int] = Option(b).map(intFromBytes)
+    def deserialize(b: Array[Byte]): Option[Int] = parsed(b)(intFromBytes)
     def defaultValue: Int = 0
     def decodeColumn(c: Column): Column =
       decodeBigEndianSigned(c, 4).cast(IntegerType)
@@ -118,7 +130,7 @@ object ValueSerializer {
     def serialize(t: Double): Array[Byte] =
       ByteBuffer.allocate(8).putDouble(t).array()
     def deserialize(b: Array[Byte]): Option[Double] =
-      Option(b).map(x => java.lang.Double.longBitsToDouble(longFromBytes(x)))
+      parsed(b)(x => java.lang.Double.longBitsToDouble(longFromBytes(x)))
     def defaultValue: Double = 0.0
     private val decodeUdf = udf((b: Array[Byte]) =>
       Option(b).map(x => java.lang.Double.longBitsToDouble(longFromBytes(x))))
@@ -134,7 +146,7 @@ object ValueSerializer {
     def serialize(t: Float): Array[Byte] =
       ByteBuffer.allocate(4).putInt(java.lang.Float.floatToIntBits(t)).array()
     def deserialize(b: Array[Byte]): Option[Float] =
-      Option(b).map(x => java.lang.Float.intBitsToFloat(intFromBytes(x)))
+      parsed(b)(x => java.lang.Float.intBitsToFloat(intFromBytes(x)))
     def defaultValue: Float = 0.0f
     private val decodeUdf = udf((b: Array[Byte]) =>
       Option(b).map(x => java.lang.Float.intBitsToFloat(intFromBytes(x))))
