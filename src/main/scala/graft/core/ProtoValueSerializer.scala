@@ -280,6 +280,16 @@ object ProtoSchema {
       pos += bytes
       v
     }
+    /** Length-delimited field length: read as Long FIRST, then bound.
+      * `readVarint().toInt` would truncate a hostile 64-bit claim (e.g. a
+      * multiple of 2^32 becomes 0) and silently decode corrupt input as an
+      * empty string/bytes instead of refusing.
+      */
+    def readLen(): Int = {
+      val v = readVarint()
+      require(v >= 0 && v <= (end - pos).toLong, s"length $v overruns ${end - pos}-byte remainder")
+      v.toInt
+    }
     def readBytes(n: Int): Array[Byte] = {
       // subtraction form (pos + n overflows for hostile lengths), and a
       // hard bound BEFORE copyOfRange — which would otherwise ZERO-PAD
@@ -291,9 +301,7 @@ object ProtoSchema {
       case 0 => readVarint()
       case 1 => pos += 8
       case 2 =>
-        val n = readVarint().toInt
-        require(n >= 0 && n <= end - pos, s"skip length $n overruns ${end - pos}-byte remainder")
-        pos += n
+        pos += readLen()
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
@@ -337,8 +345,8 @@ object ProtoSchema {
         case Some(f) =>
           f.tpe match {
             case PScalar("string") => acc(f.name) =
-              new String(r.readBytes(r.readVarint().toInt), StandardCharsets.UTF_8)
-            case PScalar("bytes") => acc(f.name) = r.readBytes(r.readVarint().toInt)
+              new String(r.readBytes(r.readLen()), StandardCharsets.UTF_8)
+            case PScalar("bytes") => acc(f.name) = r.readBytes(r.readLen())
             case PScalar(kind) => acc(f.name) = wt match {
               case 0 => scalarFromBits(kind, r.readVarint())
               case 1 => scalarFromBits(kind, r.readLe(8))
@@ -347,22 +355,20 @@ object ProtoSchema {
                 s"wire type $other for scalar $kind")
             }
             case m: PMessage =>
-              acc(f.name) = decode(m, r.readBytes(r.readVarint().toInt))
+              acc(f.name) = decode(m, r.readBytes(r.readLen()))
             case PRepeated(elem) =>
               val cur = repeated.getOrElse(f.name, Vector.empty)
               elem match {
                 case PScalar("string") =>
                   repeated(f.name) = cur :+
-                    new String(r.readBytes(r.readVarint().toInt), StandardCharsets.UTF_8)
+                    new String(r.readBytes(r.readLen()), StandardCharsets.UTF_8)
                 case PScalar("bytes") =>
-                  repeated(f.name) = cur :+ r.readBytes(r.readVarint().toInt)
+                  repeated(f.name) = cur :+ r.readBytes(r.readLen())
                 case m: PMessage =>
-                  repeated(f.name) = cur :+ decode(m, r.readBytes(r.readVarint().toInt))
+                  repeated(f.name) = cur :+ decode(m, r.readBytes(r.readLen()))
                 case PScalar(kind) if wt == 2 =>
                   // packed numeric
-                  val len = r.readVarint().toInt
-                  require(len >= 0 && len <= r.end - r.pos,
-                    s"packed length $len overruns ${r.end - r.pos}-byte remainder")
+                  val len = r.readLen()
                   val stop = r.pos + len
                   var items = cur
                   while (r.pos < stop) {

@@ -94,6 +94,8 @@ object MediaCodecs {
     val width = b.getInt()
     val height = b.getInt()
     if (width < 1 || height < 1) fail(s"dims $width x $height (top-down bmps unsupported)")
+    if (width.toLong * height > MaxPixels)
+      fail(s"dims $width x $height exceed $MaxPixels-pixel cap")
     b.getShort()
     val bpp = b.getShort()
     if (bpp != 24) fail(s"bpp $bpp (only 24bpp uncompressed supported)")
@@ -658,7 +660,7 @@ object MediaCodecs {
     } catch {
       case e: IllegalArgumentException => throw e
       case e: Exception => fail(String.valueOf(e.getMessage))
-    } finally reader.dispose()
+    } finally { reader.dispose(); iis.close() } // dispose() does NOT close the stream
     val w = img.getWidth; val h = img.getHeight
     val pixels = new Array[Int](w * h)
     img.getRGB(0, 0, w, h, pixels, 0, w)
@@ -764,9 +766,10 @@ object MediaCodecs {
     if (sniff(bytes) != "gif")
       throw new IllegalArgumentException("malformed GIF: bad magic")
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
     try {
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes)))
+      reader.setInput(iis)
       val n = try reader.getNumImages(true) catch {
         case e: Exception =>
           throw new IllegalArgumentException(s"malformed GIF: ${e.getMessage}")
@@ -793,7 +796,7 @@ object MediaCodecs {
         while (i < pixels.length) { pixels(i) &= 0xffffff; i += 1 }
         Bmp(w, h, pixels)
       }
-    } finally reader.dispose()
+    } finally { reader.dispose(); iis.close() } // dispose() does NOT close the stream
   }
 
   // ---- Motion-JPEG in AVI: REAL COMPRESSED video — a RIFF AVI container
@@ -867,6 +870,11 @@ object MediaCodecs {
       throw new IllegalArgumentException(s"malformed AVI: $what")
     if (sniff(bytes) != "avi") fail("bad RIFF/AVI magic")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // an odd-sized chunk ending exactly at the payload's last byte has its
+    // word-align pad byte PAST the buffer; clamping keeps the skip from
+    // throwing ByteBuffer's raw IllegalArgumentException without the
+    // 'malformed AVI' framing (the loop then just terminates)
+    def seek(target: Int): Unit = b.position(math.min(target, b.limit()))
     b.position(12)
     while (b.remaining() >= 8) {
       val id = { val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII") }
@@ -886,8 +894,8 @@ object MediaCodecs {
           val w = b.getInt(); val h = b.getInt()
           if (w < 1 || h < 1 || nFrames < 1) fail(s"dims ${w}x$h frames $nFrames")
           return AviMeta(w, h, usPerFrame, nFrames)
-        } else b.position(b.position() + size - 4 + (size & 1))
-      } else b.position(b.position() + size + (size & 1))
+        } else seek(b.position() + size - 4 + (size & 1))
+      } else seek(b.position() + size + (size & 1))
     }
     fail("no hdrl LIST")
   }
@@ -899,6 +907,8 @@ object MediaCodecs {
       throw new IllegalArgumentException(s"malformed AVI: $what")
     if (sniff(bytes) != "avi") fail("bad RIFF/AVI magic")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // clamp pad skips: see decodeAviMeta's seek note
+    def seek(target: Int): Unit = b.position(math.min(target, b.limit()))
     b.position(12)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Bmp)]
     var frameIdx = 0
@@ -917,16 +927,16 @@ object MediaCodecs {
           if (typ == "movi") {
             val listEnd = b.position() + size - 4
             walk(listEnd)
-            b.position(listEnd + (size & 1)) // skip sub-8-byte slack + pad
-          } else b.position(b.position() + size - 4 + (size & 1))
+            seek(listEnd + (size & 1)) // skip sub-8-byte slack + pad
+          } else seek(b.position() + size - 4 + (size & 1))
         } else if (id == "00dc") {
           if (frameIdx % stride == 0) {
             val data = new Array[Byte](size); b.get(data)
             out += ((frameIdx, decodeImageIo(data)))
           } else b.position(b.position() + size)
-          if ((size & 1) == 1) b.position(b.position() + 1)
+          if ((size & 1) == 1) seek(b.position() + 1)
           frameIdx += 1
-        } else b.position(b.position() + size + (size & 1))
+        } else seek(b.position() + size + (size & 1))
       }
     }
     walk(bytes.length)

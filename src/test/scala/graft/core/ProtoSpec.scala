@@ -35,6 +35,23 @@ class ProtoSpec extends SparkSpec {
     assert(hex(tz.serialize(Map("z" -> -2))) == "0803")
   }
 
+  test("64-bit length claims refuse instead of truncating to Int") {
+    // a claimed length of exactly 2^32 is a multiple of 2^32: naive
+    // `readVarint().toInt` truncates it to 0 and silently decodes corrupt
+    // input as an EMPTY string instead of refusing (deserialize -> None)
+    val claim32 = Array(0x80, 0x80, 0x80, 0x80, 0x10).map(_.toByte) // varint 2^32
+    val ser = new ProtoValueSerializer("{2:b=string}")
+    assert(ser.deserialize(Array(0x12.toByte) ++ claim32).isEmpty)
+    // same claim on an UNKNOWN field's wire skip must refuse too
+    val ser2 = new ProtoValueSerializer("{1:a=int32}")
+    assert(ser2.deserialize(Array(0x12.toByte) ++ claim32).isEmpty)
+    // and on a packed repeated length
+    val ser3 = new ProtoValueSerializer("{2:d=repeated int32}")
+    assert(ser3.deserialize(Array(0x12.toByte) ++ claim32).isEmpty)
+    // a legitimate zero-length string still decodes as empty, not None
+    assert(ser.deserialize(Array(0x12, 0x00).map(_.toByte)).exists(_("b") == ""))
+  }
+
   test("round trip over every field kind incl. negatives and nesting") {
     val desc = "{1:i32=int32;2:i64=int64;3:u64=uint64;4:s32=sint32;5:s64=sint64;" +
       "6:f32=fixed32;7:f64=fixed64;8:sf32=sfixed32;9:sf64=sfixed64;" +

@@ -88,4 +88,24 @@ class AviCodecSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](MediaCodecs.decodeAviFrames(avi3, 1))
     assert(e4.getMessage.contains("overruns"), e4.getMessage)
   }
+
+  test("odd-sized chunk ending at the payload's last byte keeps codec framing") {
+    def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // the word-align pad byte of a trailing odd chunk sits PAST the buffer;
+    // the skip must clamp, not throw ByteBuffer's raw IllegalArgumentException
+    // stripped of the 'malformed AVI' context
+    val good = MediaCodecs.encodeAviMjpeg(4, 3, 2, 40000, _ => (x, y) => (x * 40 + y))
+    val trailing = good ++ "JUNK".getBytes("US-ASCII") ++ le32(1) ++ Array[Byte](7)
+    val frames = MediaCodecs.decodeAviFrames(trailing, 1)
+    assert(frames.length == 2) // decodes normally; the clamped skip just ends the walk
+    // meta walker: an AVI that is ONLY such a chunk must still fail with framing
+    val body = "AVI ".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(1) ++ Array[Byte](7)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeAviMeta(avi))
+    assert(e.getMessage.contains("no hdrl"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.decodeAviFrames(avi, 1))
+    assert(e2.getMessage.contains("no 00dc"), e2.getMessage)
+  }
 }

@@ -39,6 +39,23 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(err(badBpp).contains("bpp"))
   }
 
+  test("bmp refuses hostile header dims before allocating (width*3 wraps Int)") {
+    // width 0x40000006 makes the Int rowStride negative, which slipped the
+    // dataOffset+stride*height bounds check and then attempted a multi-GB
+    // pixel allocation (OutOfMemoryError / NegativeArraySizeException)
+    val ok = encodeBmp(5, 4, pix)
+    val hostile = ok.clone()
+    val b = java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(18, 0x40000006) // biWidth
+    val e = intercept[IllegalArgumentException](decodeBmp(hostile))
+    assert(e.getMessage.contains("pixel cap"))
+    for (h <- Seq(1, 2, 7)) { // other heights hit the NegativeArraySize path
+      b.putInt(22, h)
+      assert(intercept[IllegalArgumentException](decodeBmp(hostile))
+        .getMessage.contains("pixel cap"), s"height $h")
+    }
+  }
+
   test("wav round-trip preserves samples, channels, rate, duration math") {
     for (ch <- Seq(1, 2); frames <- Seq(1, 64, 101)) {
       val samples = Array.tabulate(frames * ch)(i => (i * 317 - 9000).toShort)
