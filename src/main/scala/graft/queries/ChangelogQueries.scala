@@ -391,7 +391,7 @@ object ChangelogQueries extends QuerySet {
 
     // stamp-range read through the kafka:// commit-log binding: the
     // changelog sample is appended through the DataSourceV2 WRITE path
-    // (executor tasks append their partitions — no driver collect) and
+    // (task rows ride commit messages to the driver-resident broker) and
     // read back through the DSv2 batch scan; with blob and jdbc this
     // puts every storage binding's write+read path under the oracle
     // (reference io-kafka KafkaStorage; the broker is the in-process

@@ -144,15 +144,19 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
   import graft.core.StreamElement.encoder
 
   /** Distributed append through the DataSourceV2 write path — executor
-    * tasks append their partitions directly; no driver collect.
+    * tasks buffer their partitions and the records land on the broker in
+    * the DRIVER-side job commit (commit messages carry the rows: the
+    * broker is a driver-JVM object an executor process cannot reach, see
+    * [[KafkaWrite]]).
     *
     * Ordering/delivery contract (differs from the `Seq` overload, which
     * appends in sequence order from the driver): broker offset order is
-    * task completion order, NOT dataset order, and a retried or
-    * speculative task re-appends its partition — at-least-once. Callers
-    * needing exactly-once batch appends should route through
-    * [[AttributeLogFamily.appendIdempotent]] (uuid anti-join) instead;
-    * callers needing deterministic offsets should use the `Seq` overload.
+    * commit-message order (per Spark partition), NOT dataset row order
+    * across partitions, and a retried WRITE JOB re-appends — at-least-
+    * once at job granularity. Callers needing exactly-once batch appends
+    * should route through [[AttributeLogFamily.appendIdempotent]] (uuid
+    * anti-join) instead; callers needing deterministic offsets should
+    * use the `Seq` overload or a single-partition dataset.
     */
   def append(elems: Dataset[StreamElement]): Unit =
     elems.toDF().write.format(KafkaSource.SHORT_NAME)

@@ -27,10 +27,18 @@ import graft.core.StreamElement
   * way; its KafkaLogReader observe/ack maps to `commit`).
   *
   * The BROKER is the embedded in-process log (this sandbox has no Kafka
-  * client jars) — partition readers resolve the topic through the
-  * JVM-static registry, which local-mode executors share. Everything
-  * Spark-facing (offset planning, splits, checkpoint recovery, group
-  * commit) is the real protocol a networked binding would keep.
+  * client jars), and it lives in the DRIVER JVM only — executors are
+  * separate processes on a real cluster and cannot see its static
+  * registry (LocalClusterSmoke proved a registry-reading PartitionReader
+  * returns zero rows under local-cluster). So the process boundary is
+  * honored the way a networked binding honors the broker boundary:
+  * splits carry the records fetched at PLAN time on the driver (the same
+  * bytes a networked executor would pull from the broker for that split),
+  * and writes ride back to the driver in task commit messages (the
+  * pattern of Spark's own memory sink). Everything Spark-facing (offset
+  * planning, splits, checkpoint recovery, group commit) is the real
+  * protocol a networked binding would keep; only the fetch/produce hop
+  * is process-internal, because the "network peer" is a driver object.
   *
   * Usage: `spark.readStream.format("graft-kafka").option("broker", b)
   * .option("topic", t)` with optional `option("group", g)` to commit
@@ -115,48 +123,60 @@ class KafkaSourceTable(broker: String, topicName: String, group: Option[String],
   }
 }
 
-/** DataSourceV2 write onto the embedded log — tasks append records to the
-  * broker as they arrive (the same delivery contract as the real Kafka
-  * sink: at-least-once, a retried task re-appends and the reader-side
-  * uuid dedup / `appendIdempotent` absorbs the duplicates; `abort`
-  * cannot unwrite a log). Task commit messages carry only counts; the
-  * driver-side commit records metrics — no element ever rides through
-  * the driver, unlike a `collect().foreach(append)` loop.
+/** DataSourceV2 write onto the embedded log. Executor tasks CANNOT
+  * append to the driver-resident broker directly (on a real cluster the
+  * executor JVM's static registry is a different, empty object — a
+  * direct `topic.append` there silently drops every record, which
+  * LocalClusterSmoke exists to catch). Task writers therefore buffer the
+  * epoch's records and ship them in their commit message; the
+  * DRIVER-side commit appends them to the broker — the same
+  * rows-ride-the-commit-message pattern as Spark's own memory sink, and
+  * the honest process-boundary analog of a networked produce. Only
+  * COMMITTED task attempts land (a speculative duplicate attempt's
+  * message is discarded by Spark before commit), preserving the log's
+  * at-least-once contract across query retries.
   */
 class KafkaWrite(broker: String, topicName: String) extends Write {
+  private def append(messages: Array[WriterCommitMessage], metric: String): Unit = {
+    val topic = EmbeddedKafka.topic(broker, topicName)
+    var n = 0L
+    messages.foreach { m =>
+      val elems = m.asInstanceOf[KafkaCommitMessage].elements
+      elems.foreach(topic.append)
+      n += elems.length
+    }
+    graft.core.Metrics.inc(metric, n)
+  }
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new KafkaWriterFactory(broker, topicName)
+      new KafkaWriterFactory
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      graft.core.Metrics.inc("graft.kafka.batch.written",
-        messages.map(_.asInstanceOf[KafkaCommitMessage].count).sum)
+      append(messages, "graft.kafka.batch.written")
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new KafkaWriterFactory(broker, topicName)
+      new KafkaWriterFactory
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      graft.core.Metrics.inc("graft.kafka.stream.written",
-        messages.map(_.asInstanceOf[KafkaCommitMessage].count).sum)
+      append(messages, "graft.kafka.stream.written")
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
-case class KafkaCommitMessage(count: Long) extends WriterCommitMessage
+case class KafkaCommitMessage(elements: Array[StreamElement]) extends WriterCommitMessage
 
-class KafkaWriterFactory(broker: String, topicName: String)
+class KafkaWriterFactory
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writer
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = writer
   private def writer: DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val topic = EmbeddedKafka.topic(broker, topicName)
-    private var n = 0L
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[StreamElement]
     override def write(row: InternalRow): Unit = {
-      topic.append(KafkaSource.fromRow(row)); n += 1
+      buf += KafkaSource.fromRow(row); ()
     }
-    override def commit(): WriterCommitMessage = KafkaCommitMessage(n)
+    override def commit(): WriterCommitMessage = KafkaCommitMessage(buf.toArray)
     override def abort(): Unit = ()
     override def close(): Unit = ()
   }
@@ -168,11 +188,13 @@ class KafkaScan(broker: String, topicName: String, group: Option[String],
 
   /** Batch read: one split per partition over [0, latest). */
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      EmbeddedKafka.topic(broker, topicName).latestOffsets.toArray
-        .map { case (p, end) =>
-          KafkaInputPartition(broker, topicName, p, 0L, end): InputPartition
-        }
+    override def planInputPartitions(): Array[InputPartition] = {
+      val t = EmbeddedKafka.topic(broker, topicName)
+      t.latestOffsets.toArray.map { case (p, end) =>
+        KafkaInputPartition(broker, topicName, p, 0L, end,
+          t.slice(p, 0L, end)): InputPartition
+      }
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new KafkaReaderFactory
   }
@@ -181,15 +203,20 @@ class KafkaScan(broker: String, topicName: String, group: Option[String],
     new KafkaMicroBatchStream(broker, topicName, group, maxRecordsPerTrigger)
 }
 
-/** A split: one topic partition, offsets [from, until). */
+/** A split: one topic partition, offsets [from, until). `elements` are
+  * the split's records, fetched from the DRIVER-resident broker at plan
+  * time — a reader resolving the static registry executor-side would see
+  * an EMPTY broker on a real cluster (a networked split carries only
+  * offsets because its executor can fetch from the broker itself; ours
+  * cannot, and the per-split volume is identical either way).
+  */
 case class KafkaInputPartition(broker: String, topic: String, partition: Int,
-    from: Long, until: Long) extends InputPartition
+    from: Long, until: Long, elements: Array[StreamElement]) extends InputPartition
 
 class KafkaReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KafkaInputPartition]
-    val elems = EmbeddedKafka.topic(p.broker, p.topic)
-      .slice(p.partition, p.from, p.until)
+    val elems = p.elements
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < elems.length }
@@ -260,11 +287,13 @@ class KafkaMicroBatchStream(broker: String, topicName: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaSourceOffset].offsets
+    val t = topic // planning runs on the driver, where the broker lives
     end.asInstanceOf[KafkaSourceOffset].offsets.toArray
       .flatMap { case (p, until) =>
         val from = s.getOrElse(p, 0L)
         if (until > from)
-          Some(KafkaInputPartition(broker, topicName, p, from, until): InputPartition)
+          Some(KafkaInputPartition(broker, topicName, p, from, until,
+            t.slice(p, from, until)): InputPartition)
         else None
       }
   }
