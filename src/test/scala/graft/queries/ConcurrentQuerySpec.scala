@@ -20,14 +20,20 @@ class ConcurrentQuerySpec extends SparkSpec {
 
   private val Sf = "/root/testdata/sf0.001"
 
-  // >=4-way mixed concurrency: two CachePins users (lm_score pins the
+  // >=8-way mixed concurrency: two CachePins users (lm_score pins the
   // bigram-count table, lsh_tuning pins truth + signature), two
   // StreamConf-scoped streaming replays (staged commit logs + memory
-  // sinks), two plain batch queries
+  // sinks), two plain batch queries — plus the three remaining
+  // process-global-state owners: q_txn_commits (CommitArbiter's in-JVM
+  // monitor + marker lease), q_media_gif (ImageIO's static reader
+  // registry + the setUseCache(false) process config), and
+  // q_kafka_updates_range (the EmbeddedKafka broker registry, racing
+  // topic create/append/drop under a UUID topic per run)
   private val mixed = Seq(
     "q_lm_score", "q_lsh_tuning",
     "q_integrate_per_key_stream", "q_url_dedup_stream",
-    "q1_agg", "q_join_dims")
+    "q1_agg", "q_join_dims",
+    "q_txn_commits", "q_media_gif", "q_kafka_updates_range")
 
   /** Row cells via a deep renderer: Java arrays (binary columns)
     * toString by identity, which would make equal results compare
