@@ -268,6 +268,154 @@ object MediaCodecs {
     b.array()
   }
 
+  // ---- IMA ADPCM (WAV format tag 0x11): PREDICTIVE compressed audio,
+  // 4 bits per sample (4:1 vs 16-bit PCM). Unlike the MEMORYLESS G.711
+  // quantizer, each sample's reconstruction depends on a running
+  // (predictor, step-index) state machine — but the arithmetic is still
+  // exact integers, so encode∘decode replays bit-identically in any
+  // engine that chains the same public recurrence (the oracle replays it
+  // as a recursive CTE). Tables and recurrence are the public IMA/DVI
+  // specification used by every implementation.
+
+  /** The 89-entry IMA step-size table. */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per 3-bit magnitude code. */
+  val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One decoder step: 4-bit code + state -> (new predictor = the decoded
+    * sample, new step index). THE recurrence — the encoder updates its
+    * own state through this exact function, which is what makes
+    * encode∘decode exact (predicting from the true residual instead
+    * would let encoder and decoder state drift apart).
+    */
+  def adpcmDecodeStep(code: Int, predictor: Int, stepIndex: Int): (Int, Int) = {
+    val step = AdpcmStepTable(stepIndex)
+    var diffq = step >> 3
+    if ((code & 4) != 0) diffq += step
+    if ((code & 2) != 0) diffq += step >> 1
+    if ((code & 1) != 0) diffq += step >> 2
+    val p = if ((code & 8) != 0) predictor - diffq else predictor + diffq
+    val clamped = math.max(-32768, math.min(32767, p))
+    val idx = math.max(0, math.min(88, stepIndex + AdpcmIndexTable(code & 7)))
+    (clamped, idx)
+  }
+
+  /** One encoder step: quantize `sample` against the state, returning
+    * (4-bit code, new predictor, new step index) — state advanced via
+    * [[adpcmDecodeStep]] so both sides stay in lock step.
+    */
+  def adpcmEncodeStep(sample: Int, predictor: Int, stepIndex: Int): (Int, Int, Int) = {
+    val step = AdpcmStepTable(stepIndex)
+    var diff = sample - predictor
+    var code = 0
+    if (diff < 0) { code = 8; diff = -diff }
+    if (diff >= step) { code |= 4; diff -= step }
+    if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) code |= 1
+    val (p, i) = adpcmDecodeStep(code, predictor, stepIndex)
+    (code, p, i)
+  }
+
+  /** Encode 16-bit PCM as an IMA ADPCM WAV (fmt 0x11, 4 bits/sample).
+    *
+    * Block layout (the standard container framing): each block starts
+    * with a 4-byte header PER CHANNEL — the block's first sample stored
+    * VERBATIM as the predictor (int16), the current step index (uint8),
+    * and a reserved byte — followed by the remaining `samplesPerBlock-1`
+    * samples as nibbles (low nibble first), interleaved in 4-byte
+    * (8-sample) groups per channel. The step index CARRIES across
+    * blocks; the predictor resets exactly at each block header. A `fact`
+    * chunk records the true frame count so the decoder trims the final
+    * block's pad nibbles.
+    *
+    * `samplesPerBlock - 1` must be a multiple of 8 (whole 4-byte groups).
+    */
+  def encodeWavAdpcm(channels: Int, sampleRate: Int, samples: Array[Short],
+      samplesPerBlock: Int): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    require(samplesPerBlock >= 9 && (samplesPerBlock - 1) % 8 == 0,
+      s"samplesPerBlock must be 8k+1 >= 9, got $samplesPerBlock")
+    require(samples.length > 0, "ADPCM needs at least one frame")
+    val frames = samples.length / channels
+    val nBlocks = (frames + samplesPerBlock - 1) / samplesPerBlock
+    val blockAlign = channels * (4 + (samplesPerBlock - 1) / 2)
+    val dataBytes = nBlocks * blockAlign
+    val b = ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + dataBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII"))
+    b.putInt(4 + 8 + 20 + 8 + 4 + 8 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII"))
+    b.putInt(20)                       // 16 + cbSize(2) + wSamplesPerBlock(2)
+    b.putShort(0x11)                   // IMA ADPCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt((sampleRate.toLong * blockAlign / samplesPerBlock).toInt) // ~byte rate
+    b.putShort(blockAlign.toShort)
+    b.putShort(4)                      // bits per sample
+    b.putShort(2)                      // cbSize
+    b.putShort(samplesPerBlock.toShort)
+    b.put("fact".getBytes("US-ASCII"))
+    b.putInt(4)
+    b.putInt(frames)                   // true frame count (trims pad nibbles)
+    b.put("data".getBytes("US-ASCII"))
+    b.putInt(dataBytes)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val f0 = blk * samplesPerBlock
+      var c = 0
+      while (c < channels) {
+        pred(c) = samples(f0 * channels + c).toInt // block's first sample, exact
+        b.putShort(pred(c).toShort)
+        b.put(idx(c).toByte)
+        b.put(0.toByte)
+        c += 1
+      }
+      var g = 0
+      val groups = (samplesPerBlock - 1) / 8
+      while (g < groups) {
+        c = 0
+        while (c < channels) {
+          var k = 0
+          while (k < 8) { // two samples per byte, low nibble first
+            val fLo = f0 + 1 + g * 8 + k
+            val fHi = fLo + 1
+            def codeOf(f: Int): Int =
+              if (f < frames) {
+                val (code, p, i) = adpcmEncodeStep(
+                  samples(f * channels + c).toInt, pred(c), idx(c))
+                pred(c) = p; idx(c) = i
+                code
+              } else 0 // final-block pad; the fact count trims these
+            val lo = codeOf(fLo)
+            val hi = codeOf(fHi)
+            b.put(((hi << 4) | lo).toByte)
+            k += 2
+          }
+          c += 1
+        }
+        g += 1
+      }
+      blk += 1
+    }
+    b.array()
+  }
+
   def decodeWav(bytes: Array[Byte]): Wav = {
     def fail(what: String): Nothing =
       throw new IllegalArgumentException(s"malformed WAV: $what")
@@ -283,6 +431,7 @@ object MediaCodecs {
     // NOTE the fmt tag steers how a later data chunk is expanded, so a
     // data chunk BEFORE fmt is kept raw and expanded at the end.
     var channels = -1; var sampleRate = -1; var format = -1
+    var blockAlign = -1; var samplesPerBlock = -1; var factFrames = -1
     var data: Array[Byte] = null
     var samples: Array[Short] = null
     while (b.remaining() >= 8 && (channels < 0 || data == null)) {
@@ -293,18 +442,28 @@ object MediaCodecs {
         case "fmt " =>
           if (size < 16) fail(s"fmt chunk size $size < 16")
           val fmt = b.getShort()
-          if (fmt != 1 && fmt != 6 && fmt != 7) fail(
-            s"audio format $fmt (PCM, A-law and mu-law supported)")
+          if (fmt != 1 && fmt != 6 && fmt != 7 && fmt != 0x11) fail(
+            s"audio format $fmt (PCM, A-law, mu-law and IMA ADPCM supported)")
           format = fmt
           channels = b.getShort().toInt
           sampleRate = b.getInt()
-          b.getInt(); b.getShort()
+          b.getInt() // byte rate (advisory)
+          blockAlign = b.getShort().toInt
           val bits = b.getShort()
           if (fmt == 1 && bits != 16) fail(s"$bits bits/sample (PCM needs 16)")
-          if (fmt != 1 && bits != 8) fail(s"$bits bits/sample (G.711 needs 8)")
+          if ((fmt == 6 || fmt == 7) && bits != 8) fail(s"$bits bits/sample (G.711 needs 8)")
+          if (fmt == 0x11 && bits != 4) fail(s"$bits bits/sample (IMA ADPCM needs 4)")
           if (channels < 1 || sampleRate < 1) fail(
             s"channels=$channels rate=$sampleRate")
-          b.position(b.position() + size - 16)
+          if (fmt == 0x11 && size >= 20) {
+            b.getShort() // cbSize
+            samplesPerBlock = b.getShort().toInt
+            b.position(b.position() + size - 20)
+          } else b.position(b.position() + size - 16)
+        case "fact" =>
+          if (size >= 4) { factFrames = b.getInt(); b.position(b.position() + size - 4) }
+          else b.position(b.position() + size)
+          if ((size & 1) == 1 && b.remaining() >= 1) b.get()
         case "data" =>
           data = new Array[Byte](size)
           b.get(data)
@@ -326,6 +485,9 @@ object MediaCodecs {
           samples = new Array[Short](data.length)
           var i = 0
           while (i < samples.length) { samples(i) = table(data(i) & 0xFF); i += 1 }
+        case 0x11 =>
+          samples = decodeAdpcmData(data, channels, blockAlign,
+            samplesPerBlock, factFrames, fail)
       }
     }
     if (channels < 0) fail("no fmt chunk")
@@ -333,6 +495,73 @@ object MediaCodecs {
     if (samples.length % channels != 0) fail(
       s"${samples.length} samples not a multiple of $channels channels")
     Wav(channels, sampleRate, samples)
+  }
+
+  /** Expand IMA ADPCM data blocks into interleaved 16-bit samples. */
+  private def decodeAdpcmData(data: Array[Byte], channels: Int,
+      blockAlign: Int, samplesPerBlockHdr: Int, factFrames: Int,
+      fail: String => Nothing): Array[Short] = {
+    if (blockAlign < channels * 4 + channels ||
+        (blockAlign - channels * 4) % (channels * 4) != 0)
+      fail(s"ADPCM block align $blockAlign cannot frame $channels channel(s)")
+    // nibbles per channel per block; header field wins when present
+    val derived = (blockAlign - 4 * channels) * 2 / channels + 1
+    val spb = if (samplesPerBlockHdr > 0) samplesPerBlockHdr else derived
+    if (spb != derived)
+      fail(s"samplesPerBlock $spb disagrees with block align $blockAlign ($derived)")
+    if (data.length % blockAlign != 0)
+      fail(s"ADPCM data size ${data.length} not a multiple of block align $blockAlign")
+    val nBlocks = data.length / blockAlign
+    if (nBlocks == 0) fail("ADPCM data holds no blocks")
+    val total = nBlocks * spb
+    val frames =
+      if (factFrames >= 0) {
+        if (factFrames > total || factFrames <= (nBlocks - 1) * spb)
+          fail(s"fact frame count $factFrames outside final block of $nBlocks x $spb")
+        factFrames
+      } else total
+    val out = new Array[Short](frames * channels)
+    val db = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val f0 = blk * spb
+      var c = 0
+      while (c < channels) {
+        pred(c) = db.getShort().toInt
+        idx(c) = db.get() & 0xFF
+        if (idx(c) > 88) fail(s"ADPCM step index ${idx(c)} > 88")
+        db.get() // reserved
+        if (f0 < frames) out(f0 * channels + c) = pred(c).toShort
+        c += 1
+      }
+      var g = 0
+      val groups = (spb - 1) / 8
+      while (g < groups) {
+        c = 0
+        while (c < channels) {
+          var k = 0
+          while (k < 8) {
+            val byte = db.get() & 0xFF
+            var n = 0
+            while (n < 2) {
+              val code = if (n == 0) byte & 0x0F else byte >> 4
+              val (p, i) = adpcmDecodeStep(code, pred(c), idx(c))
+              pred(c) = p; idx(c) = i
+              val f = f0 + 1 + g * 8 + k + n
+              if (f < frames) out(f * channels + c) = p.toShort
+              n += 1
+            }
+            k += 2
+          }
+          c += 1
+        }
+        g += 1
+      }
+      blk += 1
+    }
+    out
   }
 
   /** Decoded uncompressed video (YUV4MPEG2, C444): one w·h byte plane

@@ -348,6 +348,39 @@ object MultimodalQueries extends QuerySet {
           when(col("media_id") % 8 >= 4, lit("alaw")).otherwise(lit("mulaw")))
     }),
 
+    // REAL PREDICTIVE compressed audio: IMA ADPCM WAVs (fmt 0x11, 4:1) —
+    // unlike memoryless G.711 the reconstruction chains a (predictor,
+    // step-index) state machine per channel, still exact integer
+    // arithmetic; the oracle replays the chain as a recursive CTE and the
+    // decoded aggregates hash-match cross-engine. samplesPerBlock 65
+    // spans 2-4 blocks per clip, so block-header predictor resets and the
+    // cross-block step-index carry are both under the oracle
+    "q_media_adpcm" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 5 == 2)
+        .mapPartitions(_.map { id =>
+          val ch = (1 + id % 2).toInt
+          val frames = (80 + (id * 7) % 120).toInt
+          val pcm = new Array[Short](frames * ch)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              pcm(f * ch + c) =
+                ((f * 2654435761L + c * 97L + id * 31L) % 65536L - 32768L).toShort
+              c += 1
+            }
+            f += 1
+          }
+          (id, "audio", graft.multimodal.MediaCodecs
+            .encodeWavAdpcm(ch, 8000, pcm, samplesPerBlock = 65))
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.audioStats(media)
+        .toDF("media_id", "channels", "n_samples", "sum_abs", "peak_abs")
+    }),
+
     // decode -> NN half-resample -> re-encode -> re-decode: the resized
     // stats must equal NN sampling of the closed-form source
     "q_media_resize" -> ((s, d) =>
@@ -663,6 +696,98 @@ object MultimodalQueries extends QuerySet {
         |       CAST(max(abs(q)) AS BIGINT) AS peak_abs,
         |       CASE WHEN media_id % 8 >= 4 THEN 'alaw' ELSE 'mulaw' END AS law
         |FROM allq GROUP BY 1, 2""".stripMargin,
+
+    // IMA ADPCM replayed as a RECURSIVE CTE: the (predictor, step-index)
+    // state machine chains per (clip, channel) sample-by-sample — the
+    // public IMA recurrence with its 89-entry step table inline. Block
+    // boundaries (every 65th sample) pin the predictor to the exact
+    // source sample (stored verbatim in the block header) and carry the
+    // step index across, exactly the container contract the engine
+    // encodes. All integer ops; // is exact on the nonnegative operands
+    "q_media_adpcm" ->
+      """WITH RECURSIVE aud AS (
+        |  SELECT doc_id AS media_id, CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |         CAST(80 + (doc_id * 7) % 120 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id % 5 = 2
+        |), chan AS (
+        |  SELECT media_id, ch, frames, CAST(uc.c AS BIGINT) AS c
+        |  FROM aud, unnest(generate_series(0, CAST(ch AS INT) - 1)) uc(c)
+        |), steps AS (
+        |  SELECT CAST(u.i AS BIGINT) AS si,
+        |         CAST(([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |                41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+        |                173,190,209,230,253,279,307,337,371,408,449,494,544,
+        |                598,658,724,796,876,963,1060,1166,1282,1411,1552,
+        |                1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+        |                4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+        |                11487,12635,13899,15289,16818,18500,20350,22385,
+        |                24623,27086,29794,32767])[CAST(u.i AS INT) + 1]
+        |              AS BIGINT) AS step
+        |  FROM unnest(generate_series(0, 88)) u(i)
+        |), st AS (
+        |  SELECT media_id, ch, frames, c, CAST(0 AS BIGINT) AS f,
+        |         CAST((c * 97 + media_id * 31) % 65536 - 32768 AS BIGINT) AS pred,
+        |         CAST(0 AS BIGINT) AS idx,
+        |         CAST((c * 97 + media_id * 31) % 65536 - 32768 AS BIGINT) AS dec
+        |  FROM chan
+        |  UNION ALL
+        |  SELECT media_id, ch, frames, c, f, npred, nidx, npred AS dec
+        |  FROM (
+        |    SELECT media_id, ch, frames, c, f,
+        |      CASE WHEN f % 65 = 0 THEN pin
+        |           ELSE greatest(-32768, least(32767,
+        |             pred + CASE WHEN sgn = 1 THEN -diffq ELSE diffq END))
+        |      END AS npred,
+        |      CASE WHEN f % 65 = 0 THEN idx
+        |           ELSE greatest(0, least(88,
+        |             idx + ([-1,-1,-1,-1,2,4,6,8])[CAST(code3 AS INT) + 1]))
+        |      END AS nidx
+        |    FROM (
+        |      SELECT media_id, ch, frames, c, f, pred, idx, pin, sgn,
+        |        CASE WHEN b2 = 1 THEN 4 ELSE 0 END
+        |          + CASE WHEN b1 = 1 THEN 2 ELSE 0 END + b0 AS code3,
+        |        step // 8 + b2 * step + b1 * (step // 2)
+        |          + b0 * (step // 4) AS diffq
+        |      FROM (
+        |        SELECT media_id, ch, frames, c, f, pred, idx, pin, sgn,
+        |               step, b2, b1, r2,
+        |               CASE WHEN r2 >= step // 4 THEN 1 ELSE 0 END AS b0
+        |        FROM (
+        |          SELECT media_id, ch, frames, c, f, pred, idx, pin, sgn,
+        |                 step, b2,
+        |                 CASE WHEN r1 >= step // 2 THEN 1 ELSE 0 END AS b1,
+        |                 r1 - CASE WHEN r1 >= step // 2
+        |                           THEN step // 2 ELSE 0 END AS r2
+        |          FROM (
+        |            SELECT media_id, ch, frames, c, f, pred, idx, pin, sgn,
+        |                   step,
+        |                   CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+        |                   ad - CASE WHEN ad >= step
+        |                             THEN step ELSE 0 END AS r1
+        |            FROM (
+        |              SELECT nx.media_id, nx.ch, nx.frames, nx.c, nx.f,
+        |                     nx.pred, nx.idx, nx.pin, s.step,
+        |                     CASE WHEN nx.pin < nx.pred THEN 1 ELSE 0 END AS sgn,
+        |                     abs(nx.pin - nx.pred) AS ad
+        |              FROM (
+        |                SELECT media_id, ch, frames, c, f + 1 AS f, pred, idx,
+        |                  CAST((CAST(f + 1 AS BIGINT) * 2654435761
+        |                        + c * 97 + media_id * 31) % 65536
+        |                       - 32768 AS BIGINT) AS pin
+        |                FROM st WHERE f + 1 < frames
+        |              ) nx JOIN steps s ON s.si = nx.idx
+        |            )
+        |          )
+        |        )
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT media_id, CAST(ch AS INT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(dec)) AS BIGINT) AS sum_abs,
+        |       CAST(max(abs(dec)) AS BIGINT) AS peak_abs
+        |FROM st GROUP BY 1, 2""".stripMargin,
 
     // same closed-form hashes, then the engine's exact band split (maxDist
     // 4 -> 5 bands over the conceptual hi:lo word, lo64 = 64*b//5, width =

@@ -25,6 +25,7 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     MediaCodecs.encodePng(6, 5, px, filterType = 3),
     MediaCodecs.encodeWav(2, 8000, Array.tabulate(12)(_.toShort)),
     MediaCodecs.encodeWavG711(1, 8000, Array.tabulate(10)(i => (i * 999).toShort), aLaw = true),
+    MediaCodecs.encodeWavAdpcm(2, 8000, Array.tabulate(40)(i => (i * 1234 - 9000).toShort), 9),
     MediaCodecs.encodeJpeg(6, 5, px),
     MediaCodecs.encodeGifGray(6, 5, (x, y) => (x * 7 + y) % 256),
     MediaCodecs.encodeGifAnim(5, 4, 3, (f, x, y) => (x + y + f * 31) % 256),
