@@ -17,12 +17,51 @@ import graft.streaming.AttributeLogFamily
   * point lookup touches O(matching row groups), not the whole family — the
   * Spark analog of the reference's storage-side key lookup.
   */
+object RandomAccessReader {
+  /** Session conf: hard cap on rows an UNPAGED scan collects to the
+    * driver. A careless 100 TB caller pointing [[RandomAccessReader.scanWildcardAll]]
+    * (or the shell's `list`) at a hot key with millions of live wildcard
+    * suffixes would otherwise OOM the driver; the reference pages every
+    * scan through offset/limit (RandomAccessReader.java:260). Hitting
+    * the cap truncates LOUDLY: a WARN log, a
+    * `graft.randomaccess.truncated` metric tick, and (in the shell) a
+    * visible truncation line — never a silent partial answer.
+    */
+  val MaxScanRowsKey = "spark.graft.randomaccess.maxScanRows"
+  val DefaultMaxScanRows = 100000
+
+  def maxScanRows(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(MaxScanRowsKey, DefaultMaxScanRows.toString).toInt
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[RandomAccessReader])
+}
+
 final class RandomAccessReader(family: AttributeLogFamily) {
 
   private def compactFor(pred: org.apache.spark.sql.Column,
       asOf: Long = Long.MaxValue): Dataset[StreamElement] = {
     graft.core.Metrics.inc("graft.randomaccess.lookups")
     SnapshotCompact.snapshot(family.batchUpdates().filter(pred), asOf)
+  }
+
+  /** Collect at most the session cap (+1 probe row to detect overflow);
+    * on overflow, warn + tick the truncation metric and return exactly
+    * `cap` rows. The LIMIT rides the plan, so the overflowing tail is
+    * never shipped to the driver at all.
+    */
+  private def collectCapped(ds: Dataset[StreamElement],
+      what: String): Seq[StreamElement] = {
+    val cap = math.min(RandomAccessReader.maxScanRows(family.spark),
+      Int.MaxValue - 1)
+    val rows = ds.limit(cap + 1).collect()
+    if (rows.length > cap) {
+      graft.core.Metrics.inc("graft.randomaccess.truncated")
+      RandomAccessReader.log.warn(
+        "TRUNCATED {}: more than {} rows; returning the first {} -- page " +
+          "with offset/limit or raise {}",
+        what, cap.toString, cap.toString, RandomAccessReader.MaxScanRowsKey)
+      rows.take(cap).toSeq
+    } else rows.toSeq
   }
 
   /** Wildcard-delete tombstones are stored as `prefix.*` rows, so a lookup
@@ -95,23 +134,30 @@ final class RandomAccessReader(family: AttributeLogFamily) {
       (if (i < 0) lit(false)
        else col("deleteWildcard") &&
          col("attribute") === wildcardPrefix.substring(0, i + 1) + "*")
-    compactFor(col("key") === key && pred)
+    val page = compactFor(col("key") === key && pred)
       .filter(col("attribute").startsWith(wildcardPrefix))
       .orderBy(col("attribute"))
-      .collect().toSeq.slice(offset,
-        // Long-safe page end: offset + limit overflows Int for large
-        // non-MaxValue limits (slice(offset, negative) returned an EMPTY
-        // page for a key with live suffixes) — saturate instead
-        math.min(offset.toLong + limit.toLong, Int.MaxValue.toLong).toInt)
+    if (limit != Int.MaxValue)
+      // caller-paged: offset/limit ride the PLAN (the reference pages
+      // storage-side, scanWildcard:260) — the driver receives one page,
+      // not the whole suffix set sliced after a full collect
+      page.offset(offset).limit(limit).collect().toSeq
+    else
+      collectCapped(if (offset == 0) page else page.offset(offset),
+        s"scanWildcard($key, $wildcardPrefix)")
   }
 
-  /** All attributes of a key (scanWildcardAll:207). */
+  /** All attributes of a key (scanWildcardAll:207), capped at the
+    * session's [[RandomAccessReader.MaxScanRowsKey]] with loud truncation.
+    */
   def scanWildcardAll(key: String, stamp: Long = Long.MaxValue): Seq[StreamElement] = {
     if (stamp != Long.MaxValue && bucketed.isDefined)
       throw new UnsupportedOperationException(
         "stamped scan over a bucketed store holds only latest state; " +
           "serve time travel from a batch-updates family")
-    compactFor(col("key") === key, stamp).orderBy(col("attribute")).collect().toSeq
+    collectCapped(
+      compactFor(col("key") === key, stamp).orderBy(col("attribute")),
+      s"scanWildcardAll($key)")
   }
 
   /** Paged key listing (listEntities:325). */

@@ -126,9 +126,18 @@ final class GraftShell(op: GraftOperator, in: InputStream, out: PrintStream) {
   private def listOf(entity: String, key: String, prefix: String): String = {
     // every random-access family, not attributes.head's — a multi-family
     // entity's other attributes were silently absent
+    val truncatedBefore =
+      graft.core.Metrics.counter("graft.randomaccess.truncated")
     val attrs = op.scanAllAttributes(entity, key)
       .filter(_.attribute.startsWith(prefix))
-    if (attrs.isEmpty) "(none)" else attrs.map(render).mkString("\n")
+    val body = if (attrs.isEmpty) "(none)" else attrs.map(render).mkString("\n")
+    // a capped scan must never read as a complete listing: surface the
+    // reader's truncation in the printed output itself
+    if (graft.core.Metrics.counter("graft.randomaccess.truncated") > truncatedBefore)
+      body + "\n(TRUNCATED: scan hit " +
+        graft.randomaccess.RandomAccessReader.MaxScanRowsKey +
+        "; raise it or page with offset/limit)"
+    else body
   }
 
   private def entitiesOf(entity: String, offset: Int, limit: Int): String = {
