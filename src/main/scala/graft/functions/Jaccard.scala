@@ -52,6 +52,17 @@ object Jaccard {
     */
   def containmentPairs(docs: DataFrame, textCol: String, n: Int,
       thresholdNum: Int, thresholdDen: Int,
+      maxBucket: Int = BucketedPairs.DefaultMaxBucket): DataFrame =
+    containmentPairsWithDrops(docs, textCol, n, thresholdNum, thresholdDen,
+      maxBucket).pairs
+
+  /** Containment pairs plus the dropped-bucket quarantine side (sh,
+    * members) — the same discipline as [[pairsWithDrops]] and the LSH /
+    * SimHash / perceptual paths: an over-cap shingle bucket is a side
+    * OUTPUT routed to exact dedup, never a silent prune.
+    */
+  def containmentPairsWithDrops(docs: DataFrame, textCol: String, n: Int,
+      thresholdNum: Int, thresholdDen: Int,
       maxBucket: Int = BucketedPairs.DefaultMaxBucket): MinHashLsh.CandidatePairs = {
     val (inter, dropped) = intersections(docs, textCol, n, maxBucket)
     val out = inter

@@ -171,8 +171,19 @@ object SimilarityQueries extends QuerySet {
             .as("text"))
       graft.functions.Jaccard.containmentPairs(docs.unionByName(excerpts),
         "text", 3, thresholdNum = 6, thresholdDen = 10,
-        maxBucket = Int.MaxValue).pairs
+        maxBucket = Int.MaxValue)
     }),
+
+    // the containment path's quarantine side, oracle-checked: shingle
+    // buckets over the cap come back as (sh, members) rows — the 60-bit
+    // md5-prefix shingle hash plus the bucket size — for routing to
+    // exact dedup, same discipline as q_lsh_dropped_buckets /
+    // q_media_hamming_quarantine (never a silent prune)
+    "q_containment_quarantine" -> ((s, d) =>
+      graft.functions.Jaccard.containmentPairsWithDrops(
+          Tables.documents(s, d), "text", 3,
+          thresholdNum = 6, thresholdDen = 10, maxBucket = 3)
+        .droppedBuckets),
 
     // multi-signal dedup: one pair table carrying BOTH evidence channels —
     // text (exact n-gram Jaccard >= 0.5) and embedding (cosine >= 0.5) —
@@ -489,6 +500,26 @@ object SimilarityQueries extends QuerySet {
         |JOIN sz sa ON i.a_id = sa.doc_id
         |JOIN sz sb ON i.b_id = sb.doc_id
         |WHERE i.inter * 10 >= least(sa.sz, sb.sz) * 6""".stripMargin,
+
+    // the quarantine side: per-HASH bucket sizes over the distinct
+    // (doc, 60-bit md5-prefix shingle hash) table, kept where > cap 3 —
+    // the same hash the engine's graft_shingle60 expression computes
+    // (first 15 hex nibbles of md5 of the space-joined shingle)
+    "q_containment_quarantine" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t.toks[t.i] || ' ' || t.toks[t.i + 1] || ' ' || t.toks[t.i + 2] AS shingle
+        |  FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |           unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS i
+        |    FROM documents) t
+        |), hv AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT AS BIGINT) AS sh
+        |  FROM sh
+        |)
+        |SELECT sh, CAST(count(*) AS BIGINT) AS members
+        |FROM hv GROUP BY 1 HAVING count(*) > 3""".stripMargin,
 
     "q_multisignal_dedup" ->
       s"""WITH sh AS (
