@@ -15,6 +15,17 @@ import graft.operators.SnapshotCompact
   * Scale note: JDBC reads partition via predicated range splits
   * (`partitionColumn`=stamp) so a large table scans in parallel; filters
   * push into the database as WHERE clauses.
+  *
+  * Deployment note (verified under `local-cluster[2,2,2048]`, see
+  * [[graft.tools.LocalClusterSmoke]]): the EMBEDDED Derby test double is
+  * single-JVM by Derby's architecture — an executor process opening the
+  * same database directory fails LOUDLY with XSDB6 ("another instance
+  * of Derby may have already booted"), a task failure, never silent
+  * wrong data. On a multi-process cluster this binding needs what it
+  * would have in production anyway: a NETWORKED database URL (the Spark
+  * JDBC source then opens per-partition connections from executors,
+  * which is the scan this class already plans). Only the test double is
+  * driver-local, not the engine path.
   */
 final class JdbcFamily(val spark: SparkSession, url: String, table: String,
     driver: String = "org.apache.derby.jdbc.EmbeddedDriver",

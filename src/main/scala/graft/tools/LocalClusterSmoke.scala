@@ -39,10 +39,27 @@ import graft.{GraftSession, SparkEntry}
   */
 object LocalClusterSmoke {
 
+  /** The default slice. Covers: custom Aggregator, codegen'd expression,
+    * stateful streaming + staged logs, CachePins, executor-side media
+    * decode, Kafka DSv2 read+write, windowed agg, flagship agg, blob
+    * binding, runtime-compiled shell closures, transactional commits,
+    * and the observe/ack consumer surface.
+    *
+    * Deliberately absent: `q_jdbc_updates_range` — EMBEDDED Derby is
+    * single-JVM by design, so executor-side partition reads fail LOUDLY
+    * with XSDB6 (verified here; a task failure, never silent wrong
+    * data). The binding needs a networked database URL on a
+    * multi-process cluster — see [[graft.sources.JdbcFamily]]. And
+    * `q_widerow_latest_range`, whose sf0.001 result is empty (a
+    * vacuous 0 == 0 match proves nothing); its driver-materialized
+    * `createDataset` read path is cluster-safe by construction.
+    */
   val DefaultQueries: Seq[String] = Seq(
     "q_reduce_to_latest", "q_minhash_sig", "q_integrate_per_key_stream",
     "q_lm_score", "q_media_png", "q_kafka_updates_range",
-    "q_window_session", "q1_agg")
+    "q_window_session", "q1_agg",
+    "q_blob_updates_range", "q_shell_closure", "q_txn_commits",
+    "q_observe_ack")
 
   /** Deep row renderer: Java arrays (binary columns) toString by
     * identity, which would make equal results compare unequal.
