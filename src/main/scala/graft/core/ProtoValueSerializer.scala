@@ -301,7 +301,12 @@ object ProtoSchema {
       case 0 => readVarint()
       case 1 => pos += 8
       case 2 =>
-        pos += readLen()
+        // two statements NOT `pos += readLen()`: Scala loads the LHS
+        // before evaluating the RHS, so the compound form would reset
+        // pos to BEFORE the length varint readLen() just consumed and
+        // desync the reader by the varint's width
+        val n = readLen()
+        pos += n
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }

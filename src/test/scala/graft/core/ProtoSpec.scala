@@ -52,6 +52,20 @@ class ProtoSpec extends SparkSpec {
     assert(ser.deserialize(Array(0x12, 0x00).map(_.toByte)).exists(_("b") == ""))
   }
 
+  test("unknown length-delimited fields skip their length varint AND " +
+      "payload (reader must not desync by the varint's width)") {
+    // writer {11:by=bytes;2:i64=int64}, reader {2:i64=int64}: the skip of
+    // field 11 must consume tag + 1-byte length varint + 2 payload bytes;
+    // a skip that re-reads from before the varint lands mid-payload and
+    // the next "tag" is garbage (the regression was `pos += readLen()`,
+    // whose LHS is loaded before the RHS consumes the varint)
+    val wide = new ProtoValueSerializer("{11:by=bytes;2:i64=int64}")
+    val bytes = wide.serialize(Map(
+      "by" -> Array[Byte](0xB3.toByte, 0x7E), "i64" -> 42L))
+    val narrow = new ProtoValueSerializer("{2:i64=int64}")
+    assert(narrow.deserialize(bytes).exists(_("i64") == 42L))
+  }
+
   test("round trip over every field kind incl. negatives and nesting") {
     val desc = "{1:i32=int32;2:i64=int64;3:u64=uint64;4:s32=sint32;5:s64=sint64;" +
       "6:f32=fixed32;7:f64=fixed64;8:sf32=sfixed32;9:sf64=sfixed64;" +
