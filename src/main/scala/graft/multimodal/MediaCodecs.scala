@@ -1201,5 +1201,7 @@ object MediaCodecs {
       (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff) "jpeg"
     else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == '8') "gif"
+    else if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
+      payload(2) == 'a' && payload(3) == 'C') "flac"
     else "unknown"
 }

@@ -152,6 +152,10 @@ object Multimodal {
         case "wav" =>
           val w = MediaCodecs.decodeWav(payload)
           (0, 0, w.durationMs, w.channels)
+        case "flac" =>
+          // REAL entropy-coded lossless audio decode (see FlacCodec)
+          val w = FlacCodec.decodeFlac(payload)
+          (0, 0, w.durationMs, w.channels)
         case "y4m" =>
           val v = MediaCodecs.decodeY4m(payload)
           (v.width, v.height, v.durationMs, 3)
@@ -273,15 +277,17 @@ object Multimodal {
       })
   }
 
-  /** Decode every WAV payload: exact |sample| sum and peak. */
+  /** Decode every WAV or FLAC payload: exact |sample| sum and peak. */
   def audioStats(media: DataFrame): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        if (MediaCodecs.sniff(p) != "wav") Iterator.empty
+        val kind = MediaCodecs.sniff(p)
+        if (kind != "wav" && kind != "flac") Iterator.empty
         else {
-          val w = MediaCodecs.decodeWav(p)
+          val w = if (kind == "flac") FlacCodec.decodeFlac(p)
+                  else MediaCodecs.decodeWav(p)
           var sum = 0L; var peak = 0L
           var i = 0
           while (i < w.samples.length) {

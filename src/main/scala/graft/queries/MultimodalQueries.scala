@@ -381,6 +381,42 @@ object MultimodalQueries extends QuerySet {
         .toDF("media_id", "channels", "n_samples", "sum_abs", "peak_abs")
     }),
 
+    // REAL entropy-coded LOSSLESS audio: FLAC (fixed prediction + rice
+    // coding + CRC framing, FlacCodec). Lossless makes the cross-engine
+    // truth total — decoded samples ARE the closed-form source, so the
+    // oracle needs no quantizer or recurrence replay at all. Mixed
+    // signal classes steer the encoder through its subframe choices:
+    // sawtooth clips compress through the fixed predictors, hash-noise
+    // clips (media_id % 4 = 1) fall back to verbatim
+    "q_media_flac" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 6 == 5)
+        .mapPartitions(_.map { id =>
+          val ch = (1 + id % 2).toInt
+          val frames = (150 + (id * 13) % 300).toInt
+          val pcm = new Array[Short](frames * ch)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              pcm(f * ch + c) =
+                if (id % 4 == 1)
+                  ((f * 2654435761L + c * 97L + id * 31L) % 65536L - 32768L).toShort
+                else
+                  ((f * (3 + id % 5) + c * 17L + id * 7L) % 4096L - 2048L).toShort
+              c += 1
+            }
+            f += 1
+          }
+          (id, "audio", graft.multimodal.FlacCodec
+            .encodeFlac(ch, 8000, pcm, blockSize = 192))
+        }).toDF("media_id", "kind", "payload")
+      Multimodal.audioStats(media)
+        .toDF("media_id", "channels", "n_samples", "sum_abs", "peak_abs")
+    }),
+
     // decode -> NN half-resample -> re-encode -> re-decode: the resized
     // stats must equal NN sampling of the closed-form source
     "q_media_resize" -> ((s, d) =>
@@ -696,6 +732,35 @@ object MultimodalQueries extends QuerySet {
         |       CAST(max(abs(q)) AS BIGINT) AS peak_abs,
         |       CASE WHEN media_id % 8 >= 4 THEN 'alaw' ELSE 'mulaw' END AS law
         |FROM allq GROUP BY 1, 2""".stripMargin,
+
+    // FLAC is LOSSLESS: decoded aggregates equal the closed-form source
+    // directly — the whole codec (prediction, rice coding, CRCs) cancels
+    // out of the oracle, which is exactly the cross-engine property a
+    // lossless codec must have
+    "q_media_flac" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |         CAST(150 + (doc_id * 13) % 300 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id % 6 = 5
+        |), smp AS (
+        |  SELECT media_id, ch,
+        |         CASE WHEN media_id % 4 = 1
+        |           THEN (CAST(uf.f AS BIGINT) * 2654435761
+        |                 + CAST(uc.c AS BIGINT) * 97
+        |                 + media_id * 31) % 65536 - 32768
+        |           ELSE (CAST(uf.f AS BIGINT) * (3 + media_id % 5)
+        |                 + CAST(uc.c AS BIGINT) * 17
+        |                 + media_id * 7) % 4096 - 2048
+        |         END AS p
+        |  FROM aud,
+        |       unnest(generate_series(0, CAST(frames AS INT) - 1)) uf(f),
+        |       unnest(generate_series(0, CAST(ch AS INT) - 1)) uc(c)
+        |)
+        |SELECT media_id, CAST(ch AS INT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(p)) AS BIGINT) AS sum_abs,
+        |       CAST(max(abs(p)) AS BIGINT) AS peak_abs
+        |FROM smp GROUP BY 1, 2""".stripMargin,
 
     // IMA ADPCM replayed as a RECURSIVE CTE: the (predictor, step-index)
     // state machine chains per (clip, channel) sample-by-sample — the

@@ -26,6 +26,7 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     MediaCodecs.encodeWav(2, 8000, Array.tabulate(12)(_.toShort)),
     MediaCodecs.encodeWavG711(1, 8000, Array.tabulate(10)(i => (i * 999).toShort), aLaw = true),
     MediaCodecs.encodeWavAdpcm(2, 8000, Array.tabulate(40)(i => (i * 1234 - 9000).toShort), 9),
+    FlacCodec.encodeFlac(2, 8000, Array.tabulate(40)(i => (i * 777 - 11000).toShort), 17),
     MediaCodecs.encodeJpeg(6, 5, px),
     MediaCodecs.encodeGifGray(6, 5, (x, y) => (x * 7 + y) % 256),
     MediaCodecs.encodeGifAnim(5, 4, 3, (f, x, y) => (x + y + f * 31) % 256),
@@ -89,6 +90,7 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     "decodeGifFrames" -> MediaCodecs.decodeGifFrames _,
     "decodeY4m" -> MediaCodecs.decodeY4m _,
     "decodeAviMeta" -> MediaCodecs.decodeAviMeta _,
+    "decodeFlac" -> FlacCodec.decodeFlac _,
     "decodeAviFrames" -> ((b: Array[Byte]) => MediaCodecs.decodeAviFrames(b, 1)),
     "decodeImage" -> MediaCodecs.decodeImage _,
     "sniff" -> MediaCodecs.sniff _)

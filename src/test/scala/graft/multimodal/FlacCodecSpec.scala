@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FLAC subset laws: lossless round trips across signal classes and
+  * framing shapes, real compression on predictable signals, STREAMINFO
+  * MD5 integrity, the public CRC check values, and loud refusal of
+  * corrupt or out-of-subset payloads.
+  */
+class FlacCodecSpec extends AnyFunSuite {
+
+  private def noisy(n: Int)(i: Int): Short =
+    ((i * 2654435761L + 12345) % 65536 - 32768).toShort
+  private def smooth(i: Int): Short = (((i * 7) % 4096) - 2048).toShort
+
+  test("lossless round trip: noisy, smooth, constant, silence; mono and " +
+      "stereo; single, multi and partial final blocks") {
+    for {
+      ch <- Seq(1, 2)
+      frames <- Seq(1, 15, 191, 192, 193, 500)
+      sig <- Seq[Int => Short](noisy(frames), smooth, _ => 77, _ => 0)
+    } {
+      val pcm = Array.tabulate(frames * ch)(sig)
+      val bytes = FlacCodec.encodeFlac(ch, 8000, pcm, blockSize = 192)
+      val wav = FlacCodec.decodeFlac(bytes)
+      assert(wav.channels == ch && wav.sampleRate == 8000)
+      assert(wav.samples.toSeq == pcm.toSeq, s"ch=$ch frames=$frames")
+    }
+  }
+
+  test("fixed prediction + rice coding COMPRESS a predictable signal; " +
+      "a constant block collapses to a CONSTANT subframe") {
+    val frames = 4000
+    val smoothBytes = FlacCodec.encodeFlac(1, 8000,
+      Array.tabulate(frames)(smooth), blockSize = 4096)
+    assert(smoothBytes.length < frames * 2 / 2,
+      s"smooth signal must compress below half raw, got ${smoothBytes.length} of ${frames * 2}")
+    val constBytes = FlacCodec.encodeFlac(1, 8000,
+      Array.fill(frames)(1234.toShort), blockSize = 4096)
+    assert(constBytes.length < 120,
+      s"constant block must be a CONSTANT subframe, got ${constBytes.length} bytes")
+    // noisy input cannot beat verbatim by much but must still round-trip
+    val noisyPcm = Array.tabulate(frames)(noisy(frames))
+    val noisyBytes = FlacCodec.encodeFlac(1, 8000, noisyPcm, blockSize = 4096)
+    assert(noisyBytes.length >= frames * 2,
+      "incompressible noise should not shrink (verbatim + framing)")
+  }
+
+  test("STREAMINFO carries the real MD5 of the unencoded samples") {
+    val pcm = Array.tabulate(300)(noisy(300))
+    val bytes = FlacCodec.encodeFlac(1, 8000, pcm, blockSize = 192)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = java.nio.ByteBuffer.allocate(pcm.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pcm.foreach(b.putShort)
+    val expect = md.digest(b.array())
+    // STREAMINFO md5 lives at bytes 26..41 of the stream
+    assert(bytes.slice(26, 42).toSeq == expect.toSeq)
+  }
+
+  test("CRC polynomials match the public check values") {
+    val probe = "123456789".getBytes("US-ASCII")
+    assert(FlacCodec.crc8(probe, 0, probe.length) == 0xF4)   // CRC-8 poly 0x07
+    assert(FlacCodec.crc16(probe, 0, probe.length) == 0xFEE8) // CRC-16 poly 0x8005
+  }
+
+  test("corrupt payloads refuse loudly: truncation, bit flips caught by " +
+      "CRC, hostile sample-count claims capped") {
+    val pcm = Array.tabulate(400)(noisy(400))
+    val ok = FlacCodec.encodeFlac(2, 8000, pcm, blockSize = 192)
+    def err(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](FlacCodec.decodeFlac(b)).getMessage
+    assert(err(ok.take(3)).nonEmpty)
+    assert(err("xLaC".getBytes ++ ok.drop(4)).contains("magic"))
+    assert(err(ok.dropRight(7)).nonEmpty) // truncated final frame
+    // flip single bits across the first frame's payload: EVERY flip must
+    // refuse loudly (range guard or CRC — whichever trips first), and the
+    // CRC must catch at least one structurally-plausible corruption
+    var crcCaught = false
+    for (off <- 55 until math.min(ok.length - 2, 95); bit <- Seq(0, 6)) {
+      val flipped = ok.clone()
+      flipped(off) = (flipped(off) ^ (1 << bit)).toByte
+      val msg = try {
+        val w = FlacCodec.decodeFlac(flipped)
+        // a flip the decode survives structurally MUST have been... no:
+        // any surviving decode means the CRC failed to catch a change
+        fail(s"bit flip at $off:$bit decoded cleanly (${w.samples.length} samples)")
+      } catch { case e: IllegalArgumentException => e.getMessage }
+      if (msg.toLowerCase.contains("crc")) crcCaught = true
+    }
+    assert(crcCaught, "no flip in the sweep was caught by a CRC")
+    // hostile STREAMINFO total-samples claim: cap, not allocate
+    val hostile = ok.clone()
+    hostile(21) = 0xFF.toByte // keeps bps bits, maxes total[35:32]
+    hostile(22) = 0xFF.toByte; hostile(23) = 0xFF.toByte
+    hostile(24) = 0xFF.toByte; hostile(25) = 0xFF.toByte
+    assert(err(hostile).contains("cap"))
+  }
+
+  test("decoder refuses out-of-subset features loudly (LPC type bits)") {
+    // craft: valid stream, then corrupt the first subframe's type field
+    // to LPC (0b100000) — the 6 bits after the frame header's CRC-8 byte
+    // and the subframe pad bit. Find the first frame: it starts right
+    // after the 42-byte fLaC+STREAMINFO prefix.
+    val pcm = Array.tabulate(64)(i => (i * 3).toShort)
+    val ok = FlacCodec.encodeFlac(1, 8000, pcm, blockSize = 192)
+    // frame header: sync(14)+rsv(1)+strat(1)+bs(4)+sr(4)+ch(4)+bps(3)+rsv(1)
+    //  = 32 bits, coded number 1 byte, bs-1 16 bits, sr 16 bits, crc8 8 -> 10 bytes
+    val subframeHdr = 42 + 10
+    val bad = ok.clone()
+    bad(subframeHdr) = 0x40.toByte // 0 pad bit + 100000 type + 0 wasted
+    val e = intercept[IllegalArgumentException](FlacCodec.decodeFlac(bad))
+    assert(e.getMessage.contains("LPC") || e.getMessage.toLowerCase.contains("crc"),
+      e.getMessage)
+  }
+
+  test("audioStats and SniffCodec route fLaC payloads through the real decoder") {
+    import graft.SparkSpec
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val pcm = Array.tabulate(240)(smooth)
+    val bytes = FlacCodec.encodeFlac(2, 16000, pcm, blockSize = 192)
+    assert(MediaCodecs.sniff(bytes) == "flac")
+    val stats = Multimodal.audioStats(
+      Seq((7L, "audio", bytes)).toDF("media_id", "kind", "payload")).collect()
+    assert(stats.length == 1)
+    assert(stats(0).channels == 2 && stats(0).nSamples == 240L)
+    assert(stats(0).sumAbs == pcm.map(s => math.abs(s.toLong)).sum)
+    val (w, h, durMs, chOrComp) = Multimodal.SniffCodec.decodeMeta("audio", bytes)
+    assert(w == 0 && h == 0 && durMs == 120L * 1000 / 16000 && chOrComp == 2)
+  }
+}
