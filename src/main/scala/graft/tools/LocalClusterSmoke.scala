@@ -59,7 +59,9 @@ object LocalClusterSmoke {
     "q_lm_score", "q_media_png", "q_kafka_updates_range",
     "q_window_session", "q1_agg",
     "q_blob_updates_range", "q_shell_closure", "q_txn_commits",
-    "q_observe_ack")
+    "q_observe_ack",
+    // the round's new codecs run their object init + decode executor-side
+    "q_media_adpcm", "q_media_flac")
 
   /** Deep row renderer: Java arrays (binary columns) toString by
     * identity, which would make equal results compare unequal.
