@@ -13,7 +13,7 @@ import org.scalacheck.Prop.forAll
 object ProtoFuzzLaws extends Properties("ProtoFuzz") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(500)
+    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_FUZZ_N", "500").toInt)
 
   private val ser = new ProtoValueSerializer(
     "{1:id=int64;2:name=string;3:scores=repeated double;4:tags=repeated string;5:meta={1:lang=string;2:rank=sint32}}")

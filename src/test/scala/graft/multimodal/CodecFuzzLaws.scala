@@ -14,7 +14,7 @@ import org.scalacheck.Prop.forAll
 object CodecFuzzLaws extends Properties("CodecFuzz") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(300)
+    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_FUZZ_N", "300").toInt)
 
   private def px(x: Int, y: Int): Int =
     (((x * 7 + y * 13) % 256) << 16) | (((x * 3 + y) % 256) << 8) | ((x + y) % 256)
@@ -76,8 +76,47 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     out.array()
   }
 
+  /** FLAC-shaped hostility: a structurally VALID prefix (magic +
+    * STREAMINFO + frame header with a CORRECT CRC-8) over hostile
+    * subframe bytes — plain mutation almost never passes the header
+    * CRC, so rice/partition parsing would otherwise go unfuzzed.
+    */
+  private val flacSoup: Gen[Array[Byte]] = for {
+    nBody <- Gen.choose(0, 40)
+    body <- Gen.listOfN(nBody, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    total <- Gen.oneOf(1L, 16L, 192L, 4096L, (1L << 36) - 1)
+    bsRaw <- Gen.oneOf(0, 1, 15, 191, 4095, 65535)
+  } yield {
+    val b = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 16 + nBody)
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(0x80.toByte); b.put(0.toByte); b.put(0.toByte); b.put(34.toByte)
+    b.putShort(192); b.putShort(192)          // block size bounds
+    b.put(Array[Byte](0, 0, 0, 0, 0, 0))      // frame size bounds
+    // rate 8000 (20 bits) + ch-1 (3) + bps-1 (5) + total (36), packed
+    val rate = 8000L; val ch = 0L; val bps = 15L
+    val packed = (rate << 44) | (ch << 41) | (bps << 36) | (total & ((1L << 36) - 1))
+    b.putLong(packed)
+    b.put(new Array[Byte](16))                // md5 (unchecked)
+    // frame header: sync+codes, frame 0, explicit bs-1 + rate, CRC-8
+    val hdr = java.nio.ByteBuffer.allocate(10)
+    hdr.putShort(0xFFF8.toShort)              // 3FFE<<2 | rsv | fixed
+    hdr.put(0x7D.toByte)                      // bs code 7, sr code 13
+    hdr.put(0x08.toByte)                      // ch 0 (mono), bps 100, rsv
+    hdr.put(0.toByte)                         // coded frame number 0
+    hdr.putShort(bsRaw.toShort)               // blocksize - 1
+    hdr.putShort(8000.toShort)                // sample rate
+    val h = hdr.array()
+    h(9) = 0 // placeholder replaced below
+    val hdr9 = h.take(9)
+    b.put(hdr9)
+    b.put(FlacCodec.crc8(hdr9, 0, 9).toByte)
+    b.put(body.toArray)
+    b.array()
+  }
+
   private val hostile: Gen[Array[Byte]] =
-    Gen.frequency(1 -> garbage, 2 -> truncated, 2 -> mutated, 2 -> riffSoup)
+    Gen.frequency(1 -> garbage, 2 -> truncated, 2 -> mutated, 2 -> riffSoup,
+      1 -> flacSoup)
 
   /** Every decoder, one entry point each. sniff-routing decoders get the
     * payload regardless of magic, like a mislabeled corpus column would.
