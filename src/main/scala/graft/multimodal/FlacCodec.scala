@@ -19,10 +19,14 @@ package graft.multimodal
   * CRC-8-guarded headers and CRC-16-guarded frames; independent
   * channels; CONSTANT / VERBATIM / FIXED(0-4) subframes; rice residuals
   * (4-bit parameters, partition order 0) chosen by exact bit-cost.
-  * The decoder additionally reads any partition order and the 5-bit
-  * rice method, and REFUSES the out-of-subset features (LPC subframes,
-  * wasted bits, stereo decorrelation) loudly — the same
-  * parse-or-refuse contract as every other decoder here (CodecFuzzLaws).
+  * The decoder additionally reads any partition order, the 5-bit rice
+  * method, rice escape codes, and LPC SUBFRAMES of any order (the
+  * quantized coefficients ride the stream, so reconstruction is exact
+  * integer arithmetic no matter how the encoder derived them — most
+  * real-world FLAC is LPC-coded), and REFUSES the remaining
+  * out-of-subset features (wasted bits, stereo decorrelation) loudly —
+  * the same parse-or-refuse contract as every other decoder here
+  * (CodecFuzzLaws).
   *
   * No FLAC implementation exists in this sandbox to cross-validate
   * bit-level conformance, so the layout is pinned by construction
@@ -74,7 +78,7 @@ object FlacCodec {
 
   // ---- bit IO ----
 
-  private final class BitWriter {
+  private[multimodal] final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var acc = 0L
     private var nBits = 0
@@ -457,42 +461,73 @@ object FlacCodec {
         if (order >= n) fail(s"fixed order $order >= block size $n")
         var i = 0
         while (i < order) { dst(i) = r.getSigned(16); i += 1 }
-        val method = r.get(2).toInt
-        if (method > 1) fail(s"reserved residual method $method")
-        val pBits = if (method == 0) 4 else 5
-        val escape = if (method == 0) 15 else 31
-        val pOrder = r.get(4).toInt
-        if ((n & ((1 << pOrder) - 1)) != 0) fail(
-          s"block size $n not divisible into 2^$pOrder partitions")
-        val perPart = n >> pOrder
-        if (perPart <= order && pOrder > 0 || (pOrder == 0 && n <= order)) fail(
-          s"partition size $perPart cannot hold order-$order warmup")
-        var part = 0
-        var i2 = order
-        while (part < (1 << pOrder)) {
-          val count = if (part == 0) perPart - order else perPart
-          val param = r.get(pBits).toInt
-          var k = 0
-          if (param == escape) {
-            val raw = r.get(5).toInt
-            while (k < count) {
-              dst(i2) = reconstruct(dst, i2, order,
-                if (raw == 0) 0L else r.getSigned(raw).toLong)
-              i2 += 1; k += 1
-            }
-          } else {
-            while (k < count) {
-              val q = r.getUnary()
-              val u = (q.toLong << param) |
-                (if (param > 0) r.get(param) else 0L)
-              dst(i2) = reconstruct(dst, i2, order, unzigzag(u))
-              i2 += 1; k += 1
-            }
-          }
-          part += 1
+        readResiduals(r, n, order)((i2, e) =>
+          dst(i2) = reconstruct(dst, i2, order, e))
+      case t if t >= 32 =>
+        // LPC subframe (type 1xxxxx, order = xxxxx + 1): quantized
+        // coefficients ride the stream, so reconstruction is exact
+        // integer arithmetic regardless of how the encoder derived them
+        val order = (t & 31) + 1
+        if (order >= n) fail(s"LPC order $order >= block size $n")
+        var i = 0
+        while (i < order) { dst(i) = r.getSigned(16); i += 1 }
+        val precM1 = r.get(4).toInt
+        if (precM1 == 15) fail("reserved qlp precision code 15")
+        val shift = r.getSigned(5)
+        if (shift < 0) fail(s"negative qlp shift $shift")
+        val qlp = Array.fill(order)(r.getSigned(precM1 + 1))
+        readResiduals(r, n, order) { (i2, e) =>
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += qlp(j).toLong * dst(i2 - 1 - j); j += 1 }
+          val v = (acc >> shift) + e
+          if (v < Short.MinValue || v > Short.MaxValue) fail(
+            s"reconstructed LPC sample $v outside 16-bit range")
+          dst(i2) = v.toInt
         }
-      case t if t >= 32 => fail("LPC subframes unsupported in subset")
       case other => fail(s"reserved subframe type $other")
+    }
+  }
+
+  /** Partitioned-rice residual section shared by FIXED and LPC
+    * subframes: 2-bit method (4- or 5-bit rice parameters), 4-bit
+    * partition order, escape code -> raw-bits residuals. `emit` is
+    * called in sample order with the decoded residual.
+    */
+  private def readResiduals(r: BitReader, n: Int, order: Int)(
+      emit: (Int, Long) => Unit): Unit = {
+    val method = r.get(2).toInt
+    if (method > 1) fail(s"reserved residual method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val pOrder = r.get(4).toInt
+    if ((n & ((1 << pOrder) - 1)) != 0) fail(
+      s"block size $n not divisible into 2^$pOrder partitions")
+    val perPart = n >> pOrder
+    if (perPart <= order && pOrder > 0 || (pOrder == 0 && n <= order)) fail(
+      s"partition size $perPart cannot hold order-$order warmup")
+    var part = 0
+    var i2 = order
+    while (part < (1 << pOrder)) {
+      val count = if (part == 0) perPart - order else perPart
+      val param = r.get(pBits).toInt
+      var k = 0
+      if (param == escape) {
+        val raw = r.get(5).toInt
+        while (k < count) {
+          emit(i2, if (raw == 0) 0L else r.getSigned(raw).toLong)
+          i2 += 1; k += 1
+        }
+      } else {
+        while (k < count) {
+          val q = r.getUnary()
+          val u = (q.toLong << param) |
+            (if (param > 0) r.get(param) else 0L)
+          emit(i2, unzigzag(u))
+          i2 += 1; k += 1
+        }
+      }
+      part += 1
     }
   }
 

@@ -97,21 +97,81 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(err(hostile).contains("cap"))
   }
 
-  test("decoder refuses out-of-subset features loudly (LPC type bits)") {
+  test("decoder refuses out-of-subset features loudly (reserved subframe type)") {
     // craft: valid stream, then corrupt the first subframe's type field
-    // to LPC (0b100000) — the 6 bits after the frame header's CRC-8 byte
-    // and the subframe pad bit. Find the first frame: it starts right
-    // after the 42-byte fLaC+STREAMINFO prefix.
+    // to a RESERVED value — the 6 bits after the frame header's CRC-8
+    // byte and the subframe pad bit. The first frame starts right after
+    // the 42-byte fLaC+STREAMINFO prefix.
     val pcm = Array.tabulate(64)(i => (i * 3).toShort)
     val ok = FlacCodec.encodeFlac(1, 8000, pcm, blockSize = 192)
     // frame header: sync(14)+rsv(1)+strat(1)+bs(4)+sr(4)+ch(4)+bps(3)+rsv(1)
     //  = 32 bits, coded number 1 byte, bs-1 16 bits, sr 16 bits, crc8 8 -> 10 bytes
     val subframeHdr = 42 + 10
     val bad = ok.clone()
-    bad(subframeHdr) = 0x40.toByte // 0 pad bit + 100000 type + 0 wasted
+    bad(subframeHdr) = 0x04.toByte // 0 pad bit + 000010 (reserved) + 0 wasted
     val e = intercept[IllegalArgumentException](FlacCodec.decodeFlac(bad))
-    assert(e.getMessage.contains("LPC") || e.getMessage.toLowerCase.contains("crc"),
-      e.getMessage)
+    assert(e.getMessage.contains("reserved subframe type") ||
+      e.getMessage.toLowerCase.contains("crc"), e.getMessage)
+  }
+
+  test("LPC subframes decode exactly: hand-crafted order-2 predictor " +
+      "against an independent integer replay") {
+    // our encoder writes FIXED only, so build the LPC frame by hand with
+    // the same BitWriter the encoder uses (the layout is the public
+    // spec's: warmup, precision-1, shift, qlp coefficients, rice
+    // residuals) and verify the decoder reconstructs the replayed chain
+    val n = 16
+    val qlp = Array(3, -1) // s(i) = e + ((3*s(i-1) - s(i-2)) >> shift)
+    val shift = 1
+    val warm = Array(100, 103)
+    val residuals = Array[Long](5, -3, 2, 0, -1, 4, -2, 1, 0, 3, -4, 2, -1, 0)
+    // independent replay of the expected samples
+    val expect = new Array[Int](n)
+    expect(0) = warm(0); expect(1) = warm(1)
+    for (i <- 2 until n)
+      expect(i) = (residuals(i - 2) +
+        ((3L * expect(i - 1) - expect(i - 2)) >> shift)).toInt
+
+    val head = new FlacCodec.BitWriter
+    head.put('f', 8); head.put('L', 8); head.put('a', 8); head.put('C', 8)
+    head.put(1L, 1); head.put(0L, 7); head.put(34L, 24)
+    head.put(16L, 16); head.put(16L, 16)      // block size bounds
+    head.put(0L, 24); head.put(0L, 24)
+    head.put(8000L, 20); head.put(0L, 3); head.put(15L, 5)
+    head.put(n.toLong, 36)
+    (0 until 16).foreach(_ => head.put(0L, 8)) // md5 (unverified on read)
+
+    val w = new FlacCodec.BitWriter
+    w.put(0x3FFEL, 14); w.put(0L, 1); w.put(0L, 1)
+    w.put(7L, 4); w.put(13L, 4)               // explicit bs-1 / 16-bit rate
+    w.put(0L, 4); w.put(4L, 3); w.put(0L, 1)  // mono, 16-bit
+    w.put(0L, 8)                              // coded frame number 0
+    w.put((n - 1).toLong, 16); w.put(8000L, 16)
+    val hdrBytes = w.bytes
+    val body = new FlacCodec.BitWriter
+    hdrBytes.foreach(b => body.put((b & 0xFF).toLong, 8))
+    body.put(FlacCodec.crc8(hdrBytes, 0, hdrBytes.length).toLong, 8)
+    body.put(0L, 1); body.put((32 + qlp.length - 1).toLong, 6); body.put(0L, 1)
+    warm.foreach(s => body.put(s.toLong & 0xFFFF, 16))
+    body.put(11L, 4)                          // precision 12 - 1
+    body.put(shift.toLong, 5)
+    qlp.foreach(c => body.put(c.toLong & 0xFFF, 12))
+    body.put(0L, 2); body.put(0L, 4)          // rice-4, partition order 0
+    val param = 2
+    body.put(param.toLong, 4)
+    residuals.foreach { e =>
+      val u = (e << 1) ^ (e >> 63)            // zigzag
+      body.putUnary((u >>> param).toInt)
+      body.put(u & ((1L << param) - 1), param)
+    }
+    body.align()
+    val frame = body.bytes
+    val stream = head.bytes ++ frame ++ Array(
+      (FlacCodec.crc16(frame, 0, frame.length) >> 8).toByte,
+      FlacCodec.crc16(frame, 0, frame.length).toByte)
+
+    val wav = FlacCodec.decodeFlac(stream)
+    assert(wav.samples.map(_.toInt).toSeq == expect.toSeq)
   }
 
   test("audioStats and SniffCodec route fLaC payloads through the real decoder") {
