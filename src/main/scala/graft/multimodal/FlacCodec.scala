@@ -19,14 +19,16 @@ package graft.multimodal
   * CRC-8-guarded headers and CRC-16-guarded frames; independent
   * channels; CONSTANT / VERBATIM / FIXED(0-4) subframes; rice residuals
   * (4-bit parameters, partition order 0) chosen by exact bit-cost.
-  * The decoder additionally reads any partition order, the 5-bit rice
-  * method, rice escape codes, and LPC SUBFRAMES of any order (the
-  * quantized coefficients ride the stream, so reconstruction is exact
+  * The decoder reads beyond the written subset — any partition order,
+  * the 5-bit rice method, rice escape codes, LPC SUBFRAMES of any order
+  * (quantized coefficients ride the stream, so reconstruction is exact
   * integer arithmetic no matter how the encoder derived them — most
-  * real-world FLAC is LPC-coded), and REFUSES the remaining
-  * out-of-subset features (wasted bits, stereo decorrelation) loudly —
-  * the same parse-or-refuse contract as every other decoder here
-  * (CodecFuzzLaws).
+  * real-world FLAC is LPC-coded), WASTED BITS, and all three stereo
+  * decorrelation modes (left/side, side/right, mid/side — exact integer
+  * inverse transforms, 17-bit side channel), i.e. essentially any
+  * 16-bit FLAC stream; reserved codes and non-16-bit streams REFUSE
+  * loudly — the same parse-or-refuse contract as every other decoder
+  * here (CodecFuzzLaws).
   *
   * No FLAC implementation exists in this sandbox to cross-validate
   * bit-level conformance, so the layout is pinned by construction
@@ -394,9 +396,10 @@ object FlacCodec {
       val chCode = r.get(4).toInt
       val bpsCode = r.get(3).toInt
       r.get(1)
-      if (chCode > 7) fail(s"channel assignment $chCode (stereo decorrelation unsupported)")
-      if (chCode + 1 != channels) fail(
-        s"frame channels ${chCode + 1} != STREAMINFO $channels")
+      if (chCode > 10) fail(s"reserved channel assignment $chCode")
+      val frameChannels = if (chCode <= 7) chCode + 1 else 2
+      if (frameChannels != channels) fail(
+        s"frame channels $frameChannels != STREAMINFO $channels")
       if (bpsCode != 4) fail(s"frame bps code $bpsCode (subset decodes 16-bit)")
       getCodedNumber(r)
       val n = bsCode match {
@@ -424,8 +427,37 @@ object FlacCodec {
       val block = Array.ofDim[Int](channels, n)
       var c = 0
       while (c < channels) {
-        readSubframe(r, block(c), n)
+        // the SIDE channel of a decorrelated pair carries l-r, which
+        // needs one extra bit (the public channel-assignment rule)
+        val sideBit = chCode match {
+          case 8 | 10 => if (c == 1) 1 else 0 // left/side, mid/side
+          case 9      => if (c == 0) 1 else 0 // side/right
+          case _      => 0
+        }
+        readSubframe(r, block(c), n, 16 + sideBit)
         c += 1
+      }
+      // undo stereo decorrelation (exact integer transforms)
+      if (chCode >= 8) {
+        var f = 0
+        while (f < n) {
+          chCode match {
+            case 8 =>  // left/side: r = l - s
+              block(1)(f) = block(0)(f) - block(1)(f)
+            case 9 =>  // side/right: l = r + s
+              val s0 = block(0)(f)
+              block(0)(f) = block(1)(f) + s0
+            case _ =>  // mid/side: l+r = (mid<<1)|(s&1), l-r = s
+              val m2 = (block(0)(f) << 1) | (block(1)(f) & 1)
+              val sd = block(1)(f)
+              block(0)(f) = (m2 + sd) >> 1
+              block(1)(f) = (m2 - sd) >> 1
+          }
+          if (block(0)(f) < Short.MinValue || block(0)(f) > Short.MaxValue ||
+              block(1)(f) < Short.MinValue || block(1)(f) > Short.MaxValue)
+            fail(s"decorrelated sample outside 16-bit range at frame $f")
+          f += 1
+        }
       }
       r.align()
       val declared16 = (r.get(8).toInt << 8) | r.get(8).toInt
@@ -445,24 +477,28 @@ object FlacCodec {
     MediaCodecs.Wav(channels, sampleRate, out)
   }
 
-  private def readSubframe(r: BitReader, dst: Array[Int], n: Int): Unit = {
+  private def readSubframe(r: BitReader, dst: Array[Int], n: Int, bps: Int): Unit = {
     if (r.get(1) != 0L) fail("subframe header pad bit set")
     val tpe = r.get(6).toInt
-    if (r.get(1) != 0L) fail("wasted bits unsupported in subset")
+    // wasted bits: samples are coded at bps-k bits and shifted left k on
+    // output (k is unary-coded as count-1 after a set flag)
+    val wasted = if (r.get(1) == 1L) r.getUnary() + 1 else 0
+    val eff = bps - wasted
+    if (eff < 1) fail(s"$wasted wasted bits leave no sample bits of $bps")
     tpe match {
       case 0 =>
-        val v = r.getSigned(16)
+        val v = r.getSigned(eff)
         java.util.Arrays.fill(dst, 0, n, v)
       case 1 =>
         var i = 0
-        while (i < n) { dst(i) = r.getSigned(16); i += 1 }
+        while (i < n) { dst(i) = r.getSigned(eff); i += 1 }
       case t if t >= 8 && t <= 12 =>
         val order = t - 8
         if (order >= n) fail(s"fixed order $order >= block size $n")
         var i = 0
-        while (i < order) { dst(i) = r.getSigned(16); i += 1 }
+        while (i < order) { dst(i) = r.getSigned(eff); i += 1 }
         readResiduals(r, n, order)((i2, e) =>
-          dst(i2) = reconstruct(dst, i2, order, e))
+          dst(i2) = reconstruct(dst, i2, order, e, eff))
       case t if t >= 32 =>
         // LPC subframe (type 1xxxxx, order = xxxxx + 1): quantized
         // coefficients ride the stream, so reconstruction is exact
@@ -470,22 +506,27 @@ object FlacCodec {
         val order = (t & 31) + 1
         if (order >= n) fail(s"LPC order $order >= block size $n")
         var i = 0
-        while (i < order) { dst(i) = r.getSigned(16); i += 1 }
+        while (i < order) { dst(i) = r.getSigned(eff); i += 1 }
         val precM1 = r.get(4).toInt
         if (precM1 == 15) fail("reserved qlp precision code 15")
         val shift = r.getSigned(5)
         if (shift < 0) fail(s"negative qlp shift $shift")
         val qlp = Array.fill(order)(r.getSigned(precM1 + 1))
+        val lo = -(1 << (eff - 1)); val hi = (1 << (eff - 1)) - 1
         readResiduals(r, n, order) { (i2, e) =>
           var acc = 0L
           var j = 0
           while (j < order) { acc += qlp(j).toLong * dst(i2 - 1 - j); j += 1 }
           val v = (acc >> shift) + e
-          if (v < Short.MinValue || v > Short.MaxValue) fail(
-            s"reconstructed LPC sample $v outside 16-bit range")
+          if (v < lo || v > hi) fail(
+            s"reconstructed LPC sample $v outside $eff-bit range")
           dst(i2) = v.toInt
         }
       case other => fail(s"reserved subframe type $other")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { dst(i) = dst(i) << wasted; i += 1 }
     }
   }
 
@@ -531,8 +572,12 @@ object FlacCodec {
     }
   }
 
-  /** Invert the fixed predictor: sample = residual + prediction. */
-  private def reconstruct(s: Array[Int], i: Int, order: Int, e: Long): Int = {
+  /** Invert the fixed predictor: sample = residual + prediction,
+    * bounded by the subframe's effective bit depth (17 for a side
+    * channel, less under wasted bits).
+    */
+  private def reconstruct(s: Array[Int], i: Int, order: Int, e: Long,
+      eff: Int): Int = {
     val pred = order match {
       case 0 => 0L
       case 1 => s(i - 1).toLong
@@ -541,8 +586,8 @@ object FlacCodec {
       case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
     }
     val v = pred + e
-    if (v < Short.MinValue || v > Short.MaxValue) fail(
-      s"reconstructed sample $v outside 16-bit range")
+    if (v < -(1L << (eff - 1)) || v > (1L << (eff - 1)) - 1) fail(
+      s"reconstructed sample $v outside $eff-bit range")
     v.toInt
   }
 }

@@ -174,6 +174,94 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(wav.samples.map(_.toInt).toSeq == expect.toSeq)
   }
 
+  /** One-frame stereo stream with VERBATIM subframes: `ch0`/`ch1` are
+    * the channel contents as coded (widths per the channel assignment),
+    * built with the same BitWriter the encoder uses.
+    */
+  private def stereoStream(chCode: Int, n: Int,
+      ch0: Array[Int], w0: Int, ch1: Array[Int], w1: Int): Array[Byte] = {
+    val head = new FlacCodec.BitWriter
+    head.put('f', 8); head.put('L', 8); head.put('a', 8); head.put('C', 8)
+    head.put(1L, 1); head.put(0L, 7); head.put(34L, 24)
+    head.put(16L, 16); head.put(16L, 16)
+    head.put(0L, 24); head.put(0L, 24)
+    head.put(8000L, 20); head.put(1L, 3); head.put(15L, 5) // 2 ch, 16 bit
+    head.put(n.toLong, 36)
+    (0 until 16).foreach(_ => head.put(0L, 8))
+    val w = new FlacCodec.BitWriter
+    w.put(0x3FFEL, 14); w.put(0L, 1); w.put(0L, 1)
+    w.put(7L, 4); w.put(13L, 4)
+    w.put(chCode.toLong, 4); w.put(4L, 3); w.put(0L, 1)
+    w.put(0L, 8); w.put((n - 1).toLong, 16); w.put(8000L, 16)
+    val hdrBytes = w.bytes
+    val body = new FlacCodec.BitWriter
+    hdrBytes.foreach(b => body.put((b & 0xFF).toLong, 8))
+    body.put(FlacCodec.crc8(hdrBytes, 0, hdrBytes.length).toLong, 8)
+    body.put(0L, 1); body.put(1L, 6); body.put(0L, 1) // VERBATIM
+    ch0.foreach(v => body.put(v.toLong & ((1L << w0) - 1), w0))
+    body.put(0L, 1); body.put(1L, 6); body.put(0L, 1)
+    ch1.foreach(v => body.put(v.toLong & ((1L << w1) - 1), w1))
+    body.align()
+    val frame = body.bytes
+    head.bytes ++ frame ++ Array(
+      (FlacCodec.crc16(frame, 0, frame.length) >> 8).toByte,
+      FlacCodec.crc16(frame, 0, frame.length).toByte)
+  }
+
+  test("stereo decorrelation decodes exactly: left/side, side/right, " +
+      "mid/side with a full-swing 17-bit side channel") {
+    val n = 16
+    val l = Array.tabulate(n)(f => if (f == 0) 32767 else 1000 + f * 31)
+    val r = Array.tabulate(n)(f => if (f == 0) -32768 else -2000 + f * 7)
+    val side = Array.tabulate(n)(f => l(f) - r(f)) // needs 17 bits at f=0
+    val mid = Array.tabulate(n)(f => (l(f) + r(f)) >> 1)
+    val streams = Seq(
+      stereoStream(8, n, l, 16, side, 17),    // left/side
+      stereoStream(9, n, side, 17, r, 16),    // side/right
+      stereoStream(10, n, mid, 16, side, 17)) // mid/side
+    for ((bytes, which) <- streams.zip(Seq("left/side", "side/right", "mid/side"))) {
+      val wav = FlacCodec.decodeFlac(bytes)
+      assert(wav.channels == 2, which)
+      for (f <- 0 until n) {
+        assert(wav.samples(f * 2) == l(f).toShort, s"$which L f=$f")
+        assert(wav.samples(f * 2 + 1) == r(f).toShort, s"$which R f=$f")
+      }
+    }
+  }
+
+  test("wasted bits decode exactly: k low zero bits shift out of the " +
+      "coded samples and back in on output") {
+    // mono CONSTANT subframe, value -296 = -37 << 3 coded at 13 bits
+    val n = 16
+    val head = new FlacCodec.BitWriter
+    head.put('f', 8); head.put('L', 8); head.put('a', 8); head.put('C', 8)
+    head.put(1L, 1); head.put(0L, 7); head.put(34L, 24)
+    head.put(16L, 16); head.put(16L, 16)
+    head.put(0L, 24); head.put(0L, 24)
+    head.put(8000L, 20); head.put(0L, 3); head.put(15L, 5)
+    head.put(n.toLong, 36)
+    (0 until 16).foreach(_ => head.put(0L, 8))
+    val w = new FlacCodec.BitWriter
+    w.put(0x3FFEL, 14); w.put(0L, 1); w.put(0L, 1)
+    w.put(7L, 4); w.put(13L, 4); w.put(0L, 4); w.put(4L, 3); w.put(0L, 1)
+    w.put(0L, 8); w.put((n - 1).toLong, 16); w.put(8000L, 16)
+    val hdrBytes = w.bytes
+    val body = new FlacCodec.BitWriter
+    hdrBytes.foreach(b => body.put((b & 0xFF).toLong, 8))
+    body.put(FlacCodec.crc8(hdrBytes, 0, hdrBytes.length).toLong, 8)
+    body.put(0L, 1); body.put(0L, 6)  // CONSTANT
+    body.put(1L, 1)                    // wasted-bits flag
+    body.put(1L, 3)                    // unary 2 (001) -> k = 3
+    body.put((-37L) & 0x1FFF, 13)      // constant at 16 - 3 bits
+    body.align()
+    val frame = body.bytes
+    val stream = head.bytes ++ frame ++ Array(
+      (FlacCodec.crc16(frame, 0, frame.length) >> 8).toByte,
+      FlacCodec.crc16(frame, 0, frame.length).toByte)
+    val wav = FlacCodec.decodeFlac(stream)
+    assert(wav.samples.forall(_ == (-296).toShort))
+  }
+
   test("audioStats and SniffCodec route fLaC payloads through the real decoder") {
     import graft.SparkSpec
     val spark = SparkSpec.spark
