@@ -86,6 +86,7 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     body <- Gen.listOfN(nBody, Gen.choose(Byte.MinValue, Byte.MaxValue))
     total <- Gen.oneOf(1L, 16L, 192L, 4096L, (1L << 36) - 1)
     bsRaw <- Gen.oneOf(0, 1, 15, 191, 4095, 65535)
+    chCode <- Gen.oneOf(0, 1, 8, 9, 10, 15) // mono/stereo/decorrelated/reserved
   } yield {
     val b = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 16 + nBody)
     b.put("fLaC".getBytes("US-ASCII"))
@@ -93,7 +94,9 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     b.putShort(192); b.putShort(192)          // block size bounds
     b.put(Array[Byte](0, 0, 0, 0, 0, 0))      // frame size bounds
     // rate 8000 (20 bits) + ch-1 (3) + bps-1 (5) + total (36), packed
-    val rate = 8000L; val ch = 0L; val bps = 15L
+    val rate = 8000L
+    val ch = if (chCode >= 1 && chCode <= 10) 1L else 0L // stereo codes need 2ch
+    val bps = 15L
     val packed = (rate << 44) | (ch << 41) | (bps << 36) | (total & ((1L << 36) - 1))
     b.putLong(packed)
     b.put(new Array[Byte](16))                // md5 (unchecked)
@@ -101,7 +104,7 @@ object CodecFuzzLaws extends Properties("CodecFuzz") {
     val hdr = java.nio.ByteBuffer.allocate(10)
     hdr.putShort(0xFFF8.toShort)              // 3FFE<<2 | rsv | fixed
     hdr.put(0x7D.toByte)                      // bs code 7, sr code 13
-    hdr.put(0x08.toByte)                      // ch 0 (mono), bps 100, rsv
+    hdr.put(((chCode << 4) | 0x08).toByte)    // channel code, bps 100, rsv
     hdr.put(0.toByte)                         // coded frame number 0
     hdr.putShort(bsRaw.toShort)               // blocksize - 1
     hdr.putShort(8000.toShort)                // sample rate

@@ -26,6 +26,11 @@ class FlacCodecSpec extends AnyFunSuite {
       assert(wav.channels == ch && wav.sampleRate == 8000)
       assert(wav.samples.toSeq == pcm.toSeq, s"ch=$ch frames=$frames")
     }
+    // tiny blocks force frame numbers past 127: the 2-byte UTF-8-style
+    // coded-number form must round-trip too (500 frames of 16 samples)
+    val pcm = Array.tabulate(8000)(noisy(8000))
+    val wav = FlacCodec.decodeFlac(FlacCodec.encodeFlac(1, 8000, pcm, blockSize = 16))
+    assert(wav.samples.toSeq == pcm.toSeq, "multi-byte coded frame numbers")
   }
 
   test("fixed prediction + rice coding COMPRESS a predictable signal; " +
