@@ -66,7 +66,7 @@ object LocalClusterSmoke {
   /** Deep row renderer: Java arrays (binary columns) toString by
     * identity, which would make equal results compare unequal.
     */
-  private def cell(v: Any): String = v match {
+  private[tools] def cell(v: Any): String = v match {
     case a: Array[Byte] => a.map("%02x".format(_)).mkString
     case a: Array[_]    => a.map(cell).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
@@ -74,20 +74,20 @@ object LocalClusterSmoke {
     case other          => String.valueOf(other)
   }
 
-  private def canon(df: DataFrame): Seq[String] = {
+  private[tools] def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
     df.select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
       .map(_.toSeq.map(cell).mkString("|")).sorted.toSeq
   }
 
-  private def runAll(spark: SparkSession, sfDir: String,
+  private[tools] def runAll(spark: SparkSession, sfDir: String,
       queries: Seq[String]): Map[String, Seq[String]] =
     queries.map { n =>
       val rows = canon(SparkEntry.queries(n)(spark, sfDir))
       n -> rows
     }.toMap
 
-  private def stop(spark: SparkSession): Unit = {
+  private[tools] def stop(spark: SparkSession): Unit = {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -22,14 +22,8 @@ class LocalClusterSmokeSpec extends AnyFunSuite {
 
   test("serialization-sensitive queries are bit-identical under " +
       "local-cluster[2,2,2048] (separate executor JVMs)") {
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     // the child needs the same JDK17 --add-opens set Spark needs here
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.toArray.map(String.valueOf)
-      .sliding(2).collect { case Array("--add-opens", v) =>
-        Seq("--add-opens", v) }.toSeq.flatten
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+    val cmd = Seq(ChildJvm.javaBin) ++ ChildJvm.addOpens ++ Seq(
       "-Xmx4g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.LocalClusterSmoke", "/root/testdata/sf0.001")
