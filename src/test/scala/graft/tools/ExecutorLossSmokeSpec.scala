@@ -1,0 +1,39 @@
+package graft.tools
+
+import scala.sys.process.{Process, ProcessLogger}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives [[ExecutorLossSmoke]] in a CHILD JVM (it owns a local-cluster
+  * SparkContext, which cannot coexist with the suite's shared session).
+  * The child halts one executor JVM per scenario — exit 137, the SIGKILL
+  * analog: no shutdown hooks, no abort callbacks — and asserts
+  * bit-identical results vs an unkilled truth run: lost shuffle map
+  * outputs must be resubmitted and re-fetched (the FetchFailed recovery
+  * path), and a sink attempt that died with its process must leak
+  * nothing into the committed output. The smoke hard-fails if no
+  * executor was actually removed, so it can never degrade into a vacuous
+  * truth==truth comparison.
+  */
+class ExecutorLossSmokeSpec extends AnyFunSuite {
+
+  test("executor loss mid-query: shuffle outputs are recovered and dead " +
+      "sink attempts leak nothing under local-cluster[2,2,2048]") {
+    val cmd = Seq(ChildJvm.javaBin) ++ ChildJvm.addOpens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ExecutorLossSmoke", "/root/testdata/sf0.001")
+    val out = new StringBuilder
+    val rc = Process(cmd, cwd = None, "SPARK_HOME" -> "/opt/spark")
+      .!(ProcessLogger(l => out.synchronized { out.append(l).append('\n') }, _ => ()))
+    val text = out.toString
+    val lines = text.linesIterator.filter(_.startsWith("EXECLOSS")).toSeq
+    assert(lines.size == 3, s"expected 3 executor-loss scenarios; got:\n$text")
+    lines.foreach(l => assert(l.endsWith("MATCH"), l))
+    val summary = text.linesIterator
+      .find(_.startsWith("""{"smoke":"executor-loss""""))
+      .getOrElse(fail(s"no summary line:\n$text"))
+    assert(!summary.contains("\"executorsRemoved\":0"), summary)
+    assert(rc == 0, s"smoke exited $rc:\n${lines.mkString("\n")}")
+  }
+}
