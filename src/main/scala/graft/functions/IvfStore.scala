@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,6 +34,51 @@ object IvfStore {
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
+
+  /** Open an existing store from its persisted quantizer. The centroids
+    * ARE the store's physical layout (they decide which directory holds a
+    * vector), so a maintainer must use the persisted set — this is the
+    * only safe way to get a handle for [[IvfStore.append]]/
+    * [[IvfStore.removeWhere]] from a different session than the writer's.
+    */
+  def open(spark: SparkSession, path: String): IvfStore =
+    new IvfStore(spark, path, loadCentroids(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted quantizer at $path/$CentroidsFile — not an IvfStore " +
+          "(or written by a pre-quantizer-persistence version)")))
+
+  private[functions] val CentroidsFile = "_quantizer"
+
+  /** Exact binary64 round-trip: one centroid per line, dimensions as the
+    * raw IEEE-754 bit patterns in hex. Bit-exactness matters — an
+    * assignment replay with centroids off by one ulp could route a
+    * boundary vector to a different cell than the stored layout.
+    */
+  private[functions] def saveCentroids(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val text = centroids.map(_.map(d =>
+        java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
+      .mkString(",")).mkString("\n")
+    val p = new Path(s"$path/$CentroidsFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[functions] def loadCentroids(spark: SparkSession,
+      path: String): Option[Array[Array[Double]]] = {
+    val p = new Path(s"$path/$CentroidsFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.split("\n").map(_.split(",").map(h =>
+        java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16)))))
+    }
+  }
 }
 
 final class IvfStore(spark: SparkSession, val path: String,
@@ -42,11 +88,11 @@ final class IvfStore(spark: SparkSession, val path: String,
   import Similarity.Vec
   import spark.implicits._
 
-  /** Partition the corpus by nearest-centroid cell (one broadcast +
-    * map-only scan, the [[Ivf.assign]] pass) and persist with
-    * precomputed norms — query time pays neither assignment nor norm.
+  /** The assignment + norm projection shared by [[write]] and [[append]]:
+    * nearest-centroid cell via one broadcast + map-only scan (the
+    * [[Ivf.assign]] pass), norms precomputed — query time pays neither.
     */
-  def write(emb: DataFrame): Unit = {
+  private def indexed(emb: DataFrame): DataFrame = {
     val cb = spark.sparkContext.broadcast(centroids)
     // cell/norm computed on exact double widenings, but the STORED
     // embedding keeps the source's element type — persisting the cast
@@ -75,13 +121,149 @@ final class IvfStore(spark: SparkSession, val path: String,
         normUdf(d).as("norm"), cellUdf(d).as("cell"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
   }
 
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build (or fully rebuild) the store and persist the quantizer
+    * alongside it — the centroids ARE the layout, and a later maintainer
+    * appending with retrained centroids would file vectors into cells
+    * the probe logic never visits. [[append]]/[[removeWhere]] refuse a
+    * handle whose centroids drifted from the persisted set.
+    */
+  def write(emb: DataFrame): Unit = {
+    indexed(emb).write.partitionBy("cell").mode("overwrite").parquet(path)
+    IvfStore.saveCentroids(spark, path, centroids)
+  }
+
+  /** Drift guard for every incremental mutation: the handle's centroids
+    * must be bit-identical to the persisted quantizer.
+    */
+  private def requireQuantizerMatch(op: String): Unit = {
+    val stored = IvfStore.loadCentroids(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$op: no persisted quantizer at $path — write() the store first"))
+    require(stored.length == centroids.length &&
+        stored.zip(centroids).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) },
+      s"$op: this handle's centroids differ from the store's persisted " +
+        s"quantizer — appending with a retrained quantizer would file " +
+        s"vectors into cells the stored layout never probes. Use " +
+        s"IvfStore.open($path) for maintenance; rebuild with write() to " +
+        "retrain.")
+  }
+
+  /** Incremental maintenance: file a DELTA of new vectors into their
+    * cells — touched cell directories gain one file set, untouched cells
+    * are never read or written, and the store is never rebuilt. At 100 TB
+    * a daily embedding batch appends O(delta) bytes instead of the
+    * O(corpus) rewrite [[write]] performs; vectors are assigned with the
+    * PERSISTED quantizer (frozen-centroid IVF maintenance — the standard
+    * serving discipline; retraining is a deliberate [[write]] rebuild).
+    * Many small appends fragment cells — see [[compactCells]].
+    */
+  def append(delta: DataFrame): Unit = {
+    requireQuantizerMatch("append")
+    requireNoInterruptedSwap(fs)
+    // parquet refuses mixed element types across files in one store
+    // (nullability is a metadata detail the parquet round-trip rewrites;
+    // only the ELEMENT type decides file compatibility)
+    def elem(t: org.apache.spark.sql.types.DataType) = t match {
+      case a: org.apache.spark.sql.types.ArrayType => a.elementType
+      case other => other
+    }
+    val storedType = elem(spark.read.parquet(path).schema("embedding").dataType)
+    val deltaType = elem(delta.schema("embedding").dataType)
+    require(deltaType == storedType,
+      s"append: delta embedding element type $deltaType != store's " +
+        s"$storedType — cast the delta to the store's element type " +
+        "before appending (float->double widens exactly; a " +
+        "double-element store cannot accept float deltas implicitly)")
+    indexed(delta).write.partitionBy("cell").mode("append").parquet(path)
+  }
+
+  /** Incremental removal: drop every stored vector matching `pred`,
+    * rewriting ONLY the cell directories that hold a match. The discovery
+    * pass is column-pruned to (vec_id, cell); cells left empty simply
+    * disappear (their live directory moves out and nothing moves in).
+    */
+  def removeWhere(pred: org.apache.spark.sql.Column): Unit = {
+    requireQuantizerMatch("removeWhere")
+    requireNoInterruptedSwap(fs)
+    val store = spark.read.parquet(path)
+    val touched = store.filter(pred).select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt).sorted.toSeq
+    if (touched.isEmpty) return
+    swapCells(store.filter(col("cell").isin(touched: _*) && !pred), touched)
+  }
+
+  /** Defragmentation after many [[append]]s: rewrite every cell directory
+    * holding more than `maxFilesPerCell` parquet files into a fresh file
+    * set — only fragmented cells are read or written. Contents are
+    * preserved exactly; only the file layout changes.
+    */
+  def compactCells(maxFilesPerCell: Int = 4): Unit = {
+    requireQuantizerMatch("compactCells")
+    val f = fs
+    requireNoInterruptedSwap(f)
+    val fragmented = f.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(s => f.listStatus(s.getPath)
+        .count(x => x.isFile && x.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted.toSeq
+    if (fragmented.isEmpty) return
+    swapCells(
+      spark.read.parquet(path).filter(col("cell").isin(fragmented: _*)),
+      fragmented)
+  }
+
+  /** Stage `replacement` (cells restricted to `affected`) and swap each
+    * affected directory — the [[graft.randomaccess.BucketedSnapshotStore]]
+    * discipline: Spark refuses to overwrite a path it is reading from,
+    * `localCheckpoint` would make maintenance non-fault-tolerant (its
+    * blocks die with an executor), so the rewrite lands in a sibling
+    * staging directory via the normal committer and moves in by atomic
+    * per-directory rename. Old dirs move to an underscore-prefixed trash
+    * (invisible to scans) deleted LAST, so an interruption at any point
+    * preserves every vector on disk and the next mutation refuses loudly
+    * until resolved.
+    */
+  private def swapCells(replacement: DataFrame, affected: Seq[Int]): Unit = {
+    val staging = path + "_staging"
+    val trash = path + "/_swap_trash"
+    val f = fs
+    requireNoInterruptedSwap(f)
+    replacement.repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(staging)
+    f.mkdirs(new Path(trash))
+    affected.foreach { c =>
+      val live = new Path(s"$path/cell=$c")
+      val staged = new Path(s"$staging/cell=$c")
+      if (f.exists(live)) f.rename(live, new Path(s"$trash/cell=$c"))
+      if (f.exists(staged)) f.rename(staged, live)
+    }
+    f.delete(new Path(staging), true)
+    f.delete(new Path(trash), true)
+  }
+
+  private def requireNoInterruptedSwap(f: org.apache.hadoop.fs.FileSystem): Unit =
+    require(!f.exists(new Path(path + "_staging")) &&
+        !f.exists(new Path(path + "/_swap_trash")),
+      s"interrupted cell swap detected: resolve ${path}_staging / " +
+        s"$path/_swap_trash before using this store (all vectors are " +
+        "preserved there)")
+
   /** The cell-pruned read an nProbe query batch performs. */
-  def probedCorpus(probeCells: Set[Int]): DataFrame =
+  def probedCorpus(probeCells: Set[Int]): DataFrame = {
+    // a crashed swap must fail the next READ loudly, not silently serve
+    // a store with whole cells missing (bucketed-store read guard)
+    requireNoInterruptedSwap(fs)
     spark.read.parquet(path)
       .filter(col("cell").isin(probeCells.toSeq: _*))
+  }
 
   /** Cosine top-k per query vector, probing each query's nProbe nearest
     * cells. `queries` is a (vec_id, embedding) batch — collected to the

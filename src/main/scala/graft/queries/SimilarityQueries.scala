@@ -65,6 +65,33 @@ object SimilarityQueries extends QuerySet {
       } finally StagedLogs.deleteRecursively(tmp)
     }),
 
+    // the MAINTAINED IVF layout: build the store from a partial corpus,
+    // reopen it from the persisted quantizer (the cross-session
+    // maintenance handle), APPEND the rest as a delta (touched cells gain
+    // files; no rebuild), REMOVE a slice by predicate (only matching cell
+    // dirs rewritten, staged-swap), then defragment — and the maintained
+    // store must answer a full-probe query exactly like brute force over
+    // the surviving corpus. This is the 100 TB serving discipline: daily
+    // embedding batches append O(delta), takedowns rewrite O(touched),
+    // the quantizer stays frozen until a deliberate write() retrain
+    "q_ivf_store_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfmaint-").toString
+      try {
+        new graft.functions.IvfStore(s, tmp + "/v", centroids)
+          .write(emb.filter(col("vec_id") % 3 =!= 0))
+        val store = graft.functions.IvfStore.open(s, tmp + "/v")
+        store.append(emb.filter(col("vec_id") % 3 === 0))
+        store.removeWhere(col("vec_id") % 30 === 1)
+        store.compactCells(maxFilesPerCell = 1)
+        store.searchTopK(emb.filter(col("vec_id") < 10 && col("vec_id") % 30 =!= 1),
+            5, nProbe = 8)
+          .select(col("q_id"), col("rk"), col("neighbor_id"))
+          .localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // cluster-balanced sampling: embedding-space diversity selection —
     // LSH sign-signature cells (deterministic, unlike KMeans) resampled
     // toward the tail cells with the alpha=0.5 temperature rates; over-
@@ -293,11 +320,13 @@ object SimilarityQueries extends QuerySet {
     * fix applied to two of three copies would silently desync the third)
     * and composed as the vector leg of q_rrf_fusion (RankingQueries).
     */
-  private[queries] def bruteTopkSqlFor(qPred: String, k: Int): String =
+  private[queries] def bruteTopkSqlFor(qPred: String, k: Int,
+      corpusPred: String = "TRUE"): String =
     s"""WITH scored AS (
        |  SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id, $cosExpr AS cos
        |  FROM embeddings a CROSS JOIN embeddings b
        |  WHERE $qPred AND a.vec_id <> b.vec_id
+       |    AND (${corpusPred.replace("vec_id", "a.vec_id")})
        |)
        |SELECT q_id, rk, neighbor_id FROM (
        |  SELECT q_id, neighbor_id,
@@ -387,6 +416,12 @@ object SimilarityQueries extends QuerySet {
     // identical answer to q_ann_topk by construction (full probe)
     "q_ivf_store_topk" -> bruteTopkSql,
     "q_ivf_topk" -> bruteTopkSql,
+
+    // the maintained store serves (base ∪ appended) minus removed; full
+    // probe == brute force over exactly that surviving corpus
+    "q_ivf_store_append" -> bruteTopkSqlFor(
+      "b.vec_id < 10 AND b.vec_id % 30 <> 1", 5,
+      corpusPred = "vec_id % 30 <> 1"),
 
     "q_near_dup_cosine" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id

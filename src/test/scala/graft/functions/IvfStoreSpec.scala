@@ -57,6 +57,113 @@ class IvfStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  private def topk(s: IvfStore, emb: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column): Set[(Long, Int, Long)] =
+    s.searchTopK(emb.filter(pred), k = 5, nProbe = 4)
+      .select("q_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("append files a delta into touched cells; search == full rebuild") {
+    val emb = corpus
+    val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+
+    val maintained = new IvfStore(spark,
+      Files.createTempDirectory("ivf-maint-").toString + "/v", centroids)
+    maintained.write(base)
+    // maintenance goes through the persisted-quantizer handle
+    val handle = IvfStore.open(spark, maintained.path)
+    handle.append(delta)
+
+    val rebuilt = new IvfStore(spark,
+      Files.createTempDirectory("ivf-rebuilt-").toString + "/v", centroids)
+    rebuilt.write(emb)
+
+    val got = topk(handle, emb, $"vec_id" < 6)
+    assert(got == topk(rebuilt, emb, $"vec_id" < 6) && got.nonEmpty)
+  }
+
+  test("open round-trips the persisted quantizer bit-exactly; append " +
+      "refuses a drifted handle") {
+    val (s, emb) = newStore()
+    val reopened = IvfStore.open(spark, s.path)
+    // exercise the reopened handle end-to-end
+    assert(topk(reopened, emb, $"vec_id" < 6) == topk(s, emb, $"vec_id" < 6))
+    // a retrained quantizer is a DIFFERENT layout: mutating through it
+    // would file vectors into cells the stored layout never probes
+    val drifted = Ivf.train(emb.filter($"vec_id" % 2 === 0L),
+      nCentroids = 4, maxIter = 3)
+    val bad = new IvfStore(spark, s.path, drifted)
+    val e = intercept[IllegalArgumentException] {
+      bad.append(emb.limit(1))
+    }
+    assert(e.getMessage.contains("persisted quantizer"))
+  }
+
+  test("removeWhere rewrites only touched cells and drops emptied cells") {
+    val (s, emb) = newStore()
+    val handle = IvfStore.open(spark, s.path)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def cellFiles(c: Int): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"${s.path}/cell=$c")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    // which cell holds cluster 3? (vec_id % 4 == 3 by construction)
+    val cellOf3 = spark.read.parquet(s.path)
+      .filter($"vec_id" === 3L).select("cell")
+      .collect().head.get(0).toString.toInt
+    val untouched = (0 until 4).filterNot(_ == cellOf3)
+    val before = untouched.map(c => c -> cellFiles(c)).toMap
+
+    // remove PART of cluster 3: its cell is rewritten, others untouched
+    handle.removeWhere($"vec_id" % 4 === 3 && $"vec_id" < 100)
+    val live = spark.read.parquet(s.path).select("vec_id").as[Long].collect().toSet
+    assert(!live.exists(id => id % 4 == 3 && id < 100))
+    assert(live.exists(id => id % 4 == 3 && id >= 100), "kept the rest of the cell")
+    untouched.foreach(c =>
+      assert(cellFiles(c) == before(c), s"untouched cell $c was rewritten"))
+
+    // remove the REST of cluster 3: its emptied cell directory disappears
+    handle.removeWhere($"vec_id" % 4 === 3)
+    assert(cellFiles(cellOf3).isEmpty, "emptied cell dir must be gone")
+    val after = spark.read.parquet(s.path).select("vec_id").as[Long].collect().toSet
+    assert(!after.exists(_ % 4 == 3) && after.nonEmpty)
+  }
+
+  test("compactCells defragments appended cells without changing results") {
+    val emb = corpus
+    val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+    val s = new IvfStore(spark,
+      Files.createTempDirectory("ivf-compact-").toString + "/v", centroids)
+    s.write(emb.filter($"vec_id" < 100))
+    (0 until 3).foreach(i =>
+      s.append(emb.filter($"vec_id" >= 100 + i * 30 && $"vec_id" < 130 + i * 30)))
+    val expected = topk(s, emb, $"vec_id" < 6)
+    val filesBefore = spark.read.parquet(s.path).inputFiles.length
+    s.compactCells(maxFilesPerCell = 1)
+    val filesAfter = spark.read.parquet(s.path).inputFiles.length
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore files")
+    assert(topk(s, emb, $"vec_id" < 6) == expected)
+  }
+
+  test("an interrupted cell swap refuses reads and mutations loudly") {
+    val (s, emb) = newStore()
+    val staging = new java.io.File(s.path + "_staging")
+    assert(staging.mkdirs())
+    try {
+      val e = intercept[IllegalArgumentException] {
+        s.probedCorpus(Set(0)).collect()
+      }
+      assert(e.getMessage.contains("interrupted cell swap"))
+      intercept[IllegalArgumentException] { s.append(emb.limit(1)) }
+      intercept[IllegalArgumentException] { s.compactCells() }
+    } finally { staging.delete(); () }
+  }
+
   test("partial probe finds in-cluster neighbors (subset relaxation)") {
     val (s, emb) = newStore()
     val queries = emb.filter($"vec_id" === 0L) // cluster 0
