@@ -183,6 +183,55 @@ final class IvfStore(spark: SparkSession, val path: String,
     indexed(delta).write.partitionBy("cell").mode("append").parquet(path)
   }
 
+  /** Restart-safe delta fold: [[append]] minus rows whose vec_id the
+    * store already holds — a replayed micro-batch (streaming restart
+    * before the offset commit) re-offers vectors the previous run
+    * already filed, and a plain append would double them. The existence
+    * check is a column-pruned anti-join against ONLY the touched cells'
+    * vec_id column, so the cost stays O(delta + touched-cell ids), never
+    * O(corpus). This is idempotence of vector IDENTITY, not upsert: a
+    * re-embedded vec_id keeps its stored vector ([[removeWhere]] it
+    * first to re-embed). A delta carrying the same vec_id twice is
+    * refused loudly — two embeddings for one id is a data error, and
+    * silently picking one would be layout-dependent.
+    */
+  def appendIdempotent(delta: DataFrame): Unit = {
+    requireQuantizerMatch("appendIdempotent")
+    requireNoInterruptedSwap(fs)
+    val assigned = indexed(delta)
+    val Array(n, d) = assigned
+      .agg(count(lit(1)), countDistinct(col("vec_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == d,
+      s"appendIdempotent: delta carries ${n - d} duplicate vec_ids — two " +
+        "embeddings for one id is a data error (removeWhere + append to " +
+        "re-embed)")
+    if (n == 0) return
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt).sorted.toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col("cell").isin(touched: _*)).select("vec_id")
+    assigned.join(existing, Seq("vec_id"), "left_anti")
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
+  /** Maintain the store from a streaming embedding feed — each
+    * micro-batch is one [[appendIdempotent]], so replay after a
+    * checkpoint restart converges instead of duplicating (the
+    * [[graft.randomaccess.BucketedSnapshotStore.replicate]] pattern for
+    * the ANN layout). Caller `.start()`s the returned writer.
+    */
+  def replicate(stream: DataFrame, checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendIdempotent(batch)
+      }
+
   /** Incremental removal: drop every stored vector matching `pred`,
     * rewriting ONLY the cell directories that hold a match. The discovery
     * pass is column-pruned to (vec_id, cell); cells left empty simply

@@ -92,6 +92,35 @@ object SimilarityQueries extends QuerySet {
       } finally StagedLogs.deleteRecursively(tmp)
     }),
 
+    // STREAMED maintenance of the IVF layout: seed the store with a
+    // corpus prefix, then replicate the WHOLE embedding feed through a
+    // checkpointed stream whose micro-batches fold in via
+    // appendIdempotent — the overlap with the seed is re-offered and
+    // must be dropped (a duplicate vector would produce duplicate
+    // neighbor rows and break the hash against the brute-force oracle).
+    // This is the commit-log → ANN-store replication shape: restart
+    // replay converges instead of duplicating
+    "q_ivf_store_stream" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfstream-").toString
+      try {
+        emb.write.parquet(tmp + "/feed")
+        val store = new graft.functions.IvfStore(s, tmp + "/v", centroids)
+        store.write(emb.filter(col("vec_id") < 5))
+        val q = store.replicate(
+            s.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 8).parquet(tmp + "/feed"),
+            tmp + "/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        store.searchTopK(emb.filter(col("vec_id") < 10), 5, nProbe = 8)
+          .select(col("q_id"), col("rk"), col("neighbor_id"))
+          .localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // cluster-balanced sampling: embedding-space diversity selection —
     // LSH sign-signature cells (deterministic, unlike KMeans) resampled
     // toward the tail cells with the alpha=0.5 temperature rates; over-
@@ -422,6 +451,10 @@ object SimilarityQueries extends QuerySet {
     "q_ivf_store_append" -> bruteTopkSqlFor(
       "b.vec_id < 10 AND b.vec_id % 30 <> 1", 5,
       corpusPred = "vec_id % 30 <> 1"),
+
+    // the replicated store converges to exactly the full corpus (the
+    // seed overlap deduplicated), so the shared brute oracle applies
+    "q_ivf_store_stream" -> bruteTopkSql,
 
     "q_near_dup_cosine" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id

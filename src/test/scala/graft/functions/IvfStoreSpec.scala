@@ -150,6 +150,42 @@ class IvfStoreSpec extends SparkSpec {
     assert(topk(s, emb, $"vec_id" < 6) == expected)
   }
 
+  test("appendIdempotent drops re-offered vectors; replicate replay converges") {
+    val emb = corpus
+    val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+    val tmp = Files.createTempDirectory("ivf-idem-").toString
+    val s = new IvfStore(spark, tmp + "/v", centroids)
+    s.write(emb.filter($"vec_id" < 80))
+    // the delta overlaps the seed: only the 120 new ids may land
+    s.appendIdempotent(emb.filter($"vec_id" >= 40))
+    val ids = spark.read.parquet(s.path).select("vec_id").as[Long].collect()
+    assert(ids.length == 200 && ids.toSet.size == 200, "store must hold " +
+      s"each vector exactly once; got ${ids.length} rows")
+
+    // intra-batch duplicate ids are a data error, refused loudly
+    val dup = emb.filter($"vec_id" === 0L)
+      .unionByName(emb.filter($"vec_id" === 0L))
+    val e = intercept[IllegalArgumentException] { s.appendIdempotent(dup) }
+    assert(e.getMessage.contains("duplicate vec_ids"))
+
+    // streamed replication: full-feed replay with a FRESH checkpoint
+    // (the worst restart: every batch re-offered) leaves the store as-is
+    emb.write.parquet(tmp + "/feed")
+    def replayOnce(cp: String): Unit = {
+      val q = s.replicate(
+          spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 2).parquet(tmp + "/feed"), cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    replayOnce(tmp + "/cp1")
+    replayOnce(tmp + "/cp2") // fresh checkpoint: full replay
+    val after = spark.read.parquet(s.path).select("vec_id").as[Long].collect()
+    assert(after.length == 200 && after.toSet.size == 200,
+      s"replayed replication duplicated vectors: ${after.length} rows")
+  }
+
   test("an interrupted cell swap refuses reads and mutations loudly") {
     val (s, emb) = newStore()
     val staging = new java.io.File(s.path + "_staging")
