@@ -311,6 +311,69 @@ object Multimodal {
   final case class GifFrameStats(mediaId: Long, frameIdx: Int,
       width: Int, height: Int, sumGray: Long)
 
+  final case class FrameDelta(mediaId: Long, frameIdx: Int, wh: Int, sad: Long)
+
+  /** Per consecutive-frame Y-plane sum of absolute differences (SAD) —
+    * the primitive under scene segmentation: a cut shows as a SAD spike
+    * against the within-scene floor, and a threshold on SAD/pixel (the
+    * classic shot-boundary detector) turns the deltas into cut frames.
+    * A training-data pipeline samples frames per SCENE, not per fixed
+    * stride, so near-static shots don't flood the sample with
+    * duplicates. Exact integer arithmetic over REALLY decoded Y4M
+    * frames (decode is lossless, so the figure is bit-reproducible and
+    * cross-engine checkable); map-only, non-Y4M rows skip; `wh` rides
+    * along so the caller can threshold per pixel without re-decoding.
+    */
+  def frameDeltas(media: DataFrame): Dataset[FrameDelta] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "y4m") Iterator.empty
+        else {
+          val v = MediaCodecs.decodeY4m(p)
+          val wh = v.width * v.height
+          Iterator.range(1, v.nFrames).map { f =>
+            val a = v.frames(f - 1)
+            val b = v.frames(f)
+            var s = 0L
+            var i = 0
+            while (i < wh) {
+              s += math.abs((b(i) & 0xff) - (a(i) & 0xff))
+              i += 1
+            }
+            FrameDelta(id, f, wh, s)
+          }
+        }
+      })
+  }
+
+  /** Seeded-cut video fixture for the scene detector: every video's Y
+    * plane is `(i*7 + id + scene*101 + f) % 256` with `scene = f / c`
+    * (a cut every `c` frames) — within a scene, consecutive frames
+    * differ by the tiny `+1` drift (SAD ≈ wh, plus the occasional
+    * 255→0 wrap), across a cut by the 101-offset rotation (SAD ≈
+    * 100·wh). Every pixel is a closed-form integer expression of
+    * (id, f, i), so an oracle can replay the SAD sums without decoding
+    * anything. One video per `doc_id % 7 == 0` document.
+    */
+  def sceneVideos(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (4 + (id * 7) % 5).toInt
+        val nf = (8 + id % 9).toInt
+        val c = (3 + id % 4).toInt
+        val payload = MediaCodecs.encodeY4m(w, h, 25, 1, nf, (f, p, i) =>
+          if (p == 0) ((i * 7L + id + (f / c) * 101L + f) % 256L).toInt
+          else ((p * 5 + i) % 256))
+        (id, "video", payload)
+      }).toDF("media_id", "kind", "payload")
+  }
+
   final case class AviStats(mediaId: Long, width: Int, height: Int,
       usPerFrame: Int, nFrames: Int, nDecoded: Int)
 

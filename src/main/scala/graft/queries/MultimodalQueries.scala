@@ -212,6 +212,23 @@ object MultimodalQueries extends QuerySet {
           "n_decoded")
     }),
 
+    // SCENE-CUT detection over really-decoded Y4M frames: consecutive
+    // Y-plane SADs (exact integers — Y4M decode is lossless) thresholded
+    // at 50 SAD/pixel, the classic shot-boundary rule (the within-scene
+    // floor includes the occasional 255->0 wrap, ~(wh+254)/wh per pixel,
+    // so the rule sits between the wrap-inflated drift ceiling ~17/pixel
+    // and the cut floor ~102/pixel). The fixture seeds
+    // a cut every c(id) frames via a 101-offset plane rotation, so the
+    // within-scene drift floor (~1/pixel) and the cut spike (~100/pixel)
+    // separate cleanly, and every pixel is a closed-form integer
+    // expression of (id, f, i) the oracle replays without decoding
+    "q_media_scene_cuts" -> ((s, d) =>
+      Multimodal.frameDeltas(Multimodal.sceneVideos(s, d))
+        .toDF()
+        .filter(col("sad") >= col("wh") * 50)
+        .select(col("mediaId").as("media_id"),
+          col("frameIdx").as("frame"), col("sad"))),
+
     // the QUARANTINE side of the same band join: run with a tiny cap so
     // the fixture's dense band buckets overflow it, and surface the
     // over-cap (band, bits) keys with their member counts — the output a
@@ -659,6 +676,34 @@ object MultimodalQueries extends QuerySet {
         |            + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
         |FROM hall a JOIN hall b ON a.id < b.id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4""".stripMargin,
+
+    // the seeded-cut fixture replayed closed-form: per (video, frame,
+    // pixel) the Y value is ((i*7 + id + (f/c)*101 + f) % 256), so the
+    // SAD sums — and therefore the thresholded cut frames — recompute
+    // exactly without any decoder (sum cast back to BIGINT: DuckDB
+    // sum(BIGINT) widens to HUGEINT)
+    "q_media_scene_cuts" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS id,
+        |         (4 + doc_id % 5) AS w,
+        |         (4 + (doc_id * 7) % 5) AS h,
+        |         (8 + doc_id % 9) AS nf,
+        |         (3 + doc_id % 4) AS c
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), px AS (
+        |  SELECT v.id, v.w * v.h AS wh, f.f AS frame,
+        |         ((i.i * 7 + v.id + (f.f // v.c) * 101 + f.f) % 256) AS y,
+        |         ((i.i * 7 + v.id + ((f.f - 1) // v.c) * 101 + (f.f - 1)) % 256) AS yp
+        |  FROM vids v
+        |  JOIN range(1, 17) f(f) ON f.f < v.nf
+        |  JOIN range(0, 64) i(i) ON i.i < v.w * v.h
+        |), sad AS (
+        |  SELECT id AS media_id, frame, wh,
+        |         CAST(sum(abs(y - yp)) AS BIGINT) AS sad
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT media_id, frame, sad FROM sad
+        |WHERE sad >= wh * 50""".stripMargin,
 
     // container-exact AVI truth: every column closed-form; n_decoded =
     // ceil(n_frames / 2) presumes (and the engine asserts) every sampled

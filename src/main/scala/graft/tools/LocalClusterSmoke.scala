@@ -61,7 +61,10 @@ object LocalClusterSmoke {
     "q_blob_updates_range", "q_shell_closure", "q_txn_commits",
     "q_observe_ack",
     // the round's new codecs run their object init + decode executor-side
-    "q_media_adpcm", "q_media_flac")
+    "q_media_adpcm", "q_media_flac",
+    // IVF store maintenance: broadcast centroids in the assignment UDF,
+    // staged-swap FS ops, quantizer persistence — all executor-sensitive
+    "q_ivf_store_append")
 
   /** Deep row renderer: Java arrays (binary columns) toString by
     * identity, which would make equal results compare unequal.
