@@ -247,6 +247,38 @@ final class IvfStore(spark: SparkSession, val path: String,
     swapCells(store.filter(col("cell").isin(touched: _*) && !pred), touched)
   }
 
+  /** Set-removal twin of [[removeWhere]] for an id SET that lives in a
+    * Dataset (a takedown batch, the vec_ids of a re-embedding delta):
+    * semi/anti joins instead of a predicate, so the id set never rides
+    * through the driver. Discovery and rewrite both touch only the
+    * matched cells.
+    */
+  def removeMatching(ids: DataFrame): Unit = {
+    requireQuantizerMatch("removeMatching")
+    requireNoInterruptedSwap(fs)
+    val idSet = ids.select("vec_id")
+    val store = spark.read.parquet(path)
+    val touched = store.join(idSet, Seq("vec_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt).sorted.toSeq
+    if (touched.isEmpty) return
+    swapCells(
+      store.filter(col("cell").isin(touched: _*))
+        .join(idSet, Seq("vec_id"), "left_anti"),
+      touched)
+  }
+
+  /** Re-embedding fold: replace any stored vector whose vec_id appears in
+    * `delta` and file the rest as new — [[removeMatching]] on the delta's
+    * ids, then [[append]]. Cost is O(delta + touched cells), and the
+    * delta's NEW embeddings decide the new cell assignments (a vector may
+    * move cells when its embedding moved).
+    */
+  def upsert(delta: DataFrame): Unit = {
+    removeMatching(delta)
+    append(delta)
+  }
+
   /** Defragmentation after many [[append]]s: rewrite every cell directory
     * holding more than `maxFilesPerCell` parquet files into a fresh file
     * set — only fragmented cells are read or written. Contents are

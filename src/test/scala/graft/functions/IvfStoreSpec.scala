@@ -186,6 +186,37 @@ class IvfStoreSpec extends SparkSpec {
       s"replayed replication duplicated vectors: ${after.length} rows")
   }
 
+  test("upsert re-embeds: matched ids replaced (cell moves follow the " +
+      "new embedding), unmatched ids appended") {
+    val emb = corpus
+    val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+    val s = new IvfStore(spark,
+      Files.createTempDirectory("ivf-upsert-").toString + "/v", centroids)
+    s.write(emb.filter($"vec_id" < 150))
+    // re-embed ids 0-49 with cluster-((id+1)%4) vectors (cells MOVE) and
+    // introduce 150-199 as new
+    val delta = (0L until 50L).map { i =>
+      val c = ((i + 1) % 4).toInt
+      (i, Array.tabulate(8)(j => if (j == c * 2) 10f else 0.5f))
+    }.toDF("vec_id", "embedding")
+      .unionByName(emb.filter($"vec_id" >= 150))
+    s.upsert(delta)
+    val store = spark.read.parquet(s.path)
+    assert(store.count() == 200 &&
+      store.select("vec_id").distinct().count() == 200)
+    // the re-embedded vectors answer from their NEW cluster
+    val got = s.searchTopK(
+        Seq((0L, Array.tabulate(8)(j => if (j == 2) 10f else 0.5f)))
+          .toDF("vec_id", "embedding"), k = 1, nProbe = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length == 1 && got.head < 50,
+      s"nearest to the re-embedded direction should be a re-embedded id: ${got.toSeq}")
+    // upsert == removeMatching + append: replaced embeddings really moved
+    val stored0 = Similarity.vecRows(store.filter($"vec_id" === 0L)
+      .select("vec_id", "embedding")).collect().head._2
+    assert(stored0(2) == 10.0 && stored0(0) == 0.5, stored0.mkString(","))
+  }
+
   test("an interrupted cell swap refuses reads and mutations loudly") {
     val (s, emb) = newStore()
     val staging = new java.io.File(s.path + "_staging")
