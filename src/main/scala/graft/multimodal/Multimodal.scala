@@ -348,6 +348,54 @@ object Multimodal {
       })
   }
 
+  final case class SceneFrame(mediaId: Long, sceneIdx: Int, frameIdx: Int,
+      sceneFrames: Int)
+
+  /** Scene-based frame sampling: segment each video at consecutive-frame
+    * Y-plane SAD >= `sadPerPixel`·wh (the [[frameDeltas]] rule) and emit
+    * ONE representative frame per scene — its first frame — plus the
+    * scene length. This is the sampler a training pipeline wants instead
+    * of a fixed stride: a near-static shot contributes one frame however
+    * long it runs, and every distinct shot contributes at least one.
+    * In-row kernel (decode once, one pass over the frames), map-only,
+    * non-Y4M rows skip; a video with no frames emits nothing.
+    */
+  def sceneRepresentatives(media: DataFrame, sadPerPixel: Int): Dataset[SceneFrame] = {
+    require(sadPerPixel >= 1, s"sadPerPixel must be >= 1, got $sadPerPixel")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (MediaCodecs.sniff(p) != "y4m") Iterator.empty
+        else {
+          val v = MediaCodecs.decodeY4m(p)
+          val wh = v.width * v.height
+          if (v.nFrames == 0) Iterator.empty
+          else {
+            val starts = scala.collection.mutable.ArrayBuffer(0)
+            var f = 1
+            while (f < v.nFrames) {
+              val a = v.frames(f - 1)
+              val b = v.frames(f)
+              var s = 0L
+              var i = 0
+              while (i < wh) {
+                s += math.abs((b(i) & 0xff) - (a(i) & 0xff))
+                i += 1
+              }
+              if (s >= sadPerPixel.toLong * wh) starts += f
+              f += 1
+            }
+            starts.iterator.zipWithIndex.map { case (start, scene) =>
+              val end =
+                if (scene + 1 < starts.length) starts(scene + 1) else v.nFrames
+              SceneFrame(id, scene, start, end - start)
+            }
+          }
+        }
+      })
+  }
+
   /** Seeded-cut video fixture for the scene detector: every video's Y
     * plane is `(i*7 + id + scene*101 + f) % 256` with `scene = f / c`
     * (a cut every `c` frames) — within a scene, consecutive frames

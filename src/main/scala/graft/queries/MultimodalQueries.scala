@@ -229,6 +229,21 @@ object MultimodalQueries extends QuerySet {
         .select(col("mediaId").as("media_id"),
           col("frameIdx").as("frame"), col("sad"))),
 
+    // scene-based frame SAMPLING over the same seeded fixture: one
+    // representative (first) frame per detected scene plus the scene
+    // length — the per-shot sampler (a static shot contributes one frame
+    // however long it runs). Detection runs on really-decoded frames;
+    // the oracle replays the SEEDED segmentation (scene s spans
+    // [s*c, min((s+1)*c, nf))) — the two agree exactly because the
+    // fixture's margin law pins every frame pair to the right side of
+    // the 50 SAD/pixel rule (SceneCutSpec)
+    "q_media_scene_sample" -> ((s, d) =>
+      Multimodal.sceneRepresentatives(Multimodal.sceneVideos(s, d),
+          sadPerPixel = 50)
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("sceneIdx").as("scene"),
+          col("frameIdx").as("frame"), col("sceneFrames").as("n_frames"))),
+
     // the QUARANTINE side of the same band join: run with a tiny cap so
     // the fixture's dense band buckets overflow it, and surface the
     // over-cap (band, bits) keys with their member counts — the output a
@@ -704,6 +719,21 @@ object MultimodalQueries extends QuerySet {
         |)
         |SELECT media_id, frame, sad FROM sad
         |WHERE sad >= wh * 50""".stripMargin,
+
+    // the seeded segmentation replayed directly: videos cut every c
+    // frames, so scene s starts at s*c and runs min(c, nf - s*c) frames
+    "q_media_scene_sample" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS id,
+        |         (8 + doc_id % 9) AS nf,
+        |         (3 + doc_id % 4) AS c
+        |  FROM documents WHERE doc_id % 7 = 0
+        |)
+        |SELECT v.id AS media_id, CAST(s.s AS INT) AS scene,
+        |       CAST(s.s * v.c AS INT) AS frame,
+        |       CAST(least(v.c, v.nf - s.s * v.c) AS INT) AS n_frames
+        |FROM vids v
+        |JOIN range(0, 16) s(s) ON s.s * v.c < v.nf""".stripMargin,
 
     // container-exact AVI truth: every column closed-form; n_decoded =
     // ceil(n_frames / 2) presumes (and the engine asserts) every sampled

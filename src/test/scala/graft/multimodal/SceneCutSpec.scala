@@ -34,6 +34,39 @@ class SceneCutSpec extends SparkSpec {
     assert(Multimodal.frameDeltas(media).collect().isEmpty)
   }
 
+  test("sceneRepresentatives emits the first frame and length per scene") {
+    // 6 frames, cuts at f=2 and f=5 (big Y jumps), drift elsewhere
+    val base = Array(10, 10, 10, 10)
+    def y(f: Int, i: Int): Int = f match {
+      case 0 | 1     => base(i) + f          // scene 0: frames 0-1
+      case 2 | 3 | 4 => base(i) + 150 + f    // scene 1: frames 2-4
+      case _         => base(i) + 70 + f     // scene 2: frame 5 (|150-70|>thr)
+    }
+    val payload = MediaCodecs.encodeY4m(2, 2, 25, 1, 6,
+      (f, p, i) => if (p == 0) y(f, i) else 128)
+    val media = Seq((3L, "video", payload)).toDF("media_id", "kind", "payload")
+    val got = Multimodal.sceneRepresentatives(media, sadPerPixel = 50)
+      .collect().map(s => (s.sceneIdx, s.frameIdx, s.sceneFrames))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0, 0, 2), (1, 2, 3), (2, 5, 1)))
+  }
+
+  test("scene sampling on the seeded fixture == the seeded segmentation") {
+    val vids = Multimodal.sceneVideos(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.sceneRepresentatives(vids, sadPerPixel = 50)
+      .collect()
+      .map(s => (s.mediaId, s.sceneIdx, s.frameIdx, s.sceneFrames)).toSet
+    assert(got.nonEmpty)
+    val expected = vids.select("media_id").as[Long].collect().flatMap { id =>
+      val nf = (8 + id % 9).toInt
+      val c = (3 + id % 4).toInt
+      Iterator.range(0, nf, c).zipWithIndex.map { case (start, scene) =>
+        (id, scene, start, math.min(c, nf - start))
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("seeded-cut fixture separates cleanly at the 50 SAD/pixel rule") {
     val vids = Multimodal.sceneVideos(spark, "/root/testdata/sf0.001")
     val deltas = Multimodal.frameDeltas(vids).toDF()
