@@ -55,19 +55,19 @@ object IvfStore {
     * boundary vector to a different cell than the stored layout.
     */
   private[functions] def saveCentroids(spark: SparkSession, path: String,
-      centroids: Array[Array[Double]]): Unit = {
+      centroids: Array[Array[Double]], file: String = CentroidsFile): Unit = {
     val text = centroids.map(_.map(d =>
         java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
       .mkString(",")).mkString("\n")
-    val p = new Path(s"$path/$CentroidsFile")
+    val p = new Path(s"$path/$file")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
   private[functions] def loadCentroids(spark: SparkSession,
-      path: String): Option[Array[Array[Double]]] = {
-    val p = new Path(s"$path/$CentroidsFile")
+      path: String, file: String = CentroidsFile): Option[Array[Array[Double]]] = {
+    val p = new Path(s"$path/$file")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {

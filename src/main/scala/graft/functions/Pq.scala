@@ -156,7 +156,7 @@ object Pq {
     * subvector with centroid c of subspace j; a code's approximate dot
     * is then m table lookups.
     */
-  private def adcTables(queries: Array[Vec],
+  private[functions] def adcTables(queries: Array[Vec],
       cb: Codebooks): Array[(Long, Double, Array[Array[Double]])] =
     queries.map { q =>
       val t = Array.tabulate(cb.m) { j =>

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ serving store — the compressed twin of [[IvfStore]]
+  * and the true 100 TB ANN serving layout: PQ CODES (m bytes + one
+  * reconstruction norm per vector, a 32x-64x compression of a float
+  * corpus) persisted hive-partitioned by coarse IVF cell. A query batch
+  * then pays:
+  *   - directory pruning to its nProbe cells (PartitionFilters, same
+  *     storage-layer gate as [[IvfStore]]),
+  *   - an ADC scan of the pruned codes — m one-byte table lookups per
+  *     scored vector, never a float-vector read.
+  * The float corpus is read exactly once, at [[write]] time.
+  *
+  * Both quantizers persist WITH the store as exact binary64 bit patterns
+  * (the [[IvfStore]] discipline): the coarse centroids ARE the directory
+  * layout and the codebooks ARE the meaning of every stored byte, so a
+  * maintainer must use [[PqStore.open]] — a drifted handle would file
+  * vectors into cells the probe logic never visits, or decode bytes
+  * against the wrong centroid tables. Same exactness anchor as [[Pq]]:
+  * at full probe the store answers exactly like [[Pq.searchTopK]] over
+  * the same codebooks (spec-enforced + oracle q_pq_store_topk on the
+  * exact-reconstruction corpus).
+  */
+final class PqStore(spark: SparkSession, val path: String,
+    cb: Pq.Codebooks, coarse: Array[Array[Double]]) {
+
+  import spark.implicits._
+
+  private val CodebooksFile = "_codebooks"
+
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Encode + assign + persist, and save both quantizers alongside. */
+  def write(emb: DataFrame): Unit = {
+    Pq.encode(emb, cb).join(Ivf.assign(emb, coarse), "vec_id")
+      .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    IvfStore.saveCentroids(spark, path, coarse)
+    saveCodebooks()
+  }
+
+  /** Incremental fold: encode a DELTA with the persisted (frozen)
+    * quantizers and append into its touched cells — O(delta), no
+    * rebuild; retraining is a deliberate [[write]].
+    */
+  def append(delta: DataFrame): Unit = {
+    requireQuantizerMatch("append")
+    Pq.encode(delta, cb).join(Ivf.assign(delta, coarse), "vec_id")
+      .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
+  /** The cell-pruned code scan a query batch performs. */
+  def probedCodes(probeCells: Set[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+
+  /** ADC cosine top-k per query vector over the probed cells only —
+    * the [[Pq.searchTopKIvf]] semantics served from the persisted
+    * layout (same output schema: q_id, rk, neighbor_id, cos).
+    */
+  def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val qVecs = Similarity.toVecs(queries).collect()
+    val probes = Ivf.probeSets(qVecs, coarse, nProbe)
+    val tables = Pq.adcTables(qVecs, cb)
+    val allCells = probes.values.flatten.toSet
+    val tb = spark.sparkContext.broadcast(tables)
+    val pb = spark.sparkContext.broadcast(probes)
+    val scored = probedCodes(allCells)
+      .select(col("vec_id"), col("code"), col("recon_norm"),
+        col("cell").cast("int"))
+      .as[(Long, Array[Byte], Double, Int)]
+      .mapPartitions { it =>
+        val ts = tb.value
+        val pr = pb.value
+        it.flatMap { case (id, code, rnorm, cell) =>
+          ts.iterator
+            .filter { case (qid, _, _) => qid != id && pr(qid).contains(cell) }
+            .map { case (qid, qnorm, t) =>
+              var j = 0; var s = 0.0
+              while (j < code.length) { s += t(j)(code(j) & 0xff); j += 1 }
+              (qid, id, Similarity.cosine(s, qnorm, rnorm))
+            }
+        }
+      }.toDF("q_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Codebooks as text: header `m dsub`, then one line per subspace,
+    * centroids ';'-separated, dimensions as exact binary64 bits in hex
+    * (the [[IvfStore]] bit-exactness rationale, doubled: the codebooks
+    * are the meaning of every stored byte).
+    */
+  private def saveCodebooks(): Unit = {
+    val body = (s"${cb.m} ${cb.dsub}" +:
+      cb.centroids.toSeq.map(_.map(_.map(d =>
+          java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d)))
+        .mkString(",")).mkString(";"))).mkString("\n")
+    val p = new Path(s"$path/$CodebooksFile")
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireQuantizerMatch(op: String): Unit = {
+    val storedCoarse = IvfStore.loadCentroids(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$op: no persisted coarse quantizer at $path — write() first"))
+    val storedCb = PqStore.loadCodebooks(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$op: no persisted codebooks at $path — write() first"))
+    require(storedCoarse.length == coarse.length &&
+        storedCoarse.zip(coarse).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) } &&
+        storedCb.m == cb.m && storedCb.dsub == cb.dsub &&
+        storedCb.centroids.length == cb.centroids.length &&
+        storedCb.centroids.zip(cb.centroids).forall { case (sj, j) =>
+          sj.length == j.length &&
+            sj.zip(j).forall { case (a, b) => java.util.Arrays.equals(a, b) } },
+      s"$op: this handle's quantizers differ from the store's persisted " +
+        "set — use PqStore.open for maintenance; rebuild with write() to " +
+        "retrain.")
+  }
+}
+
+object PqStore {
+
+  /** Open an existing store from its persisted quantizers — the only
+    * safe maintenance/serving handle across sessions.
+    */
+  def open(spark: SparkSession, path: String): PqStore = {
+    val coarse = IvfStore.loadCentroids(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted coarse quantizer at $path — not a PqStore"))
+    val cb = loadCodebooks(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted codebooks at $path — not a PqStore"))
+    new PqStore(spark, path, cb, coarse)
+  }
+
+  private[functions] def loadCodebooks(spark: SparkSession,
+      path: String): Option[Pq.Codebooks] = {
+    val p = new Path(s"$path/_codebooks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n")
+      val Array(m, dsub) = lines.head.split(" ").map(_.toInt)
+      val cents = lines.tail.map(_.split(";").map(_.split(",").map(h =>
+        java.lang.Double.longBitsToDouble(
+          java.lang.Long.parseUnsignedLong(h, 16)))))
+      Some(Pq.Codebooks(m, dsub, cents))
+    }
+  }
+}

@@ -204,6 +204,29 @@ object SimilarityQueries extends QuerySet {
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
+    // the PERSISTED IVF-PQ layout: codes + reconstruction norms written
+    // hive-partitioned by coarse cell with BOTH quantizers persisted as
+    // exact bits; store built from a partial corpus, reopened from disk
+    // (the cross-session handle), the rest appended with the frozen
+    // quantizers, then served at full probe — must answer exactly like
+    // in-memory PQ over the exact-reconstruction corpus (shared oracle)
+    "q_pq_store_topk" -> ((s, d) => {
+      val derived = pqDerivedCorpus(s, d)
+      val sample = derived.filter(col("vec_id") < 256)
+      val cb = graft.functions.Pq.train(sample, m = 4, k = 4, maxIter = 40)
+      val coarse = graft.functions.Ivf.train(sample, nCentroids = 8, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pqstore-").toString
+      try {
+        new graft.functions.PqStore(s, tmp + "/v", cb, coarse)
+          .write(derived.filter(col("vec_id") % 2 === 0))
+        val store = graft.functions.PqStore.open(s, tmp + "/v")
+        store.append(derived.filter(col("vec_id") % 2 === 1))
+        store.searchTopK(derived.filter(col("vec_id") < 8), 5, nProbe = 8)
+          .select(col("q_id"), col("rk"), col("neighbor_id"))
+          .localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // n-gram (3-token shingle) Jaccard near-dup over documents:
     // inverted-index bucket join in graft.functions.Jaccard
     "q_jaccard_pairs" -> ((s, d) =>
@@ -404,6 +427,8 @@ object SimilarityQueries extends QuerySet {
     // derived corpus; full-probe IVF-PQ == plain PQ (same oracle)
     "q_pq_topk" -> pqTopkSql,
     "q_ivf_pq_topk" -> pqTopkSql,
+    // the persisted layout at full probe == in-memory PQ (same oracle)
+    "q_pq_store_topk" -> pqTopkSql,
 
     "q_embed_gram" -> graft.functions.Pca.gramOracleSql(),
 
