@@ -300,6 +300,55 @@ final class IvfStore(spark: SparkSession, val path: String,
       fragmented)
   }
 
+  /** DISTRIBUTED ANN join — cosine top-k for a query set too large to
+    * collect ([[searchTopK]] broadcasts the batch; this is the
+    * corpus×corpus shape: semantic dedup between two snapshots, "k
+    * neighbors for EVERY document"). Map-only probe assignment (each
+    * query row explodes to its nProbe nearest cells with the broadcast
+    * centroids), then a shuffle join against the store ON THE CELL —
+    * never all-pairs: the scored pair count is Σ_cells |Q_c|·|V_c|, the
+    * IVF candidate volume. The cell key's cardinality is only
+    * nCentroids, so the store side is SALTED into `salt` lanes (query
+    * probes replicate ×salt, store rows hash into one lane) — a hot
+    * cell splits across its salt lanes instead of serializing one
+    * reducer, the replicated-fragment discipline of [[Skew]]. Full
+    * probe == brute force for every query row (oracle q_ann_join);
+    * partial probe is the usual subset relaxation.
+    */
+  def searchTopKJoin(queries: DataFrame, k: Int, nProbe: Int,
+      salt: Int = 4): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    requireNoInterruptedSwap(fs)
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(centroids)
+    val nP = math.min(nProbe, centroids.length)
+    val probed = Similarity.toVecs(queries)
+      .mapPartitions { it =>
+        val cs = cb.value
+        it.flatMap { q =>
+          cs.indices.sortBy(c => sqDist(cs(c), q.v)).take(nP)
+            .iterator.map(c => (q.id, q.v, q.norm, c))
+        }
+      }.toDF("q_id", "q_vec", "q_norm", "cell")
+      .withColumn("s", explode(lit((0 until salt).toArray)))
+    val cand = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("norm"), col("cell").cast("int").as("cell"))
+      .withColumn("s", pmod(hash(col("vec_id")), lit(salt)))
+    val scored = probed.join(cand, Seq("cell", "s"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("vec_id"), col("emb"), col("norm"))
+      .as[(Long, Array[Double], Double, Long, Array[Double], Double)]
+      .mapPartitions(_.map { case (qid, qv, qn, id, v, n) =>
+        (qid, id, Similarity.cosine(dot(qv, v), qn, n))
+      }).toDF("q_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Stage `replacement` (cells restricted to `affected`) and swap each
     * affected directory — the [[graft.randomaccess.BucketedSnapshotStore]]
     * discipline: Spark refuses to overwrite a path it is reading from,

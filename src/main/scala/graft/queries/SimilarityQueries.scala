@@ -204,6 +204,24 @@ object SimilarityQueries extends QuerySet {
         .select(col("q_id"), col("rk"), col("neighbor_id"))
     }),
 
+    // DISTRIBUTED ANN self-join: k neighbors for EVERY vector (the
+    // corpus×corpus shape — semantic dedup between snapshots). No
+    // driver-collected query batch: probes explode map-only to their
+    // nProbe cells and shuffle-join the store on (cell, salt lane).
+    // Full probe == brute force for every query row
+    "q_ann_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = graft.functions.Ivf.train(emb, nCentroids = 8, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annjoin-").toString
+      try {
+        val store = new graft.functions.IvfStore(s, tmp + "/v", centroids)
+        store.write(emb)
+        store.searchTopKJoin(emb, 5, nProbe = 8)
+          .select(col("q_id"), col("rk"), col("neighbor_id"))
+          .localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // the PERSISTED IVF-PQ layout: codes + reconstruction norms written
     // hive-partitioned by coarse cell with BOTH quantizers persisted as
     // exact bits; store built from a partial corpus, reopened from disk
@@ -480,6 +498,9 @@ object SimilarityQueries extends QuerySet {
     // the replicated store converges to exactly the full corpus (the
     // seed overlap deduplicated), so the shared brute oracle applies
     "q_ivf_store_stream" -> bruteTopkSql,
+
+    // every vector is a query; full probe == brute force for all of them
+    "q_ann_join" -> bruteTopkSqlFor("TRUE", 5),
 
     "q_near_dup_cosine" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -217,6 +217,20 @@ class IvfStoreSpec extends SparkSpec {
     assert(stored0(2) == 10.0 && stored0(0) == 0.5, stored0.mkString(","))
   }
 
+  test("distributed ANN join at full probe == brute force for every " +
+      "query; salt lanes don't change the answer") {
+    val (s, emb) = newStore()
+    val brute = Similarity.bruteForceTopK(emb, lit(true), 5)
+      .select("q_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def joined(salt: Int) = s.searchTopKJoin(emb, 5, nProbe = 4, salt = salt)
+      .select("q_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = joined(4)
+    assert(got == brute && got.nonEmpty)
+    assert(joined(1) == got, "salting is a parallelism knob, not semantics")
+  }
+
   test("an interrupted cell swap refuses reads and mutations loudly") {
     val (s, emb) = newStore()
     val staging = new java.io.File(s.path + "_staging")
