@@ -75,8 +75,23 @@ object IvfStore {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(text.split("\n").map(_.split(",").map(h =>
-        java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16)))))
+      // a corrupt quantizer must refuse LOUDLY with its provenance: the
+      // centroids are the store's layout, and serving through garbage
+      // would probe the wrong directories silently (a raw
+      // NumberFormatException names neither the file nor the stakes)
+      val parsed =
+        try text.split("\n").map(_.split(",").map(h =>
+          java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))))
+        catch { case e: Exception =>
+          throw new IllegalStateException(
+            s"corrupt persisted quantizer at $p — the file is the store's " +
+              "cell layout; restore it or rebuild with write()", e)
+        }
+      require(parsed.nonEmpty && parsed.forall(c =>
+          c.nonEmpty && c.length == parsed.head.length),
+        s"corrupt persisted quantizer at $p: ragged or empty centroid " +
+          "rows — restore the file or rebuild with write()")
+      Some(parsed)
     }
   }
 }

@@ -160,12 +160,26 @@ object PqStore {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val lines = text.split("\n")
-      val Array(m, dsub) = lines.head.split(" ").map(_.toInt)
-      val cents = lines.tail.map(_.split(";").map(_.split(",").map(h =>
-        java.lang.Double.longBitsToDouble(
-          java.lang.Long.parseUnsignedLong(h, 16)))))
-      Some(Pq.Codebooks(m, dsub, cents))
+      // same loud-refusal contract as IvfStore.loadCentroids: the
+      // codebooks are the meaning of every stored byte, so corrupt
+      // metadata must name itself instead of decoding garbage
+      val cb =
+        try {
+          val lines = text.split("\n")
+          val Array(m, dsub) = lines.head.split(" ").map(_.toInt)
+          val cents = lines.tail.map(_.split(";").map(_.split(",").map(h =>
+            java.lang.Double.longBitsToDouble(
+              java.lang.Long.parseUnsignedLong(h, 16)))))
+          require(m > 0 && dsub > 0 && cents.length == m &&
+            cents.forall(_.forall(_.length == dsub)))
+          Pq.Codebooks(m, dsub, cents)
+        } catch { case e: Exception =>
+          throw new IllegalStateException(
+            s"corrupt persisted codebooks at $p — the file is the meaning " +
+              "of every stored code byte; restore it or rebuild with " +
+              "write()", e)
+        }
+      Some(cb)
     }
   }
 }

@@ -60,6 +60,32 @@ class PqStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("corrupt persisted quantizer files refuse loudly with provenance") {
+    val emb = corpus
+    val (cb, coarse) = quantizers(emb)
+    val s = new PqStore(spark,
+      Files.createTempDirectory("pqstore-corrupt-").toString + "/v", cb, coarse)
+    s.write(emb)
+    def corrupt(name: String, body: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s.path, name),
+        body.getBytes("UTF-8"))
+      // the out-of-band write leaves a stale Hadoop checksum sidecar; the
+      // scenario under test is a corrupt FILE, not a torn write
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s.path, s".$name.crc"))
+    }
+    corrupt("_codebooks", "not a codebook\ngarbage;;;")
+    val e1 = intercept[IllegalStateException] { PqStore.open(spark, s.path) }
+    assert(e1.getMessage.contains("corrupt persisted codebooks"), e1.getMessage)
+    corrupt("_quantizer", "zzzz,not-hex")
+    val e2 = intercept[IllegalStateException] { PqStore.open(spark, s.path) }
+    assert(e2.getMessage.contains("corrupt persisted quantizer"), e2.getMessage)
+    // ragged centroid rows are corruption too, not a shorter quantizer
+    corrupt("_quantizer", "3ff0000000000000,3ff0000000000000\n3ff0000000000000")
+    val e3 = intercept[IllegalArgumentException] { IvfStore.open(spark, s.path) }
+    assert(e3.getMessage.contains("ragged"), e3.getMessage)
+  }
+
   test("open round-trips both quantizers; append == full rebuild; " +
       "drifted handles refused") {
     val emb = corpus
