@@ -454,6 +454,34 @@ class PlanQualitySpec extends SparkSpec {
       planStr.take(1500))
   }
 
+  test("distributed ANN join: hash join on the salted cell key, " +
+      "never a cartesian") {
+    // the corpus×corpus shape must stay Σ_cells |Q_c|·|V_c|: a planner
+    // fallback to CartesianProduct / BroadcastNestedLoopJoin would turn
+    // it into all-pairs and a 100 TB self-join into heat death
+    val emb = (0L until 120L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(j =>
+        (if (j == c * 2) 10f else 0f) + ((i * 7 + j) % 5) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val centroids = graft.functions.Ivf.train(emb, nCentroids = 4, maxIter = 5)
+    val store = new graft.functions.IvfStore(spark,
+      Files.createTempDirectory("graft-annjoin-plan-").toString + "/v",
+      centroids)
+    store.write(emb)
+    val joined = store.searchTopKJoin(emb, 3, nProbe = 2, salt = 4)
+    joined.collect()
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"), planStr.take(2000))
+    // the equi-join runs on BOTH key columns: cell AND the salt lane
+    val joinLine = planStr.linesIterator
+      .find(l => l.contains("Join") && l.contains("cell")).getOrElse(
+        fail(s"no cell-keyed join in:\n${planStr.take(2000)}"))
+    assert(joinLine.contains("s#") || joinLine.contains("[cell"),
+      joinLine)
+  }
+
   test("domain KL: one corpus token pass, reused for the marginals") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"src${i % 4}", (1 to 30).map(j => s"w${(i * j) % 90}").mkString(" ")))
