@@ -225,6 +225,55 @@ object ResilienceSmoke {
         outFam.batchUpdates().toDF()
       })
 
+    // chaos wrapper preserving the embedding column's element type (the
+    // stores' append guard enforces float-vs-double file compatibility,
+    // so the wrapper must not widen)
+    def chaosEmb(df: DataFrame): DataFrame = {
+      val elem = df.schema("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val typed = df.select(col("vec_id").cast("long"), col("embedding"))
+      val wrapped =
+        if (elem == org.apache.spark.sql.types.FloatType)
+          chaos(typed.as[(Long, Array[Float])](
+            Encoders.product[(Long, Array[Float])])).toDF()
+        else
+          chaos(typed.as[(Long, Array[Double])](
+            Encoders.product[(Long, Array[Double])])).toDF()
+      wrapped.toDF("vec_id", "embedding")
+    }
+
+    // 9. IVF vector-store idempotent fold under retry: the anti-join
+    // discovery job AND the staged append job each fail their first
+    // attempts; the store must hold each vector exactly once
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val centroids = graft.functions.Ivf.train(emb, nCentroids = 4, maxIter = 5)
+    val ivfT = new graft.functions.IvfStore(spark, tmp("ivf-truth") + "/v", centroids)
+    ivfT.write(emb.filter(col("vec_id") < 100))
+    ivfT.appendIdempotent(emb.filter(col("vec_id") >= 50))
+    val ivfC = new graft.functions.IvfStore(spark, tmp("ivf-chaos") + "/v", centroids)
+    ivfC.write(emb.filter(col("vec_id") < 100))
+    outcomes += compare("ivf_append_idempotent_retry",
+      truth = spark.read.parquet(ivfT.path).drop("cell"),
+      probe = {
+        ivfC.appendIdempotent(chaosEmb(emb.filter(col("vec_id") >= 50)))
+        spark.read.parquet(ivfC.path).drop("cell")
+      })
+
+    // 10. PQ code-store append under retry: encode+assign+write with
+    // first attempts failing; codes land exactly once
+    val cb = graft.functions.Pq.train(emb, m = 4, k = 8, maxIter = 5)
+    val pqT = new graft.functions.PqStore(spark, tmp("pq-truth") + "/v", cb, centroids)
+    pqT.write(emb.filter(col("vec_id") < 100))
+    pqT.append(emb.filter(col("vec_id") >= 100))
+    val pqC = new graft.functions.PqStore(spark, tmp("pq-chaos") + "/v", cb, centroids)
+    pqC.write(emb.filter(col("vec_id") < 100))
+    outcomes += compare("pq_store_append_retry",
+      truth = spark.read.parquet(pqT.path).drop("cell"),
+      probe = {
+        pqC.append(chaosEmb(emb.filter(col("vec_id") >= 100)))
+        spark.read.parquet(pqC.path).drop("cell")
+      })
+
     // keep the serializer-parity truth before tearing the session down
     val kryoSlice = LocalClusterSmoke.DefaultQueries
     val expected = LocalClusterSmoke.runAll(spark, sfDir, kryoSlice)
