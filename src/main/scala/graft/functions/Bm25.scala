@@ -95,7 +95,8 @@ object Bm25 {
     */
   def oracleSql(idCol: String, rawTerms: Seq[String], k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB,
-      table: String = "documents", textCol: String = "text"): String = {
+      table: String = "documents", textCol: String = "text",
+      matchedOnly: Boolean = false): String = {
     // mirror topK's query-term normalization so both sides match
     val terms = rawTerms.map(_.toLowerCase(java.util.Locale.ROOT))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -125,7 +126,8 @@ object Bm25 {
        |)
        |SELECT $idCol, score FROM (
        |  SELECT $idCol, round(raw, 4) AS score
-       |  FROM sc ORDER BY raw DESC, $idCol LIMIT $k
+       |  FROM sc${if (matchedOnly) " WHERE raw > 0" else ""}
+       |  ORDER BY raw DESC, $idCol LIMIT $k
        |)""".stripMargin
   }
 }

@@ -152,6 +152,27 @@ object RankingQueries extends QuerySet {
       pairs.reduce(_ unionByName _)
     }),
 
+    // the PERSISTED retrieval index (functions/PostingsStore): term-
+    // bucketed postings built from half the corpus, the rest folded in
+    // idempotently WITH overlap (re-offered docs must be dropped — a
+    // double-indexed doc doubles its tf and breaks the hash), then BM25
+    // served from the query terms' buckets only. Bit-identical to the
+    // two-scan Bm25.topK for matched docs, so the oracle is the shared
+    // replay restricted to raw > 0 (an index never returns 0-score
+    // fillers)
+    "q_bm25_store_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postings-").toString
+      try {
+        new graft.functions.PostingsStore(s, tmp + "/ix", buckets = 16)
+          .write(docs.filter(col("doc_id") % 2 === 0))
+        val ix = graft.functions.PostingsStore.open(s, tmp + "/ix")
+        ix.appendIdempotent(docs.filter(col("doc_id") % 3 =!= 1)) // overlaps evens
+        ix.appendIdempotent(docs) // full replay: everything already claimed
+        ix.topK(Terms, K).localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // held-out trigram scoring with stupid backoff: model trained on the
     // even half, odd half scored — unseen trigrams actually exercise the
     // backoff chain (the level counts prove it); α = 0.5 keeps every
@@ -172,6 +193,10 @@ object RankingQueries extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "q_bm25_topk" -> Bm25.oracleSql("doc_id", Terms, K),
+    // the index converges to the full corpus (overlaps deduplicated) and
+    // serves matched docs only
+    "q_bm25_store_topk" ->
+      Bm25.oracleSql("doc_id", Terms, K, matchedOnly = true),
     "q_lm_score" -> NGramLm.scoreOracleSql("doc_id"),
     "q_lm_buckets" -> NGramLm.bucketsOracleSql("doc_id"),
     "q_token_budget" ->
