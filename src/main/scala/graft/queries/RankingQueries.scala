@@ -173,6 +173,29 @@ object RankingQueries extends QuerySet {
       } finally StagedLogs.deleteRecursively(tmp)
     }),
 
+    // STREAMED maintenance of the retrieval index: seed with a corpus
+    // prefix, replicate the WHOLE document feed through a checkpointed
+    // stream (micro-batches fold in via appendIdempotent — the seed
+    // overlap is re-offered and must be dropped, or its tf doubles and
+    // the hash breaks), then serve BM25 from the converged index
+    "q_bm25_store_stream" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-postrepl-").toString
+      try {
+        docs.write.parquet(tmp + "/feed")
+        val ix = new graft.functions.PostingsStore(s, tmp + "/ix", buckets = 16)
+        ix.write(docs.filter(col("doc_id") < 50))
+        val q = ix.replicate(
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 8).parquet(tmp + "/feed"),
+            tmp + "/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ix.topK(Terms, K).localCheckpoint(true)
+      } finally StagedLogs.deleteRecursively(tmp)
+    }),
+
     // held-out trigram scoring with stupid backoff: model trained on the
     // even half, odd half scored — unseen trigrams actually exercise the
     // backoff chain (the level counts prove it); α = 0.5 keeps every
@@ -196,6 +219,9 @@ object RankingQueries extends QuerySet {
     // the index converges to the full corpus (overlaps deduplicated) and
     // serves matched docs only
     "q_bm25_store_topk" ->
+      Bm25.oracleSql("doc_id", Terms, K, matchedOnly = true),
+    // the replicated index converges to exactly the same corpus
+    "q_bm25_store_stream" ->
       Bm25.oracleSql("doc_id", Terms, K, matchedOnly = true),
     "q_lm_score" -> NGramLm.scoreOracleSql("doc_id"),
     "q_lm_buckets" -> NGramLm.bucketsOracleSql("doc_id"),
