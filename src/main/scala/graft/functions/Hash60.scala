@@ -111,6 +111,7 @@ object GraftExtensions {
     ext.injectFunction(ShingleHash60.dsirFunctionDescription)
     ext.injectFunction(ShingleHash60.segmentFunctionDescription)
     ext.injectFunction(MightContain.functionDescription)
+    ext.injectFunction(DotProduct.functionDescription)
     // portable formula -> native expression rewrites (see NativeHashRewrite)
     ext.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
   }
@@ -132,7 +133,8 @@ object GraftExtensions {
           ShingleHash60.functionDescription,
           ShingleHash60.dsirFunctionDescription,
           ShingleHash60.segmentFunctionDescription,
-          MightContain.functionDescription).foreach {
+          MightContain.functionDescription,
+          DotProduct.functionDescription).foreach {
           case (ident, info, builder) =>
             if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
         }

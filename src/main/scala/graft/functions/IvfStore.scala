@@ -350,14 +350,19 @@ final class IvfStore(spark: SparkSession, val path: String,
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("norm"), col("cell").cast("int").as("cell"))
       .withColumn("s", pmod(hash(col("vec_id")), lit(salt)))
+    // score with the NATIVE dot expression: a typed mapPartitions here
+    // deserializes two 64-element arrays per candidate pair through the
+    // encoder (measured 10x the whole join's cost at 250k pairs), and
+    // the zip_with/aggregate higher-order form pays an interpreted
+    // lambda per ELEMENT (measured 3x worse still). The codegen'd
+    // kernel adds left-to-right exactly like the while-loop dot, and
+    // the zero-norm guard mirrors Similarity.cosine
+    val dotCol = DotProduct.column(col("q_vec"), col("emb"))
+    val denom = col("q_norm") * col("norm")
     val scored = probed.join(cand, Seq("cell", "s"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("vec_id"), col("emb"), col("norm"))
-      .as[(Long, Array[Double], Double, Long, Array[Double], Double)]
-      .mapPartitions(_.map { case (qid, qv, qn, id, v, n) =>
-        (qid, id, Similarity.cosine(dot(qv, v), qn, n))
-      }).toDF("q_id", "neighbor_id", "cos")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        when(denom === 0.0, 0.0).otherwise(dotCol / denom).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
