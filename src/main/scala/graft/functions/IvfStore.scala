@@ -369,42 +369,12 @@ final class IvfStore(spark: SparkSession, val path: String,
       .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
-  /** Stage `replacement` (cells restricted to `affected`) and swap each
-    * affected directory — the [[graft.randomaccess.BucketedSnapshotStore]]
-    * discipline: Spark refuses to overwrite a path it is reading from,
-    * `localCheckpoint` would make maintenance non-fault-tolerant (its
-    * blocks die with an executor), so the rewrite lands in a sibling
-    * staging directory via the normal committer and moves in by atomic
-    * per-directory rename. Old dirs move to an underscore-prefixed trash
-    * (invisible to scans) deleted LAST, so an interruption at any point
-    * preserves every vector on disk and the next mutation refuses loudly
-    * until resolved.
-    */
-  private def swapCells(replacement: DataFrame, affected: Seq[Int]): Unit = {
-    val staging = path + "_staging"
-    val trash = path + "/_swap_trash"
-    val f = fs
-    requireNoInterruptedSwap(f)
-    replacement.repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.partitionBy("cell").mode("overwrite").parquet(staging)
-    f.mkdirs(new Path(trash))
-    affected.foreach { c =>
-      val live = new Path(s"$path/cell=$c")
-      val staged = new Path(s"$staging/cell=$c")
-      if (f.exists(live)) f.rename(live, new Path(s"$trash/cell=$c"))
-      if (f.exists(staged)) f.rename(staged, live)
-    }
-    f.delete(new Path(staging), true)
-    f.delete(new Path(trash), true)
-  }
+  /** Staged cell swap — see [[CellSwap]] (shared with [[PqStore]]). */
+  private def swapCells(replacement: DataFrame, affected: Seq[Int]): Unit =
+    CellSwap.swap(spark, path, replacement, affected)
 
   private def requireNoInterruptedSwap(f: org.apache.hadoop.fs.FileSystem): Unit =
-    require(!f.exists(new Path(path + "_staging")) &&
-        !f.exists(new Path(path + "/_swap_trash")),
-      s"interrupted cell swap detected: resolve ${path}_staging / " +
-        s"$path/_swap_trash before using this store (all vectors are " +
-        "preserved there)")
+    CellSwap.requireClean(spark, path)
 
   /** The cell-pruned read an nProbe query batch performs. */
   def probedCorpus(probeCells: Set[Int]): DataFrame = {

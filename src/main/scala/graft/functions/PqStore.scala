@@ -53,6 +53,7 @@ final class PqStore(spark: SparkSession, val path: String,
     */
   def append(delta: DataFrame): Unit = {
     requireQuantizerMatch("append")
+    CellSwap.requireClean(spark, path)
     Pq.encode(delta, cb).join(Ivf.assign(delta, coarse), "vec_id")
       .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
       .repartition(col("cell"))
@@ -60,10 +61,34 @@ final class PqStore(spark: SparkSession, val path: String,
       .write.partitionBy("cell").mode("append").parquet(path)
   }
 
+  /** Takedown on the COMPRESSED copy: a removed vector must leave every
+    * serving layout, not just the exact store. Same shape as
+    * [[IvfStore.removeMatching]]: the id set stays a Dataset (semi/anti
+    * joins, never through the driver), only the matched cells' code
+    * directories are rewritten ([[CellSwap]] staged swap), and cells
+    * left empty disappear.
+    */
+  def removeMatching(ids: DataFrame): Unit = {
+    requireQuantizerMatch("removeMatching")
+    CellSwap.requireClean(spark, path)
+    val idSet = ids.select("vec_id")
+    val store = spark.read.parquet(path)
+    val touched = store.join(idSet, Seq("vec_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt).sorted.toSeq
+    if (touched.isEmpty) return
+    CellSwap.swap(spark, path,
+      store.filter(col("cell").isin(touched: _*))
+        .join(idSet, Seq("vec_id"), "left_anti"),
+      touched)
+  }
+
   /** The cell-pruned code scan a query batch performs. */
-  def probedCodes(probeCells: Set[Int]): DataFrame =
+  def probedCodes(probeCells: Set[Int]): DataFrame = {
+    CellSwap.requireClean(spark, path) // torn swaps must fail reads loudly
     spark.read.parquet(path)
       .filter(col("cell").isin(probeCells.toSeq: _*))
+  }
 
   /** ADC cosine top-k per query vector over the probed cells only —
     * the [[Pq.searchTopKIvf]] semantics served from the persisted

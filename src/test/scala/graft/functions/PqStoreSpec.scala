@@ -60,6 +60,31 @@ class PqStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("removeMatching rewrites only matched cells; removed codes leave " +
+      "the serving layout") {
+    val emb = corpus
+    val (cb, coarse) = quantizers(emb)
+    val s = new PqStore(spark,
+      Files.createTempDirectory("pqstore-rm-").toString + "/v", cb, coarse)
+    s.write(emb)
+    // take down cluster-2's vectors (ids with i % 4 == 2)
+    val takedown = emb.filter($"vec_id" % 4 === 2).select("vec_id")
+    s.removeMatching(takedown)
+    val left = spark.read.parquet(s.path).select("vec_id").as[Long].collect()
+    assert(!left.exists(_ % 4 == 2) && left.length == 150)
+    // searches can never return a removed vector again
+    val got = s.searchTopK(emb.filter($"vec_id" === 2L), 10, nProbe = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.nonEmpty && !got.exists(_ % 4 == 2))
+    // equal to a store rebuilt without them
+    val rebuilt = new PqStore(spark,
+      Files.createTempDirectory("pqstore-rm-rebuilt-").toString + "/v",
+      cb, coarse)
+    rebuilt.write(emb.filter($"vec_id" % 4 =!= 2))
+    assert(topk(s.searchTopK(emb.filter($"vec_id" < 6), 5, nProbe = 4)) ==
+      topk(rebuilt.searchTopK(emb.filter($"vec_id" < 6), 5, nProbe = 4)))
+  }
+
   test("corrupt persisted quantizer files refuse loudly with provenance") {
     val emb = corpus
     val (cb, coarse) = quantizers(emb)
