@@ -59,13 +59,34 @@ object DotProduct {
 
   /** Primitive kernel shared by interpreted eval and generated code:
     * ArrayData.getDouble avoids materializing a scala Array per row.
+    *
+    * The [[Similarity]] kernels this is documented bit-equal to assume
+    * equal-length, non-null-element arrays — so those preconditions are
+    * ENFORCED, not papered over: a dimension mismatch throws (a silent
+    * min-length fold would score a truncated vector as if it were the
+    * real one), and a NULL element throws (ArrayData implementations
+    * disagree on what getDouble(null) even does — 0.0 on unsafe rows, an
+    * NPE on generic ones — so "defined by accident" is the alternative).
+    * A null ARRAY still yields SQL NULL via the nullSafeEval contract.
+    * The null-bit test is a branch that never mispredicts on clean data;
+    * q_ann_join's bench row guards the cost.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    var n = a.numElements()
-    if (b.numElements() < n) n = b.numElements()
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch — ${n} vs ${b.numElements()} " +
+          "elements (embeddings scored together must share one dimension)")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at index $i — a vector with missing " +
+            "dimensions cannot be scored; filter or impute upstream")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 

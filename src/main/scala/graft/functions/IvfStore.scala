@@ -5,15 +5,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.StoreManifest
+
 /** IVF-partitioned vector store: the PHYSICAL-layout half of [[Ivf]] —
   * embeddings persisted hive-partitioned by their coarse cell, norms
   * precomputed at write time. An ANN query then prunes at the STORAGE
-  * layer: its nProbe cells become a partition predicate
-  * (PartitionFilters, gated in IvfStoreSpec), so the scan lists and reads
-  * only nProbe/nCentroids of the corpus files — the DiskANN/IVF-on-
-  * object-storage serving shape. At 100 TB with 1024 cells and
-  * nProbe=8, a query batch touches <1% of the bytes, with zero index
-  * structures beyond the directory layout itself.
+  * layer: its nProbe cells select their `cell=N` directories' files out
+  * of the store MANIFEST (gated in IvfStoreSpec via inputFiles), so the
+  * scan lists and reads only nProbe/nCentroids of the corpus files — the
+  * DiskANN/IVF-on-object-storage serving shape. At 100 TB with 1024
+  * cells and nProbe=8, a query batch touches <1% of the bytes, with the
+  * manifest as the only index structure beyond the directory layout.
+  *
+  * Reads resolve the store's version ONCE per query through
+  * [[graft.sources.StoreManifest]]: maintenance publishes a new
+  * generation atomically, a racing reader sees either the complete old
+  * version or the complete new one, and a reader staler than the
+  * retention window fails LOUDLY — never a silently-short scan
+  * (ManifestStoreSpec pins all three).
   *
   * Same exactness anchor as [[Ivf]]: at full probe the cell predicate
   * admits everything and results equal [[Similarity.bruteForceTopK]]
@@ -138,8 +147,27 @@ final class IvfStore(spark: SparkSession, val path: String,
       .sortWithinPartitions(col("cell"), col("vec_id"))
   }
 
-  private def fs: org.apache.hadoop.fs.FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def cellDirs(cells: Seq[Int]): Set[String] =
+    cells.map(c => s"cell=$c").toSet
+
+  /** The current manifest — readers and maintainers resolve it once per
+    * operation; [[write]] is the only path that creates generation 1.
+    */
+  private def manifest(op: String): StoreManifest.Manifest =
+    StoreManifest.resolve(spark, path, op)
+
+  /** Scan of the current version, optionally pruned to a cell subset —
+    * pruning happens at the MANIFEST (file-list) layer, before Spark
+    * lists anything.
+    */
+  private def storeDf(m: StoreManifest.Manifest,
+      cells: Option[Seq[Int]] = None): DataFrame = {
+    val files = cells match {
+      case Some(cs) => m.filesUnder(cellDirs(cs))
+      case None => m.files
+    }
+    StoreManifest.read(spark, path, m, files)
+  }
 
   /** Build (or fully rebuild) the store and persist the quantizer
     * alongside it — the centroids ARE the layout, and a later maintainer
@@ -148,9 +176,22 @@ final class IvfStore(spark: SparkSession, val path: String,
     * handle whose centroids drifted from the persisted set.
     */
   def write(emb: DataFrame): Unit = {
-    indexed(emb).write.partitionBy("cell").mode("overwrite").parquet(path)
+    val assigned = indexed(emb)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
     IvfStore.saveCentroids(spark, path, centroids)
+    StoreManifest.publishInitial(spark, path, readSchema(assigned.schema))
   }
+
+  /** The read schema: the written frame's columns with `cell` typed as
+    * the partition column Spark derives from the `cell=N` path segment.
+    */
+  private def readSchema(written: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(written.fields.map { f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.IntegerType)
+      else f
+    })
 
   /** Drift guard for every incremental mutation: the handle's centroids
     * must be bit-identical to the persisted quantizer.
@@ -169,6 +210,27 @@ final class IvfStore(spark: SparkSession, val path: String,
         "retrain.")
   }
 
+  /** Delta schema guard shared by every ingest path: parquet refuses
+    * mixed element types across files in one store, and [[upsert]] must
+    * fail BEFORE its removal leg, so the check cannot live inside the
+    * write. (Nullability is a metadata detail the parquet round-trip
+    * rewrites; only the ELEMENT type decides file compatibility.)
+    */
+  private def requireDeltaCompatible(op: String,
+      m: StoreManifest.Manifest, delta: DataFrame): Unit = {
+    def elem(t: org.apache.spark.sql.types.DataType) = t match {
+      case a: org.apache.spark.sql.types.ArrayType => a.elementType
+      case other => other
+    }
+    val storedType = elem(m.schema("embedding").dataType)
+    val deltaType = elem(delta.schema("embedding").dataType)
+    require(deltaType == storedType,
+      s"$op: delta embedding element type $deltaType != store's " +
+        s"$storedType — cast the delta to the store's element type " +
+        "before appending (float->double widens exactly; a " +
+        "double-element store cannot accept float deltas implicitly)")
+  }
+
   /** Incremental maintenance: file a DELTA of new vectors into their
     * cells — touched cell directories gain one file set, untouched cells
     * are never read or written, and the store is never rebuilt. At 100 TB
@@ -180,39 +242,31 @@ final class IvfStore(spark: SparkSession, val path: String,
     */
   def append(delta: DataFrame): Unit = {
     requireQuantizerMatch("append")
-    requireNoInterruptedSwap(fs)
-    // parquet refuses mixed element types across files in one store
-    // (nullability is a metadata detail the parquet round-trip rewrites;
-    // only the ELEMENT type decides file compatibility)
-    def elem(t: org.apache.spark.sql.types.DataType) = t match {
-      case a: org.apache.spark.sql.types.ArrayType => a.elementType
-      case other => other
-    }
-    val storedType = elem(spark.read.parquet(path).schema("embedding").dataType)
-    val deltaType = elem(delta.schema("embedding").dataType)
-    require(deltaType == storedType,
-      s"append: delta embedding element type $deltaType != store's " +
-        s"$storedType — cast the delta to the store's element type " +
-        "before appending (float->double widens exactly; a " +
-        "double-element store cannot accept float deltas implicitly)")
-    indexed(delta).write.partitionBy("cell").mode("append").parquet(path)
+    val m = manifest("append")
+    requireDeltaCompatible("append", m, delta)
+    StoreManifest.commitSwap(spark, path, indexed(delta), "cell", Set.empty)
+    ()
   }
 
   /** Restart-safe delta fold: [[append]] minus rows whose vec_id the
     * store already holds — a replayed micro-batch (streaming restart
     * before the offset commit) re-offers vectors the previous run
     * already filed, and a plain append would double them. The existence
-    * check is a column-pruned anti-join against ONLY the touched cells'
-    * vec_id column, so the cost stays O(delta + touched-cell ids), never
-    * O(corpus). This is idempotence of vector IDENTITY, not upsert: a
-    * re-embedded vec_id keeps its stored vector ([[removeWhere]] it
-    * first to re-embed). A delta carrying the same vec_id twice is
-    * refused loudly — two embeddings for one id is a data error, and
-    * silently picking one would be layout-dependent.
+    * check is an anti-join against the STORE-WIDE vec_id column (column-
+    * pruned: O(corpus ids) bytes, never O(corpus) — ids are ~1% of a
+    * float-embedding store's bytes): a replayed vec_id must be dropped
+    * even when its RE-OFFERED embedding drifted into a different cell
+    * than the stored row, or the replay would leave two rows for one id.
+    * This is idempotence of vector IDENTITY, not upsert: a re-embedded
+    * vec_id keeps its STORED vector ([[upsert]] to re-embed). A delta
+    * carrying the same vec_id twice is refused loudly — two embeddings
+    * for one id is a data error, and silently picking one would be
+    * layout-dependent.
     */
   def appendIdempotent(delta: DataFrame): Unit = {
     requireQuantizerMatch("appendIdempotent")
-    requireNoInterruptedSwap(fs)
+    val m = manifest("appendIdempotent")
+    requireDeltaCompatible("appendIdempotent", m, delta)
     val assigned = indexed(delta)
     val Array(n, d) = assigned
       .agg(count(lit(1)), countDistinct(col("vec_id")))
@@ -222,14 +276,13 @@ final class IvfStore(spark: SparkSession, val path: String,
         "embeddings for one id is a data error (removeWhere + append to " +
         "re-embed)")
     if (n == 0) return
-    val touched = assigned.select("cell").distinct()
-      .collect().map(_.get(0).toString.toInt).sorted.toSeq
-    val existing = spark.read.parquet(path)
-      .filter(col("cell").isin(touched: _*)).select("vec_id")
-    assigned.join(existing, Seq("vec_id"), "left_anti")
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.partitionBy("cell").mode("append").parquet(path)
+    val existing = storeDf(m).select("vec_id")
+    StoreManifest.commitSwap(spark, path,
+      assigned.join(existing, Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id")),
+      "cell", Set.empty)
+    ()
   }
 
   /** Maintain the store from a streaming embedding feed — each
@@ -247,19 +300,25 @@ final class IvfStore(spark: SparkSession, val path: String,
         appendIdempotent(batch)
       }
 
-  /** Incremental removal: drop every stored vector matching `pred`,
-    * rewriting ONLY the cell directories that hold a match. The discovery
-    * pass is column-pruned to (vec_id, cell); cells left empty simply
-    * disappear (their live directory moves out and nothing moves in).
+  /** Incremental removal: drop every stored vector where `pred` is TRUE,
+    * rewriting ONLY the cell directories that hold a match. Under SQL
+    * three-valued logic a predicate can evaluate to NULL on a row;
+    * removal treats NULL as "not matched" SYMMETRICALLY — discovery and
+    * rewrite both go through `coalesce(pred, false)`, so a NULL-pred row
+    * survives whether or not it shares a cell with a TRUE-pred row (a
+    * bare `!pred` keep-filter would silently drop NULL rows in touched
+    * cells while identical rows in untouched cells survived —
+    * layout-dependent data loss). The discovery pass is column-pruned;
+    * cells left empty simply disappear from the manifest.
     */
   def removeWhere(pred: org.apache.spark.sql.Column): Unit = {
     requireQuantizerMatch("removeWhere")
-    requireNoInterruptedSwap(fs)
-    val store = spark.read.parquet(path)
-    val touched = store.filter(pred).select("cell").distinct()
+    val m = manifest("removeWhere")
+    val matched = coalesce(pred, lit(false))
+    val touched = storeDf(m).filter(matched).select("cell").distinct()
       .collect().map(_.get(0).toString.toInt).sorted.toSeq
     if (touched.isEmpty) return
-    swapCells(store.filter(col("cell").isin(touched: _*) && !pred), touched)
+    swapCells(m, storeDf(m, Some(touched)).filter(!matched), touched)
   }
 
   /** Set-removal twin of [[removeWhere]] for an id SET that lives in a
@@ -270,16 +329,14 @@ final class IvfStore(spark: SparkSession, val path: String,
     */
   def removeMatching(ids: DataFrame): Unit = {
     requireQuantizerMatch("removeMatching")
-    requireNoInterruptedSwap(fs)
+    val m = manifest("removeMatching")
     val idSet = ids.select("vec_id")
-    val store = spark.read.parquet(path)
-    val touched = store.join(idSet, Seq("vec_id"), "left_semi")
+    val touched = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
       .select("cell").distinct()
       .collect().map(_.get(0).toString.toInt).sorted.toSeq
     if (touched.isEmpty) return
-    swapCells(
-      store.filter(col("cell").isin(touched: _*))
-        .join(idSet, Seq("vec_id"), "left_anti"),
+    swapCells(m,
+      storeDf(m, Some(touched)).join(idSet, Seq("vec_id"), "left_anti"),
       touched)
   }
 
@@ -288,32 +345,59 @@ final class IvfStore(spark: SparkSession, val path: String,
     * ids, then [[append]]. Cost is O(delta + touched cells), and the
     * delta's NEW embeddings decide the new cell assignments (a vector may
     * move cells when its embedding moved).
+    *
+    * The delta is VALIDATED FIRST (element type, duplicate ids): every
+    * refusal an upsert can raise fires before the removal leg runs, so a
+    * refused upsert leaves the store untouched. The two legs are still
+    * two manifest generations, not one atomic swap — a crash BETWEEN them
+    * leaves the delta's ids removed but not yet re-added (each generation
+    * itself is complete and consistent; no reader ever sees a torn scan).
+    * Recovery is to re-run the SAME upsert: removeMatching finds nothing,
+    * append refiles the delta.
     */
   def upsert(delta: DataFrame): Unit = {
+    requireQuantizerMatch("upsert")
+    val m = manifest("upsert")
+    requireDeltaCompatible("upsert", m, delta)
+    val Array(n, d) = delta
+      .agg(count(lit(1)), countDistinct(col("vec_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == d,
+      s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
+        "for one id is a data error")
     removeMatching(delta)
     append(delta)
   }
 
-  /** Defragmentation after many [[append]]s: rewrite every cell directory
-    * holding more than `maxFilesPerCell` parquet files into a fresh file
-    * set — only fragmented cells are read or written. Contents are
-    * preserved exactly; only the file layout changes.
+  /** Defragmentation after many [[append]]s: rewrite every cell holding
+    * more than `maxFilesPerCell` parquet files into a fresh file set —
+    * fragmentation is read straight off the MANIFEST (no directory
+    * listing), and only fragmented cells are read or written. Contents
+    * are preserved exactly; only the file layout changes.
     */
   def compactCells(maxFilesPerCell: Int = 4): Unit = {
     requireQuantizerMatch("compactCells")
-    val f = fs
-    requireNoInterruptedSwap(f)
-    val fragmented = f.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .filter(s => f.listStatus(s.getPath)
-        .count(x => x.isFile && x.getPath.getName.endsWith(".parquet")) >
-        maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted.toSeq
+    val m = manifest("compactCells")
+    val fragmented = m.files.groupBy(f => f.split('/').head)
+      .collect { case (dir, fs) if dir.startsWith("cell=") &&
+          fs.size > maxFilesPerCell =>
+        dir.stripPrefix("cell=").toInt }
+      .toSeq.sorted
     if (fragmented.isEmpty) return
-    swapCells(
-      spark.read.parquet(path).filter(col("cell").isin(fragmented: _*)),
-      fragmented)
+    swapCells(m, storeDf(m, Some(fragmented)), fragmented)
   }
+
+  /** Reclaim files no retained manifest references — garbage stranded by
+    * a CRASHED mutation. Run from the (single) maintainer only.
+    */
+  def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+
+  /** The current version's full contents — the ONLY correct way to scan
+    * the store outside a probe: a raw `spark.read.parquet(path)` would
+    * also pick up the previous generation's retained files (reader
+    * isolation) and any crashed-mutation garbage.
+    */
+  def contents(): DataFrame = storeDf(manifest("contents"))
 
   /** DISTRIBUTED ANN join — cosine top-k for a query set too large to
     * collect ([[searchTopK]] broadcasts the batch; this is the
@@ -333,7 +417,7 @@ final class IvfStore(spark: SparkSession, val path: String,
   def searchTopKJoin(queries: DataFrame, k: Int, nProbe: Int,
       salt: Int = 4): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    requireNoInterruptedSwap(fs)
+    val m = manifest("searchTopKJoin")
     import spark.implicits._
     val cb = spark.sparkContext.broadcast(centroids)
     val nP = math.min(nProbe, centroids.length)
@@ -346,7 +430,7 @@ final class IvfStore(spark: SparkSession, val path: String,
         }
       }.toDF("q_id", "q_vec", "q_norm", "cell")
       .withColumn("s", explode(lit((0 until salt).toArray)))
-    val cand = spark.read.parquet(path)
+    val cand = storeDf(m)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("norm"), col("cell").cast("int").as("cell"))
       .withColumn("s", pmod(hash(col("vec_id")), lit(salt)))
@@ -369,20 +453,24 @@ final class IvfStore(spark: SparkSession, val path: String,
       .select(col("q_id"), col("rk"), col("neighbor_id"), col("cos"))
   }
 
-  /** Staged cell swap — see [[CellSwap]] (shared with [[PqStore]]). */
-  private def swapCells(replacement: DataFrame, affected: Seq[Int]): Unit =
-    CellSwap.swap(spark, path, replacement, affected)
+  /** Staged cell swap: replacement rows land as new files, manifest
+    * publish flips the version atomically — see [[StoreManifest]].
+    */
+  private def swapCells(m: StoreManifest.Manifest, replacement: DataFrame,
+      affected: Seq[Int]): Unit = {
+    StoreManifest.commitSwap(spark, path,
+      replacement.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id")),
+      "cell", cellDirs(affected))
+    ()
+  }
 
-  private def requireNoInterruptedSwap(f: org.apache.hadoop.fs.FileSystem): Unit =
-    CellSwap.requireClean(spark, path)
-
-  /** The cell-pruned read an nProbe query batch performs. */
+  /** The cell-pruned read an nProbe query batch performs — files selected
+    * from the current manifest, no directory listing.
+    */
   def probedCorpus(probeCells: Set[Int]): DataFrame = {
-    // a crashed swap must fail the next READ loudly, not silently serve
-    // a store with whole cells missing (bucketed-store read guard)
-    requireNoInterruptedSwap(fs)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val m = manifest("probedCorpus")
+    storeDf(m, Some(probeCells.toSeq))
   }
 
   /** Cosine top-k per query vector, probing each query's nProbe nearest

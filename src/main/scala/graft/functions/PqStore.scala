@@ -5,16 +5,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.StoreManifest
+
 /** Persisted IVF-PQ serving store — the compressed twin of [[IvfStore]]
   * and the true 100 TB ANN serving layout: PQ CODES (m bytes + one
   * reconstruction norm per vector, a 32x-64x compression of a float
   * corpus) persisted hive-partitioned by coarse IVF cell. A query batch
   * then pays:
-  *   - directory pruning to its nProbe cells (PartitionFilters, same
-  *     storage-layer gate as [[IvfStore]]),
+  *   - manifest-side pruning to its nProbe cells' files (the
+  *     [[StoreManifest]] read path shared with [[IvfStore]] — no
+  *     directory listing, atomic version flips under maintenance),
   *   - an ADC scan of the pruned codes — m one-byte table lookups per
   *     scored vector, never a float-vector read.
-  * The float corpus is read exactly once, at [[write]] time.
+  * The float corpus is read exactly once per vector, at ingest time.
+  *
+  * Maintenance parity with [[IvfStore]]: [[append]] files deltas
+  * O(delta) with the FROZEN quantizers, [[appendIdempotent]] +
+  * [[replicate]] make streaming replay converge instead of duplicating,
+  * [[upsert]] re-encodes changed vectors, [[removeMatching]] serves
+  * takedowns, [[compactCells]] defragments — a compressed serving copy
+  * needs the same restart-safe convergence story as the exact one, or
+  * replication to it becomes the pipeline's weak link.
   *
   * Both quantizers persist WITH the store as exact binary64 bit patterns
   * (the [[IvfStore]] discipline): the coarse centroids ARE the directory
@@ -23,8 +34,8 @@ import org.apache.spark.sql.functions._
   * vectors into cells the probe logic never visits, or decode bytes
   * against the wrong centroid tables. Same exactness anchor as [[Pq]]:
   * at full probe the store answers exactly like [[Pq.searchTopK]] over
-  * the same codebooks (spec-enforced + oracle q_pq_store_topk on the
-  * exact-reconstruction corpus).
+  * the same codebooks (spec-enforced + oracles q_pq_store_topk /
+  * q_pq_store_stream on the exact-reconstruction corpus).
   */
 final class PqStore(spark: SparkSession, val path: String,
     cb: Pq.Codebooks, coarse: Array[Array[Double]]) {
@@ -36,15 +47,47 @@ final class PqStore(spark: SparkSession, val path: String,
   private def fs: org.apache.hadoop.fs.FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Encode + assign + persist, and save both quantizers alongside. */
-  def write(emb: DataFrame): Unit = {
-    Pq.encode(emb, cb).join(Ivf.assign(emb, coarse), "vec_id")
+  private def manifest(op: String): StoreManifest.Manifest =
+    StoreManifest.resolve(spark, path, op)
+
+  private def cellDirs(cells: Seq[Int]): Set[String] =
+    cells.map(c => s"cell=$c").toSet
+
+  private def storeDf(m: StoreManifest.Manifest,
+      cells: Option[Seq[Int]] = None): DataFrame = {
+    val files = cells match {
+      case Some(cs) => m.filesUnder(cellDirs(cs))
+      case None => m.files
+    }
+    StoreManifest.read(spark, path, m, files)
+  }
+
+  /** The encode + coarse-assign projection every ingest path shares:
+    * codes from the frozen codebooks, cell from the frozen coarse
+    * quantizer, cell-clustered layout.
+    */
+  private def encoded(delta: DataFrame): DataFrame =
+    Pq.encode(delta, cb).join(Ivf.assign(delta, coarse), "vec_id")
       .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  private def readSchema(written: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(written.fields.map { f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.IntegerType)
+      else f
+    })
+
+  /** Encode + assign + persist, and save both quantizers alongside. */
+  def write(emb: DataFrame): Unit = {
+    val enc = encoded(emb)
+    enc.write.partitionBy("cell").mode("overwrite").parquet(path)
     IvfStore.saveCentroids(spark, path, coarse)
     saveCodebooks()
+    StoreManifest.publishInitial(spark, path, readSchema(enc.schema))
+    ()
   }
 
   /** Incremental fold: encode a DELTA with the persisted (frozen)
@@ -53,41 +96,130 @@ final class PqStore(spark: SparkSession, val path: String,
     */
   def append(delta: DataFrame): Unit = {
     requireQuantizerMatch("append")
-    CellSwap.requireClean(spark, path)
-    Pq.encode(delta, cb).join(Ivf.assign(delta, coarse), "vec_id")
-      .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.partitionBy("cell").mode("append").parquet(path)
+    manifest("append")
+    StoreManifest.commitSwap(spark, path, encoded(delta), "cell", Set.empty)
+    ()
+  }
+
+  /** Restart-safe delta fold — [[append]] minus rows whose vec_id the
+    * store already holds (the [[IvfStore.appendIdempotent]] contract):
+    * the existence check anti-joins the STORE-WIDE vec_id column
+    * (column-pruned — ids are a sliver of even the compressed store's
+    * bytes), so a replayed vec_id is dropped even when its re-offered
+    * embedding would encode into a different cell. Idempotence of vector
+    * IDENTITY, not upsert; duplicate ids within one delta refuse loudly.
+    */
+  def appendIdempotent(delta: DataFrame): Unit = {
+    requireQuantizerMatch("appendIdempotent")
+    val m = manifest("appendIdempotent")
+    val Array(n, d) = delta
+      .agg(count(lit(1)), countDistinct(col("vec_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == d,
+      s"appendIdempotent: delta carries ${n - d} duplicate vec_ids — two " +
+        "embeddings for one id is a data error (upsert to re-embed)")
+    if (n == 0) return
+    val existing = storeDf(m).select("vec_id")
+    val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
+    StoreManifest.commitSwap(spark, path, encoded(fresh), "cell", Set.empty)
+    ()
+  }
+
+  /** Maintain the compressed copy from a streaming embedding feed — each
+    * micro-batch one [[appendIdempotent]], so checkpoint-restart replay
+    * converges instead of duplicating. Caller `.start()`s the writer.
+    */
+  def replicate(stream: DataFrame, checkpoint: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendIdempotent(batch)
+      }
+
+  /** Re-embedding fold: [[removeMatching]] the delta's ids, then
+    * re-encode and [[append]] — the delta's NEW embeddings decide both
+    * the new codes and the new cells. Validation (duplicate ids) runs
+    * FIRST so a refused upsert leaves the store untouched; the two legs
+    * are two manifest generations (each complete — no reader ever sees a
+    * torn scan), and a crash between them is repaired by re-running the
+    * SAME upsert.
+    */
+  def upsert(delta: DataFrame): Unit = {
+    requireQuantizerMatch("upsert")
+    manifest("upsert")
+    val Array(n, d) = delta
+      .agg(count(lit(1)), countDistinct(col("vec_id")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == d,
+      s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
+        "for one id is a data error")
+    removeMatching(delta)
+    append(delta)
   }
 
   /** Takedown on the COMPRESSED copy: a removed vector must leave every
     * serving layout, not just the exact store. Same shape as
     * [[IvfStore.removeMatching]]: the id set stays a Dataset (semi/anti
     * joins, never through the driver), only the matched cells' code
-    * directories are rewritten ([[CellSwap]] staged swap), and cells
-    * left empty disappear.
+    * files are replaced (manifest swap — atomic version flip), and
+    * cells left empty disappear.
     */
   def removeMatching(ids: DataFrame): Unit = {
     requireQuantizerMatch("removeMatching")
-    CellSwap.requireClean(spark, path)
+    val m = manifest("removeMatching")
     val idSet = ids.select("vec_id")
-    val store = spark.read.parquet(path)
-    val touched = store.join(idSet, Seq("vec_id"), "left_semi")
+    val touched = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
       .select("cell").distinct()
       .collect().map(_.get(0).toString.toInt).sorted.toSeq
     if (touched.isEmpty) return
-    CellSwap.swap(spark, path,
-      store.filter(col("cell").isin(touched: _*))
-        .join(idSet, Seq("vec_id"), "left_anti"),
-      touched)
+    StoreManifest.commitSwap(spark, path,
+      storeDf(m, Some(touched))
+        .join(idSet, Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id")),
+      "cell", cellDirs(touched))
+    ()
   }
 
-  /** The cell-pruned code scan a query batch performs. */
+  /** Defragmentation after many [[append]]s — fragmentation read off the
+    * MANIFEST, only fragmented cells rewritten; contents preserved
+    * exactly ([[IvfStore.compactCells]] twin).
+    */
+  def compactCells(maxFilesPerCell: Int = 4): Unit = {
+    requireQuantizerMatch("compactCells")
+    val m = manifest("compactCells")
+    val fragmented = m.files.groupBy(f => f.split('/').head)
+      .collect { case (dir, fs) if dir.startsWith("cell=") &&
+          fs.size > maxFilesPerCell =>
+        dir.stripPrefix("cell=").toInt }
+      .toSeq.sorted
+    if (fragmented.isEmpty) return
+    StoreManifest.commitSwap(spark, path,
+      storeDf(m, Some(fragmented))
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id")),
+      "cell", cellDirs(fragmented))
+    ()
+  }
+
+  /** Reclaim files no retained manifest references (crashed-mutation
+    * garbage). Run from the (single) maintainer only.
+    */
+  def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+
+  /** The current version's full contents (codes + norms + cells) — see
+    * [[IvfStore.contents]] for why a raw directory read is wrong.
+    */
+  def contents(): DataFrame = storeDf(manifest("contents"))
+
+  /** The cell-pruned code scan a query batch performs — files selected
+    * from the current manifest, no directory listing.
+    */
   def probedCodes(probeCells: Set[Int]): DataFrame = {
-    CellSwap.requireClean(spark, path) // torn swaps must fail reads loudly
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val m = manifest("probedCodes")
+    storeDf(m, Some(probeCells.toSeq))
   }
 
   /** ADC cosine top-k per query vector over the probed cells only —

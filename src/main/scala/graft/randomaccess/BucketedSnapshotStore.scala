@@ -1,12 +1,12 @@
 package graft.randomaccess
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.StreamElement
 import graft.functions.Hash60
 import graft.operators.LatestWithTombstones
+import graft.sources.StoreManifest
 
 /** Key-bucketed materialization of a compacted snapshot — the Spark-native
   * analog of the reference's random-access families (Cassandra/HBase in
@@ -14,13 +14,26 @@ import graft.operators.LatestWithTombstones
   * a pre-compacted store whose physical layout serves point lookups.
   *
   * Layout: hive-partitioned by `kb = hash60(key) % buckets`, key-sorted
-  * within each bucket. A `get(key)` then costs:
-  *   - directory pruning to ONE bucket (Catalyst PartitionFilters — the
-  *     scan lists 1/buckets of the store, gated in BucketedSnapshotSpec),
+  * within each bucket, versioned by a [[graft.sources.StoreManifest]].
+  * A `get(key)` then costs:
+  *   - manifest-side pruning to ONE bucket's files (no directory
+  *     listing — the lookup reads 1/buckets of the store, gated in
+  *     BucketedSnapshotSpec via inputFiles),
   *   - row-group pruning on the sorted `key` column inside that bucket,
   *   - zero aggregation — the store IS the snapshot, so a lookup is a
   *     pure pruned scan, not a compaction (contrast
   *     [[RandomAccessReader]], which compacts the changelog per lookup).
+  *
+  * Every read resolves the manifest once: maintenance publishes a new
+  * generation in one atomic rename, so a reader racing a [[refresh]]
+  * sees either the complete old version or the complete new one —
+  * replaced files outlive their manifest one retained generation, and a
+  * reader staler than that fails LOUDLY (FileNotFound), never silently
+  * short (the r13 in-place directory swap had a silent-miss window
+  * between its two renames; ManifestStoreSpec pins the new contract).
+  * A crashed mutation leaves the last published version serving and
+  * some unreferenced garbage ([[StoreManifest.vacuum]]) — there is no
+  * refusal state, so availability survives a dead maintainer.
   *
   * Maintenance: [[refresh]] folds a changelog delta by rewriting ONLY the
   * buckets whose keys the delta touches — at 256 buckets, a delta
@@ -48,12 +61,15 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
   }
 
   /** Materialize a compacted snapshot as the store's full contents. */
-  def write(snapshot: Dataset[StreamElement]): Unit =
+  def write(snapshot: Dataset[StreamElement]): Unit = {
     snapshot.toDF()
       .withColumn("kb", bucketCol(col("key")))
       .repartition(col("kb"))
       .sortWithinPartitions(col("kb"), col("key"), col("attribute"))
       .write.partitionBy("kb").mode("overwrite").parquet(path)
+    StoreManifest.publishInitial(spark, path, readSchema)
+    ()
+  }
 
   private def asElements(df: DataFrame): Dataset[StreamElement] =
     df.drop("kb").as[StreamElement](StreamElement.encoder)
@@ -67,87 +83,76 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
       org.apache.spark.sql.types.StructField("kb",
         org.apache.spark.sql.types.LongType))
 
-  private def readDf: DataFrame = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // reads guard the swap invariant too: a crash inside swapBuckets
-    // (live bucket moved to trash, staged not yet moved in) must fail
-    // the NEXT READ loudly, not silently serve a store with whole
-    // buckets missing until some later mutation hits its own guard.
-    // The monitor's scope is EXACTLY the marker check: a same-process
-    // guard racing a healthy in-flight swap (the replicate() flow)
-    // waits for the swap instead of spuriously reporting it
-    // interrupted; only a CRASHED swap's leftover markers — no monitor
-    // holder — trip it. It does NOT serialize the lazy scan itself: a
-    // DataFrame built before a swap and materialized during it can
-    // still observe the mid-swap layout (the store's pre-existing
-    // contract is per-BUCKET atomicity, not whole-store isolation —
-    // quiesce reads across refresh, as replicate's serial foreachBatch
-    // does, when whole-store consistency matters). A reader in a
-    // DIFFERENT process (or a second store instance on the same path)
-    // shares no monitor and can see a healthy swap's transient
-    // markers; treat the error as retryable there.
-    this.synchronized(requireNoInterruptedSwap(fs))
-    // a store nothing was ever written to is a legitimately empty store
-    if (!fs.exists(p))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-    else spark.read.schema(readSchema).parquet(path)
-  }
-
-  private def requireNoInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem): Unit =
-    require(!fs.exists(new Path(path + "_staging")) &&
-        !fs.exists(new Path(path + "/_swap_trash")),
-      s"interrupted store swap detected: resolve ${path}_staging / " +
-        s"$path/_swap_trash before using this store (all cells are " +
-        "preserved there)")
+  /** Current-version scan, optionally pruned to a bucket subset at the
+    * manifest (file-list) layer. A store nothing was ever written to is
+    * a legitimately empty store.
+    */
+  private def readDf(kbs: Option[Seq[Long]] = None): DataFrame =
+    StoreManifest.current(spark, path) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      case Some(m) =>
+        val files = kbs match {
+          case Some(bs) => m.filesUnder(bs.map(b => s"kb=$b").toSet)
+          case None => m.files
+        }
+        StoreManifest.read(spark, path, m, files)
+    }
 
   /** The live snapshot view (all buckets, tombstones hidden). */
   def snapshot(): Dataset[StreamElement] =
-    asElements(readDf.filter(!col("delete")))
+    asElements(readDf().filter(!col("delete")))
 
   /** Raw store contents including retained tombstones. */
-  def contents(): Dataset[StreamElement] = asElements(readDf)
+  def contents(): Dataset[StreamElement] = asElements(readDf())
+
+  /** The bucket-pruned scan a point lookup performs — exposed for the
+    * pruning gate in BucketedSnapshotSpec (files are selected from the
+    * manifest; the spec asserts inputFiles ⊆ the key's bucket).
+    */
+  private[randomaccess] def lookupScan(key: String): DataFrame =
+    readDf(Some(Seq(bucketOf(key))))
 
   /** Point lookup: bucket-pruned, aggregate-free scan. */
   def get(key: String, attribute: String): Option[StreamElement] =
-    asElements(readDf
-        .filter(col("kb") === bucketOf(key) && col("key") === key &&
+    asElements(lookupScan(key)
+        .filter(col("key") === key &&
           col("attribute") === attribute && !col("delete")))
       .collect().headOption
 
   /** Batched lookups: the key set prunes to its bucket set. */
   def multiFetch(keys: Seq[String], attribute: String): Map[String, StreamElement] = {
     val kbs = keys.map(bucketOf).distinct
-    asElements(readDf
-        .filter(col("kb").isin(kbs: _*) && col("key").isin(keys: _*) &&
+    asElements(readDf(Some(kbs))
+        .filter(col("key").isin(keys: _*) &&
           col("attribute") === attribute && !col("delete")))
       .collect().map(e => e.key -> e).toMap
   }
 
   /** All live attributes of a key (scanWildcardAll shape). */
   def scan(key: String): Seq[StreamElement] =
-    asElements(readDf
-        .filter(col("kb") === bucketOf(key) && col("key") === key &&
-          !col("delete")))
+    asElements(readDf(Some(Seq(bucketOf(key))))
+        .filter(col("key") === key && !col("delete")))
       .collect().sortBy(_.attribute).toSeq
 
   /** Fold a changelog delta into the store, rewriting only the buckets
     * the delta's keys touch. No ordering precondition: the store retains
     * tombstones, so the per-bucket re-compaction over (existing ∪ delta)
     * is a semigroup fold — late elements resolve exactly as they would
-    * in a full compaction (SnapshotLaws property). Affected bucket
-    * directories are replaced per-bucket: merged contents are staged,
-    * then each stale directory is swapped. Untouched buckets are never
-    * read or written.
+    * in a full compaction (SnapshotLaws property). Affected buckets are
+    * replaced in one atomic manifest publish; untouched buckets are
+    * never read or written. A refresh into a never-written store
+    * bootstraps it (the replicate-to-fresh-path flow).
     */
-  def refresh(delta: Dataset[StreamElement]): Unit = {
+  def refresh(delta: Dataset[StreamElement]): Unit = this.synchronized {
+    if (StoreManifest.current(spark, path).isEmpty)
+      StoreManifest.publishInitial(spark, path, readSchema)
     val withKb = delta.toDF().withColumn("kb", bucketCol(col("key")))
     val affected = withKb.select("kb").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
-    val existing = asElements(
-      readDf.filter(col("kb").isin(affected: _*)))
+    val existing = asElements(readDf(Some(affected.toSeq)))
     swapBuckets(
       LatestWithTombstones.compactRetaining(existing.unionByName(delta)),
       affected)
@@ -159,13 +164,13 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * rewritten. After expiry, a delta element older than the horizon may
     * resurrect its cell — the documented log-compaction contract.
     */
-  def expireTombstones(horizonUs: Long): Unit = {
+  def expireTombstones(horizonUs: Long): Unit = this.synchronized {
     val expired = col("delete") && col("stamp") < horizonUs
-    val affected = readDf.filter(expired).select("kb").distinct()
+    val affected = readDf().filter(expired).select("kb").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
     swapBuckets(
-      asElements(readDf.filter(col("kb").isin(affected: _*) && !expired)),
+      asElements(readDf(Some(affected.toSeq)).filter(!expired)),
       affected)
   }
 
@@ -186,33 +191,26 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
         refresh(batch)
       }
 
-  /** Stage `merged` (keys restricted to `affected` buckets) and swap each
-    * affected directory; a bucket with no staged contents is legitimately
-    * empty and just gets removed. Crash-safe: old bucket dirs MOVE into
-    * an underscore-prefixed trash dir (invisible to the reads, atomic
-    * per rename) and trash is deleted LAST, so an interruption at any
-    * point preserves every cell on disk and the next mutation refuses
-    * loudly until resolved.
+  /** Reclaim files no retained manifest references (crashed-mutation
+    * garbage). Run from the (single) maintainer only.
+    */
+  def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+
+  /** Replace the affected buckets' contents with `merged` in one atomic
+    * manifest publish ([[StoreManifest.commitSwap]]): new files are
+    * staged and moved in invisibly, the publish rename flips every
+    * future reader to the new version, and the displaced files survive
+    * one retained generation for readers mid-scan. Crash at any point
+    * leaves the previous version serving.
     */
   private def swapBuckets(merged: Dataset[StreamElement],
-      affected: Seq[Long]): Unit = this.synchronized {
-    val staging = path + "_staging"
-    val trash = path + "/_swap_trash"
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireNoInterruptedSwap(fs)
-    merged.toDF()
-      .withColumn("kb", bucketCol(col("key")))
-      .repartition(col("kb"))
-      .sortWithinPartitions(col("kb"), col("key"), col("attribute"))
-      .write.partitionBy("kb").mode("overwrite").parquet(staging)
-    fs.mkdirs(new Path(trash))
-    affected.foreach { kb =>
-      val live = new Path(s"$path/kb=$kb")
-      val staged = new Path(s"$staging/kb=$kb")
-      if (fs.exists(live)) fs.rename(live, new Path(s"$trash/kb=$kb"))
-      if (fs.exists(staged)) fs.rename(staged, live)
-    }
-    fs.delete(new Path(staging), true)
-    fs.delete(new Path(trash), true)
+      affected: Seq[Long]): Unit = {
+    StoreManifest.commitSwap(spark, path,
+      merged.toDF()
+        .withColumn("kb", bucketCol(col("key")))
+        .repartition(col("kb"))
+        .sortWithinPartitions(col("kb"), col("key"), col("attribute")),
+      "kb", affected.map(b => s"kb=$b").toSet)
+    ()
   }
 }

@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Generation-numbered file manifests for the partition-directory serving
+  * stores ([[graft.functions.IvfStore]], [[graft.functions.PqStore]],
+  * [[graft.randomaccess.BucketedSnapshotStore]]) — the version-pointer
+  * read path that makes staged maintenance safe under concurrent reads.
+  *
+  * The r13 staged swap renamed live directories in place, which left a
+  * window where a reader listing files BETWEEN a cell's two renames
+  * silently missed that cell's rows. Here the manifest is the single
+  * source of truth: readers never list directories at all — they resolve
+  * the highest `_manifest.N` once per query and scan exactly its file
+  * list. A mutation stages new files, MOVES them into the live layout
+  * under their (job-unique) names, then publishes manifest N+1 in one
+  * atomic rename; until that instant every reader resolves N and sees the
+  * complete old version. Replaced files outlive their manifest by
+  * `retainGens` generations, so a reader racing one maintenance batch
+  * still reads its resolved version COMPLETELY; a reader older than the
+  * retention window fails LOUDLY (FileNotFound) — never silently short.
+  *
+  * Crash safety is free: nothing a mutation does before its publish
+  * rename is visible to any reader (staging dirs are `_`-prefixed,
+  * moved-but-unpublished files are not in any manifest), so a crash at
+  * ANY point leaves the store serving its last published version with
+  * some unreferenced garbage — reclaimed by [[vacuum]], never by a
+  * reader-visible repair step. There is no "interrupted swap" refusal
+  * state anymore; availability survives a dead maintainer.
+  *
+  * Scale: a manifest is one line per data file — metadata-proportional,
+  * O(corpus files) text once per mutation, while the data moved stays
+  * O(delta). At 100 TB / 128 MB files that is ~1M lines (~100 MB), the
+  * same order as the file listing any engine must hold to plan a scan;
+  * shard the manifest per partition directory if that ever dominates.
+  */
+private[graft] object StoreManifest {
+
+  /** One published store version: its generation, the read schema
+    * (partition column included — empty stores stay readable), and the
+    * data files as store-relative paths (`cell=3/part-...parquet`).
+    */
+  final case class Manifest(gen: Long, schema: StructType, files: Seq[String]) {
+    def filesUnder(dirs: Set[String]): Seq[String] =
+      files.filter(f => dirs.contains(dirOf(f)))
+  }
+
+  private def dirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  private val ManifestPrefix = "_manifest."
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(path: String, gen: Long): Path =
+    new Path(path, f"$ManifestPrefix$gen%020d")
+
+  private def listGens(fs: FileSystem, path: String): Seq[Long] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toLong)
+      .sorted
+  }
+
+  /** The store's current version, if any manifest was ever published. */
+  def current(spark: SparkSession, path: String): Option[Manifest] = {
+    val fs = fsOf(spark, path)
+    listGens(fs, path).lastOption.map(g => load(fs, path, g))
+  }
+
+  /** [[current]] or a loud refusal naming the fix — maintenance and reads
+    * of a manifest-less path must not guess at a directory listing.
+    */
+  def resolve(spark: SparkSession, path: String, op: String): Manifest =
+    current(spark, path).getOrElse(throw new IllegalStateException(
+      s"$op: no published manifest at $path — not a manifest store " +
+        "(or written by a pre-manifest version); rebuild with write()"))
+
+  private def load(fs: FileSystem, path: String, gen: Long): Manifest = {
+    val in = fs.open(manifestPath(path, gen))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n")
+    // the manifest IS the store's read path: corrupt metadata must refuse
+    // with provenance, not serve a partial file list
+    val schema =
+      try DataType.fromJson(lines.head).asInstanceOf[StructType]
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"corrupt manifest ${manifestPath(path, gen)} — the file is the " +
+            "store's read path; restore it or rebuild with write()", e)
+      }
+    Manifest(gen, schema, lines.tail.filter(_.nonEmpty).toSeq)
+  }
+
+  /** Publish `files` as generation `expectedGen + 1` — one atomic rename
+    * flips every future reader to the new version. The rename target is
+    * fresh, so two concurrent maintainers cannot both succeed: the loser
+    * fails LOUDLY here (single-writer is enforced, not assumed). Old
+    * manifests beyond `retainGens` are retired and the data files only
+    * they referenced are deleted — which is what bounds how stale a
+    * still-running reader can be before failing loudly.
+    */
+  def publish(spark: SparkSession, path: String, schema: StructType,
+      files: Seq[String], expectedGen: Long, retainGens: Int = 2): Manifest = {
+    require(retainGens >= 1, s"retainGens must be >= 1, got $retainGens")
+    val fs = fsOf(spark, path)
+    val gen = expectedGen + 1
+    val target = manifestPath(path, gen)
+    if (fs.exists(target))
+      throw new IllegalStateException(
+        s"concurrent maintenance detected at $path: manifest gen $gen " +
+          "already exists — this store is single-writer; re-resolve and retry")
+    val tmp = new Path(path, s"_manifest_tmp_${UUID.randomUUID()}")
+    val sorted = files.sorted
+    val body = (schema.json +: sorted).mkString("\n")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent maintenance detected at $path: publishing manifest " +
+          s"gen $gen lost the rename race — this store is single-writer; " +
+          "re-resolve and retry")
+    }
+    // retire generations beyond the retention window and reclaim the data
+    // files ONLY they referenced (precise set difference — no directory
+    // listing, so unrelated garbage is never touched here; see vacuum)
+    val gens = listGens(fs, path)
+    val (retire, keep) = gens.partition(_ <= gen - retainGens)
+    if (retire.nonEmpty) {
+      val kept = (keep.map(g => load(fs, path, g).files) :+ files)
+        .flatten.toSet
+      retire.foreach { g =>
+        val m = load(fs, path, g)
+        m.files.filterNot(kept).foreach(f =>
+          fs.delete(new Path(path, f), false))
+        fs.delete(manifestPath(path, g), false)
+      }
+    }
+    Manifest(gen, schema, sorted)
+  }
+
+  /** Scan exactly `files` (store-relative) with the manifest's schema —
+    * partition-column values come from the `cell=N`/`kb=N` path segments
+    * via basePath. An empty selection is a legitimately empty store (or
+    * an empty partition subset) and yields an empty frame, schema intact.
+    */
+  def read(spark: SparkSession, path: String, m: Manifest,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      spark.read.schema(m.schema).option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*)
+
+  /** Stage `replacement` (restricted to the partition dirs in `swapDirs`,
+    * e.g. `cell=3`; empty for a pure append), move its files into the
+    * live layout, and publish: new manifest = old − swapDirs' files +
+    * staged files. Write-side layout knobs (partition column, sort) are
+    * the caller's, applied to `replacement` before calling. Returns the
+    * published manifest.
+    */
+  def commitSwap(spark: SparkSession, path: String, replacement: DataFrame,
+      partitionCol: String, swapDirs: Set[String],
+      retainGens: Int = 2): Manifest = {
+    val m = resolve(spark, path, "commitSwap")
+    val fs = fsOf(spark, path)
+    val staging = s"${path}/_staging_${UUID.randomUUID()}"
+    replacement.write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(staging)
+    // move each staged data file into its live partition dir under its
+    // job-unique name; nothing here is reader-visible until the publish
+    val staged = collectDataFiles(fs, new Path(staging), new Path(staging))
+    val moved = staged.map { rel =>
+      val from = new Path(s"$staging/$rel")
+      val dir = new Path(s"$path/${dirOf(rel)}")
+      fs.mkdirs(dir)
+      val to = new Path(s"$path/$rel")
+      if (!fs.rename(from, to))
+        throw new IllegalStateException(
+          s"staging move $from -> $to failed (filesystem returned false); " +
+            "the store still serves its previous version — clean " +
+            s"$staging and retry")
+      rel
+    }
+    fs.delete(new Path(staging), true)
+    val kept = m.files.filterNot(f => swapDirs.contains(dirOf(f)))
+    publish(spark, path, m.schema, kept ++ moved, m.gen, retainGens)
+  }
+
+  /** Adopt the files a fresh bulk `write` (mode=overwrite) just produced
+    * as generation 1 — the only place a directory listing decides a
+    * manifest, valid exactly because overwrite emptied the directory
+    * first.
+    */
+  def publishInitial(spark: SparkSession, path: String,
+      schema: StructType): Manifest = {
+    val fs = fsOf(spark, path)
+    val files = collectDataFiles(fs, new Path(path), new Path(path))
+    publish(spark, path, schema, files, expectedGen = 0L)
+  }
+
+  private def collectDataFiles(fs: FileSystem, root: Path,
+      base: Path): Seq[String] = {
+    if (!fs.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    val baseUri = base.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toUri.getPath
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+        out += p.stripPrefix(baseUri + "/")
+    }
+    out.result().filterNot(_.split('/').exists(seg =>
+      seg.startsWith("_") || seg.startsWith(".")))
+  }
+
+  /** Reclaim files no retained manifest references — the garbage a
+    * CRASHED mutation strands (staging dirs, moved-but-unpublished
+    * files). Single-writer: run it from the maintainer, never
+    * concurrently with another mutation. Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val gens = listGens(fs, path)
+    require(gens.nonEmpty,
+      s"vacuum: no published manifest at $path — nothing is provably garbage")
+    val live = gens.flatMap(g => load(fs, path, g).files).toSet
+    val p = new Path(path)
+    val stagings = fs.listStatus(p).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("_staging_"))
+    val onDisk = collectDataFiles(fs, p, p)
+    val garbage = onDisk.filterNot(live)
+    garbage.foreach(f => fs.delete(new Path(path, f), false))
+    stagings.foreach(s => fs.delete(s.getPath, true))
+    garbage ++ stagings.map(_.getPath.getName)
+  }
+}

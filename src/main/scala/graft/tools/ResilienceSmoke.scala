@@ -253,10 +253,10 @@ object ResilienceSmoke {
     val ivfC = new graft.functions.IvfStore(spark, tmp("ivf-chaos") + "/v", centroids)
     ivfC.write(emb.filter(col("vec_id") < 100))
     outcomes += compare("ivf_append_idempotent_retry",
-      truth = spark.read.parquet(ivfT.path).drop("cell"),
+      truth = ivfT.contents().drop("cell"),
       probe = {
         ivfC.appendIdempotent(chaosEmb(emb.filter(col("vec_id") >= 50)))
-        spark.read.parquet(ivfC.path).drop("cell")
+        ivfC.contents().drop("cell")
       })
 
     // 10. PQ code-store append under retry: encode+assign+write with
@@ -268,10 +268,10 @@ object ResilienceSmoke {
     val pqC = new graft.functions.PqStore(spark, tmp("pq-chaos") + "/v", cb, centroids)
     pqC.write(emb.filter(col("vec_id") < 100))
     outcomes += compare("pq_store_append_retry",
-      truth = spark.read.parquet(pqT.path).drop("cell"),
+      truth = pqT.contents().drop("cell"),
       probe = {
         pqC.append(chaosEmb(emb.filter(col("vec_id") >= 100)))
-        spark.read.parquet(pqC.path).drop("cell")
+        pqC.contents().drop("cell")
       })
 
     // keep the serializer-parity truth before tearing the session down

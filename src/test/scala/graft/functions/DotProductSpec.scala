@@ -30,9 +30,9 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
-  test("registered as SQL function; nulls propagate; length = min") {
+  test("registered as SQL function; null ARRAY propagates as SQL NULL") {
     val df = Seq(
-      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0)), // ragged: min length
+      (1L, Array(1.0, 2.0), Array(4.0, 5.0)),
       (2L, null, Array(1.0))
     ).toDF("id", "a", "b")
     df.createOrReplaceTempView("dots")
@@ -40,6 +40,25 @@ class DotProductSpec extends SparkSpec {
       .collect()
     assert(rows(0).getDouble(1) == 1.0 * 4.0 + 2.0 * 5.0)
     assert(rows(1).isNullAt(1))
+  }
+
+  test("dimension mismatch and null elements refuse loudly, never score") {
+    // the Similarity kernels this expression is bit-equal to assume
+    // equal-length non-null arrays; scoring a truncated or holey vector
+    // silently would diverge from them on exactly the malformed inputs
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    val ragged = Seq((1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0)))
+      .toDF("id", "a", "b")
+      .select(DotProduct.column(col("a"), col("b")))
+    val e1 = intercept[Exception] { ragged.collect() }
+    assert(messages(e1).exists(_.contains("dimension mismatch")), e1.toString)
+    val holey = Seq((1L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .select(DotProduct.column(col("a"), col("b")))
+    val e2 = intercept[Exception] { holey.collect() }
+    assert(messages(e2).exists(_.contains("null element")), e2.toString)
   }
 
   test("whole-stage codegen and interpreted eval agree") {

@@ -38,23 +38,18 @@ class IvfStoreSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
-  test("partial probe prunes cell directories at the storage layer") {
-    val (s, emb) = newStore()
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val probed = s.probedCorpus(Set(0))
-      probed.collect()
-      val plan = probed.queryExecution.executedPlan
-      assert(plan.toString.contains("PartitionFilters") &&
-        plan.toString.contains("cell"), plan.toString.take(1500))
-      val scan = plan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head
-      val total = spark.read.parquet(s.path).inputFiles.length
-      assert(scan.metrics("numFiles").value < total,
-        s"${scan.metrics("numFiles").value}/$total files")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  test("partial probe prunes at the MANIFEST layer: the scan's input " +
+      "files are exactly the probed cells'") {
+    val (s, _) = newStore()
+    val probed = s.probedCorpus(Set(0))
+    val files = probed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/cell=0/")),
+      files.take(5).mkString(", "))
+    val total = s.contents().inputFiles.length
+    assert(files.length < total, s"${files.length}/$total files")
+    // and the pruned scan still carries the partition value as a column
+    assert(probed.select("cell").distinct().collect()
+      .map(_.get(0).toString.toInt).toSet == Set(0))
   }
 
   private def topk(s: IvfStore, emb: org.apache.spark.sql.DataFrame,
@@ -101,19 +96,14 @@ class IvfStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("persisted quantizer"))
   }
 
-  test("removeWhere rewrites only touched cells and drops emptied cells") {
+  test("removeWhere rewrites only touched cells and empties cells out of " +
+      "the manifest") {
     val (s, emb) = newStore()
     val handle = IvfStore.open(spark, s.path)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    def cellFiles(c: Int): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"${s.path}/cell=$c")
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).toSet
-    }
+    def cellFiles(c: Int): Set[String] =
+      handle.probedCorpus(Set(c)).inputFiles.toSet
     // which cell holds cluster 3? (vec_id % 4 == 3 by construction)
-    val cellOf3 = spark.read.parquet(s.path)
+    val cellOf3 = handle.contents()
       .filter($"vec_id" === 3L).select("cell")
       .collect().head.get(0).toString.toInt
     val untouched = (0 until 4).filterNot(_ == cellOf3)
@@ -121,17 +111,38 @@ class IvfStoreSpec extends SparkSpec {
 
     // remove PART of cluster 3: its cell is rewritten, others untouched
     handle.removeWhere($"vec_id" % 4 === 3 && $"vec_id" < 100)
-    val live = spark.read.parquet(s.path).select("vec_id").as[Long].collect().toSet
+    val live = handle.contents().select("vec_id").as[Long].collect().toSet
     assert(!live.exists(id => id % 4 == 3 && id < 100))
     assert(live.exists(id => id % 4 == 3 && id >= 100), "kept the rest of the cell")
     untouched.foreach(c =>
       assert(cellFiles(c) == before(c), s"untouched cell $c was rewritten"))
 
-    // remove the REST of cluster 3: its emptied cell directory disappears
+    // remove the REST of cluster 3: the emptied cell leaves the manifest
     handle.removeWhere($"vec_id" % 4 === 3)
-    assert(cellFiles(cellOf3).isEmpty, "emptied cell dir must be gone")
-    val after = spark.read.parquet(s.path).select("vec_id").as[Long].collect().toSet
+    assert(cellFiles(cellOf3).isEmpty, "emptied cell must leave the manifest")
+    val after = handle.contents().select("vec_id").as[Long].collect().toSet
     assert(!after.exists(_ % 4 == 3) && after.nonEmpty)
+  }
+
+  test("removeWhere under three-valued logic: NULL-pred rows survive " +
+      "symmetrically, touched cell or not") {
+    val emb = corpus
+    val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+    val s = new IvfStore(spark,
+      Files.createTempDirectory("ivf-nullpred-").toString + "/v", centroids)
+    s.write(emb)
+    // pred is NULL exactly on even ids, TRUE on id 3 (cluster 3's cell is
+    // touched), FALSE elsewhere: a keep-filter of bare !pred would drop
+    // every even id sharing cluster-3's cell while identical even ids in
+    // other cells survived — layout-dependent loss
+    val pred = when($"vec_id" % 2 === 0, lit(null).cast("boolean"))
+      .otherwise($"vec_id" === 3)
+    s.removeWhere(pred)
+    val live = s.contents().select("vec_id").as[Long].collect().toSet
+    assert(!live.contains(3L), "the TRUE row is removed")
+    assert((0L until 200L).filter(_ % 2 == 0).forall(live.contains),
+      "every NULL-pred row survives, regardless of cell")
+    assert(live.size == 199)
   }
 
   test("compactCells defragments appended cells without changing results") {
@@ -143,9 +154,9 @@ class IvfStoreSpec extends SparkSpec {
     (0 until 3).foreach(i =>
       s.append(emb.filter($"vec_id" >= 100 + i * 30 && $"vec_id" < 130 + i * 30)))
     val expected = topk(s, emb, $"vec_id" < 6)
-    val filesBefore = spark.read.parquet(s.path).inputFiles.length
+    val filesBefore = s.contents().inputFiles.length
     s.compactCells(maxFilesPerCell = 1)
-    val filesAfter = spark.read.parquet(s.path).inputFiles.length
+    val filesAfter = s.contents().inputFiles.length
     assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore files")
     assert(topk(s, emb, $"vec_id" < 6) == expected)
   }
@@ -158,7 +169,7 @@ class IvfStoreSpec extends SparkSpec {
     s.write(emb.filter($"vec_id" < 80))
     // the delta overlaps the seed: only the 120 new ids may land
     s.appendIdempotent(emb.filter($"vec_id" >= 40))
-    val ids = spark.read.parquet(s.path).select("vec_id").as[Long].collect()
+    val ids = s.contents().select("vec_id").as[Long].collect()
     assert(ids.length == 200 && ids.toSet.size == 200, "store must hold " +
       s"each vector exactly once; got ${ids.length} rows")
 
@@ -167,6 +178,21 @@ class IvfStoreSpec extends SparkSpec {
       .unionByName(emb.filter($"vec_id" === 0L))
     val e = intercept[IllegalArgumentException] { s.appendIdempotent(dup) }
     assert(e.getMessage.contains("duplicate vec_ids"))
+
+    // a re-offered id whose NEW embedding assigns to a DIFFERENT cell is
+    // still a replay of an existing identity: the store-wide anti-join
+    // drops it (a touched-cells-only check would re-insert it and leave
+    // two rows for one vec_id — the streaming-replay-with-changed-
+    // embeddings hazard)
+    val moved = Seq((0L, Array.tabulate(8)(j => if (j == 6) 10f else 0f)))
+      .toDF("vec_id", "embedding")
+    s.appendIdempotent(moved)
+    val zeroRows = s.contents().filter($"vec_id" === 0L)
+    assert(zeroRows.count() == 1, "re-embedded replay must not duplicate")
+    val storedZero = Similarity.vecRows(
+      zeroRows.select("vec_id", "embedding")).collect().head._2
+    assert(storedZero(0) == 10.0 && storedZero(6) < 1.0,
+      s"the STORED vector wins on idempotent replay: ${storedZero.mkString(",")}")
 
     // streamed replication: full-feed replay with a FRESH checkpoint
     // (the worst restart: every batch re-offered) leaves the store as-is
@@ -181,7 +207,7 @@ class IvfStoreSpec extends SparkSpec {
     }
     replayOnce(tmp + "/cp1")
     replayOnce(tmp + "/cp2") // fresh checkpoint: full replay
-    val after = spark.read.parquet(s.path).select("vec_id").as[Long].collect()
+    val after = s.contents().select("vec_id").as[Long].collect()
     assert(after.length == 200 && after.toSet.size == 200,
       s"replayed replication duplicated vectors: ${after.length} rows")
   }
@@ -201,7 +227,7 @@ class IvfStoreSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
       .unionByName(emb.filter($"vec_id" >= 150))
     s.upsert(delta)
-    val store = spark.read.parquet(s.path)
+    val store = s.contents()
     assert(store.count() == 200 &&
       store.select("vec_id").distinct().count() == 200)
     // the re-embedded vectors answer from their NEW cluster
@@ -231,18 +257,51 @@ class IvfStoreSpec extends SparkSpec {
     assert(joined(1) == got, "salting is a parallelism knob, not semantics")
   }
 
-  test("an interrupted cell swap refuses reads and mutations loudly") {
-    val (s, emb) = newStore()
-    val staging = new java.io.File(s.path + "_staging")
+  test("crashed-mutation debris is invisible to reads; vacuum reclaims it") {
+    val (s, _) = newStore()
+    val before = s.contents().select("vec_id").as[Long].collect().toSet
+    // simulate a maintainer that died mid-mutation: a leftover staging
+    // dir AND an orphan file already moved into a live cell dir — neither
+    // is in any manifest, so reads serve the published version unchanged
+    // (the r13 design REFUSED here; availability now survives the crash)
+    val staging = new java.io.File(s"${s.path}/_staging_dead")
     assert(staging.mkdirs())
-    try {
-      val e = intercept[IllegalArgumentException] {
-        s.probedCorpus(Set(0)).collect()
-      }
-      assert(e.getMessage.contains("interrupted cell swap"))
-      intercept[IllegalArgumentException] { s.append(emb.limit(1)) }
-      intercept[IllegalArgumentException] { s.compactCells() }
-    } finally { staging.delete(); () }
+    java.nio.file.Files.write(staging.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val orphan = new java.io.File(s"${s.path}/cell=0/part-orphan-x.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
+    assert(s.contents().select("vec_id").as[Long].collect().toSet == before)
+    assert(s.probedCorpus(Set(0)).inputFiles.forall(!_.contains("orphan")))
+    val removed = s.vacuum()
+    assert(removed.exists(_.contains("part-orphan-x")) &&
+      removed.exists(_.contains("_staging_dead")), removed.mkString(", "))
+    assert(!orphan.exists && !staging.exists)
+    assert(s.contents().select("vec_id").as[Long].collect().toSet == before)
+  }
+
+  test("reader isolation: a scan resolved before one maintenance batch " +
+      "reads its complete version; beyond retention it fails LOUDLY") {
+    val (s, _) = newStore()
+    val handle = IvfStore.open(spark, s.path)
+    val oldScan = handle.contents() // resolves the gen-1 manifest NOW
+    // one mutation later (gen 2): gen-1 files are retained — the old
+    // reader still materializes its COMPLETE version, never a silently
+    // shorter one (the r13 in-place swap's silent-miss window)
+    handle.removeWhere($"vec_id" % 4 === 3 && $"vec_id" < 100)
+    assert(oldScan.select("vec_id").as[Long].collect().toSet ==
+      (0L until 200L).toSet)
+    // a second mutation retires gen 1 and reclaims its replaced files:
+    // the stale reader now fails loudly (FileNotFound), never short
+    handle.removeWhere($"vec_id" % 4 === 3)
+    val stale = intercept[Exception] {
+      oldScan.select("vec_id").as[Long].collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(stale).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(_.toLowerCase.contains("file"))),
+      s"expected a loud missing-file failure, got: $stale")
   }
 
   test("partial probe finds in-cluster neighbors (subset relaxation)") {

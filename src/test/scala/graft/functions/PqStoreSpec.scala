@@ -37,27 +37,21 @@ class PqStoreSpec extends SparkSpec {
     assert(got == mem && got.nonEmpty)
   }
 
-  test("partial probe prunes cell directories at the storage layer") {
+  test("partial probe prunes at the MANIFEST layer: the code scan's " +
+      "input files are exactly the probed cells'") {
     val emb = corpus
     val (cb, coarse) = quantizers(emb)
     val s = new PqStore(spark,
       Files.createTempDirectory("pqstore-prune-").toString + "/v", cb, coarse)
     s.write(emb)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val probed = s.probedCodes(Set(0))
-      probed.collect()
-      val plan = probed.queryExecution.executedPlan
-      assert(plan.toString.contains("PartitionFilters") &&
-        plan.toString.contains("cell"), plan.toString.take(1500))
-      val scan = plan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head
-      val total = spark.read.parquet(s.path).inputFiles.length
-      assert(scan.metrics("numFiles").value < total,
-        s"${scan.metrics("numFiles").value}/$total files")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val probed = s.probedCodes(Set(0))
+    val files = probed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/cell=0/")),
+      files.take(5).mkString(", "))
+    val total = s.contents().inputFiles.length
+    assert(files.length < total, s"${files.length}/$total files")
+    assert(probed.select("cell").distinct().collect()
+      .map(_.get(0).toString.toInt).toSet == Set(0))
   }
 
   test("removeMatching rewrites only matched cells; removed codes leave " +
@@ -70,7 +64,7 @@ class PqStoreSpec extends SparkSpec {
     // take down cluster-2's vectors (ids with i % 4 == 2)
     val takedown = emb.filter($"vec_id" % 4 === 2).select("vec_id")
     s.removeMatching(takedown)
-    val left = spark.read.parquet(s.path).select("vec_id").as[Long].collect()
+    val left = s.contents().select("vec_id").as[Long].collect()
     assert(!left.exists(_ % 4 == 2) && left.length == 150)
     // searches can never return a removed vector again
     val got = s.searchTopK(emb.filter($"vec_id" === 2L), 10, nProbe = 4)
@@ -133,5 +127,97 @@ class PqStoreSpec extends SparkSpec {
     val bad = new PqStore(spark, maintained.path, cb2, coarse)
     val e = intercept[IllegalArgumentException] { bad.append(emb.limit(1)) }
     assert(e.getMessage.contains("persisted"))
+  }
+
+  test("appendIdempotent drops re-offered ids; replicate replay converges " +
+      "(the IvfStore maintenance laws on the compressed copy)") {
+    val emb = corpus
+    val (cb, coarse) = quantizers(emb)
+    val tmp = Files.createTempDirectory("pqstore-idem-").toString
+    val s = new PqStore(spark, tmp + "/v", cb, coarse)
+    s.write(emb.filter($"vec_id" < 80))
+    // overlap with the seed: only the 120 new ids may land
+    s.appendIdempotent(emb.filter($"vec_id" >= 40))
+    val ids = s.contents().select("vec_id").as[Long].collect()
+    assert(ids.length == 200 && ids.toSet.size == 200,
+      s"each code exactly once; got ${ids.length} rows")
+
+    // intra-batch duplicates refuse loudly
+    val dup = emb.filter($"vec_id" === 0L).unionByName(emb.filter($"vec_id" === 0L))
+    val e = intercept[IllegalArgumentException] { s.appendIdempotent(dup) }
+    assert(e.getMessage.contains("duplicate vec_ids"))
+
+    // a re-offered id that would now encode into a DIFFERENT cell is
+    // still a replayed identity: the store-wide anti-join drops it
+    val moved = Seq((0L, Array.tabulate(8)(j => if (j == 6) 10f else 0f)))
+      .toDF("vec_id", "embedding")
+    s.appendIdempotent(moved)
+    assert(s.contents().filter($"vec_id" === 0L).count() == 1)
+
+    // streamed replication with a FRESH checkpoint (full replay) is a fold
+    emb.write.parquet(tmp + "/feed")
+    def replayOnce(cp: String): Unit = {
+      val q = s.replicate(
+          spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 2).parquet(tmp + "/feed"), cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    replayOnce(tmp + "/cp1")
+    replayOnce(tmp + "/cp2")
+    val after = s.contents().select("vec_id").as[Long].collect()
+    assert(after.length == 200 && after.toSet.size == 200,
+      s"replayed replication duplicated codes: ${after.length} rows")
+  }
+
+  test("upsert re-encodes matched ids (codes AND cells follow the new " +
+      "embedding); compactCells defragments without changing answers") {
+    val emb = corpus
+    val (cb, coarse) = quantizers(emb)
+    val s = new PqStore(spark,
+      Files.createTempDirectory("pqstore-upsert-").toString + "/v", cb, coarse)
+    s.write(emb.filter($"vec_id" < 150))
+    // re-embed ids 0-19 into cluster-((id+1)%4) directions, add 150-199
+    val delta = (0L until 20L).map { i =>
+      val c = ((i + 1) % 4).toInt
+      (i, Array.tabulate(8)(j => if (j == c * 2) 10f else 0.5f))
+    }.toDF("vec_id", "embedding")
+      .unionByName(emb.filter($"vec_id" >= 150))
+    s.upsert(delta)
+    val store = s.contents()
+    assert(store.count() == 200 &&
+      store.select("vec_id").distinct().count() == 200)
+    // the re-embedded ids must now answer from their NEW direction: a
+    // store rebuilt from scratch over the same post-upsert corpus agrees
+    val postCorpus = delta
+      .unionByName(emb.filter($"vec_id" >= 20 && $"vec_id" < 150))
+    val rebuilt = new PqStore(spark,
+      Files.createTempDirectory("pqstore-upsert-rebuilt-").toString + "/v",
+      cb, coarse)
+    rebuilt.write(postCorpus)
+    val q = postCorpus.filter($"vec_id" < 6)
+    assert(topk(s.searchTopK(q, 5, nProbe = 4)) ==
+      topk(rebuilt.searchTopK(q, 5, nProbe = 4)))
+
+    // upsert also refuses duplicate-id deltas BEFORE touching the store
+    val dup = delta.limit(1).unionByName(delta.limit(1))
+    val e = intercept[IllegalArgumentException] { s.upsert(dup) }
+    assert(e.getMessage.contains("duplicate vec_ids"))
+    assert(s.contents().count() == 200, "refused upsert left the store untouched")
+
+    // fragmentation: several appends, then compact — answers unchanged
+    val frag = new PqStore(spark,
+      Files.createTempDirectory("pqstore-frag-").toString + "/v", cb, coarse)
+    frag.write(emb.filter($"vec_id" < 100))
+    (0 until 3).foreach(i =>
+      frag.append(emb.filter($"vec_id" >= 100 + i * 30 && $"vec_id" < 130 + i * 30)))
+    val expected = topk(frag.searchTopK(emb.filter($"vec_id" < 6), 5, nProbe = 4))
+    val before = frag.contents().inputFiles.length
+    frag.compactCells(maxFilesPerCell = 1)
+    val afterN = frag.contents().inputFiles.length
+    assert(afterN < before, s"$afterN vs $before files")
+    assert(topk(frag.searchTopK(emb.filter($"vec_id" < 6), 5, nProbe = 4)) ==
+      expected)
   }
 }

@@ -36,29 +36,21 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(s.scan("k7").map(_.attribute) == Seq("extra", "status"))
   }
 
-  test("point lookup prunes to one bucket directory (PartitionFilters)") {
-    import org.apache.spark.sql.functions.col
+  test("point lookup prunes to one bucket's files at the manifest layer") {
     val s = store()
     s.write(LatestWithTombstones.snapshot(log(hist)))
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      // the exact read get() performs
-      val df = spark.read.parquet(s.path)
-        .filter(col("kb") === s.bucketOf("k13") && col("key") === "k13" &&
-          col("attribute") === "status")
-      df.collect()
-      val plan = df.queryExecution.executedPlan
-      assert(plan.toString.contains("PartitionFilters") &&
-        plan.toString.contains("kb"), plan.toString.take(1500))
-      val scan = plan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head
-      val touched = scan.metrics("numFiles").value
-      val total = spark.read.parquet(s.path).inputFiles.length
-      assert(touched < total,
-        s"bucket pruning must skip files: $touched/$total")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the exact pruned scan get() performs: its input files come straight
+    // off the manifest's kb=N entries — no directory listing, no other
+    // bucket's files even enter the plan
+    val scan = s.lookupScan("k13")
+    val files = scan.inputFiles
+    val touchedDir = s"kb=${s.bucketOf("k13")}"
+    assert(files.nonEmpty && files.forall(_.contains(touchedDir)),
+      files.take(5).mkString(", "))
+    val total = s.contents().inputFiles.length
+    assert(files.length < total,
+      s"bucket pruning must skip files: ${files.length}/$total")
+    assert(s.get("k13", "status").isDefined)
   }
 
   test("refresh rewrites only affected buckets and matches full compaction") {
@@ -134,37 +126,57 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(s.get("k", "x").map(e => new String(e.value)) == Some("zombie"))
   }
 
-  test("an interrupted previous bucket swap is detected, not destroyed") {
+  test("a crashed refresh is invisible: reads keep serving the last " +
+      "published version; vacuum reclaims the debris") {
+    // the r13 design REFUSED reads after a crashed swap; the manifest
+    // path makes the crash a non-event — nothing before the publish
+    // rename is reader-visible, so availability survives a dead maintainer
     val s = store()
     s.write(LatestWithTombstones.snapshot(log(hist.take(5))))
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s.path + "_staging"))
-    val e = intercept[IllegalArgumentException] {
-      s.refresh(log(Seq(up("k1", "status", 100, "x"))))
-    }
-    assert(e.getMessage.contains("interrupted store swap"))
-    new scala.reflect.io.Directory(new java.io.File(s.path + "_staging"))
-      .deleteRecursively()
+    val before = s.snapshot().collect()
+      .map(e => (e.key, new String(e.value))).toSet
+    // debris of a maintainer that died mid-mutation: a staging dir and a
+    // moved-but-never-published orphan file inside a live bucket dir
+    val staging = new java.io.File(s"${s.path}/_staging_dead")
+    assert(staging.mkdirs())
+    val bucketDir = new java.io.File(
+      s"${s.path}/kb=${s.bucketOf("k1")}")
+    val orphan = new java.io.File(bucketDir, "part-orphan-x.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(s.snapshot().collect()
+      .map(e => (e.key, new String(e.value))).toSet == before)
+    assert(s.get("k1", "status").isDefined)
+    val removed = s.vacuum()
+    assert(removed.exists(_.contains("part-orphan-x")) &&
+      removed.exists(_.contains("_staging_dead")), removed.mkString(", "))
+    assert(!orphan.exists && !staging.exists)
+    // and the store still mutates + serves normally afterwards
     s.refresh(log(Seq(up("k1", "status", 100, "x"))))
     assert(s.get("k1", "status").map(e2 => new String(e2.value)) == Some("x"))
   }
 
-  test("an interrupted swap fails READS loudly too, not just mutations") {
-    // crash inside swapBuckets = live bucket dir already in _swap_trash,
-    // staged dir not yet moved in: snapshot/get/multiFetch must refuse
-    // rather than silently serve a store with whole buckets missing
-    val s = store()
-    s.write(LatestWithTombstones.snapshot(log(hist.take(5))))
-    val trash = java.nio.file.Paths.get(s.path, "_swap_trash")
-    java.nio.file.Files.createDirectories(trash)
-    assert(intercept[IllegalArgumentException](s.snapshot())
-      .getMessage.contains("interrupted store swap"))
-    assert(intercept[IllegalArgumentException](s.get("k1", "status"))
-      .getMessage.contains("interrupted store swap"))
-    assert(intercept[IllegalArgumentException](s.multiFetch(Seq("k1"), "status"))
-      .getMessage.contains("interrupted store swap"))
-    java.nio.file.Files.delete(trash)
-    assert(s.get("k1", "status").isDefined) // resolved -> reads resume
+  test("reader isolation across refresh: a scan resolved before one " +
+      "maintenance batch reads its complete version; beyond retention " +
+      "it fails LOUDLY, never silently short") {
+    val s = store(b = 4)
+    s.write(LatestWithTombstones.snapshot(log(hist.take(10))))
+    val oldScan = s.snapshot() // resolves the gen-1 manifest NOW
+    // one refresh later: gen-1's replaced files are retained, so the old
+    // reader still materializes the COMPLETE pre-refresh view (the r13
+    // in-place swap could silently lose a bucket mid-listing here)
+    s.refresh(log(Seq(up("k1", "status", 100, "newer"))))
+    assert(oldScan.collect().map(e => (e.key, new String(e.value))).toSet ==
+      hist.take(10).map(e => (e.key, new String(e.value))).toSet)
+    // a second refresh on the same bucket retires gen 1 and reclaims its
+    // replaced files: the stale reader now fails loudly
+    s.refresh(log(Seq(up("k1", "status", 101, "newest"))))
+    val stale = intercept[Exception] { oldScan.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(stale).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(_.toLowerCase.contains("file"))),
+      s"expected a loud missing-file failure, got: $stale")
   }
 
   test("replicate restart from checkpoint converges (idempotent refresh)") {

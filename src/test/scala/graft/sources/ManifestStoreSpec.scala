@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The manifest protocol itself — the store-shared invariants the
+  * IvfStore/PqStore/BucketedSnapshot specs exercise end-to-end:
+  * generation numbering, atomic single-writer publish, retention-bounded
+  * file reclamation, and precise vacuum.
+  */
+class ManifestStoreSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def freshStore(): String = {
+    val path = Files.createTempDirectory("graft-manifest-").toString + "/v"
+    (0L until 40L).map(i => (i, (i % 4).toInt))
+      .toDF("id", "cell")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(path)
+    path
+  }
+
+  private def schemaOf(path: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+
+  test("publishInitial adopts a bulk write as gen 1; resolve refuses a " +
+      "manifest-less path") {
+    val path = freshStore()
+    val e = intercept[IllegalStateException] {
+      StoreManifest.resolve(spark, path, "read")
+    }
+    assert(e.getMessage.contains("no published manifest"))
+    val m = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    assert(m.gen == 1L && m.files.nonEmpty)
+    assert(m.files.forall(f => f.startsWith("cell=") && f.endsWith(".parquet")))
+    val got = StoreManifest.read(spark, path, m, m.files)
+    assert(got.count() == 40 &&
+      got.select("cell").distinct().count() == 4)
+  }
+
+  test("publish is optimistic single-writer: a stale expectedGen loses " +
+      "loudly, never overwrites") {
+    val path = freshStore()
+    val m1 = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val m2 = StoreManifest.publish(spark, path, m1.schema, m1.files, m1.gen)
+    assert(m2.gen == 2L)
+    // a second maintainer that resolved gen 1 and tries to publish gen 2
+    val e = intercept[IllegalStateException] {
+      StoreManifest.publish(spark, path, m1.schema, Seq.empty, m1.gen)
+    }
+    assert(e.getMessage.contains("concurrent maintenance"))
+    // the loser changed nothing: gen 2 still lists the real files
+    assert(StoreManifest.resolve(spark, path, "read").files == m2.files)
+  }
+
+  test("retention: files replaced N gens ago are reclaimed exactly when " +
+      "their last referencing manifest retires") {
+    val path = freshStore()
+    val m1 = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val cell0 = m1.filesUnder(Set("cell=0"))
+    assert(cell0.nonEmpty)
+    def exists(rel: String) =
+      new java.io.File(s"$path/$rel").exists()
+    // gen 2 drops cell=0 (retainGens=2): its files must SURVIVE — a
+    // reader that resolved gen 1 mid-flight still reads them
+    val m2 = StoreManifest.commitSwap(spark, path,
+      StoreManifest.read(spark, path, m1, cell0).filter(lit(false))
+        .repartition(col("cell")),
+      "cell", Set("cell=0"))
+    assert(m2.gen == 2L && m2.filesUnder(Set("cell=0")).isEmpty)
+    assert(cell0.forall(exists), "replaced files survive one generation")
+    // gen 3 retires gen 1 -> cell0's replaced files are reclaimed
+    val m3 = StoreManifest.publish(spark, path, m2.schema, m2.files, m2.gen)
+    assert(m3.gen == 3L)
+    assert(cell0.forall(f => !exists(f)), "retired files are reclaimed")
+    // files still referenced were never touched
+    assert(m3.files.forall(exists))
+  }
+
+  test("vacuum deletes only unreferenced debris, never live or retained " +
+      "files") {
+    val path = freshStore()
+    val m1 = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    // debris: a staging dir and an orphan in a live cell dir
+    val staging = new java.io.File(s"$path/_staging_dead")
+    assert(staging.mkdirs())
+    val orphan = new java.io.File(s"$path/cell=1/part-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](7))
+    val removed = StoreManifest.vacuum(spark, path)
+    assert(removed.exists(_.contains("part-orphan")) &&
+      removed.exists(_.contains("_staging_dead")))
+    assert(m1.files.forall(f => new java.io.File(s"$path/$f").exists()),
+      "every referenced file survives vacuum")
+    assert(StoreManifest.read(spark, path, m1, m1.files).count() == 40)
+  }
+
+  test("an empty file selection reads as an empty frame with the " +
+      "manifest schema (empty store / empty partition subset)") {
+    val path = freshStore()
+    val m = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val empty = StoreManifest.read(spark, path, m, Seq.empty)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "cell"))
+  }
+
+  test("a corrupt manifest refuses loudly with provenance") {
+    val path = freshStore()
+    StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val gen2 = new java.io.File(path,
+      f"_manifest.${2L}%020d")
+    java.nio.file.Files.write(gen2.toPath,
+      "not-a-schema-json\ncell=0/zzz.parquet".getBytes("UTF-8"))
+    // the out-of-band write leaves no checksum; resolve must still refuse
+    val e = intercept[IllegalStateException] {
+      StoreManifest.resolve(spark, path, "read")
+    }
+    assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
+  }
+}
