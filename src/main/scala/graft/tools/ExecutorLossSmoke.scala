@@ -152,7 +152,80 @@ object ExecutorLossSmoke {
         probe = { kfC.append(killOnce(changelog, m3.getPath)); kfC.batchUpdates().toDF() },
         m = m3)
 
-      println(s"""{"smoke":"executor-loss","scenarios":3,""" +
+      // 4. executor dies MID-MICRO-BATCH of a stateful streaming query
+      // (StateOps.integratePerKey): the state store version being built
+      // and the dead attempt's sink output must both be discarded, the
+      // batch re-attempted on the survivor, and — after a deliberate
+      // stop + checkpoint RESTART with more input — the final result
+      // must equal the uninjected truth. The sink is the idempotent
+      // foreachBatch recipe (overwrite-by-batchId), exactly-once across
+      // restarts; feeds are one-file-per-segment so batch order is
+      // pinned between truth and probe (the RocksDbSmoke discipline).
+      val m4 = marker("stream-state")
+      def segment(r: Range): Dataset[StreamElement] =
+        spark.createDataset(r.map { i =>
+          StreamElement("e", s"u${i % 10}", "v", s"uuid-$i", i.toLong,
+            1000L + i * 1000L, Array[Byte]((i % 7).toByte), delete = false,
+            deleteWildcard = false)
+        })(StreamElement.encoder)
+      def writeSeg(r: Range, dir: String): Unit = {
+        segment(r).toDF().coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(20) // distinct mtimes: deterministic batch order
+      }
+      def runStream(feed: String, cp: String, out: String,
+          kill: Option[String]): Unit = {
+        val src = spark.readStream
+          .schema(StreamElement.encoder.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .as[StreamElement](StreamElement.encoder)
+        val armed = kill.map(mk => killOnce(src, mk)).getOrElse(src)
+        val folded = graft.streaming.StateOps
+          .integratePerKey(armed, 0.0, _.value.head.toDouble, _ + _)
+        val q = folded.toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$id")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val truthDir = tmp("stream-truth")
+      (0 until 8).foreach(s => writeSeg(s * 25 until (s + 1) * 25,
+        s"$truthDir/feed"))
+      runStream(s"$truthDir/feed", s"$truthDir/cp", s"$truthDir/out", None)
+      val lossDir = tmp("stream-loss")
+      val before4 = removed.get()
+      (0 until 4).foreach(s => writeSeg(s * 25 until (s + 1) * 25,
+        s"$lossDir/feed"))
+      // leg 1: executor halts mid-batch; task retry finishes the run
+      runStream(s"$lossDir/feed", s"$lossDir/cp", s"$lossDir/out",
+        Some(m4.getPath))
+      awaitLoss(before4, m4, "streaming_state_executor_loss")
+      // leg 2: genuine checkpoint restart with the rest of the feed —
+      // restored state must CONTINUE the running sums
+      (4 until 8).foreach(s => writeSeg(s * 25 until (s + 1) * 25,
+        s"$lossDir/feed"))
+      runStream(s"$lossDir/feed", s"$lossDir/cp", s"$lossDir/out", None)
+      locally {
+        val exp = LocalClusterSmoke.canon(spark.read.parquet(s"$truthDir/out")
+          .drop("batch"))
+        val got = LocalClusterSmoke.canon(spark.read.parquet(s"$lossDir/out")
+          .drop("batch"))
+        require(exp.size == 200, s"streaming truth fixture wrong: ${exp.size}")
+        val ok = got == exp
+        if (!ok) failed += 1
+        println(s"EXECLOSS streaming_state_executor_loss rows=${exp.size} " +
+          (if (ok) "MATCH" else "DIVERGED" +
+            s" firstDiff=${got.zipAll(exp, "<missing>", "<missing>")
+              .find(p => p._1 != p._2).map(p => s"got:${p._1.take(120)} exp:${p._2.take(120)}")
+              .getOrElse("<sizes differ>")}"))
+      }
+
+      println(s"""{"smoke":"executor-loss","scenarios":4,""" +
         s""""executorsRemoved":${removed.get()},"failed":$failed}""")
       if (failed > 0) sys.exit(1)
     } finally LocalClusterSmoke.stop(spark)

@@ -28,7 +28,7 @@ class ExecutorLossSmokeSpec extends AnyFunSuite {
       .!(ProcessLogger(l => out.synchronized { out.append(l).append('\n') }, _ => ()))
     val text = out.toString
     val lines = text.linesIterator.filter(_.startsWith("EXECLOSS")).toSeq
-    assert(lines.size == 3, s"expected 3 executor-loss scenarios; got:\n$text")
+    assert(lines.size == 4, s"expected 4 executor-loss scenarios; got:\n$text")
     lines.foreach(l => assert(l.endsWith("MATCH"), l))
     val summary = text.linesIterator
       .find(_.startsWith("""{"smoke":"executor-loss""""))
