@@ -31,16 +31,22 @@ object EnduranceBench {
   private val Copies = 10
   private val KeyOff = 1000000000L
 
-  private def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
-
-  def generate(spark: SparkSession, base: String, out: String): Unit = {
+  /** Scale `base` by `nCopies` into `out` with the shape-preserving rules
+    * above. `keyOff` must exceed every key already in `base` — rescaling
+    * an ALREADY-scaled scratch (sf1 → sf10 for the scale-shape audit)
+    * needs a larger stride than the first pass or copy j of key i*off+k
+    * would collide with copy i+j of k.
+    */
+  def generate(spark: SparkSession, base: String, out: String,
+      nCopies: Int = Copies, keyOff: Long = KeyOff): Unit = {
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until nCopies).map(i => f(df, i)).reduce(_ unionByName _)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(s"$out/_DONE")
     if (fs.exists(done)) return
     def shift(df: DataFrame, i: Int, cols: String*): DataFrame =
-      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * KeyOff)))
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * keyOff)))
 
     Seq("region", "nation", "part", "supplier").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
