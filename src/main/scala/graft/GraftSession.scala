@@ -25,6 +25,14 @@ object GraftSession {
       // cores or unsets it to inherit the batch width
       .config(graft.streaming.StreamConf.Key, "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // manifest-store reads (sources/StoreManifest) pass explicit file
+      // lists (64-256 paths for a bucketed store); above this threshold
+      // Spark submits a whole JOB just to stat the roots, a fixed
+      // ~0.3 s per read that dwarfs the driver-side listing on any
+      // filesystem at this path count. A 100 TB deployment with ~1M
+      // manifest entries should LOWER this again — there the parallel
+      // listing is the right choice
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

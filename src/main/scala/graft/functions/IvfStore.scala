@@ -244,7 +244,8 @@ final class IvfStore(spark: SparkSession, val path: String,
     requireQuantizerMatch("append")
     val m = manifest("append")
     requireDeltaCompatible("append", m, delta)
-    StoreManifest.commitSwap(spark, path, indexed(delta), "cell", Set.empty)
+    StoreManifest.commitSwap(spark, path, indexed(delta), "cell", Set.empty,
+      resolved = Some(m))
     ()
   }
 
@@ -281,7 +282,7 @@ final class IvfStore(spark: SparkSession, val path: String,
       assigned.join(existing, Seq("vec_id"), "left_anti")
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", Set.empty)
+      "cell", Set.empty, resolved = Some(m))
     ()
   }
 
@@ -461,7 +462,7 @@ final class IvfStore(spark: SparkSession, val path: String,
     StoreManifest.commitSwap(spark, path,
       replacement.repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", cellDirs(affected))
+      "cell", cellDirs(affected), resolved = Some(m))
     ()
   }
 

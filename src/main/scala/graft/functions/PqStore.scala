@@ -96,8 +96,9 @@ final class PqStore(spark: SparkSession, val path: String,
     */
   def append(delta: DataFrame): Unit = {
     requireQuantizerMatch("append")
-    manifest("append")
-    StoreManifest.commitSwap(spark, path, encoded(delta), "cell", Set.empty)
+    val m = manifest("append")
+    StoreManifest.commitSwap(spark, path, encoded(delta), "cell", Set.empty,
+      resolved = Some(m))
     ()
   }
 
@@ -121,7 +122,8 @@ final class PqStore(spark: SparkSession, val path: String,
     if (n == 0) return
     val existing = storeDf(m).select("vec_id")
     val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
-    StoreManifest.commitSwap(spark, path, encoded(fresh), "cell", Set.empty)
+    StoreManifest.commitSwap(spark, path, encoded(fresh), "cell", Set.empty,
+      resolved = Some(m))
     ()
   }
 
@@ -179,7 +181,7 @@ final class PqStore(spark: SparkSession, val path: String,
         .join(idSet, Seq("vec_id"), "left_anti")
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", cellDirs(touched))
+      "cell", cellDirs(touched), resolved = Some(m))
     ()
   }
 
@@ -200,7 +202,7 @@ final class PqStore(spark: SparkSession, val path: String,
       storeDf(m, Some(fragmented))
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", cellDirs(fragmented))
+      "cell", cellDirs(fragmented), resolved = Some(m))
     ()
   }
 

@@ -146,16 +146,18 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * bootstraps it (the replicate-to-fresh-path flow).
     */
   def refresh(delta: Dataset[StreamElement]): Unit = this.synchronized {
-    if (StoreManifest.current(spark, path).isEmpty)
-      StoreManifest.publishInitial(spark, path, readSchema)
+    val m = StoreManifest.current(spark, path).getOrElse(
+      StoreManifest.publishInitial(spark, path, readSchema))
     val withKb = delta.toDF().withColumn("kb", bucketCol(col("key")))
     val affected = withKb.select("kb").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
-    val existing = asElements(readDf(Some(affected.toSeq)))
-    swapBuckets(
+    val dirs = affected.map(b => s"kb=$b").toSet
+    val existing = asElements(
+      StoreManifest.read(spark, path, m, m.filesUnder(dirs)))
+    swapBuckets(m,
       LatestWithTombstones.compactRetaining(existing.unionByName(delta)),
-      affected)
+      dirs)
   }
 
   /** Reclaim tombstones older than `horizonUs` — call once lateness is
@@ -165,13 +167,17 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * resurrect its cell — the documented log-compaction contract.
     */
   def expireTombstones(horizonUs: Long): Unit = this.synchronized {
+    val m = StoreManifest.resolve(spark, path, "expireTombstones")
     val expired = col("delete") && col("stamp") < horizonUs
-    val affected = readDf().filter(expired).select("kb").distinct()
+    val all = StoreManifest.read(spark, path, m, m.files)
+    val affected = all.filter(expired).select("kb").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
-    swapBuckets(
-      asElements(readDf(Some(affected.toSeq)).filter(!expired)),
-      affected)
+    val dirs = affected.map(b => s"kb=$b").toSet
+    swapBuckets(m,
+      asElements(StoreManifest.read(spark, path, m, m.filesUnder(dirs))
+        .filter(!expired)),
+      dirs)
   }
 
   /** Maintain the store from a streaming changelog — the reference's
@@ -203,14 +209,14 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * one retained generation for readers mid-scan. Crash at any point
     * leaves the previous version serving.
     */
-  private def swapBuckets(merged: Dataset[StreamElement],
-      affected: Seq[Long]): Unit = {
+  private def swapBuckets(m: StoreManifest.Manifest,
+      merged: Dataset[StreamElement], dirs: Set[String]): Unit = {
     StoreManifest.commitSwap(spark, path,
       merged.toDF()
         .withColumn("kb", bucketCol(col("key")))
         .repartition(col("kb"))
         .sortWithinPartitions(col("kb"), col("key"), col("attribute")),
-      "kb", affected.map(b => s"kb=$b").toSet)
+      "kb", dirs, resolved = Some(m))
     ()
   }
 }

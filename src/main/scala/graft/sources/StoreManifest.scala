@@ -175,8 +175,11 @@ private[graft] object StoreManifest {
     */
   def commitSwap(spark: SparkSession, path: String, replacement: DataFrame,
       partitionCol: String, swapDirs: Set[String],
-      retainGens: Int = 2): Manifest = {
-    val m = resolve(spark, path, "commitSwap")
+      retainGens: Int = 2, resolved: Option[Manifest] = None): Manifest = {
+    // callers that already resolved this mutation's base version pass it
+    // through — a manifest parse is O(files) text, which at serving scale
+    // (~1M entries) is the dominant metadata cost of a small mutation
+    val m = resolved.getOrElse(resolve(spark, path, "commitSwap"))
     val fs = fsOf(spark, path)
     val staging = s"${path}/_staging_${UUID.randomUUID()}"
     replacement.write.partitionBy(partitionCol).mode("overwrite")
