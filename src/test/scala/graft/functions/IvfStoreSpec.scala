@@ -304,6 +304,62 @@ class IvfStoreSpec extends SparkSpec {
       s"expected a loud missing-file failure, got: $stale")
   }
 
+  test("a reader RACING live maintenance never sees a torn version: " +
+      "every observed count is a published generation's count, or the " +
+      "read fails loudly") {
+    // the r13 staged swap's failure mode was a reader listing files
+    // BETWEEN a cell's two renames — a silently SHORT scan. Under the
+    // manifest protocol a racing reader resolves some generation and
+    // reads it completely (files outlive their manifest one retained
+    // generation) or throws FileNotFound once it is staler than
+    // retention. This test races a real reader thread against a live
+    // mutation loop and asserts every successful read returns EXACTLY a
+    // published generation's cardinality — never anything in between.
+    val emb = corpus
+    val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+    val s = new IvfStore(spark,
+      Files.createTempDirectory("ivf-race-").toString + "/v", centroids)
+    s.write(emb) // gen 1: 200 rows
+    // mutation plan with deterministic per-generation counts: remove a
+    // 10-id slab then append it back, so EVERY published generation
+    // holds exactly 190 or 200 rows — a torn read (a missing cell is
+    // ~50 rows here) can never alias a legitimate count. The set is
+    // complete up front: a reader can resolve a just-published
+    // generation before the mutation call even returns
+    val legit = Set(190L, 200L)
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val loudFailures = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val c = s.contents().count()
+          reads.incrementAndGet()
+          if (!legit.contains(c)) { torn.add(c); () }
+        } catch {
+          case _: Throwable => loudFailures.incrementAndGet()
+        }
+      }
+    })
+    reader.start()
+    try {
+      (0 until 6).foreach { k =>
+        val lo = (k % 3) * 10L
+        s.removeWhere($"vec_id" >= lo && $"vec_id" < lo + 10)
+        s.append(emb.filter($"vec_id" >= lo && $"vec_id" < lo + 10))
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(torn.isEmpty,
+      s"reader observed counts outside the published generations: " +
+        s"${torn.toArray.mkString(", ")} (legit: ${legit.mkString(", ")})")
+    assert(reads.get() > 0, "the reader never completed a read — vacuous")
+    assert(s.contents().count() == 200)
+  }
+
   test("partial probe finds in-cluster neighbors (subset relaxation)") {
     val (s, emb) = newStore()
     val queries = emb.filter($"vec_id" === 0L) // cluster 0
