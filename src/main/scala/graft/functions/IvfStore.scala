@@ -126,6 +126,12 @@ final class IvfStore(spark: SparkSession, val path: String,
     val cellUdf = udf { (v: Seq[Double]) =>
       val a = v.toArray
       val cs = cb.value
+      // a vector that does not share the quantizer's dimension cannot be
+      // FILED: shorter would crash in sqDist, but LONGER would silently
+      // assign on a truncated prefix — both are data errors
+      require(a.length == cs(0).length,
+        s"cannot assign a ${a.length}-d vector with a ${cs(0).length}-d " +
+          "quantizer — embedding dimension must match the store's")
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cs.length) {
@@ -360,7 +366,11 @@ final class IvfStore(spark: SparkSession, val path: String,
     requireQuantizerMatch("upsert")
     val m = manifest("upsert")
     requireDeltaCompatible("upsert", m, delta)
-    val Array(n, d) = delta
+    // the dup/row counts run over the ASSIGNED projection, not the raw
+    // delta: that forces the cell UDF (and its dimension guard) over
+    // every row, so a delta that cannot be filed refuses HERE — before
+    // the removal leg has deleted anything
+    val Array(n, d) = indexed(delta)
       .agg(count(lit(1)), countDistinct(col("vec_id")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     require(n == d,

@@ -142,6 +142,11 @@ object Pq {
     val bc = spark.sparkContext.broadcast(cb)
     toVecs(emb).map { v =>
       val b = bc.value
+      // shorter would crash in encodeSub, but LONGER would silently
+      // encode a truncated prefix — both are data errors, both loud
+      require(v.v.length == b.m * b.dsub,
+        s"cannot encode a ${v.v.length}-d vector with ${b.m}x${b.dsub}-d " +
+          "codebooks — embedding dimension must match the quantizer's")
       val code = new Array[Byte](b.m)
       var j = 0
       while (j < b.m) { code(j) = b.encodeSub(v.v, j).toByte; j += 1 }

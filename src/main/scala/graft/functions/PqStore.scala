@@ -151,7 +151,11 @@ final class PqStore(spark: SparkSession, val path: String,
   def upsert(delta: DataFrame): Unit = {
     requireQuantizerMatch("upsert")
     manifest("upsert")
-    val Array(n, d) = delta
+    // the dup/row counts run over the ENCODED projection, not the raw
+    // delta: that forces Pq.encode (schema resolution + the dimension
+    // guard) over every row, so a delta that cannot be encoded refuses
+    // HERE — before the removal leg has deleted anything
+    val Array(n, d) = encoded(delta)
       .agg(count(lit(1)), countDistinct(col("vec_id")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     require(n == d,

@@ -167,7 +167,10 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * resurrect its cell — the documented log-compaction contract.
     */
   def expireTombstones(horizonUs: Long): Unit = this.synchronized {
-    val m = StoreManifest.resolve(spark, path, "expireTombstones")
+    // a never-written store legitimately has nothing to expire — the
+    // periodic-maintenance flow (expiry alongside replicate) may fire
+    // before the first micro-batch ever lands
+    val m = StoreManifest.current(spark, path).getOrElse(return)
     val expired = col("delete") && col("stamp") < horizonUs
     val all = StoreManifest.read(spark, path, m, m.files)
     val affected = all.filter(expired).select("kb").distinct()

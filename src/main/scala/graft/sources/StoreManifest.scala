@@ -86,6 +86,14 @@ private[graft] object StoreManifest {
       s"$op: no published manifest at $path — not a manifest store " +
         "(or written by a pre-manifest version); rebuild with write()"))
 
+  /** Footer sentinel: `#end <count>` as the manifest's last line. A file
+    * list with no integrity mark would accept a TRUNCATED manifest (an
+    * out-of-band restore, a non-atomic copy on a checksum-less
+    * filesystem) and silently serve a partial corpus — the exact failure
+    * mode this layer exists to make impossible.
+    */
+  private def footer(n: Int): String = s"#end $n"
+
   private def load(fs: FileSystem, path: String, gen: Long): Manifest = {
     val in = fs.open(manifestPath(path, gen))
     val text =
@@ -94,23 +102,40 @@ private[graft] object StoreManifest {
     val lines = text.split("\n")
     // the manifest IS the store's read path: corrupt metadata must refuse
     // with provenance, not serve a partial file list
+    def corrupt(why: String, cause: Exception = null) =
+      throw new IllegalStateException(
+        s"corrupt manifest ${manifestPath(path, gen)} ($why) — the file is " +
+          "the store's read path; restore it or rebuild with write()", cause)
     val schema =
       try DataType.fromJson(lines.head).asInstanceOf[StructType]
-      catch { case e: Exception =>
-        throw new IllegalStateException(
-          s"corrupt manifest ${manifestPath(path, gen)} — the file is the " +
-            "store's read path; restore it or rebuild with write()", e)
-      }
-    Manifest(gen, schema, lines.tail.filter(_.nonEmpty).toSeq)
+      catch { case e: Exception => corrupt("unparseable schema line", e) }
+    val files = lines.tail.filter(_.nonEmpty).toSeq
+    if (files.isEmpty || !files.last.startsWith("#end "))
+      corrupt("missing integrity footer — truncated file list")
+    val body = files.dropRight(1)
+    if (files.last != footer(body.size))
+      corrupt(s"footer ${files.last} does not match ${body.size} listed files")
+    Manifest(gen, schema, body)
   }
 
-  /** Publish `files` as generation `expectedGen + 1` — one atomic rename
-    * flips every future reader to the new version. The rename target is
-    * fresh, so two concurrent maintainers cannot both succeed: the loser
-    * fails LOUDLY here (single-writer is enforced, not assumed). Old
-    * manifests beyond `retainGens` are retired and the data files only
-    * they referenced are deleted — which is what bounds how stale a
-    * still-running reader can be before failing loudly.
+  /** Publish `files` as generation `expectedGen + 1` — one atomic commit
+    * flips every future reader to the new version, and two concurrent
+    * maintainers cannot both succeed: the loser fails LOUDLY here
+    * (single-writer is ENFORCED, not assumed). Old manifests beyond
+    * `retainGens` are retired and the data files only they referenced
+    * are deleted — which is what bounds how stale a still-running reader
+    * can be before failing loudly.
+    *
+    * Commit mechanics by filesystem: a bare rename cannot enforce the
+    * exclusivity — POSIX rename(2) (Hadoop RawLocalFileSystem) silently
+    * OVERWRITES an existing destination, so an exists-check + rename is
+    * a TOCTOU hole where the second of two racing publishers replaces
+    * the first's manifest. On local paths the commit is therefore a
+    * HARD LINK of the fully-written temp file to the final name —
+    * link(2) fails atomically with EEXIST if the target appeared in
+    * between. On HDFS-like filesystems rename itself refuses an
+    * existing destination (returns false), which the boolean check
+    * turns into the same loud refusal.
     */
   def publish(spark: SparkSession, path: String, schema: StructType,
       files: Seq[String], expectedGen: Long, retainGens: Int = 2): Manifest = {
@@ -118,30 +143,40 @@ private[graft] object StoreManifest {
     val fs = fsOf(spark, path)
     val gen = expectedGen + 1
     val target = manifestPath(path, gen)
-    if (fs.exists(target))
-      throw new IllegalStateException(
-        s"concurrent maintenance detected at $path: manifest gen $gen " +
-          "already exists — this store is single-writer; re-resolve and retry")
+    def lost(how: String) = throw new IllegalStateException(
+      s"concurrent maintenance detected at $path: publishing manifest " +
+        s"gen $gen $how — this store is single-writer; re-resolve and retry")
+    if (fs.exists(target)) lost("found the generation already published")
     val tmp = new Path(path, s"_manifest_tmp_${UUID.randomUUID()}")
     val sorted = files.sorted
-    val body = (schema.json +: sorted).mkString("\n")
+    val body = ((schema.json +: sorted) :+ footer(sorted.size)).mkString("\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, target)) {
+    val isLocal = Option(target.toUri.getScheme).forall(_ == "file") &&
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    if (isLocal) {
+      val raw = fs.asInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+        .pathToFile _
+      try java.nio.file.Files.createLink(raw(target).toPath, raw(tmp).toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          lost("lost the atomic-link race")
+      }
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent maintenance detected at $path: publishing manifest " +
-          s"gen $gen lost the rename race — this store is single-writer; " +
-          "re-resolve and retry")
+    } else if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      lost("lost the rename race (filesystem refused the destination)")
     }
     // retire generations beyond the retention window and reclaim the data
     // files ONLY they referenced (precise set difference — no directory
-    // listing, so unrelated garbage is never touched here; see vacuum)
+    // listing, so unrelated garbage is never touched here; see vacuum).
+    // The just-published gen's files are already in hand — never re-read
     val gens = listGens(fs, path)
     val (retire, keep) = gens.partition(_ <= gen - retainGens)
     if (retire.nonEmpty) {
-      val kept = (keep.map(g => load(fs, path, g).files) :+ files)
-        .flatten.toSet
+      val kept = (keep.filterNot(_ == gen).map(g => load(fs, path, g).files)
+        :+ sorted).flatten.toSet
       retire.foreach { g =>
         val m = load(fs, path, g)
         m.files.filterNot(kept).foreach(f =>
@@ -236,8 +271,9 @@ private[graft] object StoreManifest {
 
   /** Reclaim files no retained manifest references — the garbage a
     * CRASHED mutation strands (staging dirs, moved-but-unpublished
-    * files). Single-writer: run it from the maintainer, never
-    * concurrently with another mutation. Returns the deleted paths.
+    * files, a publish's orphaned `_manifest_tmp_*`). Single-writer: run
+    * it from the maintainer, never concurrently with another mutation.
+    * Returns the deleted paths.
     */
   def vacuum(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
@@ -246,12 +282,20 @@ private[graft] object StoreManifest {
       s"vacuum: no published manifest at $path — nothing is provably garbage")
     val live = gens.flatMap(g => load(fs, path, g).files).toSet
     val p = new Path(path)
-    val stagings = fs.listStatus(p).toSeq.filter(s =>
+    val rootEntries = fs.listStatus(p).toSeq
+    val stagings = rootEntries.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("_staging_"))
+    // a maintainer that died between writing its manifest temp and the
+    // commit link/rename strands one immortal root file per crash —
+    // exactly the debris class vacuum exists for (the `.crc` sidecar a
+    // checksum filesystem writes alongside rides the same delete)
+    val manifestTmps = rootEntries.filter(s =>
+      s.isFile && s.getPath.getName.startsWith("_manifest_tmp_"))
     val onDisk = collectDataFiles(fs, p, p)
     val garbage = onDisk.filterNot(live)
     garbage.foreach(f => fs.delete(new Path(path, f), false))
     stagings.foreach(s => fs.delete(s.getPath, true))
-    garbage ++ stagings.map(_.getPath.getName)
+    manifestTmps.foreach(s => fs.delete(s.getPath, false))
+    garbage ++ (stagings ++ manifestTmps).map(_.getPath.getName)
   }
 }

@@ -206,6 +206,18 @@ class PqStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate vec_ids"))
     assert(s.contents().count() == 200, "refused upsert left the store untouched")
 
+    // and a delta that cannot be ENCODED (wrong dimension) refuses before
+    // the removal leg too — a post-removal encode failure would leave the
+    // matched ids silently deleted and never re-added
+    val wrongDim = Seq((0L, Array.tabulate(5)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] { s.upsert(wrongDim) }
+    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(c => Option(c.getMessage)).toSeq
+    assert(msgs(e2).exists(_.contains("dimension must match")), e2.toString)
+    assert(s.contents().filter($"vec_id" === 0L).count() == 1,
+      "refused upsert must not have removed the matched id")
+
     // fragmentation: several appends, then compact — answers unchanged
     val frag = new PqStore(spark,
       Files.createTempDirectory("pqstore-frag-").toString + "/v", cb, coarse)

@@ -110,6 +110,72 @@ class ManifestStoreSpec extends SparkSpec {
     assert(empty.schema.fieldNames.toSeq == Seq("id", "cell"))
   }
 
+  test("a TRUNCATED manifest refuses loudly — the footer guards the " +
+      "file list, not just the schema line") {
+    val path = freshStore()
+    val m = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    // simulate an out-of-band restore / non-atomic copy losing the tail:
+    // schema line intact, file list cut short, footer gone
+    val gen1 = new java.io.File(path, f"_manifest.${1L}%020d")
+    val lines = new String(java.nio.file.Files.readAllBytes(gen1.toPath),
+      "UTF-8").split("\n")
+    java.nio.file.Files.write(gen1.toPath,
+      lines.take(2).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, f"._manifest.${1L}%020d.crc"))
+    val e = intercept[IllegalStateException] {
+      StoreManifest.resolve(spark, path, "read")
+    }
+    assert(e.getMessage.contains("corrupt manifest") &&
+      (e.getMessage.contains("footer") || e.getMessage.contains("truncated")),
+      e.getMessage)
+    assert(m.files.size > 2, "fixture must actually truncate something")
+  }
+
+  test("two RACING publishers of the same generation: exactly one wins, " +
+      "the loser fails loudly (atomic-link commit, no TOCTOU window)") {
+    val path = freshStore()
+    val m1 = StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val losses = new java.util.concurrent.atomic.AtomicInteger
+    val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        gate.await()
+        try {
+          StoreManifest.publish(spark, path, m1.schema, m1.files, m1.gen)
+          wins.incrementAndGet(); ()
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent maintenance") =>
+            losses.incrementAndGet(); ()
+          case t: Throwable => others.add(t); ()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join(30000))
+    assert(others.isEmpty, s"unexpected failures: ${others.toArray.mkString(", ")}")
+    assert(wins.get() == 1 && losses.get() == 3,
+      s"wins=${wins.get()} losses=${losses.get()} — the commit must be " +
+        "atomically exclusive")
+    // the surviving manifest is intact (footer verifies) and complete
+    assert(StoreManifest.resolve(spark, path, "read").files == m1.files)
+  }
+
+  test("vacuum reclaims a crashed publish's stranded _manifest_tmp_ file") {
+    val path = freshStore()
+    StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val tmp = new java.io.File(path, "_manifest_tmp_deadbeef")
+    java.nio.file.Files.write(tmp.toPath, "half a manifest".getBytes("UTF-8"))
+    val removed = StoreManifest.vacuum(spark, path)
+    assert(removed.exists(_.contains("_manifest_tmp_deadbeef")),
+      removed.mkString(", "))
+    assert(!tmp.exists)
+  }
+
   test("a corrupt manifest refuses loudly with provenance") {
     val path = freshStore()
     StoreManifest.publishInitial(spark, path, schemaOf(path))
