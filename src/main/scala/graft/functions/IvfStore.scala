@@ -153,27 +153,13 @@ final class IvfStore(spark: SparkSession, val path: String,
       .sortWithinPartitions(col("cell"), col("vec_id"))
   }
 
-  private def cellDirs(cells: Seq[Int]): Set[String] =
-    cells.map(c => s"cell=$c").toSet
+  /** The shared manifest-store plumbing, bound to this store's layout. */
+  private val store = StoreManifest.Handle(spark, path, "cell")
 
-  /** The current manifest — readers and maintainers resolve it once per
-    * operation; [[write]] is the only path that creates generation 1.
-    */
-  private def manifest(op: String): StoreManifest.Manifest =
-    StoreManifest.resolve(spark, path, op)
+  private def manifest(op: String): StoreManifest.Manifest = store.resolve(op)
 
-  /** Scan of the current version, optionally pruned to a cell subset —
-    * pruning happens at the MANIFEST (file-list) layer, before Spark
-    * lists anything.
-    */
   private def storeDf(m: StoreManifest.Manifest,
-      cells: Option[Seq[Int]] = None): DataFrame = {
-    val files = cells match {
-      case Some(cs) => m.filesUnder(cellDirs(cs))
-      case None => m.files
-    }
-    StoreManifest.read(spark, path, m, files)
-  }
+      cells: Option[Seq[Int]] = None): DataFrame = store.scan(m, cells)
 
   /** Build (or fully rebuild) the store and persist the quantizer
     * alongside it — the centroids ARE the layout, and a later maintainer
@@ -185,19 +171,10 @@ final class IvfStore(spark: SparkSession, val path: String,
     val assigned = indexed(emb)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
     IvfStore.saveCentroids(spark, path, centroids)
-    StoreManifest.publishInitial(spark, path, readSchema(assigned.schema))
+    store.publishInitial(store.readSchema(assigned.schema,
+      org.apache.spark.sql.types.IntegerType))
+    ()
   }
-
-  /** The read schema: the written frame's columns with `cell` typed as
-    * the partition column Spark derives from the `cell=N` path segment.
-    */
-  private def readSchema(written: org.apache.spark.sql.types.StructType):
-      org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(written.fields.map { f =>
-      if (f.name == "cell")
-        f.copy(dataType = org.apache.spark.sql.types.IntegerType)
-      else f
-    })
 
   /** Drift guard for every incremental mutation: the handle's centroids
     * must be bit-identical to the persisted quantizer.
@@ -250,8 +227,7 @@ final class IvfStore(spark: SparkSession, val path: String,
     requireQuantizerMatch("append")
     val m = manifest("append")
     requireDeltaCompatible("append", m, delta)
-    StoreManifest.commitSwap(spark, path, indexed(delta), "cell", Set.empty,
-      resolved = Some(m))
+    store.commitSwap(m, indexed(delta), Seq.empty)
     ()
   }
 
@@ -284,11 +260,11 @@ final class IvfStore(spark: SparkSession, val path: String,
         "re-embed)")
     if (n == 0) return
     val existing = storeDf(m).select("vec_id")
-    StoreManifest.commitSwap(spark, path,
+    store.commitSwap(m,
       assigned.join(existing, Seq("vec_id"), "left_anti")
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", Set.empty, resolved = Some(m))
+      Seq.empty)
     ()
   }
 
@@ -389,11 +365,7 @@ final class IvfStore(spark: SparkSession, val path: String,
   def compactCells(maxFilesPerCell: Int = 4): Unit = {
     requireQuantizerMatch("compactCells")
     val m = manifest("compactCells")
-    val fragmented = m.files.groupBy(f => f.split('/').head)
-      .collect { case (dir, fs) if dir.startsWith("cell=") &&
-          fs.size > maxFilesPerCell =>
-        dir.stripPrefix("cell=").toInt }
-      .toSeq.sorted
+    val fragmented = store.fragmented(m, maxFilesPerCell).map(_.toInt)
     if (fragmented.isEmpty) return
     swapCells(m, storeDf(m, Some(fragmented)), fragmented)
   }
@@ -401,7 +373,7 @@ final class IvfStore(spark: SparkSession, val path: String,
   /** Reclaim files no retained manifest references — garbage stranded by
     * a CRASHED mutation. Run from the (single) maintainer only.
     */
-  def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+  def vacuum(): Seq[String] = store.vacuum()
 
   /** The current version's full contents — the ONLY correct way to scan
     * the store outside a probe: a raw `spark.read.parquet(path)` would
@@ -469,10 +441,10 @@ final class IvfStore(spark: SparkSession, val path: String,
     */
   private def swapCells(m: StoreManifest.Manifest, replacement: DataFrame,
       affected: Seq[Int]): Unit = {
-    StoreManifest.commitSwap(spark, path,
+    store.commitSwap(m,
       replacement.repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", cellDirs(affected), resolved = Some(m))
+      affected)
     ()
   }
 

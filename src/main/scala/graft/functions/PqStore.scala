@@ -47,20 +47,13 @@ final class PqStore(spark: SparkSession, val path: String,
   private def fs: org.apache.hadoop.fs.FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifest(op: String): StoreManifest.Manifest =
-    StoreManifest.resolve(spark, path, op)
+  /** The shared manifest-store plumbing, bound to this store's layout. */
+  private val store = StoreManifest.Handle(spark, path, "cell")
 
-  private def cellDirs(cells: Seq[Int]): Set[String] =
-    cells.map(c => s"cell=$c").toSet
+  private def manifest(op: String): StoreManifest.Manifest = store.resolve(op)
 
   private def storeDf(m: StoreManifest.Manifest,
-      cells: Option[Seq[Int]] = None): DataFrame = {
-    val files = cells match {
-      case Some(cs) => m.filesUnder(cellDirs(cs))
-      case None => m.files
-    }
-    StoreManifest.read(spark, path, m, files)
-  }
+      cells: Option[Seq[Int]] = None): DataFrame = store.scan(m, cells)
 
   /** The encode + coarse-assign projection every ingest path shares:
     * codes from the frozen codebooks, cell from the frozen coarse
@@ -72,21 +65,14 @@ final class PqStore(spark: SparkSession, val path: String,
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
 
-  private def readSchema(written: org.apache.spark.sql.types.StructType):
-      org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(written.fields.map { f =>
-      if (f.name == "cell")
-        f.copy(dataType = org.apache.spark.sql.types.IntegerType)
-      else f
-    })
-
   /** Encode + assign + persist, and save both quantizers alongside. */
   def write(emb: DataFrame): Unit = {
     val enc = encoded(emb)
     enc.write.partitionBy("cell").mode("overwrite").parquet(path)
     IvfStore.saveCentroids(spark, path, coarse)
     saveCodebooks()
-    StoreManifest.publishInitial(spark, path, readSchema(enc.schema))
+    store.publishInitial(store.readSchema(enc.schema,
+      org.apache.spark.sql.types.IntegerType))
     ()
   }
 
@@ -97,8 +83,7 @@ final class PqStore(spark: SparkSession, val path: String,
   def append(delta: DataFrame): Unit = {
     requireQuantizerMatch("append")
     val m = manifest("append")
-    StoreManifest.commitSwap(spark, path, encoded(delta), "cell", Set.empty,
-      resolved = Some(m))
+    store.commitSwap(m, encoded(delta), Seq.empty)
     ()
   }
 
@@ -122,8 +107,7 @@ final class PqStore(spark: SparkSession, val path: String,
     if (n == 0) return
     val existing = storeDf(m).select("vec_id")
     val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
-    StoreManifest.commitSwap(spark, path, encoded(fresh), "cell", Set.empty,
-      resolved = Some(m))
+    store.commitSwap(m, encoded(fresh), Seq.empty)
     ()
   }
 
@@ -180,12 +164,12 @@ final class PqStore(spark: SparkSession, val path: String,
       .select("cell").distinct()
       .collect().map(_.get(0).toString.toInt).sorted.toSeq
     if (touched.isEmpty) return
-    StoreManifest.commitSwap(spark, path,
+    store.commitSwap(m,
       storeDf(m, Some(touched))
         .join(idSet, Seq("vec_id"), "left_anti")
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", cellDirs(touched), resolved = Some(m))
+      touched)
     ()
   }
 
@@ -196,24 +180,20 @@ final class PqStore(spark: SparkSession, val path: String,
   def compactCells(maxFilesPerCell: Int = 4): Unit = {
     requireQuantizerMatch("compactCells")
     val m = manifest("compactCells")
-    val fragmented = m.files.groupBy(f => f.split('/').head)
-      .collect { case (dir, fs) if dir.startsWith("cell=") &&
-          fs.size > maxFilesPerCell =>
-        dir.stripPrefix("cell=").toInt }
-      .toSeq.sorted
+    val fragmented = store.fragmented(m, maxFilesPerCell).map(_.toInt)
     if (fragmented.isEmpty) return
-    StoreManifest.commitSwap(spark, path,
+    store.commitSwap(m,
       storeDf(m, Some(fragmented))
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id")),
-      "cell", cellDirs(fragmented), resolved = Some(m))
+      fragmented)
     ()
   }
 
   /** Reclaim files no retained manifest references (crashed-mutation
     * garbage). Run from the (single) maintainer only.
     */
-  def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+  def vacuum(): Seq[String] = store.vacuum()
 
   /** The current version's full contents (codes + norms + cells) — see
     * [[IvfStore.contents]] for why a raw directory read is wrong.

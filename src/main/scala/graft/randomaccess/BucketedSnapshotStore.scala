@@ -60,6 +60,9 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     ((h % buckets) + buckets) % buckets
   }
 
+  /** The shared manifest-store plumbing, bound to this store's layout. */
+  private val store = StoreManifest.Handle(spark, path, "kb")
+
   /** Materialize a compacted snapshot as the store's full contents. */
   def write(snapshot: Dataset[StreamElement]): Unit = {
     snapshot.toDF()
@@ -67,7 +70,7 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
       .repartition(col("kb"))
       .sortWithinPartitions(col("kb"), col("key"), col("attribute"))
       .write.partitionBy("kb").mode("overwrite").parquet(path)
-    StoreManifest.publishInitial(spark, path, readSchema)
+    store.publishInitial(readSchema)
     ()
   }
 
@@ -88,16 +91,11 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * a legitimately empty store.
     */
   private def readDf(kbs: Option[Seq[Long]] = None): DataFrame =
-    StoreManifest.current(spark, path) match {
+    store.current() match {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-      case Some(m) =>
-        val files = kbs match {
-          case Some(bs) => m.filesUnder(bs.map(b => s"kb=$b").toSet)
-          case None => m.files
-        }
-        StoreManifest.read(spark, path, m, files)
+      case Some(m) => store.scan(m, kbs)
     }
 
   /** The live snapshot view (all buckets, tombstones hidden). */
@@ -146,18 +144,15 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * bootstraps it (the replicate-to-fresh-path flow).
     */
   def refresh(delta: Dataset[StreamElement]): Unit = this.synchronized {
-    val m = StoreManifest.current(spark, path).getOrElse(
-      StoreManifest.publishInitial(spark, path, readSchema))
+    val m = store.current().getOrElse(store.publishInitial(readSchema))
     val withKb = delta.toDF().withColumn("kb", bucketCol(col("key")))
     val affected = withKb.select("kb").distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted.toSeq
     if (affected.isEmpty) return
-    val dirs = affected.map(b => s"kb=$b").toSet
-    val existing = asElements(
-      StoreManifest.read(spark, path, m, m.filesUnder(dirs)))
+    val existing = asElements(store.scan(m, Some(affected)))
     swapBuckets(m,
       LatestWithTombstones.compactRetaining(existing.unionByName(delta)),
-      dirs)
+      affected)
   }
 
   /** Reclaim tombstones older than `horizonUs` — call once lateness is
@@ -170,17 +165,14 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     // a never-written store legitimately has nothing to expire — the
     // periodic-maintenance flow (expiry alongside replicate) may fire
     // before the first micro-batch ever lands
-    val m = StoreManifest.current(spark, path).getOrElse(return)
+    val m = store.current().getOrElse(return)
     val expired = col("delete") && col("stamp") < horizonUs
-    val all = StoreManifest.read(spark, path, m, m.files)
-    val affected = all.filter(expired).select("kb").distinct()
-      .collect().map(_.getLong(0)).sorted
+    val affected = store.scan(m).filter(expired).select("kb").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
     if (affected.isEmpty) return
-    val dirs = affected.map(b => s"kb=$b").toSet
     swapBuckets(m,
-      asElements(StoreManifest.read(spark, path, m, m.filesUnder(dirs))
-        .filter(!expired)),
-      dirs)
+      asElements(store.scan(m, Some(affected)).filter(!expired)),
+      affected)
   }
 
   /** Maintain the store from a streaming changelog — the reference's
@@ -203,7 +195,7 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
   /** Reclaim files no retained manifest references (crashed-mutation
     * garbage). Run from the (single) maintainer only.
     */
-  def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+  def vacuum(): Seq[String] = store.vacuum()
 
   /** Replace the affected buckets' contents with `merged` in one atomic
     * manifest publish ([[StoreManifest.commitSwap]]): new files are
@@ -213,13 +205,13 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
     * leaves the previous version serving.
     */
   private def swapBuckets(m: StoreManifest.Manifest,
-      merged: Dataset[StreamElement], dirs: Set[String]): Unit = {
-    StoreManifest.commitSwap(spark, path,
+      merged: Dataset[StreamElement], affected: Seq[Long]): Unit = {
+    store.commitSwap(m,
       merged.toDF()
         .withColumn("kb", bucketCol(col("key")))
         .repartition(col("kb"))
         .sortWithinPartitions(col("kb"), col("key"), col("attribute")),
-      "kb", dirs, resolved = Some(m))
+      affected)
     ()
   }
 }

@@ -269,6 +269,69 @@ private[graft] object StoreManifest {
       seg.startsWith("_") || seg.startsWith(".")))
   }
 
+  /** Per-store binding of (path, partition column): the read/maintenance
+    * plumbing every manifest store shares. One definition — the protocol
+    * (pruned scans, swap commits, fragmentation accounting, the
+    * partition-typed read schema) must not exist as three drifting
+    * copies across IvfStore / PqStore / BucketedSnapshotStore: a
+    * protocol fix landing in two of three would silently desync the
+    * third.
+    */
+  final case class Handle(spark: SparkSession, path: String,
+      partitionCol: String) {
+
+    def current(): Option[Manifest] = StoreManifest.current(spark, path)
+
+    def resolve(op: String): Manifest = StoreManifest.resolve(spark, path, op)
+
+    /** `cell=3`-style directory names for a partition-value subset. */
+    def dirs(values: Seq[Any]): Set[String] =
+      values.map(v => s"$partitionCol=$v").toSet
+
+    /** Scan of version `m`, optionally pruned to a partition-value
+      * subset at the manifest (file-list) layer.
+      */
+    def scan(m: Manifest, parts: Option[Seq[Any]] = None): DataFrame = {
+      val files = parts match {
+        case Some(vs) => m.filesUnder(dirs(vs))
+        case None => m.files
+      }
+      StoreManifest.read(spark, path, m, files)
+    }
+
+    /** Replace `swapParts`' contents with `replacement` (empty set = pure
+      * append) on top of version `m`, in one atomic publish.
+      */
+    def commitSwap(m: Manifest, replacement: DataFrame,
+        swapParts: Seq[Any]): Manifest =
+      StoreManifest.commitSwap(spark, path, replacement, partitionCol,
+        dirs(swapParts), resolved = Some(m))
+
+    /** Partition values whose directories hold more than
+      * `maxFilesPerDir` files — read straight off the manifest.
+      */
+    def fragmented(m: Manifest, maxFilesPerDir: Int): Seq[String] =
+      m.files.groupBy(dirOf)
+        .collect { case (d, fs) if d.startsWith(partitionCol + "=") &&
+            fs.size > maxFilesPerDir =>
+          d.stripPrefix(partitionCol + "=") }
+        .toSeq.sorted
+
+    def publishInitial(schema: StructType): Manifest =
+      StoreManifest.publishInitial(spark, path, schema)
+
+    def vacuum(): Seq[String] = StoreManifest.vacuum(spark, path)
+
+    /** The written frame's schema with the partition column re-typed to
+      * what the `part=value` path segment parses back as.
+      */
+    def readSchema(written: StructType,
+        partitionType: org.apache.spark.sql.types.DataType): StructType =
+      StructType(written.fields.map { f =>
+        if (f.name == partitionCol) f.copy(dataType = partitionType) else f
+      })
+  }
+
   /** Reclaim files no retained manifest references — the garbage a
     * CRASHED mutation strands (staging dirs, moved-but-unpublished
     * files, a publish's orphaned `_manifest_tmp_*`). Single-writer: run
