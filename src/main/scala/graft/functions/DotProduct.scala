@@ -40,8 +40,11 @@ final case class DotProductExpr(left: Expression, right: Expression)
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  /** Left-to-right fold over min(|a|, |b|) elements — the
-    * [[Similarity]] kernel order. Called from generated code too.
+  /** Left-to-right fold in the [[Similarity]] kernel order, over
+    * EQUAL-LENGTH arrays only — a dimension mismatch (or a NULL element)
+    * throws IllegalArgumentException rather than scoring a truncated
+    * prefix (see [[DotProduct.dot]] for the rationale). Called from
+    * generated code too.
     */
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -324,19 +324,19 @@ final class IvfStore(spark: SparkSession, val path: String,
   }
 
   /** Re-embedding fold: replace any stored vector whose vec_id appears in
-    * `delta` and file the rest as new — [[removeMatching]] on the delta's
-    * ids, then [[append]]. Cost is O(delta + touched cells), and the
-    * delta's NEW embeddings decide the new cell assignments (a vector may
-    * move cells when its embedding moved).
+    * `delta` and file the rest as new. Cost is O(delta + touched cells),
+    * and the delta's NEW embeddings decide the new cell assignments (a
+    * vector may move cells when its embedding moved).
     *
-    * The delta is VALIDATED FIRST (element type, duplicate ids): every
-    * refusal an upsert can raise fires before the removal leg runs, so a
-    * refused upsert leaves the store untouched. The two legs are still
-    * two manifest generations, not one atomic swap — a crash BETWEEN them
-    * leaves the delta's ids removed but not yet re-added (each generation
-    * itself is complete and consistent; no reader ever sees a torn scan).
-    * Recovery is to re-run the SAME upsert: removeMatching finds nothing,
-    * append refiles the delta.
+    * Both legs land in ONE manifest generation: the swap set is the
+    * union of the cells holding a matched id and the cells the delta
+    * files into, the replacement is (those cells' survivors + the
+    * assigned delta), and a single commitSwap publishes it. A crash at
+    * ANY point therefore leaves either the full old version or the full
+    * new one — never "ids removed, replacements not yet filed" (the
+    * two-generation window the r14 review flagged). The delta is
+    * VALIDATED FIRST (element type, duplicate ids), so every refusal an
+    * upsert can raise fires before anything is staged.
     */
   def upsert(delta: DataFrame): Unit = {
     requireQuantizerMatch("upsert")
@@ -344,16 +344,25 @@ final class IvfStore(spark: SparkSession, val path: String,
     requireDeltaCompatible("upsert", m, delta)
     // the dup/row counts run over the ASSIGNED projection, not the raw
     // delta: that forces the cell UDF (and its dimension guard) over
-    // every row, so a delta that cannot be filed refuses HERE — before
-    // the removal leg has deleted anything
-    val Array(n, d) = indexed(delta)
+    // every row, so a delta that cannot be filed refuses HERE
+    val assigned = indexed(delta)
+    val Array(n, d) = assigned
       .agg(count(lit(1)), countDistinct(col("vec_id")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     require(n == d,
       s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
         "for one id is a data error")
-    removeMatching(delta)
-    append(delta)
+    if (n == 0) return
+    val idSet = assigned.select("vec_id")
+    val oldCells = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt)
+    val newCells = assigned.select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt)
+    val touched = (oldCells ++ newCells).distinct.sorted.toSeq
+    val survivors = storeDf(m, Some(touched))
+      .join(idSet, Seq("vec_id"), "left_anti")
+    swapCells(m, survivors.unionByName(assigned), touched)
   }
 
   /** Defragmentation after many [[append]]s: rewrite every cell holding

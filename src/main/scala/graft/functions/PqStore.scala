@@ -124,29 +124,48 @@ final class PqStore(spark: SparkSession, val path: String,
         appendIdempotent(batch)
       }
 
-  /** Re-embedding fold: [[removeMatching]] the delta's ids, then
-    * re-encode and [[append]] — the delta's NEW embeddings decide both
-    * the new codes and the new cells. Validation (duplicate ids) runs
-    * FIRST so a refused upsert leaves the store untouched; the two legs
-    * are two manifest generations (each complete — no reader ever sees a
-    * torn scan), and a crash between them is repaired by re-running the
-    * SAME upsert.
+  /** Re-embedding fold: re-encode the delta with the frozen quantizers
+    * and replace any stored code whose vec_id it carries — the delta's
+    * NEW embeddings decide both the new codes and the new cells.
+    *
+    * Both legs land in ONE manifest generation (the [[IvfStore.upsert]]
+    * discipline): swap set = cells holding a matched id ∪ cells the
+    * re-encoded delta files into, replacement = those cells' survivors +
+    * the encoded delta, one commitSwap. A crash at any point leaves the
+    * full old version or the full new one — never "ids removed, codes
+    * not yet re-added". Validation (duplicate ids, encodability) runs
+    * FIRST so a refused upsert leaves the store untouched.
     */
   def upsert(delta: DataFrame): Unit = {
     requireQuantizerMatch("upsert")
-    manifest("upsert")
+    val m = manifest("upsert")
     // the dup/row counts run over the ENCODED projection, not the raw
     // delta: that forces Pq.encode (schema resolution + the dimension
     // guard) over every row, so a delta that cannot be encoded refuses
-    // HERE — before the removal leg has deleted anything
-    val Array(n, d) = encoded(delta)
+    // HERE — before anything is staged
+    val enc = encoded(delta)
+    val Array(n, d) = enc
       .agg(count(lit(1)), countDistinct(col("vec_id")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     require(n == d,
       s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
         "for one id is a data error")
-    removeMatching(delta)
-    append(delta)
+    if (n == 0) return
+    val idSet = enc.select("vec_id")
+    val oldCells = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt)
+    val newCells = enc.select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt)
+    val touched = (oldCells ++ newCells).distinct.sorted.toSeq
+    val survivors = storeDf(m, Some(touched))
+      .join(idSet, Seq("vec_id"), "left_anti")
+    store.commitSwap(m,
+      survivors.unionByName(enc)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id")),
+      touched)
+    ()
   }
 
   /** Takedown on the COMPRESSED copy: a removed vector must leave every

@@ -32,6 +32,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * reader-visible repair step. There is no "interrupted swap" refusal
   * state anymore; availability survives a dead maintainer.
   *
+  * Supported commit backends: LocalFileSystem (commit = hard link —
+  * atomic EEXIST refusal) and the HDFS rename-refuses-destination family
+  * (`hdfs`/`viewfs`/`webhdfs`/`swebhdfs`/`ofs`/`o3fs`). Any other scheme
+  * — RawLocalFileSystem's overwriting POSIX rename, object-store
+  * connectors whose rename is copy+delete — is REFUSED at publish time:
+  * on those a racing pair of publishers could both "succeed" and
+  * silently lose a manifest. An S3-class backend needs a
+  * conditional-put commit primitive before it can be added to the list.
+  *
   * Scale: a manifest is one line per data file — metadata-proportional,
   * O(corpus files) text once per mutation, while the data moved stays
   * O(delta). At 100 TB / 128 MB files that is ~1M lines (~100 MB), the
@@ -55,6 +64,17 @@ private[graft] object StoreManifest {
   }
 
   private val ManifestPrefix = "_manifest."
+
+  /** Filesystems whose `rename` atomically REFUSES an existing
+    * destination (returns false) — the HDFS family contract
+    * (FileSystem.rename's documented semantics there). POSIX rename
+    * (RawLocalFileSystem) silently overwrites, and most object-store
+    * connectors emulate rename as copy+delete — neither can carry the
+    * single-writer commit, so [[publish]] refuses schemes outside this
+    * list (LocalFileSystem commits via hard link instead).
+    */
+  private val RenameRefusingSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -152,8 +172,23 @@ private[graft] object StoreManifest {
     val body = ((schema.json +: sorted) :+ footer(sorted.size)).mkString("\n")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val isLocal = Option(target.toUri.getScheme).forall(_ == "file") &&
+    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    val isLocal = scheme == "file" &&
       fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    // the commit primitive is only exclusive on backends we can name: a
+    // silently-overwriting rename (RawLocalFileSystem, most object
+    // stores) would let two racing publishers both "succeed" and lose a
+    // manifest — refuse such a backend LOUDLY instead of publishing on it
+    if (!isLocal && !RenameRefusingSchemes.contains(scheme)) {
+      fs.delete(tmp, false)
+      throw new UnsupportedOperationException(
+        s"StoreManifest.publish: filesystem scheme '$scheme' " +
+          s"(${fs.getClass.getName}) is not a supported commit backend — " +
+          "single-writer publish needs an atomic no-overwrite commit " +
+          "(hard link on LocalFileSystem; rename-refuses-destination on " +
+          s"${RenameRefusingSchemes.mkString("/")}). Object stores need a " +
+          "conditional-put commit primitive this layer does not implement.")
+    }
     if (isLocal) {
       val raw = fs.asInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
         .pathToFile _
@@ -236,8 +271,20 @@ private[graft] object StoreManifest {
     }
     fs.delete(new Path(staging), true)
     val kept = m.files.filterNot(f => swapDirs.contains(dirOf(f)))
-    publish(spark, path, m.schema, kept ++ moved, m.gen, retainGens)
+    val published = publish(spark, path, m.schema, kept ++ moved, m.gen,
+      retainGens)
+    // opportunistic debris reclamation: a mutation that crashed after its
+    // staging moves strands files no manifest references, and nothing
+    // else in the maintenance flow would ever delete them — so the
+    // (single) writer sweeps on a fixed generation cadence. Safe exactly
+    // because commitSwap IS the single-writer path; the cost is one
+    // recursive listing every VacuumEvery publishes.
+    if (published.gen % VacuumEvery == 0) vacuum(spark, path)
+    published
   }
+
+  /** Generation cadence of [[commitSwap]]'s opportunistic [[vacuum]]. */
+  private val VacuumEvery = 16L
 
   /** Adopt the files a fresh bulk `write` (mode=overwrite) just produced
     * as generation 1 — the only place a directory listing decides a
@@ -341,8 +388,12 @@ private[graft] object StoreManifest {
   def vacuum(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
     val gens = listGens(fs, path)
-    require(gens.nonEmpty,
-      s"vacuum: no published manifest at $path — nothing is provably garbage")
+    // a never-written store is a graceful no-op (matching
+    // expireTombstones in the periodic-maintenance flow): nothing is
+    // provably garbage before the first publish, and a maintenance job
+    // scheduled alongside replicate must not crash before the first
+    // micro-batch lands
+    if (gens.isEmpty) return Seq.empty
     val live = gens.flatMap(g => load(fs, path, g).files).toSet
     val p = new Path(path)
     val rootEntries = fs.listStatus(p).toSeq

@@ -226,7 +226,13 @@ class IvfStoreSpec extends SparkSpec {
       (i, Array.tabulate(8)(j => if (j == c * 2) 10f else 0.5f))
     }.toDF("vec_id", "embedding")
       .unionByName(emb.filter($"vec_id" >= 150))
+    val genBefore = graft.sources.StoreManifest
+      .resolve(spark, s.path, "spec").gen
     s.upsert(delta)
+    // remove + re-add land as ONE published generation: no intermediate
+    // version with the ids deleted can ever be a crash survivor
+    assert(graft.sources.StoreManifest.resolve(spark, s.path, "spec").gen
+      == genBefore + 1, "upsert must be a single atomic publish")
     val store = s.contents()
     assert(store.count() == 200 &&
       store.select("vec_id").distinct().count() == 200)

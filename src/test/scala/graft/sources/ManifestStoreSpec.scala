@@ -176,6 +176,34 @@ class ManifestStoreSpec extends SparkSpec {
     assert(!tmp.exists)
   }
 
+  test("vacuum on a never-written store is a graceful no-op (maintenance " +
+      "scheduled alongside replicate must not crash pre-first-batch)") {
+    val path = Files.createTempDirectory("graft-manifest-empty-").toString + "/v"
+    assert(StoreManifest.vacuum(spark, path) == Seq.empty)
+    // and with the directory existing but manifest-less, still a no-op
+    assert(new java.io.File(path).mkdirs())
+    assert(StoreManifest.vacuum(spark, path) == Seq.empty)
+  }
+
+  test("publish refuses a filesystem whose rename cannot carry the " +
+      "single-writer commit (overwriting POSIX rename / object stores)") {
+    // RawLocalFileSystem is exactly the hazard class: rename(2) silently
+    // overwrites an existing destination. Register it under a scheme the
+    // allowlist does not know and the commit must refuse LOUDLY.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftraw.impl", classOf[GraftRawTestFs].getName)
+    val local = freshStore()
+    val path = s"graftraw://$local"
+    val e = intercept[UnsupportedOperationException] {
+      StoreManifest.publish(spark, path, schemaOf(local), Seq.empty, 0L)
+    }
+    assert(e.getMessage.contains("not a supported commit backend"),
+      e.getMessage)
+    // and no half-published artifact survives the refusal
+    assert(!new java.io.File(local).listFiles()
+      .exists(_.getName.startsWith("_manifest")), "refusal left no debris")
+  }
+
   test("a corrupt manifest refuses loudly with provenance") {
     val path = freshStore()
     StoreManifest.publishInitial(spark, path, schemaOf(path))
@@ -189,4 +217,12 @@ class ManifestStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
   }
+}
+
+/** RawLocalFileSystem re-registered under a scheme the publish allowlist
+  * does not know — the stand-in for any backend whose rename silently
+  * overwrites (POSIX local, object-store connectors).
+  */
+class GraftRawTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftraw:///")
 }
