@@ -13,8 +13,28 @@ import org.apache.spark.sql.SparkSession
   *   microsecond timestamp in [[graft.sources.Tables.events]].
   */
 object GraftSession {
+
+  /** `-Dgraft.stateProvider=rocksdb` pins every stateful streaming start
+    * in this JVM to the spill-capable RocksDB state store — per-key
+    * state on executor DISK, the regime 100 TB key cardinality requires
+    * (the default provider keeps all of it in heap). Any other value is
+    * taken as a provider class name verbatim. RocksDbSuitePhaseSpec
+    * re-runs the stateful spec suites in a child JVM with this set, so
+    * the production provider is exercised suite-wide every round, not
+    * only in the one-off smoke.
+    */
+  val StateProviderProp = "graft.stateProvider"
+
+  private def applyStateProvider(b: SparkSession.Builder): SparkSession.Builder =
+    sys.props.get(StateProviderProp).map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }.fold(b)(cls =>
+      b.config("spark.sql.streaming.stateStore.providerClass", cls))
+
   def builder(cores: String): SparkSession.Builder =
-    SparkSession.builder()
+    applyStateProvider(SparkSession.builder())
       .withExtensions(graft.functions.GraftExtensions.install)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
