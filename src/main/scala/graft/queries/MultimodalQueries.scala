@@ -4,20 +4,25 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal column plumbing over driver data.
+/** Multimodal column plumbing over driver data — every oracle row parses
+  * REAL container bytes (the stub codec has no oracle row since r15; it
+  * remains only as the documented fallback seam for native-library
+  * formats like MP3/H.264).
   *
-  * Two tiers, both oracle-checked:
-  *  - `q_multimodal_*`: opaque payloads (documents' text bytes) through the
-  *    documented STUB codec — metadata is pure byte arithmetic, so the
-  *    schema/partitioning/batch plumbing gets full hash-match coverage.
-  *  - `q_media_*`: REAL containers. [[Multimodal.syntheticMedia]] encodes
-  *    actual 24bpp BMPs, RIFF PCM16 WAVs and YUV4MPEG2 (C444) videos whose
-  *    CONTENT is a closed-form function of the id; the engine must parse
-  *    the real bytes
-  *    ([[graft.multimodal.MediaCodecs]]) to reproduce what the oracle
-  *    computes from the formulas — header fields, encoded byte sizes,
-  *    exact pixel-channel sums, PCM amplitude stats, and a decode →
-  *    nearest-neighbor resample → re-encode → re-decode round trip.
+  *  - `q_media_*`: [[Multimodal.syntheticMedia]] encodes actual 24bpp
+  *    BMPs, RIFF PCM16 WAVs and YUV4MPEG2 (C444) videos whose CONTENT is
+  *    a closed-form function of the id; the engine must parse the real
+  *    bytes ([[graft.multimodal.MediaCodecs]]) to reproduce what the
+  *    oracle computes from the formulas — header fields, encoded byte
+  *    sizes, exact pixel-channel sums, PCM amplitude stats, and a decode
+  *    → nearest-neighbor resample → re-encode → re-decode round trip.
+  *    Compressed tiers (PNG/GIF/JPEG/FLAC/MJPEG-AVI/G.711/ADPCM) ride
+  *    their own fixtures.
+  *  - `q_multimodal_*`: the pipeline-plumbing stages (metadata sniffing
+  *    across the COMPRESSED container families, fixed-size binary frame
+  *    chunking, byte-budget capping) — re-pointed at real containers in
+  *    r15, so the sniff dispatcher, the chunker and the budget cap are
+  *    all exercised on bytes a crawler would actually hold.
   */
 object MultimodalQueries extends QuerySet {
 
@@ -53,26 +58,76 @@ object MultimodalQueries extends QuerySet {
       }).toDF("media_id", "kind", "payload")
   }
 
+  /** Real COMPRESSED containers across three codec families — PNG
+    * (deflate), FLAC (entropy-coded lossless audio, the q_media_flac
+    * params), GIF (LZW palette) — the fixture the metadata SNIFF
+    * dispatcher is oracled on. Encoded sizes are not closed-form for
+    * compressed formats, so the metadata row carries only the
+    * header-derived fields.
+    */
+  private def compressedMedia(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val w = (8 + (id * 5) % 9).toInt
+            val h = (8 + (id * 3) % 9).toInt
+            (id, "image", graft.multimodal.MediaCodecs.encodePng(w, h,
+              (x, y) => {
+                val r = ((x * 7 + y * 13 + id) % 256).toInt
+                val g = ((x * 11 + y * 3 + id * 5) % 256).toInt
+                val b = ((x + y + id * 9) % 256).toInt
+                (r << 16) | (g << 8) | b
+              }, filterType = (id % 5).toInt))
+          case 1 =>
+            val ch = (1 + id % 2).toInt
+            val frames = (150 + (id * 13) % 300).toInt
+            val pcm = Array.tabulate(frames * ch)(i =>
+              (((i / ch) * (3 + id % 5) + (i % ch) * 17L + id * 7L)
+                % 4096L - 2048L).toShort)
+            (id, "audio", graft.multimodal.FlacCodec
+              .encodeFlac(ch, 8000, pcm, blockSize = 192))
+          case _ =>
+            val w = (8 + (id * 5) % 9).toInt
+            val h = (8 + (id * 3) % 9).toInt
+            (id, "image", graft.multimodal.MediaCodecs.encodeGifGray(w, h,
+              (x, y) => ((x * 7 + y * 13 + id) % 256).toInt))
+        }
+      }).toDF("media_id", "kind", "payload")
+  }
+
   val queries: Map[String, QFn] = Map(
-    // decode: binary payload -> typed metadata (batch-iterator stage)
+    // metadata SNIFF across the compressed families: the dispatcher must
+    // recognize PNG / FLAC / GIF magic and parse the real headers
+    // (IHDR, STREAMINFO, logical screen descriptor) — the q_media_decode
+    // twin for containers whose SIZE is not closed-form
     "q_multimodal_meta" -> ((s, d) => {
-      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(s, d))
+      Multimodal.decodeMeta(compressedMedia(s, d), Multimodal.SniffCodec)
         .toDF("media_id", "kind", "bytes", "width", "height", "duration_ms",
           "channels")
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("duration_ms"), col("channels"))
     }),
 
-    // frame sampling: video payloads -> every 3rd 64-byte pseudo-frame
+    // fixed-size binary frame chunking over REAL Y4M payloads: every 3rd
+    // 64-byte window — the generic record-slicing stage (shard-for-
+    // transport, fixed-record parse), fed by bytes whose total length the
+    // oracle derives from the container formulas
     "q_multimodal_frames" -> ((s, d) => {
-      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 64, 3)
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d), 64, 3)
         .groupBy(col("mediaId").as("media_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame")).cast("long")).as("frame_bytes"))
         .select(col("media_id"), col("n_frames"), col("frame_bytes"))
     }),
 
-    // resize honors the byte budget
+    // byte-budget cap over real containers (transport quota contract):
+    // payloads over budget are truncated to it, the rest pass whole
     "q_multimodal_resize" -> ((s, d) => {
-      Multimodal.resize(Multimodal.mediaFromDocuments(s, d), 128)
+      Multimodal.resize(Multimodal.syntheticMedia(s, d), 1000)
         .select(col("media_id"), length(col("payload")).cast("long")
           .as("bytes"))
     }),
@@ -458,8 +513,6 @@ object MultimodalQueries extends QuerySet {
           "sum_b"))
   )
 
-  private val kindSql =
-    "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]"
 
   // real-container generators (mirror Multimodal.syntheticMedia)
   private val imgSql =
@@ -505,32 +558,63 @@ object MultimodalQueries extends QuerySet {
       |       4 + (doc_id * 7) % 5 AS h, 6 + doc_id % 10 AS nf
       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q_multimodal_meta" ->
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id, $kindSql AS kind,
-         |         octet_length(encode(text)) AS n
-         |  FROM documents
-         |)
-         |SELECT media_id, kind, CAST(n AS BIGINT) AS bytes,
-         |  CAST(CASE kind WHEN 'image' THEN (n % 1024) + 1
-         |                 WHEN 'audio' THEN 0
-         |                 ELSE (n % 1920) + 1 END AS INT) AS width,
-         |  CAST(CASE kind WHEN 'image' THEN (n * 7 % 768) + 1
-         |                 WHEN 'audio' THEN 0
-         |                 ELSE (n * 3 % 1080) + 1 END AS INT) AS height,
-         |  CAST(CASE kind WHEN 'image' THEN 0
-         |                 WHEN 'audio' THEN n * 8
-         |                 ELSE n * 40 END AS BIGINT) AS duration_ms,
-         |  CAST(CASE kind WHEN 'audio' THEN 2 ELSE 3 END AS INT) AS channels
-         |FROM m""".stripMargin,
+  /** Closed-form encoded byte size of each syntheticMedia container —
+    * what the q_media_decode oracle derives from the generator formulas
+    * (BMP: 54-byte headers + 4-aligned rows; WAV: 44-byte canonical
+    * header + 2 bytes/sample; Y4M: stream header + per-frame FRAME\n +
+    * 3·w·h C444 planes).
+    */
+  private val mediaBytesSql =
+    s"""SELECT media_id, CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS n
+       |FROM ($imgSql)
+       |UNION ALL
+       |SELECT media_id, CAST(44 + frames * ch * 2 AS BIGINT) FROM ($audSql)
+       |UNION ALL
+       |SELECT media_id,
+       |       CAST(length('YUV4MPEG2 W' || w || ' H' || h ||
+       |              ' F25:1 Ip A1:1 C444') + 1
+       |            + nf * (6 + 3 * w * h) AS BIGINT)
+       |FROM ($vidSql)""".stripMargin
 
-    // frames: ceil(n/64) frames, every 3rd kept; kept byte total =
-    // sum of sampled frame lengths (last frame may be short)
+  val oracles: Map[String, String] = Map(
+    // header truth per compressed family: PNG IHDR dims, FLAC STREAMINFO
+    // duration/channels, GIF screen-descriptor dims
+    "q_multimodal_meta" ->
+      """WITH png AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), flac AS (
+        |  SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
+        |         150 + (doc_id * 13) % 300 AS frames
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), gif AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + (doc_id * 5) % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, 'image' AS kind, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height, CAST(0 AS BIGINT) AS duration_ms,
+        |       3 AS channels
+        |FROM png
+        |UNION ALL
+        |SELECT media_id, 'audio', 0, 0,
+        |       CAST(frames * 1000 // 8000 AS BIGINT), CAST(ch AS INT)
+        |FROM flac
+        |UNION ALL
+        |SELECT media_id, 'image', CAST(w AS INT), CAST(h AS INT),
+        |       CAST(0 AS BIGINT), 3
+        |FROM gif""".stripMargin,
+
+    // chunking arithmetic over the REAL Y4M byte length: ceil(n/64)
+    // 64-byte windows, every 3rd kept (last window may be short)
     "q_multimodal_frames" ->
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
-         |  FROM documents WHERE $kindSql = 'video'
+      s"""WITH vid AS ($vidSql), m AS (
+         |  SELECT media_id,
+         |         CAST(length('YUV4MPEG2 W' || w || ' H' || h ||
+         |                ' F25:1 Ip A1:1 C444') + 1
+         |              + nf * (6 + 3 * w * h) AS BIGINT) AS n
+         |  FROM vid
          |), f AS (
          |  SELECT media_id, i.i AS idx,
          |         least(64, n - i.i * 64) AS flen
@@ -542,9 +626,8 @@ object MultimodalQueries extends QuerySet {
          |FROM f GROUP BY media_id""".stripMargin,
 
     "q_multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS bytes
-        |FROM documents""".stripMargin,
+      s"""SELECT media_id, least(n, 1000) AS bytes
+         |FROM ($mediaBytesSql)""".stripMargin,
 
     // the engine reads these from parsed BMP/WAV headers; the oracle
     // derives them from the generator formulas — incl. the exact encoded
