@@ -144,4 +144,104 @@ object Watermarks {
     def globalWatermark: Long =
       if (processes.isEmpty) MaxWatermark else processes.values.min
   }
+
+  /** CROSS-PROCESS [[GlobalWatermarkTracker]] — the file-backed analog of
+    * the reference's ZooKeeper tracker (utils-zookeeper/.../
+    * ZKGlobalWatermarkTracker.java:66: per-process znode updates, global
+    * min over live processes, session loss evicts a dead process), built
+    * on the same storage primitives as [[graft.core.CommitArbiter]]'s
+    * marker-file lease instead of a coordination service.
+    *
+    * Layout: one marker file per (process, value) —
+    * `wm.<process>.<value>` under `dir`. The VALUE lives in the file
+    * NAME, so an update is one atomic `create` (no content write a
+    * reader could see torn, no rename — works identically on POSIX-
+    * rename and rename-refusing filesystems); older own markers are
+    * deleted after the new one exists, and a reader racing the swap
+    * takes the per-process MAX, so it can only read the newer value.
+    *
+    * Liveness is the ZK-ephemeral analog done with mtimes: a process's
+    * newest marker doubles as its heartbeat ([[FileGlobalWatermarkTracker.update]]
+    * refreshes mtime even when the value is unchanged), and a process
+    * whose newest marker is older than `staleMs` is EVICTED from the
+    * global min (and its files reclaimed) — a crashed reporter must not
+    * hold the fleet's watermark back forever. Standard lease caveat
+    * (CommitArbiter doc): a reporter stalled past `staleMs` can be
+    * evicted while alive; its next update re-registers it, and the
+    * global watermark may have advanced past it — exactly ZK's
+    * session-expiry behavior.
+    */
+  final class FileGlobalWatermarkTracker(dir: String, staleMs: Long,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration(),
+      clock: () => Long = System.currentTimeMillis _) {
+    import org.apache.hadoop.fs.Path
+
+    require(staleMs > 0, s"staleMs must be positive, got $staleMs")
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    private val root = new Path(dir)
+    private def fs = root.getFileSystem(conf)
+
+    private def marker(process: String, v: Long) =
+      new Path(root, s"wm.$process.$v")
+
+    /** (process, value, mtime) per live marker file. */
+    private def markers(): Seq[(String, Long, Long)] = {
+      if (!fs.exists(root)) return Seq.empty
+      fs.listStatus(root).toSeq.flatMap { st =>
+        st.getPath.getName.split('.') match {
+          case Array("wm", p, v) => Some((p, v.toLong, st.getModificationTime))
+          case _ => None
+        }
+      }
+    }
+
+    /** Report `process`'s watermark (monotonic per process — a lower
+      * report only refreshes the heartbeat) and heartbeat its liveness.
+      */
+    def update(process: String, watermarkMs: Long): Unit = {
+      require(!process.contains(".") && process.nonEmpty,
+        s"process names must be non-empty and dot-free: '$process'")
+      fs.mkdirs(root)
+      val own = markers().filter(_._1 == process)
+      val current = own.map(_._2).maxOption
+      val target = math.max(watermarkMs, current.getOrElse(MinWatermark))
+      if (current.contains(target)) {
+        // value unchanged: the marker IS the heartbeat — refresh mtime
+        val now = clock()
+        fs.setTimes(marker(process, target), now, now)
+      } else {
+        val out = fs.create(marker(process, target), false)
+        out.close()
+        // older own markers die AFTER the new one exists; a racing
+        // reader sees both and takes the max
+        own.filter(_._2 < target).foreach(m =>
+          fs.delete(marker(process, m._2), false))
+      }
+    }
+
+    /** `process` is done: its watermark stops holding the global back. */
+    def finished(process: String): Unit =
+      markers().filter(_._1 == process).foreach(m =>
+        fs.delete(marker(process, m._2), false))
+
+    /** Min over LIVE processes ([[MaxWatermark]] when none): a process
+      * whose newest marker is staler than `staleMs` is evicted — loudly,
+      * with its files reclaimed.
+      */
+    def globalWatermark: Long = {
+      val now = clock()
+      val byProc = markers().groupBy(_._1)
+      val live = byProc.flatMap { case (p, ms) =>
+        val newest = ms.maxBy(m => (m._3, m._2))
+        if (now - newest._3 > staleMs) {
+          log.warn(s"evicting stale watermark process '$p' " +
+            s"(${now - newest._3} ms since last heartbeat > $staleMs)")
+          ms.foreach(m => fs.delete(marker(p, m._2), false))
+          None
+        } else Some(ms.map(_._2).max)
+      }
+      if (live.isEmpty) MaxWatermark else live.min
+    }
+  }
 }

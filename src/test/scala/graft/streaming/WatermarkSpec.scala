@@ -128,4 +128,72 @@ class WatermarkSpec extends SparkSpec {
         s"1 file per trigger over 3 segments needs >= 3 data batches, got $dataBatches")
     } finally q.stop()
   }
+
+  test("file-backed global tracker: per-process monotonic min, finished " +
+      "release, MaxWatermark when empty (ZKGlobalWatermarkTracker laws)") {
+    val dir = Files.createTempDirectory("graft-wm-").toString
+    val t = new FileGlobalWatermarkTracker(dir, staleMs = 60000)
+    assert(t.globalWatermark == MaxWatermark)
+    t.update("a", 100)
+    t.update("b", 50)
+    assert(t.globalWatermark == 50)
+    // per-process monotonic: a LOWER report refreshes liveness only
+    t.update("b", 20)
+    assert(t.globalWatermark == 50)
+    t.update("b", 150)
+    assert(t.globalWatermark == 100, "a now holds the min")
+    t.finished("a")
+    assert(t.globalWatermark == 150)
+    t.finished("b")
+    assert(t.globalWatermark == MaxWatermark)
+  }
+
+  test("file-backed global tracker: a process with no heartbeat past " +
+      "staleMs is evicted and reclaimed; an update re-registers it") {
+    val dir = Files.createTempDirectory("graft-wm-stale-").toString
+    val t = new FileGlobalWatermarkTracker(dir, staleMs = 5000)
+    t.update("dead", 10)
+    t.update("live", 500)
+    // backdate the dead process's marker past the lease
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("wm.dead."))
+    assert(files.length == 1)
+    assert(files.head.setLastModified(System.currentTimeMillis() - 60000))
+    assert(t.globalWatermark == 500, "stale process must not hold the min")
+    assert(!new java.io.File(dir).listFiles()
+        .exists(_.getName.startsWith("wm.dead.")),
+      "eviction reclaims the stale process's markers")
+    // ZK session-expiry analog: the next update re-registers from scratch
+    t.update("dead", 30)
+    assert(t.globalWatermark == 30)
+  }
+
+  test("file-backed global tracker coordinates across PROCESSES (child " +
+      "JVMs reporting through the shared directory)") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val dir = Files.createTempDirectory("graft-wm-xproc-").toString
+    val t = new FileGlobalWatermarkTracker(dir, staleMs = 60000)
+    def child(args: String*): String = {
+      val out = new StringBuilder
+      val cmd = Seq(graft.tools.ChildJvm.javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.tools.WatermarkSmoke") ++ args
+      val rc = Process(cmd).!(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n') }, _ => ()))
+      assert(rc == 0, s"child ${args.mkString(" ")} failed:\n$out")
+      out.synchronized { out.toString }
+    }
+    child("report", dir, "60000", "consumerA", "100")
+    child("report", dir, "60000", "consumerB", "50")
+    assert(t.globalWatermark == 50, "parent reads both children's reports")
+    // monotonicity holds ACROSS process restarts: a restarted consumerB
+    // reporting lower must not regress its stored watermark
+    val o = child("report", dir, "60000", "consumerB", "150,60")
+    assert(o.linesIterator.toSeq.last.endsWith("global=100"),
+      s"child must read the cross-process min (A=100):\n$o")
+    assert(t.globalWatermark == 100)
+    child("finish", dir, "60000", "consumerA")
+    assert(t.globalWatermark == 150,
+      "a finished process releases the global watermark")
+  }
 }
