@@ -414,6 +414,66 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // the same write+read oracle THROUGH THE REAL TCP WIRE: a KafkaWire
+    // broker on a loopback socket owns the log, executor tasks PRODUCE
+    // and FETCH over the network protocol (offset planning per split,
+    // broker-assigned offsets) — the networked binding's plan shape,
+    // oracle-checked; KafkaWireSmokeSpec runs the identical binding with
+    // the broker in a SEPARATE PROCESS
+    "q_kafka_wire_updates_range" -> ((s, d) => {
+      val server = new graft.streaming.KafkaWire.Server(0).start()
+      val broker = s"tcp:127.0.0.1:${server.port}"
+      val name = "t-" + java.util.UUID.randomUUID().toString.replace("-", "")
+      def cleanup(): Unit = {
+        try graft.streaming.EmbeddedKafka.drop(broker, name)
+        finally server.close()
+      }
+      try {
+        val topic = graft.streaming.EmbeddedKafka.topic(broker, name, 4)
+        val fam = new graft.streaming.KafkaLogFamily(s, topic)
+        fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+        materialized(
+          eventTypeAgg(fam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+          cleanup()
+        }
+      } catch { case e: Throwable =>
+        try cleanup() catch { case _: Throwable => () }
+        throw e
+      }
+    }),
+
+    // observe/ack over the TCP wire: group offsets live on the BROKER
+    // (commit/committed are socket round trips), so the "crashed"
+    // consumer's replacement reads its resume position off the wire —
+    // the cross-process at-least-once contract, oracle-checked
+    "q_kafka_wire_observe_ack" -> ((s, d) => {
+      import s.implicits._
+      val server = new graft.streaming.KafkaWire.Server(0).start()
+      val broker = s"tcp:127.0.0.1:${server.port}"
+      val name = "t-" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val topic = graft.streaming.EmbeddedKafka
+          .topic(broker, name, numPartitions = 1)
+        val fam = new graft.streaming.KafkaLogFamily(s, topic)
+        fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") < 4000)
+          .orderBy(col("seqId")).coalesce(1))
+        val c1 = fam.consumer("g-ack")
+        val all = c1.pollUncommitted()
+        val (acked, rest) = all.splitAt(all.size / 2)
+        c1.ack(acked)
+        val replay = fam.consumer("g-ack").pollUncommitted()
+        require(replay.map(r => (r.partition, r.offset)) ==
+            rest.map(r => (r.partition, r.offset)),
+          "restart must replay exactly the unacked tail (over the wire)")
+        (acked.map(r => (1L, r.element.seqId)) ++
+          replay.map(r => (2L, r.element.seqId)))
+          .toDF("phase", "event_id")
+      } finally {
+        try graft.streaming.EmbeddedKafka.drop(broker, name)
+        finally server.close()
+      }
+    }),
+
     // commit-log observe/ack (reference CommitLogReader.observe:37 +
     // ObserveHandle commit semantics): a consumer group polls the log,
     // acks HALF, "crashes", and a NEW consumer of the SAME group must
@@ -783,6 +843,22 @@ object ChangelogQueries extends QuerySet {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |  AND event_id % 10 = 0
         |GROUP BY event_type""".stripMargin,
+
+    "q_kafka_wire_updates_range" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_id % 10 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    "q_kafka_wire_observe_ack" ->
+      """WITH s AS (SELECT event_id FROM events WHERE event_id < 4000),
+        |h AS (SELECT count(*) // 2 AS half FROM s)
+        |SELECT CAST(CASE WHEN event_id < (SELECT half FROM h)
+        |            THEN 1 ELSE 2 END AS BIGINT) AS phase,
+        |CAST(event_id AS BIGINT) AS event_id
+        |FROM s""".stripMargin,
 
     // phase 1 = the acked first half (ids are dense from 0, so the
     // first half of the single partition's offset order is ids < half),

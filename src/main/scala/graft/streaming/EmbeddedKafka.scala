@@ -7,10 +7,16 @@ import org.apache.spark.sql.Dataset
 
 import graft.core.StreamElement
 
-/** Embedded Kafka-shaped commit log — the test double behind the
-  * `kafka://` storage seam (no network and no Kafka client jars exist in
-  * this build; the production binding seats spark-sql-kafka behind the
-  * same [[AttributeLogFamily]] surface).
+/** Kafka-shaped commit log behind the `kafka://` storage seam — TWO
+  * broker bindings under one [[TopicHandle]] surface: the in-process
+  * [[Topic]] store, and the NETWORKED binding where the broker is a
+  * [[KafkaWire]] TCP server in this or another process
+  * (`tcp:<host>:<port>` broker ids). No Kafka jars exist in this build
+  * (offline resolution — so neither kafka-clients nor an embeddable
+  * KRaft broker is possible); the wire binding makes every broker
+  * interaction a real socket protocol anyway, and a genuine
+  * spark-sql-kafka binding seats behind the same
+  * [[AttributeLogFamily]]/[[TopicHandle]] surface when jars exist.
   *
   * Implements the observable semantics of the reference's Kafka storage
   * (reference: direct/io-kafka/.../KafkaStorage.java:53,
@@ -30,11 +36,62 @@ object EmbeddedKafka {
 
   final case class Record(partition: Int, offset: Long, element: StreamElement)
 
-  private val topics = TrieMap.empty[String, Topic]
+  /** The client surface of a Kafka-shaped topic — what every consumer of
+    * the `kafka://` family programs against. Two bindings: the in-JVM
+    * [[Topic]] (the broker lives in this process) and the networked
+    * [[RemoteTopic]] (the broker is another process; every call is a
+    * [[KafkaWire]] round trip). A future genuine `org.apache.kafka`
+    * client binding seats HERE.
+    */
+  sealed trait TopicHandle {
+    def broker: String
+    def name: String
+    def numPartitions: Int
+    def append(e: StreamElement): Record
+    def earliestOffsets: Map[Int, Long]
+    def latestOffsets: Map[Int, Long]
+    def commit(group: String, offsets: Map[Int, Long]): Unit
+    def committed(group: String): Map[Int, Long]
+    def slice(p: Int, from: Long, until: Long): Array[StreamElement]
 
-  /** Resolve-or-create a broker-scoped topic: `kafka://broker/topic`. */
-  def topic(broker: String, name: String, numPartitions: Int = 4): Topic =
-    topics.getOrElseUpdate(s"$broker/$name", new Topic(broker, name, numPartitions))
+    /** KeyAttributePartitioner: stable hash of (key, attribute). */
+    final def partitionFor(e: StreamElement): Int =
+      math.floorMod((e.key + "#" + e.attribute).hashCode, numPartitions)
+
+    /** Poll records at-or-after `from` per partition (absent partitions
+      * start at the beginning), ordered by (partition, offset).
+      */
+    final def poll(from: Map[Int, Long] = Map.empty): Seq[Record] =
+      (0 until numPartitions).flatMap { p =>
+        val start = math.max(0L, from.getOrElse(p, 0L))
+        slice(p, start, Long.MaxValue).iterator.zipWithIndex.map {
+          case (e, i) => Record(p, start + i, e)
+        }
+      }
+  }
+
+  private val topics = TrieMap.empty[String, TopicHandle]
+
+  /** Resolve-or-create a broker-scoped topic (`kafka://broker/topic`).
+    * Broker ids of the form `tcp:<host>:<port>` resolve to a
+    * [[RemoteTopic]] speaking [[KafkaWire]] to that address; anything
+    * else is an in-process [[Topic]].
+    */
+  def topic(broker: String, name: String, numPartitions: Int = 4): TopicHandle =
+    topics.getOrElseUpdate(s"$broker/$name",
+      if (KafkaWire.isWire(broker)) {
+        // the broker owns the partition count: CREATE returns the actual
+        // width (an existing topic keeps its layout)
+        val n = KafkaWire.withClient(broker)(_.create(name, numPartitions))
+        new RemoteTopic(broker, name, n)
+      } else new Topic(broker, name, numPartitions))
+
+  /** The in-process resolution only — the wire SERVER uses this to reach
+    * the log it owns without re-dispatching on the broker string.
+    */
+  private[streaming] def localTopic(broker: String, name: String,
+      numPartitions: Int = 4): Topic =
+    topic(broker, name, numPartitions).asInstanceOf[Topic]
 
   /** Drop all topics (test isolation). */
   def reset(): Unit = topics.clear()
@@ -43,17 +100,42 @@ object EmbeddedKafka {
     * repeatedly-run queries must not accumulate in a long session).
     */
   def drop(broker: String, name: String): Unit = {
-    topics.remove(s"$broker/$name"); ()
+    topics.remove(s"$broker/$name").foreach {
+      case _: RemoteTopic => KafkaWire.withClient(broker)(_.drop(name))
+      case _ => ()
+    }
   }
 
-  final class Topic(val broker: String, val name: String, val numPartitions: Int) {
+  /** Networked topic handle: the broker is ANOTHER process (or another
+    * object in this one, reached the same way) at `tcp:<host>:<port>`;
+    * each call is a wire round trip and the broker's process assigns
+    * partitions and offsets. Handles are driver-side resolution objects;
+    * executor-side readers/writers open their own [[KafkaWire.Client]]
+    * from the broker STRING (this class never rides a task closure).
+    */
+  final class RemoteTopic(val broker: String, val name: String,
+      val numPartitions: Int) extends TopicHandle {
+    private def withClient[T](f: KafkaWire.Client => T): T =
+      KafkaWire.withClient(broker)(f)
+    def append(e: StreamElement): Record = {
+      val (p, off) = withClient(_.append(name, e))
+      Record(p, off, e)
+    }
+    def earliestOffsets: Map[Int, Long] = withClient(_.earliest(name))
+    def latestOffsets: Map[Int, Long] = withClient(_.latest(name))
+    def commit(group: String, offsets: Map[Int, Long]): Unit =
+      withClient(_.commit(name, group, offsets))
+    def committed(group: String): Map[Int, Long] =
+      withClient(_.committed(name, group))
+    def slice(p: Int, from: Long, until: Long): Array[StreamElement] =
+      withClient(_.slice(name, p, from, until))
+  }
+
+  final class Topic(val broker: String, val name: String,
+      val numPartitions: Int) extends TopicHandle {
     private val partitions: Array[ArrayBuffer[StreamElement]] =
       Array.fill(numPartitions)(ArrayBuffer.empty[StreamElement])
     private val groupOffsets = TrieMap.empty[String, Map[Int, Long]]
-
-    /** KeyAttributePartitioner: stable hash of (key, attribute). */
-    def partitionFor(e: StreamElement): Int =
-      math.floorMod((e.key + "#" + e.attribute).hashCode, numPartitions)
 
     def append(e: StreamElement): Record = synchronized {
       val p = partitionFor(e)
@@ -67,18 +149,6 @@ object EmbeddedKafka {
 
     def latestOffsets: Map[Int, Long] = synchronized {
       (0 until numPartitions).map(p => p -> partitions(p).size.toLong).toMap
-    }
-
-    /** Poll records at-or-after `from` per partition (absent partitions
-      * start at the beginning), ordered by (partition, offset).
-      */
-    def poll(from: Map[Int, Long] = Map.empty): Seq[Record] = synchronized {
-      (0 until numPartitions).flatMap { p =>
-        val start = math.max(0L, from.getOrElse(p, 0L)).toInt
-        partitions(p).iterator.zipWithIndex.drop(start).map {
-          case (e, off) => Record(p, off.toLong, e)
-        }
-      }
     }
 
     // monotone per-partition: a commit can only ADVANCE the group
@@ -113,7 +183,7 @@ object EmbeddedKafka {
   /** A consumer in a group: poll from the committed position, process,
     * ack → commit (CommitLogReader.observe + OnNextContext.confirm).
     */
-  final class Consumer(topic: Topic, group: String) {
+  final class Consumer(topic: TopicHandle, group: String) {
     /** Fetch everything past the committed position WITHOUT committing —
       * a crash before ack replays these records to the next consumer.
       */
@@ -140,7 +210,7 @@ object EmbeddedKafka {
   * checkpointed offsets, restart recovery and admission control.
   */
 final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
-    val topic: EmbeddedKafka.Topic) extends AttributeLogFamily {
+    val topic: EmbeddedKafka.TopicHandle) extends AttributeLogFamily {
   import graft.core.StreamElement.encoder
 
   /** Distributed append through the DataSourceV2 write path — executor
@@ -221,9 +291,15 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
   def consumer(group: String): EmbeddedKafka.Consumer =
     new EmbeddedKafka.Consumer(topic, group)
 
-  /** Commits serialize per embedded topic (in-process store — no second
-    * JVM can reach it, so no cross-process lock path).
+  /** Commits serialize per topic. In-process topics key by object
+    * identity (no second JVM can reach them); wire topics key by the
+    * broker ADDRESS + name, since two handles to one remote topic are
+    * the same log (the broker itself serializes appends regardless —
+    * this token only scopes the in-JVM monitor).
     */
-  override def commitLockToken: String =
-    s"kafka:${System.identityHashCode(topic)}"
+  override def commitLockToken: String = topic match {
+    case _: EmbeddedKafka.RemoteTopic =>
+      s"kafka:${topic.broker}/${topic.name}"
+    case t => s"kafka:${System.identityHashCode(t)}"
+  }
 }

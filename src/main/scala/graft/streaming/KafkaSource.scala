@@ -26,19 +26,25 @@ import graft.core.StreamElement
   * DirectUnboundedSource.java:47 checkpoints per-split offsets the same
   * way; its KafkaLogReader observe/ack maps to `commit`).
   *
-  * The BROKER is the embedded in-process log (this sandbox has no Kafka
-  * client jars), and it lives in the DRIVER JVM only — executors are
-  * separate processes on a real cluster and cannot see its static
-  * registry (LocalClusterSmoke proved a registry-reading PartitionReader
-  * returns zero rows under local-cluster). So the process boundary is
-  * honored the way a networked binding honors the broker boundary:
-  * splits carry the records fetched at PLAN time on the driver (the same
-  * bytes a networked executor would pull from the broker for that split),
-  * and writes ride back to the driver in task commit messages (the
-  * pattern of Spark's own memory sink). Everything Spark-facing (offset
-  * planning, splits, checkpoint recovery, group commit) is the real
-  * protocol a networked binding would keep; only the fetch/produce hop
-  * is process-internal, because the "network peer" is a driver object.
+  * Two broker bindings (see [[EmbeddedKafka.TopicHandle]]):
+  *
+  *  - WIRE brokers (`tcp:<host>:<port>`, a [[KafkaWire]] server in any
+  *    process): splits carry OFFSETS ONLY and each executor task fetches
+  *    its slice from the broker over the socket; writers buffer their
+  *    task's rows and PRODUCE them over the socket at task commit — the
+  *    networked binding's plan shape end to end (at-least-once at
+  *    task-attempt granularity, like spark-sql-kafka's producer).
+  *  - IN-PROCESS brokers: the log lives in the DRIVER JVM only —
+  *    executors are separate processes on a real cluster and cannot see
+  *    its static registry (LocalClusterSmoke proved a registry-reading
+  *    PartitionReader returns zero rows under local-cluster). The
+  *    process boundary is honored the way a networked binding honors the
+  *    broker boundary: splits carry the records fetched at PLAN time on
+  *    the driver, and writes ride back in task commit messages (the
+  *    pattern of Spark's own memory sink).
+  *
+  * Everything Spark-facing (offset planning, splits, checkpoint
+  * recovery, group commit) is identical across the two.
   *
   * Usage: `spark.readStream.format("graft-kafka").option("broker", b)
   * .option("topic", t)` with optional `option("group", g)` to commit
@@ -141,31 +147,36 @@ class KafkaWrite(broker: String, topicName: String) extends Write {
     val topic = EmbeddedKafka.topic(broker, topicName)
     var n = 0L
     messages.foreach { m =>
-      val elems = m.asInstanceOf[KafkaCommitMessage].elements
-      elems.foreach(topic.append)
-      n += elems.length
+      val km = m.asInstanceOf[KafkaCommitMessage]
+      km.elements.foreach(topic.append)
+      n += km.elements.length + km.produced
     }
     graft.core.Metrics.inc(metric, n)
   }
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new KafkaWriterFactory
+      new KafkaWriterFactory(broker, topicName)
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       append(messages, "graft.kafka.batch.written")
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new KafkaWriterFactory
+      new KafkaWriterFactory(broker, topicName)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       append(messages, "graft.kafka.stream.written")
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
-case class KafkaCommitMessage(elements: Array[StreamElement]) extends WriterCommitMessage
+/** In-JVM brokers: `elements` ride to the driver, which appends them in
+  * job commit. Wire brokers: the TASK already produced over the socket —
+  * `produced` carries only the count for the driver-side metric.
+  */
+case class KafkaCommitMessage(elements: Array[StreamElement],
+    produced: Long = 0L) extends WriterCommitMessage
 
-class KafkaWriterFactory
+class KafkaWriterFactory(broker: String, topicName: String)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     writer
@@ -176,7 +187,19 @@ class KafkaWriterFactory
     override def write(row: InternalRow): Unit = {
       buf += KafkaSource.fromRow(row); ()
     }
-    override def commit(): WriterCommitMessage = KafkaCommitMessage(buf.toArray)
+    override def commit(): WriterCommitMessage =
+      if (KafkaWire.isWire(broker)) {
+        // REAL networked produce, executor-side, on task commit: the
+        // buffered batch goes to the broker over the socket in one
+        // append. At-least-once at task-attempt granularity (a committed
+        // attempt whose commit message the driver later discards has
+        // still produced) — the same contract as Kafka's non-
+        // transactional producer in spark-sql-kafka; exactly-once batch
+        // ingest routes through AttributeLogFamily.appendIdempotent.
+        val n = KafkaWire.withClient(broker)(
+          _.appendBatch(topicName, buf.iterator))
+        KafkaCommitMessage(Array.empty, produced = n.toLong)
+      } else KafkaCommitMessage(buf.toArray)
     override def abort(): Unit = ()
     override def close(): Unit = ()
   }
@@ -186,13 +209,17 @@ class KafkaScan(broker: String, topicName: String, group: Option[String],
     maxRecordsPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = KafkaSource.schema
 
-  /** Batch read: one split per partition over [0, latest). */
+  /** Batch read: one split per partition over [0, latest). Wire brokers
+    * plan offsets ONLY — the executor-side reader fetches its slice from
+    * the broker itself (the networked plan shape).
+    */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val t = EmbeddedKafka.topic(broker, topicName)
+      val wire = KafkaWire.isWire(broker)
       t.latestOffsets.toArray.map { case (p, end) =>
         KafkaInputPartition(broker, topicName, p, 0L, end,
-          t.slice(p, 0L, end)): InputPartition
+          if (wire) Array.empty else t.slice(p, 0L, end)): InputPartition
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -216,7 +243,14 @@ case class KafkaInputPartition(broker: String, topic: String, partition: Int,
 class KafkaReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KafkaInputPartition]
-    val elems = p.elements
+    // wire splits carry offsets only: THIS task fetches its slice from
+    // the broker over the socket — the real networked fetch, running
+    // wherever Spark scheduled the task
+    val elems =
+      if (KafkaWire.isWire(p.broker))
+        KafkaWire.withClient(p.broker)(_.slice(p.topic, p.partition,
+          p.from, p.until))
+      else p.elements
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < elems.length }
@@ -287,13 +321,17 @@ class KafkaMicroBatchStream(broker: String, topicName: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaSourceOffset].offsets
-    val t = topic // planning runs on the driver, where the broker lives
+    val t = topic // planning runs on the driver
+    val wire = KafkaWire.isWire(broker)
     end.asInstanceOf[KafkaSourceOffset].offsets.toArray
       .flatMap { case (p, until) =>
         val from = s.getOrElse(p, 0L)
         if (until > from)
+          // wire splits carry offsets only (executor fetches); in-JVM
+          // splits carry the records, because the broker is a driver
+          // object a real executor process cannot reach
           Some(KafkaInputPartition(broker, topicName, p, from, until,
-            t.slice(p, from, until)): InputPartition)
+            if (wire) Array.empty else t.slice(p, from, until)): InputPartition)
         else None
       }
   }

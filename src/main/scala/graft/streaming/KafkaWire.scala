@@ -1,0 +1,271 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+
+import graft.core.StreamElement
+
+/** A real TCP WIRE between the Kafka-shaped commit log's clients and its
+  * broker — the piece that moves the `kafka://` family from "in-JVM
+  * double" to "networked broker a separate process serves".
+  *
+  * Why not the actual Kafka protocol: this build has NO Kafka jars (no
+  * kafka-clients, no broker, offline dependency resolution — verified
+  * against /opt/spark/jars and the coursier cache), so neither an
+  * embedded KRaft broker nor the real client can exist here. What CAN be
+  * real is everything the reference's Kafka storage contract actually
+  * exercises (reference: direct/io-kafka/.../KafkaAccessor.java,
+  * KafkaLogReader.java:74 observe/ack, KafkaStorage.java:53): partitioned
+  * append with broker-assigned offsets, per-split offset-range fetches,
+  * consumer-group commit/committed, topic lifecycle — each as a request
+  * over a length-delimited binary protocol on a real socket, served by a
+  * broker that owns the log in ITS process. Executors fetch their splits
+  * and produce their rows THEMSELVES over this wire (see
+  * [[KafkaReaderFactory]]/[[KafkaWriterFactory]]) — the networked plan
+  * shape the in-JVM double could only approximate by shipping rows
+  * through plan-time slices and commit messages. Seating the genuine
+  * `org.apache.kafka` client behind [[EmbeddedKafka.TopicHandle]] when
+  * jars are available is a drop-in: the handle surface IS the client
+  * surface a real binding needs.
+  *
+  * Protocol (all fields via DataInput/DataOutput, one request per
+  * round-trip on a persistent connection): byte op, then op-specific
+  * fields; responses are op-specific. Elements travel as
+  * (entity, key, attribute, uuid: UTF; seqId, stamp: i64; value:
+  * i32-length-prefixed bytes, -1 = null; delete, deleteWildcard: bool).
+  * A server-side failure closes the connection — the client fails
+  * LOUDLY on the dead socket, never with a silent partial result.
+  */
+object KafkaWire {
+
+  val OpCreate = 1
+  val OpAppendBatch = 2
+  val OpLatest = 3
+  val OpEarliest = 4
+  val OpSlice = 5
+  val OpCommit = 6
+  val OpCommitted = 7
+  val OpDrop = 8
+  val OpAppend = 9
+
+  /** Broker strings `tcp:<host>:<port>` route over the wire. */
+  def isWire(broker: String): Boolean = broker.startsWith("tcp:")
+
+  def hostPort(broker: String): (String, Int) = {
+    val rest = broker.stripPrefix("tcp:")
+    val i = rest.lastIndexOf(':')
+    require(i > 0, s"wire broker must be tcp:<host>:<port>, got $broker")
+    (rest.substring(0, i), rest.substring(i + 1).toInt)
+  }
+
+  private[streaming] def writeElement(out: DataOutputStream,
+      e: StreamElement): Unit = {
+    out.writeUTF(e.entity); out.writeUTF(e.key)
+    out.writeUTF(e.attribute); out.writeUTF(e.uuid)
+    out.writeLong(e.seqId); out.writeLong(e.stamp)
+    if (e.value == null) out.writeInt(-1)
+    else { out.writeInt(e.value.length); out.write(e.value) }
+    out.writeBoolean(e.delete); out.writeBoolean(e.deleteWildcard)
+  }
+
+  private[streaming] def readElement(in: DataInputStream): StreamElement = {
+    val entity = in.readUTF(); val key = in.readUTF()
+    val attribute = in.readUTF(); val uuid = in.readUTF()
+    val seqId = in.readLong(); val stamp = in.readLong()
+    val n = in.readInt()
+    val value = if (n < 0) null else {
+      val b = new Array[Byte](n); in.readFully(b); b
+    }
+    StreamElement(entity, key, attribute, uuid, seqId, stamp, value,
+      in.readBoolean(), in.readBoolean())
+  }
+
+  private[streaming] def writeOffsets(out: DataOutputStream,
+      m: Map[Int, Long]): Unit = {
+    out.writeInt(m.size)
+    m.foreach { case (p, o) => out.writeInt(p); out.writeLong(o) }
+  }
+
+  private[streaming] def readOffsets(in: DataInputStream): Map[Int, Long] =
+    (0 until in.readInt()).map(_ => in.readInt() -> in.readLong()).toMap
+
+  /** The broker side: serves the wire ops against the log it OWNS (its
+    * JVM's topic store). Run it in-process for loopback tests or as a
+    * standalone process via [[graft.tools.KafkaWireBroker]].
+    */
+  final class Server(bindPort: Int = 0) extends AutoCloseable {
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    private val server = new ServerSocket(bindPort, 64,
+      InetAddress.getByName("0.0.0.0"))
+    @volatile private var running = true
+
+    def port: Int = server.getLocalPort
+
+    /** The served broker id inside this server's JVM registry. */
+    private val LocalBroker = "wire-served"
+
+    private def topic(name: String, n: Int = 4): EmbeddedKafka.Topic =
+      EmbeddedKafka.localTopic(LocalBroker, name, n)
+
+    def start(): Server = {
+      val acceptor = new Thread(() => {
+        while (running) {
+          try {
+            val sock = server.accept()
+            val t = new Thread(() => serve(sock))
+            t.setDaemon(true)
+            t.start()
+          } catch {
+            case _: Throwable if !running => // closed
+            case e: Throwable => log.warn(s"kafka-wire accept failed: $e")
+          }
+        }
+      })
+      acceptor.setDaemon(true)
+      acceptor.start()
+      this
+    }
+
+    private def serve(sock: Socket): Unit = {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      try {
+        while (true) {
+          val op = in.read()
+          if (op < 0) throw new EOFException
+          op match {
+            case OpCreate =>
+              val (name, n) = (in.readUTF(), in.readInt())
+              out.writeInt(topic(name, n).numPartitions)
+            case OpAppendBatch =>
+              val name = in.readUTF()
+              val t = topic(name)
+              val n = in.readInt()
+              (0 until n).foreach(_ => t.append(readElement(in)))
+              out.writeInt(n)
+            case OpAppend =>
+              val t = topic(in.readUTF())
+              val r = t.append(readElement(in))
+              out.writeInt(r.partition); out.writeLong(r.offset)
+            case OpLatest => writeOffsets(out, topic(in.readUTF()).latestOffsets)
+            case OpEarliest =>
+              writeOffsets(out, topic(in.readUTF()).earliestOffsets)
+            case OpSlice =>
+              val t = topic(in.readUTF())
+              val (p, from, until) = (in.readInt(), in.readLong(), in.readLong())
+              val elems = t.slice(p, from, until)
+              out.writeInt(elems.length)
+              elems.foreach(writeElement(out, _))
+            case OpCommit =>
+              val t = topic(in.readUTF())
+              val group = in.readUTF()
+              t.commit(group, readOffsets(in))
+              out.writeByte(0)
+            case OpCommitted =>
+              val t = topic(in.readUTF())
+              writeOffsets(out, t.committed(in.readUTF()))
+            case OpDrop =>
+              val name = in.readUTF()
+              EmbeddedKafka.drop(LocalBroker, name)
+              out.writeByte(0)
+            case other => sys.error(s"unknown kafka-wire op $other")
+          }
+          out.flush()
+        }
+      } catch {
+        case _: EOFException => // client done
+        case e: Throwable if running =>
+          log.warn(s"kafka-wire connection failed: $e")
+      } finally sock.close()
+    }
+
+    override def close(): Unit = {
+      running = false
+      server.close()
+    }
+  }
+
+  /** One client = one persistent connection; calls are synchronized (a
+    * request/response pair owns the socket). Executor-side users open a
+    * client per split/task — connection setup is the cheap part of a
+    * fetch that moves the split's bytes anyway.
+    */
+  final class Client(host: String, port: Int) extends AutoCloseable {
+    private val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    private val in = new DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+
+    private def call[T](f: => T): T = synchronized(f)
+
+    def create(name: String, numPartitions: Int): Int = call {
+      out.writeByte(OpCreate); out.writeUTF(name)
+      out.writeInt(numPartitions); out.flush()
+      in.readInt()
+    }
+
+    def appendBatch(name: String, elems: Iterator[StreamElement]): Int = call {
+      val buf = elems.toArray
+      out.writeByte(OpAppendBatch); out.writeUTF(name)
+      out.writeInt(buf.length)
+      buf.foreach(writeElement(out, _))
+      out.flush()
+      in.readInt()
+    }
+
+    def append(name: String, e: StreamElement): (Int, Long) = call {
+      out.writeByte(OpAppend); out.writeUTF(name)
+      writeElement(out, e); out.flush()
+      (in.readInt(), in.readLong())
+    }
+
+    def latest(name: String): Map[Int, Long] = call {
+      out.writeByte(OpLatest); out.writeUTF(name); out.flush()
+      readOffsets(in)
+    }
+
+    def earliest(name: String): Map[Int, Long] = call {
+      out.writeByte(OpEarliest); out.writeUTF(name); out.flush()
+      readOffsets(in)
+    }
+
+    def slice(name: String, p: Int, from: Long,
+        until: Long): Array[StreamElement] = call {
+      out.writeByte(OpSlice); out.writeUTF(name)
+      out.writeInt(p); out.writeLong(from); out.writeLong(until); out.flush()
+      Array.fill(in.readInt())(readElement(in))
+    }
+
+    def commit(name: String, group: String, offsets: Map[Int, Long]): Unit =
+      call {
+        out.writeByte(OpCommit); out.writeUTF(name); out.writeUTF(group)
+        writeOffsets(out, offsets); out.flush()
+        in.readByte(); ()
+      }
+
+    def committed(name: String, group: String): Map[Int, Long] = call {
+      out.writeByte(OpCommitted); out.writeUTF(name); out.writeUTF(group)
+      out.flush()
+      readOffsets(in)
+    }
+
+    def drop(name: String): Unit = call {
+      out.writeByte(OpDrop); out.writeUTF(name); out.flush()
+      in.readByte(); ()
+    }
+
+    override def close(): Unit = sock.close()
+  }
+
+  /** Run `f` with a short-lived client. */
+  def withClient[T](broker: String)(f: Client => T): T = {
+    val (h, p) = hostPort(broker)
+    val c = new Client(h, p)
+    try f(c) finally c.close()
+  }
+}

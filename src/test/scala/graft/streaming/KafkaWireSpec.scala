@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.StreamElement
+
+/** The `kafka://` family over the REAL TCP wire ([[KafkaWire]]): the
+  * broker is a socket server (in this JVM for these tests, loopback —
+  * the same bytes cross-process in KafkaWireSmokeSpec), and every fetch,
+  * produce, offset resolution and group commit is a network round trip.
+  * The seam laws re-run here are the KafkaSeamSpec set that touches the
+  * broker; what changes is WHO moves the bytes: executor tasks fetch
+  * their splits and produce their rows themselves — the networked plan
+  * shape the in-JVM double could not express.
+  */
+class KafkaWireSpec extends SparkSpec {
+
+  private val server = new KafkaWire.Server(0).start()
+  private def broker = s"tcp:127.0.0.1:${server.port}"
+
+  private def up(key: String, attr: String, stamp: Long, v: String) =
+    StreamElement("gw", key, attr, s"u-$key-$attr-$stamp", 0, stamp,
+      v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
+
+  test("wire protocol: append/latest/slice/commit/committed round-trip " +
+      "over a real socket with dense per-partition offsets") {
+    val t = EmbeddedKafka.topic(broker, "w-proto", 4)
+    assert(t.isInstanceOf[EmbeddedKafka.RemoteTopic])
+    val recs = (1 to 20).map(i => t.append(up("k1", "a", i, s"v$i")))
+    assert(recs.map(_.partition).distinct.size == 1,
+      "one (key, attribute) stays in one partition across the wire")
+    assert(recs.map(_.offset) == (0 until 20).map(_.toLong))
+    assert(t.latestOffsets.values.sum == 20)
+    val p = recs.head.partition
+    val sliced = t.slice(p, 5, 10)
+    assert(sliced.map(_.stamp).toSeq == (6L to 10L),
+      "slice is the offset range [from, until)")
+    t.commit("g", Map(p -> 7L))
+    assert(t.committed("g") == Map(p -> 7L))
+    // commit monotonicity holds on the broker, not the client
+    t.commit("g", Map(p -> 3L))
+    assert(t.committed("g") == Map(p -> 7L))
+    // a null value survives the wire (tombstones)
+    val del = StreamElement("gw", "kd", "a", "u-del", 0, 99, null,
+      delete = true, deleteWildcard = false)
+    val r = t.append(del)
+    val back = t.slice(r.partition, r.offset, r.offset + 1).head
+    assert(back.value == null && back.delete)
+  }
+
+  test("consumer-group observe/ack over the wire: ack commits, the " +
+      "uncommitted tail replays to the next consumer") {
+    val t = EmbeddedKafka.topic(broker, "w-groups", 2)
+    (1 to 6).foreach(i => t.append(up(s"k$i", "a", i, s"v$i")))
+    val c1 = new EmbeddedKafka.Consumer(t, "g1")
+    val first = c1.pollUncommitted()
+    assert(first.size == 6)
+    c1.ack(first.take(4))
+    val replay = new EmbeddedKafka.Consumer(t, "g1").pollUncommitted()
+    assert(replay.map(_.element.uuid).toSet ==
+      first.drop(4).map(_.element.uuid).toSet)
+  }
+
+  test("DSv2 batch write PRODUCES from executor tasks over the socket; " +
+      "batch read FETCHES splits over the socket") {
+    import graft.SparkSpec.spark.implicits._
+    val t = EmbeddedKafka.topic(broker, "w-dsv2", 4)
+    val fam = new KafkaLogFamily(spark, t)
+    val elems = (1 to 40).map(i => up(s"k$i", "a", i, s"v$i"))
+    fam.append(spark.createDataset(elems).repartition(8))
+    assert(t.latestOffsets.values.sum == 40, "all 40 produced to the broker")
+    val back = fam.batchUpdates().collect()
+    assert(back.length == 40 &&
+      back.map(_.uuid).toSet == elems.map(_.uuid).toSet)
+    // stamp-range pushup still applies over the wire family
+    assert(fam.batchUpdates(from = 10, until = 20).count() == 10)
+  }
+
+  test("streaming over the wire broker: replay, restart from checkpoint, " +
+      "group commit on the broker (the observe+ack pairing)") {
+    val t = EmbeddedKafka.topic(broker, "w-stream", 2)
+    val fam = new KafkaLogFamily(spark, t)
+    fam.append(Seq(up("k1", "a", 1, "v1"), up("k2", "a", 2, "v2"),
+      up("k3", "a", 3, "v3")))
+    val cp = java.nio.file.Files.createTempDirectory("graft-wire-cp-").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Unit = {
+      val q = fam.streamFromOldest("g-wire").writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamElement], _: Long) =>
+            b.collect().foreach(e => seen.add(e.uuid))
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(seen.size == 3, "first run replays the full log")
+    fam.append(Seq(up("k4", "a", 4, "v4"), up("k5", "a", 5, "v5")))
+    run()
+    assert(seen.size == 5, s"restart resumes from checkpointed offsets: $seen")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.distinct.size == 5, "no record twice")
+    // the group position landed ON THE BROKER (offsets of finished
+    // batches commit when their successor starts — the final batch may
+    // stay uncommitted, exactly the at-least-once ack contract)
+    assert(t.committed("g-wire").values.sum >= 3,
+      s"committed: ${t.committed("g-wire")}")
+  }
+
+  test("a dead broker fails loudly, never silently empty") {
+    val dead = new KafkaWire.Server(0).start()
+    val deadBroker = s"tcp:127.0.0.1:${dead.port}"
+    val t = EmbeddedKafka.topic(deadBroker, "w-dead", 2)
+    t.append(up("k1", "a", 1, "v1"))
+    dead.close()
+    intercept[Exception] { t.latestOffsets }
+    intercept[Exception] { t.append(up("k2", "a", 2, "v2")) }
+  }
+}
