@@ -58,6 +58,12 @@ object EmbeddedKafka {
     final def partitionFor(e: StreamElement): Int =
       math.floorMod((e.key + "#" + e.attribute).hashCode, numPartitions)
 
+    /** Sequential append of a batch. In-process this is the plain loop;
+      * the wire binding overrides it with ONE round trip — a
+      * per-element append over TCP would pay a connection per record.
+      */
+    def appendAll(elems: Seq[StreamElement]): Unit = elems.foreach(append)
+
     /** Poll records at-or-after `from` per partition (absent partitions
       * start at the beginning), ordered by (partition, offset).
       */
@@ -129,6 +135,9 @@ object EmbeddedKafka {
       withClient(_.committed(name, group))
     def slice(p: Int, from: Long, until: Long): Array[StreamElement] =
       withClient(_.slice(name, p, from, until))
+    override def appendAll(elems: Seq[StreamElement]): Unit = {
+      withClient(_.appendBatch(name, elems.iterator)); ()
+    }
   }
 
   final class Topic(val broker: String, val name: String,
@@ -249,7 +258,7 @@ final class KafkaLogFamily(val spark: org.apache.spark.sql.SparkSession,
 
   override def append(elems: Seq[StreamElement]): Unit = {
     graft.core.Metrics.inc("graft.elements.appended", elems.size.toLong)
-    elems.foreach(topic.append)
+    topic.appendAll(elems)
   }
 
   def batchUpdates(from: Long = Long.MinValue,

@@ -64,7 +64,13 @@ object LocalClusterSmoke {
     "q_media_adpcm", "q_media_flac",
     // IVF store maintenance: broadcast centroids in the assignment UDF,
     // staged-swap FS ops, quantizer persistence — all executor-sensitive
-    "q_ivf_store_append")
+    "q_ivf_store_append",
+    // the WIRE kafka binding: under local-cluster the executor JVMs are
+    // separate PROCESSES, so the socket produce (task commit) and the
+    // per-split socket fetch here are genuinely cross-process — the
+    // claim the in-JVM double could never make (its registry reads
+    // empty executor-side, which this smoke originally proved)
+    "q_kafka_wire_updates_range")
 
   /** Deep row renderer: Java arrays (binary columns) toString by
     * identity, which would make equal results compare unequal.
