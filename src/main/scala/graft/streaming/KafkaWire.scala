@@ -68,12 +68,21 @@ object KafkaWire {
     out.writeBoolean(e.delete); out.writeBoolean(e.deleteWildcard)
   }
 
+  /** Hostile-claim cap (the CodecFuzzLaws discipline): a frame claiming
+    * a multi-GB value must refuse BEFORE the allocation, not OOM the
+    * broker. 64 MiB is far above any sane commit-log record.
+    */
+  private val MaxValueBytes = 1 << 26
+
   private[streaming] def readElement(in: DataInputStream): StreamElement = {
     val entity = in.readUTF(); val key = in.readUTF()
     val attribute = in.readUTF(); val uuid = in.readUTF()
     val seqId = in.readLong(); val stamp = in.readLong()
     val n = in.readInt()
     val value = if (n < 0) null else {
+      if (n > MaxValueBytes) throw new IllegalStateException(
+        s"kafka-wire frame claims a $n-byte value (> $MaxValueBytes cap) " +
+          "— refusing before allocation; corrupt or hostile peer")
       val b = new Array[Byte](n); in.readFully(b); b
     }
     StreamElement(entity, key, attribute, uuid, seqId, stamp, value,
