@@ -276,15 +276,27 @@ private[graft] object StoreManifest {
     // opportunistic debris reclamation: a mutation that crashed after its
     // staging moves strands files no manifest references, and nothing
     // else in the maintenance flow would ever delete them — so the
-    // (single) writer sweeps on a fixed generation cadence. Safe exactly
-    // because commitSwap IS the single-writer path; the cost is one
-    // recursive listing every VacuumEvery publishes.
-    if (published.gen % VacuumEvery == 0) vacuum(spark, path)
+    // writer sweeps on a fixed generation cadence. AGE-GATED: the
+    // single-writer discipline is enforced by the PUBLISH, which means a
+    // raced loser legitimately retries — for a short window two mutators
+    // run concurrently, and an age-0 sweep here could reclaim the
+    // other's moved-but-not-yet-published files out from under its
+    // publish. Minutes-old unreferenced files are crash debris; seconds-
+    // old ones may be an in-flight retry. (The manual [[vacuum]] keeps
+    // age 0 under its stronger "never concurrent with any mutation"
+    // contract.)
+    if (published.gen % VacuumEvery == 0)
+      vacuum(spark, path, minAgeMs = AutoVacuumMinAgeMs)
     published
   }
 
   /** Generation cadence of [[commitSwap]]'s opportunistic [[vacuum]]. */
   private val VacuumEvery = 16L
+
+  /** Age gate of the opportunistic vacuum — older than any sane
+    * staging-to-publish window, far younger than a forgotten crash.
+    */
+  private val AutoVacuumMinAgeMs = 15L * 60 * 1000
 
   /** Adopt the files a fresh bulk `write` (mode=overwrite) just produced
     * as generation 1 — the only place a directory listing decides a
@@ -381,11 +393,15 @@ private[graft] object StoreManifest {
 
   /** Reclaim files no retained manifest references — the garbage a
     * CRASHED mutation strands (staging dirs, moved-but-unpublished
-    * files, a publish's orphaned `_manifest_tmp_*`). Single-writer: run
-    * it from the maintainer, never concurrently with another mutation.
-    * Returns the deleted paths.
+    * files, a publish's orphaned `_manifest_tmp_*`). At `minAgeMs = 0`
+    * (the default) the caller asserts NO mutation is concurrently in
+    * flight; a positive `minAgeMs` spares unreferenced files younger
+    * than the gate, which is what lets [[commitSwap]]'s opportunistic
+    * sweep coexist with a raced-and-retrying second mutator. Returns
+    * the deleted paths.
     */
-  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+  def vacuum(spark: SparkSession, path: String,
+      minAgeMs: Long = 0L): Seq[String] = {
     val fs = fsOf(spark, path)
     val gens = listGens(fs, path)
     // a never-written store is a graceful no-op (matching
@@ -396,17 +412,23 @@ private[graft] object StoreManifest {
     if (gens.isEmpty) return Seq.empty
     val live = gens.flatMap(g => load(fs, path, g).files).toSet
     val p = new Path(path)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
     val rootEntries = fs.listStatus(p).toSeq
     val stagings = rootEntries.filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("_staging_"))
+      s.isDirectory && s.getPath.getName.startsWith("_staging_") &&
+        oldEnough(s))
     // a maintainer that died between writing its manifest temp and the
     // commit link/rename strands one immortal root file per crash —
     // exactly the debris class vacuum exists for (the `.crc` sidecar a
     // checksum filesystem writes alongside rides the same delete)
     val manifestTmps = rootEntries.filter(s =>
-      s.isFile && s.getPath.getName.startsWith("_manifest_tmp_"))
+      s.isFile && s.getPath.getName.startsWith("_manifest_tmp_") &&
+        oldEnough(s))
     val onDisk = collectDataFiles(fs, p, p)
-    val garbage = onDisk.filterNot(live)
+    val garbage = onDisk.filterNot(live).filter(f =>
+      oldEnough(fs.getFileStatus(new Path(path, f))))
     garbage.foreach(f => fs.delete(new Path(path, f), false))
     stagings.foreach(s => fs.delete(s.getPath, true))
     manifestTmps.foreach(s => fs.delete(s.getPath, false))

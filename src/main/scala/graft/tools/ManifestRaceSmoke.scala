@@ -81,6 +81,24 @@ object ManifestRaceSmoke {
     e.isInstanceOf[IllegalStateException] &&
       e.getMessage.contains("concurrent maintenance")
 
+  /** Reader staleness under racing maintenance: a scan resolved at gen N
+    * whose files a CONCURRENT mutator retired (> retainGens publishes
+    * advanced mid-scan) dies with FileNotFound somewhere in the Spark
+    * exception chain — loud by design; the recovery is re-resolve+retry.
+    */
+  private def isStaleRead(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 12) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      if (t.getMessage != null && t.getMessage.contains("FileNotFound"))
+        return true
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val path = args(1)
@@ -131,6 +149,32 @@ object ManifestRaceSmoke {
           Thread.sleep(100)
         }
         println(s"MANIF appended=$batches")
+      case "ivfappender" =>
+        // TWO of these run concurrently on one IvfStore: every publish
+        // race must be lost LOUDLY, and the documented recovery
+        // (re-resolve and retry — appendIdempotent makes the retry safe
+        // even against an attempt that actually won) must converge to
+        // every batch present exactly once.
+        val (tag, batches, idBase) = (args(2), args(3).toInt, args(4).toLong)
+        val store = graft.functions.IvfStore.open(spark, path)
+        var losses = 0
+        (0 until batches).foreach { k =>
+          import spark.implicits._
+          val delta = (0 until 10).map { i =>
+            val id = idBase + 10L * k + i
+            (id, Array.tabulate(8)(j => ((id * (j + 3) + j) % 7).toFloat))
+          }.toDF("vec_id", "embedding")
+          var done = false
+          while (!done) {
+            try { store.appendIdempotent(delta); done = true }
+            catch {
+              case e: Throwable if isLoudLoss(e) || isStaleRead(e) =>
+                losses += 1
+                Thread.sleep(25)
+            }
+          }
+        }
+        println(s"MANIF ivf $tag appended=$batches losses=$losses")
       case "scanner" =>
         val (seedRows, millis) = (args(2).toLong, args(3).toLong)
         val h = handle(spark, path)

@@ -176,6 +176,25 @@ class ManifestStoreSpec extends SparkSpec {
     assert(!tmp.exists)
   }
 
+  test("age-gated vacuum spares FRESH unreferenced files (a raced-and-" +
+      "retrying mutator's in-flight staging) and reclaims old debris") {
+    val path = freshStore()
+    StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val fresh = new java.io.File(s"$path/cell=1/part-inflight.parquet")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](1))
+    val old = new java.io.File(s"$path/cell=2/part-crashed.parquet")
+    java.nio.file.Files.write(old.toPath, Array[Byte](2))
+    assert(old.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val removed = StoreManifest.vacuum(spark, path, minAgeMs = 15L * 60 * 1000)
+    assert(removed.exists(_.contains("part-crashed")) &&
+      !removed.exists(_.contains("part-inflight")), removed.mkString(", "))
+    assert(fresh.exists && !old.exists)
+    // the default (age 0, caller guarantees no concurrent mutation)
+    // still reclaims everything
+    assert(StoreManifest.vacuum(spark, path)
+      .exists(_.contains("part-inflight")))
+  }
+
   test("vacuum on a never-written store is a graceful no-op (maintenance " +
       "scheduled alongside replicate must not crash pre-first-batch)") {
     val path = Files.createTempDirectory("graft-manifest-empty-").toString + "/v"

@@ -112,6 +112,53 @@ class ManifestRaceSmokeSpec extends SparkSpec {
       (loserBase until loserBase + 10).forall(after))
   }
 
+  test("two PROCESSES racing appendIdempotent on one IvfStore: losses " +
+      "are loud, the documented retry converges to every batch exactly " +
+      "once, vacuum reclaims any raced debris") {
+    import org.apache.spark.sql.functions.col
+    import SparkSpec.spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val path = Files.createTempDirectory("graft-manifrace-ivf-")
+      .toString + "/v"
+    val seed = (0L until 100L).map(id =>
+      (id, Array.tabulate(8)(j => ((id * (j + 3) + j) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.functions.Ivf.train(seed, nCentroids = 4,
+      maxIter = 5)
+    new graft.functions.IvfStore(spark, path, centroids).write(seed)
+    val batches = 8
+    val (pa, oa) = child("ivfappender", path, "A", batches.toString, "1000")
+    val (pb, ob) = child("ivfappender", path, "B", batches.toString, "5000")
+    assert(pa.exitValue() == 0, s"ivfappender A failed:\n$oa")
+    assert(pb.exitValue() == 0, s"ivfappender B failed:\n$ob")
+    val all = lines(oa) ++ lines(ob)
+    assert(all.count(_.contains(s"appended=$batches")) == 2, all.mkString("\n"))
+    val losses = all.flatMap(_.split(' ').find(_.startsWith("losses="))
+      .map(_.stripPrefix("losses=").toInt)).sum
+    info(s"raced publish losses across the two processes: $losses")
+    // convergence: every batch of both children present exactly once,
+    // no matter how many publish races were lost and retried
+    val store = graft.functions.IvfStore.open(spark, path)
+    val ids = store.contents().select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == ids.distinct.size, "no vector may appear twice")
+    assert(ids.size == 100 + 2 * 10 * batches,
+      s"expected all batches exactly once, got ${ids.size} rows")
+    (0 until batches).foreach { k =>
+      assert((0 until 10).forall(i => ids.contains(1000L + 10 * k + i)) &&
+        (0 until 10).forall(i => ids.contains(5000L + 10 * k + i)),
+        s"batch $k incomplete")
+    }
+    // raced losers moved files into live dirs before losing — reclaim
+    // them (parent is now the only mutator, so age 0 is legitimate)
+    store.vacuum()
+    val after = store.contents()
+    assert(after.count() == 100 + 2 * 10 * batches,
+      "vacuum never touches readable rows")
+    // and the store still answers correctly after the melee
+    val got = store.searchTopK(
+      seed.filter(col("vec_id") === 0L), k = 1, nProbe = 4)
+    assert(got.collect().length == 1)
+  }
+
   test("a reading PROCESS under live maintenance by another process " +
       "never sees a torn version (complete batches only)") {
     val path = freshStore()
