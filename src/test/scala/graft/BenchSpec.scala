@@ -48,15 +48,18 @@ class BenchSpec extends SparkSpec {
   test("the sf1 budget gate flags a deliberate 3x slowdown, and only it") {
     val budgets = Bench.loadBudgets("sf1")
     assert(budgets.contains("total") && budgets("q_semantic_dedup") > 0)
-    // r8-band timings pass clean
+    // timings derived FROM the shipped ceilings (ceiling/2 ~= the clean
+    // median each re-baseline anchors on), so this spec survives budget
+    // regeneration instead of hard-coding one session's band
     val healthy = Seq(
-      ("q_semantic_dedup", 10.7, Option.empty[String]),
-      ("q_multisignal_dedup", 21.2, None),
+      ("q_semantic_dedup", budgets("q_semantic_dedup") * 0.55,
+        Option.empty[String]),
+      ("q_multisignal_dedup", budgets("q_multisignal_dedup") * 0.55, None),
       ("q_unrelated", 3.0, None)) // unbudgeted: never flagged
     assert(Bench.checkBudgets(healthy, budgets).isEmpty)
-    // a 3x scale regression on one heavy query fails LOUDLY
+    // a ~3x scale regression on one heavy query fails LOUDLY
     val regressed = healthy.map {
-      case ("q_semantic_dedup", _, e) => ("q_semantic_dedup", 10.7 * 3, e)
+      case ("q_semantic_dedup", t, e) => ("q_semantic_dedup", t * 3, e)
       case other => other
     }
     val v = Bench.checkBudgets(regressed, budgets)
