@@ -175,6 +175,35 @@ object ManifestRaceSmoke {
           }
         }
         println(s"MANIF ivf $tag appended=$batches losses=$losses")
+      case "bucketrefresher" =>
+        // the BucketedSnapshotStore twin of ivfappender: racing refresh
+        // folds. Refresh is a semigroup fold (existing ∪ delta,
+        // compacted), so the documented retry is idempotent even against
+        // an attempt that actually published before dying.
+        val (tag, batches, buckets) = (args(2), args(3).toInt, args(4).toInt)
+        val store = new graft.randomaccess.BucketedSnapshotStore(
+          spark, path, buckets)
+        var losses = 0
+        (0 until batches).foreach { k =>
+          val delta = (0 until 10).map { i =>
+            graft.core.StreamElement("gw", s"$tag-k$i", "status",
+              s"u-$tag-$k-$i", 0L, 1000L + k,
+              s"$tag-v$k".getBytes("UTF-8"),
+              delete = false, deleteWildcard = false)
+          }
+          val ds = spark.createDataset(delta)(
+            graft.core.StreamElement.encoder)
+          var done = false
+          while (!done) {
+            try { store.refresh(ds); done = true }
+            catch {
+              case e: Throwable if isLoudLoss(e) || isStaleRead(e) =>
+                losses += 1
+                Thread.sleep(25)
+            }
+          }
+        }
+        println(s"MANIF bucket $tag refreshed=$batches losses=$losses")
       case "scanner" =>
         val (seedRows, millis) = (args(2).toLong, args(3).toLong)
         val h = handle(spark, path)

@@ -159,6 +159,45 @@ class ManifestRaceSmokeSpec extends SparkSpec {
     assert(got.collect().length == 1)
   }
 
+  test("two PROCESSES racing refresh folds on one BucketedSnapshotStore: " +
+      "retries converge to the last-writer state, vacuum is safe after") {
+    val path = Files.createTempDirectory("graft-manifrace-bucket-")
+      .toString + "/v"
+    val store = new graft.randomaccess.BucketedSnapshotStore(spark, path,
+      buckets = 4) // tiny bucket space => the two processes MUST collide
+    val seed = (1 to 5).map(i =>
+      graft.core.StreamElement("gw", s"seed-$i", "status", s"u-seed-$i",
+        0L, 1L, s"s$i".getBytes("UTF-8"),
+        delete = false, deleteWildcard = false))
+    store.write(spark.createDataset(seed)(graft.core.StreamElement.encoder))
+    val batches = 8
+    val (pa, oa) = child("bucketrefresher", path, "A", batches.toString, "4")
+    val (pb, ob) = child("bucketrefresher", path, "B", batches.toString, "4")
+    assert(pa.exitValue() == 0, s"bucketrefresher A failed:\n$oa")
+    assert(pb.exitValue() == 0, s"bucketrefresher B failed:\n$ob")
+    val all = lines(oa) ++ lines(ob)
+    assert(all.count(_.contains(s"refreshed=$batches")) == 2,
+      all.mkString("\n"))
+    val losses = all.flatMap(_.split(' ').find(_.startsWith("losses="))
+      .map(_.stripPrefix("losses=").toInt)).sum
+    info(s"raced refresh losses across the two processes: $losses")
+    // last-writer convergence: each key's final cell is its LAST batch's
+    // value, no matter which process's publishes got raced and retried
+    Seq("A", "B").foreach { tag =>
+      (0 until 10).foreach { i =>
+        val got = store.get(s"$tag-k$i", "status")
+          .getOrElse(fail(s"$tag-k$i missing"))
+        assert(new String(got.value, "UTF-8") == s"$tag-v${batches - 1}" &&
+          got.stamp == 1000L + batches - 1, s"$tag-k$i: $got")
+      }
+    }
+    assert(store.contents().count() == 5 + 20,
+      "seed cells + one live cell per key, nothing duplicated")
+    store.vacuum()
+    assert(store.contents().count() == 5 + 20,
+      "vacuum never touches readable cells")
+  }
+
   test("a reading PROCESS under live maintenance by another process " +
       "never sees a torn version (complete batches only)") {
     val path = freshStore()
