@@ -115,12 +115,21 @@ class PlanStabilitySpec extends SparkSpec {
         5, nProbe = 8)
     })
 
-  private def capture(name: String): String = {
+  /** Rows ALSO pinned with auto-broadcast disabled — the at-scale plan:
+    * at 100 TB the store side of the ANN join never fits a broadcast,
+    * so the golden that matters is the salted SHUFFLE join (and it must
+    * still never degrade to a nested-loop/cartesian). The sf0.001
+    * fixture otherwise hides that shape behind a size-based broadcast.
+    */
+  private val NoBroadcastVariants: Set[String] = Set("q_ann_join")
+
+  private def capture(name: String, noBroadcast: Boolean = false): String = {
     // a fresh clone per row: AQE off for a static skeleton, bench width
     // so the captured layout is the one Bench runs
     val s = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "32")
+    if (noBroadcast) s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val df = Overrides.getOrElse(name,
       (ss: org.apache.spark.sql.SparkSession) =>
         SparkEntry.queries(name)(ss, SfDir))(s)
@@ -128,6 +137,29 @@ class PlanStabilitySpec extends SparkSpec {
   }
 
   private val regen = sys.env.contains("GRAFT_PLANS_REGEN")
+
+  NoBroadcastVariants.foreach { name =>
+    test(s"plan skeleton (at-scale, no broadcast): $name") {
+      val actual = capture(name, noBroadcast = true)
+      // the at-scale shape must be a real partitioned join — a silent
+      // fallback to nested-loop/cartesian here is the 100 TB disaster
+      assert(!actual.contains("CartesianProduct") &&
+        !actual.contains("BroadcastNestedLoopJoin"), actual)
+      val golden = GoldenDir.resolve(s"${name}__nobroadcast.plan")
+      if (regen) {
+        Files.createDirectories(GoldenDir)
+        Files.write(golden, actual.getBytes("UTF-8"))
+        info(s"regenerated ${golden.getFileName}")
+      } else {
+        assert(Files.exists(golden),
+          s"no golden for $name (no-broadcast) — run GRAFT_PLANS_REGEN=1")
+        val expected = new String(Files.readAllBytes(golden), "UTF-8")
+        assert(actual == expected,
+          s"at-scale skeleton of $name changed.\n---- golden ----\n" +
+            s"$expected\n---- actual ----\n$actual")
+      }
+    }
+  }
 
   Pinned.foreach { name =>
     test(s"plan skeleton: $name") {
