@@ -145,6 +145,24 @@ object Watermarks {
       if (processes.isEmpty) MaxWatermark else processes.values.min
   }
 
+  /** The glue between a consumer's LOCAL estimation and the fleet-wide
+    * minimum: an estimator that reports every advance to a global
+    * tracker under its process name — how the reference's log readers
+    * feed `GlobalWatermarkTracker` (ZKGlobalWatermarkTracker.java:66
+    * update path). Works against both tracker flavors via the `report`
+    * hook: `new TrackedEstimator("c1", inner, tracker.update)` (in-JVM)
+    * or `fileTracker.update` (cross-process). Call the tracker's
+    * `finished(process)` when this consumer completes so it stops
+    * holding the fleet back.
+    */
+  final class TrackedEstimator(process: String, inner: WatermarkEstimator,
+      report: (String, Long) => Unit) extends WatermarkEstimator {
+    private def push(): Unit = report(process, inner.watermark)
+    def update(stampMs: Long): Unit = { inner.update(stampMs); push() }
+    def idle(): Unit = { inner.idle(); push() }
+    def watermark: Long = inner.watermark
+  }
+
   /** CROSS-PROCESS [[GlobalWatermarkTracker]] — the file-backed analog of
     * the reference's ZooKeeper tracker (utils-zookeeper/.../
     * ZKGlobalWatermarkTracker.java:66: per-process znode updates, global

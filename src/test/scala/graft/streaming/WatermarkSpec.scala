@@ -168,6 +168,37 @@ class WatermarkSpec extends SparkSpec {
     assert(t.globalWatermark == 30)
   }
 
+  test("a consumer fleet's estimators feed the global tracker: the " +
+      "global min tracks the slowest consumer, finish releases it") {
+    val dir = Files.createTempDirectory("graft-wm-fleet-").toString
+    val tracker = new FileGlobalWatermarkTracker(dir, staleMs = 60000)
+    // two consumers of one topic, each running the reference's default
+    // estimator locally and reporting through the glue
+    // one partition => poll order is append order (stamps ascending)
+    val t = EmbeddedKafka.topic("wm-fleet", "t", 1)
+    (1 to 6).foreach(i => t.append(StreamElement("gw", s"k$i", "a",
+      s"u$i", 0, 1000L * i, Array[Byte](1), delete = false,
+      deleteWildcard = false)))
+    def consumer(name: String): (EmbeddedKafka.Consumer, TrackedEstimator) =
+      (new EmbeddedKafka.Consumer(t, name),
+        new TrackedEstimator(name,
+          new BoundedOutOfOrdernessEstimator(100), tracker.update))
+    val (c1, e1) = consumer("c1")
+    val (_, e2) = consumer("c2")
+    // c1 processes everything; c2 stalls after the first two records
+    c1.pollUncommitted().foreach(r => e1.update(r.element.stamp))
+    val polled = new EmbeddedKafka.Consumer(t, "c2-g").pollUncommitted()
+    polled.take(2).foreach(r => e2.update(r.element.stamp))
+    assert(e1.watermark == 5900 && e2.watermark == 1900)
+    assert(tracker.globalWatermark == 1900,
+      "the fleet watermark is the SLOWEST consumer's")
+    // the stalled consumer finishing releases the global to the leader
+    tracker.finished("c2")
+    assert(tracker.globalWatermark == 5900)
+    tracker.finished("c1")
+    assert(tracker.globalWatermark == MaxWatermark)
+  }
+
   test("file-backed global tracker coordinates across PROCESSES (child " +
       "JVMs reporting through the shared directory)") {
     import scala.sys.process.{Process, ProcessLogger}
