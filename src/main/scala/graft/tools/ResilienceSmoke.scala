@@ -193,6 +193,30 @@ object ResilienceSmoke {
       truth = kfT.batchUpdates().toDF(),
       probe = { kfC.append(chaos(changelog.repartition(4))); kfC.batchUpdates().toDF() })
 
+    // 6b. the WIRE kafka binding under the same chaos: here the produce
+    // happens EXECUTOR-SIDE over a real socket at task commit — a failed
+    // first attempt dies mid-iteration, BEFORE its commit, so nothing
+    // reaches the broker for that attempt and the retry produces exactly
+    // one copy. (A failure AFTER the socket produce would duplicate —
+    // the documented at-least-once-per-attempt contract shared with
+    // spark-sql-kafka's producer; appendIdempotent is the exactly-once
+    // route.)
+    val wireServer = new graft.streaming.KafkaWire.Server(0).start()
+    try {
+      val wb = s"tcp:127.0.0.1:${wireServer.port}"
+      val wfT = new KafkaLogFamily(spark, EmbeddedKafka.topic(wb, "truth"))
+      wfT.append(changelog.repartition(4))
+      val wfC = new KafkaLogFamily(spark, EmbeddedKafka.topic(wb, "chaos"))
+      outcomes += compare("kafka_wire_produce_retry_transparency",
+        truth = wfT.batchUpdates().toDF(),
+        probe = { wfC.append(chaos(changelog.repartition(4)))
+          wfC.batchUpdates().toDF() })
+    } finally {
+      EmbeddedKafka.drop(s"tcp:127.0.0.1:${wireServer.port}", "truth")
+      EmbeddedKafka.drop(s"tcp:127.0.0.1:${wireServer.port}", "chaos")
+      wireServer.close()
+    }
+
     // 7. bucketed store refresh: staged-swap rewrite driven by a delta
     // whose every job (affected-bucket discovery, staging write) fails
     // its first attempts

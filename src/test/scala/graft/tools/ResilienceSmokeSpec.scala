@@ -35,8 +35,8 @@ class ResilienceSmokeSpec extends AnyFunSuite {
     val lines = text.linesIterator.filter(_.startsWith("RESIL")).toSeq
     val scenarioLines = lines.filterNot(_.startsWith("RESIL kryo:"))
     val kryoLines = lines.filter(_.startsWith("RESIL kryo:"))
-    assert(scenarioLines.size == 10,
-      s"expected 10 chaos scenarios; got:\n$text")
+    assert(scenarioLines.size == 11,
+      s"expected 11 chaos scenarios; got:\n$text")
     assert(kryoLines.size == LocalClusterSmoke.DefaultQueries.size,
       s"expected one kryo line per slice query; got:\n$text")
     lines.foreach(l => assert(l.endsWith("MATCH"), l))
