@@ -311,9 +311,18 @@ private[graft] object StoreManifest {
   }
 
   private def collectDataFiles(fs: FileSystem, root: Path,
-      base: Path): Seq[String] = {
+      base: Path): Seq[String] =
+    collectDataFileStatuses(fs, root, base).map(_._1)
+
+  /** Relative path + the listing's own [[FileStatus]] per data file —
+    * vacuum filters ages off THESE instead of re-statting per file,
+    * because a file another sweep reclaimed between list and stat must
+    * read as already-gone, not throw.
+    */
+  private def collectDataFileStatuses(fs: FileSystem, root: Path,
+      base: Path): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
     if (!fs.exists(root)) return Seq.empty
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, org.apache.hadoop.fs.FileStatus)]
     val it = fs.listFiles(root, true)
     val baseUri = base.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
@@ -322,9 +331,9 @@ private[graft] object StoreManifest {
       val name = s.getPath.getName
       if (s.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
           !name.startsWith("."))
-        out += p.stripPrefix(baseUri + "/")
+        out += ((p.stripPrefix(baseUri + "/"), s))
     }
-    out.result().filterNot(_.split('/').exists(seg =>
+    out.result().filterNot(_._1.split('/').exists(seg =>
       seg.startsWith("_") || seg.startsWith(".")))
   }
 
@@ -416,9 +425,26 @@ private[graft] object StoreManifest {
     def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
       st.getModificationTime <= cutoff
     val rootEntries = fs.listStatus(p).toSeq
+    // a staging dir's own mtime reflects only its immediate children's
+    // CREATION — a staged parquet write still running past the age gate
+    // keeps producing fresh files inside while the dir mtime goes stale.
+    // Gate on the newest mtime anywhere inside (dir itself included) so
+    // an in-flight slow write is never reclaimed out from under its
+    // mutator.
+    def newestInside(st: org.apache.hadoop.fs.FileStatus): Long = {
+      var newest = st.getModificationTime
+      try {
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext)
+          newest = math.max(newest, it.next().getModificationTime)
+      } catch {
+        case _: java.io.FileNotFoundException => // raced away: stays old
+      }
+      newest
+    }
     val stagings = rootEntries.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("_staging_") &&
-        oldEnough(s))
+        newestInside(s) <= cutoff)
     // a maintainer that died between writing its manifest temp and the
     // commit link/rename strands one immortal root file per crash —
     // exactly the debris class vacuum exists for (the `.crc` sidecar a
@@ -426,9 +452,15 @@ private[graft] object StoreManifest {
     val manifestTmps = rootEntries.filter(s =>
       s.isFile && s.getPath.getName.startsWith("_manifest_tmp_") &&
         oldEnough(s))
-    val onDisk = collectDataFiles(fs, p, p)
-    val garbage = onDisk.filterNot(live).filter(f =>
-      oldEnough(fs.getFileStatus(new Path(path, f))))
+    // ages come from the listing's FileStatus objects, NOT a per-file
+    // re-stat: a file a concurrent sweep reclaimed between list and stat
+    // is already-gone (skip), and throwing here would fail the CALLER's
+    // mutation after its generation successfully committed (the
+    // opportunistic sweep runs inside commitSwap post-publish)
+    val onDisk = collectDataFileStatuses(fs, p, p)
+    val garbage = onDisk.collect {
+      case (f, st) if !live(f) && oldEnough(st) => f
+    }
     garbage.foreach(f => fs.delete(new Path(path, f), false))
     stagings.foreach(s => fs.delete(s.getPath, true))
     manifestTmps.foreach(s => fs.delete(s.getPath, false))

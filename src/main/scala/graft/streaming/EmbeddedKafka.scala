@@ -84,13 +84,25 @@ object EmbeddedKafka {
     * else is an in-process [[Topic]].
     */
   def topic(broker: String, name: String, numPartitions: Int = 4): TopicHandle =
-    topics.getOrElseUpdate(s"$broker/$name",
-      if (KafkaWire.isWire(broker)) {
-        // the broker owns the partition count: CREATE returns the actual
-        // width (an existing topic keeps its layout)
-        val n = KafkaWire.withClient(broker)(_.create(name, numPartitions))
-        new RemoteTopic(broker, name, n)
-      } else new Topic(broker, name, numPartitions))
+    if (KafkaWire.isWire(broker)) {
+      // the broker owns the partition count: CREATE is idempotent and
+      // returns the actual width (an existing topic keeps its layout).
+      // Re-validate on EVERY resolve rather than trusting the cache — an
+      // ephemeral port reused by a later broker, or a drop+recreate from
+      // another process at a different width, would otherwise leave a
+      // stale handle silently routing by the wrong partition count. One
+      // extra round trip per driver-side resolve; executor tasks never
+      // resolve handles (they open clients from the broker string).
+      val n = KafkaWire.withClient(broker)(_.create(name, numPartitions))
+      topics.get(s"$broker/$name") match {
+        case Some(h: RemoteTopic) if h.numPartitions == n => h
+        case _ =>
+          val h = new RemoteTopic(broker, name, n)
+          topics.put(s"$broker/$name", h)
+          h
+      }
+    } else topics.getOrElseUpdate(s"$broker/$name",
+      new Topic(broker, name, numPartitions))
 
   /** The in-process resolution only — the wire SERVER uses this to reach
     * the log it owns without re-dispatching on the broker string.
@@ -106,10 +118,11 @@ object EmbeddedKafka {
     * repeatedly-run queries must not accumulate in a long session).
     */
   def drop(broker: String, name: String): Unit = {
-    topics.remove(s"$broker/$name").foreach {
-      case _: RemoteTopic => KafkaWire.withClient(broker)(_.drop(name))
-      case _ => ()
-    }
+    topics.remove(s"$broker/$name")
+    // a wire drop must reach the broker even when THIS process never
+    // cached a handle — the topic may have been created by another
+    // process, and drop-by-name is the whole point of a shared broker
+    if (KafkaWire.isWire(broker)) KafkaWire.withClient(broker)(_.drop(name))
   }
 
   /** Networked topic handle: the broker is ANOTHER process (or another

@@ -153,7 +153,13 @@ object KafkaWire {
               val name = in.readUTF()
               val t = topic(name)
               val n = in.readInt()
-              (0 until n).foreach(_ => t.append(readElement(in)))
+              // decode the FULL batch before touching the log: a refused
+              // frame mid-batch (e.g. the 64 MiB hostile-claim cap) must
+              // leave the log untouched — applying as we decode would
+              // durably keep the prefix while the client sees only a dead
+              // socket, and its at-least-once retry would duplicate it
+              val elems = Array.tabulate(n)(_ => readElement(in))
+              elems.foreach(t.append)
               out.writeInt(n)
             case OpAppend =>
               val t = topic(in.readUTF())

@@ -225,9 +225,17 @@ object Watermarks {
       val current = own.map(_._2).maxOption
       val target = math.max(watermarkMs, current.getOrElse(MinWatermark))
       if (current.contains(target)) {
-        // value unchanged: the marker IS the heartbeat — refresh mtime
+        // value unchanged: the marker IS the heartbeat — refresh mtime.
+        // A concurrent globalWatermark() reader may have just EVICTED
+        // this process (deleting the marker between our listing and the
+        // setTimes): fall through to re-creation, honoring the documented
+        // "its next update re-registers it" stalled-reporter recovery.
         val now = clock()
-        fs.setTimes(marker(process, target), now, now)
+        try fs.setTimes(marker(process, target), now, now)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            fs.create(marker(process, target), true).close()
+        }
       } else {
         val out = fs.create(marker(process, target), false)
         out.close()

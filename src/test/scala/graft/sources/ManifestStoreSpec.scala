@@ -195,6 +195,35 @@ class ManifestStoreSpec extends SparkSpec {
       .exists(_.contains("part-inflight")))
   }
 
+  test("age-gated vacuum judges a staging dir by its NEWEST CONTENT, not " +
+      "the dir's own mtime: a slow staged write older than the gate but " +
+      "still producing files is spared") {
+    val path = freshStore()
+    StoreManifest.publishInitial(spark, path, schemaOf(path))
+    val hourAgo = System.currentTimeMillis() - 3600L * 1000
+    // a staging dir created an hour ago (dir mtime reflects only its
+    // immediate children's creation) whose write is STILL producing:
+    // the newest file inside is seconds old
+    val slow = new java.io.File(s"$path/_staging_slow/cell=0")
+    assert(slow.mkdirs())
+    val freshPart = new java.io.File(slow, "part-000.parquet")
+    java.nio.file.Files.write(freshPart.toPath, Array[Byte](1))
+    assert(slow.setLastModified(hourAgo) &&
+      slow.getParentFile.setLastModified(hourAgo))
+    // a genuinely crashed staging: dir AND contents old
+    val dead = new java.io.File(s"$path/_staging_dead2/cell=0")
+    assert(dead.mkdirs())
+    val deadPart = new java.io.File(dead, "part-000.parquet")
+    java.nio.file.Files.write(deadPart.toPath, Array[Byte](2))
+    assert(deadPart.setLastModified(hourAgo) &&
+      dead.setLastModified(hourAgo) &&
+      dead.getParentFile.setLastModified(hourAgo))
+    val removed = StoreManifest.vacuum(spark, path, minAgeMs = 15L * 60 * 1000)
+    assert(removed.exists(_.contains("_staging_dead2")) &&
+      !removed.exists(_.contains("_staging_slow")), removed.mkString(", "))
+    assert(freshPart.exists && !deadPart.exists)
+  }
+
   test("vacuum on a never-written store is a graceful no-op (maintenance " +
       "scheduled alongside replicate must not crash pre-first-batch)") {
     val path = Files.createTempDirectory("graft-manifest-empty-").toString + "/v"

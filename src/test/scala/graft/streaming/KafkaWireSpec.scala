@@ -107,6 +107,73 @@ class KafkaWireSpec extends SparkSpec {
       s"committed: ${t.committed("g-wire")}")
   }
 
+  test("a refused frame mid-batch leaves the log UNTOUCHED: the full " +
+      "batch decodes before any append, so the retry never duplicates " +
+      "an applied prefix") {
+    val t = EmbeddedKafka.topic(broker, "w-atomic-batch", 2)
+    // hand-craft an OpAppendBatch of 2 where the SECOND frame claims a
+    // hostile 128 MiB value (over the 64 MiB cap): the broker must
+    // refuse the whole batch, not durably apply element 1
+    val sock = new java.net.Socket("127.0.0.1", server.port)
+    try {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      out.writeByte(KafkaWire.OpAppendBatch)
+      out.writeUTF("w-atomic-batch")
+      out.writeInt(2)
+      KafkaWire.writeElement(out, up("k1", "a", 1, "v1"))
+      // frame 2: valid header, then a value-length claim of 1 << 27
+      out.writeUTF("gw"); out.writeUTF("k2"); out.writeUTF("a")
+      out.writeUTF("u-hostile"); out.writeLong(0L); out.writeLong(2L)
+      out.writeInt(1 << 27)
+      out.flush()
+      // server kills the connection on refusal — the read fails loudly
+      intercept[Exception] {
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        sock.setSoTimeout(5000)
+        if (in.readInt() != 2) sys.error("unexpected ack")
+      }
+    } finally sock.close()
+    assert(t.latestOffsets.values.sum == 0,
+      "refused batch left NO prefix in the log")
+    // a clean retry of the same logical batch (sans hostile frame) lands
+    // exactly once
+    t.appendAll(Seq(up("k1", "a", 1, "v1")))
+    assert(t.latestOffsets.values.sum == 1)
+  }
+
+  test("resolve RE-VALIDATES the partition count against the broker: a " +
+      "drop+recreate at a different width from elsewhere never leaves a " +
+      "stale cached handle routing by the wrong count") {
+    val t4 = EmbeddedKafka.topic(broker, "w-revalidate", 4)
+    assert(t4.numPartitions == 4)
+    // "another process" drops and recreates the topic 2-wide, bypassing
+    // this JVM's handle cache entirely
+    KafkaWire.withClient(broker) { c =>
+      c.drop("w-revalidate"); c.create("w-revalidate", 2)
+    }
+    val t2 = EmbeddedKafka.topic(broker, "w-revalidate", 4)
+    assert(t2.numPartitions == 2,
+      "resolve must return the broker's actual width, not the cached 4")
+    assert(t2.latestOffsets.keySet == Set(0, 1))
+  }
+
+  test("drop reaches a wire broker even when THIS process never cached " +
+      "a handle for the topic") {
+    // created by "another process": raw client, never via EmbeddedKafka
+    KafkaWire.withClient(broker) { c =>
+      c.create("w-drop-foreign", 3)
+      c.appendBatch("w-drop-foreign", Iterator(up("k1", "a", 1, "v1")))
+    }
+    assert(KafkaWire.withClient(broker)(_.latest("w-drop-foreign"))
+      .values.sum == 1)
+    EmbeddedKafka.drop(broker, "w-drop-foreign")
+    // the broker's log is gone: a fresh resolve sees an empty topic at
+    // the requested width
+    val fresh = EmbeddedKafka.topic(broker, "w-drop-foreign", 5)
+    assert(fresh.numPartitions == 5 && fresh.latestOffsets.values.sum == 0)
+  }
+
   test("a dead broker fails loudly, never silently empty") {
     val dead = new KafkaWire.Server(0).start()
     val deadBroker = s"tcp:127.0.0.1:${dead.port}"

@@ -168,6 +168,33 @@ class WatermarkSpec extends SparkSpec {
     assert(t.globalWatermark == 30)
   }
 
+  test("a heartbeat racing a concurrent eviction RE-REGISTERS instead of " +
+      "crashing (marker deleted between listing and setTimes)") {
+    val dir = Files.createTempDirectory("graft-wm-evictrace-").toString
+    // the unchanged-value branch calls clock() AFTER listing its own
+    // marker and BEFORE the mtime refresh — inject the racing reader's
+    // eviction exactly there (pre-fix: FileNotFoundException from
+    // fs.setTimes)
+    @volatile var evictOnTick = false
+    val clock = () => {
+      if (evictOnTick) {
+        evictOnTick = false
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.startsWith("wm.p.")).foreach(f => f.delete())
+      }
+      System.currentTimeMillis()
+    }
+    val t = new FileGlobalWatermarkTracker(dir, staleMs = 60000,
+      clock = clock)
+    t.update("p", 100)
+    evictOnTick = true
+    t.update("p", 100) // heartbeat: listing saw the marker, then it died
+    assert(new java.io.File(dir).listFiles()
+        .exists(_.getName == "wm.p.100"),
+      "the evicted process re-registered its marker")
+    assert(t.globalWatermark == 100)
+  }
+
   test("a consumer fleet's estimators feed the global tracker: the " +
       "global min tracks the slowest consumer, finish releases it") {
     val dir = Files.createTempDirectory("graft-wm-fleet-").toString
