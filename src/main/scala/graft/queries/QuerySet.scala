@@ -30,6 +30,15 @@ trait QuerySet {
   */
 private[queries] object StreamSupport {
 
+  /** Shape-capture seam: when set, receives each memory-sink query after
+    * its drive completes and BEFORE stop() (recentProgress and the last
+    * micro-batch's execution are both still attached). The streaming
+    * plan-stability goldens read through this; it is never set outside
+    * tests.
+    */
+  @volatile private[graft] var probe:
+    Option[org.apache.spark.sql.streaming.StreamingQuery => Unit] = None
+
   def runToMemorySink[T](s: SparkSession,
       stream: org.apache.spark.sql.Dataset[T])(
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
@@ -47,7 +56,7 @@ private[queries] object StreamSupport {
     // received rows pinned on the driver — the exact accumulation this
     // helper exists to prevent
     try {
-      try drive(q) finally q.stop()
+      try { drive(q); probe.foreach(f => f(q)) } finally q.stop()
       qs.table(sink).localCheckpoint(true)
     } finally { qs.catalog.dropTempView(sink); () }
   }
