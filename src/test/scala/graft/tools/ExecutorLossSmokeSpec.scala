@@ -14,13 +14,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * nothing into the committed output. The smoke hard-fails if no
   * executor was actually removed, so it can never degrade into a vacuous
   * truth==truth comparison.
+  *
+  * Runs TWICE: default provider and RocksDB
+  * (`-Dgraft.stateProvider=rocksdb`). An executor dying mid-micro-batch
+  * of a stateful query is the crash-restart path where providers
+  * genuinely differ — the replacement executor must rebuild RocksDB
+  * state from the checkpointed SST/changelog files, not from the dead
+  * process's heap.
   */
 class ExecutorLossSmokeSpec extends AnyFunSuite {
 
-  test("executor loss mid-query: shuffle outputs are recovered and dead " +
-      "sink attempts leak nothing under local-cluster[2,2,2048]") {
+  private def run(provider: Option[String]): Unit = {
+    val providerProps = provider.toSeq.map(p => s"-Dgraft.stateProvider=$p")
     val cmd = Seq(ChildJvm.javaBin) ++ ChildJvm.addOpens ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-Xmx4g", "-Dspark.ui.enabled=false") ++ providerProps ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ExecutorLossSmoke", "/root/testdata/sf0.001")
     val out = new StringBuilder
@@ -35,5 +42,16 @@ class ExecutorLossSmokeSpec extends AnyFunSuite {
       .getOrElse(fail(s"no summary line:\n$text"))
     assert(!summary.contains("\"executorsRemoved\":0"), summary)
     assert(rc == 0, s"smoke exited $rc:\n${lines.mkString("\n")}")
+  }
+
+  test("executor loss mid-query: shuffle outputs are recovered and dead " +
+      "sink attempts leak nothing under local-cluster[2,2,2048]") {
+    run(provider = None)
+  }
+
+  test("the same 4 executor-loss scenarios hold under " +
+      "RocksDBStateStoreProvider (state rebuilt from checkpoint files, " +
+      "not the dead executor's heap)") {
+    run(provider = Some("rocksdb"))
   }
 }

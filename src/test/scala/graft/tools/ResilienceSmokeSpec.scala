@@ -19,13 +19,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * 1000-executor cluster tasks are re-attempted as a matter of course,
   * and a sink that leaks a failed attempt's output double-writes there
   * while passing every local[32] run forever.
+  *
+  * Runs TWICE: under the default state-store provider and under
+  * RocksDB (`-Dgraft.stateProvider=rocksdb`) — chaos retries inside a
+  * stateful micro-batch are exactly where a provider's abort/replay
+  * behavior (SST cleanup, changelog replay) could diverge, and
+  * production streaming state is RocksDB.
   */
 class ResilienceSmokeSpec extends AnyFunSuite {
 
-  test("task retries are transparent and sinks isolate failed attempts " +
-      "under local[4,3]; query slice is serializer-independent (Kryo)") {
+  private def run(provider: Option[String]): Unit = {
+    val providerProps = provider.toSeq.map(p => s"-Dgraft.stateProvider=$p")
     val cmd = Seq(ChildJvm.javaBin) ++ ChildJvm.addOpens ++ Seq(
-      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-Xmx4g", "-Dspark.ui.enabled=false") ++ providerProps ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ResilienceSmoke", "/root/testdata/sf0.001")
     val out = new StringBuilder
@@ -50,5 +56,15 @@ class ResilienceSmokeSpec extends AnyFunSuite {
       assert(injected.exists(_ > 0), s"no injected failures in: $l")
     }
     assert(rc == 0, s"smoke exited $rc:\n${lines.mkString("\n")}")
+  }
+
+  test("task retries are transparent and sinks isolate failed attempts " +
+      "under local[4,3]; query slice is serializer-independent (Kryo)") {
+    run(provider = None)
+  }
+
+  test("the same 11 chaos scenarios hold under RocksDBStateStoreProvider " +
+      "(production streaming state + task retries)") {
+    run(provider = Some("rocksdb"))
   }
 }
