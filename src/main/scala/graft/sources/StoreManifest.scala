@@ -43,9 +43,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Scale: a manifest is one line per data file — metadata-proportional,
   * O(corpus files) text once per mutation, while the data moved stays
-  * O(delta). At 100 TB / 128 MB files that is ~1M lines (~100 MB), the
-  * same order as the file listing any engine must hold to plan a scan;
-  * shard the manifest per partition directory if that ever dominates.
+  * O(delta). At 100 TB / 128 MB files that is ~1M lines (~65 MB), the
+  * same order as the file listing any engine must hold to plan a scan.
+  * MEASURED at exactly that shape (ManifestScaleSpec, r16): resolve
+  * ~0.26 s, partition pruning ~0.1 s, republish ~0.2 s — driver-local
+  * text I/O, far below the distributed LIST job it replaces, so the
+  * manifest stays unsharded; the per-partition sharding escape hatch
+  * remains the fallback if a deployment's mutation cadence ever makes
+  * the O(files) rewrite dominate.
   */
 private[graft] object StoreManifest {
 
