@@ -155,23 +155,37 @@ object EmbeddedKafka {
 
   final class Topic(val broker: String, val name: String,
       val numPartitions: Int) extends TopicHandle {
+    // per-PARTITION monitors (each buffer is its own lock): appends and
+    // slices of different partitions must never serialize on one
+    // topic-wide lock — the partition is the scaling unit on both sides
+    // of the log (the reference splits consumption per partition,
+    // DirectUnboundedSource.split:161; the wire broker serves each
+    // connection on its own thread), so a producer fleet writing 8
+    // partitions and an executor fleet fetching 8 splits both run
+    // genuinely in parallel here. Cross-partition offset snapshots are
+    // intentionally weakly consistent — Kafka itself orders nothing
+    // across partitions, and per-partition offsets only grow.
     private val partitions: Array[ArrayBuffer[StreamElement]] =
       Array.fill(numPartitions)(ArrayBuffer.empty[StreamElement])
     private val groupOffsets = TrieMap.empty[String, Map[Int, Long]]
 
-    def append(e: StreamElement): Record = synchronized {
+    def append(e: StreamElement): Record = {
       val p = partitionFor(e)
       val buf = partitions(p)
-      buf += e
-      Record(p, buf.size - 1L, e)
+      buf.synchronized {
+        buf += e
+        Record(p, buf.size - 1L, e)
+      }
     }
 
     def earliestOffsets: Map[Int, Long] =
       (0 until numPartitions).map(_ -> 0L).toMap
 
-    def latestOffsets: Map[Int, Long] = synchronized {
-      (0 until numPartitions).map(p => p -> partitions(p).size.toLong).toMap
-    }
+    def latestOffsets: Map[Int, Long] =
+      (0 until numPartitions).map { p =>
+        val buf = partitions(p)
+        p -> buf.synchronized(buf.size.toLong)
+      }.toMap
 
     // monotone per-partition: a commit can only ADVANCE the group
     // position (Kafka semantics); a plain overwrite would let a slower
@@ -190,16 +204,17 @@ object EmbeddedKafka {
     /** Records of one partition in offset range [from, until) — the
       * per-split read the streaming source's partition readers issue.
       */
-    def slice(p: Int, from: Long, until: Long): Array[StreamElement] =
-      synchronized {
-        val buf = partitions(p)
+    def slice(p: Int, from: Long, until: Long): Array[StreamElement] = {
+      val buf = partitions(p)
+      buf.synchronized {
         val lo = math.max(0L, from).toInt
         val hi = math.min(buf.size.toLong, until).toInt
         if (hi <= lo) Array.empty else buf.slice(lo, hi).toArray
       }
+    }
 
     private[streaming] def allElements: Seq[StreamElement] =
-      synchronized { partitions.flatMap(_.toSeq).toSeq }
+      partitions.toSeq.flatMap(b => b.synchronized(b.toSeq))
   }
 
   /** A consumer in a group: poll from the committed position, process,

@@ -27,6 +27,43 @@ class KafkaSeamSpec extends SparkSpec {
     assert(spread.distinct.size > 1)
   }
 
+  test("partition locks are PER-PARTITION: an append stalled on one " +
+      "partition's monitor never blocks another partition (the scaling " +
+      "unit is the partition, not the topic)") {
+    val t = EmbeddedKafka.topic("b-locks", "t-locks", 4)
+    // find keys routing to partitions 0 and 1
+    def keyFor(p: Int): String = Iterator.from(0).map(i => s"lk$i")
+      .find(k => t.partitionFor(up(k, "a", 1, "x")) == p).get
+    val (k0, k1) = (keyFor(0), keyFor(1))
+    // reach the private per-partition buffer (= its monitor) and HOLD it
+    val bufField = t.getClass.getDeclaredFields
+      .find(_.getName.endsWith("partitions"))
+      .getOrElse(fail("no partitions field on Topic"))
+    bufField.setAccessible(true)
+    val bufs = bufField.get(t).asInstanceOf[Array[AnyRef]]
+    val p0Appended = new java.util.concurrent.CountDownLatch(1)
+    val p1Appended = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => bufs(0).synchronized {
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS); ()
+    })
+    holder.start()
+    Thread.sleep(50) // let the holder take partition 0's monitor
+    new Thread(() => { t.append(up(k0, "a", 1, "x")); p0Appended.countDown() })
+      .start()
+    new Thread(() => { t.append(up(k1, "a", 1, "x")); p1Appended.countDown() })
+      .start()
+    // partition 1 proceeds while partition 0's monitor is held...
+    assert(p1Appended.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "append to partition 1 must not wait on partition 0's lock")
+    assert(p0Appended.getCount == 1,
+      "append to partition 0 must still be blocked (the monitor works)")
+    // ...and partition 0 completes once released (no deadlock, no loss)
+    release.countDown()
+    assert(p0Appended.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    assert(t.latestOffsets(0) == 1 && t.latestOffsets(1) == 1)
+  }
+
   test("consumer groups: ack commits offsets, uncommitted tail replays") {
     val t = EmbeddedKafka.topic("b1", "t-groups", 2)
     (1 to 6).foreach(i => t.append(up(s"k$i", "a", i, s"v$i")))
