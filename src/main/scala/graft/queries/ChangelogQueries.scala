@@ -419,7 +419,11 @@ object ChangelogQueries extends QuerySet {
     // and FETCH over the network protocol (offset planning per split,
     // broker-assigned offsets) — the networked binding's plan shape,
     // oracle-checked; KafkaWireSmokeSpec runs the identical binding with
-    // the broker in a SEPARATE PROCESS
+    // the broker in a SEPARATE PROCESS. 8 partitions: the batch scan
+    // plans 8 splits, so every verify/bench run (sf1 included) drives 8
+    // CONCURRENT executor fetches and the write path's concurrent
+    // produce against the thread-per-connection broker + per-partition
+    // topic locks
     "q_kafka_wire_updates_range" -> ((s, d) => {
       val server = new graft.streaming.KafkaWire.Server(0).start()
       val broker = s"tcp:127.0.0.1:${server.port}"
@@ -429,7 +433,7 @@ object ChangelogQueries extends QuerySet {
         finally server.close()
       }
       try {
-        val topic = graft.streaming.EmbeddedKafka.topic(broker, name, 4)
+        val topic = graft.streaming.EmbeddedKafka.topic(broker, name, 8)
         val fam = new graft.streaming.KafkaLogFamily(s, topic)
         fam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
         materialized(
