@@ -254,4 +254,66 @@ class WatermarkSpec extends SparkSpec {
     assert(t.globalWatermark == 150,
       "a finished process releases the global watermark")
   }
+
+  test("TrackedEstimator end-to-end: two streaming-query PROCESSES feed " +
+      "the shared tracker from inside their micro-batch loops, and the " +
+      "global min GATES a downstream emit until the slowest catches up") {
+    import scala.sys.process.{Process, ProcessLogger}
+    val dir = Files.createTempDirectory("graft-wm-e2e-").toString
+    val scratch = Files.createTempDirectory("graft-wm-e2e-logs-")
+    val tracker = new FileGlobalWatermarkTracker(dir, staleMs = 600000)
+    def child(args: String*): String = {
+      val out = new StringBuilder
+      val cmd = Seq(graft.tools.ChildJvm.javaBin) ++
+        graft.tools.ChildJvm.addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.WatermarkSmoke") ++ args
+      val rc = Process(cmd).!(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n') }, _ => ()))
+      assert(rc == 0, s"child ${args.mkString(" ")} failed:\n$out")
+      out.synchronized { out.toString }
+    }
+    val H = 3600L * 1000000 // 1h in stamp units (µs)
+    def el(stamp: Long) = StreamElement("gw", s"k$stamp", "a", s"u$stamp",
+      0, stamp, Array[Byte](1), delete = false, deleteWildcard = false)
+    val famA = new CommitLogFamily(spark, s"$scratch/logA")
+    val famB = new CommitLogFamily(spark, s"$scratch/logB")
+    // consumer A's log reaches window 3; consumer B starts with only its
+    // first segment (max stamp just past window 0's end)
+    famA.append(Seq(el(H + 5), el(2 * H + 5), el(3 * H + 5)))
+    famB.append(Seq(el(5), el(H + 50)))
+    child("consume", dir, "600000", "procA", s"$scratch/logA", s"$scratch/cpA")
+    val b1 = child("consume", dir, "600000", "procB", s"$scratch/logB",
+      s"$scratch/cpB")
+    assert(b1.contains("consumed"), b1)
+    // the fleet watermark is the SLOWEST streaming consumer's estimate
+    assert(tracker.globalWatermark == H + 50,
+      s"global must be B's max stamp: ${tracker.globalWatermark}")
+    // downstream emit gate: an hourly window emits only once the GLOBAL
+    // min passes its end — with B stalled at H+50, only window 0 is due
+    def readyWindows(): Seq[Long] = {
+      val stamps = famA.batchUpdates().collect() ++ famB.batchUpdates().collect()
+      stamps.map(_.stamp / H).distinct.sorted.toSeq
+        .filter(w => (w + 1) * H <= tracker.globalWatermark)
+    }
+    assert(readyWindows() == Seq(0L),
+      "only window 0 may emit while the slowest consumer sits at H+50")
+    // B catches up: new segment lands, the RESTARTED consumer process
+    // resumes from its checkpoint (only the new file replays) and its
+    // in-loop estimator report advances the global
+    famB.append(Seq(el(2 * H + 9), el(3 * H + 7)))
+    val b2 = child("consume", dir, "600000", "procB", s"$scratch/logB",
+      s"$scratch/cpB")
+    assert(!b2.contains("batch=0 "),
+      s"restart must resume from the checkpoint, not replay batch 0:\n$b2")
+    assert(tracker.globalWatermark == 3 * H + 5,
+      s"global must rise to A's report: ${tracker.globalWatermark}")
+    assert(readyWindows() == Seq(0L, 1L, 2L),
+      "windows 1 and 2 emit once the slowest consumer passes their ends " +
+        "(window 3 stays open: no watermark has passed 4H)")
+    child("finish", dir, "600000", "procA")
+    child("finish", dir, "600000", "procB")
+    assert(tracker.globalWatermark == MaxWatermark)
+  }
 }
