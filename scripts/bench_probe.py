@@ -21,9 +21,17 @@ Usage:
   python3 scripts/bench_probe.py <boundary-commit> <row1,row2,...> \
       [--runs N] [--sf-dir DIR] [--cpus N]
 
+  # AUTO mode (the per-round default): diff two driver bench JSONs and
+  # adjudicate EVERY shared-row mover past the threshold, both
+  # directions — no hand-picking, no unadjudicated movers:
+  python3 scripts/bench_probe.py <boundary-commit> \
+      --auto <prev_bench.json> <cur_bench.json> [--threshold 1.3]
+
 Example:
   python3 scripts/bench_probe.py 8fe97ac q_bucketed_store,q_txn_commits \
       --runs 3 --sf-dir /tmp/graft-sf1
+  python3 scripts/bench_probe.py 3bcd74e \
+      --auto /tmp/bench_sf01_r15.json /tmp/bench_sf01_r16.json
 """
 import argparse
 import json
@@ -124,16 +132,62 @@ def verdict(b_vals, h_vals):
                    "read the diff on this row's path")
 
 
+def load_queries(path):
+    with open(path) as f:
+        doc = json.load(f)
+    return doc["queries"] if "queries" in doc else doc
+
+
+def auto_rows(prev_path, cur_path, threshold, cap=12):
+    """Shared rows whose cur/prev ratio moved past the threshold in
+    EITHER direction (a surprise speedup can be a broken row as easily
+    as a regression is a slow one). Capped loudly — silent truncation
+    would read as 'adjudicated everything'."""
+    prev, cur = load_queries(prev_path), load_queries(cur_path)
+    movers = []
+    for r in sorted(set(prev) & set(cur)):
+        p, c = float(prev[r]), float(cur[r])
+        if p <= 0 or c <= 0:
+            continue
+        ratio = c / p
+        if ratio > threshold or ratio < 1.0 / threshold:
+            movers.append((r, ratio))
+    movers.sort(key=lambda x: -max(x[1], 1.0 / x[1]))
+    if len(movers) > cap:
+        dropped = movers[cap:]
+        print(f"[probe] CAP: adjudicating top {cap} movers; dropped "
+              + ", ".join(f"{r}({x:.2f})" for r, x in dropped), flush=True)
+        movers = movers[:cap]
+    for r, x in movers:
+        print(f"[probe] auto-selected {r}: shared-row ratio {x:.2f}",
+              flush=True)
+    return [r for r, _ in movers]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("boundary", help="boundary commit (last round's tree)")
-    ap.add_argument("rows", help="comma-separated bench row names")
+    ap.add_argument("rows", nargs="?", default=None,
+                    help="comma-separated bench row names (omit with --auto)")
+    ap.add_argument("--auto", nargs=2, metavar=("PREV_JSON", "CUR_JSON"),
+                    help="select rows automatically: every shared row "
+                         "whose ratio moved past --threshold")
+    ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--runs", type=int, default=3,
                     help="interleaved laps per tree (default 3)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
-    rows = [r.strip() for r in args.rows.split(",") if r.strip()]
+    if args.auto:
+        rows = auto_rows(args.auto[0], args.auto[1], args.threshold)
+        if not rows:
+            print(f"[probe] no shared-row mover past {args.threshold}x — "
+                  "nothing to adjudicate")
+            return
+    elif args.rows:
+        rows = [r.strip() for r in args.rows.split(",") if r.strip()]
+    else:
+        ap.error("pass rows or --auto PREV_JSON CUR_JSON")
 
     sha, boundary_tree = ensure_worktree(args.boundary)
     head_marker = os.path.join(REPO, "target", "scala-2.13", "classes",
