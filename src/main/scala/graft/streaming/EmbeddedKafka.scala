@@ -114,6 +114,23 @@ object EmbeddedKafka {
   /** Drop all topics (test isolation). */
   def reset(): Unit = topics.clear()
 
+  /** Topics an in-process broker currently serves, with widths — the
+    * wire server answers OpTopics (the follower re-join protocol's
+    * first step) from this.
+    */
+  private[streaming] def listLocal(broker: String): Seq[(String, Int)] =
+    topics.toSeq.collect {
+      case (key, t: Topic) if key.startsWith(broker + "/") =>
+        (key.stripPrefix(broker + "/"), t.numPartitions)
+    }.sortBy(_._1)
+
+  /** Release every topic of an in-process broker id (a closed wire
+    * server's per-instance store must not outlive it).
+    */
+  private[streaming] def dropLocalBroker(broker: String): Unit =
+    topics.keys.filter(_.startsWith(broker + "/"))
+      .foreach(k => topics.remove(k))
+
   /** Drop ONE topic and release its retained log (scratch topics of
     * repeatedly-run queries must not accumulate in a long session).
     */
@@ -177,6 +194,35 @@ object EmbeddedKafka {
         Record(p, buf.size - 1L, e)
       }
     }
+
+    /** Replica apply: insert at an EXPLICIT leader-assigned offset. The
+      * leader's concurrent connections forward in whatever order their
+      * threads run, so frames can arrive out of per-partition order —
+      * future offsets park in a reassembly buffer and drain the moment
+      * the gap fills, which makes the replica's log byte-identical to
+      * the leader's under any interleave. Already-held offsets are
+      * skipped (idempotent — a leader retry or a sync racing live
+      * replication cannot double-apply).
+      */
+    private[streaming] def appendAt(p: Int, offset: Long,
+        e: StreamElement): Unit = {
+      val buf = partitions(p)
+      buf.synchronized {
+        if (offset >= buf.size) {
+          val pend = pending(p)
+          pend.put(offset, e)
+          while (!pend.isEmpty && pend.firstKey == buf.size.toLong) {
+            buf += pend.pollFirstEntry().getValue
+          }
+        }
+      }
+    }
+
+    /** Per-partition reassembly buffers for [[appendAt]] (guarded by the
+      * partition's own monitor).
+      */
+    private val pending: Array[java.util.TreeMap[Long, StreamElement]] =
+      Array.fill(numPartitions)(new java.util.TreeMap[Long, StreamElement]())
 
     def earliestOffsets: Map[Int, Long] =
       (0 until numPartitions).map(_ -> 0L).toMap

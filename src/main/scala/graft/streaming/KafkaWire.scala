@@ -47,6 +47,8 @@ object KafkaWire {
   val OpCommitted = 7
   val OpDrop = 8
   val OpAppend = 9
+  val OpReplicateBatch = 10
+  val OpTopics = 11
 
   /** Broker strings `tcp:<host>:<port>` route over the wire. */
   def isWire(broker: String): Boolean = broker.startsWith("tcp:")
@@ -101,8 +103,26 @@ object KafkaWire {
   /** The broker side: serves the wire ops against the log it OWNS (its
     * JVM's topic store). Run it in-process for loopback tests or as a
     * standalone process via [[graft.tools.KafkaWireBroker]].
+    *
+    * REPLICATION (`followers`): every mutating op — append, group
+    * commit, create, drop — is forwarded SYNCHRONOUSLY to each follower
+    * broker before the producer is acked, Kafka's acks=all shape:
+    * an acked record exists on every replica, so a dead leader loses
+    * nothing acknowledged and readers repoint to a follower address
+    * (operator-driven failover; there is no controller here — the
+    * reference delegates election to Kafka's, and a promoted follower
+    * simply becomes the address writers are given). Appends forward
+    * WITH their leader-assigned (partition, offset), so replica logs
+    * are byte-identical regardless of how concurrent connections'
+    * forwards interleave — the follower reassembles per-partition
+    * offset order ([[EmbeddedKafka.Topic.appendAt]]). A follower that
+    * was down re-joins by [[syncFrom]] (slice-replay from a live peer)
+    * before taking live traffic. Known gap, documented: group commits
+    * made while a follower was down are not resynced (live commits
+    * replicate; a full resync needs a group-listing op).
     */
-  final class Server(bindPort: Int = 0) extends AutoCloseable {
+  final class Server(bindPort: Int = 0, followers: Seq[String] = Nil)
+      extends AutoCloseable {
     private val log = org.slf4j.LoggerFactory.getLogger(getClass)
     private val server = new ServerSocket(bindPort, 64,
       InetAddress.getByName("0.0.0.0"))
@@ -110,17 +130,70 @@ object KafkaWire {
 
     def port: Int = server.getLocalPort
 
-    /** The served broker id inside this server's JVM registry. */
-    private val LocalBroker = "wire-served"
+    /** The served broker id inside this server's JVM registry —
+      * per-INSTANCE, so two servers in one JVM (a loopback leader and
+      * its follower under test) own genuinely separate logs.
+      */
+    private val LocalBroker =
+      s"wire-served-${Integer.toHexString(System.identityHashCode(this))}"
 
     private def topic(name: String, n: Int = 4): EmbeddedKafka.Topic =
       EmbeddedKafka.localTopic(LocalBroker, name, n)
+
+    /** One persistent replication channel per follower; round trips on
+      * it serialize under the client's own lock. Lazy: a follower
+      * process may bind after the leader constructs.
+      */
+    private lazy val replicas: Seq[Client] = followers.map { b =>
+      val (h, p) = hostPort(b)
+      new Client(h, p)
+    }
+
+    /** Forward leader-assigned records; a follower failure poisons the
+      * ack (the producer sees the dead socket) — acks=all, no silent
+      * under-replication.
+      */
+    private def replicate(name: String, width: Int,
+        recs: Seq[EmbeddedKafka.Record]): Unit =
+      if (recs.nonEmpty) replicas.foreach(_.replicateBatch(name, width, recs))
+
+    /** Re-join protocol for a (re)started follower: clone every topic
+      * the peer serves, replaying each partition's missing suffix
+      * through the same offset-explicit apply path live replication
+      * uses. Idempotent — already-held offsets are skipped — so syncing
+      * WHILE live replication flows cannot double-apply. Returns
+      * (topics, records) copied.
+      */
+    def syncFrom(peerBroker: String): (Int, Long) = {
+      var copied = 0L
+      val ts = withClient(peerBroker)(_.topics())
+      ts.foreach { case (name, width) =>
+        val t = topic(name, width)
+        (0 until width).foreach { p =>
+          val have = t.latestOffsets(p)
+          val elems = withClient(peerBroker)(_.slice(name, p, have, Long.MaxValue))
+          elems.zipWithIndex.foreach { case (e, i) =>
+            t.appendAt(p, have + i, e)
+          }
+          copied += elems.length
+        }
+      }
+      (ts.size, copied)
+    }
+
+    /** Live connections — close() severs them too, so an in-JVM
+      * "killed" broker behaves like a dead process (its open sockets
+      * die with it), not like a server that merely stopped accepting.
+      */
+    private val live =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
     def start(): Server = {
       val acceptor = new Thread(() => {
         while (running) {
           try {
             val sock = server.accept()
+            live.add(sock)
             val t = new Thread(() => serve(sock))
             t.setDaemon(true)
             t.start()
@@ -148,7 +221,9 @@ object KafkaWire {
           op match {
             case OpCreate =>
               val (name, n) = (in.readUTF(), in.readInt())
-              out.writeInt(topic(name, n).numPartitions)
+              val t = topic(name, n)
+              replicas.foreach(_.create(name, t.numPartitions))
+              out.writeInt(t.numPartitions)
             case OpAppendBatch =>
               val name = in.readUTF()
               val t = topic(name)
@@ -159,12 +234,37 @@ object KafkaWire {
               // durably keep the prefix while the client sees only a dead
               // socket, and its at-least-once retry would duplicate it
               val elems = Array.tabulate(n)(_ => readElement(in))
-              elems.foreach(t.append)
+              val recs = elems.map(t.append).toSeq
+              replicate(name, t.numPartitions, recs)
               out.writeInt(n)
             case OpAppend =>
-              val t = topic(in.readUTF())
+              val name = in.readUTF()
+              val t = topic(name)
               val r = t.append(readElement(in))
+              replicate(name, t.numPartitions, Seq(r))
               out.writeInt(r.partition); out.writeLong(r.offset)
+            case OpReplicateBatch =>
+              val name = in.readUTF()
+              val width = in.readInt()
+              val t = topic(name, width)
+              val n = in.readInt()
+              val recs = Array.tabulate(n) { _ =>
+                val (p, off) = (in.readInt(), in.readLong())
+                (p, off, readElement(in))
+              }
+              recs.foreach { case (p, off, e) => t.appendAt(p, off, e) }
+              // replication CHAINS: a follower with its own followers
+              // relays, so a 3-deep chain stays fully consistent
+              if (replicas.nonEmpty) {
+                val rs = recs.toSeq.map { case (p, off, e) =>
+                  EmbeddedKafka.Record(p, off, e) }
+                replicate(name, width, rs)
+              }
+              out.writeByte(0)
+            case OpTopics =>
+              val ts = EmbeddedKafka.listLocal(LocalBroker)
+              out.writeInt(ts.size)
+              ts.foreach { case (n, w) => out.writeUTF(n); out.writeInt(w) }
             case OpLatest => writeOffsets(out, topic(in.readUTF()).latestOffsets)
             case OpEarliest =>
               writeOffsets(out, topic(in.readUTF()).earliestOffsets)
@@ -175,9 +275,15 @@ object KafkaWire {
               out.writeInt(elems.length)
               elems.foreach(writeElement(out, _))
             case OpCommit =>
-              val t = topic(in.readUTF())
+              val name = in.readUTF()
+              val t = topic(name)
               val group = in.readUTF()
-              t.commit(group, readOffsets(in))
+              val offs = readOffsets(in)
+              t.commit(group, offs)
+              // group positions replicate too (monotone max-merge is
+              // order-independent): a consumer resuming off a follower
+              // reads its committed position
+              replicas.foreach(_.commit(name, group, offs))
               out.writeByte(0)
             case OpCommitted =>
               val t = topic(in.readUTF())
@@ -185,6 +291,7 @@ object KafkaWire {
             case OpDrop =>
               val name = in.readUTF()
               EmbeddedKafka.drop(LocalBroker, name)
+              replicas.foreach(_.drop(name))
               out.writeByte(0)
             case other => sys.error(s"unknown kafka-wire op $other")
           }
@@ -194,12 +301,23 @@ object KafkaWire {
         case _: EOFException => // client done
         case e: Throwable if running =>
           log.warn(s"kafka-wire connection failed: $e")
-      } finally sock.close()
+      } finally {
+        live.remove(sock)
+        sock.close()
+      }
     }
 
     override def close(): Unit = {
       running = false
       server.close()
+      live.forEach(s => try s.close() catch { case _: Throwable => () })
+      live.clear()
+      // release this instance's log and replication channels — servers
+      // are per-instance stores now, and a long test session must not
+      // accumulate dead brokers' topics
+      if (followers.nonEmpty)
+        replicas.foreach(c => try c.close() catch { case _: Throwable => () })
+      EmbeddedKafka.dropLocalBroker(LocalBroker)
     }
   }
 
@@ -272,6 +390,25 @@ object KafkaWire {
     def drop(name: String): Unit = call {
       out.writeByte(OpDrop); out.writeUTF(name); out.flush()
       in.readByte(); ()
+    }
+
+    /** Replication frame: records WITH their leader-assigned positions. */
+    private[streaming] def replicateBatch(name: String, width: Int,
+        recs: Seq[EmbeddedKafka.Record]): Unit = call {
+      out.writeByte(OpReplicateBatch); out.writeUTF(name)
+      out.writeInt(width); out.writeInt(recs.size)
+      recs.foreach { r =>
+        out.writeInt(r.partition); out.writeLong(r.offset)
+        writeElement(out, r.element)
+      }
+      out.flush()
+      in.readByte(); ()
+    }
+
+    /** Topics this broker serves, with partition widths. */
+    def topics(): Seq[(String, Int)] = call {
+      out.writeByte(OpTopics); out.flush()
+      Seq.fill(in.readInt())((in.readUTF(), in.readInt()))
     }
 
     override def close(): Unit = sock.close()

@@ -214,6 +214,117 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("synchronous replication (acks=all): every acked mutation — " +
+      "appends, group commits, create, drop — exists on the follower " +
+      "before the producer's ack") {
+    val follower = new KafkaWire.Server(0).start()
+    val leader = new KafkaWire.Server(0,
+      followers = Seq(s"tcp:127.0.0.1:${follower.port}")).start()
+    try {
+      val lt = EmbeddedKafka.topic(s"tcp:127.0.0.1:${leader.port}", "w-repl", 4)
+      val recs = (1 to 30).map(i => lt.append(up(s"k$i", "a", i, s"v$i")))
+      lt.commit("g-r", Map(recs.head.partition -> 3L))
+      // the follower address serves the SAME log, byte-identical
+      val ft = EmbeddedKafka.topic(s"tcp:127.0.0.1:${follower.port}", "w-repl", 4)
+      assert(ft.latestOffsets == lt.latestOffsets)
+      (0 until 4).foreach { p =>
+        val (l, f) = (lt.slice(p, 0, Long.MaxValue), ft.slice(p, 0, Long.MaxValue))
+        assert(l.map(_.uuid).toSeq == f.map(_.uuid).toSeq, s"partition $p diverged")
+        assert(l.map(e => new String(e.value, "UTF-8")).toSeq ==
+          f.map(e => new String(e.value, "UTF-8")).toSeq)
+      }
+      assert(ft.committed("g-r") == Map(recs.head.partition -> 3L),
+        "group positions replicate — a consumer resumes off the follower")
+      // drop replicates too
+      EmbeddedKafka.drop(s"tcp:127.0.0.1:${leader.port}", "w-repl")
+      assert(KafkaWire.withClient(s"tcp:127.0.0.1:${follower.port}")(
+        _.topics()).isEmpty, "drop must reach the follower")
+    } finally { leader.close(); follower.close() }
+  }
+
+  test("replicas CONVERGE under concurrent producers: offset-explicit " +
+      "forwarding + follower reassembly make the logs byte-identical " +
+      "regardless of connection interleave") {
+    val follower = new KafkaWire.Server(0).start()
+    val leader = new KafkaWire.Server(0,
+      followers = Seq(s"tcp:127.0.0.1:${follower.port}")).start()
+    try {
+      val leaderB = s"tcp:127.0.0.1:${leader.port}"
+      val lt = EmbeddedKafka.topic(leaderB, "w-repl-conc", 4)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // 8 producers over 8 connections, keys colliding across partitions
+      val threads = (0 until 8).map { tid =>
+        new Thread(() => {
+          try {
+            val (h, p) = KafkaWire.hostPort(leaderB)
+            val c = new KafkaWire.Client(h, p)
+            try (1 to 100).foreach { i =>
+              c.append("w-repl-conc", up(s"k${i % 5}", "a",
+                tid * 1000L + i, s"v$tid-$i")); ()
+            } finally c.close()
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(errors.isEmpty, s"producer failures: ${errors.peek()}")
+      val ft = EmbeddedKafka.topic(s"tcp:127.0.0.1:${follower.port}",
+        "w-repl-conc", 4)
+      assert(lt.latestOffsets.values.sum == 800)
+      assert(ft.latestOffsets == lt.latestOffsets,
+        "follower must hold every acked record (no reassembly gap)")
+      (0 until 4).foreach { p =>
+        assert(lt.slice(p, 0, Long.MaxValue).map(_.uuid).toSeq ==
+          ft.slice(p, 0, Long.MaxValue).map(_.uuid).toSeq,
+          s"partition $p order diverged between replicas")
+      }
+    } finally { leader.close(); follower.close() }
+  }
+
+  test("acks=all fails LOUDLY when a follower dies: no acked-but-" +
+      "under-replicated records, and the follower serves everything " +
+      "acked before the leader's death (operator failover); a fresh " +
+      "replica re-joins via syncFrom byte-identical") {
+    val follower = new KafkaWire.Server(0).start()
+    val followerB = s"tcp:127.0.0.1:${follower.port}"
+    val leader = new KafkaWire.Server(0, followers = Seq(followerB)).start()
+    val leaderB = s"tcp:127.0.0.1:${leader.port}"
+    try {
+      val lt = EmbeddedKafka.topic(leaderB, "w-failover", 2)
+      (1 to 50).foreach(i => lt.append(up(s"k$i", "a", i, s"v$i")))
+      // LEADER dies. Readers repoint to the follower: every acked
+      // record is there (that is what acks=all bought)
+      leader.close()
+      val ft = EmbeddedKafka.topic(followerB, "w-failover", 2)
+      assert(ft.latestOffsets.values.sum == 50)
+      val elems = (0 until 2).flatMap(p => ft.slice(p, 0, Long.MaxValue))
+      assert(elems.map(_.uuid).toSet == (1 to 50).map(i =>
+        s"u-k$i-a-$i").toSet, "follower serves the complete acked log")
+      // a fresh replica re-joins from the survivor: slice-replay sync
+      val rejoin = new KafkaWire.Server(0).start()
+      try {
+        val (nTopics, nRecs) = rejoin.syncFrom(followerB)
+        assert(nTopics >= 1 && nRecs == 50, s"synced $nTopics/$nRecs")
+        val rt = EmbeddedKafka.topic(s"tcp:127.0.0.1:${rejoin.port}",
+          "w-failover", 2)
+        (0 until 2).foreach { p =>
+          assert(rt.slice(p, 0, Long.MaxValue).map(_.uuid).toSeq ==
+            ft.slice(p, 0, Long.MaxValue).map(_.uuid).toSeq)
+        }
+      } finally rejoin.close()
+      // and the reverse direction: a leader whose FOLLOWER died must
+      // refuse the append (dead socket), never ack under-replicated
+      val f2 = new KafkaWire.Server(0).start()
+      val l2 = new KafkaWire.Server(0,
+        followers = Seq(s"tcp:127.0.0.1:${f2.port}")).start()
+      try {
+        val t2 = EmbeddedKafka.topic(s"tcp:127.0.0.1:${l2.port}", "w-acks", 2)
+        t2.append(up("k1", "a", 1, "v1"))
+        f2.close()
+        intercept[Exception] { t2.append(up("k2", "a", 2, "v2")) }
+      } finally l2.close()
+    } finally follower.close()
+  }
+
   test("a dead broker fails loudly, never silently empty") {
     val dead = new KafkaWire.Server(0).start()
     val deadBroker = s"tcp:127.0.0.1:${dead.port}"

@@ -100,4 +100,81 @@ class KafkaWireSmokeSpec extends SparkSpec {
       assert(t.committed("g-stream").values.sum >= 20)
     } finally brokerProc.destroy()
   }
+
+  test("replicated broker PAIR across processes: acks=all over real " +
+      "sockets; the leader process is KILLED and every acked record " +
+      "survives on the follower; a fresh broker process re-joins with " +
+      "--sync-from byte-identical") {
+    def startBroker(args: String*): (Process, StringBuilder) = {
+      val out = new StringBuilder
+      val p = Process(Seq(ChildJvm.javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.tools.KafkaWireBroker") ++ args).run(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n') }, _ => ()))
+      (p, out)
+    }
+    def await(out: StringBuilder, what: String): String = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def find(): Option[String] = out.synchronized {
+        out.toString.linesIterator.find(_.startsWith(what))
+      }
+      while (find().isEmpty) {
+        assert(System.nanoTime() < deadline, s"no '$what' from broker:\n$out")
+        Thread.sleep(50)
+      }
+      find().get
+    }
+    def portOf(out: StringBuilder): Int =
+      await(out, "KAFKAWIRE LISTENING").split(' ').last.toInt
+    def client(args: String*): String = {
+      val out = new StringBuilder
+      val rc = Process(Seq(ChildJvm.javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.tools.KafkaWireSmoke") ++ args).!(ProcessLogger(
+        l => out.synchronized { out.append(l).append('\n') }, _ => ()))
+      assert(rc == 0, s"client ${args.mkString(" ")} failed:\n$out")
+      out.synchronized { out.toString }
+    }
+
+    val (followerProc, followerOut) = startBroker("0")
+    val rejoinRef = new java.util.concurrent.atomic.AtomicReference[Process]()
+    try {
+      val fPort = portOf(followerOut)
+      val (leaderProc, leaderOut) = startBroker("0",
+        "--follower", s"tcp:127.0.0.1:$fPort")
+      val lPort = portOf(leaderOut)
+      // a Spark-free process produces 40 records AGAINST THE LEADER;
+      // each ack means "on both replicas" (synchronous forward)
+      val o = client("produce", s"127.0.0.1:$lPort", "xr", "alpha", "40")
+      assert(o.contains("produced=40"), o)
+      // the leader DIES — destroy() is the process-kill analog: its
+      // sockets die with it
+      leaderProc.destroy()
+      leaderProc.exitValue() // reap
+      // this Spark session repoints to the FOLLOWER and reads every
+      // acked record through the DSv2 splits
+      val ft = EmbeddedKafka.topic(s"tcp:127.0.0.1:$fPort", "xr")
+      val fam = new KafkaLogFamily(spark, ft)
+      val survived = fam.batchUpdates().collect()
+      assert(survived.length == 40 &&
+        survived.forall(_.key.startsWith("alpha")),
+        s"follower must serve the complete acked log: ${survived.length}")
+      // a FRESH broker process re-joins the pair from the survivor
+      val (rejoinProc, rejoinOut) = startBroker("0",
+        "--sync-from", s"tcp:127.0.0.1:$fPort")
+      rejoinRef.set(rejoinProc)
+      val synced = await(rejoinOut, "KAFKAWIRE SYNCED")
+      assert(synced.endsWith(" 40"), s"sync must copy all 40: $synced")
+      val rPort = portOf(rejoinOut)
+      val rt = EmbeddedKafka.topic(s"tcp:127.0.0.1:$rPort", "xr")
+      (0 until rt.numPartitions).foreach { p =>
+        assert(rt.slice(p, 0, Long.MaxValue).map(_.uuid).toSeq ==
+          ft.slice(p, 0, Long.MaxValue).map(_.uuid).toSeq,
+          s"re-joined replica diverges on partition $p")
+      }
+    } finally {
+      Option(rejoinRef.get).foreach(_.destroy())
+      followerProc.destroy()
+    }
+  }
 }
