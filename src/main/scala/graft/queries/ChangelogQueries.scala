@@ -478,6 +478,42 @@ object ChangelogQueries extends QuerySet {
       }
     }),
 
+    // the REPLICATED wire pair, oracle-checked end to end: the changelog
+    // sample is produced through a LEADER broker that forwards every
+    // append to its follower synchronously (acks=all), the leader is
+    // then CLOSED (its sockets die — the in-JVM process-death analog;
+    // KafkaWireSmokeSpec kills a real process), and the full read-back
+    // plans its 8 splits against the FOLLOWER. The oracle hash-match
+    // means byte-level survival of every acked record through a broker
+    // death — replication as a correctness property, not a smoke claim
+    "q_kafka_wire_replicated" -> ((s, d) => {
+      val follower = new graft.streaming.KafkaWire.Server(0).start()
+      val followerB = s"tcp:127.0.0.1:${follower.port}"
+      val leader = new graft.streaming.KafkaWire.Server(0,
+        followers = Seq(followerB)).start()
+      val leaderB = s"tcp:127.0.0.1:${leader.port}"
+      val name = "t-" + java.util.UUID.randomUUID().toString.replace("-", "")
+      def cleanup(): Unit = {
+        try graft.streaming.EmbeddedKafka.drop(followerB, name)
+        finally { try leader.close() finally follower.close() }
+      }
+      try {
+        val lt = graft.streaming.EmbeddedKafka.topic(leaderB, name, 8)
+        val lfam = new graft.streaming.KafkaLogFamily(s, lt)
+        lfam.append(Tables.eventsAsChangelog(s, d).filter(col("seqId") % 10 === 0))
+        leader.close() // the leader DIES; acks=all means nothing is lost
+        val ft = graft.streaming.EmbeddedKafka.topic(followerB, name, 8)
+        val ffam = new graft.streaming.KafkaLogFamily(s, ft)
+        materialized(eventTypeAgg(
+          ffam.batchUpdates(RangeFromUs, RangeUntilUs).toDF())) {
+          cleanup()
+        }
+      } catch { case e: Throwable =>
+        try cleanup() catch { case _: Throwable => () }
+        throw e
+      }
+    }),
+
     // commit-log observe/ack (reference CommitLogReader.observe:37 +
     // ObserveHandle commit semantics): a consumer group polls the log,
     // acks HALF, "crashes", and a NEW consumer of the SAME group must
@@ -849,6 +885,14 @@ object ChangelogQueries extends QuerySet {
         |GROUP BY event_type""".stripMargin,
 
     "q_kafka_wire_updates_range" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_id % 10 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    "q_kafka_wire_replicated" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events
