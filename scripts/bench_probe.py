@@ -178,6 +178,11 @@ def main():
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
+    if args.auto and args.rows:
+        # silently dropping an explicit row list is the truncation
+        # failure mode this tool exists to prevent
+        ap.error("pass EITHER an explicit row list OR --auto, not both "
+                 "(explicit rows would be silently ignored)")
     if args.auto:
         rows = auto_rows(args.auto[0], args.auto[1], args.threshold)
         if not rows:

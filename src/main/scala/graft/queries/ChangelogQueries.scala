@@ -494,6 +494,12 @@ object ChangelogQueries extends QuerySet {
       val leaderB = s"tcp:127.0.0.1:${leader.port}"
       val name = "t-" + java.util.UUID.randomUUID().toString.replace("-", "")
       def cleanup(): Unit = {
+        // the leader is dead by now — its wire OpDrop can't land, but
+        // drop() evicts the local RemoteTopic cache BEFORE the wire
+        // call, and that eviction is what a long verify/bench session
+        // needs (one fresh-named handle per run must not accumulate)
+        try graft.streaming.EmbeddedKafka.drop(leaderB, name)
+        catch { case _: java.io.IOException => () }
         try graft.streaming.EmbeddedKafka.drop(followerB, name)
         finally { try leader.close() finally follower.close() }
       }

@@ -319,6 +319,24 @@ private[graft] object StoreManifest {
       base: Path): Seq[String] =
     collectDataFileStatuses(fs, root, base).map(_._1)
 
+  /** Race-tolerant listing for [[vacuum]] ONLY: the recursive listing's
+    * iterator throws FileNotFoundException when a CONCURRENT sweep
+    * deletes a directory it queued but hasn't expanded — for vacuum
+    * that must read as "those files are already gone", so re-list (the
+    * post-delete tree is the truth) and, if the race persists, degrade
+    * to an empty sweep rather than fail the caller's already-committed
+    * mutation. Never use this for publish listings: an incomplete
+    * publish listing would silently drop live files from the manifest.
+    */
+  private[sources] def collectDataFileStatusesTolerant(fs: FileSystem, root: Path,
+      base: Path, attempts: Int = 3): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+    try collectDataFileStatuses(fs, root, base)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        if (attempts > 1) collectDataFileStatusesTolerant(fs, root, base, attempts - 1)
+        else Seq.empty
+    }
+
   /** Relative path + the listing's own [[FileStatus]] per data file —
     * vacuum filters ages off THESE instead of re-statting per file,
     * because a file another sweep reclaimed between list and stat must
@@ -461,8 +479,10 @@ private[graft] object StoreManifest {
     // re-stat: a file a concurrent sweep reclaimed between list and stat
     // is already-gone (skip), and throwing here would fail the CALLER's
     // mutation after its generation successfully committed (the
-    // opportunistic sweep runs inside commitSwap post-publish)
-    val onDisk = collectDataFileStatuses(fs, p, p)
+    // opportunistic sweep runs inside commitSwap post-publish); the
+    // TOLERANT listing covers the same race one level up — a directory
+    // deleted mid-listing by a concurrent sweep
+    val onDisk = collectDataFileStatusesTolerant(fs, p, p)
     val garbage = onDisk.collect {
       case (f, st) if !live(f) && oldEnough(st) => f
     }

@@ -144,11 +144,14 @@ class KafkaSourceTable(broker: String, topicName: String, group: Option[String],
   */
 class KafkaWrite(broker: String, topicName: String) extends Write {
   private def append(messages: Array[WriterCommitMessage], metric: String): Unit = {
-    val topic = EmbeddedKafka.topic(broker, topicName)
+    // lazy: wire-broker commits carry only produced COUNTS (the tasks
+    // already produced over the socket) — resolving the handle anyway
+    // would pay a wire round trip per epoch for nothing
+    lazy val topic = EmbeddedKafka.topic(broker, topicName)
     var n = 0L
     messages.foreach { m =>
       val km = m.asInstanceOf[KafkaCommitMessage]
-      km.elements.foreach(topic.append)
+      if (km.elements.nonEmpty) km.elements.foreach(topic.append)
       n += km.elements.length + km.produced
     }
     graft.core.Metrics.inc(metric, n)
@@ -270,7 +273,16 @@ class KafkaMicroBatchStream(broker: String, topicName: String,
     group: Option[String], maxRecordsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private def topic = EmbeddedKafka.topic(broker, topicName)
+  // resolved ONCE per stream instance (= per query run): wire-broker
+  // resolution re-validates the partition count with a create round
+  // trip, and this is the driver's per-trigger hot loop —
+  // latestOffset/reportLatestOffset/prepare each land here several
+  // times per micro-batch, so a per-call resolve would add connection
+  // setups + round trips to every trigger. Stream start is the
+  // re-validation point a stream needs (a topic dropped and recreated
+  // at a different width MID-stream invalidates the checkpointed
+  // offsets anyway).
+  private lazy val topic = EmbeddedKafka.topic(broker, topicName)
 
   @volatile private var availableNowCap: Option[Map[Int, Long]] = None
 

@@ -3,6 +3,8 @@ package graft.streaming
 import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.{InetAddress, ServerSocket, Socket}
 
+import scala.collection.concurrent.TrieMap
+
 import graft.core.StreamElement
 
 /** A real TCP WIRE between the Kafka-shaped commit log's clients and its
@@ -112,14 +114,29 @@ object KafkaWire {
     * (operator-driven failover; there is no controller here — the
     * reference delegates election to Kafka's, and a promoted follower
     * simply becomes the address writers are given). Appends forward
-    * WITH their leader-assigned (partition, offset), so replica logs
-    * are byte-identical regardless of how concurrent connections'
-    * forwards interleave — the follower reassembles per-partition
-    * offset order ([[EmbeddedKafka.Topic.appendAt]]). A follower that
-    * was down re-joins by [[syncFrom]] (slice-replay from a live peer)
-    * before taking live traffic. Known gap, documented: group commits
-    * made while a follower was down are not resynced (live commits
-    * replicate; a full resync needs a group-listing op).
+    * WITH their leader-assigned (partition, offset), and a per-topic
+    * SEQUENCER holds offset assignment and the synchronous forward
+    * under one lock — frames leave the leader in offset order on the
+    * single replication channel, so a frame the follower acks is
+    * APPLIED, never parked in the reassembly buffer awaiting a gap a
+    * dead leader can no longer fill. (Replicated topics therefore
+    * serialize appends through the sequencer — the price of honest
+    * acks=all; unreplicated topics keep full per-partition
+    * parallelism.) A failed forward is retried ONCE on a fresh
+    * connection — a follower that blipped and re-joined by
+    * [[syncFrom]] resumes live replication (every replicated op is
+    * idempotent: offset-explicit appends skip held offsets, commits
+    * max-merge) — and only a still-dead follower poisons the ack. Like
+    * records above Kafka's high watermark, a batch the leader applied
+    * locally before the forward failed stays in the LEADER's log
+    * unacked; the producer's at-least-once retry may duplicate it
+    * there. A follower that was down re-joins by [[syncFrom]]
+    * (slice-replay from a live peer) before taking live traffic; do
+    * not promote a mid-sync follower — records it acked during the
+    * race are complete only once the sync finishes. Known gap,
+    * documented: group commits made while a follower was down are not
+    * resynced (live commits replicate; a full resync needs a
+    * group-listing op).
     */
   final class Server(bindPort: Int = 0, followers: Seq[String] = Nil)
       extends AutoCloseable {
@@ -131,31 +148,70 @@ object KafkaWire {
     def port: Int = server.getLocalPort
 
     /** The served broker id inside this server's JVM registry —
-      * per-INSTANCE, so two servers in one JVM (a loopback leader and
-      * its follower under test) own genuinely separate logs.
+      * per-INSTANCE (a JVM-wide counter: identityHashCode makes no
+      * uniqueness promise, and a collision would let one server's
+      * close() wipe another's live log), so two servers in one JVM (a
+      * loopback leader and its follower under test) own genuinely
+      * separate logs.
       */
-    private val LocalBroker =
-      s"wire-served-${Integer.toHexString(System.identityHashCode(this))}"
+    private val LocalBroker = s"wire-served-${Server.instanceIds.incrementAndGet()}"
 
     private def topic(name: String, n: Int = 4): EmbeddedKafka.Topic =
       EmbeddedKafka.localTopic(LocalBroker, name, n)
 
-    /** One persistent replication channel per follower; round trips on
-      * it serialize under the client's own lock. Lazy: a follower
-      * process may bind after the leader constructs.
+    /** One persistent replication channel per follower. Connects on
+      * first use (a follower process may bind after the leader
+      * constructs) and RECONNECTS once per failed call: a follower that
+      * restarted and re-joined via `--sync-from` at the same address
+      * resumes live replication instead of permanently bricking the
+      * leader's write path on one TCP reset. The single retry is safe —
+      * every replicated op is idempotent (offset-explicit appends skip
+      * held offsets, group commits max-merge, create/drop are
+      * idempotent) — and a still-dead follower throws, poisoning the
+      * producer's ack (acks=all, no silent under-replication).
       */
-    private lazy val replicas: Seq[Client] = followers.map { b =>
-      val (h, p) = hostPort(b)
-      new Client(h, p)
+    private final class ReplicaChannel(broker: String) extends AutoCloseable {
+      private val (h, p) = hostPort(broker)
+      private var cli: Client = null
+      private def client(): Client = {
+        if (cli == null) cli = new Client(h, p)
+        cli
+      }
+      private def invalidate(): Unit = {
+        if (cli != null) { try cli.close() catch { case _: Throwable => () }; cli = null }
+      }
+      def call[A](f: Client => A): A = synchronized {
+        try f(client()) catch {
+          case _: java.io.IOException =>
+            invalidate()
+            try f(client()) catch { case e2: Throwable => invalidate(); throw e2 }
+        }
+      }
+      override def close(): Unit = synchronized(invalidate())
     }
 
-    /** Forward leader-assigned records; a follower failure poisons the
-      * ack (the producer sees the dead socket) — acks=all, no silent
-      * under-replication.
+    private val replicas: Seq[ReplicaChannel] = followers.map(new ReplicaChannel(_))
+
+    /** Per-topic replication sequencer: offset ASSIGNMENT and the
+      * synchronous forward happen under one lock, so frames reach each
+      * follower in offset order and an acked record is always APPLIED
+      * on the replica — never parked behind a gap that a leader dying
+      * mid-interleave would leave unfillable. Unreplicated servers
+      * bypass it entirely (per-partition parallelism intact).
+      */
+    private val replSeq = TrieMap.empty[String, Object]
+    private def sequenced[A](name: String)(f: => A): A =
+      if (followers.isEmpty) f
+      else replSeq.getOrElseUpdate(name, new Object).synchronized(f)
+
+    /** Forward leader-assigned records; a follower failure (after one
+      * reconnect attempt) poisons the ack (the producer sees the dead
+      * socket) — acks=all, no silent under-replication.
       */
     private def replicate(name: String, width: Int,
         recs: Seq[EmbeddedKafka.Record]): Unit =
-      if (recs.nonEmpty) replicas.foreach(_.replicateBatch(name, width, recs))
+      if (recs.nonEmpty)
+        replicas.foreach(_.call(_.replicateBatch(name, width, recs)))
 
     /** Re-join protocol for a (re)started follower: clone every topic
       * the peer serves, replaying each partition's missing suffix
@@ -222,7 +278,7 @@ object KafkaWire {
             case OpCreate =>
               val (name, n) = (in.readUTF(), in.readInt())
               val t = topic(name, n)
-              replicas.foreach(_.create(name, t.numPartitions))
+              replicas.foreach(_.call(_.create(name, t.numPartitions)))
               out.writeInt(t.numPartitions)
             case OpAppendBatch =>
               val name = in.readUTF()
@@ -234,14 +290,22 @@ object KafkaWire {
               // durably keep the prefix while the client sees only a dead
               // socket, and its at-least-once retry would duplicate it
               val elems = Array.tabulate(n)(_ => readElement(in))
-              val recs = elems.map(t.append).toSeq
-              replicate(name, t.numPartitions, recs)
+              // assignment + forward under the topic's sequencer: the
+              // follower must see frames in offset order (see replSeq)
+              sequenced(name) {
+                val recs = elems.map(t.append).toSeq
+                replicate(name, t.numPartitions, recs)
+              }
               out.writeInt(n)
             case OpAppend =>
               val name = in.readUTF()
               val t = topic(name)
-              val r = t.append(readElement(in))
-              replicate(name, t.numPartitions, Seq(r))
+              val e = readElement(in)
+              val r = sequenced(name) {
+                val rec = t.append(e)
+                replicate(name, t.numPartitions, Seq(rec))
+                rec
+              }
               out.writeInt(r.partition); out.writeLong(r.offset)
             case OpReplicateBatch =>
               val name = in.readUTF()
@@ -252,13 +316,19 @@ object KafkaWire {
                 val (p, off) = (in.readInt(), in.readLong())
                 (p, off, readElement(in))
               }
-              recs.foreach { case (p, off, e) => t.appendAt(p, off, e) }
-              // replication CHAINS: a follower with its own followers
-              // relays, so a 3-deep chain stays fully consistent
-              if (replicas.nonEmpty) {
-                val rs = recs.toSeq.map { case (p, off, e) =>
-                  EmbeddedKafka.Record(p, off, e) }
-                replicate(name, width, rs)
+              // apply + relay under the sequencer too: a promoted
+              // follower taking direct producer appends while a late
+              // relay drains must not interleave its own forwards out
+              // of offset order
+              sequenced(name) {
+                recs.foreach { case (p, off, e) => t.appendAt(p, off, e) }
+                // replication CHAINS: a follower with its own followers
+                // relays, so a 3-deep chain stays fully consistent
+                if (replicas.nonEmpty) {
+                  val rs = recs.toSeq.map { case (p, off, e) =>
+                    EmbeddedKafka.Record(p, off, e) }
+                  replicate(name, width, rs)
+                }
               }
               out.writeByte(0)
             case OpTopics =>
@@ -283,7 +353,7 @@ object KafkaWire {
               // group positions replicate too (monotone max-merge is
               // order-independent): a consumer resuming off a follower
               // reads its committed position
-              replicas.foreach(_.commit(name, group, offs))
+              replicas.foreach(_.call(_.commit(name, group, offs)))
               out.writeByte(0)
             case OpCommitted =>
               val t = topic(in.readUTF())
@@ -291,7 +361,7 @@ object KafkaWire {
             case OpDrop =>
               val name = in.readUTF()
               EmbeddedKafka.drop(LocalBroker, name)
-              replicas.foreach(_.drop(name))
+              replicas.foreach(_.call(_.drop(name)))
               out.writeByte(0)
             case other => sys.error(s"unknown kafka-wire op $other")
           }
@@ -314,11 +384,16 @@ object KafkaWire {
       live.clear()
       // release this instance's log and replication channels — servers
       // are per-instance stores now, and a long test session must not
-      // accumulate dead brokers' topics
-      if (followers.nonEmpty)
-        replicas.foreach(c => try c.close() catch { case _: Throwable => () })
+      // accumulate dead brokers' topics (channel close never connects:
+      // closing a leader whose follower is unreachable must not throw)
+      replicas.foreach(c => try c.close() catch { case _: Throwable => () })
       EmbeddedKafka.dropLocalBroker(LocalBroker)
     }
+  }
+
+  private object Server {
+    /** JVM-wide instance counter backing per-instance broker ids. */
+    val instanceIds = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   /** One client = one persistent connection; calls are synchronized (a

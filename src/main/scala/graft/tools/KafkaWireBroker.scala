@@ -26,11 +26,18 @@ object KafkaWireBroker {
     var port = 0
     val followers = Seq.newBuilder[String]
     var syncFrom = Option.empty[String]
+    def operand(i: Int, flag: String): String = {
+      if (i + 1 >= args.length)
+        sys.error(s"$flag needs an operand (tcp:<host>:<port>) — " +
+          "usage: KafkaWireBroker [port] [--follower tcp:h:p]... " +
+          "[--sync-from tcp:h:p]")
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--follower"  => followers += args(i + 1); i += 2
-        case "--sync-from" => syncFrom = Some(args(i + 1)); i += 2
+        case "--follower"  => followers += operand(i, "--follower"); i += 2
+        case "--sync-from" => syncFrom = Some(operand(i, "--sync-from")); i += 2
         case p             => port = p.toInt; i += 1
       }
     }

@@ -224,6 +224,43 @@ class ManifestStoreSpec extends SparkSpec {
     assert(freshPart.exists && !deadPart.exists)
   }
 
+  test("vacuum's listing tolerates a directory deleted MID-listing by a " +
+      "concurrent sweep: FileNotFound re-lists (the post-delete tree is " +
+      "the truth); persistent racing degrades to an empty sweep, never a " +
+      "failure of the caller's committed mutation") {
+    val dir = java.nio.file.Files.createTempDirectory("tolerant").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.parquet").toPath, Array[Byte](1))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // a filesystem whose recursive listing races away `failures` times —
+    // the mid-iteration FileNotFoundException a concurrent sweep's
+    // directory delete produces
+    class RacingFs(var failures: Int)
+        extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def listFiles(p: org.apache.hadoop.fs.Path,
+          recursive: Boolean): org.apache.hadoop.fs.RemoteIterator[
+            org.apache.hadoop.fs.LocatedFileStatus] = {
+        if (failures > 0) {
+          failures -= 1
+          throw new java.io.FileNotFoundException(s"raced away: $p")
+        }
+        super.listFiles(p, recursive)
+      }
+    }
+    def fs(failures: Int): RacingFs = {
+      val f = new RacingFs(failures)
+      f.initialize(new java.net.URI("file:///"), conf)
+      f
+    }
+    val root = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+    assert(StoreManifest.collectDataFileStatusesTolerant(fs(1), root, root)
+      .map(_._1) == Seq("a.parquet"), "one race: the re-list sees the file")
+    assert(StoreManifest.collectDataFileStatusesTolerant(fs(2), root, root)
+      .map(_._1) == Seq("a.parquet"), "two races: the third attempt lands")
+    assert(StoreManifest.collectDataFileStatusesTolerant(fs(99), root, root)
+      .isEmpty, "persistent racing degrades to empty, never throws")
+  }
+
   test("vacuum on a never-written store is a graceful no-op (maintenance " +
       "scheduled alongside replicate must not crash pre-first-batch)") {
     val path = Files.createTempDirectory("graft-manifest-empty-").toString + "/v"

@@ -325,6 +325,137 @@ class KafkaWireSpec extends SparkSpec {
     } finally follower.close()
   }
 
+  test("replication frames leave the leader in OFFSET order (per-topic " +
+      "sequencer): an acked frame is APPLIED on the follower, never " +
+      "parked behind a gap a dead leader could no longer fill — " +
+      "arrival order recorded by a scripted follower under 8 " +
+      "concurrent producers") {
+    import scala.jdk.CollectionConverters._
+    val arrivals =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val srv = new java.net.ServerSocket(0)
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = srv.accept()
+        val t = new Thread(() => {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(sock.getInputStream))
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(sock.getOutputStream))
+          try while (true) {
+            in.read() match {
+              case -1 => throw new java.io.EOFException
+              case KafkaWire.OpCreate =>
+                in.readUTF(); val n = in.readInt()
+                out.writeInt(n); out.flush()
+              case KafkaWire.OpReplicateBatch =>
+                in.readUTF(); in.readInt() // name, width
+                val n = in.readInt()
+                (0 until n).foreach { _ =>
+                  val p = in.readInt(); val off = in.readLong()
+                  KafkaWire.readElement(in)
+                  arrivals.add((p, off))
+                }
+                out.writeByte(0); out.flush()
+              case other => sys.error(s"scripted follower got op $other")
+            }
+          } catch { case _: Throwable => () } finally sock.close()
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val leader = new KafkaWire.Server(0,
+      followers = Seq(s"tcp:127.0.0.1:${srv.getLocalPort}")).start()
+    try {
+      val leaderB = s"tcp:127.0.0.1:${leader.port}"
+      EmbeddedKafka.topic(leaderB, "w-order", 1) // width 1: one offset line
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { tid =>
+        new Thread(() => {
+          try {
+            val (h, p) = KafkaWire.hostPort(leaderB)
+            val c = new KafkaWire.Client(h, p)
+            try (1 to 50).foreach { i =>
+              c.append("w-order", up("k", "a", tid * 1000L + i, s"v$tid-$i"))
+              ()
+            } finally c.close()
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(errors.isEmpty, s"producer failures: ${errors.peek()}")
+      val offs = arrivals.asScala.toList.map(_._2)
+      assert(offs == (0L until 400L).toList,
+        "forwards must arrive in dense offset order — an out-of-order " +
+          "frame is one the follower would ack while it sat in the " +
+          "reassembly buffer")
+    } finally { leader.close(); srv.close() }
+  }
+
+  test("a follower BLIP does not permanently brick the leader: the " +
+      "replication channel reconnects once per call, so a follower " +
+      "restarted at the same address (the --sync-from re-join) resumes " +
+      "live replication") {
+    val f1 = new KafkaWire.Server(0).start()
+    val fPort = f1.port
+    val followerB = s"tcp:127.0.0.1:$fPort"
+    val leader = new KafkaWire.Server(0, followers = Seq(followerB)).start()
+    val leaderB = s"tcp:127.0.0.1:${leader.port}"
+    try {
+      val lt = EmbeddedKafka.topic(leaderB, "w-blip", 1)
+      (1 to 10).foreach(i => lt.append(up("k", "a", i, s"v$i")))
+      f1.close() // the blip
+      // poisoned ack while the follower is down (the record stays in
+      // the LEADER's log unacked — the high-watermark analog)
+      intercept[Exception] { lt.append(up("k", "a", 11, "v11")) }
+      // follower restarts at the SAME address and re-joins
+      val f2 = new KafkaWire.Server(fPort).start()
+      try {
+        val (_, synced) = f2.syncFrom(leaderB)
+        assert(synced == 11, s"re-join replays the leader's log ($synced)")
+        // live replication RESUMES: this append must succeed (one
+        // reconnect) — before the fix a single blip bricked the write
+        // path until the leader itself restarted
+        val t2 = EmbeddedKafka.topic(leaderB, "w-blip", 1)
+        t2.append(up("k", "a", 12, "v12"))
+        val ft = EmbeddedKafka.topic(followerB, "w-blip", 1)
+        assert(ft.latestOffsets == t2.latestOffsets,
+          "replicas byte-identical after blip + re-join + resumed traffic")
+        assert(ft.slice(0, 0, Long.MaxValue).map(_.uuid).toSeq ==
+          t2.slice(0, 0, Long.MaxValue).map(_.uuid).toSeq)
+      } finally f2.close()
+    } finally {
+      leader.close()
+      try f1.close() catch { case _: Throwable => () } // already closed on the happy path
+    }
+  }
+
+  test("closing a leader whose follower never came up is clean: close() " +
+      "opens no connection and the local broker store is released") {
+    val leader = new KafkaWire.Server(0,
+      followers = Seq("tcp:127.0.0.1:1")).start()
+    // (any MUTATION through this leader fails loudly — acks=all with an
+    // unreachable follower — so nothing resolves a topic here; the
+    // regression is close() itself forcing a connect and throwing)
+    leader.close() // must not throw (channel close never connects)
+    intercept[Exception] {
+      KafkaWire.withClient(s"tcp:127.0.0.1:${leader.port}")(_.topics())
+    }
+  }
+
+  test("KafkaWireBroker: a trailing --follower/--sync-from is a usage " +
+      "error, not an ArrayIndexOutOfBounds") {
+    val e = intercept[RuntimeException] {
+      graft.tools.KafkaWireBroker.main(Array("0", "--follower"))
+    }
+    assert(e.getMessage.contains("usage"))
+    val e2 = intercept[RuntimeException] {
+      graft.tools.KafkaWireBroker.main(Array("--sync-from"))
+    }
+    assert(e2.getMessage.contains("usage"))
+  }
+
   test("a dead broker fails loudly, never silently empty") {
     val dead = new KafkaWire.Server(0).start()
     val deadBroker = s"tcp:127.0.0.1:${dead.port}"
