@@ -247,6 +247,13 @@ object EmbeddedKafka {
     def committed(group: String): Map[Int, Long] =
       groupOffsets.getOrElse(group, Map.empty)
 
+    /** Every group's committed positions — the wire's OpGroups answer;
+      * the follower re-join sync replays these through [[commit]]'s
+      * max-merge (idempotent, order-independent).
+      */
+    private[streaming] def groups: Seq[(String, Map[Int, Long])] =
+      groupOffsets.toSeq.sortBy(_._1)
+
     /** Records of one partition in offset range [from, until) — the
       * per-split read the streaming source's partition readers issue.
       */

@@ -51,6 +51,7 @@ object KafkaWire {
   val OpAppend = 9
   val OpReplicateBatch = 10
   val OpTopics = 11
+  val OpGroups = 12
 
   /** Broker strings `tcp:<host>:<port>` route over the wire. */
   def isWire(broker: String): Boolean = broker.startsWith("tcp:")
@@ -133,10 +134,10 @@ object KafkaWire {
     * there. A follower that was down re-joins by [[syncFrom]]
     * (slice-replay from a live peer) before taking live traffic; do
     * not promote a mid-sync follower — records it acked during the
-    * race are complete only once the sync finishes. Known gap,
-    * documented: group commits made while a follower was down are not
-    * resynced (live commits replicate; a full resync needs a
-    * group-listing op).
+    * race are complete only once the sync finishes. Group commits made
+    * while a follower was down land at re-join too: [[syncFrom]]
+    * replays every group's positions off the peer (OpGroups) through
+    * the monotone max-merge.
     */
   final class Server(bindPort: Int = 0, followers: Seq[String] = Nil)
       extends AutoCloseable {
@@ -216,8 +217,12 @@ object KafkaWire {
     /** Re-join protocol for a (re)started follower: clone every topic
       * the peer serves, replaying each partition's missing suffix
       * through the same offset-explicit apply path live replication
-      * uses. Idempotent — already-held offsets are skipped — so syncing
-      * WHILE live replication flows cannot double-apply. Returns
+      * uses, then every consumer GROUP's committed positions through
+      * commit's max-merge — so commits made while this replica was down
+      * land too, and a consumer resuming off the re-joined replica
+      * reads its true position. Idempotent both legs (already-held
+      * offsets are skipped, group merge is monotone) — syncing WHILE
+      * live replication flows cannot double-apply or regress. Returns
       * (topics, records) copied.
       */
     def syncFrom(peerBroker: String): (Int, Long) = {
@@ -232,6 +237,9 @@ object KafkaWire {
             t.appendAt(p, have + i, e)
           }
           copied += elems.length
+        }
+        withClient(peerBroker)(_.groups(name)).foreach { case (g, offs) =>
+          t.commit(g, offs)
         }
       }
       (ts.size, copied)
@@ -335,6 +343,11 @@ object KafkaWire {
               val ts = EmbeddedKafka.listLocal(LocalBroker)
               out.writeInt(ts.size)
               ts.foreach { case (n, w) => out.writeUTF(n); out.writeInt(w) }
+            case OpGroups =>
+              val gs = topic(in.readUTF()).groups
+              out.writeInt(gs.size)
+              gs.foreach { case (g, offs) =>
+                out.writeUTF(g); writeOffsets(out, offs) }
             case OpLatest => writeOffsets(out, topic(in.readUTF()).latestOffsets)
             case OpEarliest =>
               writeOffsets(out, topic(in.readUTF()).earliestOffsets)
@@ -484,6 +497,14 @@ object KafkaWire {
     def topics(): Seq[(String, Int)] = call {
       out.writeByte(OpTopics); out.flush()
       Seq.fill(in.readInt())((in.readUTF(), in.readInt()))
+    }
+
+    /** Committed positions of every consumer group of a topic — the
+      * re-join sync's group replay reads these.
+      */
+    def groups(name: String): Seq[(String, Map[Int, Long])] = call {
+      out.writeByte(OpGroups); out.writeUTF(name); out.flush()
+      Seq.fill(in.readInt())((in.readUTF(), readOffsets(in)))
     }
 
     override def close(): Unit = sock.close()

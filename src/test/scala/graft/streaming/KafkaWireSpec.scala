@@ -431,6 +431,34 @@ class KafkaWireSpec extends SparkSpec {
     }
   }
 
+  test("re-join sync replays GROUP positions too: commits made while a " +
+      "replica was down land at syncFrom, and the merge is monotone — " +
+      "a newer local position never regresses") {
+    val leader = new KafkaWire.Server(0).start()
+    val leaderB = s"tcp:127.0.0.1:${leader.port}"
+    try {
+      val lt = EmbeddedKafka.topic(leaderB, "w-gsync", 2)
+      (1 to 20).foreach(i => lt.append(up(s"k$i", "a", i, s"v$i")))
+      lt.commit("g-a", Map(0 -> 3L, 1 -> 5L))
+      lt.commit("g-b", Map(0 -> 1L))
+      val rejoin = new KafkaWire.Server(0).start()
+      try {
+        val rt = EmbeddedKafka.topic(s"tcp:127.0.0.1:${rejoin.port}",
+          "w-gsync", 2)
+        // the re-joining replica already holds a NEWER g-a position for
+        // p0 (it was the survivor of an earlier failover): the group
+        // replay must max-merge, never regress it
+        rt.commit("g-a", Map(0 -> 7L))
+        rejoin.syncFrom(leaderB)
+        assert(rt.committed("g-a") == Map(0 -> 7L, 1 -> 5L),
+          "sync merges the peer's positions monotonically")
+        assert(rt.committed("g-b") == Map(0 -> 1L),
+          "a group unknown locally lands whole")
+        assert(rt.latestOffsets == lt.latestOffsets)
+      } finally rejoin.close()
+    } finally leader.close()
+  }
+
   test("closing a leader whose follower never came up is clean: close() " +
       "opens no connection and the local broker store is released") {
     val leader = new KafkaWire.Server(0,
