@@ -34,7 +34,7 @@ object Ivf {
     s
   }
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  private[functions] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var s = 0.0
     while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s

@@ -169,7 +169,12 @@ final class IvfStore(spark: SparkSession, val path: String,
     */
   def write(emb: DataFrame): Unit = {
     val assigned = indexed(emb)
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    // FORCED static overwrite: under a session's dynamic
+    // partitionOverwriteMode a rebuild would keep untouched cells' old
+    // files AND old manifests whose files the overwrite deleted —
+    // readers FileNotFound mid-scan, publishInitial gen-collision
+    assigned.write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "static").parquet(path)
     IvfStore.saveCentroids(spark, path, centroids)
     store.publishInitial(store.readSchema(assigned.schema,
       org.apache.spark.sql.types.IntegerType))
@@ -250,22 +255,29 @@ final class IvfStore(spark: SparkSession, val path: String,
     requireQuantizerMatch("appendIdempotent")
     val m = manifest("appendIdempotent")
     requireDeltaCompatible("appendIdempotent", m, delta)
-    val assigned = indexed(delta)
-    val Array(n, d) = assigned
-      .agg(count(lit(1)), countDistinct(col("vec_id")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == d,
-      s"appendIdempotent: delta carries ${n - d} duplicate vec_ids — two " +
-        "embeddings for one id is a data error (removeWhere + append to " +
-        "re-embed)")
-    if (n == 0) return
-    val existing = storeDf(m).select("vec_id")
-    store.commitSwap(m,
-      assigned.join(existing, Seq("vec_id"), "left_anti")
-        .repartition(col("cell"))
-        .sortWithinPartitions(col("cell"), col("vec_id")),
-      Seq.empty)
-    ()
+    // persisted across the mutation's actions: the dup-count agg and
+    // the final write must see the SAME rows (a non-deterministic
+    // source re-evaluated per action could pass validation with one row
+    // set and commit another), and the cell UDF runs once per row, not
+    // once per action
+    val assigned = indexed(delta).persist()
+    try {
+      val Array(n, d) = assigned
+        .agg(count(lit(1)), countDistinct(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d,
+        s"appendIdempotent: delta carries ${n - d} duplicate vec_ids — two " +
+          "embeddings for one id is a data error (removeWhere + append to " +
+          "re-embed)")
+      if (n == 0) return
+      val existing = storeDf(m).select("vec_id")
+      store.commitSwap(m,
+        assigned.join(existing, Seq("vec_id"), "left_anti")
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("cell"), col("vec_id")),
+        Seq.empty)
+      ()
+    } finally { assigned.unpersist(); () }
   }
 
   /** Maintain the store from a streaming embedding feed — each
@@ -345,24 +357,31 @@ final class IvfStore(spark: SparkSession, val path: String,
     // the dup/row counts run over the ASSIGNED projection, not the raw
     // delta: that forces the cell UDF (and its dimension guard) over
     // every row, so a delta that cannot be filed refuses HERE
-    val assigned = indexed(delta)
-    val Array(n, d) = assigned
-      .agg(count(lit(1)), countDistinct(col("vec_id")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == d,
-      s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
-        "for one id is a data error")
-    if (n == 0) return
-    val idSet = assigned.select("vec_id")
-    val oldCells = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
-      .select("cell").distinct()
-      .collect().map(_.get(0).toString.toInt)
-    val newCells = assigned.select("cell").distinct()
-      .collect().map(_.get(0).toString.toInt)
-    val touched = (oldCells ++ newCells).distinct.sorted.toSeq
-    val survivors = storeDf(m, Some(touched))
-      .join(idSet, Seq("vec_id"), "left_anti")
-    swapCells(m, survivors.unionByName(assigned), touched)
+    // persisted: five actions touch this projection (dup agg, old/new
+    // cell discovery, survivor anti-join, the staged write) — without
+    // the pin each re-runs the cell UDF over the whole delta, and a
+    // non-deterministic source could remove one row set and file
+    // another
+    val assigned = indexed(delta).persist()
+    try {
+      val Array(n, d) = assigned
+        .agg(count(lit(1)), countDistinct(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d,
+        s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
+          "for one id is a data error")
+      if (n == 0) return
+      val idSet = assigned.select("vec_id")
+      val oldCells = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
+        .select("cell").distinct()
+        .collect().map(_.get(0).toString.toInt)
+      val newCells = assigned.select("cell").distinct()
+        .collect().map(_.get(0).toString.toInt)
+      val touched = (oldCells ++ newCells).distinct.sorted.toSeq
+      val survivors = storeDf(m, Some(touched))
+        .join(idSet, Seq("vec_id"), "left_anti")
+      swapCells(m, survivors.unionByName(assigned), touched)
+    } finally { assigned.unpersist(); () }
   }
 
   /** Defragmentation after many [[append]]s: rewrite every cell holding
@@ -413,7 +432,7 @@ final class IvfStore(spark: SparkSession, val path: String,
     import spark.implicits._
     val cb = spark.sparkContext.broadcast(centroids)
     val nP = math.min(nProbe, centroids.length)
-    val probed = Similarity.toVecs(queries)
+    val probedBase = Similarity.toVecs(queries)
       .mapPartitions { it =>
         val cs = cb.value
         it.flatMap { q =>
@@ -421,8 +440,21 @@ final class IvfStore(spark: SparkSession, val path: String,
             .iterator.map(c => (q.id, q.v, q.norm, c))
         }
       }.toDF("q_id", "q_vec", "q_norm", "cell")
+    val probed = probedBase
       .withColumn("s", explode(lit((0 until salt).toArray)))
-    val cand = storeDf(m)
+    // PARTIAL probe prunes the corpus read to the cells ANY query
+    // probes — at the manifest (file-list) layer, restoring the
+    // nProbe/nCentroids byte fraction the class doc promises for the
+    // join path too. The distinct-cells pass re-runs the map-only probe
+    // assignment over the query set: tiny next to the corpus bytes it
+    // avoids reading. Full probe reads every cell anyway — skip the
+    // extra pass (and keep the plan byte-identical for the exactness
+    // oracle and its goldens).
+    val cand0 =
+      if (nP >= centroids.length) storeDf(m)
+      else storeDf(m,
+        Some(probedBase.select("cell").distinct().as[Int].collect().toSeq))
+    val cand = cand0
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("norm"), col("cell").cast("int").as("cell"))
       .withColumn("s", pmod(hash(col("vec_id")), lit(salt)))
@@ -470,17 +502,18 @@ final class IvfStore(spark: SparkSession, val path: String,
     * driver (query batches are small; the corpus never is).
     */
   def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val qVecs = Similarity.vecRows(queries).collect()
-      .map { case (id, v) =>
-        var i = 0; var n = 0.0
-        while (i < v.length) { val x = v(i); n += x * x; i += 1 }
-        Vec(id, v, math.sqrt(n))
-      }
-    val probes: Map[Long, Set[Int]] = qVecs.map { q =>
-      q.id -> centroids.indices
-        .sortBy(c => sqDist(centroids(c), q.v))
-        .take(math.min(nProbe, centroids.length)).toSet
-    }.toMap
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val qVecs = Similarity.toVecs(queries).collect()
+    // loud dimension contract: dot() and the probe distances iterate
+    // the QUERY's length, so a short query would silently score every
+    // corpus vector on a prefix (ingest already refuses mis-dimensioned
+    // vectors; the query path must too)
+    qVecs.foreach(q => require(q.v.length == dim,
+      s"searchTopK: a ${q.v.length}-d query cannot probe a $dim-d store " +
+        "— truncated dots would rank plausibly and wrongly"))
+    // the SAME probe-set helper the PQ store's query path uses — two
+    // drifting copies of the nProbe selection would desync the stores
+    val probes: Map[Long, Set[Int]] = Ivf.probeSets(qVecs, centroids, nProbe)
     val allCells = probes.values.flatten.toSet
     val qb = spark.sparkContext.broadcast(qVecs)
     val pb = spark.sparkContext.broadcast(probes)

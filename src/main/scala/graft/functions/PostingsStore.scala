@@ -18,10 +18,22 @@ import org.apache.spark.sql.functions._
   *   - doc-membership rows: term NULL, pb = hash60("doc:" + doc_id) %
   *     buckets, (doc_id, dl) — the idempotence claim AND the corpus
   *     statistics source (N, Σdl).
-  * A batch lands as ONE parquet append commit over both row kinds, so a
-  * torn multi-table write cannot happen; [[appendIdempotent]] re-offered
-  * after a crash or a streaming replay converges (membership anti-join,
-  * pruned to the delta's doc buckets).
+  * A batch lands through the same [[graft.sources.StoreManifest]]
+  * protocol as the ANN stores: staged files move into the live layout
+  * and become visible in ONE atomic manifest publish over both row
+  * kinds — a crash at any point leaves the previous version serving
+  * completely (membership without postings, or the inverse, can never
+  * be half-visible), concurrent appenders are single-writer enforced
+  * (the raced loser fails loudly and retries against the new
+  * generation), and readers scan exactly the manifest's file list.
+  * [[appendIdempotent]] re-offered after a crash or a streaming replay
+  * converges (membership anti-join, pruned to the delta's doc buckets).
+  *
+  * Doc ids are the index's key contract: `idCol` must be integral
+  * (long-castable) and non-null — a null or non-castable id is refused
+  * IN-PLAN with provenance ([[org.apache.spark.sql.functions.raise_error]]
+  * inside the single indexing pass; a silent `cast` would null every
+  * string id and collapse the corpus onto one NULL key).
   *
   * Determinism: scoring reproduces [[Bm25.topK]] BIT-FOR-BIT — same
   * tokenization, tf/df/dl/N as exact integers from the index, the same
@@ -44,6 +56,8 @@ final class PostingsStore(spark: SparkSession, val path: String,
 
   private val LayoutFile = "_layout"
 
+  private val store = graft.sources.StoreManifest.Handle(spark, path, "pb")
+
   private def fs: org.apache.hadoop.fs.FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -60,12 +74,28 @@ final class PostingsStore(spark: SparkSession, val path: String,
   }
 
   /** [[Bm25.topK]]'s exact tokenization — the index must index what the
-    * two-scan form scores.
+    * two-scan form scores. The id cast is GUARDED: a null or
+    * non-integral id raises in-plan with the offending value (a bare
+    * cast nulls silently, collapsing every string id onto one NULL key
+    * with no error anywhere).
     */
   private def tokenized(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+      textCol: String): DataFrame = {
+    // try_cast: malformed ids become NULL in BOTH ANSI and legacy
+    // sessions, so the guard below owns the error uniformly (a bare
+    // cast throws Spark's generic CAST_INVALID_INPUT under ANSI and
+    // silently nulls under legacy — the worst of each)
+    val id = col(idCol).try_cast("long")
+    val guarded = when(id.isNull,
+      raise_error(concat(
+        lit(s"PostingsStore: $idCol value '"),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit("' is not a non-null integral id — the index keys on " +
+          "long doc ids (map string ids to longs upstream)")))
+      .cast("long")).otherwise(id)
+    docs.select(guarded.as("doc_id"),
       split(trim(lower(col(textCol))), "\\s+").as("__ts"))
+  }
 
   /** Both row kinds of a document batch (see class doc). */
   private def rows(tok: DataFrame): DataFrame = {
@@ -83,18 +113,28 @@ final class PostingsStore(spark: SparkSession, val path: String,
     posts.unionByName(members)
   }
 
-  private def writeRows(r: DataFrame, mode: String): Unit =
+  private def layout(r: DataFrame): DataFrame =
     r.repartition(col("pb"))
       .sortWithinPartitions(col("pb"), col("term"), col("doc_id"))
-      .write.partitionBy("pb").mode(mode).parquet(path)
 
-  /** Build (or fully rebuild) the index; persists the bucket layout. */
+  /** Build (or fully rebuild) the index; persists the bucket layout and
+    * publishes manifest generation 1. The overwrite is FORCED static:
+    * under a session's `partitionOverwriteMode=dynamic` a rebuild would
+    * keep old buckets the new corpus doesn't touch — two corpora
+    * silently merged into one index.
+    */
   def write(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    writeRows(rows(tokenized(docs, idCol, textCol)), "overwrite")
+    layout(rows(tokenized(docs, idCol, textCol)))
+      .write.partitionBy("pb").mode("overwrite")
+      .option("partitionOverwriteMode", "static").parquet(path)
     val p = new Path(s"$path/$LayoutFile")
     val out = fs.create(p, true)
     try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    store.publishInitial(store.readSchema(
+      rows(tokenized(docs.limit(0), idCol, textCol)).schema,
+      org.apache.spark.sql.types.LongType))
+    ()
   }
 
   private def requireLayoutMatch(op: String): Unit = {
@@ -116,13 +156,16 @@ final class PostingsStore(spark: SparkSession, val path: String,
   /** Restart-safe delta fold: index only the docs the index doesn't
     * already hold (membership anti-join, pruned to the delta's doc
     * buckets — O(delta + touched-bucket members), never O(corpus)), in
-    * one atomic append commit. A delta carrying the same doc_id twice is
-    * refused loudly. Re-indexing a CHANGED document is a deliberate
-    * rebuild concern, not a silent overwrite.
+    * one atomic manifest publish. A delta carrying the same doc_id
+    * twice is refused loudly; concurrent appenders are single-writer
+    * enforced (the raced loser's publish fails loudly — re-resolve and
+    * retry). Re-indexing a CHANGED document is a deliberate rebuild
+    * concern, not a silent overwrite.
     */
   def appendIdempotent(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     requireLayoutMatch("appendIdempotent")
+    val m = store.resolve("appendIdempotent")
     val tok = tokenized(docs, idCol, textCol)
     val Array(n, d) = tok.agg(count(lit(1)), countDistinct(col("doc_id")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
@@ -132,11 +175,15 @@ final class PostingsStore(spark: SparkSession, val path: String,
     val withDb = tok.withColumn("__db", docBucket(col("doc_id")))
     val touched = withDb.select("__db").distinct()
       .collect().map(_.getLong(0)).sorted
-    val existing = spark.read.parquet(path)
-      .filter(col("term").isNull && col("pb").isin(touched: _*))
-      .select("doc_id")
+    val existing = store.scan(m, Some(touched.toSeq))
+      .filter(col("term").isNull).select("doc_id")
     val fresh = withDb.join(existing, Seq("doc_id"), "left_anti").drop("__db")
-    writeRows(rows(fresh), "append")
+    // a fully-duplicate replay batch publishes nothing — generation
+    // churn per no-op micro-batch would age the retention window for
+    // readers that gained no new data
+    if (fresh.isEmpty) return
+    store.commitSwap(m, layout(rows(fresh)), Seq.empty)
+    ()
   }
 
   /** Maintain the index from a streaming document feed; replay after a
@@ -157,7 +204,7 @@ final class PostingsStore(spark: SparkSession, val path: String,
     * per index version and cache in a serving deployment.
     */
   def stats(): (Long, Long) = {
-    val r = spark.read.parquet(path).filter(col("term").isNull)
+    val r = store.scan(store.resolve("stats")).filter(col("term").isNull)
       .agg(count(lit(1)), sum(col("dl"))).collect().head
     (r.getLong(0), r.getLong(1))
   }
@@ -181,8 +228,10 @@ final class PostingsStore(spark: SparkSession, val path: String,
     val avgdl = sumdl.toDouble / n.toDouble
 
     val tbs = qTerms.map(bucketOfTerm).distinct
-    val pruned = spark.read.parquet(path)
-      .filter(col("pb").isin(tbs: _*) && col("term").isin(qTerms: _*))
+    // pruning happens at the MANIFEST (file-list) layer: the scan plans
+    // only the query terms' bucket directories, no directory listing
+    val pruned = store.scan(store.resolve("topK"), Some(tbs))
+      .filter(col("term").isin(qTerms: _*))
     // exact df per term: posting rows exist iff the doc contains the term
     val dfs: Map[String, Long] = pruned.groupBy("term").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

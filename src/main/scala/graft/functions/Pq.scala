@@ -157,6 +157,42 @@ object Pq {
     }.toDF("vec_id", "code", "recon_norm")
   }
 
+  /** [[encode]] fused with the coarse [[Ivf.assign]] in ONE map-only
+    * pass behind two broadcasts: (vec_id, code, recon_norm, cell).
+    * One scan of the delta and no join — and structurally immune to
+    * the duplicate-id cross-product a vec_id join of two separate
+    * derivations would produce (each input row yields exactly one
+    * output row, its code and cell computed from the SAME embedding).
+    */
+  def encodeAssigned(emb: DataFrame, cb: Codebooks,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcb = spark.sparkContext.broadcast(cb)
+    val bcc = spark.sparkContext.broadcast(centroids)
+    toVecs(emb).map { v =>
+      val b = bcb.value
+      require(v.v.length == b.m * b.dsub,
+        s"cannot encode a ${v.v.length}-d vector with ${b.m}x${b.dsub}-d " +
+          "codebooks — embedding dimension must match the quantizer's")
+      val code = new Array[Byte](b.m)
+      var j = 0
+      while (j < b.m) { code(j) = b.encodeSub(v.v, j).toByte; j += 1 }
+      val r = b.reconstruct(code)
+      var i = 0; var n = 0.0
+      while (i < r.length) { n += r(i) * r(i); i += 1 }
+      val cs = bcc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = Ivf.sqDist(cs(c), v.v)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (v.id, code, math.sqrt(n), best)
+    }.toDF("vec_id", "code", "recon_norm", "cell")
+  }
+
   /** Per-query ADC tables: `table(j)(c)` = dot of the query's j-th
     * subvector with centroid c of subspace j; a code's approximate dot
     * is then m table lookups.

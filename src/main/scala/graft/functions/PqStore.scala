@@ -57,18 +57,24 @@ final class PqStore(spark: SparkSession, val path: String,
 
   /** The encode + coarse-assign projection every ingest path shares:
     * codes from the frozen codebooks, cell from the frozen coarse
-    * quantizer, cell-clustered layout.
+    * quantizer, cell-clustered layout. ONE fused map-only pass
+    * ([[Pq.encodeAssigned]]) — no vec_id self-join, so a delta that
+    * slips duplicate ids past a caller produces two intact rows (like
+    * [[IvfStore]]), never cross-product hybrids pairing one
+    * duplicate's code with the other's cell.
     */
   private def encoded(delta: DataFrame): DataFrame =
-    Pq.encode(delta, cb).join(Ivf.assign(delta, coarse), "vec_id")
-      .select(col("vec_id"), col("code"), col("recon_norm"), col("cell"))
+    Pq.encodeAssigned(delta, cb, coarse)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
 
   /** Encode + assign + persist, and save both quantizers alongside. */
   def write(emb: DataFrame): Unit = {
     val enc = encoded(emb)
-    enc.write.partitionBy("cell").mode("overwrite").parquet(path)
+    // forced static: dynamic partitionOverwriteMode would merge stale
+    // cells into a rebuild (see IvfStore.write)
+    enc.write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "static").parquet(path)
     IvfStore.saveCentroids(spark, path, coarse)
     saveCodebooks()
     store.publishInitial(store.readSchema(enc.schema,
@@ -98,17 +104,21 @@ final class PqStore(spark: SparkSession, val path: String,
   def appendIdempotent(delta: DataFrame): Unit = {
     requireQuantizerMatch("appendIdempotent")
     val m = manifest("appendIdempotent")
-    val Array(n, d) = delta
-      .agg(count(lit(1)), countDistinct(col("vec_id")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == d,
-      s"appendIdempotent: delta carries ${n - d} duplicate vec_ids — two " +
-        "embeddings for one id is a data error (upsert to re-embed)")
-    if (n == 0) return
-    val existing = storeDf(m).select("vec_id")
-    val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
-    store.commitSwap(m, encoded(fresh), Seq.empty)
-    ()
+    // pinned: validation and the committed write must see one row set
+    val cached = delta.persist()
+    try {
+      val Array(n, d) = cached
+        .agg(count(lit(1)), countDistinct(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d,
+        s"appendIdempotent: delta carries ${n - d} duplicate vec_ids — two " +
+          "embeddings for one id is a data error (upsert to re-embed)")
+      if (n == 0) return
+      val existing = storeDf(m).select("vec_id")
+      val fresh = cached.join(existing, Seq("vec_id"), "left_anti")
+      store.commitSwap(m, encoded(fresh), Seq.empty)
+      ()
+    } finally { cached.unpersist(); () }
   }
 
   /** Maintain the compressed copy from a streaming embedding feed — each
@@ -143,29 +153,35 @@ final class PqStore(spark: SparkSession, val path: String,
     // delta: that forces Pq.encode (schema resolution + the dimension
     // guard) over every row, so a delta that cannot be encoded refuses
     // HERE — before anything is staged
-    val enc = encoded(delta)
-    val Array(n, d) = enc
-      .agg(count(lit(1)), countDistinct(col("vec_id")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == d,
-      s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
-        "for one id is a data error")
-    if (n == 0) return
-    val idSet = enc.select("vec_id")
-    val oldCells = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
-      .select("cell").distinct()
-      .collect().map(_.get(0).toString.toInt)
-    val newCells = enc.select("cell").distinct()
-      .collect().map(_.get(0).toString.toInt)
-    val touched = (oldCells ++ newCells).distinct.sorted.toSeq
-    val survivors = storeDf(m, Some(touched))
-      .join(idSet, Seq("vec_id"), "left_anti")
-    store.commitSwap(m,
-      survivors.unionByName(enc)
-        .repartition(col("cell"))
-        .sortWithinPartitions(col("cell"), col("vec_id")),
-      touched)
-    ()
+    // persisted: five actions touch this projection, and each would
+    // otherwise re-run the FULL PQ encode (m nearest-centroid searches
+    // per row) over the delta; the pin also guarantees the removal id
+    // set and the filed replacement come from the same row set
+    val enc = encoded(delta).persist()
+    try {
+      val Array(n, d) = enc
+        .agg(count(lit(1)), countDistinct(col("vec_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d,
+        s"upsert: delta carries ${n - d} duplicate vec_ids — two embeddings " +
+          "for one id is a data error")
+      if (n == 0) return
+      val idSet = enc.select("vec_id")
+      val oldCells = storeDf(m).join(idSet, Seq("vec_id"), "left_semi")
+        .select("cell").distinct()
+        .collect().map(_.get(0).toString.toInt)
+      val newCells = enc.select("cell").distinct()
+        .collect().map(_.get(0).toString.toInt)
+      val touched = (oldCells ++ newCells).distinct.sorted.toSeq
+      val survivors = storeDf(m, Some(touched))
+        .join(idSet, Seq("vec_id"), "left_anti")
+      store.commitSwap(m,
+        survivors.unionByName(enc)
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("cell"), col("vec_id")),
+        touched)
+      ()
+    } finally { enc.unpersist(); () }
   }
 
   /** Takedown on the COMPRESSED copy: a removed vector must leave every
@@ -233,6 +249,14 @@ final class PqStore(spark: SparkSession, val path: String,
     */
   def searchTopK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val qVecs = Similarity.toVecs(queries).collect()
+    // loud dimension contract (the ingest side's Pq.encode guard,
+    // mirrored): a long query would build ADC tables from a PREFIX
+    // while its norm spans all dims — silently deflated cosines; a
+    // short one would AIOOBE deep in adcTables with no mention of why
+    qVecs.foreach(q => require(q.v.length == cb.m * cb.dsub,
+      s"searchTopK: a ${q.v.length}-d query cannot probe a " +
+        s"${cb.m}x${cb.dsub}-d store — embedding dimension must match " +
+        "the quantizer's"))
     val probes = Ivf.probeSets(qVecs, coarse, nProbe)
     val tables = Pq.adcTables(qVecs, cb)
     val allCells = probes.values.flatten.toSet

@@ -74,7 +74,10 @@ object ZOrder {
       .withColumn("z_tile", tile(col("z_key"), tileShift))
       .repartition(col("z_tile"))
       .sortWithinPartitions(col("z_tile"), col("z_key"))
-      .write.partitionBy("z_tile").mode("overwrite").parquet(path)
+      .write.partitionBy("z_tile").mode("overwrite")
+      // forced static: dynamic partitionOverwriteMode would keep stale
+      // tiles the new layout doesn't touch
+      .option("partitionOverwriteMode", "static").parquet(path)
 
   /** The tiles a box query must read: every tile id whose square
     * intersects the box — computed by walking the (bounded) tile grid,

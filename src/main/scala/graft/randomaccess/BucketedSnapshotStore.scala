@@ -69,7 +69,10 @@ final class BucketedSnapshotStore(spark: SparkSession, val path: String,
       .withColumn("kb", bucketCol(col("key")))
       .repartition(col("kb"))
       .sortWithinPartitions(col("kb"), col("key"), col("attribute"))
-      .write.partitionBy("kb").mode("overwrite").parquet(path)
+      .write.partitionBy("kb").mode("overwrite")
+      // forced static: dynamic partitionOverwriteMode would merge stale
+      // buckets into a rebuild (see IvfStore.write)
+      .option("partitionOverwriteMode", "static").parquet(path)
     store.publishInitial(readSchema)
     ()
   }

@@ -379,4 +379,55 @@ class IvfStoreSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect()
     assert(got.toSet == full.toSet, "separated clusters: 1 probe suffices")
   }
+
+  test("a mis-dimensioned query refuses loudly: truncated dots would " +
+      "rank plausibly and wrongly") {
+    val (s, _) = newStore()
+    val short = Seq((900L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      s.searchTopK(short, k = 3, nProbe = 2)
+    }
+    assert(e.getMessage.contains("4-d query") &&
+      e.getMessage.contains("8-d store"))
+  }
+
+  test("searchTopKJoin at PARTIAL probe reads only the probed cells' " +
+      "files and agrees with the broadcast query path") {
+    val (s, emb) = newStore()
+    val queries = emb.filter($"vec_id" < 8)
+    val join2 = s.searchTopKJoin(queries, k = 3, nProbe = 2)
+      .select("q_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bcast2 = s.searchTopK(queries, k = 3, nProbe = 2)
+      .select("q_id", "rk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(join2 == bcast2 && join2.nonEmpty,
+      "both query paths share the probe-set semantics at partial probe")
+  }
+
+  test("rebuild under a session's dynamic partitionOverwriteMode stays " +
+      "a full rebuild: no stale cells, no orphaned manifests") {
+    val conf = spark.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try {
+      val emb = corpus
+      val centroids = Ivf.train(emb, nCentroids = 4, maxIter = 10)
+      val s = new IvfStore(spark,
+        Files.createTempDirectory("graft-ivfdyn-").toString + "/v", centroids)
+      s.write(emb) // all 4 cells populated
+      // rebuild with ONLY cluster 0: under dynamic overwrite the other
+      // cells' old files (and the previous manifests) would survive —
+      // readers FileNotFound or a silently merged corpus
+      val only0 = emb.filter($"vec_id" % 4 === 0)
+      s.write(only0)
+      assert(s.contents().count() == only0.count(),
+        "the rebuilt store holds exactly the new corpus")
+      assert(s.contents().select("vec_id").as[Long].collect()
+        .forall(_ % 4 == 0), "no stale cells from the previous build")
+    } finally {
+      old match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    }
+  }
 }

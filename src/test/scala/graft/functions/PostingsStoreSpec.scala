@@ -120,4 +120,59 @@ class PostingsStoreSpec extends SparkSpec {
         s"${scan.metrics("numFiles").value}/$total files")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("a non-integral or null doc id refuses IN-PLAN with the value — " +
+      "a bare cast would null every string id and collapse the corpus " +
+      "onto one NULL key") {
+    val ix = new PostingsStore(spark,
+      Files.createTempDirectory("postings-ids-").toString + "/ix", buckets = 8)
+    def messageChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var e = t
+      while (e != null) { sb.append(e.getMessage).append(" | "); e = e.getCause }
+      sb.toString
+    }
+    val strs = Seq(("doc-1", "alpha beta"), ("doc-2", "beta gamma"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[Throwable] { ix.write(strs) }
+    assert(messageChain(e1).contains("not a non-null integral id"),
+      messageChain(e1).take(400))
+    val nulls = Seq((java.lang.Long.valueOf(1L), "alpha"), (null, "beta"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[Throwable] { ix.write(nulls) }
+    assert(messageChain(e2).contains("not a non-null integral id"),
+      messageChain(e2).take(400))
+  }
+
+  test("readers scan the MANIFEST's file list, not the directory: an " +
+      "unpublished stray file (a torn append's debris) is invisible to " +
+      "stats and topK") {
+    val docs = corpus
+    val ix = new PostingsStore(spark,
+      Files.createTempDirectory("postings-stray-").toString + "/ix",
+      buckets = 8)
+    ix.write(docs)
+    val (n0, sum0) = ix.stats()
+    val before = canon(ix.topK(terms, 10))
+    // a crashed mutation's moved-but-unpublished file: real parquet
+    // bytes with valid rows, sitting in a live bucket dir with NO
+    // manifest referencing it — the pre-manifest reader would have
+    // silently served it (phantom docs, inflated N)
+    val stray = Seq(9999L).toDF("doc_id")
+      .select(lit(null).cast("string").as("term"), col("doc_id"),
+        lit(0L).as("tf"), lit(5L).as("dl"))
+    val bucketDir = new java.io.File(ix.path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb=")).head
+    stray.coalesce(1).write.mode("append")
+      .parquet(bucketDir.getAbsolutePath + "/_stray_tmp")
+    // move the part file up into the live dir under a plausible name
+    val part = new java.io.File(bucketDir, "_stray_tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val landed = new java.io.File(bucketDir, "part-stray.parquet")
+    assert(part.renameTo(landed))
+    assert(ix.stats() == ((n0, sum0)),
+      "stats must not count an unpublished file's rows")
+    assert(canon(ix.topK(terms, 10)) == before,
+      "topK must not serve an unpublished file's rows")
+  }
 }

@@ -238,4 +238,42 @@ class PqStoreSpec extends SparkSpec {
     assert(topk(frag.searchTopK(emb.filter($"vec_id" < 6), 5, nProbe = 4)) ==
       expected)
   }
+
+  test("a delta with duplicate vec_ids files INTACT rows, never " +
+      "cross-product hybrids (code and cell computed from the same " +
+      "embedding in one fused pass)") {
+    val emb = corpus
+    val (cb, coarse) = quantizers(emb)
+    val s = new PqStore(spark,
+      Files.createTempDirectory("pqstore-dup-").toString + "/v", cb, coarse)
+    s.write(emb.filter($"vec_id" < 100))
+    // id 900 twice with embeddings from DIFFERENT clusters: the old
+    // vec_id self-join paired one duplicate's code with the other's
+    // cell (4 rows, 2 of them hybrids filed where their code's
+    // embedding never lived); append() has no dup guard by contract
+    val c0 = Array.tabulate(8)(j => if (j == 0) 10f else 0.1f)
+    val c1 = Array.tabulate(8)(j => if (j == 2) 10f else 0.1f)
+    val dup = Seq((900L, c0), (900L, c1)).toDF("vec_id", "embedding")
+    s.append(dup)
+    val got = s.contents().filter($"vec_id" === 900L)
+      .select("cell").collect().map(_.get(0).toString.toInt).sorted.toSeq
+    val expected = Ivf.assign(dup, coarse)
+      .select("cell").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == expected,
+      s"two intact rows with their OWN cells expected ($expected), got $got")
+  }
+
+  test("a mis-dimensioned query refuses loudly before ADC tables are " +
+      "built from a prefix") {
+    val emb = corpus
+    val (cb, coarse) = quantizers(emb)
+    val s = new PqStore(spark,
+      Files.createTempDirectory("pqstore-dim-").toString + "/v", cb, coarse)
+    s.write(emb)
+    val long = Seq((901L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      s.searchTopK(long, k = 3, nProbe = 2)
+    }
+    assert(e.getMessage.contains("16-d query"))
+  }
 }
