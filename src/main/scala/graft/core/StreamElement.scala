@@ -20,7 +20,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   * @param attribute full attribute name (e.g. "status" or "device.abc123")
   * @param uuid      write identity for dedup (reference StreamElement.java:44)
   * @param seqId     sequential id for transactional writes; 0 = none
-  * @param stamp     event time, epoch millis
+  * @param stamp     event time, epoch integer in the PRODUCER's unit —
+  *                  this repo's events-derived changelogs stamp MICROS,
+  *                  and unit-parameterized operators (StateOps,
+  *                  EventTimeWindows, CachedView, StreamingDedup)
+  *                  default or accept `stampUnit` accordingly
   * @param value     serialized payload; null iff delete
   * @param delete    delete tombstone for this exact attribute
   * @param deleteWildcard delete of ALL suffixes of a wildcard attribute

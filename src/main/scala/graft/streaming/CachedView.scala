@@ -37,14 +37,11 @@ final class CachedView(family: AttributeLogFamily,
   // different clock (this repo's events-derived changelogs stamp in
   // MICROS — pass stampUnit="micros" there, or a 1h keep becomes 3.6
   // real seconds). The conversion happens once, here.
-  private val keepDurationStamps: Long = stampUnit match {
-    case "millis" => keepDurationMs
-    case "micros" =>
-      if (keepDurationMs == Long.MaxValue) Long.MaxValue
-      else if (keepDurationMs > Long.MaxValue / 1000L) Long.MaxValue
-      else keepDurationMs * 1000L
-    case u => throw new IllegalArgumentException(
-      s"stampUnit must be millis or micros, got $u")
+  private val keepDurationStamps: Long = {
+    val mul = StateOps.stampDivisor(stampUnit) // one shared unit whitelist
+    if (keepDurationMs == Long.MaxValue ||
+        keepDurationMs > Long.MaxValue / mul) Long.MaxValue
+    else keepDurationMs * mul
   }
 
   // versions newest-first by (stamp, seqId, uuid); tombstones are versions
@@ -52,6 +49,13 @@ final class CachedView(family: AttributeLogFamily,
   private val cache = TrieMap.empty[(String, String), List[StreamElement]]
   @volatile private var maxStampSeen: Long = Long.MinValue
   private var query: Option[StreamingQuery] = None
+  private var lastCheckpoint: Option[String] = None
+  // the predicate's canonical Column text: equality means "same range"
+  // (identically-constructed predicates — the assignPartitions path —
+  // print identically); an equivalent-but-differently-written predicate
+  // conservatively reads as a range CHANGE, which forces the safe
+  // rebuild rather than a wrong resume
+  private var lastPredicate: Option[String] = None
 
   private def pos(e: StreamElement) = e.position
 
@@ -64,29 +68,55 @@ final class CachedView(family: AttributeLogFamily,
     if (e.stamp > maxStampSeen) maxStampSeen = e.stamp
     val k = (e.key, e.attribute)
     val floor = evictionFloor
+    // distinctBy position: an element delivered twice (foreachBatch
+    // at-least-once replay after a crash between fold and checkpoint
+    // commit) must not occupy two version slots and evict a genuine
+    // older version
     val merged = (e :: cache.getOrElse(k, Nil))
       .sortBy(pos)(Ordering.Tuple3[Long, Long, String].reverse)
+      .distinctBy(pos)
       .take(maxVersions)
       .filter(v => v.stamp >= floor || v == e)
-    // a cell whose newest surviving version is a tombstone serves no read
-    // once nothing older than it can be asked for — drop it entirely
-    if (merged.isEmpty || (merged.head.isDelete && merged.tail.isEmpty))
+    // a cell retaining ONLY tombstones serves no read — the latest is
+    // filtered as a delete and an as-of below the oldest tombstone has
+    // no value version to return — so drop it entirely (at any
+    // maxVersions; keeping [tomb, tomb] would pin deleted keys forever
+    // under the default infinite keepDuration)
+    if (merged.isEmpty || merged.forall(_.isDelete))
       cache.remove(k)
     else cache.put(k, merged)
   }
 
   /** Drop versions that aged past the keep duration; cells left with only
-    * tombstones (or nothing) are removed. Called after each batch; also
-    * callable directly for tests/maintenance.
+    * tombstones (or nothing) are removed. Called after each batch (with a
+    * sweep-cadence guard) and callable directly for tests/maintenance.
     */
   def evictAged(): Unit = {
     val floor = evictionFloor
-    if (floor != Long.MinValue)
+    if (floor != Long.MinValue) {
       cache.foreach { case (k, versions) =>
         val kept = versions.filter(_.stamp >= floor)
         if (kept.isEmpty || kept.forall(_.isDelete)) cache.remove(k)
         else if (kept.size != versions.size) cache.put(k, kept)
       }
+      lastSweptFloor = floor
+    }
+  }
+
+  /** Per-batch sweep with a cadence guard: the full-cache scan runs only
+    * once the floor advanced an eighth of the keep window past the last
+    * sweep — [[fold]] already enforces the floor on every touched cell,
+    * so the guard only delays reclaiming UNTOUCHED cells (bounded by
+    * keep/8 extra retention) while saving an O(total cells) scan per
+    * micro-batch on large views with small batches.
+    */
+  private var lastSweptFloor: Long = Long.MinValue
+  private def evictAgedIfDue(): Unit = {
+    val floor = evictionFloor
+    if (floor != Long.MinValue &&
+        (lastSweptFloor == Long.MinValue ||
+          floor - lastSweptFloor >= math.max(1L, keepDurationStamps / 8)))
+      evictAged()
   }
 
   /** Start continuous maintenance over the WHOLE family
@@ -106,6 +136,39 @@ final class CachedView(family: AttributeLogFamily,
     */
   def assign(checkpoint: String,
       keyPredicate: org.apache.spark.sql.Column): CachedView = synchronized {
+    // RE-assigning a DIFFERENT key range is a rebuild, not a resume: the
+    // same checkpoint would restart from its committed offsets and never
+    // fold the NEW range's history, while the old range's cells would
+    // serve stale forever (the reference re-reads on assign,
+    // LocalCachedPartitionedView.assign:126). Same-range re-assign keeps
+    // the resume contract (cache continuity, no double-fold —
+    // StreamingRecoverySpec pins it).
+    val predExpr = keyPredicate.toString
+    val rangeChanged = lastPredicate.exists(_ != predExpr)
+    if (rangeChanged) {
+      require(!lastCheckpoint.contains(checkpoint),
+        "re-assigning a different key range on the SAME checkpoint would " +
+          "resume past the new range's history — pass a fresh checkpoint " +
+          "(the view re-reads the log from oldest and rebuilds)")
+      cache.clear()
+      maxStampSeen = Long.MinValue
+      lastSweptFloor = Long.MinValue
+    }
+    // a COLD view (this instance never assigned) resuming a checkpoint
+    // that already has committed offsets would pair an EMPTY cache with
+    // a query that skips the committed history — an incomplete view
+    // with no error anywhere. Cross-process restart = fresh checkpoint:
+    // the log is the source of truth and the fold is deterministic.
+    if (lastPredicate.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+      val fs = p.getFileSystem(family.spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          "cold view cannot resume an existing checkpoint at " +
+            s"$checkpoint: its cache is empty and the resumed query " +
+            "skips the already-committed history — start from a FRESH " +
+            "checkpoint to re-fold the log from oldest")
+    }
     // the local cache ages cells out at keepDurationMs (evictAged), so the
     // UPSTREAM snapshot state ages out in lockstep: idle keys are evicted
     // from the flatMapGroupsWithState store on the same horizon, keeping
@@ -132,11 +195,13 @@ final class CachedView(family: AttributeLogFamily,
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[StreamElement], _: Long) =>
           batch.collect().foreach(fold)
-          evictAged()
+          evictAgedIfDue()
         }
         .start()
     }
     query = Some(q)
+    lastCheckpoint = Some(checkpoint)
+    lastPredicate = Some(predExpr)
     this
   }
 

@@ -21,11 +21,16 @@ import graft.core.StreamElement
   */
 object EventTimeWindows {
 
-  /** Watermarked event-time view of a changelog (stamp in micros). */
+  /** Watermarked event-time view of a changelog. `stampUnit` defaults to
+    * micros — the unit this repo's events-derived changelogs stamp in —
+    * and routes through the one shared unit mapping
+    * ([[StateOps.stampTimestamp]]), so a millis-stamped log passes
+    * "millis" instead of silently getting windows 1000x off.
+    */
   def withEventTime(stream: Dataset[StreamElement],
-      allowedLatenessMs: Long): DataFrame =
+      allowedLatenessMs: Long, stampUnit: String = "micros"): DataFrame =
     stream
-      .withColumn("eventTime", timestamp_micros(col("stamp")))
+      .withColumn("eventTime", StateOps.stampTimestamp("stamp", stampUnit))
       .withWatermark("eventTime", s"$allowedLatenessMs milliseconds")
 
   /** Tumbling-window counts per key; with append output mode a window is
@@ -33,8 +38,8 @@ object EventTimeWindows {
     * beyond the bound are dropped (the reference's lateness contract).
     */
   def tumblingCounts(stream: Dataset[StreamElement], sizeMs: Long,
-      allowedLatenessMs: Long): DataFrame =
-    withEventTime(stream, allowedLatenessMs)
+      allowedLatenessMs: Long, stampUnit: String = "micros"): DataFrame =
+    withEventTime(stream, allowedLatenessMs, stampUnit)
       .groupBy(window(col("eventTime"), s"$sizeMs milliseconds"), col("key"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("w_start_us"), col("key"),
@@ -54,9 +59,11 @@ object EventTimeWindows {
     * the stateful operator; this is the batch/audit analog used to measure
     * lateness.
     */
-  def splitLate(ds: Dataset[StreamElement], watermarkUs: Long,
-      allowedLatenessMs: Long): (Dataset[StreamElement], Dataset[StreamElement]) = {
-    val bound = watermarkUs - allowedLatenessMs * 1000
+  def splitLate(ds: Dataset[StreamElement], watermarkStamp: Long,
+      allowedLatenessMs: Long, stampUnit: String = "micros")
+      : (Dataset[StreamElement], Dataset[StreamElement]) = {
+    val bound = watermarkStamp -
+      allowedLatenessMs * StateOps.stampDivisor(stampUnit)
     (ds.filter(col("stamp") >= bound).as[StreamElement](StreamElement.encoder),
       ds.filter(col("stamp") < bound).as[StreamElement](StreamElement.encoder))
   }
@@ -64,8 +71,10 @@ object EventTimeWindows {
   /** Shift a changelog's event time (WatermarkShift.java:43 /
     * AssignEventTime.java:27).
     */
-  def shiftEventTime(ds: Dataset[StreamElement], byMs: Long): Dataset[StreamElement] = {
+  def shiftEventTime(ds: Dataset[StreamElement], byMs: Long,
+      stampUnit: String = "micros"): Dataset[StreamElement] = {
     implicit val enc = StreamElement.encoder
-    ds.map(e => e.copy(stamp = e.stamp + byMs * 1000))
+    val mul = StateOps.stampDivisor(stampUnit)
+    ds.map(e => e.copy(stamp = e.stamp + byMs * mul))
   }
 }

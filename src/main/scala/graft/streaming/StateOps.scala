@@ -89,17 +89,19 @@ object StateOps {
     * the cell is idle a full horizon" is simply `watermark ≥
     * lastEventMs`.
     */
+  /** The stamp column as a TIMESTAMP — the unit whitelist lives in
+    * [[stampDivisor]] alone; a new unit lands in one place or refuses
+    * everywhere.
+    */
+  private[streaming] def stampTimestamp(stampCol: String,
+      stampUnit: String): org.apache.spark.sql.Column =
+    if (stampDivisor(stampUnit) == 1000L) timestamp_micros(col(stampCol))
+    else timestamp_millis(col(stampCol))
+
   private[streaming] def withStampWatermark[T](ds: Dataset[T], stampCol: String,
-      stampUnit: String, delayMs: Long)(implicit enc: Encoder[T]): Dataset[T] = {
-    val ts = stampUnit match {
-      case "micros" => timestamp_micros(col(stampCol))
-      case "millis" => timestamp_millis(col(stampCol))
-      case u => throw new IllegalArgumentException(
-        s"stampUnit must be micros|millis, got '$u'")
-    }
-    ds.withColumn("__graft_event_time", ts)
+      stampUnit: String, delayMs: Long)(implicit enc: Encoder[T]): Dataset[T] =
+    ds.withColumn("__graft_event_time", stampTimestamp(stampCol, stampUnit))
       .withWatermark("__graft_event_time", s"$delayMs milliseconds").as[T]
-  }
 
   /** Arm the state timer at a deadline on the watermark clock, but never
     * at-or-before the current watermark (Spark rejects that) — a deadline
@@ -213,8 +215,23 @@ object StateOps {
               }
             }
             if (cleanup.isDefined) {
-              watermarkMs(state).foreach(wm =>
-                armAfter(state, wm, st.lastEventMs))
+              watermarkMs(state).foreach { wm =>
+                armAfter(state, wm, st.lastEventMs)
+                // prune scalar tombstones nothing can contradict
+                // anymore: a retained tombstone only exists to shadow a
+                // LATER-ARRIVING element at-or-below its position, and
+                // any such element's event time is at or below the
+                // tombstone's — once the watermark passed that stamp
+                // the upstream late filter drops it, so the tombstone
+                // is dead weight (a hot key churning distinct suffixes
+                // through write+delete would otherwise grow this map by
+                // one permanent tombstone per suffix)
+                val pruned = st.latest.filter { case (_, v) =>
+                  !v.delete || v.stamp / div >= wm
+                }
+                if (pruned.size != st.latest.size)
+                  st = st.copy(latest = pruned)
+              }
             }
             state.update(st)
             changed.values.iterator

@@ -73,6 +73,27 @@ object StreamingDedup {
     sig
   }
 
+  /** The shared first-claim fold: the smallest id claims an unclaimed
+    * key, everyone else is flagged with the claimant — ONE definition,
+    * so a claim-semantics fix cannot land in one gate and silently miss
+    * the other ([[bandHitsWithHorizon]] keeps its own loop: its state
+    * carries the eviction stamp and its order is event-time, not id).
+    */
+  private def claimFold[O](ids: Seq[Long], state: GroupState[Long],
+      out: (Long, Option[Long]) => O): Iterator[O] = {
+    var first = state.getOption
+    val res = ids.map { id =>
+      first match {
+        case None =>
+          first = Some(id)
+          out(id, None)
+        case Some(f) => out(id, if (f == id) None else Some(f))
+      }
+    }
+    first.foreach(state.update)
+    res.iterator
+  }
+
   /** Band-bucket hits for a (doc_id, text) stream. Update output mode;
     * within one micro-batch the smallest doc id claims a fresh bucket
     * (deterministic).
@@ -84,7 +105,14 @@ object StreamingDedup {
     require(k % bandRows == 0, s"bandRows $bandRows must divide k $k")
     val banded = docs.flatMap { case (id, text) =>
       val sig = signature(text, n, k)
-      (0 until k / bandRows).map { b =>
+      // a document too short to shingle has NO signature — the batch
+      // side emits zero signature rows for it (groupBy over zero
+      // exploded shingles), so it is never a candidate; banding the
+      // all-MaxValue sentinel instead would collide every short
+      // document with every other in every band (any real shingle sets
+      // all k lanes below MaxValue, so lane 0 is an exact emptiness test)
+      if (sig(0) == Long.MaxValue) Seq.empty
+      else (0 until k / bandRows).map { b =>
         (b, (0 until bandRows).map(r => sig(b * bandRows + r)).mkString("|"), id)
       }
     }
@@ -93,19 +121,8 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: (Int, String), rows: Iterator[(Int, String, Long)],
             state: GroupState[Long]) =>
-          val ids = rows.map(_._3).toSeq.sorted
-          var first = state.getOption
-          val out = ids.map { id =>
-            first match {
-              case None =>
-                first = Some(id)
-                BandHit(id, key._1, key._2, None)
-              case Some(f) =>
-                BandHit(id, key._1, key._2, if (f == id) None else Some(f))
-            }
-          }
-          first.foreach(state.update)
-          out.iterator
+          claimFold(rows.map(_._3).toSeq.sorted, state,
+            (id, d) => BandHit(id, key._1, key._2, d))
       }
   }
 
@@ -130,19 +147,8 @@ object StreamingDedup {
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
-          val ids = it.map(_._1).toSeq.sorted
-          var first = state.getOption
-          val out = ids.map { id =>
-            first match {
-              case None =>
-                first = Some(id)
-                KeyClaim(id, key, None)
-              case Some(f) =>
-                KeyClaim(id, key, if (f == id) None else Some(f))
-            }
-          }
-          first.foreach(state.update)
-          out.iterator
+          claimFold(it.map(_._1).toSeq.sorted, state,
+            (id, d) => KeyClaim(id, key, d))
       }
   }
 
@@ -168,7 +174,9 @@ object StreamingDedup {
     val div = StateOps.stampDivisor(stampUnit)
     val banded = docs.flatMap { case (id, text, stamp) =>
       val sig = signature(text, n, k)
-      (0 until k / bandRows).map { b =>
+      // shingle-less docs band nowhere (batch parity — see bandHits)
+      if (sig(0) == Long.MaxValue) Seq.empty
+      else (0 until k / bandRows).map { b =>
         Banded(b, (0 until bandRows).map(r => sig(b * bandRows + r)).mkString("|"),
           id, stamp)
       }

@@ -266,7 +266,7 @@ class OperatorSpec extends SparkSpec {
     val ds = spark.createDataset(Seq(
       up("e", "k", "a", 1000, "old"), up("e", "k", "a", 9000, "new")))(
       StreamElement.encoder)
-    val (onTime, late) = EventTimeWindows.splitLate(ds, watermarkUs = 8000,
+    val (onTime, late) = EventTimeWindows.splitLate(ds, watermarkStamp = 8000,
       allowedLatenessMs = 2)
     assert(onTime.collect().map(_.stamp).toSet == Set(9000))
     assert(late.collect().map(_.stamp).toSet == Set(1000))

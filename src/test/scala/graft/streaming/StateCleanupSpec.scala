@@ -33,6 +33,12 @@ class StateCleanupSpec extends SparkSpec {
     StreamElement("e", key, "a", s"$key-$stamp-$seq", seq, stamp,
       v.getBytes("UTF-8"), delete = false, deleteWildcard = false)
 
+  private def del(key: String, attr: String, stamp: Long, v: String,
+      isDel: Boolean) =
+    StreamElement("e", key, attr, s"$key-$attr-$stamp", 0, stamp,
+      if (v == null) null else v.getBytes("UTF-8"), delete = isDel,
+      deleteWildcard = false)
+
   private def str(b: Array[Byte]): String =
     if (b == null) null else new String(b, "UTF-8")
 
@@ -308,6 +314,52 @@ class StateCleanupSpec extends SparkSpec {
       input.addData(el("K", 9000, "ghost"))
       q.processAllAvailable()
       assert(outs("K").length == 2, "behind-horizon element must be dropped")
+    } finally q.stop()
+  }
+
+  test("snapshotUpdates: scalar tombstones a full watermark behind are " +
+      "pruned from per-cell state WITHOUT changing semantics — a " +
+      "behind-horizon re-offer of the dead suffix stays dead, a fresh " +
+      "write wins") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = StreamElement.encoder
+    val input = MemoryStream[StreamElement]
+    val q = StateOps.snapshotUpdates(input.toDS(),
+        cleanup = Some(5000.millis), stampUnit = "millis")
+      .writeStream.format("memory").queryName("snap_tomb")
+      .outputMode("update").start()
+    try {
+      def outs(attr: String) = spark.sql(
+        s"SELECT value, delete FROM snap_tomb WHERE attribute='$attr'")
+        .collect()
+      // the key stays HOT (its own traffic keeps it from whole-cell
+      // eviction) while one suffix is written then deleted — separate
+      // batches, or update-mode per-batch compaction emits only the net
+      input.addData(del("K", "device.a", 10000, "v1", isDel = false))
+      q.processAllAvailable()
+      input.addData(del("K", "device.a", 11000, null, isDel = true))
+      q.processAllAvailable()
+      assert(outs("device.a").length == 2 &&
+        outs("device.a").last.getBoolean(1), "delete emitted")
+      // watermark (max − 5000) climbs far past the tombstone's 11000
+      // via continued traffic on OTHER suffixes of the same key — the
+      // tombstone is now uncontradictable and pruned from st.latest
+      input.addData(del("K", "device.live", 30000, "w", isDel = false))
+      q.processAllAvailable()
+      input.addData(del("K", "device.live2", 31000, "x", isDel = false))
+      q.processAllAvailable()
+      // behind-horizon re-offer of the dead suffix: late-filtered before
+      // the operator — dead stays dead, with or without the tombstone
+      input.addData(del("K", "device.a", 10500, "ghost", isDel = false))
+      q.processAllAvailable()
+      assert(outs("device.a").length == 2,
+        "behind-horizon re-offer must not resurrect the dead suffix")
+      // a FRESH write on the suffix wins normally
+      input.addData(del("K", "device.a", 32000, "v2", isDel = false))
+      q.processAllAvailable()
+      val rows = outs("device.a")
+      assert(rows.length == 3 && !rows.last.getBoolean(1) &&
+        new String(rows.last.getAs[Array[Byte]](0), "UTF-8") == "v2")
     } finally q.stop()
   }
 

@@ -120,4 +120,27 @@ class StreamingDedupSpec extends SparkSpec {
       assert(dupsOf(4L) == Set(3L), "new window, new owner")
     } finally q.stop()
   }
+
+  test("documents too short to shingle are never candidates (batch " +
+      "parity: zero signature rows, zero bands) — the all-MaxValue " +
+      "sentinel must not collide every short doc with every other") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.bandHits(in.toDS())
+      .writeStream.format("memory").queryName("dedup_short")
+      .outputMode("update").start()
+    try {
+      // two UNRELATED sub-n-token docs + one real dup pair as control
+      in.addData((1L, "hello world"), (2L, "totally unrelated"),
+        (3L, textA), (4L, textA))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_short").collect()
+      val byDoc = rows.groupBy(_.getLong(0))
+      assert(!byDoc.contains(1L) && !byDoc.contains(2L),
+        "shingle-less docs band nowhere — the batch side emits no " +
+          s"signature row for them (got ${rows.mkString(", ")})")
+      assert(byDoc(4L).flatMap(r => Option(r.get(3)).map(_.toString.toLong))
+        .toSet == Set(3L), "the control dup pair still flags")
+    } finally q.stop()
+  }
 }

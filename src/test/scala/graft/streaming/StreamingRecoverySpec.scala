@@ -158,4 +158,57 @@ class StreamingRecoverySpec extends SparkSpec {
         .contains("w1"))
     } finally view.stop()
   }
+
+  test("CachedView re-assign of a DIFFERENT key range is a rebuild: the " +
+      "same checkpoint refuses (it would skip the new range's history), " +
+      "a fresh checkpoint drops the old range's cells and folds the new " +
+      "range from oldest") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log-ranges")
+    // partition of "a"/"b" under pmod(hash(key), 2): compute live so the
+    // test never depends on hash internals
+    val parts = Seq("a", "b").map { k =>
+      k -> spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(org.apache.spark.sql.functions
+          .hash(org.apache.spark.sql.functions.lit(k)),
+          org.apache.spark.sql.functions.lit(2)))
+        .collect().head.getInt(0)
+    }.toMap
+    assume(parts("a") != parts("b"), "need keys in distinct partitions")
+    fam.append(Seq(up("a", "x", 10, "va"), up("b", "x", 10, "vb")))
+    val view = new CachedView(fam)
+    val cp1 = tmp() + "/ckpt1"
+    try {
+      view.assignPartitions(cp1, Set(parts("a")), 2)
+      view.processAllAvailable()
+      assert(view.get("a", "x").isDefined && view.get("b", "x").isEmpty)
+      // same checkpoint + different range = refusal with guidance
+      val e = intercept[IllegalArgumentException] {
+        view.assignPartitions(cp1, Set(parts("b")), 2)
+      }
+      assert(e.getMessage.contains("fresh checkpoint"))
+      // fresh checkpoint: rebuild — b's HISTORY (appended before this
+      // assign) folds in, a's stale cells are gone
+      view.assignPartitions(tmp() + "/ckpt2", Set(parts("b")), 2)
+      view.processAllAvailable()
+      assert(view.get("b", "x").map(e2 => new String(e2.value, "UTF-8"))
+        .contains("vb"), "the new range's past elements must be folded")
+      assert(view.get("a", "x").isEmpty,
+        "the abandoned range must not serve stale cells")
+    } finally view.stop()
+  }
+
+  test("a COLD view refuses to resume an existing checkpoint: empty " +
+      "cache + committed offsets would silently serve an incomplete view") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log-cold")
+    val cp = tmp() + "/ckpt-cold"
+    fam.append(Seq(up("k", "a", 10, "v1")))
+    val warm = new CachedView(fam).assign(cp)
+    try {
+      warm.processAllAvailable()
+      assert(warm.get("k", "a").isDefined)
+    } finally warm.stop()
+    val cold = new CachedView(fam)
+    val e = intercept[IllegalStateException] { cold.assign(cp) }
+    assert(e.getMessage.contains("FRESH checkpoint"))
+  }
 }

@@ -25,6 +25,10 @@ class StreamingSpec extends SparkSpec {
     StreamElement("e", key, prefix + "*", s"w-$key-$stamp", 0, stamp, null,
       delete = true, deleteWildcard = true)
 
+  private def del(key: String, attr: String, stamp: Long) =
+    StreamElement("e", key, attr, s"d-$key-$attr-$stamp", 0, stamp, null,
+      delete = true, deleteWildcard = false)
+
   private def tmp(): String =
     Files.createTempDirectory("graft-test-").toString
 
@@ -146,6 +150,29 @@ class StreamingSpec extends SparkSpec {
       assert(view.get("k", "device.1", 19).isEmpty,
         "as-of read after the tombstone must see the cell dead")
       assert(view.get("k", "device.1").isEmpty)
+    } finally view.stop()
+  }
+
+  test("cached view: a cell retaining ONLY tombstones is dropped at any " +
+      "maxVersions — deleted keys must not pin cache entries forever " +
+      "under the default infinite keepDuration") {
+    val fam = new CommitLogFamily(spark, tmp() + "/log")
+    fam.append(Seq(up("k", "a", 10, "v1")))
+    val view = new CachedView(fam, maxVersions = 2).assign(tmp() + "/ckpt")
+    try {
+      view.processAllAvailable()
+      assert(view.versions("k", "a").nonEmpty)
+      // two successive deletes: the retained window becomes
+      // [tomb2, tomb1] — every read answers None, so the cell is pure
+      // leak if kept (the old head-only check removed it only at
+      // maxVersions = 1)
+      fam.append(Seq(del("k", "a", 20)))
+      view.processAllAvailable()
+      fam.append(Seq(del("k", "a", 30)))
+      view.processAllAvailable()
+      assert(view.versions("k", "a").isEmpty,
+        s"all-tombstone cell must be dropped: ${view.versions("k", "a")}")
+      assert(view.listEntities(0, 10).isEmpty)
     } finally view.stop()
   }
 
