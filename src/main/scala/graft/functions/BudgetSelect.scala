@@ -39,10 +39,25 @@ object BudgetSelect {
   def select(docs: DataFrame, idCol: String, scoreCol: String,
       weightCol: String, pctBudget: Int): DataFrame = {
     require(pctBudget >= 0 && pctBudget <= 100, s"pctBudget=$pctBudget")
-    val d = docs.select(col(idCol), col(scoreCol), col(weightCol))
-    val total = d.agg(sum(col(weightCol)).as("__tw"))
+    // null score/weight refuse IN-PLAN: a NULL-scored doc would inflate
+    // the budget while being unselectable (score >= t is NULL), and an
+    // all-NULL corpus would silently select nothing; a NULL weight
+    // would silently underfund the budget
+    def guarded(c: String, what: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"BudgetSelect: null $c — every document needs a $what " +
+          "(filter or impute upstream)")).cast(docs.schema(c).dataType))
+        .otherwise(col(c)).as(c)
+    val d = docs.select(col(idCol), guarded(scoreCol, "quantized score"),
+      guarded(weightCol, "token weight"))
     val hist = d.groupBy(col(scoreCol)).agg(sum(col(weightCol)).as("__hw"))
-    val cum = hist.crossJoin(broadcast(total))
+    // the corpus total is the histogram's own full-frame sum — deriving
+    // it here (same tiny window partitioning) saves the second
+    // full-corpus aggregate scan a separate d.agg(sum) would cost
+    val cum = hist
+      .withColumn("__tw", sum(col("__hw")).over(Window
+        .orderBy(col(scoreCol).desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("__b", expr(s"(__tw * $pctBudget) div 100"))
       .withColumn("__cm",
         sum(col("__hw")).over(Window.orderBy(col(scoreCol).desc)))

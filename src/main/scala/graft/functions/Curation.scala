@@ -39,10 +39,17 @@ object Curation {
     * hash (native [[Shingle60Expr]]) so the shuffle/broadcast carries
     * 8-byte keys, not strings.
     */
+  /** (doc_id, g) hashed n-gram projection every decontamination/novelty
+    * path shares — ONE definition: four local copies risked a salt or
+    * rename landing in three of them.
+    */
+  private def grams(df: DataFrame, textCol: String, n: Int): DataFrame =
+    MinHashLsh.hashedShingles(df, textCol, n)
+      .select(col("doc_id"), col("h").as("g"))
+
   def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
       n: Int): DataFrame = {
-    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
-      .select(col("doc_id"), col("h").as("g"))
+    def grams(df: DataFrame) = Curation.grams(df, textCol, n)
     val evalGrams = grams(eval).select(col("g")).distinct()
     grams(train)
       .join(broadcast(evalGrams), "g")
@@ -64,8 +71,7 @@ object Curation {
     */
   def decontaminateBloom(train: DataFrame, eval: DataFrame, textCol: String,
       n: Int, fpp: Double = 0.01): DataFrame = {
-    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
-      .select(col("doc_id"), col("h").as("g"))
+    def grams(df: DataFrame) = Curation.grams(df, textCol, n)
     // swap-pinned, NOT unpersisted here: the pin serves the eager
     // count()/bloomFilter() below AND the lazy join in the returned
     // frame — a finally-unpersist would drop the cache before the
@@ -110,8 +116,7 @@ object Curation {
     */
   def noveltyRate(evalDocs: DataFrame, refDocs: DataFrame, textCol: String,
       n: Int, fpp: Double = 0.01): DataFrame = {
-    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
-      .select(col("doc_id"), col("h").as("g"))
+    def grams(df: DataFrame) = Curation.grams(df, textCol, n)
     val refGrams = graft.core.CachePins.swap("curation.noveltyRate",
       grams(refDocs).select(col("g")).distinct())
     val nRef = math.max(refGrams.count(), 1L)
@@ -146,8 +151,7 @@ object Curation {
     */
   def noveltyRateExact(evalDocs: DataFrame, refDocs: DataFrame,
       textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) = MinHashLsh.hashedShingles(df, textCol, n)
-      .select(col("doc_id"), col("h").as("g"))
+    def grams(df: DataFrame) = Curation.grams(df, textCol, n)
     val refGrams = grams(refDocs).select(col("g")).distinct()
     val evalGrams = grams(evalDocs)
     val totals = evalGrams.groupBy(col("doc_id"))
@@ -246,7 +250,14 @@ object Curation {
     val withBp = rates.crossJoin(broadcast(anchor)).withColumn("keep_bp",
       floor(lit(10000.0) *
         sqrt(col("n_min").cast("double") / col("n_d").cast("double"))).cast("long"))
-    docs.join(broadcast(withBp.drop("n_min", "n_d")), domain)
+    // NULL-SAFE join: the NULL-domain group counts in the rates (it can
+    // even anchor n_min), so a plain equi-join — which never matches
+    // NULL — would both drop those docs entirely AND leave every other
+    // domain's rate anchored to a phantom smallest domain
+    docs.join(broadcast(withBp.drop("n_min", "n_d")
+        .withColumnRenamed(domain, "__graft_dom")),
+      col(domain) <=> col("__graft_dom"))
+      .drop("__graft_dom")
       .filter(sampleBucket(id, salt) < col("keep_bp"))
   }
 
@@ -261,10 +272,15 @@ object Curation {
   /** PII scrubbing: replace emails, IPv4 addresses and international
     * phone numbers with typed placeholder tokens, and count each kind
     * (counts run on the ORIGINAL text so they are independent of
-    * replacement order). Pure per-row column expressions — codegen'd,
-    * no shuffle, linear scan at any scale. Order of replacement is
-    * email → ip → phone; the patterns cannot create each other's
-    * matches from the placeholder tokens.
+    * replacement order). Documented consequence: a match NESTED inside
+    * an earlier pattern's span (e.g. the "+12345678" inside
+    * "a+12345678@b.com") still counts for its own kind even though the
+    * outer replacement consumed it — the counts measure occurrences in
+    * the SOURCE, not placeholders emitted; reconcile audits against the
+    * source, not `red_text`. Pure per-row column expressions —
+    * codegen'd, no shuffle, linear scan at any scale. Order of
+    * replacement is email → ip → phone; the patterns cannot create each
+    * other's matches from the placeholder tokens.
     */
   def redactPii(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -574,12 +590,18 @@ object Curation {
       .withColumn("m_d", expr("(__target_bp * n_total) div 10000"))
       .select(col(domain), expr("m_d div n_d").as("r_base"),
         expr("((m_d % n_d) * 10000) div n_d").as("extra_bp"))
-    docs.join(broadcast(withRates), domain)
+    // null-safe join (see temperatureSample) and the CALLER's id column
+    // in the output — the id parameter was accepted but a hard-coded
+    // doc_id select crashed any corpus whose id column is named otherwise
+    docs.join(broadcast(withRates
+        .withColumnRenamed(domain, "__graft_dom")),
+      col(domain) <=> col("__graft_dom"))
+      .drop("__graft_dom")
       .withColumn("n_copies",
         col("r_base") + when(sampleBucket(id, salt) < col("extra_bp"), 1L)
           .otherwise(0L))
       .filter(col("n_copies") > 0)
-      .select(col("doc_id"), col(domain),
+      .select(id.as("doc_id"), col(domain),
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
   }
 }

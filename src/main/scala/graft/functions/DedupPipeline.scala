@@ -42,8 +42,18 @@ object DedupPipeline {
       k: Int = 8, bandRows: Int = 2,
       thresholdNum: Int = 5, thresholdDen: Int = 10,
       maxBucket: Int = BucketedPairs.DefaultMaxBucket): Result = {
-    val sh60 = MinHashLsh.hashedShingles(docs, textCol, n)
-      .persist()
+    // validate BEFORE anything is pinned: a bad banding config must not
+    // strand a persisted plan the caller has no handle to release
+    require(bandRows >= 1 && k % bandRows == 0,
+      s"bandRows $bandRows must divide k $k")
+    require(thresholdDen >= 1 && thresholdNum >= 0,
+      s"threshold $thresholdNum/$thresholdDen must be a non-negative rational")
+    // pinned through CachePins: repeated runs in one session swap (the
+    // previous run's pin is released) and the harness's releaseAll
+    // reclaims a pin whose Result a caller discarded — a raw persist
+    // here leaked one CacheManager entry per dropped Result
+    val sh60 = graft.core.CachePins.swap("graft.dedup-pipeline.shingles",
+      MinHashLsh.hashedShingles(docs, textCol, n))
     val sig = MinHashLsh.signatureFromHashed(sh60, k)
     val cw = MinHashLsh.lshCandidatesWithDrops(sig, k, bandRows, maxBucket)
     val sizes = sh60.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -52,7 +62,14 @@ object DedupPipeline {
       .join(sh60.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    val pairs = inter
+    // LEFT join from the candidate list: a candidate pair with ZERO
+    // shared shingles (an affine-collision band match) must still
+    // surface when the threshold keeps it — thresholdNum = 0 means
+    // "every verified candidate with stats", and an inner-join chain
+    // would silently drop exactly the inter = 0 rows
+    val pairs = cw.pairs
+      .join(inter, Seq("a_id", "b_id"), "left_outer")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .filter(col("inter") * thresholdDen >=

@@ -58,4 +58,28 @@ class BudgetSelectSpec extends SparkSpec {
     assert(run(docs(rows: _*), 100) === rows.map(_._1).toSet)
     assert(run(docs(rows: _*), 0) === Set.empty[Long])
   }
+
+  test("null scores and weights refuse IN-PLAN: an unscored doc would " +
+      "inflate the budget while being unselectable, and an all-null " +
+      "corpus would silently select nothing") {
+    val s = spark; import s.implicits._
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var e = t; while (e != null) { sb.append(e.getMessage).append('|'); e = e.getCause }
+      sb.toString
+    }
+    val nullScore = Seq((1L, Some(0.5), 5L), (2L, None, 5L))
+      .toDF("doc_id", "score", "n_tokens")
+    val e1 = intercept[Throwable] {
+      BudgetSelect.select(nullScore, "doc_id", "score", "n_tokens", 50)
+        .collect()
+    }
+    assert(chain(e1).contains("null score"), chain(e1).take(300))
+    val nullW = Seq((1L, 0.5, Some(5L)), (2L, 0.5, None))
+      .toDF("doc_id", "score", "n_tokens")
+    val e2 = intercept[Throwable] {
+      BudgetSelect.select(nullW, "doc_id", "score", "n_tokens", 50).collect()
+    }
+    assert(chain(e2).contains("null n_tokens"), chain(e2).take(300))
+  }
 }

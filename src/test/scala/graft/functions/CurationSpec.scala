@@ -68,6 +68,37 @@ class CurationSpec extends SparkSpec {
     assert(got.get("big").forall(_ == 5000L), got.toString)
   }
 
+  test("temperatureSample: NULL-domain docs are a real group, not a " +
+      "phantom anchor — they sample at their own rate instead of " +
+      "anchoring n_min and then vanishing in the join") {
+    val s = spark
+    import s.implicits._
+    // 1 null-domain doc + 4 'big': the null group IS the smallest
+    // (n_min = 1) — it must keep at 10000bp itself, and 'big' keeps
+    // floor(10000*sqrt(1/4)) = 5000 anchored to that real group
+    val docs = ((1 to 4).map(i => (i.toLong, "big")) :+
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "dom")
+    val got = Curation.temperatureSample(docs, "dom", col("doc_id"), "t")
+      .select(col("dom"), col("keep_bp")).distinct()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got.get(None).forall(_ == 10000L),
+      s"null-domain docs must survive at their own rate: $got")
+    assert(got(Some("big")) == 5000L, got.toString)
+    // and the null-domain doc itself is present in the output
+    assert(Curation.temperatureSample(docs, "dom", col("doc_id"), "t")
+      .filter(col("dom").isNull).count() == 1)
+  }
+
+  test("epochMix honors the caller's id column name") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i => (i, "en")).toDF("url_id", "lang")
+    val out = Curation.epochMix(docs, "lang", col("url_id"),
+      lit(10000L), "t")
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "copy_idx"))
+    assert(out.count() == 10, "every doc exactly once at 100% target")
+  }
+
   test("temperatureSample on an empty corpus is empty, not an NPE") {
     val s = spark
     import s.implicits._
