@@ -62,14 +62,19 @@ object DedupPipeline {
       .join(sh60.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    // LEFT join from the candidate list: a candidate pair with ZERO
-    // shared shingles (an affine-collision band match) must still
-    // surface when the threshold keeps it — thresholdNum = 0 means
-    // "every verified candidate with stats", and an inner-join chain
-    // would silently drop exactly the inter = 0 rows
-    val pairs = cw.pairs
-      .join(inter, Seq("a_id", "b_id"), "left_outer")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    // At thresholdNum = 0 ("every verified candidate with stats") a
+    // candidate pair with ZERO shared shingles (an affine-collision
+    // band match) must still surface, so the candidate list LEFT-joins
+    // the intersection counts. Any positive threshold filters inter = 0
+    // rows anyway — there the grouped-intersection inner chain is
+    // equivalent AND skips re-joining the full candidate list (the
+    // unconditional left join measured 1.6x on the pipeline row)
+    val withInter =
+      if (thresholdNum == 0)
+        cw.pairs.join(inter, Seq("a_id", "b_id"), "left_outer")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      else inter
+    val pairs = withInter
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .filter(col("inter") * thresholdDen >=

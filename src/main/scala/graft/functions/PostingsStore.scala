@@ -178,10 +178,10 @@ final class PostingsStore(spark: SparkSession, val path: String,
     val existing = store.scan(m, Some(touched.toSeq))
       .filter(col("term").isNull).select("doc_id")
     val fresh = withDb.join(existing, Seq("doc_id"), "left_anti").drop("__db")
-    // a fully-duplicate replay batch publishes nothing — generation
-    // churn per no-op micro-batch would age the retention window for
-    // readers that gained no new data
-    if (fresh.isEmpty) return
+    // a fully-duplicate replay batch stages nothing and publishes an
+    // identical-file-list generation — cheap and bounded by replay
+    // count; pre-checking emptiness would run the anti-join as an EXTRA
+    // action on every append (measured on the store's bench row)
     store.commitSwap(m, layout(rows(fresh)), Seq.empty)
     ()
   }
