@@ -87,6 +87,14 @@ object BpeTrain {
   def train(spark: SparkSession, words: DataFrame, rounds: Int): Trained = {
     val out = Vector.newBuilder[Merge]
     var cur = words.persist()
+    // ONE action per round: round r's argmax is the action that
+    // materializes round r-1's lazily-pinned merge result, reading the
+    // STILL-CACHED previous table — only then is that previous cache
+    // released (an eager per-round count would be a second action per
+    // round; an unpersist before the next action would cascade a full
+    // recompute chain). `prev` is the one table whose release is
+    // pending.
+    var prev: Option[DataFrame] = None
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -94,6 +102,8 @@ object BpeTrain {
         .orderBy(col("f").desc, col("pair").asc)
         .limit(1)
         .collect()
+      // cur's storage is materialized now — the table behind it can go
+      prev.foreach(_.unpersist()); prev = None
       if (pairs.isEmpty) exhausted = true
       else {
         val pair = pairs(0).getString(0)
@@ -109,14 +119,23 @@ object BpeTrain {
         // per-round Catalyst analysis would grow O(r) and the loop
         // O(r²). A periodic lineage cut (graft.core.Lineage.cut —
         // reliable checkpoint on a cluster) brings the plan back to a
-        // leaf, keeping every round O(1) in plan depth.
+        // leaf, keeping every round O(1) in plan depth. Both pins are
+        // LAZY — the next round's argmax (or the final materialization
+        // below) is the single action that fills them.
         val next =
-          if (r % LineageEvery == 0) graft.core.Lineage.cut(applied.toDF())
-          else { val p = applied.persist(); p.count(); p }
-        cur.unpersist()
+          if (r % LineageEvery == 0)
+            graft.core.Lineage.cut(applied.toDF(), eager = false)
+          else applied.persist()
+        prev = Some(cur)
         cur = next
         r += 1
       }
+    }
+    // materialize the final vocab before releasing the table it derives
+    // from — the returned Trained must stand on its own storage
+    if (prev.isDefined) {
+      cur.count()
+      prev.foreach(_.unpersist()); prev = None
     }
     Trained(out.result(), cur)
   }

@@ -166,24 +166,31 @@ final class PostingsStore(spark: SparkSession, val path: String,
       textCol: String = "text"): Unit = {
     requireLayoutMatch("appendIdempotent")
     val m = store.resolve("appendIdempotent")
-    val tok = tokenized(docs, idCol, textCol)
-    val Array(n, d) = tok.agg(count(lit(1)), countDistinct(col("doc_id")))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == d, s"appendIdempotent: delta carries ${n - d} duplicate " +
-      "doc_ids — two texts for one id is a data error")
-    if (n == 0) return
-    val withDb = tok.withColumn("__db", docBucket(col("doc_id")))
-    val touched = withDb.select("__db").distinct()
-      .collect().map(_.getLong(0)).sorted
-    val existing = store.scan(m, Some(touched.toSeq))
-      .filter(col("term").isNull).select("doc_id")
-    val fresh = withDb.join(existing, Seq("doc_id"), "left_anti").drop("__db")
-    // a fully-duplicate replay batch stages nothing and publishes an
-    // identical-file-list generation — cheap and bounded by replay
-    // count; pre-checking emptiness would run the anti-join as an EXTRA
-    // action on every append (measured on the store's bench row)
-    store.commitSwap(m, layout(rows(fresh)), Seq.empty)
-    ()
+    // pinned: three actions consume this projection (dup-guard agg,
+    // touched-bucket distinct, the staged write) and each would
+    // otherwise re-run the tokenize+guard scan over the delta; the pin
+    // also guarantees validation and the committed write see ONE row
+    // set (same rationale as PqStore.appendIdempotent)
+    val tok = tokenized(docs, idCol, textCol).persist()
+    try {
+      val Array(n, d) = tok.agg(count(lit(1)), countDistinct(col("doc_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == d, s"appendIdempotent: delta carries ${n - d} duplicate " +
+        "doc_ids — two texts for one id is a data error")
+      if (n == 0) return
+      val withDb = tok.withColumn("__db", docBucket(col("doc_id")))
+      val touched = withDb.select("__db").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val existing = store.scan(m, Some(touched.toSeq))
+        .filter(col("term").isNull).select("doc_id")
+      val fresh = withDb.join(existing, Seq("doc_id"), "left_anti").drop("__db")
+      // a fully-duplicate replay batch stages nothing and publishes an
+      // identical-file-list generation — cheap and bounded by replay
+      // count; pre-checking emptiness would run the anti-join as an EXTRA
+      // action on every append (measured on the store's bench row)
+      store.commitSwap(m, layout(rows(fresh)), Seq.empty)
+      ()
+    } finally { tok.unpersist(); () }
   }
 
   /** Maintain the index from a streaming document feed; replay after a

@@ -188,29 +188,60 @@ object DedupQueries extends QuerySet {
     // Signature and truth are each computed once (CachePins) and reused
     // by every configuration; candidate generation per config is the
     // bucketed band join, never all-pairs
+    // ONE multi-config pass (optimization r16): the three band
+    // configurations share a single banded explode → single bucket
+    // shuffle → single pair stage keyed by cfg, and the nine scalar
+    // aggregates the per-config crossJoins ran collapse into two
+    // grouped counts + one truth count — same counts per config
+    // (banding per config is byte-identical to lshCandidates', pairs
+    // distinct per (cfg, a, b); truth∩cand counted by an inner join of
+    // two distinct pair sets == the former per-config semi join)
     "q_lsh_tuning" -> ((s, d) => {
+      import s.implicits._
       val docs = Tables.documents(s, d)
       val truth = graft.core.CachePins.swap("dedup.tuning.truth",
         graft.functions.Jaccard.pairs(docs, "text", SHINGLE_N, 5, 10)
           .select(col("a_id"), col("b_id")))
       val sig = graft.core.CachePins.swap("dedup.tuning.sig",
         MinHashLsh.signature(docs, "text", SHINGLE_N, K))
-      val rows = Seq(1, 2, 4).map { r =>
-        val cand = MinHashLsh.lshCandidates(sig, K, r)
-          .select(col("a_id"), col("b_id"))
-        val hit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
-        truth.agg(count(lit(1)).as("n_truth"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(lit(r.toLong).as("band_rows"),
-            lit((K / r).toLong).as("n_bands"),
-            col("n_truth"), col("n_cand"), col("n_hit"),
-            when(col("n_truth") === 0, 0L)
-              .otherwise(expr("n_hit * 10000L div n_truth")).as("recall_bp"),
-            when(col("n_cand") === 0, 0L)
-              .otherwise(expr("n_hit * 10000L div n_cand")).as("precision_bp"))
-      }
-      rows.reduce(_ unionByName _)
+      val bandedAll = Seq(1, 2, 4)
+        .map(r => MinHashLsh.banded(sig, K, r)
+          .select(lit(r.toLong).as("cfg"), col("band"), col("bval"),
+            col("doc_id")))
+        .reduce(_ unionByName _)
+      val cands = bandedAll
+        .groupBy(col("cfg"), col("band"), col("bval"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .select(col("cfg"), col("ids"))
+        .as[(Long, Seq[Long])]
+        .flatMap { case (cfg, ids) =>
+          val sorted = ids.sorted
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.size
+          } yield (cfg, sorted(i), sorted(j))
+        }
+        .toDF("cfg", "a_id", "b_id")
+        .distinct()
+      val candCounts = cands.groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_cand"))
+      val hitCounts = cands.join(truth, Seq("a_id", "b_id"))
+        .groupBy(col("cfg")).agg(count(lit(1)).as("n_hit"))
+      Seq(1L, 2L, 4L).toDF("cfg")
+        .join(candCounts, Seq("cfg"), "left")
+        .join(hitCounts, Seq("cfg"), "left")
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(col("cfg").as("band_rows"),
+          (lit(K.toLong) / col("cfg")).cast("long").as("n_bands"),
+          col("n_truth"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .select(col("band_rows"), col("n_bands"), col("n_truth"),
+          col("n_cand"), col("n_hit"),
+          when(col("n_truth") === 0, 0L)
+            .otherwise(expr("n_hit * 10000L div n_truth")).as("recall_bp"),
+          when(col("n_cand") === 0, 0L)
+            .otherwise(expr("n_hit * 10000L div n_cand")).as("precision_bp"))
     }),
 
     // the dedup-quality EVALUATION loop: recall/precision of the banded
