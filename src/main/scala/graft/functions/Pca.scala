@@ -59,7 +59,11 @@ object Pca {
     * bit-for-bit (see class scaladoc).
     */
   def gramQ(df: DataFrame, vecCol: String): DataFrame =
-    df.select(expr(
+    // d(d+1)/2 products per ROW: quadratic per-row fanout is exactly the
+    // CPU-dense shape a byte-sized scan split count starves (measured
+    // ~2.5x on the bench corpus's single-row-group file) — no-op at
+    // production split counts
+    graft.core.Spread.ifStarved(df).select(expr(
         s"""transform(`$vecCol`, x ->
            |  CAST(floor(CAST(x AS DOUBLE) * $QScale + 0.5) AS BIGINT))"""
           .stripMargin).as("__q"))

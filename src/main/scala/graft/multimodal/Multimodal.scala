@@ -613,8 +613,12 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+    // container ENCODE per row is CPU-dense; don't let it inherit the
+    // fixture scan's single split (Spread is a no-op at production
+    // split counts)
+    graft.core.Spread.ifStarved(
+        graft.sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb")))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, tb) =>
         (id % 3) match {

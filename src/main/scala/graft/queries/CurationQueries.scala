@@ -256,10 +256,17 @@ object CurationQueries extends QuerySet {
     // no-false-negative) -> exact recount of candidates only. False
     // positives stay in the output flagged is_heavy=false so the
     // sketch's collision arithmetic is itself oracle-checked
+    // spread BEFORE the shingle explode: the sketch pays d hashes per
+    // token occurrence twice (grid build + estimate), and the whole
+    // chain would otherwise inherit the scan's single split (measured:
+    // spreading the docs halves the row; spreading the exploded tokens
+    // doesn't — the explode itself serializes). No-op at production
+    // split counts (Spread derives from the live partition count)
     "q_heavy_hitters" -> ((s, d) =>
       graft.functions.Cms.heavyHitters(
         graft.functions.MinHashLsh.shingles(
-          Tables.documents(s, d), "text", n = 2, dedupe = false),
+          graft.core.Spread.ifStarved(Tables.documents(s, d)),
+          "text", n = 2, dedupe = false),
         "shingle")),
 
     // domain-mix rebalancing: downsample domains above the uniform

@@ -38,8 +38,11 @@ object MultimodalQueries extends QuerySet {
   private def hammingMedia(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    // spread the (tiny) id column before the CPU-dense per-id BMP
+    // encodes — no-op at production split counts
+    graft.core.Spread.ifStarved(
+        graft.sources.Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
       .filter((id: Long) => id % 6 == 0)
       .mapPartitions(_.flatMap { id =>
         val w = (8 + (id * 5) % 9).toInt
@@ -68,8 +71,11 @@ object MultimodalQueries extends QuerySet {
   private def compressedMedia(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    graft.sources.Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    // spread before the per-id PNG/FLAC/GIF encodes (CPU-dense; no-op
+    // at production split counts)
+    graft.core.Spread.ifStarved(
+        graft.sources.Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
       .mapPartitions(_.map { id =>
         (id % 3) match {
           case 0 =>
@@ -162,8 +168,9 @@ object MultimodalQueries extends QuerySet {
     // same imageStats pipeline as the BMP row
     "q_media_png" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .mapPartitions(_.map { id =>
           val w = (8 + (id * 5) % 9).toInt
           val h = (8 + (id * 3) % 9).toInt
@@ -190,8 +197,9 @@ object MultimodalQueries extends QuerySet {
     // matched too, not assumed away
     "q_media_cross_format" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .filter((id: Long) => id % 3 == 0)
         .mapPartitions(_.flatMap { id =>
           val w = (8 + (id * 5) % 9).toInt
@@ -217,8 +225,9 @@ object MultimodalQueries extends QuerySet {
     // LZW-decode the actual GIF stream to match
     "q_media_gif" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .mapPartitions(_.map { id =>
           val w = (8 + (id * 5) % 9).toInt
           val h = (8 + (id * 3) % 9).toInt
@@ -247,8 +256,9 @@ object MultimodalQueries extends QuerySet {
     // the header dims — pixel truth stays spec-side (JPEG is lossy)
     "q_media_avi_frames" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .filter((id: Long) => id % 7 == 3)
         .mapPartitions(_.map { id =>
           val w = (8 + (id * 3) % 9).toInt
@@ -318,8 +328,9 @@ object MultimodalQueries extends QuerySet {
     // counterpart of q_media_frames' uncompressed Y4M path
     "q_media_gif_frames" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .filter((id: Long) => id % 3 == 2)
         .mapPartitions(_.map { id =>
           val w = (4 + id % 5).toInt
@@ -339,8 +350,9 @@ object MultimodalQueries extends QuerySet {
     // (> the raw header floor)
     "q_media_jpeg" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .mapPartitions(_.map { id =>
           val w = (8 + (id * 5) % 9).toInt
           val h = (8 + (id * 3) % 9).toInt
@@ -409,8 +421,9 @@ object MultimodalQueries extends QuerySet {
     // per sample and the decoded aggregates hash-match cross-engine
     "q_media_g711" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .filter((id: Long) => id % 4 == 1)
         .mapPartitions(_.map { id =>
           val ch = (1 + id % 2).toInt
@@ -444,8 +457,9 @@ object MultimodalQueries extends QuerySet {
     // cross-block step-index carry are both under the oracle
     "q_media_adpcm" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .filter((id: Long) => id % 5 == 2)
         .mapPartitions(_.map { id =>
           val ch = (1 + id % 2).toInt
@@ -477,8 +491,9 @@ object MultimodalQueries extends QuerySet {
     // clips (media_id % 4 = 1) fall back to verbatim
     "q_media_flac" -> ((s, d) => {
       import s.implicits._
-      val media = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id")).as[Long]
+      val media = graft.core.Spread.ifStarved(  // CPU-dense per-id encode below
+          graft.sources.Tables.documents(s, d).select(col("doc_id")))
+        .as[Long]
         .filter((id: Long) => id % 6 == 5)
         .mapPartitions(_.map { id =>
           val ch = (1 + id % 2).toInt
