@@ -131,10 +131,19 @@ object BpeTrain {
         r += 1
       }
     }
-    // materialize the final vocab before releasing the table it derives
-    // from — the returned Trained must stand on its own storage
+    // final lineage cut: materializes the vocab before releasing the
+    // table it derives from (the returned Trained must stand on its own
+    // storage) AND truncates the returned plan to a leaf — without it
+    // the vocab plan nests one applyMerge fold per round between
+    // LineageEvery cuts, and every downstream analysis (tokenize's
+    // join re-analyzes it per query) pays the whole tree (~400 KB
+    // formatted at 8 rounds)
     if (prev.isDefined) {
-      cur.count()
+      val last = cur
+      cur = graft.core.Lineage.cut(cur)
+      // the checkpoint stands alone: release the last round's pin and
+      // the table it read from
+      last.unpersist()
       prev.foreach(_.unpersist()); prev = None
     }
     Trained(out.result(), cur)

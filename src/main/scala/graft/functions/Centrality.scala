@@ -68,14 +68,22 @@ object Centrality {
             .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
           dSum / nNodes
         }
+      // LAZY cut: the logical plan is truncated immediately (analysis
+      // stays O(1) per round), but materialization is deferred — the
+      // dangling variant's per-round dSum aggregate doubles as the
+      // materializing action, and the plain variant runs the WHOLE loop
+      // as one pipelined action below instead of one barrier per round
       ranks = graft.core.Lineage.cut(nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(
             s"$dampBp * (coalesce(c, CAST(0 AS BIGINT)) + $share) div 10000"))
-            .as("r")))
+            .as("r")), eager = false)
     }
     val out = ranks.select(col("id"), col("r").as("rank_micros"))
+    // materialize the pending lazy checkpoints while e/nodes are still
+    // pinned — the returned frame must stand on its own storage
+    if (iters > 0) ranks.count()
     e.unpersist()
     nodes.unpersist()
     out

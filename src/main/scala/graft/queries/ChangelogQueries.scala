@@ -276,9 +276,15 @@ object ChangelogQueries extends QuerySet {
     // doubles every count below.
     "q_idempotent_sink" -> ((s, d) => withScratch("graft-idem-q") { tmp =>
       val fam = new graft.streaming.CommitLogFamily(s, s"$tmp/log")
-      val log = Tables.eventsAsChangelog(s, d)
-      fam.appendIdempotent(log)
-      fam.appendIdempotent(log)
+      // pinned across BOTH appends: the replay semantics under test need
+      // the same element set offered twice, and the caller-pin contract
+      // of appendIdempotent lets the derivation run once instead of per
+      // append
+      val log = Tables.eventsAsChangelog(s, d).persist()
+      try {
+        fam.appendIdempotent(log)
+        fam.appendIdempotent(log)
+      } finally log.unpersist()
       materialized(eventTypeAgg(fam.batchUpdates().toDF())) {
         deleteRecursively(tmp)
       }

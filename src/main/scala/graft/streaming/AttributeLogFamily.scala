@@ -74,7 +74,14 @@ trait AttributeLogFamily {
     */
   def appendIdempotent(batch: Dataset[StreamElement]): Unit = {
     import org.apache.spark.sql.functions.{col, max, min}
-    val b = batch.persist()
+    // a caller-pinned batch keeps ITS cache (a second persist is a no-op
+    // whose unpersist would silently evict the caller's entry — the
+    // Lineage.cut rule); only pin/release when this call created the pin.
+    // Lets a caller replaying one derived changelog through several
+    // appends pay its derivation once.
+    val callerPinned =
+      batch.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val b = if (callerPinned) batch else batch.persist()
     try {
       val mm = b.toDF().agg(min(col("stamp")), max(col("stamp"))).head()
       if (!mm.isNullAt(0)) {
@@ -84,7 +91,7 @@ trait AttributeLogFamily {
           .as[StreamElement](StreamElement.encoder)
         append(fresh)
       }
-    } finally b.unpersist()
+    } finally { if (!callerPinned) { b.unpersist(); () } }
   }
 
   /** Storage-identity token for transaction-commit serialization: all
