@@ -613,12 +613,14 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // container ENCODE per row is CPU-dense; don't let it inherit the
-    // fixture scan's single split (Spread is a no-op at production
-    // split counts)
-    graft.core.Spread.ifStarved(
-        graft.sources.Tables.documents(spark, sfDir)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb")))
+    // NO Spread here (measured): the uncompressed BMP/WAV/Y4M encodes
+    // are cheap per row, and the added round-robin exchange cost its
+    // ~12 consumer rows more than the parallelism recovered (+1.5 s
+    // family-wide); the COMPRESSED encoders (PNG deflate, GIF LZW,
+    // JPEG, FLAC) keep their per-fixture spread, where it measured
+    // -1.8 s
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, tb) =>
         (id % 3) match {

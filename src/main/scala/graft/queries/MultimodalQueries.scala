@@ -38,11 +38,11 @@ object MultimodalQueries extends QuerySet {
   private def hammingMedia(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // spread the (tiny) id column before the CPU-dense per-id BMP
-    // encodes — no-op at production split counts
-    graft.core.Spread.ifStarved(
-        graft.sources.Tables.documents(s, d).select(col("doc_id")))
-      .as[Long]
+    // no Spread: plain BMP encode is cheap per row — the exchange
+    // measured +0.65/+0.44 s on the two consumer rows (see
+    // Multimodal.syntheticMedia)
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
       .filter((id: Long) => id % 6 == 0)
       .mapPartitions(_.flatMap { id =>
         val w = (8 + (id * 5) % 9).toInt

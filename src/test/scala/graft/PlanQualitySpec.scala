@@ -333,7 +333,12 @@ class PlanQualitySpec extends SparkSpec {
       .syntheticMedia(spark, "/root/testdata/sf0.001")
     // real container parse + stats happen inside the scan's partition:
     // a shuffle here would mean the decode stage re-keyed corpus-sized
-    // binary payloads for no reason
+    // binary payloads for no reason. The ONE allowed exchange is the
+    // starved-scan spread's round-robin of the (id, text-bytes)
+    // projection BELOW the encode (core/Spread — a no-op at production
+    // split counts): it moves fixture inputs, never decoded payloads
+    // or stats, so any hash/range exchange — or a second exchange of
+    // any kind — still fails this law
     Seq(
       graft.multimodal.Multimodal.imageStats(media).queryExecution,
       graft.multimodal.Multimodal.audioStats(media).queryExecution,
@@ -341,7 +346,9 @@ class PlanQualitySpec extends SparkSpec {
       graft.multimodal.Multimodal.imageAHash(media).queryExecution
     ).foreach { qe =>
       val planStr = qe.executedPlan.toString
-      assert(!planStr.contains("Exchange"), planStr.take(1200))
+      val exchanges = "Exchange [A-Za-z]+".r.findAllIn(planStr).toSeq
+      assert(exchanges.forall(_.contains("RoundRobin")) &&
+        exchanges.size <= 1, planStr.take(1200))
     }
   }
 
