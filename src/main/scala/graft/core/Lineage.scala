@@ -41,8 +41,22 @@ object Lineage {
   /** Truncate `df`'s lineage: reliable [[DataFrame.checkpoint]] when
     * [[ConfKey]] is set, `localCheckpoint` otherwise. `eager = false`
     * defers materialization to the caller's next action (one job per
-    * loop round instead of two) — local path only; the reliable path is
-    * always eager (below).
+    * loop round instead of two) — LOCAL PATH ONLY. The reliable path is
+    * DELIBERATELY ALWAYS EAGER, so `eager = false` is a best-effort
+    * hint, not a guarantee: loop call sites (Centrality, BpeTrain,
+    * Clusters) save one driver barrier per round only in local mode.
+    *
+    * Why lazy reliable checkpointing would be a pessimization, not an
+    * optimization: Spark writes a reliable checkpoint in a SEPARATE job
+    * that runs after the first job over the RDD completes
+    * (ReliableRDDCheckpointData.doCheckpoint). Deferring to the caller's
+    * next action therefore still costs two jobs per round — and unless
+    * the frame is pinned across both, the write job RECOMPUTES the full
+    * plan, doubling each round's task work at exactly the scale the
+    * reliable path exists for. Releasing that pin needs a deterministic
+    * point after the write, which only the eager shape provides. Eager
+    * persist → checkpoint → unpersist is the cheapest fault-tolerant
+    * round: one compute into cache, one cache-read write, cache freed.
     *
     * Reliable-path shape: persist → eager checkpoint → unpersist.
     * A bare `checkpoint()` COMPUTES THE PLAN TWICE (Spark writes the

@@ -95,6 +95,13 @@ object BpeTrain {
     // recompute chain). `prev` is the one table whose release is
     // pending.
     var prev: Option[DataFrame] = None
+    // tracks whether the LAST assignment to cur was already a lineage
+    // cut — the final-cut decision keys on this, not on prev.isDefined,
+    // so the exhaustion path (argmax returns no pair right after
+    // releasing prev) cannot return a plan nesting up to LineageEvery-1
+    // applyMerge folds and silently break the returned-plan-is-a-leaf
+    // contract that tokenize's per-query re-analysis relies on
+    var lastWasCut = false
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -122,8 +129,9 @@ object BpeTrain {
         // leaf, keeping every round O(1) in plan depth. Both pins are
         // LAZY — the next round's argmax (or the final materialization
         // below) is the single action that fills them.
+        lastWasCut = r % LineageEvery == 0
         val next =
-          if (r % LineageEvery == 0)
+          if (lastWasCut)
             graft.core.Lineage.cut(applied.toDF(), eager = false)
           else applied.persist()
         prev = Some(cur)
@@ -138,12 +146,19 @@ object BpeTrain {
     // LineageEvery cuts, and every downstream analysis (tokenize's
     // join re-analyzes it per query) pays the whole tree (~400 KB
     // formatted at 8 rounds)
-    if (prev.isDefined) {
+    if (!lastWasCut) {
       val last = cur
       cur = graft.core.Lineage.cut(cur)
       // the checkpoint stands alone: release the last round's pin and
       // the table it read from
       last.unpersist()
+      prev.foreach(_.unpersist()); prev = None
+    } else if (prev.isDefined) {
+      // the loop exited right on a cut round: cur is already a leaf but
+      // its LAZY cut was never filled by a next-round argmax — one
+      // action materializes it while the table it reads is still
+      // cached, then that pin can go
+      cur.count()
       prev.foreach(_.unpersist()); prev = None
     }
     Trained(out.result(), cur)

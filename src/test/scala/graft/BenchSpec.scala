@@ -73,4 +73,19 @@ class BenchSpec extends SparkSpec {
     val bloated = Seq(("q_anything", budgets("total") + 1, Option.empty[String]))
     assert(Bench.checkBudgets(bloated, budgets).exists(_.startsWith("total:")))
   }
+
+  test("writeResultArtifacts persists the identical JSON line, root + per-SF") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-artifact")
+    val json = Bench.renderJson(Seq(("q_x", 1.5, None)), "/data/sf0.1")
+    Bench.writeResultArtifacts(json, "/data/sf0.1", dir.toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    Seq("BENCH_RESULT.json", s"BENCH_RESULT_sf0.1_c$cpus.json").foreach { f =>
+      val p = dir.resolve(f)
+      assert(java.nio.file.Files.exists(p), s"$f missing")
+      val back = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      assert(back == json, f)
+    }
+    // best-effort contract: an unwritable root must not throw
+    Bench.writeResultArtifacts(json, "/data/sf0.1", "/nonexistent-dir/nope")
+  }
 }

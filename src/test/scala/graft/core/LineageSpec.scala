@@ -46,6 +46,37 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("cut(eager=false) with the conf set is deliberately eager + correct") {
+    // the reliable path ignores the laziness hint (lazy reliable
+    // checkpoints would double-compute — see the Lineage.cut scaladoc);
+    // this pins the contract: conf + eager=false still yields a reliably
+    // checkpointed, correct leaf, and the temporary pin is released
+    val dir = Files.createTempDirectory("graft-ckpt-lazy-").toString
+    withConf(Some(dir)) {
+      // the context's checkpoint dir is first-one-wins for the app's
+      // lifetime (a prior test may own it) — count files in the ACTUAL dir
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      def ckptFiles(): Int =
+        spark.sparkContext.getCheckpointDir.map(d => files(new java.io.File(
+          new java.net.URI(d).getPath)).count(_.isFile)).getOrElse(0)
+      val in = spark.range(50).toDF().filter("id % 2 = 0")
+      val before = ckptFiles()
+      val cut = Lineage.cut(in, eager = false)
+      // eager on this path: checkpoint files exist BEFORE any caller
+      // action, and the returned plan is already a leaf
+      assert(ckptFiles() > before,
+        "reliable cut must be eager: no new checkpoint files before an action")
+      assert(cut.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD",
+        cut.queryExecution.analyzed)
+      assert(cut.count() === 25)
+      // the internal pin was released (caller did not persist `in`)
+      assert(in.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    }
+  }
+
   test("iterative loops survive and stay correct with the flag set") {
     // the real consumer: connected components over a 2-component graph,
     // every round cutting lineage through the reliable path

@@ -94,6 +94,22 @@ class BpeTrainSpec extends SparkSpec {
       Seq(("a", "b", 2L), ("c", "d", 1L)), got.toString)
   }
 
+  test("exhausted training still returns a leaf vocab plan") {
+    val s = spark
+    import s.implicits._
+    // exhausts after 2 merges, far below LineageEvery — the final cut
+    // must fire anyway or the returned plan nests one applyMerge fold
+    // per completed round (the contract tokenize's per-query
+    // re-analysis relies on)
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val trained = BpeTrain.train(s, BpeTrain.wordTable(docs, "text"), rounds = 10)
+    try {
+      val analyzed = trained.vocab.queryExecution.analyzed
+      assert(analyzed.getClass.getSimpleName == "LogicalRDD",
+        s"vocab plan is not a leaf: $analyzed")
+    } finally trained.unpersist()
+  }
+
   test("train matches the classic algorithm on random run-heavy corpora") {
     val s = spark
     import s.implicits._

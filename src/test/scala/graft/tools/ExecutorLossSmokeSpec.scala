@@ -22,6 +22,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * state from the checkpointed SST/changelog files, not from the dead
   * process's heap.
   */
+@org.scalatest.tags.Slow
 class ExecutorLossSmokeSpec extends AnyFunSuite {
 
   private def run(provider: Option[String]): Unit = {

@@ -18,6 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (KafkaSource.scala now plans record-carrying splits on the driver and
   * routes writes through commit messages).
   */
+@org.scalatest.tags.Slow
 class LocalClusterSmokeSpec extends AnyFunSuite {
 
   test("serialization-sensitive queries are bit-identical under " +

@@ -16,6 +16,7 @@ import graft.sources.StoreManifest
   * separate processes, which is what "two maintenance jobs on one store"
   * actually looks like in a deployment.
   */
+@org.scalatest.tags.Slow
 class ManifestRaceSmokeSpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 

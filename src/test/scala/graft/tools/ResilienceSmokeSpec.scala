@@ -26,6 +26,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * behavior (SST cleanup, changelog replay) could diverge, and
   * production streaming state is RocksDB.
   */
+@org.scalatest.tags.Slow
 class ResilienceSmokeSpec extends AnyFunSuite {
 
   private def run(provider: Option[String]): Unit = {

@@ -18,6 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * state-revealing ops mid-feed: restored RocksDB state must continue
   * running sums and remember first-claim owners.
   */
+@org.scalatest.tags.Slow
 class RocksDbSmokeSpec extends AnyFunSuite {
 
   test("stateful streaming ops are provider-independent (RocksDB == " +

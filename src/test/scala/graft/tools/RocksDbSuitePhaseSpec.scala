@@ -20,6 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * gate (rocksdb custom metrics must be present), so a typo'd provider
   * can never silently demote the phase to default-vs-default.
   */
+@org.scalatest.tags.Slow
 class RocksDbSuitePhaseSpec extends AnyFunSuite {
 
   /** Stateful suites re-run under RocksDB. StreamConfSpec is included
