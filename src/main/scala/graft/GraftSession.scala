@@ -45,6 +45,21 @@ object GraftSession {
       // cores or unsets it to inherit the batch width
       .config(graft.streaming.StreamConf.Key, "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // Checkpoint-manager choice is a per-FILESYSTEM adaptation, not a
+      // scale knob: Spark's default FileContext-based manager costs
+      // ~44 ms per metadata write on local/POSIX paths vs ~9 ms for the
+      // FileSystem-based manager (tools/GraftStreamMicroProbe medians;
+      // both are atomic under POSIX rename). Every micro-batch pays
+      // three such writes on the driver critical path (offset WAL,
+      // commit log, file-source log) plus one state-store delta per
+      // state partition, so this is the dominant per-batch fixed cost.
+      // An HDFS deployment should override back to the default (unset):
+      // there FileContext's atomic-overwrite rename is the stronger
+      // primitive; object-store checkpoints already use the FileSystem
+      // manager because no FileContext binding exists.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
       // manifest-store reads (sources/StoreManifest) pass explicit file
       // lists (64-256 paths for a bucketed store); above this threshold
       // Spark submits a whole JOB just to stat the roots, a fixed

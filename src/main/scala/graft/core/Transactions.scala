@@ -126,4 +126,105 @@ final class TransactionCoordinator(family: AttributeLogFamily,
   }
 
   def begin(): Transaction = new Transaction(currentMaxSeq())
+
+  /** Execute a whole begin/update/commit schedule as the family's ONE
+    * exclusive committer — the batch arbiter for callers that already
+    * hold their interleaving in hand (a replayed transaction log, a
+    * deterministic contention test). Per-step semantics are EXACTLY the
+    * sequential API's (TransactionSpec pins the law): begin snapshots
+    * the current max sequential id, commit validates the txn's write
+    * scope against every commit that landed after its snapshot under
+    * the configured [[TransactionMode]], winners get the next
+    * sequential id, losers abort without aborting the schedule.
+    *
+    * What amortizes: the sequential API pays one distributed max-seq
+    * aggregate per begin plus one storage conflict scan per commit —
+    * O(schedule) Spark jobs for driver-bounded metadata. Under the
+    * commit lock nothing else can land, so ONE storage read establishes
+    * the base position and every subsequent begin/validate resolves
+    * against the in-memory commit ledger; accepted writes land as ONE
+    * atomic append carrying their per-commit seqIds. Same winners, same
+    * aborts, same seqIds, same committed rows — O(1) jobs.
+    *
+    * Differences, both deliberate and documented: (a) atomicity is
+    * batch-level (a crash mid-schedule commits nothing, where the
+    * sequential replay would persist a prefix — strictly stronger for a
+    * replayed log, which re-runs from the top anyway); (b) transactional
+    * READS are not supported in a schedule (they would need a
+    * read-through of the in-memory ledger; no batch caller needs it) —
+    * use the sequential API when a txn must `get`.
+    */
+  def commitMany(schedule: Seq[TransactionCoordinator.ScheduleStep])
+      : Seq[TransactionCoordinator.ScheduleOutcome] =
+    CommitArbiter.withCommitLock(family) {
+      import TransactionCoordinator.{ScheduleOutcome, ScheduleStep}
+      import ScheduleStep._
+      val base = currentMaxSeq() // the one storage read
+      var logicalMax = base
+      val beginSeq = collection.mutable.Map.empty[Int, Long]
+      val writes =
+        collection.mutable.Map.empty[Int, collection.mutable.ArrayBuffer[StreamElement]]
+      // the in-memory commit ledger: (seq, key, attribute) of every
+      // in-schedule winner — the exact rows a sequential commit's
+      // storage scan (seqId > beginSeq) would return under the lock
+      val ledger = collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      val accepted = collection.mutable.ArrayBuffer.empty[StreamElement]
+      val outcomes = collection.mutable.ArrayBuffer.empty[ScheduleOutcome]
+      schedule.foreach {
+        case Begin(i) =>
+          require(!beginSeq.contains(i), s"txn $i began twice")
+          beginSeq(i) = logicalMax
+          writes(i) = collection.mutable.ArrayBuffer.empty
+        case Update(i, e) =>
+          require(beginSeq.contains(i), s"txn $i updated before begin")
+          writes(i) += e
+        case Commit(i) =>
+          require(beginSeq.contains(i), s"txn $i committed before begin")
+          val scope = writes(i).map(e => (e.key, e.attribute)).toSet
+          val since = ledger.filter(_._1 > beginSeq(i))
+          val conflicting = since.filter { case (_, k, a) =>
+            mode match {
+              case TransactionMode.All => true
+              case TransactionMode.Key => scope.exists(_._1 == k)
+              case TransactionMode.Attribute => scope.contains((k, a))
+            }
+          }
+          if (conflicting.nonEmpty) {
+            Metrics.inc("graft.transactions.rejected")
+            outcomes += ScheduleOutcome(i, Left(
+              s"${conflicting.length} commit(s) after seq ${beginSeq(i)} " +
+                s"touch the transaction scope under mode $mode (first: " +
+                s"${conflicting.head._2}/${conflicting.head._3})"))
+          } else {
+            val seq = (since.map(_._1) :+ beginSeq(i)).max + 1
+            ledger ++= writes(i).map(e => (seq, e.key, e.attribute))
+            accepted ++= writes(i).map(_.copy(seqId = seq))
+            logicalMax = math.max(logicalMax, seq)
+            Metrics.inc("graft.transactions.committed")
+            outcomes += ScheduleOutcome(i, Right(seq))
+          }
+          beginSeq.remove(i); writes.remove(i); ()
+      }
+      if (accepted.nonEmpty) family.append(accepted.toSeq) // the one append
+      outcomes.toSeq
+    }
+}
+
+object TransactionCoordinator {
+
+  /** One step of a [[TransactionCoordinator.commitMany]] schedule; `txn`
+    * indexes a logical transaction within the schedule (begin before
+    * update before commit, each txn commits at most once).
+    */
+  sealed trait ScheduleStep { def txn: Int }
+  object ScheduleStep {
+    final case class Begin(txn: Int) extends ScheduleStep
+    final case class Update(txn: Int, e: StreamElement) extends ScheduleStep
+    final case class Commit(txn: Int) extends ScheduleStep
+  }
+
+  /** Outcome of one scheduled transaction: the assigned sequential id on
+    * commit, or the rejection message on conflict abort.
+    */
+  final case class ScheduleOutcome(txn: Int, result: Either[String, Long])
 }

@@ -110,6 +110,7 @@ object GraftExtensions {
     ext.injectFunction(ShingleHash60.functionDescription)
     ext.injectFunction(ShingleHash60.dsirFunctionDescription)
     ext.injectFunction(ShingleHash60.segmentFunctionDescription)
+    ext.injectFunction(Winnow60.functionDescription)
     ext.injectFunction(MightContain.functionDescription)
     ext.injectFunction(DotProduct.functionDescription)
     // portable formula -> native expression rewrites (see NativeHashRewrite)
@@ -133,6 +134,7 @@ object GraftExtensions {
           ShingleHash60.functionDescription,
           ShingleHash60.dsirFunctionDescription,
           ShingleHash60.segmentFunctionDescription,
+          Winnow60.functionDescription,
           MightContain.functionDescription,
           DotProduct.functionDescription).foreach {
           case (ident, info, builder) =>

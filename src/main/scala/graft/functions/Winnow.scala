@@ -45,15 +45,38 @@ object Winnow {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    // all per-document: gram hashes, sliding minima and dedup are
-    // higher-order array expressions inside the row — no shuffle; the
-    // 1-based positions match SQL substring on both engines, and the
-    // gram hash is the native graft_hash60 (== the oracle's
-    // conv(substr(md5(s), 1, 15), 16, 10), Hash60Spec-pinned) so the
-    // hot kernel skips the hex-string round-trip. g = number of
-    // k-grams; the last full w-window starts at g - (w - 1). The empty
-    // cases are explicit CASEs: sequence(1, 0) is a DESCENDING [1, 0]
-    // in Spark, not an empty array.
+    // all per-document, no shuffle: gram hashes, sliding minima and the
+    // distinct happen inside the row via the NATIVE [[Winnow60]]
+    // expression (optimization r17) — one byte pass with a monotone-
+    // deque sliding min, replacing the functions-only spelling whose
+    // substr-per-gram seek is O(L) each (O(L²) per document) and whose
+    // slice-per-window allocates. Bit-equality with that spelling
+    // ([[fingerprintsFormula]], still the oracle's shape) is
+    // WinnowNativeSpec-pinned.
+    // Small-input guard: selection is compute-bound, so it wants one
+    // task per core; a source offering fewer splits than cores is a
+    // small-file artifact (impossible at corpus scale, where input
+    // splits vastly outnumber cores — the guard then never fires and
+    // nothing is shuffled). The shuffled payload when it does fire is
+    // by definition tiny.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // project BEFORE the spread: the guard's round-robin exchange must
+    // carry only the two columns the kernel reads, not the caller's
+    // full row (guide §2.3 — project before the exchange)
+    val slim = docs.select(col(idCol), col(textCol))
+    val src = if (slim.rdd.getNumPartitions < par) slim.repartition(par) else slim
+    src.select(col(idCol), explode(Winnow60.column(col(textCol), k, w)).as("fp"))
+  }
+
+  /** The functions-only spelling of [[fingerprints]]'s per-document
+    * selection — the formula the DuckDB oracle replays and the parity
+    * surface WinnowNativeSpec proves [[Winnow60]] against. The 1-based
+    * positions match SQL substring on both engines; the empty cases are
+    * explicit CASEs because `sequence(1, 0)` is a DESCENDING [1, 0] in
+    * Spark, not an empty array.
+    */
+  private[functions] def fingerprintsFormula(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     val hs =
       s"""case when length($textCol) >= $k then
          |  transform(sequence(1, length($textCol) - ${k - 1}),
@@ -65,16 +88,8 @@ object Winnow {
          |    sequence(1, size(__graft_hs) - ${w - 1}),
          |    j -> array_min(slice(__graft_hs, j, $w))))
          |else cast(array() as array<bigint>) end""".stripMargin
-    // small-input guard: selection is compute-bound, so it wants one
-    // task per core; a source offering fewer splits than cores is a
-    // small-file artifact (impossible at corpus scale, where input
-    // splits vastly outnumber cores — the guard then never fires and
-    // nothing is shuffled). The shuffled payload when it does fire is
-    // by definition tiny.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     GraftExtensions.ensureRegistered()
-    src
+    docs
       .withColumn("__graft_hs", expr(hs))
       .select(col(idCol), explode(expr(sel)).as("fp"))
   }
@@ -102,6 +117,13 @@ object Winnow {
     // into work the pairing pipeline does anyway.
     val pinned = graft.core.CachePins.swap("winnow.substringPairs",
       fps.dropDuplicates(idCol, "fp"))
+    // materialize the pin EAGERLY (one tiny count job): the index
+    // appears three times in the one downstream plan, and a lazily-
+    // filled cache lets those scans race — concurrent stages each
+    // recompute the gram-explode pass into the same cache slots
+    // (measured: 66 taskSec ≈ 2.5 fingerprint passes for
+    // q_substring_pairs). Filled first, all three consumers read cache.
+    pinned.count()
     val perFp = pinned.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBucket)

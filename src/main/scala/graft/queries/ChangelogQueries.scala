@@ -223,40 +223,55 @@ object ChangelogQueries extends QuerySet {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2))
-      // write-write scope only (no transactional read): a lost-update race
-      // must abort even without a prior get — and it halves the per-txn
-      // Spark jobs, keeping the schedule's wall time bounded
-      def write(t: TransactionCoordinator#Transaction,
-          user: Long, eid: Long, v: Double): Unit = {
-        // floor(x+0.5), not round(): engine-identical in DuckDB (Pca note)
+      // the same deterministic contention schedule, executed through the
+      // BATCH arbiter (optimization r17): commitMany replays the exact
+      // begin/update/commit interleaving under one commit lock with one
+      // storage read + one atomic append, instead of one Spark agg per
+      // begin, one conflict-scan collect per commit and one parquet
+      // commit per winner (~85 serialized jobs). Same winners, same
+      // aborts, same seqIds — TransactionSpec pins the batched==
+      // sequential law, and the committed log below is byte-identical.
+      import TransactionCoordinator.{ScheduleStep => St}
+      // write-write scope only (no transactional read): a lost-update
+      // race must abort even without a prior get.
+      // floor(x+0.5), not round(): engine-identical in DuckDB (Pca note)
+      def elem(user: Long, eid: Long, v: Double): StreamElement = {
         val cents = math.floor(v * 100 + 0.5).toLong
-        t.update(StreamElement.upsert("user", s"user-$user", "balance",
-          s"txn-$eid", eid, cents.toString.getBytes("UTF-8")))
+        StreamElement.upsert("user", s"user-$user", "balance",
+          s"txn-$eid", eid, cents.toString.getBytes("UTF-8"))
       }
-      var lastSeq = 0L
+      val steps =
+        collection.mutable.ArrayBuffer.empty[TransactionCoordinator.ScheduleStep]
+      val mustAbort = collection.mutable.Set.empty[Int]
+      var n = 0
       sample.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, evs) =>
         var i = 0
         while (i < evs.length) {
           val (u1, e1, v1) = evs(i)
           if (i + 1 < evs.length) {
             val (u2, e2, v2) = evs(i + 1)
-            val t1 = coord.begin(); val t2 = coord.begin()
-            write(t1, u1, e1, v1)
-            val seq = t1.commit()
-            require(seq > lastSeq, s"seqId not monotone: $seq after $lastSeq")
-            lastSeq = seq
-            write(t2, u2, e2, v2)
-            try { t2.commit(); sys.error(s"txn on contended cell user-$u2 must abort") }
-            catch { case _: coord.TransactionRejectedException => () }
+            val (a, b) = (n, n + 1); n += 2
+            steps ++= Seq(St.Begin(a), St.Begin(b),
+              St.Update(a, elem(u1, e1, v1)), St.Commit(a),
+              St.Update(b, elem(u2, e2, v2)), St.Commit(b))
+            mustAbort += b
             i += 2
           } else {
-            val t = coord.begin(); write(t, u1, e1, v1)
-            val seq = t.commit()
-            require(seq > lastSeq, s"seqId not monotone: $seq after $lastSeq")
-            lastSeq = seq
+            val a = n; n += 1
+            steps ++= Seq(St.Begin(a), St.Update(a, elem(u1, e1, v1)),
+              St.Commit(a))
             i += 1
           }
         }
+      }
+      var lastSeq = 0L
+      coord.commitMany(steps.toSeq).foreach {
+        case TransactionCoordinator.ScheduleOutcome(t, Right(seq)) =>
+          require(!mustAbort(t), s"txn $t on a contended cell must abort")
+          require(seq > lastSeq, s"seqId not monotone: $seq after $lastSeq")
+          lastSeq = seq
+        case TransactionCoordinator.ScheduleOutcome(t, Left(_)) =>
+          require(mustAbort(t), s"uncontended txn $t must commit")
       }
       materialized(fam.batchUpdates().toDF()
         .groupBy(col("key"))

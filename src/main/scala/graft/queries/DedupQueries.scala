@@ -209,6 +209,16 @@ object DedupQueries extends QuerySet {
           .select(lit(r.toLong).as("cfg"), col("band"), col("bval"),
             col("doc_id")))
         .reduce(_ unionByName _)
+      // DELIBERATELY UNCAPPED (the evaluation-row contract, unlike the
+      // pipeline path's BucketedPairs cap): this row EXISTS to measure
+      // the full recall/precision curve of each band configuration, and
+      // capping hot buckets would bias exactly the numbers a retune is
+      // judged by — a curve computed over a silently-truncated candidate
+      // set would overstate precision and understate recall. The cost
+      // bound is the eval corpus, not production scale: a tuning run
+      // samples its corpus first (the reference practice), so the
+      // worst bucket here is sample-sized. The production ingest path
+      // (DedupPipeline/CurationPipeline) stays capped + quarantined.
       val cands = bandedAll
         .groupBy(col("cfg"), col("band"), col("bval"))
         .agg(collect_list(col("doc_id")).as("ids"))

@@ -28,7 +28,7 @@ trait QuerySet {
   * (Bench runs every query twice) must not accumulate sink tables
   * pinning every run's rows on the driver.
   */
-private[queries] object StreamSupport {
+private[graft] object StreamSupport {
 
   /** Shape-capture seam: when set, receives each memory-sink query after
     * its drive completes and BEFORE stop() (recentProgress and the last

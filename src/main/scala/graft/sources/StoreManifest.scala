@@ -259,21 +259,20 @@ private[graft] object StoreManifest {
     val staging = s"${path}/_staging_${UUID.randomUUID()}"
     replacement.write.partitionBy(partitionCol).mode("overwrite")
       .parquet(staging)
-    // move each staged data file into its live partition dir under its
-    // job-unique name; nothing here is reader-visible until the publish
+    // move the staged data files into their live partition dirs under
+    // their job-unique names; nothing here is reader-visible until the
+    // publish. BATCHED (optimization r17, guide §6 I/O): one mkdirs per
+    // distinct partition dir instead of one per file, and the renames —
+    // independent of each other by construction (job-unique names, all
+    // invisible until the publish) — fan out over a bounded driver pool.
+    // Each Hadoop-FS metadata call costs ~10 ms even on a local
+    // filesystem (and far more on an object store), so the serial
+    // per-file mkdirs+rename loop was 2 × files × RPC on the driver
+    // critical path of every store commit.
     val staged = collectDataFiles(fs, new Path(staging), new Path(staging))
-    val moved = staged.map { rel =>
-      val from = new Path(s"$staging/$rel")
-      val dir = new Path(s"$path/${dirOf(rel)}")
-      fs.mkdirs(dir)
-      val to = new Path(s"$path/$rel")
-      if (!fs.rename(from, to))
-        throw new IllegalStateException(
-          s"staging move $from -> $to failed (filesystem returned false); " +
-            "the store still serves its previous version — clean " +
-            s"$staging and retry")
-      rel
-    }
+    staged.map(dirOf).distinct.foreach(d => fs.mkdirs(new Path(s"$path/$d")))
+    val moved = parallelRename(fs, staged.map(rel =>
+      (new Path(s"$staging/$rel"), new Path(s"$path/$rel"), rel)), staging)
     fs.delete(new Path(staging), true)
     val kept = m.files.filterNot(f => swapDirs.contains(dirOf(f)))
     val published = publish(spark, path, m.schema, kept ++ moved, m.gen,
@@ -293,6 +292,39 @@ private[graft] object StoreManifest {
     if (published.gen % VacuumEvery == 0)
       vacuum(spark, path, minAgeMs = AutoVacuumMinAgeMs)
     published
+  }
+
+  /** Staged-move fan-out: renames run on a bounded per-call pool (the
+    * moves are independent and invisible until the publish); the first
+    * failure aborts the commit exactly as the serial loop did — the
+    * store still serves its previous version, and the documented
+    * recovery (clean the staging dir and retry) is unchanged. Pool size
+    * caps driver-side FS concurrency; object-store connectors throttle
+    * well above 16 concurrent metadata calls.
+    */
+  private def parallelRename(fs: FileSystem,
+      moves: Seq[(Path, Path, String)], staging: String): Seq[String] = {
+    if (moves.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, moves.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = moves.map { case (from, to, rel) =>
+        new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            if (!fs.rename(from, to))
+              throw new IllegalStateException(
+                s"staging move $from -> $to failed (filesystem returned " +
+                  "false); the store still serves its previous version — " +
+                  s"clean $staging and retry")
+            rel
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** Generation cadence of [[commitSwap]]'s opportunistic [[vacuum]]. */

@@ -254,4 +254,82 @@ class TransactionModesSpec extends SparkSpec {
       s"exactly one racing transaction must win, got $results")
     assert(f.batchUpdates().count() == 1)
   }
+
+  /** Replays a commitMany schedule through the SEQUENTIAL API on its own
+    * family: same begins, updates, commits, in schedule order. Returns
+    * outcomes in commit order, Right(seq) or Left(reject message).
+    */
+  private def sequentialReplay(f: graft.streaming.AttributeLogFamily,
+      mode: TransactionMode,
+      schedule: Seq[TransactionCoordinator.ScheduleStep])
+      : Seq[(Int, Either[String, Long])] = {
+    import TransactionCoordinator.ScheduleStep._
+    val coord = new TransactionCoordinator(f, mode)
+    val open = collection.mutable.Map.empty[Int, coord.Transaction]
+    val out = collection.mutable.ArrayBuffer.empty[(Int, Either[String, Long])]
+    schedule.foreach {
+      case Begin(i) => open(i) = coord.begin()
+      case Update(i, e) => open(i).update(e)
+      case Commit(i) =>
+        out += ((i,
+          try Right(open(i).commit())
+          catch { case e: Exception => Left(e.getMessage) }))
+    }
+    out.toSeq
+  }
+
+  test("LAW: commitMany == the sequential schedule (winners, seqIds, log)") {
+    // a contention-rich deterministic schedule: pairs racing one cell
+    // (loser must abort), interleaved begins, a no-conflict different-
+    // attribute pair, and a three-way race with one winner
+    Seq(TransactionMode.Attribute, TransactionMode.Key).foreach { mode =>
+      val fBatch = fam(); val fSeq = fam()
+      val cb = new TransactionCoordinator(fBatch, mode)
+      import TransactionCoordinator.{ScheduleStep => St}
+      val schedule: Seq[TransactionCoordinator.ScheduleStep] = Seq(
+        // pair race on one cell: 0 wins, 1 aborts
+        St.Begin(0), St.Begin(1),
+        St.Update(0, up("u1", "bal", 1, "a")), St.Commit(0),
+        St.Update(1, up("u1", "bal", 2, "b")), St.Commit(1),
+        // different attribute, same key: conflicts only under KEY mode
+        St.Begin(2), St.Begin(3),
+        St.Update(2, up("u1", "name", 3, "c")), St.Commit(2),
+        St.Update(3, up("u1", "mail", 4, "d")), St.Commit(3),
+        // three-way race on a fresh cell: first commit wins, two abort
+        St.Begin(4), St.Begin(5), St.Begin(6),
+        St.Update(4, up("u2", "bal", 5, "e")),
+        St.Update(5, up("u2", "bal", 6, "f")),
+        St.Update(6, up("u2", "bal", 7, "g")),
+        St.Commit(4), St.Commit(5), St.Commit(6),
+        // begins AFTER earlier commits see them in their snapshot
+        St.Begin(7), St.Update(7, up("u1", "bal", 8, "h")), St.Commit(7))
+      val batched = cb.commitMany(schedule)
+        .map(o => (o.txn, o.result))
+      val sequential = sequentialReplay(fSeq, mode, schedule)
+      // same winners with same seqIds, same losers (messages may differ)
+      assert(batched.map { case (t, r) => (t, r.toOption) } ==
+        sequential.map { case (t, r) => (t, r.toOption) },
+        s"mode $mode: batched=$batched sequential=$sequential")
+      // and the committed logs are row-identical
+      val a = fBatch.batchUpdates().toDF()
+        .selectExpr("key", "attribute", "seqId", "cast(value as string)")
+        .collect().map(_.toString).sorted.toSeq
+      val b = fSeq.batchUpdates().toDF()
+        .selectExpr("key", "attribute", "seqId", "cast(value as string)")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"mode $mode: committed logs diverge")
+    }
+  }
+
+  test("commitMany: reuse of a committed txn id and update-before-begin throw") {
+    val f = fam()
+    val coord = new TransactionCoordinator(f)
+    import TransactionCoordinator.{ScheduleStep => St}
+    intercept[IllegalArgumentException](coord.commitMany(Seq(
+      St.Begin(0), St.Begin(0))))
+    intercept[IllegalArgumentException](coord.commitMany(Seq(
+      St.Update(1, up("k", "a", 1, "x")))))
+    intercept[IllegalArgumentException](coord.commitMany(Seq(
+      St.Begin(2), St.Commit(2), St.Commit(2))))
+  }
 }
